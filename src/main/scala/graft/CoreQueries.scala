@@ -1,0 +1,313 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{Aggs, Cleaning, Dedup, Validate}
+
+/** The SURVEY.md §2 operator inventory, one oracle-checked query per
+  * operator class, expressed over the testdata star schema (§7.1: the
+  * hospital-domain pipeline lives in graft.aragon and is golden-tested;
+  * these queries exercise the SAME generic operators where DuckDB can
+  * oracle them).
+  *
+  * Determinism contract (driver hash-compares against DuckDB):
+  *   - aggregates over doubles go through DECIMAL(38,6) (Aggs.dsum) so
+  *     results are independent of partitioning / combine order;
+  *   - ratios and means are ONE IEEE double division of two exact
+  *     values — bitwise deterministic;
+  *   - every result has a total ORDER BY (tie-breakers included);
+  *   - column names match the oracle SQL exactly.
+  */
+object CoreQueries {
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.table(s, dir, name)
+
+  /** S1/S2/P8 — pruned + filtered scan. Catalyst pushes both the filter
+    * and the 4-column projection into the parquet scan (verified via
+    * explain: PushedFilters + ReadSchema).
+    */
+  val q01 = Q(
+    "q01_pruned_scan",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .filter($"l_quantity" > 45)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** A2/O1/P4 — filtered grouped count by day, ordered (Reporting.py:36-41 shape). */
+  val q02 = Q(
+    "q02_daily_count",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderdate" < to_timestamp(lit("1997-01-01")))
+        .groupBy(to_date($"o_orderdate").as("order_date"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"order_date")
+    },
+    Some("""SELECT CAST(o_orderdate AS DATE) AS order_date, count(*) AS n_orders
+            FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** A1/A3/P13 — scalar multi-aggregate with filter + ROUND (Reporting.py:59-67 shape). */
+  val q03 = Q(
+    "q03_scalar_sums",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= to_timestamp(lit("1995-09-01")))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(Aggs.dsum($"l_quantity"), 2).cast(DoubleType).as("sum_qty"),
+          Aggs.dsumAsDouble($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          Aggs.dsumAsDouble($"l_tax").as("sum_tax"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                   CAST(sum(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE) AS sum_tax
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-09-01'"""))
+
+  /** A4/O2 — grouped sums, top-4 most recent, re-sorted ascending
+    * (Reporting.py:84-106 shape). orderBy+limit plans as
+    * TakeOrderedAndProject (no global sort).
+    */
+  val q04 = Q(
+    "q04_group_sums_top4",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy(to_date($"l_shipdate").as("ship_date"))
+        .agg(
+          Aggs.dsumAsDouble($"l_quantity").as("sum_qty"),
+          Aggs.dsumAsDouble($"l_extendedprice").as("sum_price"),
+          Aggs.dsumAsDouble($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"ship_date".desc).limit(4)
+        .orderBy($"ship_date")
+    },
+    Some("""SELECT * FROM (
+              SELECT CAST(l_shipdate AS DATE) AS ship_date,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+                     count(*) AS n_items
+              FROM lineitem GROUP BY 1 ORDER BY ship_date DESC LIMIT 4)
+            ORDER BY ship_date"""))
+
+  /** A5/A8/P14 — ratio-of-sums per group (Reporting.py:115-124 shape). */
+  val q05 = Q(
+    "q05_ratio_by_flag",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          Aggs.ratioOfSums($"l_extendedprice" * (lit(1.0) - $"l_discount"), $"l_quantity")
+            .as("rev_per_qty"),
+          Aggs.dsumAsDouble($"l_extendedprice").as("sum_price"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS rev_per_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** J1/J3 — filter-below-join + grouped agg over the join
+    * (Reporting.py:214-218 shape). The dimension side (filtered
+    * customers) is broadcast — no shuffle of the fact side.
+    */
+  val q06 = Q(
+    "q06_join_agg",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      t(s, dir, "orders")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+             Aggs.dsumAsDouble($"o_totalprice").as("total_price"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** J2/A7 — 3-way dimension join + grouped count (Reporting.py:182-191
+    * shape). Both dims broadcast; single shuffle for the final group-by.
+    */
+  val q07 = Q(
+    "q07_threeway_join",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"r_name", $"n_name")
+    },
+    Some("""SELECT r_name, n_name, count(*) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** D1/D2/D3 — anti-join dedup: incoming rows whose key is absent from
+    * the existing snapshot (load_hhs.py:8-32 / load_quality.py:13-31,
+    * unified per SURVEY §2.3).
+    */
+  val q08 = Q(
+    "q08_anti_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val existing = t(s, dir, "orders").filter($"o_orderstatus" === "P")
+        .select($"o_custkey".as("c_custkey"))
+      Dedup.antiDedup(t(s, dir, "customer"), Seq("c_custkey"), existing)
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+            ORDER BY c_custkey"""))
+
+  /** D4 — semi-join (the quarantined-duplicates complement). */
+  val q09 = Q(
+    "q09_semi_join",
+    (s, dir) => {
+      import s.implicits._
+      val existing = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_custkey".as("c_custkey"))
+      Dedup.duplicatesOf(t(s, dir, "customer"), Seq("c_custkey"), existing)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+            ORDER BY c_custkey"""))
+
+  /** Intra-batch distinct (dropDuplicates leg of D1). */
+  val q10 = Q(
+    "q10_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Dedup.distinctOn(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** P9/P10/S9 — validate-split with per-group valid/invalid accounting
+    * (load_hhs.py:104-127 guards + load summary counters).
+    */
+  val q11 = Q(
+    "q11_validate_counts",
+    (s, dir) => {
+      import s.implicits._
+      val preds = Validate.nonNegative(Seq("l_quantity", "l_tax")) :+
+        ($"l_extendedprice" <= 30000.0)
+      Validate.tagged(t(s, dir, "lineitem"), preds)
+        .groupBy($"l_returnflag")
+        .agg(count(when($"__valid", 1)).as("n_valid"),
+             count(when(!$"__valid", 1)).as("n_invalid"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   count(CASE WHEN (coalesce(l_quantity >= 0, true)
+                               AND coalesce(l_tax >= 0, true)
+                               AND coalesce(l_extendedprice <= 30000.0, true)) THEN 1 END) AS n_valid,
+                   count(CASE WHEN NOT (coalesce(l_quantity >= 0, true)
+                               AND coalesce(l_tax >= 0, true)
+                               AND coalesce(l_extendedprice <= 30000.0, true)) THEN 1 END) AS n_invalid
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** P5/P6/P7 — categorical remap + literal column (load_quality.py:102-107). */
+  val q12 = Q(
+    "q12_case_map",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "orders").withColumn("status_desc", $"o_orderstatus")
+      val mapped = Cleaning.mapValues(base, "status_desc",
+        Map("F" -> "FINISHED", "O" -> "OPEN", "P" -> "PENDING"),
+        default = Some("UNKNOWN"))
+      Cleaning.withLiteral(mapped, "src", "cms", StringType)
+        .select($"o_orderkey", $"status_desc", $"src")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   CASE o_orderstatus WHEN 'F' THEN 'FINISHED' WHEN 'O' THEN 'OPEN'
+                        WHEN 'P' THEN 'PENDING' ELSE 'UNKNOWN' END AS status_desc,
+                   'cms' AS src
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** O5/A9 — grouped mean, then top-5 AND bottom-5 (Reporting.py:254-263). */
+  val q13 = Q(
+    "q13_topbottom",
+    (s, dir) => {
+      import s.implicits._
+      val g = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(Aggs.davg($"c_acctbal").as("avg_bal"))
+      Aggs.topBottomK(g, 5, col("avg_bal"), col("n_name"))
+        .orderBy($"side", $"avg_bal", $"n_name")
+    },
+    Some("""WITH g AS (
+              SELECT n_name,
+                     CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(c_acctbal) AS avg_bal
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name)
+            SELECT * FROM (
+              (SELECT n_name, avg_bal, 'top' AS side FROM g ORDER BY avg_bal DESC, n_name LIMIT 5)
+              UNION ALL
+              (SELECT n_name, avg_bal, 'bottom' AS side FROM g ORDER BY avg_bal, n_name LIMIT 5))
+            ORDER BY side, avg_bal, n_name"""))
+
+  /** Window functions (beyond-reference extension, SURVEY §2.7):
+    * row_number + running sum per partition — one shuffle on the
+    * partition key, sort within partitions.
+    */
+  val q14 = Q(
+    "q14_window_running",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(
+          $"o_custkey", $"o_orderkey",
+          row_number().over(w).as("rn"),
+          sum($"o_totalprice".cast(DecimalType(38, 6))).over(wr).cast(DoubleType)
+            .as("running_spend"))
+        .orderBy($"o_custkey", $"rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS rn,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS running_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY o_custkey, rn"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14)
+}
