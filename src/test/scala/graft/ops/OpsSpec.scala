@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class OpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling (no scalatestplus bridge in the
+    * offline cache, so we drive Gen directly with fixed seeds).
+    */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("P1 sentinelToNull: no sentinel survives, other values untouched") {
+    val df = Seq((1, -999999.0), (2, 5.0), (3, -1.0)).toDF("id", "v")
+    val out = Cleaning.sentinelToNull(df, Seq("v"), -999999.0)
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1))
+    assert(out(1).getDouble(1) == 5.0)
+    assert(out(2).getDouble(1) == -1.0)
+  }
+
+  test("P1 property: sentinel never survives, non-sentinels preserved") {
+    val gen = Gen.listOf(Gen.oneOf(Gen.const(-999999.0), Gen.choose(-1000.0, 1000.0)))
+    samples(gen, 10).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+      val out = Cleaning.sentinelToNull(df, Seq("v"), -999999.0).collect()
+      assert(!out.exists(r => !r.isNullAt(1) && r.getDouble(1) == -999999.0))
+      assert(out.count(_.isNullAt(1)) == vs.count(_ == -999999.0))
+    }
+  }
+
+  test("P5 normalizeHeaders lower-cases and replaces spaces") {
+    val df = Seq((1, "x")).toDF("Facility ID", "Hospital Type")
+    assert(Cleaning.normalizeHeaders(df).columns.toSeq ==
+      Seq("facility_id", "hospital_type"))
+  }
+
+  test("P6 mapValues remaps listed values and passes others through") {
+    val df = Seq("Yes", "No", "Maybe").toDF("v")
+    val out = Cleaning.mapValues(df, "v", Map("Yes" -> "1", "No" -> "0"))
+      .as[String].collect().toSet
+    assert(out == Set("1", "0", "Maybe"))
+  }
+
+  test("D1/D3 antiDedup drops exactly the existing keys") {
+    val incoming = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val existing = Seq(2).toDF("k")
+    val out = Dedup.antiDedup(incoming, Seq("k"), existing).as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a"), (3, "c")))
+  }
+
+  test("firstPerKey keeps the smallest tie-breaker deterministically") {
+    val df = Seq((1, 10, "first"), (1, 20, "second"), (2, 5, "only")).toDF("k", "ord", "v")
+    val out = Dedup.firstPerKey(df, Seq("k"), col("ord")).orderBy("k")
+      .select("v").as[String].collect().toSeq
+    assert(out == Seq("first", "only"))
+  }
+
+  test("P9 validateSplit partitions the input exactly; nulls are valid") {
+    val df = Seq[(Int, java.lang.Double)]((1, 5.0), (2, -3.0), (3, null))
+      .toDF("id", "v")
+    val (ok, bad) = Validate.validateSplit(df, Validate.nonNegative(Seq("v")))
+    assert(ok.select("id").as[Int].collect().toSet == Set(1, 3))
+    assert(bad.select("id").as[Int].collect().toSet == Set(2))
+  }
+
+  test("P9 property: valid ⊎ quarantine = input, no row lost or duplicated") {
+    samples(Gen.listOf(Gen.choose(-100.0, 100.0)), 10).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+      val (ok, bad) = Validate.validateSplit(df, Seq(col("v") >= 0))
+      assert(ok.count() + bad.count() == vs.size)
+      val ids = ok.select("id").as[Int].collect().toSet ++
+        bad.select("id").as[Int].collect().toSet
+      assert(ids == vs.indices.toSet)
+    }
+  }
+
+  test("Aggs.dsum is exact and partition-order independent") {
+    val vs = (1 to 10000).map(_ => 0.1)
+    val one = vs.toDF("v").coalesce(1).agg(Aggs.dsumAsDouble(col("v"))).as[Double].head()
+    val many = vs.toDF("v").repartition(32).agg(Aggs.dsumAsDouble(col("v"))).as[Double].head()
+    assert(one == many)
+    assert(one == 1000.0) // decimal sum of 0.1 (as decimal 0.100000) is exact
+  }
+
+  test("topBottomK tags both ends with deterministic tie-breaks") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)).toDF("k", "v")
+    val out = Aggs.topBottomK(df, 1, col("v"), col("k"))
+      .select("k", "side").as[(String, String)].collect().toSet
+    assert(out == Set(("d", "top"), ("a", "bottom")))
+  }
+}
