@@ -1,11 +1,210 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
+import graft.ext.{EmbeddingSearch, ExactDedup, ShingleJaccard, TextAnalysis}
+import graft.ops.Aggs
 
-/** LLM-training-pipeline extension queries (dedup, similarity, text
-  * analysis) — filled in incrementally; see graft.ext.
+/** LLM-training-pipeline extension queries (dedup, similarity search,
+  * text analysis, event analytics) over the documents/embeddings/events
+  * tables — each oracle-checked where ANSI SQL can express it.
+  *
+  * events.parquet carries TIMESTAMP(NANOS) which Spark reads as a long
+  * (spark.sql.legacy.parquet.nanosAsLong=true, set by the harness
+  * sessions); timestamps are surfaced as strings or ns-longs so the
+  * Spark and DuckDB sides agree bit-for-bit.
   */
 object ExtQueries {
-  val all: Seq[Q] = Seq.empty
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.table(s, dir, name)
+
+  /** Exact content dedup: keeper id + multiplicity per distinct text. */
+  val q20 = Q(
+    "q20_exact_dedup",
+    (s, dir) => {
+      import s.implicits._
+      ExactDedup.byContent(t(s, dir, "documents"), $"text", $"doc_id")
+        .orderBy($"keeper_id")
+    },
+    Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY keeper_id"""))
+
+  /** Token / char-class statistics per document. */
+  val q21 = Q(
+    "q21_token_stats",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+        TextAnalysis.charCount($"text").cast("long").as("n_chars_m"),
+        TextAnalysis.digitCount($"text").cast("long").as("n_digits"),
+        TextAnalysis.spaceCount($"text").cast("long").as("n_spaces"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   length(text) AS n_chars_m,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                   length(text) - length(regexp_replace(text, ' ', '', 'g')) AS n_spaces
+            FROM documents ORDER BY doc_id"""))
+
+  /** Quality score — one mirrored arithmetic tree, bit-exact. */
+  val q22 = Q(
+    "q22_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(
+        $"doc_id",
+        TextAnalysis.stopwordCount($"text", TextAnalysis.langWords.head._2)
+          .cast("long").as("n_stopwords"),
+        TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                          t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE) AS stop,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+                     CAST(greatest(length(text), 1) AS DOUBLE) AS nchar,
+                     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS ndig
+              FROM documents)
+            SELECT doc_id, CAST(stop AS BIGINT) AS n_stopwords,
+                   0.4 * (stop / ntok) + 0.3 * (1.0 - ndig / nchar)
+                     + 0.3 * least(ntok / 100.0, 1.0) AS quality
+            FROM s ORDER BY doc_id"""))
+
+  /** Language-ID heuristic: argmax of per-language stopword hits. */
+  val q23 = Q(
+    "q23_lang_id",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang", TextAnalysis.langId($"text").as("pred_lang"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH s AS (
+              SELECT doc_id, lang,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> list_contains(['the','a','of','and','is'], t))) AS en,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> list_contains(['der','die','das','und','ist'], t))) AS de,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> list_contains(['el','los','una','y','es'], t))) AS es,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> list_contains(['le','les','une','et','est'], t))) AS fr
+              FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                        WHEN de >= es AND de >= fr THEN 'de'
+                        WHEN es >= fr THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM s ORDER BY doc_id"""))
+
+  /** Exact 3-gram Jaccard near-dup pairs on a bounded slice (the
+    * unbounded scale path is MinHashLsh; this exact variant is the
+    * oracle-checkable rerank kernel).
+    */
+  val q24 = Q(
+    "q24_shingle_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter($"doc_id" < 120)
+      ShingleJaccard.similarPairs(docs, $"doc_id", $"text", 3, 0.66)
+        .orderBy($"id1", $"id2")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+            pos AS (SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+                    FROM d),
+            sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS s FROM pos),
+            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id1, id2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id1
+            JOIN sizes sb ON sb.doc_id = id2
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.66
+            ORDER BY id1, id2"""))
+
+  /** Brute-force cosine top-5 for 10 query vectors (exact ANN baseline;
+    * ordered left-fold dot product makes the doubles bit-match DuckDB's
+    * sequential list_inner_product).
+    */
+  val q25 = Q(
+    "q25_embed_topk",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      EmbeddingSearch.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5)
+        .select($"qid".as("vec_id"), $"neighbor_id", $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"vec_id", $"rank")
+    },
+    Some("""WITH c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+            pairs AS (SELECT q.qid, c.vec_id AS nid,
+                             list_inner_product(qv, v) /
+                               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS cos
+                      FROM c, q WHERE c.vec_id != q.qid),
+            ranked AS (SELECT qid, nid, cos,
+                              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+                       FROM pairs)
+            SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
+            FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rank"""))
+
+  /** Hourly event rollup (timestamps surfaced as strings so the ns/µs
+    * unit difference between engines can't leak into the hash).
+    */
+  val q26 = Q(
+    "q26_event_hourly",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_format($"ts_us", "yyyy-MM-dd HH:00").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             Aggs.dsumAsDouble($"value").as("total_value"))
+        .orderBy($"hour", $"event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00') AS hour,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  /** Sessionization: 30-minute-gap sessions per user (lag window over
+    * raw ns-longs on both engines → exact integer arithmetic).
+    */
+  val q27 = Q(
+    "q27_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val gapNs = 1800L * 1000000000L
+      t(s, dir, "events")
+        .withColumn("new_sess",
+          when(lag($"ts", 1).over(w).isNull || ($"ts" - lag($"ts", 1).over(w)) > gapNs, 1)
+            .otherwise(0))
+        .groupBy($"user_id")
+        .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+            m AS (SELECT user_id,
+                         CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) IS NULL
+                                   OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn)
+                                      > 1800000000000 THEN 1 ELSE 0 END AS s
+                  FROM e)
+            SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions, count(*) AS n_events
+            FROM m GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
 }

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * `bruteForceTopK` is the exact baseline: broadcast the (small) query
+  * set against the corpus, codegen'd dot product via zip_with/aggregate
+  * (a strict left fold — deterministic IEEE summation order, which is
+  * what makes the DuckDB oracle bit-exact), per-query top-k via
+  * row_number. Cost: |Q|·|C| — right for reranking and small query
+  * batches.
+  *
+  * `lshTopK` is the scale path: b-bit signed-random-projection (SimHash
+  * for vectors) bucketing. Hyperplanes are pseudo-random but
+  * DETERMINISTIC (seeded by xxhash64 of (plane, dim)), so signatures are
+  * reproducible across runs and clusters. Candidates = same bucket;
+  * exact cosine rerank inside the bucket. Linear shuffle, tunable
+  * recall via bits/bands.
+  */
+object EmbeddingSearch {
+
+  /** Elementwise-double view of a float vector column. */
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Left-fold dot product — ordered, deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a); val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact cosine top-k neighbors for each query vector.
+    *
+    * @param corpus  (id, vec) — the full corpus
+    * @param queries (qid, qvec) — small; broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .withColumn("cos", cosine(col(queryVec), col(corpusVec)))
+    val filtered = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
+    val w = Window.partitionBy(queryId)
+      .orderBy(col("cos").desc, col(corpusId).asc)
+    filtered
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId).as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * xxhash64 mapped to a centered double in [-0.5, 0.5).
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** b-bit signed-projection signature of a vector (bit i = sign of the
+    * dot product with pseudo-random plane i), as a long.
+    */
+  def srpSignature(vec: Column, bits: Int): Column = {
+    require(bits <= 62, "signature packed into a long")
+    val sig = (0 until bits).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    sig.reduce((a, b) => a + b)
+  }
+
+  /** Approximate top-k: bucket corpus and queries by SRP signature,
+    * exact-rerank within buckets. Vectors whose bucket lacks k
+    * neighbors return fewer (recall/cost tradeoff; lower `bits` for
+    * higher recall).
+    */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, bits: Int = 8): DataFrame = {
+    val c = corpus.withColumn("__sig", srpSignature(col(corpusVec), bits))
+    val q = queries.withColumn("__sig", srpSignature(col(queryVec), bits))
+    val cand = c.join(broadcast(q), Seq("__sig"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cos", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId).asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId).as("neighbor_id"), col("rank"), col("cos"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram (character-shingle) Jaccard near-duplicate detection.
+  *
+  * Spark shape: shingle set per document (narrow transform/explode) →
+  * inverted index self-join on shingle → pair intersection counts →
+  * Jaccard from set sizes. All-pairs work only materializes for pairs
+  * that share ≥1 shingle.
+  *
+  * Scale notes (100 TB): the self-join is quadratic in per-shingle
+  * document frequency, so ubiquitous shingles ("the") dominate cost —
+  * `maxDf` drops shingles seen in more than that many documents before
+  * the join (standard df-pruning; slightly under-counts intersections
+  * of pruned shingles, so keep it ≥ corpus-common threshold or use it
+  * as a candidate filter + exact rerank). For corpora where even that
+  * is too hot, use MinHashLsh (probabilistic, linear shuffle) and
+  * rerank candidates here.
+  */
+object ShingleJaccard {
+
+  /** Distinct character n-grams of `c` (positions 1..len-n+1; documents
+    * shorter than n yield their whole text as the single shingle).
+    */
+  def charShingles(c: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => c.substr(i, lit(n))))
+
+  /** Pairs (id1 < id2) with shingle-set Jaccard ≥ threshold.
+    *
+    * Output: id1, id2, jaccard (double — exact int arithmetic up to one
+    * IEEE division, so oracle-comparable bit-for-bit).
+    */
+  def similarPairs(df: DataFrame, id: Column, text: Column, n: Int,
+                   threshold: Double, maxDf: Option[Long] = None): DataFrame = {
+    val sh = df.select(id.as("__id"), explode(charShingles(text, n)).as("__sh"))
+    val pruned = maxDf match {
+      case Some(cap) =>
+        val dfCounts = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap).select("__sh")
+        sh.join(dfCounts, Seq("__sh"), "left_semi")
+      case None => sh
+    }
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val a = pruned.select(col("__id").as("id1"), col("__sh"))
+    val b = pruned.select(col("__id").as("id2"), col("__sh"))
+    val inter = a.join(b, a("__sh") === b("__sh") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col("__id").as("id1"), col("__n").as("__n1")), "id1")
+      .join(sizes.select(col("__id").as("id2"), col("__n").as("__n2")), "id2")
+      .withColumn("jaccard",
+        col("__inter").cast("double") / (col("__n1") + col("__n2") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+}

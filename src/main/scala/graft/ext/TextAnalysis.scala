@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (BASELINE
+  * north star; SURVEY.md §7.2 step 9): token counting, character-class
+  * stats, stopword ratios, a deterministic language-ID heuristic, and a
+  * quality score.
+  *
+  * Everything here is a pure Column expression built from codegen'd
+  * built-ins — no UDFs — so at 100 TB these run inside whole-stage
+  * codegen at scan speed, and each has an exact ANSI-SQL mirror for the
+  * DuckDB oracle (ExtQueries).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the `\s+` regex matches the oracle's
+    * string_split_regex exactly).
+    */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Count of characters in a regex class, via length difference (same
+    * trick is expressible in DuckDB with regexp_replace(...,'g')).
+    */
+  def classCount(c: Column, charClass: String): Column =
+    length(c) - length(regexp_replace(c, charClass, ""))
+
+  def digitCount(c: Column): Column = classCount(c, "[0-9]")
+  def upperCount(c: Column): Column = classCount(c, "[A-Z]")
+  def spaceCount(c: Column): Column = classCount(c, " ")
+
+  /** Number of tokens that appear in `words`. */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(words)))
+
+  /** Small distinctive stopword lists per language. The heuristic is the
+    * standard one (score each language's list, take the argmax with a
+    * fixed preference order) — deterministic, SQL-expressible.
+    */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "una", "y", "es"),
+    "fr" -> Seq("le", "les", "une", "et", "est"))
+
+  /** n-gram/stopword language-ID: argmax over per-language hit counts,
+    * ties resolved by list order.
+    */
+  def langId(c: Column): Column = {
+    val scores = langWords.map { case (lang, ws) => lang -> stopwordCount(c, ws) }
+    val winner = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), acc) =>
+        val rest = scores.drop(i + 1)
+        if (rest.isEmpty) acc
+        else when(rest.map(r => s >= r._2).reduce(_ && _), lang).otherwise(acc)
+    }
+    winner
+  }
+
+  /** Heuristic quality score in [0,1]: stopword density + non-digit
+    * purity + a length prior. One arithmetic tree, mirrored verbatim in
+    * the oracle SQL so the IEEE result is bit-identical.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nChar = greatest(charCount(c), lit(1)).cast("double")
+    val stop = stopwordCount(c, langWords.head._2).cast("double")
+    lit(0.4) * (stop / nTok) +
+      lit(0.3) * (lit(1.0) - digitCount(c).cast("double") / nChar) +
+      lit(0.3) * least(nTok / lit(100.0), lit(1.0))
+  }
+
+  /** 64-bit content fingerprint (xxhash64 builtin — codegen'd, seed 42). */
+  def fingerprint(c: Column): Column = xxhash64(c)
+}

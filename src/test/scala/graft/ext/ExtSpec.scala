@@ -1,0 +1,99 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("ExactDedup: planted duplicates collapse to the smallest id") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa")).toDF("doc_id", "text")
+    val out = ExactDedup.byContent(df, $"text", $"doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L), (2L, 1L)))
+    val corpus = ExactDedup.dedupedCorpus(df, $"text", $"doc_id", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L))
+  }
+
+  test("ShingleJaccard: identical docs score 1.0, planted near-dups found") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dot"), // near-dup of 1
+      (3L, "completely unrelated content xyz qqq zzz www")).toDF("id", "text")
+    val pairs = ShingleJaccard.similarPairs(df, $"id", $"text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 1)
+    assert(pairs.head._1 == 1L && pairs.head._2 == 2L && pairs.head._3 > 0.7)
+
+    val same = Seq((1L, "hello world"), (2L, "hello world")).toDF("id", "text")
+    val p2 = ShingleJaccard.similarPairs(same, $"id", $"text", 3, 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(p2.length == 1 && p2.head._3 == 1.0)
+  }
+
+  test("ShingleJaccard: maxDf pruning drops ubiquitous shingles from the join") {
+    // 'zz' + unique tails: the common prefix shingle appears in all docs
+    val df = (1L to 6L).map(i => (i, s"zzzz unique$i")).toDF("id", "text")
+    val unpruned = ShingleJaccard.similarPairs(df, $"id", $"text", 3, 0.01)
+    val pruned = ShingleJaccard.similarPairs(df, $"id", $"text", 3, 0.01, maxDf = Some(2))
+    assert(pruned.count() <= unpruned.count())
+  }
+
+  test("TextAnalysis: token/char counts and fingerprint basics") {
+    val df = Seq((1L, "the cat sat on 3 mats"), (2L, "  spaced  out  ")).toDF("id", "text")
+    val out = df.select($"id",
+      TextAnalysis.tokenCount($"text").as("nt"),
+      TextAnalysis.digitCount($"text").as("nd"),
+      TextAnalysis.stopwordCount($"text", Seq("the", "on")).as("ns"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 6 && out(0).getInt(2) == 1 && out(0).getInt(3) == 2)
+    assert(out(1).getInt(1) == 2) // trim first, then \s+ split
+    assert(out(0).getLong(4) != out(1).getLong(4))
+  }
+
+  test("TextAnalysis: langId is deterministic and prefers matching stopwords") {
+    val df = Seq(
+      (1L, "the house of the king is a great and old house"),
+      (2L, "der hund und die katze das ist gut und schoen"),
+      (3L, "le chat et les chiens est une belle chose et")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text").as("l"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "en"), (2L, "de"), (3L, "fr")))
+  }
+
+  test("EmbeddingSearch: brute-force top-k finds the planted nearest vector") {
+    val mk = (s: Double) => Array(1.0f * s.toFloat, 0.5f * s.toFloat, 0.1f * s.toFloat)
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), // closest to query 10
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(1.0f, 0.05f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 10L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = EmbeddingSearch.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 2).orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L)) // cos(q,1)=~0.999 > cos(q,2)=~0.95
+  }
+
+  test("EmbeddingSearch: LSH signature is deterministic; bucket rerank is exact") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val sig1 = df.select(EmbeddingSearch.srpSignature($"embedding", 8).as("s"))
+      .as[Long].collect().toSeq
+    val sig2 = df.select(EmbeddingSearch.srpSignature($"embedding", 8).as("s"))
+      .as[Long].collect().toSeq
+    assert(sig1 == sig2)
+    // identical vectors always share a bucket → lshTopK must find the twin
+    val withTwin = df.unionAll(Seq((999L, vecs(7)._2)).toDF("vec_id", "embedding"))
+    val q = Seq((999L, vecs(7)._2)).toDF("qid", "qvec")
+    val res = EmbeddingSearch.lshTopK(withTwin, "vec_id", "embedding", q, "qid", "qvec", 1)
+      .select("neighbor_id").as[Long].collect()
+    assert(res.headOption.contains(7L))
+  }
+}
