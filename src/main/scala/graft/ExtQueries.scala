@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{EmbeddingSearch, ExactDedup, ShingleJaccard, TextAnalysis}
+import graft.ext.{EmbeddingSearch, ExactDedup, MinHashLsh, Multimodal, ShingleJaccard, SimHash, TextAnalysis}
 import graft.ops.Aggs
 
 /** LLM-training-pipeline extension queries (dedup, similarity search,
@@ -206,5 +206,87 @@ object ExtQueries {
             SELECT user_id, CAST(sum(s) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM m GROUP BY user_id ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+  /** MinHash-LSH near-dedup over documents ∪ 20 planted mutations (ids
+    * shifted by 100000). Hash-based → no SQL oracle (driver records a
+    * rows-only check); the planted pairs make the expected output
+    * non-empty and order-stable, and NearDupSpec pins exact behavior.
+    */
+  val q28 = Q(
+    "q28_minhash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          concat($"text", lit(" mutated tail token")).as("text"))
+      MinHashLsh.nearDupPairs(docs.unionAll(planted), $"doc_id", $"text",
+          n = 3, k = 64, bands = 16, threshold = 0.5,
+          shingler = ShingleJaccard.wordShingles _)
+        .orderBy($"id1", $"id2")
+    },
+    None)
+
+  /** SimHash near-dedup, same planted-mutation scheme (rows-only). */
+  val q29 = Q(
+    "q29_simhash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = docs.filter($"doc_id" < 20)
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          concat($"text", lit(" zz")).as("text"))
+      SimHash.nearDupPairs(docs.unionAll(planted), $"doc_id", $"text",
+          maxDist = 3, bands = 4)
+        .orderBy($"id1", $"id2")
+    },
+    None)
+
+  /** Multimodal metadata path: synthetic GRFT containers are encoded to
+    * binary, decoded per-partition (mapPartitions stub codec), resized.
+    * The oracle reproduces the expected METADATA arithmetically — the
+    * binary round-trip is exactly what the Spark side must get right.
+    */
+  val q30 = Q(
+    "q30_media_meta",
+    (s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticTable(s, 500)
+      val decoded = Multimodal.withMetadata(media.toDF())
+      Multimodal.resize(decoded, maxSide = 256)
+        .select($"media_id", $"media_type",
+          $"meta.width".cast("long").as("width"),
+          $"meta.height".cast("long").as("height"),
+          $"meta.nFrames".cast("long").as("n_frames"),
+          $"resized_width".cast("long").as("resized_width"),
+          $"resized_height".cast("long").as("resized_height"))
+        .orderBy($"media_id")
+    },
+    Some("""WITH m AS (
+              SELECT i AS media_id,
+                     CASE WHEN i % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+                     64 + (i % 16) * 32 AS width,
+                     64 + (i % 9) * 48 AS height,
+                     1 + (i % 30) AS n_frames
+              FROM range(0, 500) t(i)),
+            r AS (SELECT *, least(1.0, CAST(256 AS DOUBLE) / greatest(width, height, 1)) AS scale FROM m)
+            SELECT media_id, media_type, width, height, n_frames,
+                   CAST(floor(width * scale) AS BIGINT) AS resized_width,
+                   CAST(floor(height * scale) AS BIGINT) AS resized_height
+            FROM r ORDER BY media_id"""))
+
+  /** Frame sampling (stride 7) over the decoded synthetic media. */
+  val q31 = Q(
+    "q31_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val decoded = Multimodal.withMetadata(Multimodal.syntheticTable(s, 500).toDF())
+      Multimodal.sampleFrames(decoded, stride = 7)
+        .select($"media_id", $"frame_idx".cast("long").as("frame_idx"))
+        .orderBy($"media_id", $"frame_idx")
+    },
+    Some("""SELECT i AS media_id,
+                   unnest(generate_series(0, (1 + (i % 30)) - 1, 7)) AS frame_idx
+            FROM range(0, 500) t(i) ORDER BY media_id, frame_idx"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }

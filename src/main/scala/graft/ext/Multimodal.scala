@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media is carried as an opaque `binary` column plus typed metadata —
+  * the layout a 100 TB training pipeline needs: the binary never leaves
+  * the executor, decode/feature steps run per-partition, and metadata
+  * (not pixels) drives partitioning and filtering.
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * environment): `decodeHeader` parses a deterministic synthetic "GRFT"
+  * container header, and `resize`/`sampleFrames` transform metadata and
+  * pass the payload through. The Spark-side shape — schema, Dataset
+  * encoders, mapPartitions batching, explode for frame sampling — is
+  * real and tested; swapping in javacv/ffmpeg is a local change inside
+  * `decodeHeader`.
+  *
+  * Synthetic container layout (big-endian ints):
+  *   bytes 0-3  magic "GRFT"
+  *   bytes 4-7  width, 8-11 height, 12-15 frame count
+  *   bytes 16+  payload
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, nFrames: Int, valid: Boolean)
+  final case class MediaRow(media_id: Long, media_type: String, content: Array[Byte])
+  final case class DecodedRow(media_id: Long, media_type: String,
+                              content: Array[Byte], meta: MediaMeta)
+
+  implicit private val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+  implicit private val decodedEnc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
+
+  /** STUB codec boundary: header parse only. A real implementation
+    * replaces the body (e.g. ImageIO/ffmpeg) without touching the
+    * Spark plumbing around it.
+    */
+  def decodeHeader(bytes: Array[Byte]): MediaMeta = {
+    def int(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    if (bytes.length >= 16 && bytes(0) == 'G' && bytes(1) == 'R' &&
+        bytes(2) == 'F' && bytes(3) == 'T')
+      MediaMeta(int(4), int(8), int(12), valid = true)
+    else MediaMeta(0, 0, 0, valid = false)
+  }
+
+  /** Encode the synthetic container (test/data-gen helper). */
+  def encode(width: Int, height: Int, nFrames: Int, payload: Array[Byte]): Array[Byte] = {
+    def be(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    "GRFT".getBytes("UTF-8") ++ be(width) ++ be(height) ++ be(nFrames) ++ payload
+  }
+
+  /** Per-partition decode: binary → typed metadata. mapPartitions (not
+    * per-row UDF) so a real codec can amortize native init per batch —
+    * the Scala analogue of mapInPandas batch shape.
+    */
+  def decode(ds: Dataset[MediaRow]): Dataset[DecodedRow] =
+    ds.mapPartitions { it =>
+      // real impl: initialize the codec ONCE here, reuse across rows
+      it.map(r => DecodedRow(r.media_id, r.media_type, r.content, decodeHeader(r.content)))
+    }
+
+  /** DataFrame-level decode keeping schema explicit for SQL users. */
+  def withMetadata(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    decode(df.as[MediaRow]).toDF()
+  }
+
+  /** Frame sampling: one output row per sampled frame index (stride
+    * sampling). The payload is NOT duplicated: frame rows carry ids +
+    * indices; a downstream per-partition decode fetches pixels. This is
+    * the join-back-later layout that keeps the shuffle narrow at scale.
+    */
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
+    decoded
+      .filter(col("meta.valid") && col("meta.nFrames") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("meta.nFrames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize stub: metadata transform, payload passthrough (a real
+    * implementation rewrites content in the same mapPartitions pass).
+    */
+  def resize(decoded: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxSide).cast("double") / greatest(w, h, lit(1)))
+    decoded
+      .withColumn("resized_width", floor(w * scale).cast("int"))
+      .withColumn("resized_height", floor(h * scale).cast("int"))
+  }
+
+  /** Synthesize a deterministic media table (no binary testdata table
+    * exists; generation is seeded by media_id so plans are reproducible).
+    */
+  def syntheticTable(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val w = 64 + (i % 16).toInt * 32
+      val h = 64 + (i % 9).toInt * 48
+      val frames = 1 + (i % 30).toInt
+      val payload = Array.tabulate((i % 64).toInt + 16)(j => ((i * 31 + j) % 251).toByte)
+      MediaRow(i, if (i % 3 == 0) "video" else "image", encode(w, h, frames, payload))
+    }
+  }
+}

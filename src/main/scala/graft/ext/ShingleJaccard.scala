@@ -29,6 +29,18 @@ object ShingleJaccard {
       sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => c.substr(i, lit(n))))
 
+  /** Distinct word n-grams (space-joined token windows). Prefer these
+    * over char shingles on natural-language corpora sharing a common
+    * vocabulary: char 3-grams make everything ~60% similar to
+    * everything, word n-grams keep unrelated documents near 0.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   /** Pairs (id1 < id2) with shingle-set Jaccard ≥ threshold.
     *
     * Output: id1, id2, jaccard (double — exact int arithmetic up to one

@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 64-bit SimHash near-duplicate fingerprinting.
+  *
+  * Each token hashes to 64 bits; bit i of the document fingerprint is
+  * the sign of Σ_tokens (±1 for bit i of the token hash). Near-dups have
+  * small Hamming distance between fingerprints.
+  *
+  * Spark shape: explode tokens → ONE hash-aggregate with 64 codegen'd
+  * conditional sums → fingerprint assembly. Candidate pairing at scale
+  * uses the pigeonhole trick: split 64 bits into `bands` chunks — any
+  * pair within Hamming distance `bands - 1` shares ≥1 exact chunk, so a
+  * chunk-equality bucket join finds all such pairs with a linear
+  * shuffle; `bit_count(xor)` then gives the exact distance.
+  */
+object SimHash {
+
+  /** (id, simhash) per document. */
+  def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("__id"), explode(TextAnalysis.tokens(text)).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
+    }
+    val agg = tok.groupBy("__id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"__b$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+    agg.select(col("__id").as("id"), fp.as("simhash"))
+  }
+
+  /** All pairs with Hamming(simhash) <= maxDist, found via the
+    * pigeonhole band join (complete as long as bands > maxDist).
+    */
+  def nearDupPairs(df: DataFrame, id: Column, text: Column,
+                   maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxDist, "pigeonhole completeness needs bands > maxDist")
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val fps = fingerprints(df, id, text)
+    val chunks = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), (shiftrightunsigned(col("simhash"), b * width)
+        .bitwiseAND(mask)).as("chunk"))
+    }: _*)
+    val banded = fps.withColumn("__bc", explode(chunks))
+    val a = banded.select(col("id").as("id1"), col("simhash").as("__f1"), col("__bc"))
+    val b2 = banded.select(col("id").as("id2"), col("simhash").as("__f2"), col("__bc"))
+    a.join(b2, a("__bc") === b2("__bc") && col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", bit_count(col("__f1").bitwiseXOR(col("__f2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "entirely different material about query engines and columnar storage"),
+    (4L, "entirely different material about query engines and columnar systems"), // near-dup of 3
+    (5L, "zzz qqq www unrelated noise tokens xyzzy plugh")).toDF("id", "text")
+
+  test("MinHashLsh finds planted near-dup pairs and only them") {
+    val pairs = MinHashLsh.nearDupPairs(corpus, $"id", $"text",
+      n = 3, k = 128, bands = 32, threshold = 0.6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("MinHashLsh signature estimate approximates exact Jaccard") {
+    val est = MinHashLsh.nearDupPairs(corpus, $"id", $"text",
+      n = 3, k = 128, bands = 32, threshold = 0.5, exact = false)
+      .filter($"id1" === 1L && $"id2" === 2L)
+      .select("jaccard").as[Double].head()
+    val exact = ShingleJaccard.similarPairs(corpus, $"id", $"text", 3, 0.0)
+      .filter($"id1" === 1L && $"id2" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("SimHash: identical docs collide, near-dups within small Hamming distance") {
+    val fps = SimHash.fingerprints(corpus, $"id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps.size == 5)
+    val d12 = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val d15 = java.lang.Long.bitCount(fps(1L) ^ fps(5L))
+    assert(d12 < d15, s"near-dup distance $d12 should be < unrelated $d15")
+
+    val same = Seq((1L, "hello world now"), (2L, "hello world now")).toDF("id", "text")
+    val pairs = SimHash.nearDupPairs(same, $"id", $"text", maxDist = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == 1 && pairs.head._3 == 0)
+  }
+
+  test("SimHash pigeonhole banding is complete up to maxDist") {
+    // flip exactly 3 bits of a known doc's fingerprint via a twin doc:
+    // instead, verify band join finds pairs the brute force finds
+    val fps = SimHash.fingerprints(corpus, $"id", $"text").as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, f1) <- fps; (i2, f2) <- fps if i1 < i2
+      if java.lang.Long.bitCount(f1 ^ f2) <= 3
+    } yield (i1, i2)).toSet
+    val banded = SimHash.nearDupPairs(corpus, $"id", $"text", maxDist = 3, bands = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
+  test("Multimodal: decode → metadata, frame sampling, resize stubs") {
+    val media = Multimodal.syntheticTable(spark, 30)
+    val decoded = Multimodal.withMetadata(media.toDF())
+    assert(decoded.filter(col("meta.valid")).count() == 30)
+    val d0 = decoded.filter($"media_id" === 0L).select("meta.width", "meta.height", "meta.nFrames")
+      .as[(Int, Int, Int)].head()
+    assert(d0 == ((64, 64, 1)))
+
+    // corrupt payload → invalid metadata, row preserved
+    val bad = Seq(Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3))).toDS()
+    assert(Multimodal.withMetadata(bad.toDF()).filter(!col("meta.valid")).count() == 1)
+
+    val frames = Multimodal.sampleFrames(decoded, stride = 7)
+    val f10 = frames.filter($"media_id" === 10L).select("frame_idx").as[Int].collect().toSeq
+    assert(f10 == Seq(0, 7)) // media 10 has 11 frames → indices 0,7
+    val resized = Multimodal.resize(decoded, maxSide = 100)
+    assert(resized.filter($"resized_width" > 100 || $"resized_height" > 100).count() == 0)
+  }
+}
