@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for graft's custom Catalyst expressions.
+  *
+  * Spark 4 made the classic converters (`classic.ExpressionUtils`)
+  * private[sql]; third-party expression libraries conventionally expose
+  * them through a small object in the org.apache.spark.sql package.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
