@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the optimizations the engine relies on at
+  * 100 TB must actually appear in the plan — filter/projection pushdown
+  * into the parquet scan, broadcast joins for dimension sides (no
+  * sort-merge shuffle of fact tables), TakeOrderedAndProject for top-k
+  * (no global sort). A regression here can be invisible at sf0.01 and
+  * catastrophic at scale, hence assertions rather than eyeballs.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  test("q01: filter and projection are pushed into the parquet scan") {
+    val p = plan(CoreQueries.q01.run(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"), p)
+  }
+
+  test("q06: dimension join is broadcast, never sort-merge") {
+    val p = plan(CoreQueries.q06.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the segment filter reaches the customer scan (filter below join)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("q04/q13: orderBy+limit plans as TakeOrderedAndProject, no global Sort before it") {
+    val p4 = plan(CoreQueries.q04.run(spark, dir))
+    assert(p4.contains("TakeOrderedAndProject"), p4)
+    val p13 = plan(CoreQueries.q13.run(spark, dir))
+    assert(p13.contains("TakeOrderedAndProject"), p13)
+  }
+
+  test("q05: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan(CoreQueries.q05.run(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q08 anti-dedup: broadcast left-anti, keys pruned at the scan") {
+    val p = plan(CoreQueries.q08.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>"), p)
+  }
+
+  test("reporting joins broadcast the dimension side") {
+    val hospitals = Tables.table(spark, dir, "customer")
+      .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
+    val locations = Tables.table(spark, dir, "customer")
+      .selectExpr("cast(c_custkey as string) hospital_fk", "c_mktsegment state")
+    val quality = Tables.table(spark, dir, "customer")
+      .selectExpr("cast(c_custkey as string) facility_id", "true emergency_services",
+        "c_acctbal hospital_overall_rating", "date'2022-10-01' data_date")
+    val p = plan(graft.aragon.Reporting.emergencyTop20(quality, hospitals, locations))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+}
