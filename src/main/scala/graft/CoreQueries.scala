@@ -308,6 +308,93 @@ object CoreQueries {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             ORDER BY o_custkey, rn"""))
 
+  /** Distinct aggregation (beyond-reference, SURVEY §2.7): Spark plans
+    * this as a two-phase expand+aggregate; exact, oracle-checkable.
+    */
+  val q15 = Q(
+    "q15_distinct_agg",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_orderkey").as("n_orders"),
+             count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Set operators (beyond-reference): INTERSECT / EXCEPT with set
+    * (distinct) semantics on both engines.
+    */
+  val q16 = Q(
+    "q16_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val open = t(s, dir, "orders").filter($"o_orderstatus" === "O")
+        .select($"o_custkey".as("k"))
+      val fin = t(s, dir, "orders").filter($"o_orderstatus" === "F")
+        .select($"o_custkey".as("k"))
+      open.intersect(fin).withColumn("side", lit("both"))
+        .unionAll(open.except(fin).withColumn("side", lit("open_only")))
+        .orderBy($"side", $"k")
+    },
+    Some("""SELECT * FROM (
+              SELECT k, 'both' AS side FROM (
+                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+                INTERSECT
+                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+              UNION ALL
+              SELECT k, 'open_only' AS side FROM (
+                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+                EXCEPT
+                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'))
+            ORDER BY side, k"""))
+
+  /** String-function surface (beyond-reference): upper / substring /
+    * concat / replace / length with identical dialect semantics.
+    */
+  val q17 = Q(
+    "q17_string_funcs",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        upper($"o_orderpriority").as("pri_upper"),
+        substring($"o_orderpriority", 1, 3).as("pri3"),
+        concat($"o_orderstatus", lit("-"), $"o_orderpriority").as("tagged"),
+        expr("replace(o_orderpriority, '-', '_')").as("pri_us"),
+        length($"o_orderpriority").cast("long").as("pri_len"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, upper(o_orderpriority) AS pri_upper,
+                   substring(o_orderpriority, 1, 3) AS pri3,
+                   concat(o_orderstatus, '-', o_orderpriority) AS tagged,
+                   replace(o_orderpriority, '-', '_') AS pri_us,
+                   length(o_orderpriority) AS pri_len
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** ROLLUP grouping sets (beyond-reference). NULL ordering differs
+    * between engines by default (Spark NULLS FIRST asc, DuckDB NULLS
+    * LAST) — pinned explicitly on both sides.
+    */
+  val q18 = Q(
+    "q18_rollup",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+             Aggs.dsumAsDouble($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14)
+    q11, q12, q13, q14, q15, q16, q17, q18)
 }

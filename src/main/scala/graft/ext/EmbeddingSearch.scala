@@ -22,19 +22,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object EmbeddingSearch {
 
-  /** Elementwise-double view of a float vector column. */
-  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
-
-  /** Left-fold dot product — ordered, deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Ordered left-fold dot product over float vectors — the native
+    * codegen'd expression (graft.functions.VecDot); bit-identical to
+    * the aggregate(zip_with(...)) formulation and to a sequential
+    * oracle, without the interpreted higher-order-function overhead.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  def cosine(a: Column, b: Column): Column = {
-    val ad = asDouble(a); val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k neighbors for each query vector.
     *
