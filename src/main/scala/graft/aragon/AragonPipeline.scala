@@ -27,6 +27,21 @@ object AragonPipeline {
     }
   }
 
+  /** Production warehouse (S4/S5/S6): key probes via spark.read.jdbc,
+    * appends with the reference's 500-row batching. No live database in
+    * the harness, so this path is exercised only by construction; the
+    * pipeline code is identical either way.
+    */
+  final class JdbcWarehouse(url: String, props: java.util.Properties,
+                            batchSize: Int = 500, numPartitions: Int = 8) extends Warehouse {
+    override def append(df: DataFrame, table: String): Unit =
+      df.coalesce(numPartitions).write.mode("append")
+        .option("batchsize", batchSize).jdbc(url, table, props)
+    override def table(spark: SparkSession, name: String): Option[DataFrame] =
+      try Some(spark.read.jdbc(url, name, props))
+      catch { case _: Exception => None }
+  }
+
   private def emptyDf(spark: SparkSession, fields: (String, DataType)*): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(fields.map { case (n, t) => StructField(n, t) }))

@@ -129,15 +129,22 @@ class AragonGoldenSpec extends SparkTestBase {
     assert(Reporting.weeklyRecords(beds, "2022-09-30").head().getLong(0) == 4997L)
     val prior = Reporting.weeklyRecordsPrior(beds, "2022-09-30").collect()
     assert(prior.length == 1 && prior(0).getLong(1) == 4995L)
-    // Q3/Q4
+    // Q3/Q4 — values independently derived in DuckDB from the raw CSVs
+    // (sentinel→NULL, negative-guard drop, decimal-exact rounded sums)
     val q3 = Reporting.bedSummaryAt(beds, "2022-09-23").head()
-    assert(!q3.isNullAt(0) && q3.getDouble(0) > 0)
+    assert(q3.getDouble(0) == 413559.5)  // available adult
+    assert(q3.getDouble(1) == 39605.5)   // available pediatric
+    assert(q3.getDouble(2) == 34825.0)   // used adult
+    assert(q3.getDouble(3) == 27778.1)   // used pediatric
+    assert(q3.getDouble(4) == 25600.6)   // used covid
     assert(Reporting.bedSummaryRecent4(beds).count() == 2L)
     // Q5
     val q5 = Reporting.ratingBedUse(quality, beds).collect()
     assert(q5.nonEmpty && q5.forall(r => r.isNullAt(1) || r.getDouble(1) > 0))
-    // Q6
-    assert(Reporting.totalBedUsage(beds, "2022-09-30").count() == 2L)
+    // Q6 — pinned against the independent DuckDB derivation
+    val q6 = Reporting.totalBedUsage(beds, "2022-09-30").collect()
+    assert(q6.map(r => (r.getDouble(1), r.getDouble(2))).toSeq ==
+      Seq((115831.3, 25600.6), (116608.3, 24142.5)))
     // Q7
     val q7 = Reporting.emergencyTop20(quality, hospitals, locations).collect()
     assert(q7.length == 20 && q7.head.getLong(1) >= q7.last.getLong(1))
