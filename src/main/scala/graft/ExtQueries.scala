@@ -288,5 +288,60 @@ object ExtQueries {
                    unnest(generate_series(0, (1 + (i % 30)) - 1, 7)) AS frame_idx
             FROM range(0, 500) t(i) ORDER BY media_id, frame_idx"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+  /** Capstone composed pipeline: exact-dedup the corpus → score quality
+    * → filter → per-predicted-language rollup. The whole chain is one
+    * Catalyst plan and one ANSI mirror — the end-to-end shape of a
+    * training-data curation job.
+    */
+  val q32 = Q(
+    "q32_doc_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val deduped = ExactDedup.dedupedCorpus(docs, $"text", $"doc_id", "doc_id")
+      deduped.select(
+          TextAnalysis.langId($"text").as("pred_lang"),
+          TextAnalysis.qualityScore($"text").as("quality"),
+          TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+        .filter($"quality" >= 0.5)
+        .groupBy($"pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_tokens").as("total_tokens"),
+             Aggs.davg($"quality").as("avg_quality"))
+        .orderBy($"pred_lang")
+    },
+    Some("""WITH dd AS (SELECT min(doc_id) AS keep FROM documents GROUP BY text),
+            d AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT keep FROM dd)),
+            s AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                          t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE) AS stop,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+                     CAST(greatest(length(text), 1) AS DOUBLE) AS nchar,
+                     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS ndig,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> list_contains(['the','a','of','and','is'], t))) AS en,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> list_contains(['der','die','das','und','ist'], t))) AS de,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> list_contains(['el','los','una','y','es'], t))) AS es,
+                     len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> list_contains(['le','les','une','et','est'], t))) AS fr
+              FROM d),
+            m AS (
+              SELECT CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                          WHEN de >= es AND de >= fr THEN 'de'
+                          WHEN es >= fr THEN 'es'
+                          ELSE 'fr' END AS pred_lang,
+                     0.4 * (stop / ntok) + 0.3 * (1.0 - ndig / nchar)
+                       + 0.3 * least(ntok / 100.0, 1.0) AS quality,
+                     CAST(ntok AS BIGINT) AS n_tokens
+              FROM s)
+            SELECT pred_lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CAST(quality AS DECIMAL(38,6))) AS DOUBLE) / count(quality) AS avg_quality
+            FROM m WHERE quality >= 0.5
+            GROUP BY pred_lang ORDER BY pred_lang"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
 }

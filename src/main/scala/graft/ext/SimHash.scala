@@ -18,19 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** (id, simhash) per document. */
-  def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = df.select(id.as("__id"), explode(TextAnalysis.tokens(text)).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
-    }
-    val agg = tok.groupBy("__id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"__b$i") >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a + b)
-    agg.select(col("__id").as("id"), fp.as("simhash"))
-  }
+  /** (id, simhash) per document — one custom TypedImperativeAggregate
+    * (graft.functions.SimHashAgg) rather than 64 conditional sums: the
+    * wide-sum form exceeds codegen field limits and drops the whole
+    * stage to interpreted execution.
+    */
+  def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("__id"), explode(TextAnalysis.tokens(text)).as("__t"))
+      .groupBy("__id")
+      .agg(graft.functions.SimHashAgg.simhash(xxhash64(col("__t"))).as("simhash"))
+      .select(col("__id").as("id"), col("simhash"))
 
   /** All pairs with Hamming(simhash) <= maxDist, found via the
     * pigeonhole band join (complete as long as bands > maxDist).
