@@ -55,6 +55,9 @@ object MinHashLsh {
     // safely. One shuffle on the doc id.
     val ex = df.select(id.as("__id"), explode(shingler(text, n)).as("__sh"))
     val minCols = (0 until k).map(h => min(xxhash64(lit(h), col("__sh"))).as(s"__m$h"))
+    // one pass computes the signature AND (when reranking exactly) the
+    // shingle set — a second explode+shuffle of the corpus would double
+    // the dominant cost
     val sig = ex.groupBy("__id").agg(minCols.head, minCols.tail: _*)
 
     // band hash = one multi-arg xxhash64 over the band's min columns —
@@ -66,12 +69,23 @@ object MinHashLsh {
 
     val a = banded.select(col("__id").as("id1"), col("__bh"))
     val b = banded.select(col("__id").as("id2"), col("__bh"))
+    // candidate pairs are tiny (two ids per row) but feed three plan
+    // branches — materialize once (lazy local checkpoint) so the band
+    // join does not re-execute per branch
     val cand = a.join(b, a("__bh") === b("__bh") && col("id1") < col("id2"))
       .select("id1", "id2").dropDuplicates("id1", "id2")
+      .localCheckpoint(false)
 
-    // attach payloads to the (few) surviving candidate pairs only
+    // attach payloads to the (few) surviving candidate pairs only. For
+    // the exact rerank, shingle sets are aggregated ONLY for documents
+    // that appear in a candidate pair (semi-join first): at corpus
+    // scale the rerank payload is proportional to candidates, not to
+    // the corpus.
     val scored = if (exact) {
-      val sets = ex.groupBy("__id").agg(collect_set(col("__sh")).as("__shs"))
+      val candIds = cand.select(col("id1").as("__id"))
+        .unionAll(cand.select(col("id2").as("__id"))).distinct()
+      val sets = ex.join(candIds, Seq("__id"), "left_semi")
+        .groupBy("__id").agg(collect_set(col("__sh")).as("__shs"))
       val inter = size(array_intersect(col("__sh1"), col("__sh2")))
       cand
         .join(sets.select(col("__id").as("id1"), col("__shs").as("__sh1")), "id1")
