@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation primitives.
+  *
+  * AQE's skew-join split handles most runtime skew; these are for the
+  * cases planned around it: hot grouping keys (one reducer receives a
+  * disproportionate share of rows) and broadcast-ineligible joins with
+  * a few hot keys.
+  */
+object Skew {
+
+  /** Two-phase ("salted") aggregation for hot grouping keys: phase 1
+    * aggregates on (key, salt) — spreading each hot key over `buckets`
+    * reducers — phase 2 combines the partials per key. Correct for any
+    * aggregate with an associative merge; the caller supplies both
+    * phases (e.g. count → sum, sum → sum, min → min).
+    *
+    * The salt is deterministic (hash of all input columns mod buckets),
+    * so re-runs partition identically — useful for debugging, useless
+    * to an adversary.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
+                phase1: Seq[(String, Column)],   // outName -> agg expr
+                phase2: String => Column          // outName -> combiner over phase-1 col
+               ): DataFrame = {
+    require(buckets > 0)
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+    val p1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(phase1.head._2.as(phase1.head._1),
+        phase1.tail.map { case (n, c) => c.as(n) }: _*)
+    p1.groupBy(keys.map(col): _*)
+      .agg(phase2(phase1.head._1).as(phase1.head._1),
+        phase1.tail.map { case (n, _) => phase2(n).as(n) }: _*)
+  }
+
+  /** Salted count per key — the common case packaged. */
+  def saltedCount(df: DataFrame, keys: Seq[String], buckets: Int = 16): DataFrame =
+    saltedAgg(df, keys, buckets,
+      Seq("count" -> count(lit(1))),
+      n => sum(col(n)))
+}

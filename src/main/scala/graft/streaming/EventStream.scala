@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events table: tumbling-window rollups
@@ -63,4 +64,72 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState ---------------------------
+
+  final case class SessionState(start: Long, last: Long, n: Long) // ns epoch
+  final case class SessionOut(user_id: Long, session_start_ns: Long,
+                              session_end_ns: Long, n_events: Long)
+
+  /** Same 30-minute-gap sessionization, but with EXPLICIT state — the
+    * escape hatch for session semantics session_window can't express
+    * (per-session feature vectors, custom eviction, early emission).
+    * State per user: (start, last-seen, count) of the open session;
+    * closed sessions are emitted when a later event crosses the gap or
+    * the event-time timeout fires after the watermark passes.
+    *
+    * Works identically over a bounded stream OR a batch Dataset run
+    * through the streaming runtime; StreamingSpec pins equivalence with
+    * the lag-based batch query and the session_window variant.
+    */
+  def sessionizeCustomState(events: DataFrame, gapNs: Long = 1800L * 1000000000L,
+                            watermark: String = "2 hours"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[SessionOut]
+
+    // the watermark column must survive into the grouped Dataset —
+    // session logic runs on exact ns longs, ts_us exists for the
+    // watermark/timeout machinery
+    val typed: Dataset[(Long, Long, java.sql.Timestamp)] = withEventTime(events)
+      .withWatermark("ts_us", watermark)
+      .select(col("user_id"), col("ts"), col("ts_us"))
+      .as[(Long, Long, java.sql.Timestamp)]
+
+    def fn(userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      if (state.hasTimedOut) {
+        state.getOption.foreach(s =>
+          out += SessionOut(userId, s.start, s.last, s.n))
+        state.remove()
+      } else {
+        // micro-batch may deliver unordered events for the group
+        val sorted = rows.map(_._2).toArray.sorted
+        var cur = state.getOption
+        sorted.foreach { t =>
+          cur match {
+            case Some(s) if t - s.last <= gapNs =>
+              cur = Some(SessionState(s.start, t, s.n + 1))
+            case Some(s) =>
+              out += SessionOut(userId, s.start, s.last, s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close the open session once the watermark passes last + gap
+          state.setTimeoutTimestamp((s.last + gapNs) / 1000000L)
+        }
+      }
+      out.iterator
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
 }

@@ -88,6 +88,26 @@ class OpsSpec extends SparkTestBase {
     assert(one == 1000.0) // decimal sum of 0.1 (as decimal 0.100000) is exact
   }
 
+  test("Skew.saltedCount equals plain groupBy count on a hot-key distribution") {
+    val rows = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
+    val df = rows.toDF("k", "v").repartition(16)
+    val salted = Skew.saltedCount(df, Seq("k"), buckets = 8)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val plain = df.groupBy("k").count().orderBy("k").as[(String, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("Skew.saltedAgg composes sum/min phases correctly") {
+    val df = (1 to 1000).map(i => ("k" + (i % 3), i.toLong)).toDF("k", "v")
+    val out = Skew.saltedAgg(df, Seq("k"), buckets = 4,
+      Seq("s" -> sum($"v"), "m" -> min($"v")),
+      { case "s" => sum(col("s")); case "m" => min(col("m")) })
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    val expect = df.groupBy("k").agg(sum($"v").as("s"), min($"v").as("m"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(out == expect)
+  }
+
   test("topBottomK tags both ends with deterministic tie-breaks") {
     val df = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)).toDF("k", "v")
     val out = Aggs.topBottomK(df, 1, col("v"), col("k"))

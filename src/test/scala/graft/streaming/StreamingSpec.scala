@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkTestBase
 import graft.{ExtQueries, Tables}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Streaming specs run the event queries through Structured Streaming
   * (memory sink, processAllAvailable) and cross-check the streamed
@@ -39,6 +40,49 @@ class StreamingSpec extends SparkTestBase {
       val batchHourly = ExtQueries.q26.run(spark, sfDir)
       val streamedBuckets = spark.table("rollup").count()
       assert(streamedBuckets == batchHourly.count())
+    } finally q.stop()
+  }
+
+  test("sessionizeCustomState (flatMapGroupsWithState) matches the batch session count") {
+    import spark.implicits._
+    // stage events + a far-future flush event that advances the global
+    // watermark so every real session times out and emits
+    val dir = java.nio.file.Files.createTempDirectory("events-fmgws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("a_events.parquet"))
+    val maxTs = Tables.events(spark, sfDir).agg(max("ts")).as[Long].head()
+    // FileStreamSource lists leaf FILES only — df.write.parquet creates
+    // a directory, so extract the single part file into the stream dir
+    def flush(name: String, days: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("flush")
+      Seq((-1L, maxTs + days * 86400L * 1000000000L, -1L, "flush", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    flush("b_flush.parquet", 10)
+
+    val stream = EventStream.readStream(spark, dir.toString, maxFilesPerTrigger = 1)
+    val q = EventStream.sessionizeCustomState(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("custom_sessions").start()
+    try {
+      q.processAllAvailable()
+      // timeouts fire on the batch AFTER the watermark advances;
+      // processAllAvailable doesn't wait for that no-data batch, so
+      // drive one more data batch through
+      flush("c_flush2.parquet", 20)
+      q.processAllAvailable()
+      val streamed = spark.table("custom_sessions")
+        .filter($"user_id" >= 0)
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      val batch = ExtQueries.q27.run(spark, sfDir).select("user_id", "n_sessions")
+      val joined = streamed.as("s").join(batch.as("b"), "user_id")
+      assert(joined.filter($"s.n_sessions" =!= $"b.n_sessions").count() == 0)
+      assert(streamed.count() == batch.count())
     } finally q.stop()
   }
 
