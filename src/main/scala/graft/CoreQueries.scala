@@ -395,6 +395,31 @@ object CoreQueries {
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  /** Date extraction + exact interpolated percentiles (beyond-reference).
+    * Spark's `percentile` and DuckDB's `quantile_cont` both sort and
+    * linearly interpolate — exact inputs, deterministic result.
+    */
+  val q19 = Q(
+    "q19_dates_percentile",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("order_year"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          max(month($"o_orderdate")).cast("long").as("max_month"),
+          min(dayofmonth($"o_orderdate")).cast("long").as("min_day"))
+        .orderBy($"order_year")
+    },
+    Some("""SELECT year(o_orderdate) AS order_year, count(*) AS n_orders,
+                   quantile_cont(o_totalprice, 0.5) AS median_price,
+                   quantile_cont(o_totalprice, 0.9) AS p90_price,
+                   CAST(max(month(o_orderdate)) AS BIGINT) AS max_month,
+                   CAST(min(day(o_orderdate)) AS BIGINT) AS min_day
+            FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19)
 }

@@ -128,6 +128,14 @@ object HhsLoad {
       bedsDup = total - nBedFresh, // in-file later occurrences + existing keys
       bedsInvalid = bedInvalidC.count())
 
+    // S8: load accounting to the engine log (reference: rotating-file
+    // logger + stdout summary, load_hhs.py:157-161)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"HHS load $csvPath: rows=${metrics.totalRows} " +
+        s"hospitals=+${metrics.hospitalsInserted}/${metrics.hospitalsDup}dup " +
+        s"locations=+${metrics.locationsInserted}/${metrics.locationsDup}dup " +
+        s"beds=+${metrics.bedsInserted}/${metrics.bedsDup}dup/${metrics.bedsInvalid}invalid")
+
     Result(
       hospitals = hospNew.drop(RowId),
       locations = locNew.drop(RowId),

@@ -89,6 +89,11 @@ object QualityLoad {
       duplicates = total - nValid - nInvalid,
       invalid = nInvalid)
 
+    // S8 (reference: logging_module.py + load_quality.py:145-146)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"Quality load $csvPath @$date: ${metrics.inserted} inserted of " +
+        s"${metrics.totalRows} (${metrics.duplicates} duplicates, ${metrics.invalid} invalid)")
+
     // DDL column order (ipynb cell-3 insert order, load_quality.py:114)
     val out = validC.select(
       col("facility_id"), col("hospital_type"), col("hospital_ownership"),
