@@ -74,6 +74,52 @@ object EmbeddingSearch {
     sig.reduce((a, b) => a + b)
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nlist` cells around coarse centroids, probe the `nprobe` cells
+    * closest to each query, exact-rerank inside the probed cells.
+    *
+    * Centroids here are the `nlist` lowest-id corpus vectors —
+    * deterministic and adequate for a randomized corpus; a production
+    * build swaps in sampled k-means centroids without touching the
+    * plan shape. Cost: one corpus×nlist assignment pass (linear, nlist
+    * constant, broadcast centroids) + rerank over probed cells only.
+    * With nprobe == nlist this degrades gracefully to exact brute
+    * force (pinned by the spec).
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(corpusId)).limit(nlist)
+      .select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+
+    // cell assignment: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy(corpusId)
+      .orderBy(col("__ccos").desc, col("__cid").asc)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("__ccos", cosine(col(corpusVec), col("__cvec")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col(corpusId), col(corpusVec), col("__cid"))
+
+    // probe list: nprobe nearest centroids per query
+    val wProbe = Window.partitionBy(queryId)
+      .orderBy(col("__ccos").desc, col("__cid").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("__ccos", cosine(col(queryVec), col("__cvec")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryId), col(queryVec), col("__cid"))
+
+    // exact rerank within probed cells
+    val cand = assigned.join(broadcast(probes), Seq("__cid"))
+      .filter(col(queryId) =!= col(corpusId))
+      .withColumn("cos", cosine(col(queryVec), col(corpusVec)))
+    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId).asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId).as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Approximate top-k: bucket corpus and queries by SRP signature,
     * exact-rerank within buckets. Vectors whose bucket lacks k
     * neighbors return fewer (recall/cost tradeoff; lower `bits` for

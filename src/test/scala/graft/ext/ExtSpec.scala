@@ -79,6 +79,25 @@ class ExtSpec extends SparkTestBase {
     assert(out == Seq(1L, 2L)) // cos(q,1)=~0.999 > cos(q,2)=~0.95
   }
 
+  test("EmbeddingSearch: IVF with nprobe == nlist reduces exactly to brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = EmbeddingSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+      .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivfFull = EmbeddingSearch.ivfTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 8)
+      .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivfFull == brute)
+    // narrow probing still returns k results and decent recall
+    val ivf2 = EmbeddingSearch.ivfTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nlist = 8, nprobe = 2)
+      .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf2.size == 25)
+    assert((ivf2 & brute).size >= 5, s"recall too low: ${(ivf2 & brute).size}/25")
+  }
+
   test("EmbeddingSearch: LSH signature is deterministic; bucket rerank is exact") {
     val vecs = (0 until 50).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
