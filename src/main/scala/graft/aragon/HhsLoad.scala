@@ -73,60 +73,78 @@ object HhsLoad {
            existingLocationFks: DataFrame,
            existingBedKeys: DataFrame): Result = {
 
+    import org.apache.spark.sql.expressions.Window
+
     val raw = readRaw(spark, csvPath)
-    val typed = clean(raw).cache()
+    val typed = clean(raw)
 
-    // --- Hospitals: key hospital_pk (D1) -------------------------------
-    val hospCand = Dedup.firstPerKey(
-      typed.select(col("hospital_pk"), col("hospital_name"), col(RowId)),
-      Seq("hospital_pk"), col(RowId))
-    val hospNew = Dedup.antiDedup(hospCand, Seq("hospital_pk"),
-      existingHospitalPks.toDF("hospital_pk")).cache()
-
-    // --- HospitalLocations: key hospital_fk (D1, same probe shape) -----
-    val locCand = Dedup.firstPerKey(
-      typed.select((col("hospital_pk").as("hospital_fk") +: locationCols.map(col) :+ col(RowId)): _*),
-      Seq("hospital_fk"), col(RowId))
-    val locNew = Dedup.antiDedup(locCand, Seq("hospital_fk"),
-      existingLocationFks.toDF("hospital_fk")).cache()
-
-    // --- HospitalBedInformation: key (fk, week) (D2) + validation (P9) -
-    val bedCols = col("hospital_pk").as("hospital_fk") +: col("collection_week") +:
-      bedMetrics.map(col) :+ col(RowId)
-    val bedCand = Dedup.firstPerKey(typed.select(bedCols: _*),
-      Seq("hospital_fk", "collection_week"), col(RowId)).cache()
-    val bedFresh = Dedup.antiDedup(bedCand, Seq("hospital_fk", "collection_week"),
-      existingBedKeys.toDF("hospital_fk", "collection_week")).cache()
+    // --- ONE tagged frame instead of three branch pipelines ------------
+    // Hospitals and Locations share the hospital_pk key → one window
+    // serves both; beds key adds collection_week → second window. The
+    // existing-key probes are broadcast left joins with marker flags.
+    // Net cost: 2 window shuffles + broadcasts over ONE pass of the
+    // scan — the branch-per-table form re-shuffled and cached the wide
+    // frame three times.
+    val wPk = Window.partitionBy(col("hospital_pk")).orderBy(col(RowId).asc)
+    val wBed = Window.partitionBy(col("hospital_pk"), col("collection_week"))
+      .orderBy(col(RowId).asc)
     // reference guard is `int(x) < 0` — truncation toward zero, so
     // -0.5 passes; cast(long) reproduces exactly (load_hhs.py:104-127)
-    val bedPreds = bedMetrics.map(c => col(c).isNull || col(c).cast(LongType) >= 0)
-    val (bedValid, bedInvalid) = Validate.validateSplit(bedFresh, bedPreds)
-    val bedNew = bedValid.cache()
-    val bedInvalidC = bedInvalid.cache()
+    val bedValidPred = Validate.validPredicate(
+      bedMetrics.map(c => col(c).isNull || col(c).cast(LongType) >= 0))
+
+    def existsIn(keys: DataFrame, flag: String, on: Seq[String]): DataFrame =
+      broadcast(keys.dropDuplicates(on).withColumn(flag, lit(true)))
+
+    val tagged = typed
+      .withColumn("__first_pk", row_number().over(wPk) === 1)
+      .withColumn("__first_bed", row_number().over(wBed) === 1)
+      .join(existsIn(existingHospitalPks.toDF("hospital_pk"), "__pk_exists", Seq("hospital_pk")),
+        Seq("hospital_pk"), "left")
+      .join(existsIn(existingLocationFks.toDF("hospital_pk"), "__fk_exists", Seq("hospital_pk")),
+        Seq("hospital_pk"), "left")
+      .join(existsIn(
+          existingBedKeys.toDF("hospital_pk", "collection_week"), "__bed_exists",
+          Seq("hospital_pk", "collection_week")),
+        Seq("hospital_pk", "collection_week"), "left")
+      .withColumn("__keep_hosp", col("__first_pk") && col("__pk_exists").isNull)
+      .withColumn("__keep_loc", col("__first_pk") && col("__fk_exists").isNull)
+      .withColumn("__bed_fresh", col("__first_bed") && col("__bed_exists").isNull)
+      .withColumn("__bed_valid", bedValidPred)
+      .withColumn("__keep_bed", col("__bed_fresh") && col("__bed_valid"))
+      .cache()
+
+    val hospNew = tagged.filter(col("__keep_hosp"))
+      .select(col("hospital_pk"), col("hospital_name"), col(RowId))
+    val locNew = tagged.filter(col("__keep_loc"))
+      .select((col("hospital_pk").as("hospital_fk") +: locationCols.map(col) :+ col(RowId)): _*)
+    val bedNew = tagged.filter(col("__keep_bed"))
+      .select((col("hospital_pk").as("hospital_fk") +: col("collection_week") +:
+        bedMetrics.map(col) :+ col(RowId)): _*)
 
     // --- Quarantine: ORIGINAL rows of every dropped index (D4/S7) ------
-    val keptIds = hospNew.select(RowId)
-      .unionAll(locNew.select(RowId))
-      .unionAll(bedNew.select(RowId))
-    val allIds = typed.select(RowId)
-    // a row is quarantined when ANY of its three target inserts dropped it:
-    // i.e. it appears fewer than 3 times among kept ids
-    val quarantineIds = allIds.join(
-      keptIds.groupBy(RowId).agg(count(lit(1)).as("__kept")).filter(col("__kept") === 3),
-      Seq(RowId), "left_anti")
+    val quarantineIds = tagged
+      .filter(!(col("__keep_hosp") && col("__keep_loc") && col("__keep_bed")))
+      .select(col(RowId))
     val quarantine = raw.join(quarantineIds, Seq(RowId), "left_semi").drop(RowId)
 
-    val total = typed.count()
-    val nHosp = hospNew.count()
-    val nLoc = locNew.count()
-    val nBedFresh = bedFresh.count()
+    // --- Metrics: ONE aggregation action over the tagged frame ---------
+    def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))
+    val m = tagged.agg(
+      count(lit(1)).as("total"),
+      cnt(col("__keep_hosp")).as("nHosp"),
+      cnt(col("__keep_loc")).as("nLoc"),
+      cnt(col("__keep_bed")).as("nBed"),
+      cnt(col("__bed_fresh")).as("nBedFresh"),
+      cnt(col("__bed_fresh") && !col("__bed_valid")).as("nBedInvalid")).head()
+    val total = m.getLong(0)
     val metrics = Metrics(
       totalRows = total,
-      hospitalsInserted = nHosp, hospitalsDup = total - nHosp,
-      locationsInserted = nLoc, locationsDup = total - nLoc,
-      bedsInserted = bedNew.count(),
-      bedsDup = total - nBedFresh, // in-file later occurrences + existing keys
-      bedsInvalid = bedInvalidC.count())
+      hospitalsInserted = m.getLong(1), hospitalsDup = total - m.getLong(1),
+      locationsInserted = m.getLong(2), locationsDup = total - m.getLong(2),
+      bedsInserted = m.getLong(3),
+      bedsDup = total - m.getLong(4), // in-file later occurrences + existing keys
+      bedsInvalid = m.getLong(5))
 
     // S8: load accounting to the engine log (reference: rotating-file
     // logger + stdout summary, load_hhs.py:157-161)
