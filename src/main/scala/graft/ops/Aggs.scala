@@ -37,6 +37,14 @@ object Aggs {
   def davg(c: Column): Column =
     dsum(c).cast(DoubleType) / count(c)
 
+  /** HyperLogLog++ distinct-count sketch (beyond-reference): the
+    * 100 TB path for cardinality — mergeable, one pass, bounded error
+    * (rsd). Exact countDistinct expands rows per aggregate; at scale
+    * prefer this unless exactness is required.
+    */
+  def approxDistinct(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
   /** O2/O3: top-k by sort columns. Spark plans orderBy+limit as
     * TakeOrderedAndProject — per-partition heap + driver merge, no full
     * sort, no shuffle of the full data. Pass a deterministic total order

@@ -88,6 +88,36 @@ class OpsSpec extends SparkTestBase {
     assert(one == 1000.0) // decimal sum of 0.1 (as decimal 0.100000) is exact
   }
 
+  test("approxDistinct stays within its error bound vs exact") {
+    val df = (1 to 20000).map(i => i % 4096).toDF("v")
+    val approx = df.agg(Aggs.approxDistinct(col("v"), 0.02)).as[Long].head()
+    assert(math.abs(approx - 4096) <= 4096 * 0.06, s"approx=$approx")
+  }
+
+  test("D1 property: antiDedup ∪ duplicatesOf partitions the input by key membership") {
+    val pairs = Gen.listOf(Gen.zip(Gen.choose(0, 50), Gen.alphaStr))
+    samples(pairs, 8).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i) }.toDF("k", "v", "i")
+      val existing = (0 to 25).toDF("k")
+      val kept = Dedup.antiDedup(df, Seq("k"), existing)
+      val dropped = Dedup.duplicatesOf(df, Seq("k"), existing)
+      assert(kept.count() + dropped.count() == rows.size)
+      assert(kept.filter(col("k") <= 25).count() == 0)
+      assert(dropped.filter(col("k") > 25).count() == 0)
+    }
+  }
+
+  test("firstPerKey property: exactly one survivor per key, the minimum tie-breaker") {
+    val pairs = Gen.nonEmptyListOf(Gen.choose(0, 20))
+    samples(pairs, 8).foreach { ks =>
+      val df = ks.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "ord")
+      val out = Dedup.firstPerKey(df, Seq("k"), col("ord"))
+        .as[(Int, Int)].collect().toMap
+      val expect = ks.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      assert(out == expect)
+    }
+  }
+
   test("Skew.saltedCount equals plain groupBy count on a hot-key distribution") {
     val rows = (1 to 5000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i))
     val df = rows.toDF("k", "v").repartition(16)
