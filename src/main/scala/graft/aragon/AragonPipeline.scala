@@ -18,9 +18,8 @@ object AragonPipeline {
     def table(spark: SparkSession, name: String): Option[DataFrame]
   }
 
-  final class ParquetWarehouse(baseDir: String) extends Warehouse {
-    override def append(df: DataFrame, table: String): Unit =
-      df.write.mode("append").parquet(s"$baseDir/$table")
+  final class ParquetWarehouse(baseDir: String)
+      extends graft.sources.ParquetSink(baseDir) with Warehouse {
     override def table(spark: SparkSession, name: String): Option[DataFrame] = {
       val p = new java.io.File(s"$baseDir/$name")
       if (p.isDirectory) Some(spark.read.parquet(p.toString)) else None
@@ -28,18 +27,32 @@ object AragonPipeline {
   }
 
   /** Production warehouse (S4/S5/S6): key probes via spark.read.jdbc,
-    * appends with the reference's 500-row batching. No live database in
-    * the harness, so this path is exercised only by construction; the
-    * pipeline code is identical either way.
+    * appends with the reference's 500-row batching (write path shared
+    * with JdbcSink). No live database in the harness, so this path is
+    * exercised only by construction; the pipeline code is identical
+    * either way.
     */
   final class JdbcWarehouse(url: String, props: java.util.Properties,
-                            batchSize: Int = 500, numPartitions: Int = 8) extends Warehouse {
-    override def append(df: DataFrame, table: String): Unit =
-      df.coalesce(numPartitions).write.mode("append")
-        .option("batchsize", batchSize).jdbc(url, table, props)
-    override def table(spark: SparkSession, name: String): Option[DataFrame] =
-      try Some(spark.read.jdbc(url, name, props))
-      catch { case _: Exception => None }
+                            batchSize: Int = 500, numPartitions: Int = 8)
+      extends graft.sources.JdbcSink(url, props, batchSize, numPartitions) with Warehouse {
+    /** None ONLY when the table genuinely doesn't exist (checked via
+      * JDBC metadata); any other failure — connectivity, auth — must
+      * propagate. Swallowing it would make the loader treat the target
+      * as empty and re-insert the whole file.
+      */
+    override def table(spark: SparkSession, name: String): Option[DataFrame] = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      val exists =
+        try {
+          val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+          var found = false
+          while (!found && rs.next()) {
+            found = rs.getString("TABLE_NAME").equalsIgnoreCase(name)
+          }
+          found
+        } finally conn.close()
+      if (exists) Some(spark.read.jdbc(url, name, props)) else None
+    }
   }
 
   private def emptyDf(spark: SparkSession, fields: (String, DataType)*): DataFrame =
@@ -75,6 +88,7 @@ object AragonPipeline {
     wh.append(res.locations, "hospital_locations")
     wh.append(res.beds, "hospital_bed_information")
     QuarantineSink.write(res.quarantine, s"$quarantineDir/hhs")
+    res.unpersist() // per-load caches must not accumulate across files
     res.metrics
   }
 
@@ -87,6 +101,7 @@ object AragonPipeline {
     val res = QualityLoad.load(spark, csvPath, date, existing)
     wh.append(res.quality, "hospital_quality_information")
     QuarantineSink.write(res.quarantine, s"$quarantineDir/quality")
+    res.unpersist()
     res.metrics
   }
 }

@@ -35,10 +35,17 @@ object HhsLoad {
       locationsInserted: Long, locationsDup: Long,
       bedsInserted: Long, bedsDup: Long, bedsInvalid: Long)
 
-  /** The three normalized outputs + quarantine (original text rows). */
+  /** The three normalized outputs + quarantine (original text rows).
+    * Call `unpersist()` once the outputs are written — the frames
+    * derive from per-load caches that otherwise accumulate across a
+    * multi-file loading session.
+    */
   final case class Result(
       hospitals: DataFrame, locations: DataFrame, beds: DataFrame,
-      quarantine: DataFrame, metrics: Metrics)
+      quarantine: DataFrame, metrics: Metrics,
+      private val caches: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = caches.foreach(_.unpersist())
+  }
 
   /** S1/S3: ONE scan — header'd CSV, `NA` literal → null, every column
     * kept as raw string; `__row_id` pins file order for deterministic
@@ -75,7 +82,10 @@ object HhsLoad {
 
     import org.apache.spark.sql.expressions.Window
 
-    val raw = readRaw(spark, csvPath)
+    // raw is cached: the quarantine branch re-reads it, and the row ids
+    // from monotonically_increasing_id must be the SAME ids the tagged
+    // frame saw — a second scan is not guaranteed to reproduce them
+    val raw = readRaw(spark, csvPath).cache()
     val typed = clean(raw)
 
     // --- ONE tagged frame instead of three branch pipelines ------------
@@ -159,6 +169,7 @@ object HhsLoad {
       locations = locNew.drop(RowId),
       beds = bedNew.drop(RowId),
       quarantine = quarantine,
-      metrics = metrics)
+      metrics = metrics,
+      caches = Seq(raw, tagged))
   }
 }

@@ -27,7 +27,10 @@ object QualityLoad {
 
   final case class Metrics(totalRows: Long, inserted: Long, duplicates: Long, invalid: Long)
 
-  final case class Result(quality: DataFrame, quarantine: DataFrame, metrics: Metrics)
+  final case class Result(quality: DataFrame, quarantine: DataFrame, metrics: Metrics,
+                          private val caches: Seq[DataFrame] = Nil) {
+    def unpersist(): Unit = caches.foreach(_.unpersist())
+  }
 
   /** S2/S3: one scan, all columns as raw strings (quarantine needs the
     * full original row, reference load_quality.py:142).
@@ -99,6 +102,6 @@ object QualityLoad {
       col("facility_id"), col("hospital_type"), col("hospital_ownership"),
       col("emergency_services"), col("hospital_overall_rating"), col("data_date"))
 
-    Result(out, quarantine, metrics)
+    Result(out, quarantine, metrics, caches = Seq(raw, validC, invalidC))
   }
 }

@@ -28,13 +28,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object NGramsUtil {
 
   def charNGrams(s: UTF8String, n: Int): ArrayData = {
+    // code-point semantics, matching Spark's substr and SQL substring —
+    // UTF-16 String.substring would split surrogate pairs on non-BMP
+    // text and diverge from the composable form and the oracle
     val str = s.toString
+    val cpCount = str.codePointCount(0, str.length)
     val set = new java.util.LinkedHashSet[UTF8String]()
-    if (str.length < n) set.add(UTF8String.fromString(str))
+    if (cpCount < n) set.add(UTF8String.fromString(str))
     else {
+      var startCu = 0 // code-unit offset of the window start
       var i = 0
-      while (i <= str.length - n) {
-        set.add(UTF8String.fromString(str.substring(i, i + n)))
+      while (i <= cpCount - n) {
+        val endCu = str.offsetByCodePoints(startCu, n)
+        set.add(UTF8String.fromString(str.substring(startCu, endCu)))
+        startCu = str.offsetByCodePoints(startCu, 1)
         i += 1
       }
     }

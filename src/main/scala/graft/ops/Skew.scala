@@ -18,9 +18,13 @@ object Skew {
     * aggregate with an associative merge; the caller supplies both
     * phases (e.g. count → sum, sum → sum, min → min).
     *
-    * The salt is deterministic (hash of all input columns mod buckets),
-    * so re-runs partition identically — useful for debugging, useless
-    * to an adversary.
+    * The salt is row-positional (monotonically_increasing_id mod
+    * buckets), NOT content-derived: a hot key whose rows are byte-
+    * identical — the common skew case — would hash every row to ONE
+    * bucket and defeat the mitigation entirely. Positional salt
+    * spreads uniformly regardless of content; it is stable for a given
+    * scan partitioning (not across arbitrary re-partitionings, which
+    * aggregation correctness does not require).
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
                 phase1: Seq[(String, Column)],   // outName -> agg expr
@@ -28,7 +32,7 @@ object Skew {
                ): DataFrame = {
     require(buckets > 0)
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val p1 = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(phase1.head._2.as(phase1.head._1),
         phase1.tail.map { case (n, c) => c.as(n) }: _*)

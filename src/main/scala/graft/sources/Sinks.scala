@@ -15,7 +15,7 @@ trait TableSink {
 }
 
 /** Parquet directory sink (default; also what the golden tests read back). */
-final class ParquetSink(baseDir: String) extends TableSink {
+class ParquetSink(baseDir: String) extends TableSink {
   override def append(df: DataFrame, table: String): Unit =
     df.write.mode("append").parquet(s"$baseDir/$table")
 }
@@ -26,8 +26,8 @@ final class ParquetSink(baseDir: String) extends TableSink {
   * the documented atomicity delta vs the reference's per-file commit,
   * SURVEY §3 E1).
   */
-final class JdbcSink(url: String, props: java.util.Properties,
-                     batchSize: Int = 500, numPartitions: Int = 8) extends TableSink {
+class JdbcSink(url: String, props: java.util.Properties,
+               batchSize: Int = 500, numPartitions: Int = 8) extends TableSink {
   override def append(df: DataFrame, table: String): Unit =
     df.coalesce(numPartitions)
       .write.mode("append")
@@ -39,6 +39,9 @@ final class JdbcSink(url: String, props: java.util.Properties,
   * header'd CSV per load, mirroring invalid_data/{hhs,quality}.csv
   * (load_hhs.py:152-155). coalesce(1) matches the reference's
   * single-file contract; quarantines are tiny relative to input.
+  * Overwrite-per-load is the REFERENCE's behavior too (it opens the
+  * file with mode "w" each run) — callers that need an audit trail
+  * across loads pass a per-load path.
   */
 object QuarantineSink {
   def write(df: DataFrame, path: String): Unit =

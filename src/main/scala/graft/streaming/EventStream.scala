@@ -111,7 +111,11 @@ object EventStream {
         sorted.foreach { t =>
           cur match {
             case Some(s) if t - s.last <= gapNs =>
-              cur = Some(SessionState(s.start, t, s.n + 1))
+              // min/max, not plain assignment: a late-but-within-watermark
+              // event from a later micro-batch may precede the stored
+              // session; regressing `last` would split future sessions
+              // that the batch (fully-ordered) semantics keeps together
+              cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
             case Some(s) =>
               out += SessionOut(userId, s.start, s.last, s.n)
               cur = Some(SessionState(t, t, 1))

@@ -23,6 +23,18 @@ class NGramsSpec extends SparkTestBase {
     assert(out(2) == Seq("padded tokens"))
   }
 
+  test("charNGrams uses code-point semantics on non-BMP text (matches Column.substr)") {
+    val astral = "a😀b😁c" // a😀b😁c — 5 code points, 7 UTF-16 units
+    val df = Seq(astral).toDF("t")
+    val native = df.select(NGrams.charNGrams($"t", 3).as("g")).as[Seq[String]].head()
+    val hof = df.select(array_distinct(transform(
+      sequence(lit(1), greatest(length($"t") - 2, lit(1))),
+      i => $"t".substr(i, lit(3)))).as("g")).as[Seq[String]].head()
+    assert(native == hof, s"native=$native hof=$hof")
+    assert(native.length == 3) // 5 - 3 + 1 distinct windows
+    assert(native.head == "a😀b")
+  }
+
   test("null input propagates null") {
     val df = Seq[(Int, String)]((1, null)).toDF("id", "t")
     val out = df.select(NGrams.wordNGrams($"t", 3).as("g")).collect()

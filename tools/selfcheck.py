@@ -52,14 +52,19 @@ def main(sf_dir: str, out_dir: str) -> int:
         # exact compare; show first few diffs
         bad = []
         for c in d.columns:
-            dv, sv = d[c], s[c].astype(d[c].dtype, errors="ignore") if hasattr(s[c], "astype") else s[c]
+            dv = d[c]
+            sv = s[c]
+            try:  # align representation (e.g. decimal objects vs float64)
+                sv = sv.astype(dv.dtype)
+            except Exception:
+                pass
             try:
-                neq = ~((dv == s[c]) | (dv.isna() & s[c].isna()))
+                neq = ~((dv == sv) | (dv.isna() & sv.isna()))
             except Exception:
                 neq = pd.Series([True] * len(dv))
             if neq.any():
                 i = neq.idxmax()
-                bad.append((c, dv[i], s[c][i], int(neq.sum())))
+                bad.append((c, dv[i], sv[i], int(neq.sum())))
         if bad:
             print(f"FAIL {name}: value diffs {bad[:3]}")
             n_fail += 1
