@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Layout specs assert the SCALE property, not just the result: a
+  * bucketed join must plan with zero exchanges, a partitioned scan
+  * must show partition pruning.
+  */
+class LayoutSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.isDirectory) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    dropTable("li_bucketed"); dropTable("o_bucketed")
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    Layout.writeBucketed(li, "li_bucketed", Seq("l_orderkey"), 8)
+    Layout.writeBucketed(o, "o_bucketed", Seq("o_orderkey"), 8)
+    // disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // join AND aggregate on the bucket key: the bucketed layout
+      // satisfies both distributions → the whole plan has NO exchange
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey").agg(sum($"l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      // and it still computes the right thing
+      val expect = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey").agg(sum($"l_quantity").as("q"))
+        .as[(Long, Double)].collect().toMap
+      val got = joined.as[(Long, Double)].collect().toMap
+      assert(got == expect)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("partitioned write enables directory-level partition pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("part").toString
+    val o = Tables.orders(spark, dir)
+      .withColumn("order_year", year($"o_orderdate"))
+    Layout.writePartitioned(o, s"$tmp/orders", Seq("order_year"))
+
+    val scan = spark.read.parquet(s"$tmp/orders").filter($"order_year" === 1995)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan)
+    // pruned read returns only that year's rows
+    val expect = o.filter($"order_year" === 1995).count()
+    assert(scan.count() == expect && expect > 0)
+  }
+}
