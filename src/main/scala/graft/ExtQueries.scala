@@ -343,5 +343,30 @@ object ExtQueries {
             FROM m WHERE quality >= 0.5
             GROUP BY pred_lang ORDER BY pred_lang"""))
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31, q32)
+  /** JSON extraction over the events props column (beyond-reference):
+    * path extraction + typed aggregation, mirrored via DuckDB's json
+    * functions.
+    */
+  val q33 = Q(
+    "q33_json_props",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k_val", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count($"k_val").as("n_with_k"),
+             sum($"k_val").as("sum_k"),
+             min($"k_val").as("min_k"),
+             max($"k_val").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+                   count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
+    q31, q32, q33)
 }
