@@ -92,6 +92,33 @@ object Multimodal {
       .withColumn("resized_height", floor(h * scale).cast("int"))
   }
 
+  final case class FeatureRow(media_id: Long, features: Array[Float])
+
+  /** Feature extraction: binary payload → fixed-width float vector, per
+    * partition (codec init amortized across the batch, same shape as
+    * decode). The STUB computes a 16-bin byte histogram of the payload,
+    * L1-normalized — deterministic and shaped exactly like a real
+    * embedding, so the output feeds EmbeddingSearch directly (tested:
+    * media → features → cosine top-k end to end). A real extractor
+    * replaces the histogram with a model forward pass.
+    */
+  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] = {
+    implicit val enc: Encoder[FeatureRow] = Encoders.product[FeatureRow]
+    ds.mapPartitions { it =>
+      // real impl: load the feature model ONCE per partition here
+      it.map { r =>
+        val meta = decodeHeader(r.content)
+        val payload = if (meta.valid) r.content.drop(16) else r.content
+        val hist = new Array[Float](dim)
+        payload.foreach(b => hist((b & 0xff) % dim) += 1f)
+        val total = math.max(payload.length, 1).toFloat
+        var i = 0
+        while (i < dim) { hist(i) /= total; i += 1 }
+        FeatureRow(r.media_id, hist)
+      }
+    }
+  }
+
   /** Synthesize a deterministic media table (no binary testdata table
     * exists; generation is seeded by media_id so plans are reproducible).
     */

@@ -77,4 +77,21 @@ object TextAnalysis {
 
   /** 64-bit content fingerprint (xxhash64 builtin — codegen'd, seed 42). */
   def fingerprint(c: Column): Column = xxhash64(c)
+
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, as
+    * in MOSS): hash every k-gram, slide a window of `w` consecutive
+    * k-gram hashes, keep the minimum per window, dedupe. Two documents
+    * sharing a sufficiently long substring are guaranteed to share a
+    * fingerprint — the standard local-similarity sketch, robust to
+    * insertions that whole-document hashing (fingerprint above) is not.
+    * Built on the native CharNGrams expression; selection windows are
+    * per-row array ops over the (small) hash sequence.
+    */
+  def winnowFingerprints(c: Column, k: Int = 5, w: Int = 4): Column = {
+    val grams = graft.functions.NGrams.charNGramSeq(c, k)
+    val hashes = transform(grams, g => xxhash64(g))
+    val nWins = greatest(size(hashes) - (w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nWins),
+      i => array_min(slice(hashes, i, lit(w)))))
+  }
 }

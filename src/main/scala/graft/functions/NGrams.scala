@@ -27,25 +27,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object NGramsUtil {
 
-  def charNGrams(s: UTF8String, n: Int): ArrayData = {
+  def charNGrams(s: UTF8String, n: Int): ArrayData = charNGrams(s, n, distinct = true)
+
+  def charNGramSeq(s: UTF8String, n: Int): ArrayData = charNGrams(s, n, distinct = false)
+
+  private def charNGrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     // code-point semantics, matching Spark's substr and SQL substring —
     // UTF-16 String.substring would split surrogate pairs on non-BMP
     // text and diverge from the composable form and the oracle
     val str = s.toString
     val cpCount = str.codePointCount(0, str.length)
-    val set = new java.util.LinkedHashSet[UTF8String]()
-    if (cpCount < n) set.add(UTF8String.fromString(str))
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val seq = new java.util.ArrayList[UTF8String]()
+    def add(g: UTF8String): Unit = if (distinct) out.add(g) else seq.add(g)
+    if (cpCount < n) add(UTF8String.fromString(str))
     else {
       var startCu = 0 // code-unit offset of the window start
       var i = 0
       while (i <= cpCount - n) {
         val endCu = str.offsetByCodePoints(startCu, n)
-        set.add(UTF8String.fromString(str.substring(startCu, endCu)))
+        add(UTF8String.fromString(str.substring(startCu, endCu)))
         startCu = str.offsetByCodePoints(startCu, 1)
         i += 1
       }
     }
-    new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size)))
+    val arr = if (distinct) out.toArray[AnyRef](new Array[AnyRef](out.size))
+      else seq.toArray[AnyRef](new Array[AnyRef](seq.size))
+    new GenericArrayData(arr)
   }
 
   def wordNGrams(s: UTF8String, n: Int): ArrayData = {
@@ -94,6 +102,17 @@ case class CharNGrams(child: Expression, n: Int) extends NGramsBase {
     copy(child = newChild)
 }
 
+/** Positional (non-distinct) char n-grams — winnowing and other
+  * rolling-hash consumers need the full k-gram SEQUENCE, not the set.
+  */
+case class CharNGramSeq(child: Expression, n: Int) extends NGramsBase {
+  override protected def helper: String = "charNGramSeq"
+  override def nullSafeEval(input: Any): Any =
+    NGramsUtil.charNGramSeq(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): CharNGramSeq =
+    copy(child = newChild)
+}
+
 case class WordNGrams(child: Expression, n: Int) extends NGramsBase {
   override protected def helper: String = "wordNGrams"
   override def nullSafeEval(input: Any): Any =
@@ -106,6 +125,8 @@ case class WordNGrams(child: Expression, n: Int) extends NGramsBase {
 object NGrams {
   def charNGrams(c: Column, n: Int): Column =
     GraftBridge.column(CharNGrams(GraftBridge.expression(c), n))
+  def charNGramSeq(c: Column, n: Int): Column =
+    GraftBridge.column(CharNGramSeq(GraftBridge.expression(c), n))
   def wordNGrams(c: Column, n: Int): Column =
     GraftBridge.column(WordNGrams(GraftBridge.expression(c), n))
 }

@@ -59,6 +59,39 @@ class NearDupSpec extends SparkTestBase {
     assert(banded == brute)
   }
 
+  test("winnowing: shared substrings guarantee shared fingerprints; edits keep overlap") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "INTRO text then " + a.substring(10, 60) + " and a different ending here"
+    val c = "completely different material with no shared runs at all zzz qqq"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.winnowFingerprints($"text").as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ab = fps(1L).toSet & fps(2L).toSet
+    val ac = fps(1L).toSet & fps(3L).toSet
+    assert(ab.nonEmpty, "docs sharing a 50-char run must share a fingerprint")
+    assert(ac.size < ab.size)
+    // deterministic across evaluations
+    val again = df.select($"id", TextAnalysis.winnowFingerprints($"text").as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(again == fps)
+  }
+
+  test("Multimodal: feature extraction feeds embedding search end-to-end") {
+    val media = Multimodal.syntheticTable(spark, 40)
+    val feats = Multimodal.extractFeatures(media).toDF()
+    assert(feats.count() == 40)
+    val row = feats.filter($"media_id" === 5L).as[(Long, Array[Float])].head()
+    assert(row._2.length == 16 && math.abs(row._2.sum - 1.0f) < 1e-3)
+    // twin payload (same id mod pattern) must be its own nearest neighbor class:
+    // run cosine top-1 of each vector against the corpus, self excluded → valid ranks
+    val q = feats.filter($"media_id" < 3)
+      .select($"media_id".as("qid"), $"features".as("qvec"))
+    val nn = EmbeddingSearch.bruteForceTopK(feats, "media_id", "features",
+      q, "qid", "qvec", k = 1)
+    assert(nn.count() == 3)
+    assert(nn.filter($"cos".isNull || $"cos" < -1.0 || $"cos" > 1.0000001).count() == 0)
+  }
+
   test("Multimodal: decode → metadata, frame sampling, resize stubs") {
     val media = Multimodal.syntheticTable(spark, 30)
     val decoded = Multimodal.withMetadata(media.toDF())
