@@ -420,6 +420,28 @@ object CoreQueries {
                    CAST(min(day(o_orderdate)) AS BIGINT) AS min_day
             FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Array functions (beyond-reference): per-group collected sets,
+    * sorted for determinism and joined to a string so the result hash
+    * is representation-independent across engines.
+    */
+  val q21c = Q(
+    "q21_array_funcs",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_orderkey" < 200)
+        .groupBy($"l_orderkey")
+        .agg(
+          array_join(array_sort(collect_set($"l_linenumber")), ",").as("line_numbers"),
+          size(collect_set($"l_suppkey")).cast("long").as("n_suppliers"))
+        .orderBy($"l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+                   array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS line_numbers,
+                   count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem WHERE l_orderkey < 200
+            GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q21c)
 }

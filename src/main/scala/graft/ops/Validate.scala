@@ -41,4 +41,21 @@ object Validate {
     */
   def nonNegative(cols: Seq[String]): Seq[Column] =
     cols.map(c => col(c).isNull || col(c) >= 0)
+
+  /** S9 metrics as a zero-extra-pass observation: attach valid/invalid
+    * counters to the frame so whatever action the caller runs anyway
+    * (the sink write) ALSO produces the load accounting — no second
+    * count() job over the data. `obs.get` blocks until the first action
+    * on the returned frame completes.
+    */
+  def observedSplit(df: DataFrame, preds: Seq[Column]):
+      (DataFrame, DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val ok = validPredicate(preds)
+    val observed = df.observe(obs,
+      count(lit(1)).as("total"),
+      count(when(ok, 1)).as("valid"),
+      count(when(!ok, 1)).as("invalid"))
+    (observed.filter(ok), observed.filter(!ok), obs)
+  }
 }

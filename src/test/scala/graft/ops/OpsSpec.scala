@@ -88,6 +88,14 @@ class OpsSpec extends SparkTestBase {
     assert(one == 1000.0) // decimal sum of 0.1 (as decimal 0.100000) is exact
   }
 
+  test("S9 observedSplit: counters ride the caller's action, no extra job") {
+    val df = Seq(1.0, -2.0, 3.0, -4.0, 5.0).toDF("v")
+    val (ok, _, obs) = Validate.observedSplit(df, Seq(col("v") >= 0))
+    assert(ok.count() == 3) // the action that also fills the observation
+    val m = obs.get
+    assert(m("total") == 5L && m("valid") == 3L && m("invalid") == 2L)
+  }
+
   test("approxDistinct stays within its error bound vs exact") {
     val df = (1 to 20000).map(i => i % 4096).toDF("v")
     val approx = df.agg(Aggs.approxDistinct(col("v"), 0.02)).as[Long].head()
