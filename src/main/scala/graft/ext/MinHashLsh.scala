@@ -53,6 +53,10 @@ object MinHashLsh {
     // interpreted expressions outside whole-stage codegen — on a large
     // corpus the explode/agg form is several times faster and spills
     // safely. One shuffle on the doc id.
+    // note: measured at sf0.1 — checkpointing this exploded frame to
+    // share it between the signature and rerank branches does NOT help;
+    // native shingling is cheap enough that recomputation beats
+    // materialization
     val ex = df.select(id.as("__id"), explode(shingler(text, n)).as("__sh"))
     val minCols = (0 until k).map(h => min(xxhash64(lit(h), col("__sh"))).as(s"__m$h"))
     // one pass computes the signature AND (when reranking exactly) the
