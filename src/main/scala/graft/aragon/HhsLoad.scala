@@ -27,6 +27,7 @@ import AragonSchema._
 object HhsLoad {
 
   private val RowId = "__row_id"
+  private val SrcFile = "__src_file"
 
   /** Per-file load accounting (reference load_hhs.py:157-161). */
   final case class Metrics(
@@ -48,14 +49,22 @@ object HhsLoad {
   }
 
   /** S1/S3: ONE scan — header'd CSV, `NA` literal → null, every column
-    * kept as raw string; `__row_id` pins file order for deterministic
-    * intra-file dedup and quarantine row recovery.
+    * kept as raw string; `__row_id` + `__src_file` pin file order for
+    * deterministic intra-file dedup and quarantine row recovery.
+    *
+    * Ordering contract: monotonically_increasing_id alone is NOT file
+    * order across multiple files (Spark lists splits by size, not
+    * name), so the dedup windows order by (`__src_file`, `__row_id`).
+    * Within one file, splits pack in offset order, so the id increases
+    * with byte offset; prefixing the file name makes a glob/directory
+    * input deterministic too (alphabetical by path, then file order).
     */
   def readRaw(spark: SparkSession, csvPath: String): DataFrame =
     spark.read
       .option("header", "true")
       .option("nullValue", "NA")
       .csv(csvPath)
+      .withColumn(SrcFile, input_file_name())
       .withColumn(RowId, monotonically_increasing_id())
 
   /** P1-P4 over the raw frame: typed view of the 17 consumed columns.
@@ -95,9 +104,10 @@ object HhsLoad {
     // Net cost: 2 window shuffles + broadcasts over ONE pass of the
     // scan — the branch-per-table form re-shuffled and cached the wide
     // frame three times.
-    val wPk = Window.partitionBy(col("hospital_pk")).orderBy(col(RowId).asc)
+    val wPk = Window.partitionBy(col("hospital_pk"))
+      .orderBy(col(SrcFile).asc, col(RowId).asc)
     val wBed = Window.partitionBy(col("hospital_pk"), col("collection_week"))
-      .orderBy(col(RowId).asc)
+      .orderBy(col(SrcFile).asc, col(RowId).asc)
     // reference guard is `int(x) < 0` — truncation toward zero, so
     // -0.5 passes; cast(long) reproduces exactly (load_hhs.py:104-127)
     val bedValidPred = Validate.validPredicate(
@@ -136,7 +146,8 @@ object HhsLoad {
     val quarantineIds = tagged
       .filter(!(col("__keep_hosp") && col("__keep_loc") && col("__keep_bed")))
       .select(col(RowId))
-    val quarantine = raw.join(quarantineIds, Seq(RowId), "left_semi").drop(RowId)
+    val quarantine = raw.join(quarantineIds, Seq(RowId), "left_semi")
+      .drop(RowId, SrcFile)
 
     // --- Metrics: ONE aggregation action over the tagged frame ---------
     def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))

@@ -24,6 +24,7 @@ import AragonSchema._
 object QualityLoad {
 
   private val RowId = "__row_id"
+  private val EsRaw = "__es_raw"
 
   final case class Metrics(totalRows: Long, inserted: Long, duplicates: Long, invalid: Long)
 
@@ -50,6 +51,12 @@ object QualityLoad {
       (d, c) => Cleaning.mapValues(d, c, Map("Not Available" -> "0"))
     }
     val typed = naMapped
+      // keep the pre-boolean text: values outside {Yes, No, null} (e.g.
+      // 'Not Available' → "0" via the whole-frame remap above) must be
+      // routed to the invalid split, mirroring the reference where the
+      // boolean-column INSERT rejects them into quarantine
+      // (load_quality.py:103-105 + per-row fallback :57-78)
+      .withColumn(EsRaw, col("emergency_services"))
       .withColumn("hospital_overall_rating", col("hospital_overall_rating").cast(DoubleType))
       .withColumn("emergency_services",
         when(col("emergency_services") === "Yes", true)
@@ -73,9 +80,12 @@ object QualityLoad {
       .filter(col("data_date") === lit(date)).select("facility_id")
     val fresh = Dedup.antiDedup(typed, Seq("facility_id"), existingAtDate)
 
-    // P10: CHECK (hospital_overall_rating >= 0) pre-validated
+    // P10: CHECK (hospital_overall_rating >= 0) pre-validated, plus the
+    // BOOLEAN-column constraint on emergency_services: anything outside
+    // {Yes, No, null} fails the reference's insert → quarantine
     val (valid, invalid) = Validate.validateSplit(fresh,
-      Seq(col("hospital_overall_rating").isNull || col("hospital_overall_rating") >= 0))
+      Seq(col("hospital_overall_rating").isNull || col("hospital_overall_rating") >= 0,
+          col(EsRaw).isNull || col(EsRaw).isin("Yes", "No")))
     val validC = valid.cache()
     val invalidC = invalid.cache()
 

@@ -34,6 +34,23 @@ object EmbeddingSearch {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Rename the id/vec pair to internal aliases BEFORE any join — the
+    * corpus and query sides may share column names (both "embedding"),
+    * and resolving by bare name across a crossJoin would be ambiguous
+    * or silently mis-bind.
+    */
+  private def aliased(df: DataFrame, id: String, vec: String,
+                      idAs: String, vecAs: String): DataFrame =
+    df.select(col(id).as(idAs), col(vec).as(vecAs))
+
+  private def topKOut(cand: DataFrame, queryId: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("__qid").orderBy(col("cos").desc, col("__cid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
   /** Exact cosine top-k neighbors for each query vector.
     *
     * @param corpus  (id, vec) — the full corpus
@@ -42,15 +59,12 @@ object EmbeddingSearch {
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col(queryVec), col(corpusVec)))
-    val filtered = if (excludeSelf) joined.filter(col(queryId) =!= col(corpusId)) else joined
-    val w = Window.partitionBy(queryId)
-      .orderBy(col("cos").desc, col(corpusId).asc)
-    filtered
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId).as("neighbor_id"), col("rank"), col("cos"))
+    val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
+    val q = aliased(queries, queryId, queryVec, "__qid", "__qvec")
+    val joined = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+    val filtered = if (excludeSelf) joined.filter(col("__qid") =!= col("__cid")) else joined
+    topKOut(filtered, queryId, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
@@ -89,35 +103,34 @@ object EmbeddingSearch {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = corpus.orderBy(col(corpusId)).limit(nlist)
-      .select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+    val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
+    val q = aliased(queries, queryId, queryVec, "__qid", "__qvec")
+    val cents = c.orderBy(col("__cid")).limit(nlist)
+      .select(col("__cid").as("__ctr_id"), col("__cvec").as("__ctr_vec"))
 
     // cell assignment: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(corpusId)
-      .orderBy(col("__ccos").desc, col("__cid").asc)
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("__ccos", cosine(col(corpusVec), col("__cvec")))
+    val wAssign = Window.partitionBy("__cid")
+      .orderBy(col("__ccos").desc, col("__ctr_id").asc)
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("__ccos", cosine(col("__cvec"), col("__ctr_vec")))
       .withColumn("__rn", row_number().over(wAssign))
       .filter(col("__rn") === 1)
-      .select(col(corpusId), col(corpusVec), col("__cid"))
+      .select(col("__cid"), col("__cvec"), col("__ctr_id"))
 
     // probe list: nprobe nearest centroids per query
-    val wProbe = Window.partitionBy(queryId)
-      .orderBy(col("__ccos").desc, col("__cid").asc)
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("__ccos", cosine(col(queryVec), col("__cvec")))
+    val wProbe = Window.partitionBy("__qid")
+      .orderBy(col("__ccos").desc, col("__ctr_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__ccos", cosine(col("__qvec"), col("__ctr_vec")))
       .withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
-      .select(col(queryId), col(queryVec), col("__cid"))
+      .select(col("__qid"), col("__qvec"), col("__ctr_id"))
 
     // exact rerank within probed cells
-    val cand = assigned.join(broadcast(probes), Seq("__cid"))
-      .filter(col(queryId) =!= col(corpusId))
-      .withColumn("cos", cosine(col(queryVec), col(corpusVec)))
-    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId).asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId).as("neighbor_id"), col("rank"), col("cos"))
+    val cand = assigned.join(broadcast(probes), Seq("__ctr_id"))
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+    topKOut(cand, queryId, k)
   }
 
   /** Approximate top-k: bucket corpus and queries by SRP signature,
@@ -128,14 +141,13 @@ object EmbeddingSearch {
   def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, bits: Int = 8): DataFrame = {
-    val c = corpus.withColumn("__sig", srpSignature(col(corpusVec), bits))
-    val q = queries.withColumn("__sig", srpSignature(col(queryVec), bits))
+    val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
+      .withColumn("__sig", srpSignature(col("__cvec"), bits))
+    val q = aliased(queries, queryId, queryVec, "__qid", "__qvec")
+      .withColumn("__sig", srpSignature(col("__qvec"), bits))
     val cand = c.join(broadcast(q), Seq("__sig"))
-      .filter(col(queryId) =!= col(corpusId))
-      .withColumn("cos", cosine(col(queryVec), col(corpusVec)))
-    val w = Window.partitionBy(queryId).orderBy(col("cos").desc, col(corpusId).asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId).as("neighbor_id"), col("rank"), col("cos"))
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+    topKOut(cand, queryId, k)
   }
 }

@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): the self-join is quadratic in per-shingle
   * document frequency, so ubiquitous shingles ("the") dominate cost —
   * `maxDf` drops shingles seen in more than that many documents before
-  * the join (standard df-pruning; slightly under-counts intersections
-  * of pruned shingles, so keep it ≥ corpus-common threshold or use it
-  * as a candidate filter + exact rerank). For corpora where even that
-  * is too hot, use MinHashLsh (probabilistic, linear shuffle) and
-  * rerank candidates here.
+  * the join (standard df-pruning). With `maxDf` set, set sizes AND
+  * intersections are both computed over the PRUNED shingle universe,
+  * so the returned `jaccard` is the exact Jaccard of the pruned sets —
+  * internally consistent, but not the full-universe Jaccard (pairs
+  * whose overlap lives entirely in pruned shingles score 0 and drop
+  * out). Treat the pruned run as a candidate generator and rerank with
+  * `maxDf = None` when full-universe scores matter. For corpora where
+  * even pruning is too hot, use MinHashLsh (probabilistic, linear
+  * shuffle) and rerank candidates here.
   */
 object ShingleJaccard {
 
@@ -41,7 +45,9 @@ object ShingleJaccard {
   /** Pairs (id1 < id2) with shingle-set Jaccard ≥ threshold.
     *
     * Output: id1, id2, jaccard (double — exact int arithmetic up to one
-    * IEEE division, so oracle-comparable bit-for-bit).
+    * IEEE division, so oracle-comparable bit-for-bit). When `maxDf` is
+    * set, sizes and intersections use the same pruned universe (see
+    * object doc) — numerator and denominator stay consistent.
     */
   def similarPairs(df: DataFrame, id: Column, text: Column, n: Int,
                    threshold: Double, maxDf: Option[Long] = None): DataFrame = {
@@ -53,7 +59,7 @@ object ShingleJaccard {
         sh.join(dfCounts, Seq("__sh"), "left_semi")
       case None => sh
     }
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val sizes = pruned.groupBy("__id").agg(count(lit(1)).as("__n"))
     val a = pruned.select(col("__id").as("id1"), col("__sh"))
     val b = pruned.select(col("__id").as("id2"), col("__sh"))
     val inter = a.join(b, a("__sh") === b("__sh") && col("id1") < col("id2"))

@@ -15,10 +15,15 @@ import org.apache.spark.sql.types._
   * left fold in element order — the SAME IEEE result as the composable
   * form and as a sequential oracle implementation, which is what keeps
   * cosine scores bit-comparable across engines.
+  *
+  * Mismatched vector lengths yield NULL (not a truncated product):
+  * malformed embedding rows must surface as missing scores — DuckDB's
+  * list_inner_product errors on mismatch, and silently skewed cosines
+  * are worse than either.
   */
 object VecDotUtil {
   def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -44,12 +49,25 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecDotUtil.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // null on length mismatch even for non-null inputs
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val av = a.asInstanceOf[ArrayData]
+    val bv = b.asInstanceOf[ArrayData]
+    if (av.numElements() != bv.numElements()) null
+    else VecDotUtil.dotFF(av, bv)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecDotUtil.dotFF($a, $b);")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecDotUtil.dotFF($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)

@@ -41,6 +41,38 @@ class ExtSpec extends SparkTestBase {
     assert(pruned.count() <= unpruned.count())
   }
 
+  test("ShingleJaccard: maxDf scores are exact Jaccard of the PRUNED universe") {
+    // t1 {abc,bcd,cdQ}, t2 {abc,bcd,cdZ}, t3 {abc,bcY,cYY}; df(abc)=3,
+    // df(bcd)=2 → maxDf=2 prunes only "abc". Pruned sets for (1,2):
+    // {bcd,cdQ} ∩ {bcd,cdZ} = 1, union 3 → 1/3. Sizes computed from the
+    // UNPRUNED frame would give the inconsistent 1/(3+3-1) = 1/5.
+    val df = Seq((1L, "abcdQ"), (2L, "abcdZ"), (3L, "abcYY")).toDF("id", "text")
+    val pruned = ShingleJaccard.similarPairs(df, $"id", $"text", 3, 0.0, maxDf = Some(2))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(pruned.get((1L, 2L)).contains(1.0 / 3.0))
+  }
+
+  test("EmbeddingSearch: corpus and query sides may share column names") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(0.9f, 0.1f)))
+      .toDF("id", "embedding")
+    // query frame uses the SAME column names as the corpus
+    val queries = Seq((1L, Array(1f, 0f))).toDF("id", "embedding")
+    val nn = EmbeddingSearch.bruteForceTopK(corpus, "id", "embedding",
+      queries, "id", "embedding", k = 1)
+      .select("id", "neighbor_id").as[(Long, Long)].collect()
+    assert(nn.toSeq == Seq((1L, 3L))) // nearest non-self is the 0.9/0.1 vector
+    val ivf = EmbeddingSearch.ivfTopK(corpus, "id", "embedding",
+      queries, "id", "embedding", k = 1, nlist = 3, nprobe = 3)
+      .select("id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ivf.toSeq == Seq((1L, 3L)))
+    val lsh = EmbeddingSearch.lshTopK(corpus, "id", "embedding",
+      queries, "id", "embedding", k = 1, bits = 1)
+      .select("id", "neighbor_id").as[(Long, Long)].collect()
+    assert(lsh.nonEmpty) // bucket recall ≥ the identical-direction vector
+  }
+
   test("TextAnalysis: token/char counts and fingerprint basics") {
     val df = Seq((1L, "the cat sat on 3 mats"), (2L, "  spaced  out  ")).toDF("id", "text")
     val out = df.select($"id",
