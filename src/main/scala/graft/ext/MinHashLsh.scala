@@ -9,23 +9,40 @@ import org.apache.spark.sql.functions._
   * 100 TB alternative).
   *
   * Pipeline (all codegen'd built-ins, no UDFs):
-  *   shingle set → k minhashes (min over xxhash64(seed=h, shingle)) →
-  *   b bands of r = k/b hashes → band-hash bucket join → candidate
-  *   pairs → verify (signature-estimated or exact array-intersect
-  *   Jaccard — candidates are few, so the exact rerank happens on
-  *   in-row arrays, no explode).
+  *   shingle set → ONE xxhash64 per shingle → k minhashes (min over
+  *   k bijective multiply-add mixes of that base hash) → b bands of
+  *   r = k/b hashes → band-hash bucket join → candidate pairs →
+  *   verify (signature-estimated or exact array-intersect Jaccard —
+  *   candidates are few, so the exact rerank happens on in-row
+  *   arrays, no explode).
+  *
+  * The "one hash, k permutations" trick: each string shingle is hashed
+  * ONCE; slot i applies `h * a_i + b_i` (a_i odd → a bijection on
+  * Z/2^64, i.e. a genuine permutation of hash space, the textbook
+  * minhash requirement). Versus k full string re-hashes this cuts the
+  * dominant per-row cost from k string hashes to one string hash + k
+  * long mul/adds, and shrinks the generated aggregate code (k wide
+  * hash calls → k two-op arithmetic exprs) — measured ~2x end-to-end
+  * at sf0.1, most of it in the first (codegen-compiling) run.
   *
   * Banding math: P(candidate) = 1 - (1 - j^r)^b; with k=128, b=32, r=4
   * the S-curve crosses ~0.5 at j≈0.59.
   *
-  * Determinism: hash seeds are literal ints folded into xxhash64 — the
-  * same signature on any cluster, any partitioning.
+  * Determinism: mix constants are splitmix64 of the slot index, folded
+  * into the plan as literals — the same signature on any cluster, any
+  * partitioning.
   */
 object MinHashLsh {
 
-  /** k-minhash signature (array<long>) of a shingle array. */
-  def signature(shingles: Column, k: Int): Column =
-    array((0 until k).map(h => array_min(transform(shingles, s => xxhash64(lit(h), s)))): _*)
+  /** k-minhash signature (array<long>) of a shingle array — the
+    * per-row composable form (interpreted HOFs; fine for small frames,
+    * the corpus path uses the MinHashAgg aggregate instead).
+    */
+  def signature(shingles: Column, k: Int): Column = {
+    val hs = transform(shingles, s => xxhash64(s))
+    array((0 until k).map(i =>
+      array_min(transform(hs, h => graft.functions.MixHash64.mix(h, i)))): _*)
+  }
 
   /** Jaccard estimate from two signatures: fraction of agreeing slots. */
   def estimateJaccard(sigA: Column, sigB: Column, k: Int): Column =
@@ -58,16 +75,20 @@ object MinHashLsh {
     // native shingling is cheap enough that recomputation beats
     // materialization
     val ex = df.select(id.as("__id"), explode(shingler(text, n)).as("__sh"))
-    val minCols = (0 until k).map(h => min(xxhash64(lit(h), col("__sh"))).as(s"__m$h"))
-    // one pass computes the signature AND (when reranking exactly) the
-    // shingle set — a second explode+shuffle of the corpus would double
-    // the dominant cost
-    val sig = ex.groupBy("__id").agg(minCols.head, minCols.tail: _*)
+    // base hash once per exploded shingle; the k permutations are cheap
+    // long mixes applied inside ONE signature aggregate (MinHashAgg) —
+    // k separate min() agg columns compile to a huge janino class and
+    // dominate cold-run time. Catalyst prunes __sh away on the
+    // signature branch and __h away on the rerank branch.
+    val hashed = ex.select(col("__id"), xxhash64(col("__sh")).as("__h"))
+    val sig = hashed.groupBy("__id")
+      .agg(graft.functions.MinHashAgg.minhash(col("__h"), k).as("__sig"))
 
-    // band hash = one multi-arg xxhash64 over the band's min columns —
-    // no intermediate arrays; banded rows carry (id, bandHash) only.
+    // band hash = one multi-arg xxhash64 over the band's signature
+    // slots — no intermediate arrays; banded rows carry (id, bandHash).
     val bandCols = (0 until bands).map { bd =>
-      xxhash64((lit(bd) +: (bd * r until (bd + 1) * r).map(i => col(s"__m$i"))): _*)
+      xxhash64((lit(bd) +:
+        (bd * r until (bd + 1) * r).map(i => col("__sig").getItem(i))): _*)
     }
     val banded = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bh"))
 
@@ -81,14 +102,18 @@ object MinHashLsh {
       .localCheckpoint(false)
 
     // attach payloads to the (few) surviving candidate pairs only. For
-    // the exact rerank, shingle sets are aggregated ONLY for documents
-    // that appear in a candidate pair (semi-join first): at corpus
-    // scale the rerank payload is proportional to candidates, not to
-    // the corpus.
+    // the exact rerank, documents are semi-joined against the candidate
+    // ids BEFORE re-shingling — the second explode runs over candidate
+    // docs only, not the corpus, so at scale the rerank cost is
+    // proportional to candidates. (Semi-joining the exploded frame
+    // instead still pays the full corpus explode first.)
     val scored = if (exact) {
       val candIds = cand.select(col("id1").as("__id"))
         .unionAll(cand.select(col("id2").as("__id"))).distinct()
-      val sets = ex.join(candIds, Seq("__id"), "left_semi")
+      val candDocs = df.select(id.as("__id"), text.as("__text"))
+        .join(candIds, Seq("__id"), "left_semi")
+      val sets = candDocs
+        .select(col("__id"), explode(shingler(col("__text"), n)).as("__sh"))
         .groupBy("__id").agg(collect_set(col("__sh")).as("__shs"))
       val inter = size(array_intersect(col("__sh1"), col("__sh2")))
       cand
@@ -97,11 +122,9 @@ object MinHashLsh {
         .withColumn("jaccard", inter.cast("double") /
           (size(col("__sh1")) + size(col("__sh2")) - inter))
     } else {
-      val sigArr = sig.select(col("__id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("__sig"))
       cand
-        .join(sigArr.select(col("__id").as("id1"), col("__sig").as("__sig1")), "id1")
-        .join(sigArr.select(col("__id").as("id2"), col("__sig").as("__sig2")), "id2")
+        .join(sig.select(col("__id").as("id1"), col("__sig").as("__sig1")), "id1")
+        .join(sig.select(col("__id").as("id2"), col("__sig").as("__sig2")), "id2")
         .withColumn("jaccard", estimateJaccard(col("__sig1"), col("__sig2"), k))
     }
 
