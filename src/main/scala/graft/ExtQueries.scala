@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{EmbeddingSearch, ExactDedup, MinHashLsh, Multimodal, ShingleJaccard, SimHash, TextAnalysis}
+import graft.ext.{EmbeddingSearch, ExactDedup, MinHashLsh, Multimodal, Sampling, ShingleJaccard, SimHash, TextAnalysis}
 import graft.ops.Aggs
 
 /** LLM-training-pipeline extension queries (dedup, similarity search,
@@ -367,6 +367,111 @@ object ExtQueries {
                    max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Embedding-cosine near-dup pairs over the corpus ∪ 20 planted
+    * duplicates (same direction, doubled magnitude — cosine is
+    * scale-invariant and ×2 is exact in float, so both engines see
+    * bit-identical vectors). Threshold 0.99 isolates the planted pairs
+    * (max natural pairwise cosine in this table is ~0.46).
+    */
+  val q34 = Q(
+    "q34_embed_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val planted = emb.filter($"vec_id" < 20)
+        .select(($"vec_id" + 100000L).as("vec_id"),
+          transform($"embedding", x => x + x).as("embedding"))
+      EmbeddingSearch.cosineNearDupPairs(emb.unionAll(planted),
+          "vec_id", "embedding", threshold = 0.99)
+        .orderBy($"id1", $"id2")
+    },
+    Some("""WITH planted AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding, x -> CAST(x + x AS FLOAT)) AS embedding
+              FROM embeddings WHERE vec_id < 20),
+            u AS (SELECT vec_id, embedding FROM embeddings
+                  UNION ALL SELECT vec_id, embedding FROM planted),
+            c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
+            p AS (SELECT a.vec_id id1, b.vec_id id2,
+                         list_inner_product(a.v, b.v) /
+                           (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+                  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+            SELECT id1, id2, cos FROM p WHERE cos >= 0.99 ORDER BY id1, id2"""))
+
+  /** Deterministic train/val/test split (~80/10/10) — a pure function
+    * of doc_id via md5, reproducible on any engine / partitioning.
+    */
+  val q35 = Q(
+    "q35_hash_split",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          Sampling.hashSplit($"doc_id",
+            Seq(("train", 204), ("val", 26), ("test", 26))).as("split"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+            v AS (SELECT doc_id,
+                         (CASE WHEN ascii(substring(h,1,1)) <= 57
+                               THEN ascii(substring(h,1,1)) - 48
+                               ELSE ascii(substring(h,1,1)) - 87 END) * 16 +
+                         (CASE WHEN ascii(substring(h,2,1)) <= 57
+                               THEN ascii(substring(h,2,1)) - 48
+                               ELSE ascii(substring(h,2,1)) - 87 END) AS bucket
+                  FROM b)
+            SELECT doc_id,
+                   CASE WHEN bucket < 204 THEN 'train'
+                        WHEN bucket < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM v ORDER BY doc_id"""))
+
+  /** Stratified deterministic sampling: keep 25% of English docs, 50%
+    * of everything else (mixture re-weighting as ONE narrow filter).
+    */
+  val q36 = Q(
+    "q36_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val frac = when($"lang" === "en", 64).otherwise(128)
+      Sampling.stratifiedSample(t(s, dir, "documents"), $"doc_id", frac, salt = "strat")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || 'strat') AS h
+              FROM documents),
+            v AS (SELECT doc_id, lang,
+                         (CASE WHEN ascii(substring(h,1,1)) <= 57
+                               THEN ascii(substring(h,1,1)) - 48
+                               ELSE ascii(substring(h,1,1)) - 87 END) * 16 +
+                         (CASE WHEN ascii(substring(h,2,1)) <= 57
+                               THEN ascii(substring(h,2,1)) - 48
+                               ELSE ascii(substring(h,2,1)) - 87 END) AS bucket
+                  FROM b)
+            SELECT doc_id, lang FROM v
+            WHERE bucket < CASE WHEN lang = 'en' THEN 64 ELSE 128 END
+            ORDER BY doc_id"""))
+
+  /** Deterministic global shuffle: reproducible pseudo-random training
+    * order (position = rank of md5(doc_id)).
+    */
+  val q37 = Q(
+    "q37_shuffle_order",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          Sampling.shufflePosition($"doc_id", salt = "ord").cast("long").as("pos"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'ord') AS h FROM documents)
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY h, doc_id) AS pos
+            FROM b ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33)
+    q31, q32, q33, q34, q35, q36, q37)
 }

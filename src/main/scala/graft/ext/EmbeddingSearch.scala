@@ -59,10 +59,14 @@ object EmbeddingSearch {
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    // norms precomputed per vector BEFORE the product join — one norm
+    // per row instead of one per pair, bit-identical (pure function)
     val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
+      .withColumn("__cn", norm(col("__cvec")))
     val q = aliased(queries, queryId, queryVec, "__qid", "__qvec")
+      .withColumn("__qn", norm(col("__qvec")))
     val joined = c.crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+      .withColumn("cos", dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
     val filtered = if (excludeSelf) joined.filter(col("__qid") =!= col("__cid")) else joined
     topKOut(filtered, queryId, k)
   }
@@ -131,6 +135,44 @@ object EmbeddingSearch {
       .filter(col("__qid") =!= col("__cid"))
       .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
     topKOut(cand, queryId, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ threshold)
+    * — exact all-pairs form. The cosine tree is the same ordered-fold
+    * arithmetic as bruteForceTopK, so results are oracle-comparable
+    * bit-for-bit. Quadratic: right for bounded slices and reranks; the
+    * corpus-scale path is `lshNearDupPairs`.
+    */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
+                         threshold: Double): DataFrame = {
+    // per-vector norms before the quadratic join (bit-identical to
+    // per-pair recomputation — a pure function of the vector)
+    val a = aliased(df, id, vec, "id1", "__v1").withColumn("__n1", norm(col("__v1")))
+    val b = aliased(df, id, vec, "id2", "__v2").withColumn("__n2", norm(col("__v2")))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** Near-dup pairs at scale: bucket by SRP signature, compare within
+    * buckets only — identical-direction vectors always share a bucket,
+    * near-misses with probability rising as `bits` falls. Linear
+    * shuffle of (signature, id, vec); exact cosine inside the bucket.
+    */
+  def lshNearDupPairs(df: DataFrame, id: String, vec: String,
+                      threshold: Double, bits: Int = 8): DataFrame = {
+    val sig = aliased(df, id, vec, "__cid", "__cvec")
+      .withColumn("__sig", srpSignature(col("__cvec"), bits))
+      .withColumn("__n", norm(col("__cvec")))
+    val a = sig.select(col("__cid").as("id1"), col("__cvec").as("__v1"),
+      col("__n").as("__n1"), col("__sig"))
+    val b = sig.select(col("__cid").as("id2"), col("__cvec").as("__v2"),
+      col("__n").as("__n2"), col("__sig"))
+    a.join(b, Seq("__sig")).filter(col("id1") < col("id2"))
+      .withColumn("cos", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos")) // one band → pairs unique
   }
 
   /** Approximate top-k: bucket corpus and queries by SRP signature,

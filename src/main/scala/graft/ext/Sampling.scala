@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic, engine-portable sampling / splitting for training-data
+  * pipelines.
+  *
+  * Every operator keys off `md5(key || salt)` — not `rand()` and not
+  * Spark's `sample()` — because a 100 TB curation job needs sampling
+  * decisions that are (a) reproducible across runs, clusters, and
+  * partitionings, (b) stable under re-partitioning of the input (a
+  * per-row pure function of the key), and (c) auditable ("why is this
+  * row in val?" has an answer). md5 rather than xxhash64 so an external
+  * system (or the DuckDB oracle) can reproduce the exact assignment —
+  * every engine has md5; Spark's xxhash64 constant is Spark-private.
+  *
+  * All derivations are narrow per-row expressions — no shuffle, fully
+  * codegen'd, pushdown-friendly.
+  */
+object Sampling {
+
+  /** Value 0-15 of one lowercase-hex character. */
+  private def nib(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  /** Deterministic bucket in [0, 256): first two hex chars of
+    * md5(key || salt). ~uniform for any key distribution.
+    */
+  def bucket256(key: Column, salt: String = ""): Column = {
+    val h = md5(concat(key.cast("string"), lit(salt)).cast("binary"))
+    nib(substring(h, 1, 1)) * 16 + nib(substring(h, 2, 1))
+  }
+
+  /** Named split assignment from cumulative bucket widths (out of 256).
+    *
+    * `cuts` maps split name → width; widths must sum to 256 (e.g.
+    * train/val/test 204/26/26 ≈ 80/10/10). Assignment is a pure
+    * function of the key: adding or removing OTHER rows never moves a
+    * row between splits (critical for incremental corpus builds —
+    * yesterday's train doc cannot silently become tomorrow's test doc).
+    */
+  def hashSplit(key: Column, cuts: Seq[(String, Int)], salt: String = ""): Column = {
+    require(cuts.map(_._2).sum == 256, "split widths must sum to 256")
+    val b = bucket256(key, salt)
+    val (expr, _) = cuts.foldLeft((null: Column, 0)) {
+      case ((acc, cum), (name, width)) =>
+        val hi = cum + width
+        val branch = if (acc == null) when(b < hi, name)
+                     else acc.when(b < hi, name)
+        (branch, hi)
+    }
+    expr
+  }
+
+  /** Per-stratum deterministic sampling: keep a row iff its bucket256
+    * (salted) falls below the stratum's fraction (in 256ths). The
+    * fractions column is any expression over the row (e.g. a CASE on
+    * language), so over- and under-sampling strata for mixture tuning
+    * is one filter — no per-stratum jobs, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, fraction256: Column,
+                       salt: String = ""): DataFrame =
+    df.filter(bucket256(key, salt) < fraction256)
+
+  /** Deterministic global shuffle order: position of each row when
+    * sorted by (md5(key || salt), key). The training-data "shuffle the
+    * corpus" step as a reproducible total order — same permutation on
+    * every run and every engine, re-derivable for any row.
+    *
+    * One global sort (range-partitioned at scale); the md5 prefix makes
+    * the order pseudo-random w.r.t. any natural key ordering.
+    */
+  def shufflePosition(key: Column, salt: String = ""): Column = {
+    val h = md5(concat(key.cast("string"), lit(salt)).cast("binary"))
+    row_number().over(Window.orderBy(h.asc, key.asc))
+  }
+}

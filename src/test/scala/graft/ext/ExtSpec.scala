@@ -73,6 +73,42 @@ class ExtSpec extends SparkTestBase {
     assert(lsh.nonEmpty) // bucket recall ≥ the identical-direction vector
   }
 
+  test("Sampling: hashSplit is a total, disjoint, subset-stable partition") {
+    val df = (1L to 1000L).toDF("id")
+    val cuts = Seq(("train", 204), ("val", 26), ("test", 26))
+    val split = df.select($"id", Sampling.hashSplit($"id", cuts).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000L) // total: every row assigned
+    assert(counts("train") > 700 && counts("train") < 900) // ~80%
+    // pure function of the key: a subset sees identical assignments
+    val sub = df.filter($"id" % 7 === 0)
+      .select($"id", Sampling.hashSplit($"id", cuts).as("s2"))
+    val joined = split.join(sub, "id").filter($"s" =!= $"s2")
+    assert(joined.count() == 0)
+  }
+
+  test("Sampling: shufflePosition is a deterministic bijection") {
+    val df = (1L to 500L).toDF("id")
+    val p1 = df.select($"id", Sampling.shufflePosition($"id").as("pos"))
+    assert(p1.select("pos").distinct().count() == 500)
+    assert(p1.agg(min($"pos"), max($"pos")).as[(Int, Int)].head() == ((1, 500)))
+    val p2 = df.select($"id", Sampling.shufflePosition($"id").as("pos"))
+    assert(p1.except(p2).count() == 0) // identical permutation on re-run
+    // not the identity order (md5 scrambles)
+    assert(p1.filter($"id" === $"pos").count() < 50)
+  }
+
+  test("EmbeddingSearch: lshNearDupPairs always finds identical-direction vectors") {
+    val base = (1L to 50L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+    val twins = base.take(5).map { case (i, v) => (i + 1000L, v.map(_ * 2f)) }
+    val df = (base ++ twins).toDF("id", "vec")
+    val pairs = EmbeddingSearch.lshNearDupPairs(df, "id", "vec", threshold = 0.999, bits = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // scaled copies share every SRP bucket → all 5 planted pairs found
+    assert((1L to 5L).forall(i => pairs.contains((i, i + 1000L))))
+  }
+
   test("TextAnalysis: token/char counts and fingerprint basics") {
     val df = Seq((1L, "the cat sat on 3 mats"), (2L, "  spaced  out  ")).toDF("id", "text")
     val out = df.select($"id",
