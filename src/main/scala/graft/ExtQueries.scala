@@ -472,6 +472,65 @@ object ExtQueries {
                    row_number() OVER (ORDER BY h, doc_id) AS pos
             FROM b ORDER BY doc_id"""))
 
+  /** As-of join: attach the most recent at-or-before 'view' value to
+    * every 'click', per user (point-in-time correctness — the
+    * feature-store / time-series operator Spark lacks natively). The
+    * right side is pre-aggregated to one row per (user, ts) so the
+    * match is deterministic; the oracle mirrors the same union+window
+    * merge in ANSI SQL. Timestamps stay ns-longs end to end.
+    */
+  val q38 = Q(
+    "q38_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      // µs-truncate the ns-longs up front: DuckDB reads this parquet at
+      // TIMESTAMP(µs) precision, so both engines must order the SAME
+      // timeline (sub-µs ordering could otherwise flip at-or-before
+      // decisions near ties)
+      val ev = t(s, dir, "events")
+        .withColumn("tsn", expr("ts div 1000 * 1000"))
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"tsn").agg(max($"value").as("last_view_value"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"tsn")
+      graft.ops.AsOfJoin.backward(clicks, views, Seq("user_id"), "tsn", "tsn")
+        .select($"event_id", $"user_id", $"tsn".as("ts_ns"), $"last_view_value")
+        .orderBy($"event_id")
+    },
+    Some("""WITH v AS (SELECT user_id, epoch_ns(ts) AS tsn, max(value) AS vv
+                       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+            c AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn
+                  FROM events WHERE event_type = 'click'),
+            u AS (SELECT user_id, tsn, 0 AS side, vv, NULL::BIGINT AS event_id FROM v
+                  UNION ALL
+                  SELECT user_id, tsn, 1, NULL, event_id FROM c),
+            w AS (SELECT user_id, tsn, side, event_id,
+                         last_value(vv IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY tsn, side
+                           ROWS UNBOUNDED PRECEDING) AS m
+                  FROM u)
+            SELECT event_id, user_id, tsn AS ts_ns, m AS last_view_value
+            FROM w WHERE side = 1 ORDER BY event_id"""))
+
+  /** BPE-style pre-tokenization stats: subword count + fertility
+    * (subwords per whitespace token) — LLM token-cost estimation.
+    */
+  val q39 = Q(
+    "q39_subword_tokens",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(
+          $"doc_id",
+          TextAnalysis.subwordCount($"text").cast("long").as("n_subwords"),
+          TextAnalysis.fertility($"text").as("fertility"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\s+')) AS fertility
+            FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39)
 }

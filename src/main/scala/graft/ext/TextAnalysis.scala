@@ -75,6 +75,25 @@ object TextAnalysis {
       lit(0.3) * least(nTok / lit(100.0), lit(1.0))
   }
 
+  /** BPE-style pre-tokenization pattern: letter runs, digit runs, and
+    * single punctuation marks (the GPT-2 pre-tokenizer family, ASCII
+    * classes only so Java regex and RE2 agree byte-for-byte).
+    */
+  val SubwordPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Subword-unit count under the BPE-ish pre-tokenizer — the better
+    * proxy for LLM token cost than whitespace tokens (punctuation and
+    * number runs count separately).
+    */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(SubwordPattern), lit(0)))
+
+  /** Subwords per whitespace token ("fertility") — high values flag
+    * punctuation-/number-dense documents that tokenize expensively.
+    */
+  def fertility(c: Column): Column =
+    subwordCount(c).cast("double") / tokenCount(c).cast("double")
+
   /** 64-bit content fingerprint (xxhash64 builtin — codegen'd, seed 42). */
   def fingerprint(c: Column): Column = xxhash64(c)
 

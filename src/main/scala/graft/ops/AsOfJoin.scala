@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join — for each left row, the single right row
+  * whose timestamp is nearest at-or-before (backward) or at-or-after
+  * (forward) the left row's timestamp, per key. The operator Spark SQL
+  * lacks natively; standard in time-series/feature-store workloads
+  * (e.g. "attach the most recent prior 'view' to every 'click'").
+  *
+  * Spark shape — union + running window, NOT a range join:
+  *   tag right rows side=0 and left rows side=1, union them, sort each
+  *   key partition by (ts, side), and carry the last non-null right
+  *   payload forward (`last(_, ignoreNulls)` over an unbounded-preceding
+  *   row frame). One shuffle of |L|+|R| rows on the key; no per-pair
+  *   work at all. A range-join formulation (l JOIN r ON r.ts <= l.ts
+  *   then max per left row) materializes O(|L|·|R|/key) intermediate
+  *   pairs — quadratic on hot keys; this merge form is linear and is
+  *   what survives 100 TB.
+  *
+  * Determinism: rows tie on (ts, side) only if the right side has
+  * duplicate (key, ts) rows — pre-aggregate the right side to one row
+  * per (key, ts), or pass `rightTieBreak` columns to pin the winner.
+  * At equal timestamps the right row sorts BEFORE the left row
+  * (side 0 < 1), so "at-or-before"/"at-or-after" includes exact ties.
+  */
+object AsOfJoin {
+
+  /** Most recent right row at-or-before each left row (left outer:
+    * unmatched left rows keep null right payload).
+    *
+    * Output columns: keys, then every non-key left column, then every
+    * non-key non-timestamp right column (null when no match).
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightTieBreak: Seq[String] = Nil): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightTieBreak, forward = false)
+
+  /** Earliest right row at-or-after each left row. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              rightTieBreak: Seq[String] = Nil): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightTieBreak, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightTieBreak: Seq[String], forward: Boolean): DataFrame = {
+    val lPayload = left.columns.filterNot(keys.contains)
+    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    require(lPayload.intersect(rPayload).isEmpty,
+      s"overlapping non-key columns: ${lPayload.intersect(rPayload).mkString(",")}")
+
+    val lType = StructType(left.schema.fields.filter(f => lPayload.contains(f.name)))
+    val rType = StructType(right.schema.fields.filter(f => rPayload.contains(f.name)))
+
+    val rSide = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          lit(null).cast(lType).as("__l"),
+          struct(rPayload.map(col): _*).as("__r")) ++
+        rightTieBreak.map(c => col(c).as(s"__tb_$c")): _*)
+    val lSide = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          struct(lPayload.map(col): _*).as("__l"),
+          lit(null).cast(rType).as("__r")) ++
+        rightTieBreak.map(c => lit(null).cast(
+          right.schema(c).dataType).as(s"__tb_$c")): _*)
+
+    // backward: ascending scan, right-before-left at ties; forward:
+    // descending scan, still right-before-left at ties (side 0 first
+    // works for both because the frame ends at the current row)
+    val ord =
+      (if (forward) Seq(col("__ts").desc) else Seq(col("__ts").asc)) ++
+        Seq(col("__side").asc) ++
+        rightTieBreak.map(c =>
+          if (forward) col(s"__tb_$c").desc_nulls_first
+          else col(s"__tb_$c").asc_nulls_first)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lSide.unionByName(rSide)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(keys.map(col) ++
+        lPayload.map(c => col(s"__l.$c").as(c)) ++
+        rPayload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+}

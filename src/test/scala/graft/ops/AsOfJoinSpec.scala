@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // left: observations; right: state changes
+  private lazy val left = Seq(
+    (1L, 5L, "l-a"), (1L, 15L, "l-b"), (1L, 25L, "l-c"),
+    (2L, 10L, "l-d"), (3L, 10L, "l-e")).toDF("k", "ts", "obs")
+  private lazy val right = Seq(
+    (1L, 10L, 1.0), (1L, 20L, 2.0),
+    (2L, 10L, 3.0), (2L, 30L, 4.0)).toDF("k", "rts", "v")
+
+  test("backward: most recent at-or-before match, null when none, per key") {
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts")
+      .select($"k", $"ts", $"obs", $"v")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 5L, "l-a", None),          // before any right row
+      (1L, 15L, "l-b", Some(1.0)),    // rts=10 is the latest <= 15
+      (1L, 25L, "l-c", Some(2.0)),
+      (2L, 10L, "l-d", Some(3.0)),    // exact tie: at-or-before includes ts
+      (3L, 10L, "l-e", None)))        // key with no right rows at all
+  }
+
+  test("forward: earliest at-or-after match") {
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts", "rts")
+      .select($"k", $"ts", $"v")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 5L, Some(1.0)),
+      (1L, 15L, Some(2.0)),
+      (1L, 25L, None),                // nothing after 25
+      (2L, 10L, Some(3.0)),           // exact tie
+      (3L, 10L, None)))
+  }
+
+  test("tie-break pins the winner among duplicate right timestamps") {
+    val dupRight = Seq((1L, 10L, 7L, 100.0), (1L, 10L, 9L, 200.0))
+      .toDF("k", "rts", "seq", "v")
+    val out = AsOfJoin.backward(
+        left.filter($"ts" === 15L), dupRight, Seq("k"), "ts", "rts",
+        rightTieBreak = Seq("seq"))
+      .select($"v").as[Double].collect()
+    assert(out.toSeq == Seq(200.0)) // greatest tie-break wins in backward mode
+  }
+
+  test("matches the quadratic range-join formulation on real event data") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("vv"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val merged = AsOfJoin.backward(clicks, views, Seq("user_id"), "ts", "ts")
+      .select($"event_id", $"vv")
+
+    // reference implementation: range join + max-ts pick (small data only)
+    val pairs = clicks.as("c").join(views.as("v"),
+        $"c.user_id" === $"v.user_id" && $"v.ts" <= $"c.ts", "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c.event_id").orderBy($"v.ts".desc_nulls_last)
+    val expected = pairs.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"c.event_id", $"v.vv")
+
+    assert(merged.except(expected).count() == 0)
+    assert(expected.except(merged).count() == 0)
+    assert(merged.count() == clicks.count())
+  }
+}
