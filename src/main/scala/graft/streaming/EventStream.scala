@@ -65,6 +65,26 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same key across
+    * micro-batches (at-least-once sources re-send; training pipelines
+    * must not double-count documents/events). State holds one entry per
+    * key seen within the watermark horizon and is evicted beyond it —
+    * bounded memory, the streaming analogue of ExactDedup/q20.
+    */
+  def dedupedStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+                    watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts_us", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-static enrichment: join the event stream against a slowly
+    * changing dimension snapshot (broadcast — no stream-side shuffle,
+    * re-resolved per micro-batch so a refreshed static frame is picked
+    * up on restart).
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   final case class SessionState(start: Long, last: Long, n: Long) // ns epoch

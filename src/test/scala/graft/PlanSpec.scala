@@ -48,6 +48,48 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderstatus:string>"), p)
   }
 
+  test("q35/q36 sampling: narrow per-row derivation, no shuffle, pruned scan") {
+    // split/sample assignment must be a pure row function — an Exchange
+    // here would mean the op can't run at scan speed at 100 TB
+    val frac = org.apache.spark.sql.functions.lit(64)
+    val sampled = graft.ext.Sampling.stratifiedSample(
+      Tables.table(spark, dir, "documents"),
+      org.apache.spark.sql.functions.col("doc_id"), frac)
+      .select("doc_id")
+    val p = plan(sampled)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  test("q38 as-of join: ONE shuffle on the key, no range-join pair blowup") {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(ev("event_type") === "view")
+      .select("user_id", "ts", "value").withColumnRenamed("value", "vv")
+    val clicks = ev.filter(ev("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val df = graft.ops.AsOfJoin.backward(clicks, views, Seq("user_id"), "ts", "ts")
+    val p = plan(df)
+    // union + window merge: no join operator at all in the plan
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // exchanges are inserted by EnsureRequirements → count on executedPlan
+    val ep = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ep).length == 1, ep)
+  }
+
+  test("q34 embed near-dup: per-vector norms computed below the pair join") {
+    val emb = Tables.table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val p = plan(graft.ext.EmbeddingSearch.cosineNearDupPairs(
+      emb, "vec_id", "embedding", 0.99))
+    // norm (sqrt of vec_dot) must sit in the per-side Projects BELOW the
+    // join (printed after it — children print below parents), never in
+    // the per-pair projection above it (printed before)
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, p)
+    val sqrtIdx = p.indexOf("SQRT")
+    assert(sqrtIdx > joinIdx, s"norms computed per pair above the join:\n$p")
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")

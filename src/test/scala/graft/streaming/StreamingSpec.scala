@@ -86,6 +86,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupedStream drops cross-micro-batch re-deliveries") {
+    // stage the SAME file twice: micro-batch 2 re-delivers every event
+    val dir = java.nio.file.Files.createTempDirectory("events-dedup")
+    Seq("a_events.parquet", "b_events_again.parquet").foreach { name =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve(name))
+    }
+    val stream = EventStream.readStream(spark, dir.toString, maxFilesPerTrigger = 1)
+    val q = EventStream.dedupedStream(stream, Seq("event_id"), watermark = "10 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    try {
+      q.processAllAvailable()
+      val batch = Tables.events(spark, sfDir).count()
+      assert(spark.table("deduped").count() == batch) // 2N in, N out
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment matches the batch join") {
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val stream = EventStream.readStream(spark, eventsDir)
+    val q = EventStream.enriched(stream, dim, "event_type")
+      .groupBy("category").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enriched").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enriched").as[(String, Long)].collect().toMap
+      val batch = Tables.events(spark, sfDir).join(broadcast(dim), Seq("event_type"))
+        .groupBy("category").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize (session_window) matches the batch lag-gap session count") {
     val stream = EventStream.readStream(spark, eventsDir)
     val q = EventStream.sessionize(stream)
