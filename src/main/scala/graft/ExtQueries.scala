@@ -531,6 +531,82 @@ object ExtQueries {
                      / len(string_split_regex(trim(text), '\s+')) AS fertility
             FROM documents ORDER BY doc_id"""))
 
+  /** Gopher-style repetition filter stats: most-frequent word-bigram
+    * share per document (≈1 ⇒ boilerplate/looping text).
+    */
+  val q40 = Q(
+    "q40_repetition",
+    (s, dir) => {
+      import s.implicits._
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), $"doc_id", $"text", n = 2)
+        .withColumnRenamed("__id", "doc_id")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                          FROM documents),
+            idx AS (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+                    FROM toks),
+            grams AS (SELECT doc_id,
+                             CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+                                  ELSE t[i] || ' ' || t[i + 1] END AS g
+                      FROM idx),
+            counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_grams,
+                   count(*) AS n_distinct,
+                   CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_ratio
+            FROM counts GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Pivot: events-per-type counts as one row per user (wide-format
+    * feature table; explicit value list keeps the schema deterministic).
+    */
+  val q41 = Q(
+    "q41_pivot",
+    (s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      t(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select($"user_id" +: types.map(ty =>
+          coalesce(col(ty), lit(0L)).as(s"n_$ty")): _*)
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'view') AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'error') AS n_error
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** SQL-text face with correlated EXISTS + scalar subqueries — the
+    * same string runs through spark.sql AND DuckDB. The avg comparison
+    * is rewritten as price·N > Σprice over DECIMAL(38,6) so both
+    * engines decide every row with exact arithmetic (a double avg
+    * could flip rows within an ulp of the threshold).
+    */
+  private val q42Sql =
+    """SELECT c_mktsegment, count(*) AS n_big_spenders
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND CAST(o.o_totalprice AS DECIMAL(38,6)) * (SELECT count(*) FROM orders)
+      |        > (SELECT sum(CAST(o_totalprice AS DECIMAL(38,6))) FROM orders))
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val q42 = Q(
+    "q42_sql_subqueries",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(q42Sql)
+    },
+    Some(q42Sql))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (BASELINE
@@ -93,6 +93,28 @@ object TextAnalysis {
     */
   def fertility(c: Column): Column =
     subwordCount(c).cast("double") / tokenCount(c).cast("double")
+
+  /** Gopher-style repetition statistics: per document, the share of
+    * word n-gram occurrences taken by the single most frequent n-gram
+    * (`top_ratio` near 1 ⇒ boilerplate/looping text — the standard
+    * repetition filter for training corpora), plus total and distinct
+    * n-gram counts.
+    *
+    * Spark shape: positional n-gram explode (native WordNGramSeq — the
+    * count needs every occurrence, not the distinct set) → two hash
+    * aggregations. Both shuffles carry (id, gram) / (id) keyed rows
+    * only; exact integer counts and one final IEEE division keep the
+    * result oracle-comparable bit-for-bit.
+    */
+  def repetitionStats(df: DataFrame, id: Column, text: Column, n: Int = 2): DataFrame = {
+    val grams = df.select(id.as("__id"),
+      explode(graft.functions.NGrams.wordNGramSeq(text, n)).as("__g"))
+    grams.groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
+      .groupBy("__id").agg(
+        sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        (max(col("__c")).cast("double") / sum(col("__c"))).as("top_ratio"))
+  }
 
   /** 64-bit content fingerprint (xxhash64 builtin — codegen'd, seed 42). */
   def fingerprint(c: Column): Column = xxhash64(c)

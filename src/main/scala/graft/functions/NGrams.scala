@@ -56,10 +56,16 @@ object NGramsUtil {
     new GenericArrayData(arr)
   }
 
-  def wordNGrams(s: UTF8String, n: Int): ArrayData = {
+  def wordNGrams(s: UTF8String, n: Int): ArrayData = wordNGrams(s, n, distinct = true)
+
+  def wordNGramSeq(s: UTF8String, n: Int): ArrayData = wordNGrams(s, n, distinct = false)
+
+  private def wordNGrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val toks = s.toString.trim.split("\\s+")
-    val set = new java.util.LinkedHashSet[UTF8String]()
-    if (toks.length < n) set.add(UTF8String.fromString(toks.mkString(" ")))
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val seq = new java.util.ArrayList[UTF8String]()
+    def add(g: UTF8String): Unit = if (distinct) out.add(g) else seq.add(g)
+    if (toks.length < n) add(UTF8String.fromString(toks.mkString(" ")))
     else {
       val sb = new java.lang.StringBuilder
       var i = 0
@@ -71,11 +77,13 @@ object NGramsUtil {
           sb.append(toks(i + j))
           j += 1
         }
-        set.add(UTF8String.fromString(sb.toString))
+        add(UTF8String.fromString(sb.toString))
         i += 1
       }
     }
-    new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size)))
+    val arr = if (distinct) out.toArray[AnyRef](new Array[AnyRef](out.size))
+      else seq.toArray[AnyRef](new Array[AnyRef](seq.size))
+    new GenericArrayData(arr)
   }
 }
 
@@ -121,6 +129,17 @@ case class WordNGrams(child: Expression, n: Int) extends NGramsBase {
     copy(child = newChild)
 }
 
+/** Positional (non-distinct) word n-grams — repetition-ratio consumers
+  * need every occurrence, not the set.
+  */
+case class WordNGramSeq(child: Expression, n: Int) extends NGramsBase {
+  override protected def helper: String = "wordNGramSeq"
+  override def nullSafeEval(input: Any): Any =
+    NGramsUtil.wordNGramSeq(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): WordNGramSeq =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object NGrams {
   def charNGrams(c: Column, n: Int): Column =
@@ -129,4 +148,6 @@ object NGrams {
     GraftBridge.column(CharNGramSeq(GraftBridge.expression(c), n))
   def wordNGrams(c: Column, n: Int): Column =
     GraftBridge.column(WordNGrams(GraftBridge.expression(c), n))
+  def wordNGramSeq(c: Column, n: Int): Column =
+    GraftBridge.column(WordNGramSeq(GraftBridge.expression(c), n))
 }

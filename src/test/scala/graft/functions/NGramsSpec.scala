@@ -35,6 +35,16 @@ class NGramsSpec extends SparkTestBase {
     assert(native.head == "a😀b")
   }
 
+  test("wordNGramSeq keeps every occurrence in position order") {
+    val df = Seq("a b a b a b", "solo").toDF("t")
+    val out = df.select(NGrams.wordNGramSeq($"t", 2).as("g")).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b", "b a", "a b", "b a", "a b")) // duplicates preserved
+    assert(out(1) == Seq("solo"))
+    // distinct variant collapses to the set
+    val d = df.select(NGrams.wordNGrams($"t", 2).as("g")).as[Seq[String]].head()
+    assert(d == Seq("a b", "b a"))
+  }
+
   test("null input propagates null") {
     val df = Seq[(Int, String)]((1, null)).toDF("id", "t")
     val out = df.select(NGrams.wordNGrams($"t", 3).as("g")).collect()
