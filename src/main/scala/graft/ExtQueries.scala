@@ -455,15 +455,16 @@ object ExtQueries {
             ORDER BY doc_id"""))
 
   /** Deterministic global shuffle: reproducible pseudo-random training
-    * order (position = rank of md5(doc_id)).
+    * order (position = rank of md5(doc_id)), via the distributed
+    * sort+zipWithIndex path — no single-task window bottleneck.
     */
   val q37 = Q(
     "q37_shuffle_order",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .select($"doc_id",
-          Sampling.shufflePosition($"doc_id", salt = "ord").cast("long").as("pos"))
+      Sampling.shuffled(t(s, dir, "documents").select($"doc_id"),
+          $"doc_id", salt = "ord")
+        .select($"doc_id", $"pos")
         .orderBy($"doc_id")
     },
     Some("""WITH b AS (

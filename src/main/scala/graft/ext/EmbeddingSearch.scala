@@ -162,9 +162,13 @@ object EmbeddingSearch {
     */
   def lshNearDupPairs(df: DataFrame, id: String, vec: String,
                       threshold: Double, bits: Int = 8): DataFrame = {
+    // materialize signatures+norms once: the a/b sides are differently
+    // renamed projections, so without a barrier both re-execute the
+    // interpreted srpSignature subtree over the full corpus
     val sig = aliased(df, id, vec, "__cid", "__cvec")
       .withColumn("__sig", srpSignature(col("__cvec"), bits))
       .withColumn("__n", norm(col("__cvec")))
+      .localCheckpoint(false)
     val a = sig.select(col("__cid").as("id1"), col("__cvec").as("__v1"),
       col("__n").as("__n1"), col("__sig"))
     val b = sig.select(col("__cid").as("id2"), col("__cvec").as("__v2"),

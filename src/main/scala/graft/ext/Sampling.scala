@@ -69,11 +69,38 @@ object Sampling {
     * corpus" step as a reproducible total order — same permutation on
     * every run and every engine, re-derivable for any row.
     *
-    * One global sort (range-partitioned at scale); the md5 prefix makes
-    * the order pseudo-random w.r.t. any natural key ordering.
+    * CAUTION — not the scale path: an unpartitioned row_number window
+    * requires AllTuples distribution, i.e. Spark funnels the whole
+    * dataset through ONE task. Fine for bounded frames and oracle
+    * comparison; use `shuffled` (range-partitioned sort + zipWithIndex)
+    * for corpus-scale data.
     */
   def shufflePosition(key: Column, salt: String = ""): Column = {
     val h = md5(concat(key.cast("string"), lit(salt)).cast("binary"))
     row_number().over(Window.orderBy(h.asc, key.asc))
+  }
+
+  /** Scalable deterministic shuffle: the input with a `pos` column
+    * (1-based) giving each row's position in the (md5(key || salt),
+    * key) total order — the same permutation `shufflePosition` defines,
+    * computed distributed: a range-partitioned global sort followed by
+    * zipWithIndex (one extra count job for partition offsets, no
+    * single-task bottleneck). The md5-then-key sort order is strict
+    * (key breaks hash collisions), so positions are unique and
+    * reproducible on any cluster layout.
+    */
+  def shuffled(df: DataFrame, key: Column, salt: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    val h = md5(concat(key.cast("string"), lit(salt)).cast("binary"))
+    val sorted = df.withColumn("__shuffle_h", h)
+      .orderBy(col("__shuffle_h").asc, key.asc)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType,
+          nullable = false))
+    val withPos = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(withPos, outSchema).drop("__shuffle_h")
   }
 }

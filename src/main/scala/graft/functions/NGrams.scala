@@ -37,8 +37,8 @@ object NGramsUtil {
     // text and diverge from the composable form and the oracle
     val str = s.toString
     val cpCount = str.codePointCount(0, str.length)
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    val seq = new java.util.ArrayList[UTF8String]()
+    val out = if (distinct) new java.util.LinkedHashSet[UTF8String]() else null
+    val seq = if (distinct) null else new java.util.ArrayList[UTF8String]()
     def add(g: UTF8String): Unit = if (distinct) out.add(g) else seq.add(g)
     if (cpCount < n) add(UTF8String.fromString(str))
     else {
@@ -62,8 +62,8 @@ object NGramsUtil {
 
   private def wordNGrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val toks = s.toString.trim.split("\\s+")
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    val seq = new java.util.ArrayList[UTF8String]()
+    val out = if (distinct) new java.util.LinkedHashSet[UTF8String]() else null
+    val seq = if (distinct) null else new java.util.ArrayList[UTF8String]()
     def add(g: UTF8String): Unit = if (distinct) out.add(g) else seq.add(g)
     if (toks.length < n) add(UTF8String.fromString(toks.mkString(" ")))
     else {

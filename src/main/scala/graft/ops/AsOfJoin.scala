@@ -57,16 +57,23 @@ object AsOfJoin {
     val lType = StructType(left.schema.fields.filter(f => lPayload.contains(f.name)))
     val rType = StructType(right.schema.fields.filter(f => rPayload.contains(f.name)))
 
-    val rSide = right.select(
-      keys.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+    // all name-based references backtick-quoted: a payload column named
+    // "a.b" must resolve as one name, not a struct path
+    def q(n: String): Column = col("`" + n + "`")
+
+    // join semantics for nulls: a null-timestamp right row precedes/
+    // follows nothing (r.ts <= l.ts is never true), so drop it up front
+    // rather than let null-ordering place it somewhere meaningful
+    val rSide = right.where(q(rightTs).isNotNull).select(
+      keys.map(q) ++
+        Seq(q(rightTs).as("__ts"), lit(0).as("__side"),
           lit(null).cast(lType).as("__l"),
-          struct(rPayload.map(col): _*).as("__r")) ++
-        rightTieBreak.map(c => col(c).as(s"__tb_$c")): _*)
+          struct(rPayload.map(q): _*).as("__r")) ++
+        rightTieBreak.map(c => q(c).as(s"__tb_$c")): _*)
     val lSide = left.select(
-      keys.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
-          struct(lPayload.map(col): _*).as("__l"),
+      keys.map(q) ++
+        Seq(q(leftTs).as("__ts"), lit(1).as("__side"),
+          struct(lPayload.map(q): _*).as("__l"),
           lit(null).cast(rType).as("__r")) ++
         rightTieBreak.map(c => lit(null).cast(
           right.schema(c).dataType).as(s"__tb_$c")): _*)
@@ -80,14 +87,20 @@ object AsOfJoin {
         rightTieBreak.map(c =>
           if (forward) col(s"__tb_$c").desc_nulls_first
           else col(s"__tb_$c").asc_nulls_first)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val w = Window.partitionBy(keys.map(q): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // join semantics for nulls, continued: a null-timestamp left row
+    // and a null join KEY never match anything in the equivalent range
+    // join (NULL = NULL is not a match) — emit them with null payload
+    val matchable = col("__ts").isNotNull &&
+      keys.map(q(_).isNotNull).reduce(_ && _)
     lSide.unionByName(rSide)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", when(matchable,
+        last(col("__r"), ignoreNulls = true).over(w)).otherwise(lit(null).cast(rType)))
       .filter(col("__side") === 1)
-      .select(keys.map(col) ++
-        lPayload.map(c => col(s"__l.$c").as(c)) ++
-        rPayload.map(c => col(s"__m.$c").as(c)): _*)
+      .select(keys.map(q) ++
+        lPayload.map(c => col("__l").getField(c).as(c)) ++
+        rPayload.map(c => col("__m").getField(c).as(c)): _*)
   }
 }

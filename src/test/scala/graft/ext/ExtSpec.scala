@@ -87,6 +87,15 @@ class ExtSpec extends SparkTestBase {
     assert(joined.count() == 0)
   }
 
+  test("Sampling: shuffled (distributed) equals shufflePosition (window) exactly") {
+    val df = (1L to 500L).toDF("id").repartition(8)
+    val viaWindow = df.select($"id", Sampling.shufflePosition($"id").cast("long").as("pos"))
+    val viaZip = Sampling.shuffled(df, $"id").select($"id", $"pos")
+    assert(viaWindow.except(viaZip).count() == 0)
+    assert(viaZip.except(viaWindow).count() == 0)
+    assert(viaZip.count() == 500)
+  }
+
   test("Sampling: shufflePosition is a deterministic bijection") {
     val df = (1L to 500L).toDF("id")
     val p1 = df.select($"id", Sampling.shufflePosition($"id").as("pos"))

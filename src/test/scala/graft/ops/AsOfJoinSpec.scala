@@ -49,6 +49,30 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.toSeq == Seq(200.0)) // greatest tie-break wins in backward mode
   }
 
+  test("null timestamps and null keys never match (join semantics)") {
+    val l = Seq((Some(1L), Some(5L), "a"), (Some(1L), None, "b"), (None, Some(5L), "c"))
+      .toDF("k", "ts", "obs")
+    val r = Seq((Some(1L), Some(3L), 1.0), (Some(1L), None, 99.0), (None, Some(3L), 88.0))
+      .toDF("k", "rts", "v")
+    val back = AsOfJoin.backward(l, r, Seq("k"), "ts", "rts")
+      .select($"obs", $"v").as[(String, Option[Double])].collect().toSet
+    assert(back == Set(
+      ("a", Some(1.0)),  // real match; the null-ts right row (99.0) is invisible
+      ("b", None),       // null left ts matches nothing
+      ("c", None)))      // null key matches nothing (NULL = NULL is no match)
+    val fwd = AsOfJoin.forward(l, r, Seq("k"), "ts", "rts")
+      .select($"obs", $"v").as[(String, Option[Double])].collect().toSet
+    assert(fwd == Set(("a", None), ("b", None), ("c", None)))
+  }
+
+  test("struct-path metacharacters in payload names resolve correctly") {
+    val l = Seq((1L, 5L, "x")).toDF("k", "ts", "a.b")
+    val r = Seq((1L, 3L, 7.0)).toDF("k", "rts", "v.w")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "rts")
+    assert(out.columns.toSeq == Seq("k", "ts", "a.b", "v.w"))
+    assert(out.select(col("`a.b`"), col("`v.w`")).as[(String, Double)].head() == (("x", 7.0)))
+  }
+
   test("matches the quadratic range-join formulation on real event data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val views = ev.filter($"event_type" === "view")
