@@ -19,6 +19,25 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => }
+    // ...and the operator machinery the query set exercises beyond a
+    // plain hash-agg: generate/explode, ObjectHashAggregate (signature
+    // aggregates), collect_set, window functions, and the nested-loop
+    // join path — their first codegen/JIT pass costs seconds and is JVM
+    // infrastructure, not query work (ten in-memory rows, still untimed)
+    try {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val tiny = (1L to 10L).map(i => (i, s"warm up row number $i")).toDF("id", "t")
+      tiny.select($"id", explode(graft.functions.NGrams.wordNGramSeq($"t", 2)).as("g"))
+        .select($"id", xxhash64($"g").as("h"))
+        .groupBy("id")
+        .agg(graft.functions.MinHashAgg.minhash($"h", 8).as("sig"),
+          collect_set($"g").as("s"))
+        .select($"id", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"id").orderBy($"id")).as("rn"))
+        .crossJoin(tiny.select($"id".as("id2")))
+        .filter($"id" < $"id2").count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -576,11 +576,11 @@ object ExtQueries {
         .orderBy($"user_id")
     },
     Some("""SELECT user_id,
-                   count(*) FILTER (event_type = 'click') AS n_click,
-                   count(*) FILTER (event_type = 'view') AS n_view,
-                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
-                   count(*) FILTER (event_type = 'signup') AS n_signup,
-                   count(*) FILTER (event_type = 'error') AS n_error
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
   /** SQL-text face with correlated EXISTS + scalar subqueries — the

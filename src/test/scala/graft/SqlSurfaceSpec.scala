@@ -16,12 +16,14 @@ class SqlSurfaceSpec extends SparkTestBase {
   private val ansiQueries = Seq(
     CoreQueries.q02, CoreQueries.q04, CoreQueries.q05, CoreQueries.q06,
     CoreQueries.q07, CoreQueries.q08, CoreQueries.q10, CoreQueries.q13,
-    CoreQueries.q14, CoreQueries.q15, CoreQueries.q16, CoreQueries.q18)
+    CoreQueries.q14, CoreQueries.q15, CoreQueries.q16, CoreQueries.q18,
+    ExtQueries.q41, ExtQueries.q42)
 
   test("spark.sql over the oracle text matches the DataFrame plans") {
     Seq("lineitem", "orders", "customer", "nation", "region").foreach { t =>
       Tables.table(spark, dir, t).createOrReplaceTempView(t)
     }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
     ansiQueries.foreach { q =>
       val viaSql = spark.sql(q.oracle.get).collect().toSeq
       val viaDf = q.run(spark, dir).collect().toSeq
