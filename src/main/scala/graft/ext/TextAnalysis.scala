@@ -34,9 +34,13 @@ object TextAnalysis {
   def upperCount(c: Column): Column = classCount(c, "[A-Z]")
   def spaceCount(c: Column): Column = classCount(c, " ")
 
-  /** Number of tokens that appear in `words`. */
+  /** Number of tokens that appear in `words` — native codegen'd
+    * expression (the composable size(filter(tokens)) form evaluates an
+    * interpreted higher-order filter; langId runs it per language, so
+    * the doc pipeline paid seven interpreted passes per row).
+    */
   def stopwordCount(c: Column, words: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isInCollection(words)))
+    graft.functions.TokenSetCount(c, words)
 
   /** Small distinctive stopword lists per language. The heuristic is the
     * standard one (score each language's list, take the argmax with a

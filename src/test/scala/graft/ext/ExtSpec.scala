@@ -131,6 +131,20 @@ class ExtSpec extends SparkTestBase {
     assert(out(0).getLong(4) != out(1).getLong(4))
   }
 
+  test("TokenSetCount matches the composable filter formulation on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val words = TextAnalysis.langWords.head._2
+    val hof = size(filter(split(trim($"text"), "\\s+"), t => t.isInCollection(words)))
+    val diff = docs.select(
+      TextAnalysis.stopwordCount($"text", words).as("native"), hof.as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(diff.count() == 0)
+    // empty + null edges
+    val edge = Seq((1, ""), (2, "   "), (3, null)).toDF("id", "text")
+    val out = edge.select(TextAnalysis.stopwordCount($"text", words).as("n")).collect()
+    assert(out(0).getInt(0) == 0 && out(1).getInt(0) == 0 && out(2).isNullAt(0))
+  }
+
   test("TextAnalysis: langId is deterministic and prefers matching stopwords") {
     val df = Seq(
       (1L, "the house of the king is a great and old house"),
