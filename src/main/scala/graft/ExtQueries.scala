@@ -608,6 +608,54 @@ object ExtQueries {
     },
     Some(q42Sql))
 
+  /** One-scan numeric column profiling (nulls, exact distincts,
+    * min/max) — the data-quality audit step of an ingest pipeline.
+    */
+  val q43 = Q(
+    "q43_profile",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Profile.numeric(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy($"column_name")
+    },
+    Some("""SELECT 'l_discount' AS column_name, count(*) AS n_rows,
+                   count(l_discount) AS n_vals,
+                   CAST(count(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+                   min(l_discount) AS min_val, max(l_discount) AS max_val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(*), count(l_extendedprice),
+                   CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+                   min(l_extendedprice), max(l_extendedprice)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(*), count(l_quantity),
+                   CAST(count(DISTINCT l_quantity) AS BIGINT),
+                   min(l_quantity), max(l_quantity)
+            FROM lineitem
+            ORDER BY column_name"""))
+
+  /** Two-phase salted aggregation under a deliberately hot key space
+    * (5 event types over the whole table) — the skew path produces the
+    * SAME exact answer as the plain group-by the oracle runs.
+    */
+  val q44 = Q(
+    "q44_salted_agg",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Skew.saltedAgg(t(s, dir, "events"), Seq("event_type"), buckets = 32,
+          Seq("n_events" -> count(lit(1)),
+            "total_value" -> sum($"value".cast("decimal(38,6)"))),
+          n => sum(col(n)))
+        .select($"event_type", $"n_events",
+          $"total_value".cast("double").as("total_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

@@ -146,6 +146,17 @@ class OpsSpec extends SparkTestBase {
     assert(out == expect)
   }
 
+  test("Profile.numeric: one row per column, nulls excluded from n_vals, exact distincts") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 10.0), (null, 30.0), (2.0, null))
+      .toDF("a", "b")
+    val p = Profile.numeric(df, Seq("a", "b"))
+      .orderBy("column_name")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])].collect()
+    assert(p(0) == (("a", 4L, 3L, 2L, Some(1.0), Some(2.0))))
+    assert(p(1) == (("b", 4L, 3L, 2L, Some(10.0), Some(30.0))))
+  }
+
   test("topBottomK tags both ends with deterministic tie-breaks") {
     val df = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)).toDF("k", "v")
     val out = Aggs.topBottomK(df, 1, col("v"), col("k"))
