@@ -38,15 +38,24 @@ object SimHash {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // no checkpoint barrier here (unlike EmbeddingSearch.lshNearDupPairs):
+    // fingerprints ends in an aggregation whose shuffle subtree is
+    // identical for both join sides — ReuseExchange dedupes the heavy
+    // scan+explode+partial-agg work at execution (measured: a checkpoint
+    // is ~0.2s SLOWER at sf0.1). The LSH variant has no internal
+    // exchange, so there a barrier is the only thing preventing a
+    // double compute of the interpreted signature projection.
     val fps = fingerprints(df, id, text)
     val chunks = array((0 until bands).map { b =>
       struct(lit(b).as("band"), (shiftrightunsigned(col("simhash"), b * width)
         .bitwiseAND(mask)).as("chunk"))
     }: _*)
     val banded = fps.withColumn("__bc", explode(chunks))
-    val a = banded.select(col("id").as("id1"), col("simhash").as("__f1"), col("__bc"))
-    val b2 = banded.select(col("id").as("id2"), col("simhash").as("__f2"), col("__bc"))
-    a.join(b2, a("__bc") === b2("__bc") && col("id1") < col("id2"))
+    val a = banded.select(col("id").as("id1"), col("simhash").as("__f1"),
+      col("__bc").as("__bc1"))
+    val b2 = banded.select(col("id").as("id2"), col("simhash").as("__f2"),
+      col("__bc").as("__bc2"))
+    a.join(b2, col("__bc1") === col("__bc2") && col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
       .withColumn("hamming", bit_count(col("__f1").bitwiseXOR(col("__f2"))))
       .filter(col("hamming") <= maxDist)
