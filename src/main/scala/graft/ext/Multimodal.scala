@@ -119,6 +119,34 @@ object Multimodal {
     }
   }
 
+  final case class AudioStats(media_id: Long, n_samples: Int, rms: Double, peak: Int)
+
+  /** Audio stats stub: treat the payload as signed 8-bit PCM samples
+    * and compute RMS + peak per row, per partition (same batch shape as
+    * decode — a real implementation swaps in an audio decoder and
+    * computes over real samples). Demonstrates the audio face of the
+    * multimodal plumbing: binary in, typed acoustic features out,
+    * nothing but metadata crosses a shuffle.
+    */
+  def audioStats(ds: Dataset[MediaRow]): Dataset[AudioStats] = {
+    implicit val enc: Encoder[AudioStats] = Encoders.product[AudioStats]
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val meta = decodeHeader(r.content)
+        val samples = if (meta.valid) r.content.drop(16) else r.content
+        var sumSq = 0.0
+        var peak = 0
+        samples.foreach { b =>
+          val v = b.toInt
+          sumSq += v.toDouble * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+        }
+        val n = math.max(samples.length, 1)
+        AudioStats(r.media_id, samples.length, math.sqrt(sumSq / n), peak)
+      }
+    }
+  }
+
   /** Synthesize a deterministic media table (no binary testdata table
     * exists; generation is seeded by media_id so plans are reproducible).
     */

@@ -92,6 +92,19 @@ class NearDupSpec extends SparkTestBase {
     assert(nn.filter($"cos".isNull || $"cos" < -1.0 || $"cos" > 1.0000001).count() == 0)
   }
 
+  test("Multimodal: audio stats are deterministic and bounded") {
+    val media = Multimodal.syntheticTable(spark, 25)
+    val stats = Multimodal.audioStats(media).cache()
+    assert(stats.count() == 25)
+    val r = stats.filter($"media_id" === 3L).head()
+    assert(r.n_samples == (3 % 64) + 16) // payload length from the generator
+    assert(r.rms > 0 && r.rms <= 128.0 && r.peak <= 128)
+    // re-evaluation yields identical values (pure function of the payload)
+    val again = Multimodal.audioStats(media).filter($"media_id" === 3L).head()
+    assert(again == r)
+    stats.unpersist()
+  }
+
   test("Multimodal: decode → metadata, frame sampling, resize stubs") {
     val media = Multimodal.syntheticTable(spark, 30)
     val decoded = Multimodal.withMetadata(media.toDF())

@@ -73,6 +73,41 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out.select(col("`a.b`"), col("`v.w`")).as[(String, Double)].head() == (("x", 7.0)))
   }
 
+  test("property: equals the range-join reference on random frames (both directions)") {
+    // deterministic pseudo-random frames with few keys and clustered
+    // timestamps → dense tie/no-match/multi-match coverage
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val lRows = Seq.fill(120)((rnd.nextInt(6).toLong, rnd.nextInt(40).toLong, rnd.nextInt()))
+      // unique (k, ts) on the right — the operator's documented contract
+      val rRows = Seq.fill(120)((rnd.nextInt(6).toLong, rnd.nextInt(40).toLong))
+        .distinct.map { case (k, t) => (k, t, rnd.nextDouble()) }
+      val l = lRows.toDF("k", "ts", "obs")
+      val r = rRows.toDF("k", "rts", "v")
+
+      def reference(cmp: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                    pickDesc: Boolean) = {
+        val pairs = l.as("l").join(r.as("r"),
+          $"l.k" === $"r.k" && cmp($"r.rts", $"l.ts"), "left")
+        val ord = if (pickDesc) $"r.rts".desc_nulls_last else $"r.rts".asc_nulls_last
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"l.k", $"l.ts", $"l.obs").orderBy(ord)
+        pairs.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+          .select($"l.k", $"l.ts", $"l.obs", $"r.v")
+      }
+
+      val back = AsOfJoin.backward(l, r, Seq("k"), "ts", "rts").select($"k", $"ts", $"obs", $"v")
+      val backRef = reference((rts, ts) => rts <= ts, pickDesc = true)
+      assert(back.except(backRef).count() == 0 && backRef.except(back).count() == 0,
+        s"backward mismatch on trial $trial")
+
+      val fwd = AsOfJoin.forward(l, r, Seq("k"), "ts", "rts").select($"k", $"ts", $"obs", $"v")
+      val fwdRef = reference((rts, ts) => rts >= ts, pickDesc = false)
+      assert(fwd.except(fwdRef).count() == 0 && fwdRef.except(fwd).count() == 0,
+        s"forward mismatch on trial $trial")
+    }
+  }
+
   test("matches the quadratic range-join formulation on real event data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val views = ev.filter($"event_type" === "view")
