@@ -656,6 +656,80 @@ object ExtQueries {
                    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Oracle SQL for the PORTABLE MinHash pipeline — generated so the
+    * slot constants are the single source of truth shared with
+    * MinHashLsh.portableMul/portableAdd.
+    */
+  private def q45Sql: String = {
+    def nibSql(j: Int) =
+      s"(CASE WHEN ascii(substring(h,$j,1)) <= 57 THEN ascii(substring(h,$j,1))-48 " +
+        s"ELSE ascii(substring(h,$j,1))-87 END)"
+    val horner = (2 to 8).foldLeft(s"CAST(${nibSql(1)} AS BIGINT)") {
+      (acc, j) => s"($acc*16+${nibSql(j)})"
+    }
+    val slotVals = (0 until 8).map(i =>
+      s"($i, ${MinHashLsh.portableMul(i)}, ${MinHashLsh.portableAdd(i)})").mkString(", ")
+    val sigCols = (0 until 8).map(i => s"max(CASE WHEN i=$i THEN m END) AS m$i").mkString(", ")
+    val bandSelects = (0 until 4).map { bd =>
+      val ms = (bd * 2 until bd * 2 + 2).map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, md5(concat_ws(',', '$bd', $ms)) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' mutated tail token'
+       |  FROM documents WHERE doc_id < 10),
+       |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d),
+       |win AS (SELECT doc_id, t,
+       |               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+       |        FROM toks),
+       |sh AS (SELECT DISTINCT doc_id,
+       |              CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+       |                   ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+       |       FROM win),
+       |hx AS (SELECT doc_id, s, md5(s) AS h FROM sh),
+       |hv AS (SELECT doc_id, $horner AS h32 FROM hx),
+       |slots(i, a, b) AS (VALUES $slotVals),
+       |mins AS (SELECT doc_id, i, min((h32 * a + b) % 4294967296) AS m
+       |         FROM hv CROSS JOIN slots GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, $sigCols FROM mins GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.id1, c.id2, count(*) AS i
+       |          FROM cand c
+       |          JOIN sh x ON x.doc_id = c.id1
+       |          JOIN sh y ON y.doc_id = c.id2 AND y.s = x.s
+       |          GROUP BY c.id1, c.id2)
+       |SELECT id1, id2, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id1
+       |JOIN sizes sb ON sb.doc_id = id2
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** MinHash+LSH near-dedup, portable variant: the full pipeline (md5
+    * base hash, slot permutations, band keys, bucket join, exact
+    * rerank) mirrored step-for-step in the oracle — upgrading the
+    * minhash FAMILY from rows-only (q28) to hash-checked.
+    */
+  val q45 = Q(
+    "q45_minhash_portable",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val docs = base.filter($"doc_id" < 150)
+      val planted = base.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          concat($"text", lit(" mutated tail token")).as("text"))
+      MinHashLsh.nearDupPairsPortable(docs.unionAll(planted), $"doc_id", $"text",
+          n = 3, k = 8, bands = 4, threshold = 0.5)
+        .orderBy($"id1", $"id2")
+    },
+    Some(q45Sql))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

@@ -133,4 +133,87 @@ object MinHashLsh {
     scored.filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  // ---- engine-portable variant (oracle-checkable end to end) ---------
+
+  /** 0-15 value of one lowercase-hex char (portable: CASE + ascii). */
+  private def nib(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  /** 32-bit base hash of a string: first 8 hex chars of md5, Horner-
+    * folded — BIGINT arithmetic only, identical in any engine with
+    * md5/ascii/substring (no engine-private hash constants).
+    */
+  def portableHash32(s: Column): Column = {
+    val h = md5(s.cast("binary"))
+    // long accumulator from the start — an int Horner chain overflows
+    // 32-bit arithmetic (ANSI error) before any widening cast
+    (1 to 8).map(j => nib(substring(h, j, 1)))
+      .foldLeft(lit(0L))((acc, d) => acc * 16 + d)
+  }
+
+  /** Slot constants: odd multiplier < 2^31 and addend < 2^32, from
+    * splitmix64 of the slot index — (h*a+b) stays under 2^63, so the
+    * mix needs no wrapping arithmetic anywhere.
+    */
+  def portableMul(i: Int): Long =
+    (graft.functions.MixHash64.splitmix64(2L * i + 1) & 0x7fffffffL) | 1L
+  def portableAdd(i: Int): Long =
+    graft.functions.MixHash64.splitmix64(2L * i + 2) & 0xffffffffL
+
+  /** MinHash+LSH near-dup pairs where EVERY step — base hash, slot
+    * permutations, band keys, candidate join, exact-Jaccard rerank —
+    * is expressible in portable ANSI-ish SQL, so the whole pipeline
+    * can be oracle-checked bit-for-bit (gate query q45). The
+    * xxhash64-based `nearDupPairs` remains the performance path (one
+    * 64-bit hash vs an md5 per shingle); this variant trades hash
+    * throughput for cross-engine reproducibility, e.g. when another
+    * system must agree on WHICH documents were dropped.
+    *
+    * Mechanics: distinct word n-gram shingles → 32-bit portable hash →
+    * k slot minima of (h*a_i + b_i) mod 2^32 → bands of r = k/b minima
+    * md5'd into a band key → bucket join → exact shingle-set Jaccard.
+    */
+  def nearDupPairsPortable(df: DataFrame, id: Column, text: Column, n: Int = 3,
+                           k: Int = 8, bands: Int = 4,
+                           threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val mod = 1L << 32
+
+    val ex = df.select(id.as("__id"),
+      explode(ShingleJaccard.wordShingles(text, n)).as("__sh"))
+    val hashed = ex.select(col("__id"), portableHash32(col("__sh")).as("__h"))
+    val minCols = (0 until k).map(i =>
+      min((col("__h") * lit(portableMul(i)) + lit(portableAdd(i))) % mod).as(s"__m$i"))
+    val sig = hashed.groupBy("__id").agg(minCols.head, minCols.tail: _*)
+
+    val bandCols = (0 until bands).map { bd =>
+      val parts = lit(bd.toString) +:
+        (bd * r until (bd + 1) * r).map(i => col(s"__m$i").cast("string"))
+      md5(concat_ws(",", parts: _*).cast("binary"))
+    }
+    val banded = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bk"))
+    val cand = banded.select(col("__id").as("id1"), col("__bk"))
+      .join(banded.select(col("__id").as("id2"), col("__bk")),
+        Seq("__bk"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").dropDuplicates("id1", "id2")
+      .localCheckpoint(false)
+
+    val candIds = cand.select(col("id1").as("__id"))
+      .unionAll(cand.select(col("id2").as("__id"))).distinct()
+    val sets = df.select(id.as("__id"), text.as("__text"))
+      .join(candIds, Seq("__id"), "left_semi")
+      .select(col("__id"), explode(ShingleJaccard.wordShingles(col("__text"), n)).as("__sh"))
+      .groupBy("__id").agg(collect_set(col("__sh")).as("__shs"))
+    val inter = size(array_intersect(col("__sh1"), col("__sh2")))
+    cand
+      .join(sets.select(col("__id").as("id1"), col("__shs").as("__sh1")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__shs").as("__sh2")), "id2")
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("__sh1")) + size(col("__sh2")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
 }

@@ -21,6 +21,18 @@ class NearDupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("MinHashLsh portable variant finds planted near-dup pairs and only them") {
+    val pairs = MinHashLsh.nearDupPairsPortable(corpus, $"id", $"text",
+      n = 3, k = 8, bands = 4, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+    // exact rerank scores match the direct word-shingle Jaccard
+    val j = MinHashLsh.nearDupPairsPortable(corpus, $"id", $"text",
+      n = 3, k = 8, bands = 4, threshold = 0.5)
+      .filter($"id1" === 1L).select("jaccard").as[Double].head()
+    assert(j > 0.5 && j < 1.0)
+  }
+
   test("MinHashLsh signature estimate approximates exact Jaccard") {
     val est = MinHashLsh.nearDupPairs(corpus, $"id", $"text",
       n = 3, k = 128, bands = 32, threshold = 0.5, exact = false)
