@@ -660,13 +660,20 @@ object ExtQueries {
     * slot constants are the single source of truth shared with
     * MinHashLsh.portableMul/portableAdd.
     */
-  private def q45Sql: String = {
+  /** SQL text of MinHashLsh.portableHash32 over a column named `h`
+    * (md5 hex): 8 nibbles Horner-folded into a BIGINT in [0, 2^32).
+    */
+  private def hornerSql: String = {
     def nibSql(j: Int) =
       s"(CASE WHEN ascii(substring(h,$j,1)) <= 57 THEN ascii(substring(h,$j,1))-48 " +
         s"ELSE ascii(substring(h,$j,1))-87 END)"
-    val horner = (2 to 8).foldLeft(s"CAST(${nibSql(1)} AS BIGINT)") {
+    (2 to 8).foldLeft(s"CAST(${nibSql(1)} AS BIGINT)") {
       (acc, j) => s"($acc*16+${nibSql(j)})"
     }
+  }
+
+  private def q45Sql: String = {
+    val horner = hornerSql
     val slotVals = (0 until 8).map(i =>
       s"($i, ${MinHashLsh.portableMul(i)}, ${MinHashLsh.portableAdd(i)})").mkString(", ")
     val sigCols = (0 until 8).map(i => s"max(CASE WHEN i=$i THEN m END) AS m$i").mkString(", ")
@@ -730,6 +737,55 @@ object ExtQueries {
     },
     Some(q45Sql))
 
+  private def q46Sql: String = {
+    val bitVals = (0 until 32).map(b => s"($b, ${1L << b})").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, f, $b AS band, (f // ${1L << (b * 8)}) % 256 AS chunk FROM fp"
+    }.mkString(" UNION ALL ")
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text || ' zz' FROM documents WHERE doc_id < 10),
+       |toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk FROM d),
+       |hx AS (SELECT doc_id, md5(tk) AS h FROM toks),
+       |hv AS (SELECT doc_id, $hornerSql AS h32 FROM hx),
+       |bitvals(bit, bv) AS (VALUES $bitVals),
+       |votes AS (SELECT doc_id, bit, bv,
+       |                 sum(CASE WHEN (h32 // bv) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |          FROM hv CROSS JOIN bitvals GROUP BY 1, 2, 3),
+       |fp AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN bv ELSE 0 END) AS BIGINT) AS f
+       |       FROM votes GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.f AS f1, b.f AS f2
+       |         FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+       |                     AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, CAST(bit_count(xor(f1, f2)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(f1, f2)) <= 3
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** SimHash near-dedup, portable 32-bit variant: md5-derived token
+    * hashes, per-bit vote aggregation, chunk-band pigeonhole join and
+    * exact Hamming — mirrored step-for-step in the oracle, upgrading
+    * the SimHash family from rows-only (q29) to hash-checked.
+    */
+  val q46 = Q(
+    "q46_simhash_portable",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val docs = base.filter($"doc_id" < 150)
+      val planted = base.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          concat($"text", lit(" zz")).as("text"))
+      SimHash.nearDupPairsPortable(docs.unionAll(planted), $"doc_id", $"text",
+          maxDist = 3, bands = 4)
+        .orderBy($"id1", $"id2")
+    },
+    Some(q46Sql))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
-    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
+    q46)
 }

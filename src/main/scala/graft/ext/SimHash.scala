@@ -61,4 +61,55 @@ object SimHash {
       .filter(col("hamming") <= maxDist)
       .select(col("id1"), col("id2"), col("hamming"))
   }
+
+  // ---- engine-portable variant (oracle-checkable end to end) ---------
+
+  /** 32-bit SimHash from the md5-derived portable token hash — every
+    * step (token hash, per-bit votes, fingerprint assembly, chunk
+    * bands, Hamming distance) expressible in portable SQL. The
+    * explode-over-bits shape (tokens × 32 vote rows → two keyed aggs)
+    * trades the SimHashAgg tight loop for exact cross-engine mirroring;
+    * use `fingerprints` when only Spark needs the answer.
+    */
+  def fingerprintsPortable(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("__id"), explode(TextAnalysis.tokens(text)).as("__t"))
+    val hashed = toks.select(col("__id"),
+      MinHashLsh.portableHash32(col("__t")).as("__h"))
+    val bits = array((0 until 32).map(b =>
+      struct(lit(b).as("bit"), lit(1L << b).as("bv"))): _*)
+    hashed.select(col("__id"), col("__h"), explode(bits).as("__b"))
+      .select(col("__id"), col("__b.bit").as("__bit"), col("__b.bv").as("__bv"),
+        expr("CASE WHEN (__h div __b.bv) % 2 = 1 THEN 1 ELSE -1 END").as("__vote"))
+      .groupBy("__id", "__bit", "__bv")
+      .agg(sum(col("__vote")).as("__v"))
+      .groupBy("__id")
+      .agg(sum(when(col("__v") >= 0, col("__bv")).otherwise(lit(0L))).as("simhash32"))
+      .select(col("__id").as("id"), col("simhash32"))
+  }
+
+  /** Pigeonhole band join + exact Hamming over the portable 32-bit
+    * fingerprints (complete for maxDist < bands, as above).
+    */
+  def nearDupPairsPortable(df: DataFrame, id: Column, text: Column,
+                           maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxDist, "pigeonhole completeness needs bands > maxDist")
+    require(32 % bands == 0, "bands must divide 32")
+    val width = 32 / bands
+    val fps = fingerprintsPortable(df, id, text)
+    val chunks = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"(simhash32 div ${1L << (b * width)}) % ${1L << width}").as("chunk"))
+    }: _*)
+    val banded = fps.withColumn("__bc", explode(chunks))
+    val a = banded.select(col("id").as("id1"), col("simhash32").as("__f1"),
+      col("__bc").as("__bc1"))
+    val b2 = banded.select(col("id").as("id2"), col("simhash32").as("__f2"),
+      col("__bc").as("__bc2"))
+    a.join(b2, col("__bc1") === col("__bc2") && col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming",
+        bit_count(col("__f1").bitwiseXOR(col("__f2"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
 }

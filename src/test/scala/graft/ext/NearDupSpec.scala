@@ -58,6 +58,20 @@ class NearDupSpec extends SparkTestBase {
     assert(pairs.length == 1 && pairs.head._3 == 0)
   }
 
+  test("SimHash portable variant: identical docs collide, banding finds brute-force pairs") {
+    val fps = SimHash.fingerprintsPortable(corpus, $"id", $"text")
+      .as[(Long, Long)].collect().toMap
+    assert(fps.size == 5)
+    assert(fps.values.forall(f => f >= 0 && f < (1L << 32)))
+    val brute = (for {
+      (i1, f1) <- fps.toSeq; (i2, f2) <- fps.toSeq if i1 < i2
+      if java.lang.Long.bitCount(f1 ^ f2) <= 3
+    } yield (i1, i2)).toSet
+    val banded = SimHash.nearDupPairsPortable(corpus, $"id", $"text", maxDist = 3, bands = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+  }
+
   test("SimHash pigeonhole banding is complete up to maxDist") {
     // flip exactly 3 bits of a known doc's fingerprint via a twin doc:
     // instead, verify band join finds pairs the brute force finds
