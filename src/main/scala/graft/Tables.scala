@@ -9,8 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * options) lives in one place.
   */
 object Tables {
+  // Per-session memo of source DataFrames: `spark.read.parquet` lists
+  // files and reads footers to infer the schema on EVERY call, so 47
+  // gate queries re-paid that driver-side cost per query. The memo
+  // reuses the resolved relation (plan-level only — no data caching, no
+  // staleness concern for the driver's immutable testdata). Keyed by
+  // session so test sessions and harness sessions don't cross-share.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
