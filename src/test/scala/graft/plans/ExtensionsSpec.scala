@@ -1,0 +1,82 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SparkSessionExtensions integration: a session built with
+  * GraftExtensions gets the custom functions in SQL and the
+  * VecDotRewrite optimizer rule; runtime registration covers
+  * already-running sessions.
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  /** Fresh session over the SAME SparkContext, with extensions. */
+  private lazy val extSession: SparkSession = {
+    val base = spark // force-create the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  test("injected SQL functions resolve and compute") {
+    val d = extSession.sql(
+      "SELECT vec_dot(cast(array(1.0, 2.0) as array<float>), " +
+        "cast(array(3.0, 4.0) as array<float>)) AS d").head().getDouble(0)
+    assert(d == 11.0)
+    val n = extSession.sql(
+      "SELECT token_set_count('the cat the mat', array('the', 'mat')) AS n")
+      .head().getInt(0)
+    assert(n == 3)
+    val g = extSession.sql("SELECT word_ngrams('a b c', 2) AS g")
+      .head().getSeq[String](0)
+    assert(g == Seq("a b", "b c"))
+  }
+
+  test("VecDotRewrite: widened HOF dot product becomes the native expression") {
+    val s = extSession
+    import s.implicits._
+    // parquet-backed frame — a literal LocalRelation would be constant-
+    // folded away before the plan shows the rewritten expression
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(3)
+    val hof = aggregate(
+      zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val q = emb.select($"vec_id", hof.as("d"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.toLowerCase.contains("vecdot"), s"not rewritten:\n$opt")
+    // rewritten result equals the native expression called directly
+    val native = emb.select($"vec_id",
+      graft.functions.VecDot($"embedding", $"embedding").as("d"))
+    assert(q.collect().toSeq == native.collect().toSeq)
+  }
+
+  test("VecDotRewrite: float-multiply variant is NOT rewritten (different rounding)") {
+    val s = extSession
+    import s.implicits._
+    val df = Seq((Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => x * y), // float product, rounds per element
+      lit(0.0), (acc, v) => acc + v)
+    val opt = df.select(hof.as("d")).queryExecution.optimizedPlan.toString
+    assert(!opt.toLowerCase.contains("vecdot"), s"must not rewrite float-multiply:\n$opt")
+  }
+
+  test("runtime registration works on an already-running session") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT vec_dot(cast(array(2.0) as array<float>), " +
+        "cast(array(8.0) as array<float>)) AS d").head().getDouble(0)
+    assert(d == 16.0)
+    assert(spark.sql("SELECT mix_hash64(1L, 3L, 4L) AS m").head().getLong(0) == 7L)
+  }
+}
