@@ -28,15 +28,19 @@ object Bench {
       import org.apache.spark.sql.functions._
       import spark.implicits._
       val tiny = (1L to 10L).map(i => (i, s"warm up row number $i")).toDF("id", "t")
+      // every intermediate column feeds the final aggregate — column
+      // pruning would otherwise drop the signature/collect_set aggs and
+      // eliminate the window, leaving those paths cold
       tiny.select($"id", explode(graft.functions.NGrams.wordNGramSeq($"t", 2)).as("g"))
         .select($"id", xxhash64($"g").as("h"))
         .groupBy("id")
         .agg(graft.functions.MinHashAgg.minhash($"h", 8).as("sig"),
-          collect_set($"g").as("s"))
-        .select($"id", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"id").orderBy($"id")).as("rn"))
+          collect_set($"h").as("s"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"id").orderBy($"id")))
         .crossJoin(tiny.select($"id".as("id2")))
-        .filter($"id" < $"id2").count()
+        .filter($"id" < $"id2")
+        .agg(sum(size($"sig") + size($"s") + $"rn")).collect()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

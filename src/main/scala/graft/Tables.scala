@@ -12,15 +12,47 @@ object Tables {
   // Per-session memo of source DataFrames: `spark.read.parquet` lists
   // files and reads footers to infer the schema on EVERY call, so 47
   // gate queries re-paid that driver-side cost per query. The memo
-  // reuses the resolved relation (plan-level only — no data caching, no
-  // staleness concern for the driver's immutable testdata). Keyed by
-  // session so test sessions and harness sessions don't cross-share.
+  // reuses the resolved relation (plan-level only — no data caching).
+  //
+  // Lifecycle: bounded LRU over sessions (a cached DataFrame strongly
+  // references its session, so weak keys can't work — the value would
+  // pin the key). A process that cycles sessions ages old ones out
+  // after MaxSessions newer sessions are seen, bounding retention.
+  //
+  // Staleness contract: this reader serves ONLY the driver's immutable
+  // testdata tables (TESTDATA.md: read-only, never regenerated). The
+  // cached relation pins the file listing of the first call; anything
+  // mutable (warehouse dirs, quarantine output) must NOT be read
+  // through here — the aragon Warehouse has its own readers.
+  private val MaxSessions = 4
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[SparkSession, java.util.HashMap[String, DataFrame]](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, java.util.HashMap[String, DataFrame]])
+          : Boolean = size() > MaxSessions
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      key => key._1.read.parquet(key._2))
+    memo.synchronized {
+      val perSession = {
+        val existing = memo.get(spark)
+        if (existing != null) existing
+        else {
+          val m = new java.util.HashMap[String, DataFrame]()
+          memo.put(spark, m)
+          m
+        }
+      }
+      val path = s"$dir/$name.parquet"
+      val cached = perSession.get(path)
+      if (cached != null) cached
+      else {
+        val df = spark.read.parquet(path)
+        perSession.put(path, df)
+        df
+      }
+    }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")

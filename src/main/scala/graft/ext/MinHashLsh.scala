@@ -103,26 +103,10 @@ object MinHashLsh {
       .select("id1", "id2").dropDuplicates("id1", "id2")
       .localCheckpoint(false)
 
-    // attach payloads to the (few) surviving candidate pairs only. For
-    // the exact rerank, documents are semi-joined against the candidate
-    // ids BEFORE re-shingling — the second explode runs over candidate
-    // docs only, not the corpus, so at scale the rerank cost is
-    // proportional to candidates. (Semi-joining the exploded frame
-    // instead still pays the full corpus explode first.)
+    // attach payloads to the (few) surviving candidate pairs only (see
+    // exactRerank for the candidate-proportional shape)
     val scored = if (exact) {
-      val candIds = cand.select(col("id1").as("__id"))
-        .unionAll(cand.select(col("id2").as("__id"))).distinct()
-      val candDocs = df.select(id.as("__id"), text.as("__text"))
-        .join(candIds, Seq("__id"), "left_semi")
-      val sets = candDocs
-        .select(col("__id"), explode(shingler(col("__text"), n)).as("__sh"))
-        .groupBy("__id").agg(collect_set(col("__sh")).as("__shs"))
-      val inter = size(array_intersect(col("__sh1"), col("__sh2")))
-      cand
-        .join(sets.select(col("__id").as("id1"), col("__shs").as("__sh1")), "id1")
-        .join(sets.select(col("__id").as("id2"), col("__shs").as("__sh2")), "id2")
-        .withColumn("jaccard", inter.cast("double") /
-          (size(col("__sh1")) + size(col("__sh2")) - inter))
+      exactRerank(cand, df, id, text, shingler, n)
     } else {
       cand
         .join(sig.select(col("__id").as("id1"), col("__sig").as("__sig1")), "id1")
@@ -132,6 +116,30 @@ object MinHashLsh {
 
     scored.filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs. Documents are
+    * semi-joined against the candidate ids BEFORE re-shingling — the
+    * rerank explode runs over candidate docs only, not the corpus, so
+    * at scale the rerank cost is proportional to candidates.
+    * (Semi-joining the exploded frame instead still pays the full
+    * corpus explode first.) Shared by the xxhash64 and portable paths.
+    */
+  private def exactRerank(cand: DataFrame, df: DataFrame, id: Column, text: Column,
+                          shingler: (Column, Int) => Column, n: Int): DataFrame = {
+    val candIds = cand.select(col("id1").as("__id"))
+      .unionAll(cand.select(col("id2").as("__id"))).distinct()
+    val candDocs = df.select(id.as("__id"), text.as("__text"))
+      .join(candIds, Seq("__id"), "left_semi")
+    val sets = candDocs
+      .select(col("__id"), explode(shingler(col("__text"), n)).as("__sh"))
+      .groupBy("__id").agg(collect_set(col("__sh")).as("__shs"))
+    val inter = size(array_intersect(col("__sh1"), col("__sh2")))
+    cand
+      .join(sets.select(col("__id").as("id1"), col("__shs").as("__sh1")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__shs").as("__sh2")), "id2")
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("__sh1")) + size(col("__sh2")) - inter))
   }
 
   // ---- engine-portable variant (oracle-checkable end to end) ---------
@@ -201,18 +209,7 @@ object MinHashLsh {
       .select("id1", "id2").dropDuplicates("id1", "id2")
       .localCheckpoint(false)
 
-    val candIds = cand.select(col("id1").as("__id"))
-      .unionAll(cand.select(col("id2").as("__id"))).distinct()
-    val sets = df.select(id.as("__id"), text.as("__text"))
-      .join(candIds, Seq("__id"), "left_semi")
-      .select(col("__id"), explode(ShingleJaccard.wordShingles(col("__text"), n)).as("__sh"))
-      .groupBy("__id").agg(collect_set(col("__sh")).as("__shs"))
-    val inter = size(array_intersect(col("__sh1"), col("__sh2")))
-    cand
-      .join(sets.select(col("__id").as("id1"), col("__shs").as("__sh1")), "id1")
-      .join(sets.select(col("__id").as("id2"), col("__shs").as("__sh2")), "id2")
-      .withColumn("jaccard", inter.cast("double") /
-        (size(col("__sh1")) + size(col("__sh2")) - inter))
+    exactRerank(cand, df, id, text, ShingleJaccard.wordShingles, n)
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }

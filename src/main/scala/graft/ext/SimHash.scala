@@ -29,6 +29,31 @@ object SimHash {
       .agg(graft.functions.SimHashAgg.simhash(xxhash64(col("__t"))).as("simhash"))
       .select(col("__id").as("id"), col("simhash"))
 
+  /** Pigeonhole band join + exact Hamming filter over a fingerprint
+    * frame (id, <fpCol>). `chunk(b)` extracts band b's chunk from the
+    * fingerprint column — the only piece that differs between the
+    * 64-bit shift form and the 32-bit portable div form. Complete for
+    * maxDist < bands. Shared by both variants, so fixes (like the
+    * band-column disambiguation) live in one place.
+    */
+  private def bandedPairs(fps: DataFrame, fpCol: String, bands: Int,
+                          chunk: Int => Column, maxDist: Int): DataFrame = {
+    val chunks = array((0 until bands).map { b =>
+      struct(lit(b).as("band"), chunk(b).as("chunk"))
+    }: _*)
+    val banded = fps.withColumn("__bc", explode(chunks))
+    val a = banded.select(col("id").as("id1"), col(fpCol).as("__f1"),
+      col("__bc").as("__bc1"))
+    val b2 = banded.select(col("id").as("id2"), col(fpCol).as("__f2"),
+      col("__bc").as("__bc2"))
+    a.join(b2, col("__bc1") === col("__bc2") && col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming",
+        bit_count(col("__f1").bitwiseXOR(col("__f2"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** All pairs with Hamming(simhash) <= maxDist, found via the
     * pigeonhole band join (complete as long as bands > maxDist).
     */
@@ -46,20 +71,9 @@ object SimHash {
     // exchange, so there a barrier is the only thing preventing a
     // double compute of the interpreted signature projection.
     val fps = fingerprints(df, id, text)
-    val chunks = array((0 until bands).map { b =>
-      struct(lit(b).as("band"), (shiftrightunsigned(col("simhash"), b * width)
-        .bitwiseAND(mask)).as("chunk"))
-    }: _*)
-    val banded = fps.withColumn("__bc", explode(chunks))
-    val a = banded.select(col("id").as("id1"), col("simhash").as("__f1"),
-      col("__bc").as("__bc1"))
-    val b2 = banded.select(col("id").as("id2"), col("simhash").as("__f2"),
-      col("__bc").as("__bc2"))
-    a.join(b2, col("__bc1") === col("__bc2") && col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("hamming", bit_count(col("__f1").bitwiseXOR(col("__f2"))))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id1"), col("id2"), col("hamming"))
+    bandedPairs(fps, "simhash", bands,
+      b => shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask),
+      maxDist)
   }
 
   // ---- engine-portable variant (oracle-checkable end to end) ---------
@@ -88,7 +102,9 @@ object SimHash {
   }
 
   /** Pigeonhole band join + exact Hamming over the portable 32-bit
-    * fingerprints (complete for maxDist < bands, as above).
+    * fingerprints (complete for maxDist < bands, as above). The chunk
+    * extraction uses integer division rather than shifts because the
+    * oracle SQL mirrors it with `//`.
     */
   def nearDupPairsPortable(df: DataFrame, id: Column, text: Column,
                            maxDist: Int = 3, bands: Int = 4): DataFrame = {
@@ -96,20 +112,8 @@ object SimHash {
     require(32 % bands == 0, "bands must divide 32")
     val width = 32 / bands
     val fps = fingerprintsPortable(df, id, text)
-    val chunks = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        expr(s"(simhash32 div ${1L << (b * width)}) % ${1L << width}").as("chunk"))
-    }: _*)
-    val banded = fps.withColumn("__bc", explode(chunks))
-    val a = banded.select(col("id").as("id1"), col("simhash32").as("__f1"),
-      col("__bc").as("__bc1"))
-    val b2 = banded.select(col("id").as("id2"), col("simhash32").as("__f2"),
-      col("__bc").as("__bc2"))
-    a.join(b2, col("__bc1") === col("__bc2") && col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("hamming",
-        bit_count(col("__f1").bitwiseXOR(col("__f2"))).cast("long"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("id1"), col("id2"), col("hamming"))
+    bandedPairs(fps, "simhash32", bands,
+      b => expr(s"(simhash32 div ${1L << (b * width)}) % ${1L << width}"),
+      maxDist)
   }
 }

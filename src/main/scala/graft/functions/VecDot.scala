@@ -16,17 +16,22 @@ import org.apache.spark.sql.types._
   * form and as a sequential oracle implementation, which is what keeps
   * cosine scores bit-comparable across engines.
   *
-  * Mismatched vector lengths yield NULL (not a truncated product):
-  * malformed embedding rows must surface as missing scores — DuckDB's
-  * list_inner_product errors on mismatch, and silently skewed cosines
-  * are worse than either.
+  * Mismatched vector lengths and NULL ELEMENTS yield NULL (not a
+  * truncated or zero-padded product): malformed embedding rows must
+  * surface as missing scores, and the composable HOF form — which the
+  * VecDotRewrite rule replaces with this expression — also nulls out
+  * when any element is null (null product poisons the fold). Silently
+  * skewed cosines are worse than either.
   */
 object VecDotUtil {
-  def dotFF(a: ArrayData, b: ArrayData): Double = {
+  /** Boxed: null iff lengths differ or either side has a null slot. */
+  def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -49,25 +54,24 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
 
-  // null on length mismatch even for non-null inputs
+  // null on length mismatch / null elements even for non-null inputs
   override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val av = a.asInstanceOf[ArrayData]
-    val bv = b.asInstanceOf[ArrayData]
-    if (av.numElements() != bv.numElements()) null
-    else VecDotUtil.dotFF(av, bv)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDotUtil.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |java.lang.Double $tmp = graft.functions.VecDotUtil.dotOrNull($a, $b);
+         |if ($tmp == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.VecDotUtil.dotFF($a, $b);
+         |  ${ev.value} = $tmp.doubleValue();
          |}
-       """.stripMargin)
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)

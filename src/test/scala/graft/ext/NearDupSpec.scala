@@ -54,8 +54,8 @@ class NearDupSpec extends SparkTestBase {
 
     val same = Seq((1L, "hello world now"), (2L, "hello world now")).toDF("id", "text")
     val pairs = SimHash.nearDupPairs(same, $"id", $"text", maxDist = 0)
-      .as[(Long, Long, Int)].collect()
-    assert(pairs.length == 1 && pairs.head._3 == 0)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.length == 1 && pairs.head._3 == 0L)
   }
 
   test("SimHash portable variant: identical docs collide, banding finds brute-force pairs") {

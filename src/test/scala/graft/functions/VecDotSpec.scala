@@ -42,4 +42,19 @@ class VecDotSpec extends SparkTestBase {
     val df = Seq((Array(1f), Option.empty[Array[Float]])).toDF("a", "b")
     assert(df.select(VecDot($"a", $"b").as("d")).collect()(0).isNullAt(0))
   }
+
+  test("null ELEMENT yields null — agreeing with the HOF fold the rewrite replaces") {
+    val df = Seq(
+      (Array[java.lang.Float](1f, null, 2f), Array[java.lang.Float](4f, 5f, 6f)),
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f)))
+      .toDF("a", "b")
+    val native = df.select(VecDot($"a", $"b").as("d")).collect()
+    assert(native(0).isNullAt(0), "null element must poison the product, not read as 0")
+    assert(native(1).getDouble(0) == 11.0)
+    // the composable form agrees row for row
+    val hof = df.select(aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v).as("d")).collect()
+    assert(hof(0).isNullAt(0) && hof(1).getDouble(0) == 11.0)
+  }
 }
