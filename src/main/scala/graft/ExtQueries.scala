@@ -785,7 +785,47 @@ object ExtQueries {
     },
     Some(q46Sql))
 
+  /** PII-style redaction: scrub emails and long digit runs, emit the
+    * redacted text plus occurrence counts — hash-comparing the full
+    * redacted string pins the transform byte-for-byte. The synthetic
+    * corpus contains no PII shapes, so every 5th document gets a
+    * deterministic planted contact line (both engines plant the same
+    * text) — the scrub provably fires, not vacuously passes.
+    */
+  val q47 = Q(
+    "q47_redact_pii",
+    (s, dir) => {
+      import s.implicits._
+      val planted = t(s, dir, "documents").withColumn("text",
+        when($"doc_id" % 5 === 0,
+          concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or call 5551234567")))
+          .otherwise($"text"))
+      planted.select(
+          $"doc_id",
+          TextAnalysis.emailCount($"text").cast("long").as("n_emails"),
+          TextAnalysis.longNumberCount($"text").cast("long").as("n_longnums"),
+          TextAnalysis.redactPii($"text").as("redacted"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com or call 5551234567'
+                          ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_longnums,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '[0-9]{4,}', '<NUM>', 'g') AS redacted
+            FROM planted ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46)
+    q46, q47)
 }

@@ -120,6 +120,30 @@ object TextAnalysis {
         (max(col("__c")).cast("double") / sum(col("__c"))).as("top_ratio"))
   }
 
+  /** PII-style scrub patterns (ASCII-only so Java regex and RE2 agree
+    * byte-for-byte): email-shaped tokens and standalone runs of 4+
+    * digits (ids, phone fragments, zip-ish numbers).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern: String = "[0-9]{4,}"
+
+  /** Redact emails then long digit runs with typed placeholders — the
+    * standard pre-training scrub step. Pure codegen'd regexp_replace
+    * chain (replace-all on both engines; DuckDB needs the 'g' flag).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
+  /** Occurrence counts of the scrub patterns (audit trail for the
+    * redaction step).
+    */
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0)))
+  def longNumberCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(LongNumberPattern), lit(0)))
+
   /** 64-bit content fingerprint (xxhash64 builtin — codegen'd, seed 42). */
   def fingerprint(c: Column): Column = xxhash64(c)
 
