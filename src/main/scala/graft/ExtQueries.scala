@@ -825,7 +825,36 @@ object ExtQueries {
                      '[0-9]{4,}', '<NUM>', 'g') AS redacted
             FROM planted ORDER BY doc_id"""))
 
+  /** Deterministic training mixture: English docs at weight 3
+    * interleaved with everything else at weight 1 — at any prefix of
+    * the mix-key order, ~3 en rows arrive per non-en row.
+    */
+  val q48 = Q(
+    "q48_mixture_interleave",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"lang")
+      val en = docs.filter($"lang" === "en")
+      val rest = docs.filter($"lang" =!= "en")
+      Sampling.weightedInterleave(Seq((en, 3), (rest, 1)), "doc_id", salt = "mix")
+        .select($"doc_id", $"source_id", $"pos", $"mix_key")
+        .orderBy($"mix_key", $"source_id", $"doc_id")
+    },
+    Some("""WITH en AS (SELECT doc_id, 0 AS source_id, 3 AS w,
+                               md5(CAST(doc_id AS VARCHAR) || 'mix') AS h
+                        FROM documents WHERE lang = 'en'),
+            rest AS (SELECT doc_id, 1 AS source_id, 1 AS w,
+                            md5(CAST(doc_id AS VARCHAR) || 'mix') AS h
+                     FROM documents WHERE lang != 'en'),
+            u AS (SELECT * FROM en UNION ALL SELECT * FROM rest),
+            p AS (SELECT doc_id, source_id, w,
+                         row_number() OVER (PARTITION BY source_id ORDER BY h, doc_id) AS pos
+                  FROM u)
+            SELECT doc_id, source_id, pos,
+                   (CAST(pos AS DOUBLE) - 0.5) / w AS mix_key
+            FROM p ORDER BY mix_key, source_id, doc_id"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47)
+    q46, q47, q48)
 }

@@ -80,6 +80,30 @@ object Sampling {
     row_number().over(Window.orderBy(h.asc, key.asc))
   }
 
+  /** Deterministic weighted interleave of N corpora — the training-
+    * mixture step ("3 parts web, 1 part code") as a reproducible total
+    * order. Each source is independently md5-shuffled (scale-safe
+    * `shuffled`), then row r of a weight-w source lands at mix key
+    * (r - 0.5) / w — so a weight-3 source contributes ~3 rows per
+    * 1 row of a weight-1 source at every prefix of the mixture, which
+    * is what training curricula need (the property holds at every
+    * cutoff, not just in aggregate). Consumers order by (mix_key,
+    * source_id) for the exact mixture order; the key is a pure
+    * function of (source, row), so any engine re-derives it.
+    *
+    * All inputs must share a schema; output adds source_id, pos,
+    * mix_key.
+    */
+  def weightedInterleave(sources: Seq[(DataFrame, Int)], key: String,
+                         salt: String = ""): DataFrame = {
+    require(sources.nonEmpty && sources.forall(_._2 > 0))
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      shuffled(df, col(key), salt)
+        .withColumn("source_id", lit(i))
+        .withColumn("mix_key", (col("pos").cast("double") - 0.5) / w)
+    }.reduce(_ unionByName _)
+  }
+
   /** Scalable deterministic shuffle: the input with a `pos` column
     * (1-based) giving each row's position in the (md5(key || salt),
     * key) total order — the same permutation `shufflePosition` defines,

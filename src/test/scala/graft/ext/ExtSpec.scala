@@ -96,6 +96,26 @@ class ExtSpec extends SparkTestBase {
     assert(viaZip.count() == 500)
   }
 
+  test("Sampling: weightedInterleave holds the mixture ratio at every prefix") {
+    val a = (1L to 300L).toDF("id")      // weight 3
+    val b = (1001L to 1100L).toDF("id")  // weight 1
+    val mix = Sampling.weightedInterleave(Seq((a, 3), (b, 1)), "id")
+      .orderBy($"mix_key", $"source_id", $"id")
+      .select($"source_id").as[Int].collect()
+    assert(mix.length == 400)
+    // any prefix of the mixture: |count(a)/count(b) - 3| stays tight
+    Seq(40, 100, 200, 400).foreach { k =>
+      val pre = mix.take(k)
+      val nA = pre.count(_ == 0).toDouble
+      val nB = pre.count(_ == 1).toDouble
+      assert(nB > 0 && math.abs(nA / nB - 3.0) <= 0.5, s"prefix $k: $nA vs $nB")
+    }
+    // deterministic: identical on re-run
+    val again = Sampling.weightedInterleave(Seq((a, 3), (b, 1)), "id")
+      .orderBy($"mix_key", $"source_id", $"id").select($"source_id").as[Int].collect()
+    assert(again.toSeq == mix.toSeq)
+  }
+
   test("Sampling: shufflePosition is a deterministic bijection") {
     val df = (1L to 500L).toDF("id")
     val p1 = df.select($"id", Sampling.shufflePosition($"id").as("pos"))
