@@ -11,7 +11,15 @@ import org.apache.spark.sql.functions._
   */
 class ExtensionsSpec extends SparkTestBase {
 
-  /** Fresh session over the SAME SparkContext, with extensions. */
+  /** Fresh session over the SAME SparkContext, with extensions.
+    *
+    * Uses the programmatic withExtensions hook: the equivalent
+    * `spark.sql.extensions=graft.plans.GraftExtensions` config string
+    * is only read when the SparkContext itself is created, so it
+    * cannot be exercised from a suite sharing one context — verified:
+    * passing it via builder.config on an existing context injects
+    * nothing. Both paths call the same GraftExtensions.apply.
+    */
   private lazy val extSession: SparkSession = {
     val base = spark // force-create the shared session first
     SparkSession.clearActiveSession()
