@@ -85,6 +85,35 @@ object EventStream {
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-STREAM interval join: attribute each click to the views by
+    * the same user within the preceding `windowMinutes` — the streaming
+    * attribution pattern. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire join
+    * state (unbounded stream-stream joins are rejected by the planner;
+    * the interval is what makes state finite). Derived twice from ONE
+    * source stream (self-join on different filters — supported, each
+    * side keeps its own state store).
+    */
+  def clickViewAttribution(events: DataFrame, windowMinutes: Int = 30,
+                           watermark: String = "2 hours"): DataFrame = {
+    val clicks = withEventTime(events)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = withEventTime(events)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("value").as("view_value"),
+        col("ts_us").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("view_ts"), col("view_value"))
+  }
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   final case class SessionState(start: Long, last: Long, n: Long) // ns epoch

@@ -123,6 +123,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val stream = EventStream.readStream(spark, eventsDir)
+    val q = EventStream.clickViewAttribution(stream, windowMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attribution").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attribution").count()
+      // batch equivalent: same interval condition as a plain range join
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts_us".as("click_ts"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id".as("view_user"), $"ts_us".as("view_ts"))
+      val batch = clicks.join(views,
+        $"user_id" === $"view_user" &&
+          $"view_ts" <= $"click_ts" &&
+          $"view_ts" >= $"click_ts" - expr("INTERVAL 30 MINUTES")).count()
+      assert(streamed == batch && batch > 0)
+    } finally q.stop()
+  }
+
   test("sessionize (session_window) matches the batch lag-gap session count") {
     val stream = EventStream.readStream(spark, eventsDir)
     val q = EventStream.sessionize(stream)
