@@ -801,10 +801,15 @@ object ExtQueries {
           concat($"text", lit(" contact user"), $"doc_id".cast("string"),
             lit("@example.com or call 5551234567")))
           .otherwise($"text"))
+      // n_longnums counts on the email-redacted text, so digit runs
+      // INSIDE an email (swallowed by <EMAIL>) are not double-counted —
+      // the counts reconcile exactly with the placeholders in `redacted`
+      val emailScrubbed = regexp_replace($"text",
+        TextAnalysis.EmailPattern, "<EMAIL>")
       planted.select(
           $"doc_id",
           TextAnalysis.emailCount($"text").cast("long").as("n_emails"),
-          TextAnalysis.longNumberCount($"text").cast("long").as("n_longnums"),
+          TextAnalysis.longNumberCount(emailScrubbed).cast("long").as("n_longnums"),
           TextAnalysis.redactPii($"text").as("redacted"))
         .orderBy($"doc_id")
     },
@@ -818,7 +823,10 @@ object ExtQueries {
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_longnums,
+                   CAST(len(regexp_extract_all(
+                        regexp_replace(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '[0-9]{4,}')) AS BIGINT) AS n_longnums,
                    regexp_replace(
                      regexp_replace(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
@@ -835,7 +843,8 @@ object ExtQueries {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"lang")
       val en = docs.filter($"lang" === "en")
-      val rest = docs.filter($"lang" =!= "en")
+      // null-lang rows must land in SOME source — `=!=` alone drops them
+      val rest = docs.filter($"lang".isNull || $"lang" =!= "en")
       Sampling.weightedInterleave(Seq((en, 3), (rest, 1)), "doc_id", salt = "mix")
         .select($"doc_id", $"source_id", $"pos", $"mix_key")
         .orderBy($"mix_key", $"source_id", $"doc_id")
@@ -845,7 +854,7 @@ object ExtQueries {
                         FROM documents WHERE lang = 'en'),
             rest AS (SELECT doc_id, 1 AS source_id, 1 AS w,
                             md5(CAST(doc_id AS VARCHAR) || 'mix') AS h
-                     FROM documents WHERE lang != 'en'),
+                     FROM documents WHERE lang IS NULL OR lang != 'en'),
             u AS (SELECT * FROM en UNION ALL SELECT * FROM rest),
             p AS (SELECT doc_id, source_id, w,
                          row_number() OVER (PARTITION BY source_id ORDER BY h, doc_id) AS pos

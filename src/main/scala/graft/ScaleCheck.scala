@@ -1,34 +1,48 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Dev scaling probe: run the near-dedup cores on 1x / 4x / 10x copies
   * of the sf0.1 documents table (ids disambiguated per copy so dedup
   * structure is preserved, text perturbed per copy so the copies are
   * not trivial exact duplicates of each other).
   *
+  * An untimed warm pass runs the full MinHash pipeline on a small
+  * slice first — without it the 1x measurement absorbs the one-off
+  * codegen/JIT cost and flattens the scaling curve artificially.
+  * Inputs are persist()+count()'d (NOT localCheckpoint — Dataset
+  * .unpersist is a no-op on checkpoint blocks) so generation cost is
+  * excluded and each iteration's blocks are actually released.
+  *
   *   runMain graft.ScaleCheck
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("32")
     import spark.implicits._
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select($"doc_id", $"text")
 
-    def inflate(times: Int) =
-      (0 until times).map { c =>
+    def inflate(times: Int) = {
+      val df = (0 until times).map { c =>
         base.select(($"doc_id" + c * 1000000L).as("doc_id"),
           concat($"text", lit(s" copymark$c")).as("text"))
-      }.reduce(_ unionAll _).localCheckpoint(true)
+      }.reduce(_ unionAll _).persist(StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+    def minhash(docs: org.apache.spark.sql.DataFrame): Long =
+      graft.ext.MinHashLsh.nearDupPairs(docs, $"doc_id", $"text",
+        n = 3, k = 64, bands = 16, threshold = 0.5,
+        shingler = graft.ext.ShingleJaccard.wordShingles).count()
+
+    // untimed warm pass: codegen/JIT for the whole operator stack
+    val warm = inflate(1)
+    minhash(warm.limit(500))
+    graft.ext.SimHash.nearDupPairs(warm.limit(500), $"doc_id", $"text").count()
+    graft.ext.ExactDedup.byContentHash(warm.limit(500), $"text", $"doc_id").count()
+    warm.unpersist()
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -39,11 +53,7 @@ object ScaleCheck {
     Seq(1, 4, 10).foreach { times =>
       val docs = inflate(times)
       val n = docs.count()
-      time(s"minhash ${n}docs") {
-        graft.ext.MinHashLsh.nearDupPairs(docs, $"doc_id", $"text",
-          n = 3, k = 64, bands = 16, threshold = 0.5,
-          shingler = graft.ext.ShingleJaccard.wordShingles).count()
-      }
+      time(s"minhash ${n}docs")(minhash(docs))
       time(s"simhash ${n}docs") {
         graft.ext.SimHash.nearDupPairs(docs, $"doc_id", $"text",
           maxDist = 3, bands = 4).count()
