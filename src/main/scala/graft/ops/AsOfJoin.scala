@@ -49,8 +49,8 @@ object AsOfJoin {
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
                    rightTieBreak: Seq[String], forward: Boolean): DataFrame = {
-    val lPayload = left.columns.filterNot(keys.contains)
-    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    val lPayload = left.columns.toSeq.filterNot(keys.contains)
+    val rPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
     require(lPayload.intersect(rPayload).isEmpty,
       s"overlapping non-key columns: ${lPayload.intersect(rPayload).mkString(",")}")
 
