@@ -47,16 +47,27 @@ object ScaleCheck {
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label: $s%.2f s ($n rows, ${s * 1000 / math.max(n, 1)}%.3f ms/row)")
     }
 
-    Seq(1, 4, 10).foreach { times =>
+    // Inflation makes every copy a near-dup of every other copy, so the
+    // planted dup clusters grow with the scale factor and OUTPUT PAIRS
+    // grow quadratically — the worst case for a pairs-returning API.
+    // Near-linear wall time therefore means linear in input + output
+    // (read ms/row): the band join itself is linear post-collapse; only
+    // the unavoidable pair expansion tracks the output.
+    Seq(1, 4, 10, 30).foreach { times =>
       val docs = inflate(times)
       val n = docs.count()
       time(s"minhash ${n}docs")(minhash(docs))
       time(s"simhash ${n}docs") {
         graft.ext.SimHash.nearDupPairs(docs, $"doc_id", $"text",
           maxDist = 3, bands = 4).count()
+      }
+      time(s"simhash-capped ${n}docs") {
+        graft.ext.SimHash.nearDupPairs(docs, $"doc_id", $"text",
+          maxDist = 3, bands = 4, maxBucket = 1000).count()
       }
       time(s"exactdedup ${n}docs") {
         graft.ext.ExactDedup.byContentHash(docs, $"text", $"doc_id").count()

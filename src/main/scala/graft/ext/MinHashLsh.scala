@@ -57,11 +57,15 @@ object MinHashLsh {
     * @param exact      verify candidates with exact shingle-set Jaccard
     *                   (array_intersect on the pair row) instead of the
     *                   signature estimate
+    * @param maxBucket  drop band buckets holding more than this many
+    *                   distinct signatures (hot-band guard; default
+    *                   unlimited = recall-complete — see bandedCandidates)
     */
   def nearDupPairs(df: DataFrame, id: Column, text: Column, n: Int = 3,
                    k: Int = 128, bands: Int = 32, threshold: Double = 0.7,
                    exact: Boolean = true,
-                   shingler: (Column, Int) => Column = ShingleJaccard.charShingles): DataFrame = {
+                   shingler: (Column, Int) => Column = ShingleJaccard.charShingles,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
 
@@ -85,22 +89,17 @@ object MinHashLsh {
       .agg(graft.functions.MinHashAgg.minhash(col("__h"), k).as("__sig"))
 
     // band hash = one multi-arg xxhash64 over the band's signature
-    // slots — no intermediate arrays; banded rows carry (id, bandHash).
+    // slots — no intermediate arrays; banded rows carry (gid, bandHash).
     val bandCols = (0 until bands).map { bd =>
       xxhash64((lit(bd) +:
         (bd * r until (bd + 1) * r).map(i => col("__sig").getItem(i))): _*)
     }
-    val banded = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bh"))
-
-    val a = banded.select(col("__id").as("id1"), col("__bh"))
-    val b = banded.select(col("__id").as("id2"), col("__bh"))
     // candidate pairs are tiny (two ids per row) but feed three plan
     // branches — materialize once (lazy local checkpoint) so the band
     // join does not re-execute per branch (measured: relying on
     // ReuseExchange instead is ~0.5s slower here — the three consumer
     // subtrees diverge after optimization and re-execute)
-    val cand = a.join(b, a("__bh") === b("__bh") && col("id1") < col("id2"))
-      .select("id1", "id2").dropDuplicates("id1", "id2")
+    val cand = bandedCandidates(sig, Seq(col("__sig")), bandCols, maxBucket)
       .localCheckpoint(false)
 
     // attach payloads to the (few) surviving candidate pairs only (see
@@ -116,6 +115,56 @@ object MinHashLsh {
 
     scored.filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Hot-band-guarded candidate generation, shared by the xxhash64 and
+    * portable paths. `sig` is a per-document signature frame keyed by
+    * `__id`; `sigCols` is the signature representation (one array
+    * column, or k scalar min columns for the portable form); `bandKeys`
+    * are the band-hash expressions over those columns.
+    *
+    * Identical signatures (exact-duplicate documents — the pathological
+    * bucket case: m identical docs used to put m rows in every one of
+    * their `bands` buckets, m²·bands raw join rows) collapse to ONE
+    * banding representative per distinct signature; the band join is
+    * then linear in distinct signatures. Member pairs come back via an
+    * output-proportional expansion: intra-group pairs share every band
+    * by construction, and a cross-group pair is a candidate iff its
+    * group pair shares a band (band keys are functions of the signature
+    * alone). The candidate set is identical to the uncollapsed join.
+    *
+    * `maxBucket` (default unlimited = recall-complete) drops band
+    * buckets holding more than that many DISTINCT signatures — the
+    * boilerplate-band guard. A pair pruned from a hot bucket is still
+    * found through any other shared band.
+    */
+  private def bandedCandidates(sig: DataFrame, sigCols: Seq[Column],
+                               bandKeys: Seq[Column], maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = sig.withColumn("__gid",
+      min(col("__id")).over(Window.partitionBy(sigCols: _*)))
+    val groups = members.filter(col("__id") === col("__gid"))
+    val banded = groups.select(col("__gid"), explode(array(bandKeys: _*)).as("__bh"))
+    val guarded =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bh"))))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    val aB = guarded.select(col("__gid").as("__g1"), col("__bh"))
+    val bB = guarded.select(col("__gid").as("__g2"), col("__bh"))
+    val candG = aB.join(bB, aB("__bh") === bB("__bh") && col("__g1") < col("__g2"))
+      .select("__g1", "__g2").dropDuplicates("__g1", "__g2")
+    val mem = members.select(col("__id").as("__mid"), col("__gid"))
+    val cross = candG
+      .join(mem.select(col("__mid").as("__i1"), col("__gid").as("__g1")), "__g1")
+      .join(mem.select(col("__mid").as("__i2"), col("__gid").as("__g2")), "__g2")
+      .select(least(col("__i1"), col("__i2")).as("id1"),
+        greatest(col("__i1"), col("__i2")).as("id2"))
+    val intra = mem.select(col("__mid").as("id1"), col("__gid").as("__g"))
+      .join(mem.select(col("__mid").as("id2"), col("__gid").as("__g")), "__g")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    cross.unionByName(intra)
   }
 
   /** Exact shingle-set Jaccard for candidate pairs. Documents are
@@ -184,7 +233,8 @@ object MinHashLsh {
     */
   def nearDupPairsPortable(df: DataFrame, id: Column, text: Column, n: Int = 3,
                            k: Int = 8, bands: Int = 4,
-                           threshold: Double = 0.5): DataFrame = {
+                           threshold: Double = 0.5,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val mod = 1L << 32
@@ -201,12 +251,8 @@ object MinHashLsh {
         (bd * r until (bd + 1) * r).map(i => col(s"__m$i").cast("string"))
       md5(concat_ws(",", parts: _*).cast("binary"))
     }
-    val banded = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bk"))
-    val cand = banded.select(col("__id").as("id1"), col("__bk"))
-      .join(banded.select(col("__id").as("id2"), col("__bk")),
-        Seq("__bk"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").dropDuplicates("id1", "id2")
+    val sigCols = (0 until k).map(i => col(s"__m$i"))
+    val cand = bandedCandidates(sig, sigCols, bandCols, maxBucket)
       .localCheckpoint(false)
 
     exactRerank(cand, df, id, text, ShingleJaccard.wordShingles, n)

@@ -33,32 +33,68 @@ object SimHash {
     * frame (id, <fpCol>). `chunk(b)` extracts band b's chunk from the
     * fingerprint column — the only piece that differs between the
     * 64-bit shift form and the 32-bit portable div form. Complete for
-    * maxDist < bands. Shared by both variants, so fixes (like the
-    * band-column disambiguation) live in one place.
+    * maxDist < bands (recall-complete; `maxBucket` can trade that off,
+    * below). Shared by both variants, so fixes (like the band-column
+    * disambiguation) live in one place.
+    *
+    * Hot-band guard: the band join runs over DISTINCT fingerprints
+    * only. Identical documents are the pathological bucket case — a
+    * group of m exact duplicates used to contribute m²·bands raw join
+    * rows before dropDuplicates; collapsed, it contributes ONE banding
+    * row, and its member pairs come back via an output-proportional
+    * expansion (intra-group pairs are Hamming 0 by construction;
+    * cross-group pairs inherit the Hamming of their fingerprint pair,
+    * since every member shares the group's exact fingerprint). The
+    * output pair set is identical to the uncollapsed join.
+    *
+    * `maxBucket` (default unlimited, keeping recall completeness)
+    * additionally drops band buckets holding more than that many
+    * DISTINCT fingerprints — the boilerplate-band case (a license
+    * header pinning one chunk across a huge corpus slice). Pairs in a
+    * dropped bucket are still found through any other band they share,
+    * so the cap degrades recall only for pairs whose every shared band
+    * is hot.
     */
   private def bandedPairs(fps: DataFrame, fpCol: String, bands: Int,
-                          chunk: Int => Column, maxDist: Int): DataFrame = {
+                          chunk: Int => Column, maxDist: Int,
+                          maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val chunks = array((0 until bands).map { b =>
       struct(lit(b).as("band"), chunk(b).as("chunk"))
     }: _*)
-    val banded = fps.withColumn("__bc", explode(chunks))
-    val a = banded.select(col("id").as("id1"), col(fpCol).as("__f1"),
-      col("__bc").as("__bc1"))
-    val b2 = banded.select(col("id").as("id2"), col(fpCol).as("__f2"),
-      col("__bc").as("__bc2"))
-    a.join(b2, col("__bc1") === col("__bc2") && col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+    val banded = fps.select(col(fpCol)).distinct().withColumn("__bc", explode(chunks))
+    val guarded =
+      if (maxBucket == Int.MaxValue) banded
+      else banded
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bc"))))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    val a = guarded.select(col(fpCol).as("__f1"), col("__bc").as("__bc1"))
+    val b2 = guarded.select(col(fpCol).as("__f2"), col("__bc").as("__bc2"))
+    val fpPairs = a
+      .join(b2, col("__bc1") === col("__bc2") && col("__f1") < col("__f2"))
+      .dropDuplicates("__f1", "__f2")
       .withColumn("hamming",
         bit_count(col("__f1").bitwiseXOR(col("__f2"))).cast("long"))
       .filter(col("hamming") <= maxDist)
-      .select(col("id1"), col("id2"), col("hamming"))
+      .select(col("__f1"), col("__f2"), col("hamming"))
+    val m1 = fps.select(col("id").as("__i1"), col(fpCol).as("__f1"))
+    val m2 = fps.select(col("id").as("__i2"), col(fpCol).as("__f2"))
+    val cross = fpPairs.join(m1, "__f1").join(m2, "__f2")
+      .select(least(col("__i1"), col("__i2")).as("id1"),
+        greatest(col("__i1"), col("__i2")).as("id2"), col("hamming"))
+    val intra = fps.select(col("id").as("id1"), col(fpCol).as("__f"))
+      .join(fps.select(col("id").as("id2"), col(fpCol).as("__f")), "__f")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), lit(0L).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** All pairs with Hamming(simhash) <= maxDist, found via the
     * pigeonhole band join (complete as long as bands > maxDist).
     */
   def nearDupPairs(df: DataFrame, id: Column, text: Column,
-                   maxDist: Int = 3, bands: Int = 4): DataFrame = {
+                   maxDist: Int = 3, bands: Int = 4,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bands > maxDist, "pigeonhole completeness needs bands > maxDist")
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
@@ -73,7 +109,7 @@ object SimHash {
     val fps = fingerprints(df, id, text)
     bandedPairs(fps, "simhash", bands,
       b => shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask),
-      maxDist)
+      maxDist, maxBucket)
   }
 
   // ---- engine-portable variant (oracle-checkable end to end) ---------
@@ -107,13 +143,14 @@ object SimHash {
     * oracle SQL mirrors it with `//`.
     */
   def nearDupPairsPortable(df: DataFrame, id: Column, text: Column,
-                           maxDist: Int = 3, bands: Int = 4): DataFrame = {
+                           maxDist: Int = 3, bands: Int = 4,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bands > maxDist, "pigeonhole completeness needs bands > maxDist")
     require(32 % bands == 0, "bands must divide 32")
     val width = 32 / bands
     val fps = fingerprintsPortable(df, id, text)
     bandedPairs(fps, "simhash32", bands,
       b => expr(s"(simhash32 div ${1L << (b * width)}) % ${1L << width}"),
-      maxDist)
+      maxDist, maxBucket)
   }
 }

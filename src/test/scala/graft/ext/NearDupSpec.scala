@@ -149,4 +149,65 @@ class NearDupSpec extends SparkTestBase {
     val resized = Multimodal.resize(decoded, maxSide = 100)
     assert(resized.filter($"resized_width" > 100 || $"resized_height" > 100).count() == 0)
   }
+
+  // ---- hot-band guard (collapse identical fingerprints before banding) ----
+
+  /** 40 exact copies (the pathological band-join shape) + a planted
+    * near-dup pair + an unrelated singleton.
+    */
+  private def dupHeavy = {
+    val copies = (100L until 140L).map(i =>
+      (i, "identical boilerplate license header repeated verbatim in every file"))
+    (copies ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (5L, "zzz qqq www unrelated noise tokens xyzzy plugh"))).toDF("id", "text")
+  }
+
+  test("SimHash collapse: guarded band join equals brute-force Hamming pairs") {
+    val docs = dupHeavy
+    val got = SimHash.nearDupPairs(docs, $"id", $"text", maxDist = 3, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over fingerprints
+    val fps = SimHash.fingerprints(docs, $"id", $"text").as[(Long, Long)].collect()
+    val want = (for {
+      (i1, f1) <- fps; (i2, f2) <- fps if i1 < i2
+      d = java.lang.Long.bitCount(f1 ^ f2) if d <= 3
+    } yield (i1, i2, d.toLong)).toSet
+    assert(got == want)
+    assert(got.count { case (a, b, _) => a >= 100L && b >= 100L } == 40 * 39 / 2)
+  }
+
+  test("MinHash collapse: exact-dup group pairs all survive with jaccard 1.0") {
+    val docs = dupHeavy
+    val pairs = MinHashLsh.nearDupPairs(docs, $"id", $"text",
+      n = 3, k = 64, bands = 16, threshold = 0.6,
+      shingler = ShingleJaccard.wordShingles)
+      .as[(Long, Long, Double)].collect()
+    val intra = pairs.filter { case (a, b, _) => a >= 100L && b >= 100L }
+    assert(intra.length == 40 * 39 / 2 && intra.forall(_._3 == 1.0))
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L })
+  }
+
+  test("maxBucket drops hot cross-group buckets but never exact-duplicate pairs") {
+    val docs = dupHeavy
+    val capped = SimHash.nearDupPairs(docs, $"id", $"text",
+      maxDist = 3, bands = 4, maxBucket = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = SimHash.nearDupPairs(docs, $"id", $"text", maxDist = 3, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(full))
+    // intra-group (identical fingerprint) pairs bypass banding entirely
+    assert(capped.count { case (a, b, _) => a >= 100L && b >= 100L } == 40 * 39 / 2)
+    // the (1,2) near-dup needs a band bucket of 2 distinct fps → capped away
+    assert(!capped.exists { case (a, b, _) => a == 1L && b == 2L })
+
+    val cappedMh = MinHashLsh.nearDupPairs(docs, $"id", $"text",
+      n = 3, k = 64, bands = 16, threshold = 0.6,
+      shingler = ShingleJaccard.wordShingles, maxBucket = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(cappedMh.count { case (a, b, _) => a >= 100L && b >= 100L } == 40 * 39 / 2)
+    assert(!cappedMh.exists { case (a, b, _) => a == 1L && b == 2L })
+  }
 }
