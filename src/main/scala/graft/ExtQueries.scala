@@ -456,7 +456,8 @@ object ExtQueries {
 
   /** Deterministic global shuffle: reproducible pseudo-random training
     * order (position = rank of md5(doc_id)), via the distributed
-    * sort+zipWithIndex path — no single-task window bottleneck.
+    * bucket-prefix path — no single-task window bottleneck, no RDD
+    * round-trip.
     */
   val q37 = Q(
     "q37_shuffle_order",

@@ -107,24 +107,45 @@ object Sampling {
   /** Scalable deterministic shuffle: the input with a `pos` column
     * (1-based) giving each row's position in the (md5(key || salt),
     * key) total order — the same permutation `shufflePosition` defines,
-    * computed distributed: a range-partitioned global sort followed by
-    * zipWithIndex (one extra count job for partition offsets, no
-    * single-task bottleneck). The md5-then-key sort order is strict
-    * (key breaks hash collisions), so positions are unique and
-    * reproducible on any cluster layout.
+    * computed distributed and fully inside the DataFrame layer (the
+    * previous rdd.zipWithIndex form deserialized every row out of
+    * Tungsten and back, and needed an extra count job).
+    *
+    * Shape: bucket = first `bucketChars` hex chars of the md5 — a PURE
+    * per-row function, so no step depends on physical partitioning —
+    * then pos = (sum of counts of lexicographically smaller buckets)
+    * + row_number within the bucket. The bucket is a prefix of the
+    * hash, so bucket-major order IS the global (hash, key) order.
+    * Bucket offsets are a tiny aggregate (≤ 16^bucketChars rows)
+    * broadcast-joined back; the per-bucket row_number window hashes
+    * ~uniform buckets across tasks (md5 prefixes are uniform for any
+    * key distribution), so no single-task bottleneck and no spill
+    * risk beyond corpus/16^bucketChars rows per window partition —
+    * raise `bucketChars` if that slice outgrows an executor.
+    *
+    * The md5-then-key sort order is strict (key breaks hash
+    * collisions), so positions are unique and reproducible on any
+    * cluster layout. Output rows are NOT returned physically sorted;
+    * order by `pos` when materializing a curriculum.
     */
-  def shuffled(df: DataFrame, key: Column, salt: String = ""): DataFrame = {
-    val spark = df.sparkSession
+  def shuffled(df: DataFrame, key: Column, salt: String = "",
+               bucketChars: Int = 4): DataFrame = {
+    require(bucketChars >= 1 && bucketChars <= 8, "bucketChars in [1,8]")
     val h = md5(concat(key.cast("string"), lit(salt)).cast("binary"))
-    val sorted = df.withColumn("__shuffle_h", h)
-      .orderBy(col("__shuffle_h").asc, key.asc)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType,
-          nullable = false))
-    val withPos = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(withPos, outSchema).drop("__shuffle_h")
+    val withB = df.withColumn("__shuffle_h", h)
+      .withColumn("__b", substring(col("__shuffle_h"), 1, bucketChars))
+    // running offset of each bucket: single-task window, but over at
+    // most 16^bucketChars tiny rows — never the corpus
+    val offsets = withB.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__c")
+    val rn = row_number().over(
+      Window.partitionBy(col("__b")).orderBy(col("__shuffle_h").asc, key.asc))
+    withB.join(broadcast(offsets), "__b")
+      .withColumn("pos", col("__off") + rn)
+      .drop("__b", "__off", "__shuffle_h")
   }
 }

@@ -61,6 +61,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
   }
 
+  test("q37 shuffled: stays in the DataFrame layer (no RDD scan), offsets broadcast") {
+    val df = graft.ext.Sampling.shuffled(
+      Tables.table(spark, dir, "documents").select("doc_id"),
+      org.apache.spark.sql.functions.col("doc_id"), salt = "ord")
+    val p = plan(df)
+    // the old rdd.zipWithIndex form surfaced as an ExistingRDD/Scan RDD
+    // node — a Tungsten deserialize/reserialize round-trip of every row
+    assert(!p.contains("Scan ExistingRDD"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // bucket offsets, not a shuffle join
+  }
+
   test("q38 as-of join: ONE shuffle on the key, no range-join pair blowup") {
     val ev = Tables.events(spark, dir)
     val views = ev.filter(ev("event_type") === "view")
