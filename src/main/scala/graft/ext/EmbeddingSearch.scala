@@ -71,26 +71,15 @@ object EmbeddingSearch {
     topKOut(filtered, queryId, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
-    * xxhash64 mapped to a centered double in [-0.5, 0.5).
-    */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-
   /** b-bit signed-projection signature of a vector (bit i = sign of the
-    * dot product with pseudo-random plane i), as a long.
+    * dot product with pseudo-random plane i, components derived from
+    * xxhash64(plane, dim)), as a long. Native codegen'd expression
+    * (graft.functions.SrpSignature) — one fused loop; the previous
+    * aggregate(zip_with(...)) formulation did bits×dim work through
+    * interpreted HOF dispatch (same fix as VecDot/TokenSetCount).
     */
-  def srpSignature(vec: Column, bits: Int): Column = {
-    require(bits <= 62, "signature packed into a long")
-    val sig = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    sig.reduce((a, b) => a + b)
-  }
+  def srpSignature(vec: Column, bits: Int): Column =
+    graft.functions.SrpSignature(vec, bits)
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * `nlist` cells around coarse centroids, probe the `nprobe` cells
@@ -164,7 +153,14 @@ object EmbeddingSearch {
                       threshold: Double, bits: Int = 8): DataFrame = {
     // materialize signatures+norms once: the a/b sides are differently
     // renamed projections, so without a barrier both re-execute the
-    // interpreted srpSignature subtree over the full corpus
+    // signature+norm subtree (and the scan under it) over the full
+    // corpus. NOTE the barrier's storage blocks outlive this call —
+    // Dataset.unpersist is a no-op on localCheckpoint blocks, so a
+    // long-lived session invoking this repeatedly accumulates them
+    // until the session (or its BlockManager) goes away; callers who
+    // need explicit release should persist+count+unpersist the
+    // signature frame themselves and pass it through lshTopK-style
+    // composition instead.
     val sig = aliased(df, id, vec, "__cid", "__cvec")
       .withColumn("__sig", srpSignature(col("__cvec"), bits))
       .withColumn("__n", norm(col("__cvec")))

@@ -98,7 +98,11 @@ object MinHashLsh {
     // branches — materialize once (lazy local checkpoint) so the band
     // join does not re-execute per branch (measured: relying on
     // ReuseExchange instead is ~0.5s slower here — the three consumer
-    // subtrees diverge after optimization and re-execute)
+    // subtrees diverge after optimization and re-execute). Retention
+    // caveat: checkpoint blocks are not released by unpersist, so they
+    // live until the session ends — acceptable for candidate frames
+    // (two ids per row), but long-lived sessions doing unbounded
+    // repeated dedup passes should recycle their SparkSession.
     val cand = bandedCandidates(sig, Seq(col("__sig")), bandCols, maxBucket)
       .localCheckpoint(false)
 
