@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,9 +9,12 @@ object Bench {
     // untimed warm-up: initialize codegen, parquet footers, shuffle
     // machinery — JVM startup cost shouldn't land on whichever query
     // happens to run first
+    // NonFatal only: an OOM/JVM fault must abort the run, not let it
+    // report mis-timed numbers from a corrupted JVM; failures are
+    // logged so a cold warm-up is visible in the driver tail
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    catch { case _: Throwable => }
+    catch { case NonFatal(e) => System.err.println(s"[bench] warmup(scan) failed: $e") }
     // ...and the operator machinery the query set exercises beyond a
     // plain hash-agg: generate/explode, ObjectHashAggregate (signature
     // aggregates), collect_set, window functions, and the nested-loop
@@ -33,10 +37,11 @@ object Bench {
         .crossJoin(tiny.select($"id".as("id2")))
         .filter($"id" < $"id2")
         .agg(sum(size($"sig") + size($"s") + $"rn")).collect()
-    } catch { case _: Throwable => }
+    } catch { case NonFatal(e) => System.err.println(s"[bench] warmup(ops) failed: $e") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -33,7 +33,28 @@ object Tables {
           : Boolean = size() > MaxSessions
     }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Stopped sessions must not be retained by their cached DataFrames —
+    * drop them whenever the memo is touched (≤ MaxSessions entries, so
+    * the sweep is trivia inside the lock).
+    */
+  private def evictStopped(): Unit = {
+    val it = memo.keySet().iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val cached = memo.synchronized {
+      evictStopped()
+      val perSession = memo.get(spark)
+      if (perSession != null) perSession.get(path) else null
+    }
+    if (cached != null) return cached
+    // File listing + footer schema inference stays OUTSIDE the lock:
+    // concurrent first reads of different tables/sessions must not
+    // serialize on driver I/O. A racing duplicate read is harmless —
+    // putIfAbsent keeps the first relation, the loser is garbage.
+    val df = spark.read.parquet(path)
     memo.synchronized {
       val perSession = {
         val existing = memo.get(spark)
@@ -44,15 +65,10 @@ object Tables {
           m
         }
       }
-      val path = s"$dir/$name.parquet"
-      val cached = perSession.get(path)
-      if (cached != null) cached
-      else {
-        val df = spark.read.parquet(path)
-        perSession.put(path, df)
-        df
-      }
+      val prior = perSession.putIfAbsent(path, df)
+      if (prior != null) prior else df
     }
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")

@@ -23,7 +23,9 @@ import org.apache.spark.sql.types.StructType
   *
   * Determinism: rows tie on (ts, side) only if the right side has
   * duplicate (key, ts) rows — pre-aggregate the right side to one row
-  * per (key, ts), or pass `rightTieBreak` columns to pin the winner.
+  * per (key, ts), or pass `rightTieBreak` columns to pin the winner:
+  * among tied right rows the GREATEST tie-break tuple wins, in BOTH
+  * directions (nulls lose to any non-null value).
   * At equal timestamps the right row sorts BEFORE the left row
   * (side 0 < 1), so "at-or-before"/"at-or-after" includes exact ties.
   */
@@ -80,13 +82,16 @@ object AsOfJoin {
 
     // backward: ascending scan, right-before-left at ties; forward:
     // descending scan, still right-before-left at ties (side 0 first
-    // works for both because the frame ends at the current row)
+    // works for both because the frame ends at the current row).
+    // Tie-breaks sort ASCENDING in both directions: `last()` takes the
+    // row scanned latest, so the greatest tie-break tuple wins whether
+    // the timestamp scan runs asc or desc — one documented convention
+    // instead of a per-direction surprise. nulls_first makes null
+    // tie-breaks lose to any non-null value.
     val ord =
       (if (forward) Seq(col("__ts").desc) else Seq(col("__ts").asc)) ++
         Seq(col("__side").asc) ++
-        rightTieBreak.map(c =>
-          if (forward) col(s"__tb_$c").desc_nulls_first
-          else col(s"__tb_$c").asc_nulls_first)
+        rightTieBreak.map(c => col(s"__tb_$c").asc_nulls_first)
     val w = Window.partitionBy(keys.map(q): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

@@ -3,8 +3,9 @@ package graft.plans
 import graft.functions._
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst pieces available to ANY session — including pure-SQL users
@@ -30,27 +31,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def intLit(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case _ => throw new IllegalArgumentException(
-      s"$fn: expected an integer literal, got $e")
-  }
+  // Builders run during resolution, BEFORE constant folding — so a
+  // constant that isn't syntactically a Literal (word_ngrams(t, 1+1))
+  // must be folded here via eval() on the foldable expression, and a
+  // genuinely non-constant argument must surface as an
+  // AnalysisException (what SQL users expect from a bad function
+  // call), not a raw IllegalArgumentException out of the planner.
+  private def fail(fn: String, msg: String): Nothing =
+    throw GraftBridge.analysisError(s"$fn: $msg")
 
-  private def longLit(e: Expression, fn: String): Long = e match {
-    case Literal(v: Long, LongType) => v
-    case Literal(v: Int, IntegerType) => v.toLong
-    case _ => throw new IllegalArgumentException(
-      s"$fn: expected a long literal, got $e")
-  }
-
-  private def stringSeq(e: Expression, fn: String): Seq[String] = e match {
-    case CreateArray(children, _) => children.map {
-      case Literal(s, StringType) if s != null => s.toString
-      case other => throw new IllegalArgumentException(
-        s"$fn: expected string literals in the array, got $other")
+  private def intLit(e: Expression, fn: String): Int = {
+    if (!e.foldable) fail(fn, s"expected a constant integer argument, got $e")
+    e.eval() match {
+      case i: Int => i
+      case null => fail(fn, "constant integer argument must not be NULL")
+      case other => fail(fn, s"expected a constant integer argument, got $other")
     }
-    case _ => throw new IllegalArgumentException(
-      s"$fn: expected array(...) of string literals, got $e")
+  }
+
+  private def longLit(e: Expression, fn: String): Long = {
+    if (!e.foldable) fail(fn, s"expected a constant long argument, got $e")
+    e.eval() match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case null => fail(fn, "constant long argument must not be NULL")
+      case other => fail(fn, s"expected a constant long argument, got $other")
+    }
+  }
+
+  private def stringSeq(e: Expression, fn: String): Seq[String] = {
+    if (!e.foldable) fail(fn, s"expected a constant array of strings, got $e")
+    e.dataType match {
+      case ArrayType(StringType, _) =>
+        e.eval() match {
+          case null => fail(fn, "constant string array must not be NULL")
+          case ad: ArrayData =>
+            (0 until ad.numElements()).map { i =>
+              if (ad.isNullAt(i)) fail(fn, "string array must not contain NULLs")
+              else ad.getUTF8String(i).toString
+            }
+        }
+      case t => fail(fn, s"expected array<string>, got ${t.catalogString}")
+    }
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
@@ -59,7 +81,7 @@ object GraftFunctions {
   private def arity(fn: String, n: Int)(b: Seq[Expression] => Expression)
       : Seq[Expression] => Expression =
     args => {
-      require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+      if (args.length != n) fail(fn, s"expects $n arguments, got ${args.length}")
       b(args)
     }
 
@@ -86,7 +108,11 @@ object GraftFunctions {
     (FunctionIdentifier("token_set_count"),
       info("token_set_count", "token_set_count(s, array(...)) - tokens of s found in the set"),
       arity("token_set_count", 2)(a =>
-        TokenSetCount(a(0), stringSeq(a(1), "token_set_count")))))
+        TokenSetCount(a(0), stringSeq(a(1), "token_set_count")))),
+    (FunctionIdentifier("srp_signature"),
+      info("srp_signature", "srp_signature(vec, bits) - signed-random-projection signature of a float vector"),
+      arity("srp_signature", 2)(a =>
+        SrpSignature(a(0), intLit(a(1), "srp_signature")))))
 
   /** Register every function into a live session. */
   def register(spark: SparkSession): Unit =

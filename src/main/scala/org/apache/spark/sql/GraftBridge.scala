@@ -22,4 +22,14 @@ object GraftBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .registerFunction(name, info, builder)
+
+  /** AnalysisException with a plain message — the (message) constructor
+    * is private[sql] in Spark 4; SQL-facing argument validation (bad
+    * literal args to graft's function builders) should surface as an
+    * analysis error, not a raw IllegalArgumentException.
+    */
+  def analysisError(message: String): AnalysisException =
+    new AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3100", // generic pass-through message class
+      messageParameters = Map("message" -> message))
 }

@@ -47,6 +47,14 @@ class AsOfJoinSpec extends SparkTestBase {
         rightTieBreak = Seq("seq"))
       .select($"v").as[Double].collect()
     assert(out.toSeq == Seq(200.0)) // greatest tie-break wins in backward mode
+
+    // forward mode follows the SAME convention (greatest wins) — the
+    // desc timestamp scan must not silently invert the tie-break
+    val fwd = AsOfJoin.forward(
+        left.filter($"ts" === 5L), dupRight, Seq("k"), "ts", "rts",
+        rightTieBreak = Seq("seq"))
+      .select($"v").as[Double].collect()
+    assert(fwd.toSeq == Seq(200.0)) // greatest tie-break wins in forward mode too
   }
 
   test("null timestamps and null keys never match (join semantics)") {

@@ -49,6 +49,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(g == Seq("a b", "b c"))
   }
 
+  test("foldable-but-unfolded constant args are accepted; bad args raise AnalysisException") {
+    // builders run before constant folding — 1+1 must fold to 2
+    val g = extSession.sql("SELECT word_ngrams('a b c', 1+1) AS g")
+      .head().getSeq[String](0)
+    assert(g == Seq("a b", "b c"))
+    // a genuinely non-constant argument is an analysis error, not a
+    // raw IllegalArgumentException out of the planner
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      extSession.sql("SELECT word_ngrams(c, n) FROM VALUES ('a b', 2) t(c, n)").collect()
+    }
+    assert(e.getMessage.contains("word_ngrams"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      extSession.sql("SELECT vec_dot(cast(array(1.0) as array<float>))").collect()
+    }
+    assert(e2.getMessage.contains("expects 2 arguments"))
+  }
+
+  test("srp_signature SQL binding matches the Column API") {
+    val viaSql = extSession.sql(
+      "SELECT srp_signature(cast(array(0.5, -1.25, 3.0) as array<float>), 2*8) AS s")
+      .head().getLong(0)
+    val s = extSession
+    import s.implicits._
+    val viaCol = Seq(Tuple1(Array(0.5f, -1.25f, 3f))).toDF("v")
+      .select(graft.functions.SrpSignature($"v", 16)).as[Long].head()
+    assert(viaSql == viaCol)
+  }
+
   test("VecDotRewrite: widened HOF dot product becomes the native expression") {
     val s = extSession
     import s.implicits._
