@@ -145,8 +145,14 @@ object MinHashLsh {
   private def bandedCandidates(sig: DataFrame, sigCols: Seq[Column],
                                bandKeys: Seq[Column], maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the (id, signature, group) frame feeds SIX plan branches (band
+    // sides, both cross-expansion sides, both intra sides) — without a
+    // barrier each branch re-runs the signature aggregate above the
+    // reused exchange; materialize it once (k longs per doc, compact).
+    // Same retention caveat as the candidate checkpoint below.
     val members = sig.withColumn("__gid",
       min(col("__id")).over(Window.partitionBy(sigCols: _*)))
+      .localCheckpoint(false)
     val groups = members.filter(col("__id") === col("__gid"))
     val banded = groups.select(col("__gid"), explode(array(bandKeys: _*)).as("__bh"))
     val guarded =

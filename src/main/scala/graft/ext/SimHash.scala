@@ -62,7 +62,13 @@ object SimHash {
     val chunks = array((0 until bands).map { b =>
       struct(lit(b).as("band"), chunk(b).as("chunk"))
     }: _*)
-    val banded = fps.select(col(fpCol)).distinct().withColumn("__bc", explode(chunks))
+    // the fingerprint frame feeds six plan branches (distinct→band
+    // sides, both expansion sides, both intra sides); materialize it
+    // once — 16 bytes per doc — so the fingerprint aggregation is not
+    // re-run per branch. Checkpoint-block retention is documented in
+    // MinHashLsh.nearDupPairs; same tradeoff here.
+    val fpsM = fps.localCheckpoint(false)
+    val banded = fpsM.select(col(fpCol)).distinct().withColumn("__bc", explode(chunks))
     val guarded =
       if (maxBucket == Int.MaxValue) banded
       else banded
@@ -77,13 +83,13 @@ object SimHash {
         bit_count(col("__f1").bitwiseXOR(col("__f2"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("__f1"), col("__f2"), col("hamming"))
-    val m1 = fps.select(col("id").as("__i1"), col(fpCol).as("__f1"))
-    val m2 = fps.select(col("id").as("__i2"), col(fpCol).as("__f2"))
+    val m1 = fpsM.select(col("id").as("__i1"), col(fpCol).as("__f1"))
+    val m2 = fpsM.select(col("id").as("__i2"), col(fpCol).as("__f2"))
     val cross = fpPairs.join(m1, "__f1").join(m2, "__f2")
       .select(least(col("__i1"), col("__i2")).as("id1"),
         greatest(col("__i1"), col("__i2")).as("id2"), col("hamming"))
-    val intra = fps.select(col("id").as("id1"), col(fpCol).as("__f"))
-      .join(fps.select(col("id").as("id2"), col(fpCol).as("__f")), "__f")
+    val intra = fpsM.select(col("id").as("id1"), col(fpCol).as("__f"))
+      .join(fpsM.select(col("id").as("id2"), col(fpCol).as("__f")), "__f")
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), lit(0L).as("hamming"))
     cross.unionByName(intra)
@@ -99,13 +105,10 @@ object SimHash {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    // no checkpoint barrier here (unlike EmbeddingSearch.lshNearDupPairs):
-    // fingerprints ends in an aggregation whose shuffle subtree is
-    // identical for both join sides — ReuseExchange dedupes the heavy
-    // scan+explode+partial-agg work at execution (measured: a checkpoint
-    // is ~0.2s SLOWER at sf0.1). The LSH variant has no internal
-    // exchange, so there a barrier is the only thing preventing a
-    // double compute of the interpreted signature projection.
+    // the fingerprint barrier lives inside bandedPairs (the collapse
+    // introduced six consumers of this frame; ReuseExchange alone only
+    // dedupes up to the exchange, re-running the final aggregate per
+    // consumer)
     val fps = fingerprints(df, id, text)
     bandedPairs(fps, "simhash", bands,
       b => shiftrightunsigned(col("simhash"), b * width).bitwiseAND(mask),
