@@ -38,16 +38,43 @@ object Bench {
         .filter($"id" < $"id2")
         .agg(sum(size($"sig") + size($"s") + $"rn")).collect()
     } catch { case NonFatal(e) => System.err.println(s"[bench] warmup(ops) failed: $e") }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def timeAll(dir: String, skip: Set[String]): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, dir).count() }
+          catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+      }
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    val results = timeAll(sfDir, Set.empty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // second pass at ×10 synthetic scale: at the gate SF fixed cost
+    // dominates, so data-proportional regressions hide; the blowup pass
+    // is where super-linear growth shows. q34 is excluded BY DESIGN:
+    // it is the exact all-pairs cosine oracle kernel (quadratic in the
+    // corpus, documented as a bounded-slice rerank primitive) — its
+    // scale path is the SRP-bucketed lshNearDupPairs. Disable the pass
+    // with SPARK_GRAFT_X10=0.
+    val x10Skip = Set("q34_embed_neardup")
+    val x10Json =
+      if (sys.env.getOrElse("SPARK_GRAFT_X10", "1") == "0") ""
+      else try {
+        val sfName = new java.io.File(sfDir).getName
+        val x10Dir = Blowup.build(spark, sfDir,
+          s"${sys.props("java.io.tmpdir")}/graft_x10_$sfName", times = 10)
+        val r10 = timeAll(x10Dir, x10Skip)
+        s""","x10_total":${r10.map(_._2).sum},"x10_queries":${toJson(r10)}""" +
+          s""","x10_skipped":${x10Skip.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(s"[bench] x10 pass failed: $e"); ""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$x10Json}""")
     spark.stop()
   }
 }
