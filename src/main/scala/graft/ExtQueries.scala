@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{EmbeddingSearch, ExactDedup, MinHashLsh, Multimodal, Sampling, ShingleJaccard, SimHash, TextAnalysis}
+import graft.ext.{Decontaminate, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis}
+import graft.functions.KmvSketchAgg
 import graft.ops.Aggs
 
 /** LLM-training-pipeline extension queries (dedup, similarity search,
@@ -864,7 +865,160 @@ object ExtQueries {
                    (CAST(pos AS DOUBLE) - 0.5) / w AS mix_key
             FROM p ORDER BY mix_key, source_id, doc_id"""))
 
+  /** Word-3-gram CTE chain over a (doc_id, text) relation named `REL`:
+    * emits `SELECT DISTINCT doc_id, gram` with q45's tokenize/window
+    * shape. Kept as a helper so q49's two corpora share one mirror.
+    */
+  private def wordGramSql(rel: String): String =
+    s"""SELECT DISTINCT doc_id,
+       |       CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+       |            ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS g
+       |FROM (SELECT doc_id, t,
+       |             unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+       |      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |            FROM $rel))""".stripMargin
+
+  /** Benchmark decontamination: training docs sharing any word 3-gram
+    * with an eval slice. Plants mutated eval copies into the training
+    * side so the overlap join provably fires (vacuity guard). The eval
+    * gram keys broadcast — the 100 TB scale story (see Decontaminate).
+    */
+  val q49 = Q(
+    "q49_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val evalDocs = base.filter($"doc_id" % 50 === 0)
+      val planted = evalDocs.select(($"doc_id" + 200000L).as("doc_id"),
+        concat(lit("prefix token glue "), $"text").as("text"))
+      val train = base.filter($"doc_id" % 50 =!= 0).unionAll(planted)
+      Decontaminate.contamination(train, evalDocs, $"doc_id", $"text", n = 3)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+            |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+            |       UNION ALL
+            |       SELECT doc_id + 200000, 'prefix token glue ' || text FROM ev),
+            |eg AS (SELECT DISTINCT substring(md5(g), 1, 16) AS gk
+            |       FROM (${wordGramSql("ev")})),
+            |tg AS (SELECT doc_id, substring(md5(g), 1, 16) AS gk
+            |       FROM (${wordGramSql("tr")}))
+            |SELECT tg.doc_id, count(*) AS shared_grams
+            |FROM tg JOIN eg USING (gk)
+            |GROUP BY tg.doc_id
+            |ORDER BY tg.doc_id""".stripMargin))
+
+  /** KMV distinct-count sketch per event_type: bounded mergeable
+    * k-minimum-values state (KmvSketchAgg) over a portable 32-bit
+    * md5-derived hash, estimator arithmetic mirrored exactly in the
+    * oracle. k=12 (production would use 1024+) so the estimator branch
+    * fires even at the smallest SF's 15 distinct users per group.
+    */
+  val q50 = Q(
+    "q50_kmv_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val k = 12
+      val ev = t(s, dir, "events").select($"event_type", $"user_id")
+      val sk = ev
+        .select($"event_type",
+          MinHashLsh.portableHash32($"user_id".cast("string")).as("h32"))
+        .groupBy($"event_type")
+        .agg(KmvSketchAgg.kMinima($"h32", k).as("mins"))
+      // exact count kept separate: a distinct aggregate would force the
+      // Expand-based distinct plan around the object-hash sketch agg
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      sk.join(exact, "event_type")
+        .select(
+          $"event_type",
+          $"exact_users",
+          size($"mins").cast("long").as("sketch_size"),
+          try_element_at($"mins", lit(k)).as("kth_hash"),
+          when(size($"mins") < k, size($"mins").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+              try_element_at($"mins", lit(k)).cast("double"))
+            .as("est_users"))
+        .orderBy($"event_type")
+    },
+    Some(s"""WITH hx AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+            |hv AS (SELECT DISTINCT event_type, $hornerSql AS h32 FROM hx),
+            |rk AS (SELECT event_type, h32,
+            |              row_number() OVER (PARTITION BY event_type ORDER BY h32) AS r
+            |       FROM hv),
+            |sk AS (SELECT event_type, count(*) AS n_le,
+            |              max(CASE WHEN r = 12 THEN h32 END) AS kth
+            |       FROM rk WHERE r <= 12 GROUP BY event_type),
+            |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+            |       FROM events GROUP BY event_type)
+            |SELECT s.event_type, e.exact_users,
+            |       CAST(s.n_le AS BIGINT) AS sketch_size,
+            |       s.kth AS kth_hash,
+            |       CASE WHEN s.n_le < 12 THEN CAST(s.n_le AS DOUBLE)
+            |            ELSE 11.0 * 4294967296.0 / CAST(s.kth AS DOUBLE) END AS est_users
+            |FROM sk s JOIN ex e USING (event_type)
+            |ORDER BY s.event_type""".stripMargin))
+
+  /** Top-3 tf-idf keywords per document (smoothed-ratio idf — the ln
+    * form differs cross-engine in the last ulp; see Keywords scaladoc).
+    */
+  val q51 = Q(
+    "q51_tfidf_keywords",
+    (s, dir) => {
+      import s.implicits._
+      Keywords.topKeywords(t(s, dir, "documents"), $"doc_id", $"text", k = 3)
+        .orderBy($"doc_id", $"rank")
+    },
+    Some("""WITH toks AS (
+            |  SELECT doc_id, unnest(list_filter(
+            |           string_split_regex(trim(lower(text)), '\s+'),
+            |           tk -> regexp_matches(tk, '^[a-z]{3,}$'))) AS token
+            |  FROM documents),
+            |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            |scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+            |                  CAST(tf.tf AS DOUBLE) *
+            |                    ((CAST(n.n_docs AS DOUBLE) + 1.0) /
+            |                     (CAST(df.df AS DOUBLE) + 1.0)) AS score
+            |           FROM tf JOIN df USING (token) CROSS JOIN n),
+            |rk AS (SELECT *, row_number() OVER
+            |                   (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+            |       FROM scored)
+            |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+            |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+            |FROM rk WHERE rank <= 3
+            |ORDER BY doc_id, rank""".stripMargin))
+
+  /** Quantile-band quality filter: survivors of the [p10, p95] band of
+    * n_chars, per-language counts with the cutoffs surfaced. Exact
+    * percentile ≡ DuckDB quantile_cont (verified r1).
+    */
+  val q52 = Q(
+    "q52_quantile_filter",
+    (s, dir) => {
+      import s.implicits._
+      QualityFilter.quantileBand(t(s, dir, "documents"), $"n_chars", 0.10, 0.95)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"),
+          min($"cut_lo").as("cut_lo"),
+          min($"cut_hi").as("cut_hi"))
+        .orderBy($"lang")
+    },
+    Some("""WITH cuts AS (SELECT quantile_cont(n_chars, 0.10) AS cut_lo,
+            |                     quantile_cont(n_chars, 0.95) AS cut_hi
+            |              FROM documents),
+            |s AS (SELECT d.lang, d.n_chars, c.cut_lo, c.cut_hi
+            |      FROM documents d CROSS JOIN cuts c
+            |      WHERE CAST(d.n_chars AS DOUBLE) BETWEEN c.cut_lo AND c.cut_hi)
+            |SELECT lang, count(*) AS n_docs,
+            |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+            |       min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi
+            |FROM s GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48)
+    q46, q47, q48, q49, q50, q51, q52)
 }
