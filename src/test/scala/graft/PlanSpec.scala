@@ -101,6 +101,33 @@ class PlanSpec extends SparkTestBase {
     assert(sqrtIdx > joinIdx, s"norms computed per pair above the join:\n$p")
   }
 
+  test("q50 kmv sketch: ObjectHashAggregate with map-side partial, pruned scan") {
+    val df = ExtQueries.q50.run(spark, dir)
+    val ep = df.queryExecution.executedPlan.toString
+    // the sketch agg must plan as ObjectHashAggregate (not sort-based)
+    // and partial-aggregate before the shuffle: one <=k-long sketch per
+    // (partition, group) crosses the wire, never raw hashes
+    assert(ep.contains("ObjectHashAggregate"), ep)
+    assert(ep.contains("partial_kmvsketchagg"), ep)
+    assert(ep.contains("ReadSchema: struct<user_id:bigint,event_type:string>"), ep)
+  }
+
+  test("q51 tf-idf: per-doc window partitions by doc_id (no AllTuples sink)") {
+    val df = ExtQueries.q51.run(spark, dir)
+    val ep = df.queryExecution.executedPlan.toString
+    // a Window with no partition spec would funnel the corpus through
+    // one task; the top-k window must partition on doc_id (the 1-row
+    // corpus-count scalar agg legitimately uses SinglePartition)
+    assert("Window \\[.*windowspecdefinition\\(doc_id".r.findFirstIn(ep).isDefined, ep)
+  }
+
+  test("q49 decontaminate: eval grams broadcast, training grams never shuffle for the join") {
+    val df = ExtQueries.q49.run(spark, dir)
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin"), ep)
+    assert(!ep.contains("SortMergeJoin"), ep)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
