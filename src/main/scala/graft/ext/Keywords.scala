@@ -35,14 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object Keywords {
 
-  /** Alphabetic tokens, lowercased, length ≥ 3. */
-  private def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"),
-      t => t.rlike("^[a-z]{3,}$"))
-
-  /** (doc_id, token, tf) — term frequency per document. */
+  /** (doc_id, token, tf) — term frequency per document. Tokens are
+    * lowercased whitespace splits kept when alphabetic and length ≥ 3.
+    * The alphabetic filter runs AFTER the explode as a plain row
+    * Filter: an array-lambda `filter(split(...), ...)` is a
+    * higher-order function, which Catalyst evaluates interpreted —
+    * post-explode the rlike stays inside whole-stage codegen.
+    */
   def termFrequency(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    docs.select(id.as("doc_id"),
+        explode(split(lower(trim(text)), "\\s+")).as("token"))
+      .filter(col("token").rlike("^[a-z]{3,}$"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
 

@@ -51,6 +51,22 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming distinct-user KMV sketch per event type (streaming
+    * analogue of q50_kmv_distinct). The bounded k-minimum-values
+    * aggregate works unchanged under incremental execution because its
+    * state is mergeable: each micro-batch's partial sketches merge
+    * into the store's ≤ k-long buffer per group — constant state per
+    * key over an unbounded stream, where an exact distinct count would
+    * grow without bound. Complete output mode; no watermark needed
+    * since the state never grows past k longs per group.
+    */
+  def distinctUsersSketch(events: DataFrame, k: Int = 12): DataFrame =
+    events
+      .select(col("event_type"),
+        graft.ext.MinHashLsh.portableHash32(col("user_id").cast("string")).as("h32"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.kMinima(col("h32"), k).as("mins"))
+
   /** Session windows per user with a 30-minute gap — the built-in
     * session_window operator keeps per-user state and emits a session
     * row when the watermark passes the gap (streaming analogue of

@@ -43,6 +43,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("distinctUsersSketch streams the same KMV minima as the batch sketch") {
+    val stream = EventStream.readStream(spark, eventsDir)
+    val q = EventStream.distinctUsersSketch(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("kmv")
+        .orderBy("event_type").as[(String, Seq[Long])].collect().toSeq
+      val batch = EventStream.distinctUsersSketch(Tables.events(spark, sfDir))
+        .orderBy("event_type").as[(String, Seq[Long])].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.forall(_._2.nonEmpty))
+    } finally q.stop()
+  }
+
   test("sessionizeCustomState (flatMapGroupsWithState) matches the batch session count") {
     import spark.implicits._
     // stage events + a far-future flush event that advances the global
