@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Decontaminate, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis}
+import graft.ext.{Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis}
 import graft.functions.KmvSketchAgg
 import graft.ops.Aggs
 
@@ -1018,7 +1018,86 @@ object ExtQueries {
             |       min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi
             |FROM s GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Planted near-dup corpus + char-3-gram jaccard pair CTEs shared by
+    * q53/q54: docs < 60 plus TWO mutated copies of docs < 10, so
+    * clusters are transitive (original ~ copyA ~ copyB). Mirrors
+    * ShingleJaccard.similarPairs at threshold 0.6 (q24's chain).
+    */
+  private val clusterCorpusSql: String =
+    """d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |      UNION ALL
+      |      SELECT doc_id + 300000, text || ' tail a' FROM documents WHERE doc_id < 10
+      |      UNION ALL
+      |      SELECT doc_id + 600000, text || ' tail b' FROM documents WHERE doc_id < 10),
+      |pos AS (SELECT doc_id, text,
+      |               unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+      |        FROM d),
+      |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS s FROM pos),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id1, b.doc_id id2, count(*) i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id1, id2
+      |          FROM inter
+      |          JOIN sizes sa ON sa.doc_id = id1
+      |          JOIN sizes sb ON sb.doc_id = id2
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION SELECT id2, id1 FROM pairs),
+      |reach(id, r) AS (SELECT a, a FROM edges
+      |                 UNION
+      |                 SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** The planted Spark-side corpus matching clusterCorpusSql's `d`. */
+  private def clusterCorpus(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    val base = t(s, dir, "documents").select($"doc_id", $"text")
+    val p10 = base.filter($"doc_id" < 10)
+    base.filter($"doc_id" < 60)
+      .unionAll(p10.select(($"doc_id" + 300000L).as("doc_id"),
+        concat($"text", lit(" tail a")).as("text")))
+      .unionAll(p10.select(($"doc_id" + 600000L).as("doc_id"),
+        concat($"text", lit(" tail b")).as("text")))
+  }
+
+  /** Near-dup cluster assignment: connected components (iterative
+    * min-label propagation) over jaccard candidate pairs — the
+    * transitive-closure step after any LSH family. Oracle: DuckDB
+    * recursive CTE closure over the same pair chain.
+    */
+  val q53 = Q(
+    "q53_dedup_clusters",
+    (s, dir) => {
+      import s.implicits._
+      val d = clusterCorpus(s, dir)
+      val pairs = ShingleJaccard.similarPairs(d, $"doc_id", $"text", 3, 0.6)
+      DedupClusters.connectedComponents(pairs).orderBy($"id")
+    },
+    Some(s"""WITH RECURSIVE
+            |$clusterCorpusSql
+            |SELECT id, component FROM comp ORDER BY id""".stripMargin))
+
+  /** Canonical corpus after cluster dedup: min-id keeper per
+    * component, unpaired docs pass through.
+    */
+  val q54 = Q(
+    "q54_canonical_corpus",
+    (s, dir) => {
+      import s.implicits._
+      val d = clusterCorpus(s, dir)
+      val pairs = ShingleJaccard.similarPairs(d, $"doc_id", $"text", 3, 0.6)
+      DedupClusters.keepCanonical(d, "doc_id", pairs)
+        .select($"doc_id").orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |$clusterCorpusSql,
+            |losers AS (SELECT id FROM comp WHERE id <> component)
+            |SELECT doc_id FROM d
+            |WHERE doc_id NOT IN (SELECT id FROM losers)
+            |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }

@@ -1,0 +1,40 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+/** Connected-components cluster canonicalization over pair lists. */
+class DedupClustersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pairs(ps: (Long, Long)*) = ps.toDF("id1", "id2")
+
+  test("transitive chain collapses to one component labeled by its min") {
+    // 5-4, 4-3, 3-2, 2-1: a chain needs multiple propagation rounds
+    val out = DedupClusters.connectedComponents(pairs(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep separate min labels") {
+    val out = DedupClusters.connectedComponents(pairs(10L -> 11L, 12L -> 11L, 20L -> 21L))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("keepCanonical keeps min-id per cluster and passes unpaired docs through") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "solo")).toDF("doc_id", "text")
+    val kept = DedupClusters.keepCanonical(docs, "doc_id", pairs(2L -> 1L, 3L -> 2L))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 9L))
+  }
+
+  test("result is partition-invariant") {
+    val p = pairs(1L -> 2L, 3L -> 4L, 2L -> 3L, 7L -> 8L)
+    val expected = DedupClusters.connectedComponents(p.repartition(1))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val multi = DedupClusters.connectedComponents(p.repartition(7))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(multi == expected)
+    assert(expected == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+}
