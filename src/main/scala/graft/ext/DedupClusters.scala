@@ -40,13 +40,17 @@ object DedupClusters {
     * where `component` is the smallest id in the node's component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val spark = pairs.sparkSession
+    // no distinct() on edges: duplicate pairs only feed extra rows into
+    // the min-aggregation (harmless), and the dedup would cost a
+    // shuffle of the whole pair list up front
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct()
       .localCheckpoint(true) // reused every round — don't re-derive the pairs
-    var labels = edges.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
+    // round 0 fused into initialization: each node starts at
+    // min(id, min neighbor) — one grouped min, no join, saves a round
+    var labels = edges
+      .groupBy(col("a").as("id"))
+      .agg(min(least(col("a"), col("b"))).as("component"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
