@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis}
+import graft.ext.{Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis}
 import graft.functions.KmvSketchAgg
 import graft.ops.Aggs
 
@@ -1097,7 +1097,42 @@ object ExtQueries {
             |WHERE doc_id NOT IN (SELECT id FROM losers)
             |ORDER BY doc_id""".stripMargin))
 
+  /** Token-budget sequence packing: md5-bucketed offset packing with
+    * 512-token bins; every step integer/window arithmetic mirrored in
+    * the oracle.
+    */
+  val q55 = Q(
+    "q55_sequence_pack",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      Packing.packByBudget(docs, $"doc_id", $"n_tokens", budget = 512L, salt = "pack")
+        .orderBy($"bucket", $"pack_pos")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+            |                 len(string_split_regex(trim(text), '\s+')) AS n,
+            |                 md5(CAST(doc_id AS VARCHAR) || 'pack') AS h
+            |          FROM documents),
+            |v AS (SELECT doc_id, n, h,
+            |             (CASE WHEN ascii(substring(h,1,1)) <= 57
+            |                   THEN ascii(substring(h,1,1)) - 48
+            |                   ELSE ascii(substring(h,1,1)) - 87 END) * 16 +
+            |             (CASE WHEN ascii(substring(h,2,1)) <= 57
+            |                   THEN ascii(substring(h,2,1)) - 48
+            |                   ELSE ascii(substring(h,2,1)) - 87 END) AS bucket
+            |      FROM d),
+            |p AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+            |             row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS pack_pos,
+            |             CAST(sum(n) OVER (PARTITION BY bucket ORDER BY h, doc_id
+            |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+            |             CAST(n AS BIGINT) AS nn
+            |      FROM v)
+            |SELECT doc_id, bucket, CAST(pack_pos AS BIGINT) AS pack_pos,
+            |       cum_tokens, (cum_tokens - nn) // 512 AS bin_id
+            |FROM p ORDER BY bucket, pack_pos""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }
