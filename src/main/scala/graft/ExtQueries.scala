@@ -1132,7 +1132,39 @@ object ExtQueries {
             |       cum_tokens, (cum_tokens - nn) // 512 AS bin_id
             |FROM p ORDER BY bucket, pack_pos""".stripMargin))
 
+  /** Canonical text normalization with planted messy rows (tabs, CRLF,
+    * a bell control byte, double spaces, mixed case) so every branch
+    * of the regexp chain provably fires.
+    */
+  val q56 = Q(
+    "q56_normalize_text",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val messy = base.filter($"doc_id" < 20).select(
+        ($"doc_id" + 400000L).as("doc_id"),
+        concat(lit("  MiXeD \t Case\r\n"), $"text",
+          lit("\u0007  trailing   ")).as("text"))
+      val d = base.unionAll(messy)
+      val norm = TextAnalysis.normalize($"text")
+      d.select($"doc_id", norm.as("norm"), ($"text" =!= norm).as("changed"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+            |           UNION ALL
+            |           SELECT doc_id + 400000,
+            |                  '  MiXeD ' || chr(9) || ' Case' || chr(13) || chr(10) ||
+            |                  text || chr(7) || '  trailing   '
+            |           FROM documents WHERE doc_id < 20),
+            |n AS (SELECT doc_id, text,
+            |             lower(trim(regexp_replace(
+            |               regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g'),
+            |               '[\x00-\x1f\x7f]', '', 'g'))) AS norm
+            |      FROM d)
+            |SELECT doc_id, norm, text <> norm AS changed
+            |FROM n ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

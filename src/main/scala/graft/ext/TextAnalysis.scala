@@ -145,6 +145,21 @@ object TextAnalysis {
     size(regexp_extract_all(c, lit(LongNumberPattern), lit(0)))
 
   /** 64-bit content fingerprint (xxhash64 builtin — codegen'd, seed 42). */
+  /** Canonical text normalization — the cleaning pass that runs before
+    * shingling/dedup so that cosmetic variants (tabs vs spaces, CRLF,
+    * stray control bytes, case) collapse to one canonical form:
+    * strip C0/C1 control chars (keeping \t\n\r as whitespace first),
+    * collapse all whitespace runs to single spaces, trim, lowercase.
+    * Narrow codegen'd regexp chain; engine-portable (mirrored in the
+    * q56 oracle).
+    */
+  def normalize(c: Column): Column =
+    // explicit whitespace class, not \s: Java \s includes \x0b, RE2's
+    // does not — spelling it out keeps every engine byte-identical
+    lower(trim(regexp_replace(
+      regexp_replace(c, "[ \\t\\n\\r\\f\\x0b]+", " "),
+      "[\\x00-\\x1f\\x7f]", "")))
+
   def fingerprint(c: Column): Column = xxhash64(c)
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting, as

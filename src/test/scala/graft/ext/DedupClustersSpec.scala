@@ -28,6 +28,34 @@ class DedupClustersSpec extends SparkTestBase {
     assert(kept == Seq(1L, 9L))
   }
 
+  test("random graphs match a driver-side union-find reference") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(50)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        .map(id => id -> {
+          // min member of the component = min over nodes with same root
+          val root = find(id)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(find(_) == root).min
+        })
+      val got = DedupClusters.connectedComponents(edges.toDF("id1", "id2"))
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("result is partition-invariant") {
     val p = pairs(1L -> 2L, 3L -> 4L, 2L -> 3L, 7L -> 8L)
     val expected = DedupClusters.connectedComponents(p.repartition(1))
