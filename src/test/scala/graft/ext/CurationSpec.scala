@@ -67,6 +67,14 @@ class CurationSpec extends SparkTestBase {
     assert(row._2 > row._1 && row._3 < row._1)
   }
 
+  test("empty eval corpus contaminates nothing; empty train yields empty") {
+    val train = docs(1L -> "some training text here")
+    val emptyDocs = docs()
+    assert(Decontaminate.contamination(train, emptyDocs, $"doc_id", $"text", 3).count() == 0)
+    assert(Decontaminate.decontaminate(train, emptyDocs, $"doc_id", $"text", 3).count() == 1)
+    assert(Decontaminate.contamination(emptyDocs, train, $"doc_id", $"text", 3).count() == 0)
+  }
+
   test("quantileBand keeps the inner band and attaches cutoffs") {
     val df = (1 to 100).map(i => (i.toLong, i)).toDF("id", "m")
     val out = QualityFilter.quantileBand(df, $"m", 0.10, 0.90)

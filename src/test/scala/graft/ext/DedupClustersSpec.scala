@@ -28,6 +28,13 @@ class DedupClustersSpec extends SparkTestBase {
     assert(kept == Seq(1L, 9L))
   }
 
+  test("empty pair list yields empty components; keepCanonical passes all docs") {
+    val noPairs = pairs()
+    assert(DedupClusters.connectedComponents(noPairs).count() == 0)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(DedupClusters.keepCanonical(docs, "doc_id", noPairs).count() == 2)
+  }
+
   test("random graphs match a driver-side union-find reference") {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)

@@ -35,6 +35,11 @@ class PackingSpec extends SparkTestBase {
     assert(one == many)
   }
 
+  test("empty input packs to empty output") {
+    val empty = docs.filter($"doc_id" < 0)
+    assert(Packing.packByBudget(empty, $"doc_id", $"n_tokens", 200L).count() == 0)
+  }
+
   test("total tokens are conserved") {
     val packed = Packing.packByBudget(docs, $"doc_id", $"n_tokens", 200L)
     val maxCum = packed.groupBy($"bucket").agg(max($"cum_tokens").as("m"))
