@@ -35,6 +35,30 @@ class JdbcSink(url: String, props: java.util.Properties,
       .jdbc(url, table, props)
 }
 
+/** JSONL sink — the training-data interchange format (one JSON object
+  * per line). `maxRecordsPerFile` bounds shard size so a 100 TB export
+  * emits evenly-sized files downstream trainers can stream (0 = let
+  * partitioning decide); optional codec (gzip/zstd) for wire formats
+  * that expect compressed shards.
+  */
+class JsonlSink(baseDir: String, maxRecordsPerFile: Long = 0L,
+                codec: Option[String] = None) extends TableSink {
+  override def append(df: DataFrame, table: String): Unit = {
+    val base = df.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    codec.fold(base)(c => base.option("compression", c))
+      .json(s"$baseDir/$table")
+  }
+}
+
+/** ORC sink — same contract as ParquetSink for warehouses standardized
+  * on ORC; Spark ships the reader/writer, so the swap is config only.
+  */
+class OrcSink(baseDir: String) extends TableSink {
+  override def append(df: DataFrame, table: String): Unit =
+    df.write.mode("append").orc(s"$baseDir/$table")
+}
+
 /** Quarantine sink (S7): original invalid/duplicate rows as one
   * header'd CSV per load, mirroring invalid_data/{hhs,quality}.csv
   * (load_hhs.py:152-155). coalesce(1) matches the reference's
