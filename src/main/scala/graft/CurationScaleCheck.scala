@@ -1,0 +1,79 @@
+package graft
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Dev scaling probe for the round-3 curation operators: run
+  * decontamination, connected components, KMV sketching, and sequence
+  * packing on 1x / 4x / 10x inflations and report wall + ms/row, the
+  * same honest-measurement discipline as ScaleCheck (warm pass first,
+  * persist'd inputs so generation cost is excluded).
+  *
+  *   runMain graft.CurationScaleCheck
+  */
+object CurationScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("32")
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"text")
+
+    def inflate(times: Int) = {
+      val df = (0 until times).map { c =>
+        base.select(($"doc_id" + c * 1000000L).as("doc_id"),
+          concat($"text", lit(s" copymark$c")).as("text"))
+      }.reduce(_ unionAll _).persist(StorageLevel.MEMORY_AND_DISK)
+      df.count(); df
+    }
+
+    // fixed eval slice — the realistic shape: benchmark suites don't
+    // grow with the corpus
+    val evalDocs = base.filter($"doc_id" < 100).persist(StorageLevel.MEMORY_AND_DISK)
+    evalDocs.count()
+
+    // synthetic pair lists for CC: `m` clusters, each a 4-node path
+    // (diameter 3 — forces real propagation rounds, unlike triangles)
+    def ccPairs(m: Int) = {
+      val df = spark.range(m).select(
+          explode(array((0 to 2).map(i =>
+            struct((col("id") * 10 + i).as("id1"), (col("id") * 10 + i + 1).as("id2"))): _*))
+            .as("e"))
+        .select(col("e.id1"), col("e.id2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      df.count(); df
+    }
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale3] $label: $s%.2f s ($n rows, ${s * 1000 / math.max(n, 1)}%.3f ms/row)")
+    }
+
+    // warm pass (codegen/JIT)
+    val w = inflate(1)
+    graft.ext.Decontaminate.contamination(w.limit(500), evalDocs, $"doc_id", $"text", 3).count()
+    graft.ext.DedupClusters.connectedComponents(ccPairs(100)).count()
+    graft.ext.Packing.packByBudget(
+      w.limit(500).select($"doc_id", length($"text").as("n")), $"doc_id", $"n", 4096L).count()
+    w.unpersist()
+
+    Seq(1, 4, 10).foreach { times =>
+      val docs = inflate(times)
+      val n = docs.count()
+      time(s"decontaminate ${n}docs") {
+        graft.ext.Decontaminate.contamination(docs, evalDocs, $"doc_id", $"text", 3).count()
+      }
+      time(s"pack ${n}docs") {
+        graft.ext.Packing.packByBudget(
+          docs.select($"doc_id", length($"text").as("n")), $"doc_id", $"n", 4096L).count()
+      }
+      docs.unpersist()
+      val pairs = ccPairs(20000 * times)
+      time(s"cc ${20000 * times}x4-chains") {
+        graft.ext.DedupClusters.connectedComponents(pairs).count()
+      }
+      pairs.unpersist()
+    }
+    spark.stop()
+  }
+}
