@@ -112,7 +112,19 @@ object GraftFunctions {
     (FunctionIdentifier("srp_signature"),
       info("srp_signature", "srp_signature(vec, bits) - signed-random-projection signature of a float vector"),
       arity("srp_signature", 2)(a =>
-        SrpSignature(a(0), intLit(a(1), "srp_signature")))))
+        SrpSignature(a(0), intLit(a(1), "srp_signature")))),
+    (FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(s) - strip control chars, collapse whitespace, trim, lowercase"),
+      arity("normalize_text", 1) { a =>
+        // built from RESOLVED catalyst nodes: function builders fire
+        // after analysis, so a Column-API composition (unresolved
+        // function nodes) would never resolve here. Patterns must stay
+        // byte-identical to ext.TextAnalysis.normalize.
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
+        val ws = RegExpReplace(a(0), Literal("[ \\t\\n\\r\\f\\x0b]+"), Literal(" "))
+        val ctl = RegExpReplace(ws, Literal("[\\x00-\\x1f\\x7f]"), Literal(""))
+        Lower(StringTrim(ctl))
+      }))
 
   /** Register every function into a live session. */
   def register(spark: SparkSession): Unit =

@@ -47,6 +47,21 @@ class ExtensionsSpec extends SparkTestBase {
     val g = extSession.sql("SELECT word_ngrams('a b c', 2) AS g")
       .head().getSeq[String](0)
     assert(g == Seq("a b", "b c"))
+    val t = extSession.sql("SELECT normalize_text('  MiXeD \t Case  ') AS t")
+      .head().getString(0)
+    assert(t == "mixed case")
+  }
+
+  test("normalize_text SQL binding matches the Column API (no copy drift)") {
+    GraftFunctions.register(spark)
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    docs.createOrReplaceTempView("nt_docs")
+    val viaSql = spark.sql("SELECT normalize_text(text) AS n FROM nt_docs ORDER BY n")
+      .collect().toSeq
+    val viaCol = docs.select(graft.ext.TextAnalysis.normalize(docs("text")).as("n"))
+      .orderBy("n").collect().toSeq
+    assert(viaSql == viaCol)
   }
 
   test("foldable-but-unfolded constant args are accepted; bad args raise AnalysisException") {
