@@ -56,12 +56,19 @@ object Keywords {
   /** Top-k keywords per document by smoothed tf-idf-ratio score.
     * Output: (doc_id, rank, token, tf, df, score), rank 1..k, ties
     * broken lexicographically on token.
+    *
+    * df is a COUNT WINDOW over the tf frame partitioned by token, not
+    * a separate aggregate joined back: the self-join form plans the
+    * scan+explode subtree twice (the optimizer prunes the two copies
+    * differently, defeating exchange reuse — measured 3 FileScans /
+    * 2 Generates), which at corpus scale reads the data twice. The
+    * window form scans and explodes ONCE.
     */
   def topKeywords(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     val tf = termFrequency(docs, id, text)
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(id).as("n_docs"))
-    val scored = tf.join(df, "token")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") *

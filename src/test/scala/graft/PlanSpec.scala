@@ -119,6 +119,9 @@ class PlanSpec extends SparkTestBase {
     // one task; the top-k window must partition on doc_id (the 1-row
     // corpus-count scalar agg legitimately uses SinglePartition)
     assert("Window \\[.*windowspecdefinition\\(doc_id".r.findFirstIn(ep).isDefined, ep)
+    // tf is scanned+exploded ONCE: df comes from a window over tf, not
+    // a self-join that plans the explode subtree twice
+    assert("Generate explode".r.findAllIn(ep).length == 1, ep)
   }
 
   test("q49 decontaminate: eval grams broadcast, training grams never shuffle for the join") {
