@@ -52,13 +52,19 @@ object ShingleJaccard {
   def similarPairs(df: DataFrame, id: Column, text: Column, n: Int,
                    threshold: Double, maxDf: Option[Long] = None): DataFrame = {
     val sh = df.select(id.as("__id"), explode(charShingles(text, n)).as("__sh"))
-    val pruned = maxDf match {
+    val prunedPlan = maxDf match {
       case Some(cap) =>
         val dfCounts = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= cap).select("__sh")
         sh.join(dfCounts, Seq("__sh"), "left_semi")
       case None => sh
     }
+    // the shingle frame feeds three consumers (sizes + both self-join
+    // sides); without a barrier each consumer replans the whole
+    // scan+explode subtree (measured: 4 FileScans / 4 Generates on
+    // q24). Materialize once — same lazy-checkpoint pattern as
+    // MinHashLsh's signature frames (retention caveat there applies).
+    val pruned = prunedPlan.localCheckpoint(false)
     val sizes = pruned.groupBy("__id").agg(count(lit(1)).as("__n"))
     val a = pruned.select(col("__id").as("id1"), col("__sh"))
     val b = pruned.select(col("__id").as("id2"), col("__sh"))
