@@ -1164,7 +1164,48 @@ object ExtQueries {
             |SELECT doc_id, norm, text <> norm AS changed
             |FROM n ORDER BY doc_id""".stripMargin))
 
+  /** One deterministic Lloyd k-means step over the embeddings table:
+    * first-8-by-id init, bit-exact cosine assignment, DECIMAL(38,6)
+    * per-dimension means — centroid rows mirrored per (cell, pos).
+    */
+  val q57 = Q(
+    "q57_kmeans_step",
+    (s, dir) => {
+      import s.implicits._
+      EmbeddingSearch.kmeansCentroids(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 1)
+        .select($"cell", $"n_members",
+          posexplode($"centroid").as(Seq("pos", "m")))
+        .select($"cell", $"pos".cast("long").as("pos"), $"m", $"n_members")
+        .orderBy($"cell", $"pos")
+    },
+    Some("""WITH c AS (SELECT vec_id,
+            |                 list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+            |          FROM embeddings),
+            |cents AS (SELECT vec_id AS ctr_id, v AS cv FROM c ORDER BY vec_id LIMIT 8),
+            |scored AS (SELECT c.vec_id, c.v, ctr_id,
+            |                  list_inner_product(c.v, cv) /
+            |                    (sqrt(list_inner_product(c.v, c.v)) *
+            |                     sqrt(list_inner_product(cv, cv))) AS cos
+            |           FROM c CROSS JOIN cents),
+            |best AS (SELECT vec_id, v, ctr_id FROM (
+            |           SELECT vec_id, v, ctr_id,
+            |                  row_number() OVER (PARTITION BY vec_id
+            |                                     ORDER BY cos DESC, ctr_id) AS rn
+            |           FROM scored) WHERE rn = 1),
+            |dims AS (SELECT ctr_id, v,
+            |                unnest(generate_series(1, len(v))) AS p
+            |         FROM best),
+            |means AS (SELECT ctr_id, p - 1 AS pos,
+            |                 CAST(sum(CAST(v[CAST(p AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+            |                   / count(*) AS m,
+            |                 count(*) AS n
+            |          FROM dims GROUP BY ctr_id, p)
+            |SELECT ctr_id AS cell, CAST(pos AS BIGINT) AS pos, m,
+            |       CAST(n AS BIGINT) AS n_members
+            |FROM means ORDER BY cell, pos""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
 }

@@ -126,6 +126,66 @@ object EmbeddingSearch {
     topKOut(cand, queryId, k)
   }
 
+  /** Deterministic Lloyd k-means refinement over an embedding column —
+    * the clustering primitive behind IVF cell layouts and corpus topic
+    * bucketing. Initialization is the first k vectors by id (the same
+    * deterministic choice ivfTopK makes), assignment is cosine with
+    * centroid-id tie-break, and each refined centroid is the per-
+    * dimension mean of its members.
+    *
+    * Determinism discipline: per-dimension sums go through
+    * DECIMAL(38,6) (order-independent, so the plan may re-partition
+    * freely — and the repo-wide proven scale for cross-engine
+    * decimal→double conversion: at scale 18 the conversion itself
+    * differs in the last ulp between engines, measured on q57), the
+    * mean is ONE IEEE division, and the assignment ordering reuses the
+    * bit-exact ordered-fold cosine — the whole step is a pure function
+    * of the data, reproducible on any cluster and mirrorable in ANSI
+    * SQL.
+    *
+    * Scale: assignment is a broadcast of k centroid vectors against a
+    * single corpus scan (k·dim multiply-adds per row); the mean is one
+    * (cell, dim)-keyed aggregation, partial-aggregated map-side —
+    * k·dim groups total, no corpus-proportional state.
+    *
+    * Output: (cell, n_members, centroid array<double>), one row per
+    * non-empty cell.
+    */
+  def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val c = aliased(corpus, id, vec, "__cid", "__cvec")
+    var cents = c.orderBy(col("__cid")).limit(k)
+      .select(col("__cid").as("__ctr_id"), col("__cvec").as("__ctr_vec"))
+    var result: DataFrame = null
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("__cid")
+        .orderBy(col("__ccos").desc, col("__ctr_id").asc)
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("__ccos", cosine(col("__cvec"), col("__ctr_vec")))
+        .withColumn("__rn", row_number().over(wAssign))
+        .filter(col("__rn") === 1)
+        .select(col("__cid"), col("__cvec"), col("__ctr_id"))
+      val dims = assigned
+        .select(col("__ctr_id"), posexplode(col("__cvec")).as(Seq("__pos", "__v")))
+        .groupBy(col("__ctr_id"), col("__pos"))
+        .agg(sum(col("__v").cast("double").cast("decimal(38,6)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("__ctr_id"), col("__pos"),
+          (col("__s").cast("double") / col("__n")).as("__m"), col("__n"))
+      result = dims.groupBy(col("__ctr_id"))
+        .agg(max(col("__n")).as("n_members"),
+          array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("__ctr_id").as("cell"), col("n_members"),
+          transform(col("__pm"), s => s.getField("__m")).as("centroid"))
+      // next-round centroids: means cast back to the float vector type
+      // (transform is an interpreted HOF but runs over k rows only)
+      cents = result.select(col("cell").as("__ctr_id"),
+        transform(col("centroid"), x => x.cast("float")).as("__ctr_vec"))
+    }
+    result
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cos ≥ threshold)
     * — exact all-pairs form. The cosine tree is the same ordered-fold
     * arithmetic as bruteForceTopK, so results are oracle-comparable

@@ -210,4 +210,27 @@ class NearDupSpec extends SparkTestBase {
     assert(cappedMh.count { case (a, b, _) => a >= 100L && b >= 100L } == 40 * 39 / 2)
     assert(!cappedMh.exists { case (a, b, _) => a == 1L && b == 2L })
   }
+
+  test("kmeansCentroids separates planted clusters and is partition-invariant") {
+    // two tight clusters on orthogonal axes + the two lowest-id seeds
+    // sitting one in each cluster
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 0f, 1f, 0f)
+      (i.toLong, base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i + d) % 5) })
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = EmbeddingSearch.kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("cell")
+    val rows = out.select($"cell", $"n_members").as[(Long, Long)].collect().toSeq
+    // even ids cluster with seed 0, odd ids with seed 1 → 10 members each
+    assert(rows == Seq(0L -> 10L, 1L -> 10L), rows.toString)
+    val cents = out.select($"centroid").as[Seq[Double]].collect()
+    // cluster 0 points along dim 0, cluster 1 along dim 2
+    assert(cents(0)(0) > 0.9 && cents(0)(2) < 0.1)
+    assert(cents(1)(2) > 0.9 && cents(1)(0) < 0.1)
+    val repart = EmbeddingSearch.kmeansCentroids(df.repartition(7),
+      "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("cell").select($"centroid").as[Seq[Double]].collect()
+    assert(repart.toSeq == cents.toSeq)
+  }
 }
