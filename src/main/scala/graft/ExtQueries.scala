@@ -1205,7 +1205,43 @@ object ExtQueries {
             |       CAST(n AS BIGINT) AS n_members
             |FROM means ORDER BY cell, pos""".stripMargin))
 
+  /** Incremental ingest dedup: an incoming batch checked against the
+    * existing corpus by content digest. Planted: 20 incoming rows are
+    * content-copies of existing docs (new ids), plus one intra-batch
+    * duplicate pair — both planted shapes must be dropped, everything
+    * else appended. sha2-256 hex is byte-identical across engines.
+    */
+  val q58 = Q(
+    "q58_incremental_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val existing = base.filter($"doc_id" < 250)
+      val fresh = base.filter($"doc_id" >= 250)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text")
+      val replayed = base.filter($"doc_id" < 20)
+        .select(($"doc_id" + 600000L).as("doc_id"), $"text")
+      val intraDup = base.filter($"doc_id" >= 250 && $"doc_id" < 255)
+        .select(($"doc_id" + 700000L).as("doc_id"), $"text")
+      val incoming = fresh.unionAll(replayed).unionAll(intraDup)
+      ExactDedup.incremental(incoming, existing, $"text", "doc_id")
+        .select($"doc_id").orderBy($"doc_id")
+    },
+    Some("""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+            |inc AS (SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id >= 250
+            |        UNION ALL
+            |        SELECT doc_id + 600000, text FROM documents WHERE doc_id < 20
+            |        UNION ALL
+            |        SELECT doc_id + 700000, text FROM documents WHERE doc_id >= 250 AND doc_id < 255),
+            |keep AS (SELECT doc_id, text FROM (
+            |           SELECT doc_id, text,
+            |                  row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+            |           FROM inc) WHERE rn = 1)
+            |SELECT k.doc_id FROM keep k
+            |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE sha256(ex.text) = sha256(k.text))
+            |ORDER BY k.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }

@@ -39,4 +39,31 @@ object ExactDedup {
       .select(col("keeper_id").as(idName))
     df.join(keepers, Seq(idName), "left_semi")
   }
+
+  /** Incremental ingest dedup: rows of `incoming` whose content does
+    * not already exist in `existing` — the daily-batch operation of a
+    * continuously-built corpus (the reference's batched set-membership
+    * dedup, `load_quality.py:114-136`, generalized from key equality
+    * to content identity). Also dedups WITHIN the incoming batch
+    * (smallest id wins), so the result is directly appendable.
+    *
+    * Scale: both sides reduce to 32-byte sha2-256 digests before the
+    * anti-join — the existing corpus contributes one digest per row
+    * (in practice a maintained digest table, not a rescan), and the
+    * join shuffles digests, never text.
+    */
+  def incremental(incoming: DataFrame, existing: DataFrame,
+                  content: Column, idName: String): DataFrame = {
+    val existingDigests = existing
+      .select(sha2(content.cast("string"), 256).as("__h")).distinct()
+    val incomingKeyed = incoming
+      .withColumn("__h", sha2(content.cast("string"), 256))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col(idName))
+    incomingKeyed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .join(existingDigests, Seq("__h"), "left_anti")
+      .drop("__h", "__rn")
+  }
 }

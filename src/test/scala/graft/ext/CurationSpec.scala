@@ -75,6 +75,18 @@ class CurationSpec extends SparkTestBase {
     assert(Decontaminate.contamination(emptyDocs, train, $"doc_id", $"text", 3).count() == 0)
   }
 
+  test("incremental dedup drops replayed content and intra-batch dups, keeps fresh") {
+    val existing = docs(1L -> "seen before", 2L -> "also seen")
+    val incoming = docs(
+      10L -> "brand new content",
+      11L -> "seen before",        // replay of existing → dropped
+      12L -> "repeated in batch",  // intra-batch dup, smallest id wins
+      13L -> "repeated in batch")
+    val kept = ExactDedup.incremental(incoming, existing, $"text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 12L))
+  }
+
   test("quantileBand keeps the inner band and attaches cutoffs") {
     val df = (1 to 100).map(i => (i.toLong, i)).toDF("id", "m")
     val out = QualityFilter.quantileBand(df, $"m", 0.10, 0.90)
