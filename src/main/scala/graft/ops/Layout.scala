@@ -43,4 +43,26 @@ object Layout {
     df.write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** AQE-rebalanced view of `df` for writing: the REBALANCE hint makes
+    * the final exchange split oversized partitions AND coalesce tiny
+    * ones to spark.sql.adaptive.advisoryPartitionSizeInBytes — the fix
+    * for the small-files problem (a filter-heavy job writing through
+    * 10k near-empty tasks produces 10k near-empty files, which then
+    * tax every downstream listing and scan). Unlike coalesce(n), no
+    * magic file count to guess, and skewed partitions still split.
+    */
+  def rebalanced(df: DataFrame): DataFrame = df.hint("rebalance")
+
+  /** writePartitioned with a rebalance on the partition columns, so
+    * each output directory gets well-sized files (rows for the same
+    * partition value land in the same tasks instead of a sliver per
+    * task × partition).
+    */
+  def writePartitionedRebalanced(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit =
+    df.hint("rebalance", partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

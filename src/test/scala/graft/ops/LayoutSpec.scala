@@ -61,4 +61,29 @@ class LayoutSpec extends SparkTestBase {
     val expect = o.filter($"order_year" === 1995).count()
     assert(scan.count() == expect && expect > 0)
   }
+
+  test("rebalanced write collapses a sliver-partitioned frame into few well-sized files") {
+    val tmp = java.nio.file.Files.createTempDirectory("rebal").toString
+    // 64 near-empty partitions — the many-tasks-few-rows write shape
+    val slivers = Tables.orders(spark, dir).repartition(64)
+    Layout.rebalanced(slivers).write.mode("overwrite").parquet(s"$tmp/naive")
+    val files = new java.io.File(s"$tmp/naive").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // AQE coalesces the tiny partitions; without the hint this writes 64
+    assert(files < 16, s"expected few coalesced files, got $files")
+    assert(spark.read.parquet(s"$tmp/naive").count() ==
+      Tables.orders(spark, dir).count())
+
+    val o = Tables.orders(spark, dir).withColumn("order_year", year($"o_orderdate"))
+      .repartition(64)
+    Layout.writePartitionedRebalanced(o, s"$tmp/orders", Seq("order_year"))
+    val years = new java.io.File(s"$tmp/orders").listFiles()
+      .filter(_.getName.startsWith("order_year="))
+    assert(years.nonEmpty)
+    // one-ish file per partition dir, not one per (task × year)
+    years.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= 4, s"${d.getName}: $n files")
+    }
+  }
 }
