@@ -38,6 +38,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // zstd: ~30% smaller than snappy at similar scan speed — at
+      // 100 TB that's tens of TB less storage and shuffle I/O
+      .config("spark.sql.parquet.compression.codec", "zstd")
 
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
