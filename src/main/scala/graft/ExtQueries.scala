@@ -1241,7 +1241,62 @@ object ExtQueries {
             |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE sha256(ex.text) = sha256(k.text))
             |ORDER BY k.doc_id""".stripMargin))
 
+  /** HTML boilerplate stripping with planted markup (script+style
+    * blocks, nested tags, all six decoded entities) so every branch of
+    * the chain provably fires; composed with normalize for canonical
+    * output.
+    */
+  val q59 = Q(
+    "q59_html_extract",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val wrapped = base.filter($"doc_id" < 30).select(
+        ($"doc_id" + 800000L).as("doc_id"),
+        concat(
+          lit("<html><head><STYLE>p {color: red}</STYLE></head><body><p class=\"x\">"),
+          $"text",
+          lit("</p><script type=\"text/javascript\">var a = \"<tag>\";</script>" +
+            "&nbsp;&amp;tail &lt;kept&gt; &quot;q&quot; &#39;s&#39;</body></html>"))
+          .as("text"))
+      val d = base.unionAll(wrapped)
+      val extracted = TextAnalysis.normalize(TextAnalysis.htmlToText($"text"))
+      d.select($"doc_id", extracted.as("extracted"),
+          ($"text" =!= extracted).as("changed"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 800000,
+            |         '<html><head><STYLE>p {color: red}</STYLE></head><body><p class="x">'
+            |         || text ||
+            |         '</p><script type="text/javascript">var a = "<tag>";</script>&nbsp;&amp;tail &lt;kept&gt; &quot;q&quot; &#39;s&#39;</body></html>'
+            |  FROM documents WHERE doc_id < 30),
+            |h AS (SELECT doc_id, text,
+            |             regexp_replace(regexp_replace(text,
+            |               '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+            |               '(?s)<[^>]+>', ' ', 'g') AS t1
+            |      FROM d),
+            |e AS (SELECT doc_id, text,
+            |             regexp_replace(regexp_replace(regexp_replace(
+            |               regexp_replace(regexp_replace(regexp_replace(t1,
+            |                 '&nbsp;', ' ', 'g'),
+            |                 '&lt;', '<', 'g'),
+            |                 '&gt;', '>', 'g'),
+            |                 '&quot;', '"', 'g'),
+            |                 '&#39;', '''', 'g'),
+            |                 '&amp;', '&', 'g') AS t2
+            |      FROM h),
+            |n AS (SELECT doc_id, text,
+            |             lower(trim(regexp_replace(regexp_replace(t2,
+            |               '[ \t\n\r\f\x0b]+', ' ', 'g'),
+            |               '[\x00-\x1f\x7f]', '', 'g'))) AS extracted
+            |      FROM e)
+            |SELECT doc_id, extracted, text <> extracted AS changed
+            |FROM n ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

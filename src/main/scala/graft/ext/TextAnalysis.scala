@@ -160,6 +160,30 @@ object TextAnalysis {
       regexp_replace(c, "[ \\t\\n\\r\\f\\x0b]+", " "),
       "[\\x00-\\x1f\\x7f]", "")))
 
+  /** HTML → text extraction: the step before any text analysis in a
+    * web-corpus pipeline. Deterministic regexp chain (no parser
+    * dependency, mirrors in any engine with RE2/PCRE):
+    * script/style blocks dropped whole, remaining tags become spaces,
+    * then the six ubiquitous entities decode — &amp; LAST so decoded
+    * entities cannot re-form tags or double-decode. Compose with
+    * [[normalize]] for canonical whitespace. This is boilerplate
+    * STRIPPING, not readability extraction — a main-content extractor
+    * (trafilatura-class) needs a DOM model and is out of engine scope.
+    */
+  def htmlToText(c: Column): Column = {
+    val noBlocks = regexp_replace(c,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
+    // entity strings hold no regex metacharacters, so the same literal
+    // pattern text works in Java regex and RE2 (Pattern.quote's \Q…\E
+    // would be Java-only and unmirrorable in the oracle)
+    Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col, (ent, ch)) =>
+        regexp_replace(col, ent, ch)
+      }
+  }
+
   def fingerprint(c: Column): Column = xxhash64(c)
 
   /** Winnowing fingerprints (rolling-hash document fingerprinting, as

@@ -75,6 +75,24 @@ class CurationSpec extends SparkTestBase {
     assert(Decontaminate.contamination(emptyDocs, train, $"doc_id", $"text", 3).count() == 0)
   }
 
+  test("htmlToText strips blocks and tags, decodes entities in safe order") {
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("<script>var x = '<div>';</script>keep", "keep"),
+      ("<STYLE media=\"all\">p{}</STYLE>text", "text"),
+      // &amp;lt; must decode to literal "&lt;", NOT to "<" (single pass,
+      // &amp; last — the classic double-decode bug)
+      ("&amp;lt;", "&lt;"),
+      ("a&nbsp;b &amp; c &lt;d&gt; &quot;e&quot; &#39;f&#39;", "a b & c <d> \"e\" 'f'"),
+      ("unclosed <tag attr=\"x\" and text", "unclosed <tag attr=\"x\" and text"))
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("t")
+        .select(TextAnalysis.normalize(TextAnalysis.htmlToText($"t")).as("o"))
+        .as[String].head()
+      assert(got == want.toLowerCase, s"input: $in")
+    }
+  }
+
   test("incremental dedup drops replayed content and intra-batch dups, keeps fresh") {
     val existing = docs(1L -> "seen before", 2L -> "also seen")
     val incoming = docs(
