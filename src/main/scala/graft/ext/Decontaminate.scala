@@ -65,6 +65,9 @@ object Decontaminate {
                     id: Column, text: Column, n: Int): DataFrame = {
     val contaminated = contamination(train, evalDocs, id, text, n)
       .select(col("doc_id").as("__cid"))
+    // broadcast assumes realistic contamination rates (well under 1%
+    // of a web corpus overlaps a benchmark suite at n >= 8); for a
+    // pathological corpus drop the hint and let AQE decide
     train.join(broadcast(contaminated), id === col("__cid"), "left_anti")
   }
 }

@@ -38,6 +38,13 @@ object DedupClusters {
     * list. Input: columns `id1`, `id2` (one row per candidate pair).
     * Output: (id, component) for every node appearing in any pair,
     * where `component` is the smallest id in the node's component.
+    *
+    * Retention note: each round's eager localCheckpoint blocks live
+    * until the session ends (Dataset.unpersist is a no-op on
+    * checkpoint blocks — see ScaleCheck). Total retention is bounded
+    * by rounds × |nodes-in-pairs| rows, small by construction since
+    * pair lists are LSH-candidate-proportional; long-lived sessions
+    * clearing aggressively should run this in a fresh session.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // no distinct() on edges: duplicate pairs only feed extra rows into
