@@ -1158,8 +1158,8 @@ object ExtQueries {
             |           FROM documents WHERE doc_id < 20),
             |n AS (SELECT doc_id, text,
             |             lower(trim(regexp_replace(
-            |               regexp_replace(text, '[ \t\n\r\f\x0b]+', ' ', 'g'),
-            |               '[\x00-\x1f\x7f]', '', 'g'))) AS norm
+            |               regexp_replace(text, '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+            |               '[ \t\n\r\f\x0b]+', ' ', 'g'))) AS norm
             |      FROM d)
             |SELECT doc_id, norm, text <> norm AS changed
             |FROM n ORDER BY doc_id""".stripMargin))
@@ -1290,8 +1290,8 @@ object ExtQueries {
             |      FROM h),
             |n AS (SELECT doc_id, text,
             |             lower(trim(regexp_replace(regexp_replace(t2,
-            |               '[ \t\n\r\f\x0b]+', ' ', 'g'),
-            |               '[\x00-\x1f\x7f]', '', 'g'))) AS extracted
+            |               '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+            |               '[ \t\n\r\f\x0b]+', ' ', 'g'))) AS extracted
             |      FROM e)
             |SELECT doc_id, extracted, text <> extracted AS changed
             |FROM n ORDER BY doc_id""".stripMargin))

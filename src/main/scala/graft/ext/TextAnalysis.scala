@@ -148,17 +148,21 @@ object TextAnalysis {
   /** Canonical text normalization — the cleaning pass that runs before
     * shingling/dedup so that cosmetic variants (tabs vs spaces, CRLF,
     * stray control bytes, case) collapse to one canonical form:
-    * strip C0/C1 control chars (keeping \t\n\r as whitespace first),
-    * collapse all whitespace runs to single spaces, trim, lowercase.
-    * Narrow codegen'd regexp chain; engine-portable (mirrored in the
-    * q56 oracle).
+    * strip NON-whitespace C0 controls + DEL first, THEN collapse all
+    * whitespace runs to single spaces, trim, lowercase. Order matters:
+    * stripping after collapsing leaves 'a  b' as 'a  b' (the
+    * bytes around the stripped control were already two separate
+    * runs), defeating canonicalization. Narrow codegen'd regexp
+    * chain; engine-portable (mirrored in the q56/q59 oracles).
     */
   def normalize(c: Column): Column =
     // explicit whitespace class, not \s: Java \s includes \x0b, RE2's
-    // does not — spelling it out keeps every engine byte-identical
+    // does not — spelling it out keeps every engine byte-identical.
+    // control class excludes \t\n\x0b\f\r, which are whitespace and
+    // must survive until the collapse turns them into spaces
     lower(trim(regexp_replace(
-      regexp_replace(c, "[ \\t\\n\\r\\f\\x0b]+", " "),
-      "[\\x00-\\x1f\\x7f]", "")))
+      regexp_replace(c, "[\\x00-\\x08\\x0e-\\x1f\\x7f]", ""),
+      "[ \\t\\n\\r\\f\\x0b]+", " ")))
 
   /** HTML → text extraction: the step before any text analysis in a
     * web-corpus pipeline. Deterministic regexp chain (no parser

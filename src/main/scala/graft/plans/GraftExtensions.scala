@@ -121,9 +121,9 @@ object GraftFunctions {
         // function nodes) would never resolve here. Patterns must stay
         // byte-identical to ext.TextAnalysis.normalize.
         import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
-        val ws = RegExpReplace(a(0), Literal("[ \\t\\n\\r\\f\\x0b]+"), Literal(" "))
-        val ctl = RegExpReplace(ws, Literal("[\\x00-\\x1f\\x7f]"), Literal(""))
-        Lower(StringTrim(ctl))
+        val ctl = RegExpReplace(a(0), Literal("[\\x00-\\x08\\x0e-\\x1f\\x7f]"), Literal(""))
+        val ws = RegExpReplace(ctl, Literal("[ \\t\\n\\r\\f\\x0b]+"), Literal(" "))
+        Lower(StringTrim(ws))
       }))
 
   /** Register every function into a live session. */
