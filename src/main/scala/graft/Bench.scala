@@ -38,13 +38,35 @@ object Bench {
         .filter($"id" < $"id2")
         .agg(sum(size($"sig") + size($"s") + $"rn")).collect()
     } catch { case NonFatal(e) => System.err.println(s"[bench] warmup(ops) failed: $e") }
-    def timeAll(dir: String, skip: Set[String]): Seq[(String, Double)] =
+    // Between timed queries: drop RDD blocks left behind by
+    // localCheckpoint-based operators (LSH candidate sets, CC rounds).
+    // Dataset.unpersist cannot free those (plan-level only), so without
+    // this they accumulate across the ~60-query run and later queries
+    // pay their GC pressure — r3 vs r4 showed identical code swinging
+    // up to 6× on late-running queries. Cleanup runs OUTSIDE the timed
+    // region; each query still pays for its own blocks.
+    def dropResidualBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    def timeOnce(dir: String, skip: Set[String]): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, dir).count() }
           catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          dropResidualBlocks()
+          name -> dt
+      }
+    // min over reps: a single-shot wall time in a shared 32-thread JVM
+    // is hostage to whichever GC pause lands on it; the per-query
+    // minimum is the reproducible cost of the plan itself.
+    def timeAll(dir: String, skip: Set[String]): Seq[(String, Double)] =
+      (1 to reps).map(_ => timeOnce(dir, skip)).reduce { (a, b) =>
+        a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
       }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -74,7 +96,7 @@ object Bench {
           System.err.println(s"[bench] x10 pass failed: $e"); ""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$x10Json}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${toJson(results)},"sf":"$sfDir"$x10Json}""")
     spark.stop()
   }
 }
