@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis}
+import graft.ext.{Bloom, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis}
 import graft.functions.KmvSketchAgg
 import graft.ops.Aggs
 
@@ -1296,7 +1296,73 @@ object ExtQueries {
             |SELECT doc_id, extracted, text <> extracted AS changed
             |FROM n ORDER BY doc_id""".stripMargin))
 
+  /** Oracle mirror of the q60 Bloom filter, generated so the probe
+    * arithmetic (md5 nibble Horner h1/h2, double-hash positions, word
+    * packing) has a single source of truth with `Bloom`'s constants.
+    * `//` (DuckDB integer division) mirrors Spark's
+    * `(p / 32).cast("int")` truncation — CAST(double AS INT) in DuckDB
+    * ROUNDS, so the `//` form is load-bearing.
+    */
+  private def q60Sql: String = {
+    def nibAt(j: Int) =
+      s"(CASE WHEN ascii(substring(h,$j,1)) <= 57 THEN ascii(substring(h,$j,1))-48 " +
+        s"ELSE ascii(substring(h,$j,1))-87 END)"
+    def hornerAt(from: Int) =
+      (from + 1 until from + 8).foldLeft(s"CAST(${nibAt(from)} AS BIGINT)") {
+        (acc, j) => s"($acc*16+${nibAt(j)})"
+      }
+    val h1 = hornerAt(1); val h2 = hornerAt(9)
+    s"""WITH ev AS (SELECT DISTINCT text FROM documents WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 50 <> 0
+       |       UNION ALL
+       |       SELECT doc_id + 300000, text FROM documents WHERE doc_id % 50 = 0),
+       |evh AS (SELECT DISTINCT md5(text) AS h FROM ev),
+       |evhh AS (SELECT $h1 AS h1, $h2 AS h2 FROM evh),
+       |evp AS (SELECT (h1 + i*(2*h2+1)) % 64 AS p
+       |        FROM evhh CROSS JOIN (SELECT unnest(generate_series(0,1)) AS i) g),
+       |words AS (SELECT CAST(p // 32 AS INT) AS w,
+       |                 bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+       |          FROM evp GROUP BY 1),
+       |trh AS (SELECT id, text, md5(text) AS h FROM tr),
+       |trhh AS (SELECT id, text, $h1 AS h1, $h2 AS h2 FROM trh),
+       |trp AS (SELECT id, text, (h1 + i*(2*h2+1)) % 64 AS p
+       |        FROM trhh CROSS JOIN (SELECT unnest(generate_series(0,1)) AS i) g),
+       |probe AS (SELECT id, text,
+       |                 bool_and((COALESCE(w.word, 0) &
+       |                   (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))) <> 0) AS hit
+       |          FROM trp LEFT JOIN words w ON CAST(p // 32 AS INT) = w.w
+       |          GROUP BY id, text),
+       |cand AS (SELECT id, text FROM probe WHERE hit)
+       |SELECT c.id, (e.text IS NOT NULL) AS confirmed
+       |FROM cand c LEFT JOIN ev e ON c.text = e.text
+       |ORDER BY c.id""".stripMargin
+  }
+
+  /** Bloom-prefiltered exact-membership decontamination: the filter is
+    * undersized ON PURPOSE (64 bits, 2 probes, 10+ keys) so the
+    * false-positive branch provably fires (vacuity guard) — FP
+    * candidates surface as confirmed=false and never reach the
+    * confirmed set, which stays ≡ the exact semi-join. Exact copies of
+    * the eval slice are planted into the training side so
+    * confirmed=true provably fires too. Production sizing: words
+    * chosen for ~10 bits/key (<1% FP), where the filter broadcast is
+    * ~100× smaller than the raw key set `Decontaminate` ships.
+    */
+  val q60 = Q(
+    "q60_bloom_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val evalDocs = base.filter($"doc_id" % 50 === 0)
+      val planted = evalDocs.select(($"doc_id" + 300000L).as("doc_id"), $"text")
+      val train = base.filter($"doc_id" % 50 =!= 0).unionAll(planted)
+      Bloom.decontaminateExact(train, evalDocs, $"doc_id", $"text",
+          k = 2, words = 2)
+        .orderBy($"id")
+    },
+    Some(q60Sql))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-native Bloom filter for membership prefiltering.
+  *
+  * The 100 TB use case: decontamination / blocklist checks where the
+  * key set (eval benchmark, banned URLs) is small and the probed side
+  * is the corpus. Broadcasting the raw key set costs O(total key
+  * bytes); a Bloom filter costs O(bits) — here `words` 32-bit words
+  * packed in BIGINTs inside ONE map column, cross-broadcast to every
+  * probe task. A Bloom hit is then confirmed by an exact join over the
+  * (tiny, candidate-proportional) hit set, so false positives never
+  * reach the output: result ≡ exact semi-join, at prefilter cost.
+  *
+  * Everything is engine-portable column arithmetic (md5 nibble Horner
+  * folds, double hashing h1 + i·(2·h2+1) over the bit space, bit_or
+  * word packing) — no UDFs, no driver-side bitsets, no engine-private
+  * hash constants — so the whole pipeline is oracle-checkable
+  * bit-for-bit AND stays inside whole-stage codegen (the k probe
+  * positions are unrolled at plan-build time; no interpreted
+  * higher-order functions). `md5(key)` is materialized ONCE per row by
+  * an explicit projection; the 16 nibble reads and all k probes are
+  * substring arithmetic over that one hex value.
+  *
+  * Contrast with `Decontaminate` (n-gram overlap, broadcast gram keys):
+  * this operator answers exact-membership at a fraction of the
+  * broadcast size; compose both for gram-level checks over huge eval
+  * suites (bloom over gram keys).
+  */
+object Bloom {
+
+  /** 0-15 value of one lowercase-hex char (portable: CASE + ascii). */
+  private def nib(c: Column): Column =
+    when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+
+  /** 32-bit value from hex chars [from, from+8) of an md5-hex column:
+    * BIGINT Horner fold, identical in any engine with md5/ascii/
+    * substring (mirrors `MinHashLsh.portableHash32`'s nibble trick).
+    */
+  private def hash32Slice(hex: Column, from: Int): Column =
+    (from until from + 8).map(j => nib(substring(hex, j, 1)))
+      .foldLeft(lit(0L))((acc, d) => acc * 16 + d)
+
+  /** md5 hex of a key column — the one hash evaluation per row. */
+  def keyHex(key: Column): Column = md5(key.cast("binary"))
+
+  /** Double-hash probe positions (Kirsch-Mitzenmacher): h1 + i·step
+    * with an odd step, over m = 32·words bits. h1/h2 come from
+    * disjoint md5 slices of the key; the odd step keeps the k probes
+    * spread even when h2 % m collapses.
+    */
+  private def positions(hex: Column, k: Int, words: Int): Seq[Column] = {
+    val m = 32L * words
+    val h1 = hash32Slice(hex, 1)
+    val step = hash32Slice(hex, 9) * 2 + 1
+    (0 until k).map(i => (h1 + lit(i.toLong) * step) % m)
+  }
+
+  /** shiftleft(1L, bits) with a COLUMN bit count — functions.shiftleft
+    * only accepts a literal count.
+    */
+  private def bitMask(bits: Column): Column =
+    call_function("shiftleft", lit(1L), bits.cast("int"))
+
+  /** Build the filter over the DISTINCT keys of `keys`: one row, one
+    * `bloom` column of map<word_idx → packed 32-bit word>. Words with
+    * no bits set are absent (probe treats absent as 0). The build is
+    * one explode(k)+bit_or aggregation — linear in |keys|, output
+    * ≤ `words` entries regardless of key count. Distinct runs on the
+    * 16-byte md5, not the raw key bytes.
+    */
+  def build(df: DataFrame, key: Column, k: Int, words: Int): DataFrame = {
+    val hexKeys = df.select(keyHex(key).as("__h")).distinct()
+    hexKeys
+      .select(explode(array(positions(col("__h"), k, words): _*)).as("__pos"))
+      .select((col("__pos") / 32).cast("int").as("__w"),
+        bitMask(col("__pos") % 32).as("__m"))
+      .groupBy("__w").agg(expr("bit_or(__m)").as("__word"))
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__word"))))
+        .as("bloom"))
+  }
+
+  /** Membership test against a `bloom` map column (from [[build]] —
+    * same k/words or the answer is meaningless), given the row's
+    * PRE-COMPUTED md5 hex (see [[keyHex]]). All k probe words are
+    * checked inline (k unrolled constants), so the predicate is a flat
+    * codegen'd expression tree.
+    */
+  def mightContainHex(bloom: Column, hex: Column, k: Int, words: Int): Column =
+    positions(hex, k, words).map { p =>
+      val w = coalesce(element_at(bloom, (p / 32).cast("int")), lit(0L))
+      w.bitwiseAND(bitMask(p % 32)) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** Convenience form over the raw key; prefer [[mightContainHex]]
+    * after an explicit `keyHex` projection in hot paths.
+    */
+  def mightContain(bloom: Column, key: Column, k: Int, words: Int): Column =
+    mightContainHex(bloom, keyHex(key), k, words)
+
+  /** Exact-membership decontamination with a Bloom prefilter:
+    * train rows whose `text` appears verbatim in `eval`, flagged.
+    * Output: (id, confirmed) for every Bloom CANDIDATE — confirmed
+    * false rows are the filter's false positives (kept visible so the
+    * FP rate is observable; callers dropping contamination anti-join
+    * on `confirmed`). Result set ≡ exact join for confirmed=true.
+    */
+  def decontaminateExact(train: DataFrame, eval: DataFrame,
+                         id: Column, text: Column,
+                         k: Int = 3, words: Int = 8): DataFrame = {
+    val bloom = build(eval, text, k, words)
+    val evalKeys = eval.select(text.as("__etext")).distinct()
+    val cand = train
+      .select(id.as("id"), text.as("__text"), keyHex(text).as("__hex"))
+      .crossJoin(broadcast(bloom))
+      .filter(mightContainHex(col("bloom"), col("__hex"), k, words))
+    cand
+      .join(broadcast(evalKeys), cand("__text") === evalKeys("__etext"), "left")
+      .select(col("id"), col("__etext").isNotNull.as("confirmed"))
+  }
+}
