@@ -51,8 +51,14 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // dev filter: SPARK_GRAFT_ONLY=q28,q51 times just those queries
+    // (substring match); unset = full suite (the driver's mode)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
     def timeOnce(dir: String, skip: Set[String]): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)).map {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => selected(q._1)).filterNot(q => skip(q._1)).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, dir).count() }

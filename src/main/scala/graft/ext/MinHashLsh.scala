@@ -177,28 +177,46 @@ object MinHashLsh {
     cross.unionByName(intra)
   }
 
-  /** Exact shingle-set Jaccard for candidate pairs. Documents are
-    * semi-joined against the candidate ids BEFORE re-shingling — the
-    * rerank explode runs over candidate docs only, not the corpus, so
-    * at scale the rerank cost is proportional to candidates.
-    * (Semi-joining the exploded frame instead still pays the full
-    * corpus explode first.) Shared by the xxhash64 and portable paths.
+  /** Exact shingle-set Jaccard for candidate pairs, computed per
+    * DISTINCT DOCUMENT CONTENT and expanded back to id pairs.
+    *
+    * Documents are semi-joined against the candidate ids BEFORE
+    * re-shingling — the rerank explode runs over candidate docs only,
+    * not the corpus. On top of that, candidate docs are collapsed by a
+    * content digest first: exact duplicates (the dominant candidate
+    * shape in any real corpus — and the pathological one, since m
+    * copies produce m²/2 member pairs) share their shingle set by
+    * construction, so the explode + collect_set runs once per distinct
+    * text and the array_intersect once per distinct CONTENT pair; the
+    * member-pair expansion is a cheap digest-keyed join. Jaccard
+    * depends only on content, so the output is identical to scoring
+    * every member pair directly. A pair whose either side has an empty
+    * shingle set drops in both forms (inner join against the set
+    * frame). Shared by the xxhash64 and portable paths.
     */
   private def exactRerank(cand: DataFrame, df: DataFrame, id: Column, text: Column,
                           shingler: (Column, Int) => Column, n: Int): DataFrame = {
     val candIds = cand.select(col("id1").as("__id"))
       .unionAll(cand.select(col("id2").as("__id"))).distinct()
-    val candDocs = df.select(id.as("__id"), text.as("__text"))
+    val keyed = df.select(id.as("__id"), text.as("__text"))
       .join(candIds, Seq("__id"), "left_semi")
-    val sets = candDocs
-      .select(col("__id"), explode(shingler(col("__text"), n)).as("__sh"))
-      .groupBy("__id").agg(collect_set(col("__sh")).as("__shs"))
+      .withColumn("__ck", sha2(col("__text").cast("binary"), 256))
+    val idKey = keyed.select(col("__id"), col("__ck"))
+    val sets = keyed.dropDuplicates("__ck")
+      .select(col("__ck"), explode(shingler(col("__text"), n)).as("__sh"))
+      .groupBy("__ck").agg(collect_set(col("__sh")).as("__shs"))
+    val candK = cand
+      .join(idKey.select(col("__id").as("id1"), col("__ck").as("__ck1")), "id1")
+      .join(idKey.select(col("__id").as("id2"), col("__ck").as("__ck2")), "id2")
     val inter = size(array_intersect(col("__sh1"), col("__sh2")))
-    cand
-      .join(sets.select(col("__id").as("id1"), col("__shs").as("__sh1")), "id1")
-      .join(sets.select(col("__id").as("id2"), col("__shs").as("__sh2")), "id2")
-      .withColumn("jaccard", inter.cast("double") /
-        (size(col("__sh1")) + size(col("__sh2")) - inter))
+    val pairScores = candK.select(col("__ck1"), col("__ck2")).dropDuplicates()
+      .join(sets.select(col("__ck").as("__ck1"), col("__shs").as("__sh1")), "__ck1")
+      .join(sets.select(col("__ck").as("__ck2"), col("__shs").as("__sh2")), "__ck2")
+      .select(col("__ck1"), col("__ck2"),
+        (inter.cast("double") /
+          (size(col("__sh1")) + size(col("__sh2")) - inter)).as("jaccard"))
+    candK.join(pairScores, Seq("__ck1", "__ck2"))
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   // ---- engine-portable variant (oracle-checkable end to end) ---------
