@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
-import graft.ops.Aggs
+import graft.ops.{Aggs, Cdc}
 
 /** LLM-training-pipeline extension queries (dedup, similarity search,
   * text analysis, event analytics) over the documents/embeddings/events
@@ -1362,7 +1362,193 @@ object ExtQueries {
     },
     Some(q60Sql))
 
+  /** Overlapping token-window chunking (RAG indexing shape): 40-token
+    * windows every 30 tokens. Long documents are planted (4× repeats)
+    * so the multi-chunk and short-tail branches provably fire; base
+    * docs are mostly single-chunk.
+    */
+  val q61 = Q(
+    "q61_token_chunks",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val long = base.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 400000L).as("doc_id"),
+          repeat(concat($"text", lit(" ")), 4).as("text"))
+      Chunking.tokenChunks(base.unionAll(long), $"doc_id", $"text",
+          width = 40, stride = 30)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+            |           UNION ALL
+            |           SELECT doc_id + 400000, repeat(text || ' ', 4)
+            |           FROM documents WHERE doc_id % 25 = 0),
+            |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+            |s AS (SELECT doc_id, t,
+            |             unnest(generate_series(1, greatest(len(t), 1), 30)) AS s
+            |      FROM t)
+            |SELECT doc_id, CAST((s-1)//30 AS BIGINT) AS chunk_id,
+            |       array_to_string(t[s:s+39], ' ') AS chunk,
+            |       CAST(least(40, len(t)-s+1) AS BIGINT) AS n_tokens
+            |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
+
+  /** URL parse + normalization over synthesized crawl-style URLs
+    * (every branch planted: mixed-case scheme/host, default and
+    * non-default ports, utm params leading/trailing/only, fragments).
+    * Components and the canonical form are portable regex arithmetic —
+    * mirrored verbatim in the oracle (RE2-safe patterns; DuckDB
+    * regexp_replace needs the 'g' flag to match Spark's replace-all).
+    */
+  val q62 = Q(
+    "q62_url_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"lang", $"source")
+      val url = concat(
+        when($"doc_id" % 3 === 0, lit("HTTPS://"))
+          .when($"doc_id" % 3 === 1, lit("http://")).otherwise(lit("https://")),
+        when($"doc_id" % 6 < 3, upper($"source")).otherwise($"source"),
+        lit(".Example.COM"),
+        when($"doc_id" % 5 === 0, lit(":8080"))
+          .when($"doc_id" % 5 === 1, lit(":443")).otherwise(lit("")),
+        lit("/"), $"lang", lit("/doc/"), $"doc_id".cast("string"),
+        when($"doc_id" % 4 === 0, lit("?utm_source=ads&ref=a"))
+          .when($"doc_id" % 4 === 1, lit("?ref=b&utm_c=z"))
+          .when($"doc_id" % 4 === 2, lit("?utm_only=1")).otherwise(lit("")),
+        when($"doc_id" % 7 === 0, lit("#frag")).otherwise(lit("")))
+      d.select($"doc_id", url.as("url"))
+        .select($"doc_id", $"url",
+          UrlOps.scheme($"url").as("scheme"),
+          UrlOps.host($"url").as("host"),
+          when(UrlOps.portStr($"url") =!= "", UrlOps.portStr($"url").cast("long"))
+            .as("port"),
+          UrlOps.path($"url").as("path"),
+          UrlOps.registeredDomain($"url").as("domain"),
+          UrlOps.normalized($"url").as("norm"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+            |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+            |        WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END)
+            |  || (CASE WHEN doc_id % 6 < 3 THEN upper(source) ELSE source END)
+            |  || '.Example.COM'
+            |  || (CASE WHEN doc_id % 5 = 0 THEN ':8080'
+            |           WHEN doc_id % 5 = 1 THEN ':443' ELSE '' END)
+            |  || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+            |  || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=ads&ref=a'
+            |           WHEN doc_id % 4 = 1 THEN '?ref=b&utm_c=z'
+            |           WHEN doc_id % 4 = 2 THEN '?utm_only=1' ELSE '' END)
+            |  || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+            |  FROM documents),
+            |c AS (SELECT doc_id, url,
+            |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            |  regexp_extract(lower(regexp_extract(url,
+            |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^([^:]+)', 1) AS host,
+            |  regexp_extract(regexp_extract(url,
+            |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':([0-9]+)$', 1) AS p,
+            |  regexp_extract(url,
+            |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+            |  regexp_extract(url, '\?([^#]*)', 1) AS q
+            |  FROM u),
+            |n AS (SELECT *,
+            |  regexp_replace(regexp_replace(q, 'utm_[^&]*&?', '', 'g'), '&$', '') AS cq
+            |  FROM c)
+            |SELECT doc_id, url, scheme, host,
+            |  CAST(NULLIF(p, '') AS BIGINT) AS port,
+            |  path,
+            |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+            |  scheme || '://' || host
+            |  || (CASE WHEN p <> '' AND NOT ((scheme = 'http' AND p = '80')
+            |             OR (scheme = 'https' AND p = '443'))
+            |       THEN ':' || p ELSE '' END)
+            |  || (CASE WHEN path = '' THEN '/' ELSE path END)
+            |  || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS norm
+            |FROM n ORDER BY doc_id""".stripMargin))
+
+  /** SCD type-2 history from a synthesized CDC stream over customer:
+    * v1 full snapshot, v2 upserts for every 10th key, v3 deletes for
+    * every 20th — so open, closed-by-upsert and closed-by-delete
+    * intervals all provably occur. One window shuffle, no joins
+    * (ops.Cdc).
+    */
+  val q63 = Q(
+    "q63_scd2_history",
+    (s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      val v1 = c.select($"c_custkey", $"c_acctbal", $"c_mktsegment",
+        lit(1).as("v"), lit("U").as("op"))
+      val v2 = c.filter($"c_custkey" % 10 === 0)
+        .select($"c_custkey", ($"c_acctbal" + 100.0).as("c_acctbal"),
+          lit("MOVED").as("c_mktsegment"), lit(2).as("v"), lit("U").as("op"))
+      val v3 = c.filter($"c_custkey" % 20 === 0)
+        .select($"c_custkey", $"c_acctbal", $"c_mktsegment",
+          lit(3).as("v"), lit("D").as("op"))
+      Cdc.scd2(v1.unionAll(v2).unionAll(v3), $"c_custkey", $"v", $"op")
+        .select($"c_custkey", $"valid_from", $"valid_to", $"is_current",
+          $"c_acctbal", $"c_mktsegment")
+        .orderBy($"c_custkey", $"valid_from")
+    },
+    Some("""WITH ch AS (
+            |  SELECT c_custkey, c_acctbal, c_mktsegment, 1 AS v, 'U' AS op
+            |  FROM customer
+            |  UNION ALL
+            |  SELECT c_custkey, c_acctbal + 100.0, 'MOVED', 2, 'U'
+            |  FROM customer WHERE c_custkey % 10 = 0
+            |  UNION ALL
+            |  SELECT c_custkey, c_acctbal, c_mktsegment, 3, 'D'
+            |  FROM customer WHERE c_custkey % 20 = 0),
+            |h AS (SELECT c_custkey, c_acctbal, c_mktsegment, op,
+            |             CAST(v AS BIGINT) AS valid_from,
+            |             lead(CAST(v AS BIGINT)) OVER
+            |               (PARTITION BY c_custkey ORDER BY v) AS valid_to
+            |      FROM ch)
+            |SELECT c_custkey, valid_from, valid_to,
+            |       (valid_to IS NULL AND op = 'U') AS is_current,
+            |       c_acctbal, c_mktsegment
+            |FROM h WHERE op = 'U'
+            |ORDER BY c_custkey, valid_from""".stripMargin))
+
+  /** Corpus-wide boilerplate mining: word bigrams in ≥ 50 distinct
+    * documents. A license-footer is planted on every 4th doc (df ≈
+    * corpus/4, far above threshold) alongside whatever natural bigrams
+    * clear it; top-25 by document frequency, gram-tiebroken.
+    */
+  val q64 = Q(
+    "q64_boilerplate_grams",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = base.filter($"doc_id" % 4 === 0)
+        .select($"doc_id",
+          concat($"text",
+            lit(" released under the synthetic commons license terms"))
+            .as("text"))
+      val d = base.filter($"doc_id" % 4 =!= 0).unionAll(planted)
+      Boilerplate.frequentGrams(d, $"doc_id", $"text", n = 2, minDf = 50L)
+        .orderBy($"n_docs".desc, $"gram")
+        .limit(25)
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+            |           UNION ALL
+            |           SELECT doc_id,
+            |                  text || ' released under the synthetic commons license terms'
+            |           FROM documents WHERE doc_id % 4 = 0),
+            |g AS (SELECT DISTINCT doc_id,
+            |             CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+            |                  ELSE t[i] || ' ' || t[i+1] END AS gram
+            |      FROM (SELECT doc_id, t,
+            |                   unnest(generate_series(1, greatest(len(t) - 1, 1))) AS i
+            |            FROM (SELECT doc_id,
+            |                         string_split_regex(trim(text), '\s+') AS t
+            |                  FROM d)))
+            |SELECT gram, count(*) AS n_docs FROM g GROUP BY gram
+            |HAVING count(*) >= 50
+            |ORDER BY n_docs DESC, gram LIMIT 25""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
-    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
+    q61, q62, q63, q64)
 }

@@ -1,0 +1,40 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("tokenChunks: windows, overlap, short tail, tiny doc") {
+    val doc = (1 to 95).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "only three tokens"), (3L, " ")).toDF("id", "t")
+    val out = Chunking.tokenChunks(df, $"id", $"t", width = 40, stride = 30)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+
+    val d1 = out.filter(_._1 == 1L)
+    // starts 1, 31, 61, 91 -> chunk lengths 40, 40, 35, 5
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.map(_._4).toSeq == Seq(40L, 40L, 35L, 5L))
+    assert(d1(0)._3.startsWith("w1 w2 ") && d1(0)._3.endsWith(" w40"))
+    assert(d1(1)._3.startsWith("w31 ") && d1(1)._3.endsWith(" w70"))
+    assert(d1(3)._3 == "w91 w92 w93 w94 w95")
+    // overlap: chunk k starts 10 tokens before chunk k-1 ends
+    assert(d1(1)._3.split(" ").take(10).toSeq == d1(0)._3.split(" ").takeRight(10).toSeq)
+
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0L, "only three tokens", 3L)))
+    // blank doc still emits exactly one (empty) chunk
+    assert(out.count(_._1 == 3L) == 1)
+  }
+
+  test("tokenChunks: stride == size means zero overlap, full cover") {
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = Chunking.tokenChunks(Seq((1L, doc)).toDF("id", "t"),
+        $"id", $"t", width = 4, stride = 4)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.map(_._3).mkString(" ") == doc)
+    assert(out.map(_._4).toSeq == Seq(4L, 4L, 2L))
+  }
+}
