@@ -1385,7 +1385,9 @@ object ExtQueries {
             |           FROM documents WHERE doc_id % 25 = 0),
             |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
             |s AS (SELECT doc_id, t,
-            |             unnest(generate_series(1, greatest(len(t), 1), 30)) AS s
+            |             unnest(generate_series(1,
+            |               1 + 30 * ((greatest(len(t) - 40, 0) + 29) // 30),
+            |               30)) AS s
             |      FROM t)
             |SELECT doc_id, CAST((s-1)//30 AS BIGINT) AS chunk_id,
             |       array_to_string(t[s:s+39], ' ') AS chunk,
@@ -1393,8 +1395,10 @@ object ExtQueries {
             |FROM s ORDER BY doc_id, chunk_id""".stripMargin))
 
   /** URL parse + normalization over synthesized crawl-style URLs
-    * (every branch planted: mixed-case scheme/host, default and
-    * non-default ports, utm params leading/trailing/only, fragments).
+    * (every branch planted: mixed-case scheme/host, userinfo, ccTLD
+    * public-suffix hosts, default and non-default ports, utm params
+    * leading/trailing/only, `utm_` INSIDE a value (must survive), a
+    * '?' inside the fragment (must NOT become a query), fragments).
     * Components and the canonical form are portable regex arithmetic —
     * mirrored verbatim in the oracle (RE2-safe patterns; DuckDB
     * regexp_replace needs the 'g' flag to match Spark's replace-all).
@@ -1407,15 +1411,17 @@ object ExtQueries {
       val url = concat(
         when($"doc_id" % 3 === 0, lit("HTTPS://"))
           .when($"doc_id" % 3 === 1, lit("http://")).otherwise(lit("https://")),
+        when($"doc_id" % 11 === 0, lit("crawler:Secret@")).otherwise(lit("")),
         when($"doc_id" % 6 < 3, upper($"source")).otherwise($"source"),
-        lit(".Example.COM"),
+        when($"doc_id" % 2 === 0, lit(".Example.COM"))
+          .otherwise(lit(".example.CO.UK")),
         when($"doc_id" % 5 === 0, lit(":8080"))
           .when($"doc_id" % 5 === 1, lit(":443")).otherwise(lit("")),
         lit("/"), $"lang", lit("/doc/"), $"doc_id".cast("string"),
         when($"doc_id" % 4 === 0, lit("?utm_source=ads&ref=a"))
-          .when($"doc_id" % 4 === 1, lit("?ref=b&utm_c=z"))
+          .when($"doc_id" % 4 === 1, lit("?ref=butm_k&utm_c=z"))
           .when($"doc_id" % 4 === 2, lit("?utm_only=1")).otherwise(lit("")),
-        when($"doc_id" % 7 === 0, lit("#frag")).otherwise(lit("")))
+        when($"doc_id" % 7 === 0, lit("#f?x=1")).otherwise(lit("")))
       d.select($"doc_id", url.as("url"))
         .select($"doc_id", $"url",
           UrlOps.scheme($"url").as("scheme"),
@@ -1430,33 +1436,41 @@ object ExtQueries {
     Some("""WITH u AS (SELECT doc_id,
             |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
             |        WHEN doc_id % 3 = 1 THEN 'http://' ELSE 'https://' END)
+            |  || (CASE WHEN doc_id % 11 = 0 THEN 'crawler:Secret@' ELSE '' END)
             |  || (CASE WHEN doc_id % 6 < 3 THEN upper(source) ELSE source END)
-            |  || '.Example.COM'
+            |  || (CASE WHEN doc_id % 2 = 0 THEN '.Example.COM'
+            |           ELSE '.example.CO.UK' END)
             |  || (CASE WHEN doc_id % 5 = 0 THEN ':8080'
             |           WHEN doc_id % 5 = 1 THEN ':443' ELSE '' END)
             |  || '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
             |  || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=ads&ref=a'
-            |           WHEN doc_id % 4 = 1 THEN '?ref=b&utm_c=z'
+            |           WHEN doc_id % 4 = 1 THEN '?ref=butm_k&utm_c=z'
             |           WHEN doc_id % 4 = 2 THEN '?utm_only=1' ELSE '' END)
-            |  || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+            |  || (CASE WHEN doc_id % 7 = 0 THEN '#f?x=1' ELSE '' END) AS url
             |  FROM documents),
+            |a AS (SELECT doc_id, url,
+            |  regexp_replace(regexp_extract(url,
+            |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS hp
+            |  FROM u),
             |c AS (SELECT doc_id, url,
             |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            |  regexp_extract(lower(regexp_extract(url,
-            |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '^([^:]+)', 1) AS host,
-            |  regexp_extract(regexp_extract(url,
-            |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':([0-9]+)$', 1) AS p,
+            |  regexp_extract(lower(hp), '^([^:]+)', 1) AS host,
+            |  regexp_extract(hp, ':([0-9]+)$', 1) AS p,
             |  regexp_extract(url,
             |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-            |  regexp_extract(url, '\?([^#]*)', 1) AS q
-            |  FROM u),
+            |  regexp_extract(url,
+            |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+[^?#]*\?([^#]*)', 1) AS q
+            |  FROM a),
             |n AS (SELECT *,
-            |  regexp_replace(regexp_replace(q, 'utm_[^&]*&?', '', 'g'), '&$', '') AS cq
+            |  regexp_replace(regexp_replace(q, '(^|&)utm_[^&]*', '', 'g'),
+            |                 '^&', '') AS cq,
+            |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS l2,
+            |  regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) AS l3
             |  FROM c)
             |SELECT doc_id, url, scheme, host,
             |  CAST(NULLIF(p, '') AS BIGINT) AS port,
             |  path,
-            |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+            |  CASE WHEN l3 <> '' AND l2 IN ('co.uk') THEN l3 ELSE l2 END AS domain,
             |  scheme || '://' || host
             |  || (CASE WHEN p <> '' AND NOT ((scheme = 'http' AND p = '80')
             |             OR (scheme = 'https' AND p = '443'))

@@ -106,18 +106,25 @@ object Bloom {
     * false rows are the filter's false positives (kept visible so the
     * FP rate is observable; callers dropping contamination anti-join
     * on `confirmed`). Result set ≡ exact join for confirmed=true.
+    *
+    * The confirm join keys on the md5 hex ALREADY computed for the
+    * probe — never the raw eval text — so the broadcast stays O(bits)
+    * + O(16 bytes · |eval|) end-to-end even when eval rows are long
+    * documents. Digest equality stands in for text equality, the same
+    * trade [[ExactDedup]] makes with sha2 (md5 collisions are
+    * negligible against a benign eval suite).
     */
   def decontaminateExact(train: DataFrame, eval: DataFrame,
                          id: Column, text: Column,
                          k: Int = 3, words: Int = 8): DataFrame = {
     val bloom = build(eval, text, k, words)
-    val evalKeys = eval.select(text.as("__etext")).distinct()
+    val evalKeys = eval.select(keyHex(text).as("__ehex")).distinct()
     val cand = train
-      .select(id.as("id"), text.as("__text"), keyHex(text).as("__hex"))
+      .select(id.as("id"), keyHex(text).as("__hex"))
       .crossJoin(broadcast(bloom))
       .filter(mightContainHex(col("bloom"), col("__hex"), k, words))
     cand
-      .join(broadcast(evalKeys), cand("__text") === evalKeys("__etext"), "left")
-      .select(col("id"), col("__etext").isNotNull.as("confirmed"))
+      .join(broadcast(evalKeys), cand("__hex") === evalKeys("__ehex"), "left")
+      .select(col("id"), col("__ehex").isNotNull.as("confirmed"))
   }
 }

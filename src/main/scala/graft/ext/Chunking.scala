@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * partition-count invariant. `sequence`/`slice`/`concat_ws` are
   * ordinary codegen'd expressions (not interpreted lambda HOFs).
   *
-  * Every start position `1 + k·stride ≤ len` emits a chunk, so tails
-  * shorter than `size` are kept (the last window of a document must
-  * not be silently dropped) and a document always emits ≥ 1 chunk.
+  * Start positions run on the stride grid `1 + k·stride` but STOP at
+  * the first grid position whose window reaches the document end
+  * (`ceil(max(len-width,0)/stride)` steps): a shorter final stride
+  * emits the covering tail window, and no window strictly contained in
+  * its predecessor is ever emitted (len=100, width=40, stride=30 emits
+  * starts 1/31/61 — not 91, whose 10 tokens the window at 61 already
+  * covers; duplicate tails would inflate a RAG/embedding index). A
+  * document always emits ≥ 1 chunk, including empty/short ones.
   */
 object Chunking {
 
@@ -34,10 +39,13 @@ object Chunking {
     require(width >= 1 && stride >= 1 && stride <= width,
       s"need 1 <= stride <= width, got width=$width stride=$stride")
     val toks = split(trim(text), "\\s+")
+    // last needed start: smallest grid point covering the document end
+    // (non-negative numerator keeps floor == truncating int division)
+    val lastStart = (floor((greatest(size(col("__t")) - width, lit(0))
+      + lit(stride - 1)) / stride) * stride + 1).cast("int")
     df.select(id.as("doc_id"), toks.as("__t"))
       .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(1), greatest(size(col("__t")), lit(1)),
-          lit(stride))).as("__s"))
+        explode(sequence(lit(1), lastStart, lit(stride))).as("__s"))
       .select(
         col("doc_id"),
         ((col("__s") - 1) / stride).cast("long").as("chunk_id"),

@@ -146,7 +146,13 @@ object EmbeddingSearch {
     * Scale: assignment is a broadcast of k centroid vectors against a
     * single corpus scan (k·dim multiply-adds per row); the mean is one
     * (cell, dim)-keyed aggregation, partial-aggregated map-side —
-    * k·dim groups total, no corpus-proportional state.
+    * k·dim groups total, no corpus-proportional state. Each Lloyd
+    * round's centroids are cut from their lineage with a
+    * `localCheckpoint` (the [[DedupClusters]] discipline): without the
+    * barrier round N's job re-executes rounds 1..N-1's full
+    * assignment lineage — quadratic total work in `iters`. With it,
+    * round N reads round N-1's k materialized rows and total work is
+    * linear in `iters` (one corpus pass per round).
     *
     * Output: (cell, n_members, centroid array<double>), one row per
     * non-empty cell.
@@ -158,7 +164,7 @@ object EmbeddingSearch {
     var cents = c.orderBy(col("__cid")).limit(k)
       .select(col("__cid").as("__ctr_id"), col("__cvec").as("__ctr_vec"))
     var result: DataFrame = null
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val wAssign = Window.partitionBy("__cid")
         .orderBy(col("__ccos").desc, col("__ctr_id").asc)
       val assigned = c.crossJoin(broadcast(cents))
@@ -179,9 +185,13 @@ object EmbeddingSearch {
         .select(col("__ctr_id").as("cell"), col("n_members"),
           transform(col("__pm"), s => s.getField("__m")).as("centroid"))
       // next-round centroids: means cast back to the float vector type
-      // (transform is an interpreted HOF but runs over k rows only)
-      cents = result.select(col("cell").as("__ctr_id"),
-        transform(col("centroid"), x => x.cast("float")).as("__ctr_vec"))
+      // (transform is an interpreted HOF but runs over k rows only),
+      // lineage-cut per round; skipped after the final round (unused)
+      if (i < iters) {
+        cents = result.select(col("cell").as("__ctr_id"),
+          transform(col("centroid"), x => x.cast("float")).as("__ctr_vec"))
+          .localCheckpoint(false)
+      }
     }
     result
   }

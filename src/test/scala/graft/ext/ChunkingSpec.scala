@@ -14,12 +14,13 @@ class ChunkingSpec extends SparkTestBase {
       .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
 
     val d1 = out.filter(_._1 == 1L)
-    // starts 1, 31, 61, 91 -> chunk lengths 40, 40, 35, 5
-    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
-    assert(d1.map(_._4).toSeq == Seq(40L, 40L, 35L, 5L))
+    // starts 1, 31, 61 -> chunk lengths 40, 40, 35; the window at 61
+    // reaches w95, so no (strictly contained) start at 91 is emitted
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._4).toSeq == Seq(40L, 40L, 35L))
     assert(d1(0)._3.startsWith("w1 w2 ") && d1(0)._3.endsWith(" w40"))
     assert(d1(1)._3.startsWith("w31 ") && d1(1)._3.endsWith(" w70"))
-    assert(d1(3)._3 == "w91 w92 w93 w94 w95")
+    assert(d1(2)._3.startsWith("w61 ") && d1(2)._3.endsWith(" w95"))
     // overlap: chunk k starts 10 tokens before chunk k-1 ends
     assert(d1(1)._3.split(" ").take(10).toSeq == d1(0)._3.split(" ").takeRight(10).toSeq)
 
@@ -27,6 +28,19 @@ class ChunkingSpec extends SparkTestBase {
     assert(d2.toSeq == Seq((2L, 0L, "only three tokens", 3L)))
     // blank doc still emits exactly one (empty) chunk
     assert(out.count(_._1 == 3L) == 1)
+  }
+
+  test("tokenChunks: tail past the last full window still gets covered") {
+    // len=101, width=40, stride=30: window at 61 ends at 100, so a
+    // start at 91 IS needed (11-token tail); len=100 stops at 61.
+    for ((n, starts) <- Seq(101 -> Seq(1, 31, 61, 91), 100 -> Seq(1, 31, 61))) {
+      val doc = (1 to n).map(i => s"w$i").mkString(" ")
+      val out = Chunking.tokenChunks(Seq((1L, doc)).toDF("id", "t"),
+          $"id", $"t", width = 40, stride = 30)
+        .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+      assert(out.map(_._3.split(" ").head).toSeq == starts.map(s => s"w$s"))
+      assert(out.last._3.endsWith(s" w$n"))
+    }
   }
 
   test("tokenChunks: stride == size means zero overlap, full cover") {

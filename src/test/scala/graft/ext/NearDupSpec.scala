@@ -232,5 +232,20 @@ class NearDupSpec extends SparkTestBase {
       "vec_id", "embedding", k = 2, iters = 3)
       .orderBy("cell").select($"centroid").as[Seq[Double]].collect()
     assert(repart.toSeq == cents.toSeq)
+
+    // per-round localCheckpoint barrier: the final round's plan reads
+    // round N-1's k materialized rows, not N-1 nested assignment
+    // subtrees — exactly ONE join survives in the optimized plan, so
+    // total work stays linear in iters (no barrier -> 5 joins here)
+    val plan5 = EmbeddingSearch.kmeansCentroids(df, "vec_id", "embedding",
+      k = 2, iters = 5).queryExecution.optimizedPlan.toString
+    assert("(?m)^\\s*[+:]?[- ]*Join ".r.findAllIn(plan5).size == 1, plan5)
+
+    // Lloyd fixed point on well-separated clusters: more rounds do not
+    // move the centroids (multi-iteration correctness, not just iters=1)
+    val it1 = EmbeddingSearch.kmeansCentroids(df, "vec_id", "embedding",
+      k = 2, iters = 1).orderBy("cell").select($"centroid")
+      .as[Seq[Double]].collect().toSeq
+    assert(cents.toSeq == it1) // converged after round 1 by construction
   }
 }
