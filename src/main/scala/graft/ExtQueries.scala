@@ -1561,8 +1561,59 @@ object ExtQueries {
             |HAVING count(*) >= 50
             |ORDER BY n_docs DESC, gram LIMIT 25""".stripMargin))
 
+  /** Real-tokenizer (BPE merge-loop) token counts per document, next to
+    * the q39 pre-tokenizer estimate. The Spark side is one narrow
+    * codegen'd expression per row; the oracle mirrors the ENTIRE merge
+    * loop as a recursive CTE over the corpus's distinct pre-tokens
+    * (one merge per recursion step; the rule table joins on rank so
+    * recursion terminates when every word passes rank max(r)) — both
+    * sides share one checked-in merge table
+    * ([[graft.functions.BpeUtil.mergesSqlValues]]), so the counts are
+    * hash-compared exactly. Restricted to doc_id % 3 = 0 to keep the
+    * oracle's recursion volume proportionate.
+    */
+  val q65 = Q(
+    "q65_bpe_tokens",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id",
+          TextAnalysis.subwordCount($"text").cast("long").as("n_subwords"),
+          graft.functions.Bpe.count($"text").as("n_bpe"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+            |w AS (SELECT doc_id,
+            |             unnest(regexp_extract_all(text,
+            |               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+            |      FROM d),
+            |wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY doc_id, w),
+            |dw AS (SELECT DISTINCT w FROM wc),
+            |m(r, a, b) AS (VALUES ${graft.functions.BpeUtil.mergesSqlValues}),
+            |e(w, s, r) AS (
+            |  SELECT w, regexp_extract_all(w, '.'), 1 FROM dw
+            |  UNION ALL
+            |  SELECT w,
+            |         CASE WHEN i IS NULL THEN s
+            |              ELSE s[1:i-1] || [s[i] || s[i+1]] || s[i+2:len(s)] END,
+            |         CASE WHEN i IS NULL THEN r + 1 ELSE r END
+            |  FROM (SELECT e.w AS w, e.s AS s, e.r AS r,
+            |               list_filter(generate_series(1, len(e.s) - 1),
+            |                 ix -> e.s[ix] = m.a AND e.s[ix + 1] = m.b)[1] AS i
+            |        FROM e JOIN m ON m.r = e.r)),
+            |n AS (SELECT w, len(s) AS n FROM e
+            |      WHERE r = (SELECT max(r) FROM m) + 1)
+            |SELECT d.doc_id,
+            |       CAST(coalesce(sum(wc.cnt), 0) AS BIGINT) AS n_subwords,
+            |       CAST(coalesce(sum(wc.cnt * n.n), 0) AS BIGINT) AS n_bpe
+            |FROM d
+            |LEFT JOIN wc ON wc.doc_id = d.doc_id
+            |LEFT JOIN n ON n.w = wc.w
+            |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64)
+    q61, q62, q63, q64, q65)
 }

@@ -53,4 +53,13 @@ object Chunking {
         least(lit(width), size(col("__t")) - col("__s") + 1).cast("long")
           .as("n_tokens"))
   }
+
+  /** Re-base chunk cost in REAL tokenizer tokens: append `n_bpe`
+    * (merge-loop BPE count of the chunk text, [[graft.functions.Bpe]])
+    * so downstream RAG / packing budgets are denominated in the unit
+    * that matters; whitespace `n_tokens` stays as window geometry.
+    * Still narrow — one more codegen'd projection, no shuffle.
+    */
+  def withBpeCost(chunks: DataFrame): DataFrame =
+    chunks.withColumn("n_bpe", graft.functions.Bpe.count(col("chunk")))
 }

@@ -51,4 +51,20 @@ class ChunkingSpec extends SparkTestBase {
     assert(out.map(_._3).mkString(" ") == doc)
     assert(out.map(_._4).toSeq == Seq(4L, 4L, 2L))
   }
+
+  test("withBpeCost: chunk budgets in real tokenizer tokens") {
+    import graft.functions.{Bpe, BpeUtil}
+    val doc = "the would station which could " * 8
+    val out = Chunking.withBpeCost(
+      Chunking.tokenChunks(Seq((1L, doc)).toDF("id", "t"),
+        $"id", $"t", width = 10, stride = 10))
+      .select($"chunk", $"n_bpe").as[(String, Long)].collect()
+    assert(out.nonEmpty)
+    for ((chunk, nBpe) <- out) {
+      val m = java.util.regex.Pattern.compile(BpeUtil.PreTokenPattern).matcher(chunk)
+      var n = 0L
+      while (m.find()) n += BpeUtil.encodeWord(m.group()).length
+      assert(nBpe == n, s"chunk '$chunk'")
+    }
+  }
 }

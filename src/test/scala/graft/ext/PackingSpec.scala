@@ -47,4 +47,23 @@ class PackingSpec extends SparkTestBase {
     val total = docs.agg(sum($"n_tokens")).as[Long].head()
     assert(maxCum == total)
   }
+
+  test("budgets in REAL tokenizer tokens: pack by Bpe.count, conserved") {
+    import graft.functions.Bpe
+    val texts = (1L to 120L).map(i =>
+      (i, s"the would station $i which could notwithstanding " * (1 + (i % 4)).toInt))
+      .toDF("doc_id", "text")
+    val withCost = texts.select($"doc_id", Bpe.count($"text").as("n_bpe"))
+    val packed = Packing.packByBudget(withCost, $"doc_id", $"n_bpe", budget = 64L)
+    val maxCum = packed.groupBy($"bucket").agg(max($"cum_tokens").as("m"))
+      .agg(sum($"m")).as[Long].head()
+    val total = withCost.agg(sum($"n_bpe")).as[Long].head()
+    assert(maxCum == total && total > 0)
+    // real-token budget differs from the whitespace estimate (fertility
+    // != 1), so packing by BPE produces a different (correct) layout
+    val ws = texts.select($"doc_id",
+      graft.ext.TextAnalysis.tokenCount($"text").cast("long").as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(total != ws)
+  }
 }
