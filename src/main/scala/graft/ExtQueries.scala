@@ -1612,8 +1612,87 @@ object ExtQueries {
             |LEFT JOIN n ON n.w = wc.w
             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
 
+  private def q66Sql: String = {
+    val horner = hornerSql
+    val slotVals = (0 until 8).map(i =>
+      s"($i, ${MinHashLsh.portableMul(i)}, ${MinHashLsh.portableAdd(i)})").mkString(", ")
+    val sigCols = (0 until 8).map(i => s"max(CASE WHEN i=$i THEN m END) AS m$i").mkString(", ")
+    val bandSelects = (0 until 4).map { bd =>
+      val ms = (bd * 2 until bd * 2 + 2).map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+      s"SELECT side, doc_id, md5(concat_ws(',', '$bd', $ms)) AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until 8)
+      .map(i => s"(CASE WHEN ns.m$i = cs.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT 'c' AS side, doc_id, text FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT 'n', doc_id + 500000, text || ' mutated tail token'
+       |  FROM documents WHERE doc_id < 12
+       |  UNION ALL
+       |  SELECT 'n', doc_id + 500000, text
+       |  FROM documents WHERE doc_id >= 20 AND doc_id < 26
+       |  UNION ALL
+       |  SELECT 'n', doc_id + 500000, text
+       |  FROM documents WHERE doc_id >= 300 AND doc_id < 310),
+       |toks AS (SELECT side, doc_id, string_split_regex(trim(text), '\\s+') AS t FROM d),
+       |win AS (SELECT side, doc_id, t,
+       |               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+       |        FROM toks),
+       |sh AS (SELECT DISTINCT side, doc_id,
+       |              CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+       |                   ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+       |       FROM win),
+       |hx AS (SELECT side, doc_id, md5(s) AS h FROM sh),
+       |hv AS (SELECT side, doc_id, $horner AS h32 FROM hx),
+       |slots(i, a, b) AS (VALUES $slotVals),
+       |mins AS (SELECT side, doc_id, i, min((h32 * a + b) % 4294967296) AS m
+       |         FROM hv CROSS JOIN slots GROUP BY side, doc_id, i),
+       |sig AS (SELECT side, doc_id, $sigCols FROM mins GROUP BY side, doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+       |         FROM bands nb JOIN bands cb
+       |           ON nb.bk = cb.bk AND nb.side = 'n' AND cb.side = 'c')
+       |SELECT cand.new_id, cand.corpus_id,
+       |       CAST($agree AS DOUBLE) / 8 AS est_jaccard
+       |FROM cand
+       |JOIN sig ns ON ns.side = 'n' AND ns.doc_id = cand.new_id
+       |JOIN sig cs ON cs.side = 'c' AND cs.doc_id = cand.corpus_id
+       |WHERE CAST($agree AS DOUBLE) / 8 >= 0.5
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
+  /** Incremental near-dup ingest: a new batch (mutated replays of
+    * corpus docs, exact replays, and genuinely new docs — every branch
+    * planted) probed against the corpus's STORED portable MinHash
+    * signatures; the corpus text is never re-shingled. Slot-agreement
+    * estimates are exact multiples of 1/8, hash-compared against a
+    * full SQL mirror of signature build + banding + bipartite probe.
+    * (The parquet round-trip of the signature state is pinned in
+    * NearDupSpec — same math, so the inline form here is what the
+    * oracle can see.)
+    */
+  val q66 = Q(
+    "q66_incremental_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val corpusSigs = MinHashLsh.portableSignatures(
+        base.filter($"doc_id" < 200), $"doc_id", $"text", n = 3, k = 8)
+      val newBatch = base.filter($"doc_id" < 12)
+        .select(($"doc_id" + 500000L).as("doc_id"),
+          concat($"text", lit(" mutated tail token")).as("text"))
+        .unionAll(base.filter($"doc_id" >= 20 && $"doc_id" < 26)
+          .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+        .unionAll(base.filter($"doc_id" >= 300 && $"doc_id" < 310)
+          .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+      MinHashLsh.incrementalNearDup(newBatch, $"doc_id", $"text", corpusSigs,
+          n = 3, k = 8, bands = 4, threshold = 0.5)
+        .orderBy($"new_id", $"corpus_id")
+    },
+    Some(q66Sql))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65)
+    q61, q62, q63, q64, q65, q66)
 }

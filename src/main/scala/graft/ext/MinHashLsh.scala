@@ -246,6 +246,36 @@ object MinHashLsh {
   def portableAdd(i: Int): Long =
     graft.functions.MixHash64.splitmix64(2L * i + 2) & 0xffffffffL
 
+  /** Persistable portable MinHash corpus state: one row per document —
+    * `id` plus k signature slot columns `m0..m{k-1}` (BIGINTs in
+    * [0, 2^32)). Write this frame to parquet once per corpus build;
+    * incremental ingest then probes the STORED signatures
+    * ([[incrementalNearDup]]) without ever re-reading corpus text.
+    * Same math as [[nearDupPairsPortable]]'s signature stage — md5
+    * Horner base hash, k affine slot permutations — so the state is
+    * engine-portable and oracle-checkable.
+    */
+  def portableSignatures(df: DataFrame, id: Column, text: Column,
+                         n: Int = 3, k: Int = 8): DataFrame = {
+    val mod = 1L << 32
+    val ex = df.select(id.as("id"),
+      explode(ShingleJaccard.wordShingles(text, n)).as("__sh"))
+    val hashed = ex.select(col("id"), portableHash32(col("__sh")).as("__h"))
+    val minCols = (0 until k).map(i =>
+      min((col("__h") * lit(portableMul(i)) + lit(portableAdd(i))) % mod).as(s"m$i"))
+    hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Band-key expressions over `m0..m{k-1}` signature columns. */
+  private def portableBandKeys(k: Int, bands: Int): Seq[Column] = {
+    val r = k / bands
+    (0 until bands).map { bd =>
+      val parts = lit(bd.toString) +:
+        (bd * r until (bd + 1) * r).map(i => col(s"m$i").cast("string"))
+      md5(concat_ws(",", parts: _*).cast("binary"))
+    }
+  }
+
   /** MinHash+LSH near-dup pairs where EVERY step — base hash, slot
     * permutations, band keys, candidate join, exact-Jaccard rerank —
     * is expressible in portable ANSI-ish SQL, so the whole pipeline
@@ -264,27 +294,71 @@ object MinHashLsh {
                            threshold: Double = 0.5,
                            maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val r = k / bands
-    val mod = 1L << 32
-
-    val ex = df.select(id.as("__id"),
-      explode(ShingleJaccard.wordShingles(text, n)).as("__sh"))
-    val hashed = ex.select(col("__id"), portableHash32(col("__sh")).as("__h"))
-    val minCols = (0 until k).map(i =>
-      min((col("__h") * lit(portableMul(i)) + lit(portableAdd(i))) % mod).as(s"__m$i"))
-    val sig = hashed.groupBy("__id").agg(minCols.head, minCols.tail: _*)
-
-    val bandCols = (0 until bands).map { bd =>
-      val parts = lit(bd.toString) +:
-        (bd * r until (bd + 1) * r).map(i => col(s"__m$i").cast("string"))
-      md5(concat_ws(",", parts: _*).cast("binary"))
-    }
-    val sigCols = (0 until k).map(i => col(s"__m$i"))
+    val sig = portableSignatures(df, id, text, n, k)
+      .withColumnRenamed("id", "__id")
+    val bandCols = portableBandKeys(k, bands)
+    val sigCols = (0 until k).map(i => col(s"m$i"))
     val cand = bandedCandidates(sig, sigCols, bandCols, maxBucket)
       .localCheckpoint(false)
 
     exactRerank(cand, df, id, text, ShingleJaccard.wordShingles, n)
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Incremental near-dup detection: documents of `newBatch` probed
+    * against an EXISTING corpus's stored signature table
+    * ([[portableSignatures]] schema `(id, m0..m{k-1})`, typically read
+    * back from parquet) — the daily-ingest analogue of
+    * `ExactDedup.incremental`, upgraded from content identity to
+    * near-duplicate similarity. The corpus is never re-read, never
+    * re-shingled: only the new batch is signatured; band keys on both
+    * sides derive from signatures alone, and the score is the
+    * slot-agreement Jaccard ESTIMATE (agreeing slots / k — exact
+    * multiples of 1/k, so bit-reproducible and oracle-checkable; run
+    * an exact rerank over the returned pairs if exact scores are
+    * needed, they are candidate-proportional).
+    *
+    * Output: (new_id, corpus_id, est_jaccard ≥ threshold).
+    *
+    * Scale: the stored state is k longs per corpus doc; the band join
+    * shuffles (band-hash, id) rows — linear in corpus size, and in
+    * practice the corpus band table is itself precomputable. The
+    * `maxBucket` guard drops corpus band buckets above the cap
+    * (boilerplate bands), bounding any bucket's contribution to
+    * |new| · maxBucket.
+    */
+  def incrementalNearDup(newBatch: DataFrame, id: Column, text: Column,
+                         corpusSigs: DataFrame, n: Int = 3, k: Int = 8,
+                         bands: Int = 4, threshold: Double = 0.5,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    import org.apache.spark.sql.expressions.Window
+    val bandKeys = portableBandKeys(k, bands)
+    val newSigs = portableSignatures(newBatch, id, text, n, k)
+      .localCheckpoint(false) // feeds the band join AND the estimate join
+    val nb = newSigs.select(col("id").as("__nid"),
+      explode(array(bandKeys: _*)).as("__bh"))
+    val cbAll = corpusSigs.select(col("id").as("__cid"),
+      explode(array(bandKeys: _*)).as("__bh"))
+    val cb =
+      if (maxBucket == Int.MaxValue) cbAll
+      else cbAll
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bh"))))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    val cand = nb.join(cb, "__bh")
+      .select(col("__nid"), col("__cid")).dropDuplicates()
+    val est = (0 until k)
+      .map(i => when(col(s"__nm$i") === col(s"__cm$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    cand
+      .join(newSigs.select(col("id").as("__nid") +:
+        (0 until k).map(i => col(s"m$i").as(s"__nm$i")): _*), "__nid")
+      .join(corpusSigs.select(col("id").as("__cid") +:
+        (0 until k).map(i => col(s"m$i").as(s"__cm$i")): _*), "__cid")
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("__nid").as("new_id"), col("__cid").as("corpus_id"),
+        col("est_jaccard"))
   }
 }

@@ -211,6 +211,48 @@ class NearDupSpec extends SparkTestBase {
     assert(!cappedMh.exists { case (a, b, _) => a == 1L && b == 2L })
   }
 
+  test("incrementalNearDup: stored parquet signatures, replays found, fresh docs clean") {
+    val corpus = (0L until 60L).map(i =>
+      (i, s"corpus document $i talks about topic ${i % 7} in several common words " +
+        s"plus unique marker ${i * 31}")).toDF("doc_id", "text")
+    // state table: built once, persisted, read back — ingest never sees corpus text
+    val dir = java.nio.file.Files.createTempDirectory("sigstate").toString
+    MinHashLsh.portableSignatures(corpus, $"doc_id", $"text", n = 3, k = 8)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+
+    val newBatch = Seq(
+      (1000L, "corpus document 5 talks about topic 5 in several common words " +
+        "plus unique marker 155 EXTRA"), // near-dup of doc 5
+      (1001L, "corpus document 9 talks about topic 2 in several common words " +
+        "plus unique marker 279"), // exact replay of doc 9
+      (1002L, "entirely unrelated fresh content with no overlap whatsoever at all"))
+      .toDF("doc_id", "text")
+
+    val out = MinHashLsh.incrementalNearDup(newBatch, $"doc_id", $"text", stored,
+        n = 3, k = 8, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // exact replay: all 8 slots agree
+    assert(out.contains((1001L, 9L, 1.0)), out.toSeq.toString)
+    // near-dup replay found against its source
+    assert(out.exists(r => r._1 == 1000L && r._2 == 5L && r._3 >= 0.5), out.toSeq.toString)
+    // fresh doc matches nothing
+    assert(!out.exists(_._1 == 1002L), out.toSeq.toString)
+
+    // stored state == inline signatures (parquet round-trip is lossless)
+    val inline = MinHashLsh.incrementalNearDup(newBatch, $"doc_id", $"text",
+        MinHashLsh.portableSignatures(corpus, $"doc_id", $"text", n = 3, k = 8),
+        n = 3, k = 8, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == inline.toSeq)
+
+    // hot-bucket guard returns a subset and keeps the exact replay
+    val guarded = MinHashLsh.incrementalNearDup(newBatch, $"doc_id", $"text", stored,
+        n = 3, k = 8, bands = 4, threshold = 0.5, maxBucket = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded.subsetOf(out.toSet))
+  }
+
   test("kmeansCentroids separates planted clusters and is partition-invariant") {
     // two tight clusters on orthogonal axes + the two lowest-id seeds
     // sitting one in each cluster
