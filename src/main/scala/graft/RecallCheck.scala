@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev probe: measured recall@k-vs-cost curves for the ANN paths
+  * (`EmbeddingSearch.lshTopK` over SRP bits, `EmbeddingSearch.ivfTopK`
+  * over nlist/nprobe) against `bruteForceTopK` ground truth — the
+  * tuning table a user needs before picking bits/nlist/nprobe blind.
+  * Results feed the SURVEY §8 decision table (SkewCheck pattern).
+  *
+  * Corpus: the embeddings fixture (SPARK_GRAFT_SF_DIR, default sf0.1)
+  * unioned with deterministic jittered copies (×SPARK_GRAFT_X, default
+  * 10) so every query has planted true near neighbors plus background;
+  * queries are 50 original vectors.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.RecallCheck"
+  */
+object RecallCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    import spark.implicits._
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val x = sys.env.getOrElse("SPARK_GRAFT_X", "10").toInt
+    val k = 10
+
+    val base = Tables.table(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    // ×x corpus: copy m jitters every component by a hash-derived
+    // epsilon in [-1%, 1%] — a planted near-neighbor of its original
+    val corpus = (1 until x).foldLeft(base) { (acc, m) =>
+      acc.unionAll(base.select(($"vec_id" + lit(1000000L * m)).as("vec_id"),
+        transform($"embedding", (v, i) =>
+          (v + v * ((pmod(xxhash64($"vec_id" + lit(m), i), lit(2001L)) - 1000L)
+            .cast("double") / 100000.0)).cast("float")).as("embedding")))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCorpus = corpus.count()
+    val queries = base.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    println(s"[recall] corpus=$nCorpus queries=50 k=$k dim=64")
+
+    val tTruth0 = System.nanoTime()
+    val truth = ext.EmbeddingSearch.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = k)
+      .select(col("qid"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truthN = truth.count()
+    println(f"[recall] truth rows=$truthN (brute force, ${(System.nanoTime() - tTruth0) / 1e9}%.2f s)")
+
+    def measure(label: String)(f: => DataFrame): Unit = {
+      // rep1 includes codegen; rep2 is the steady-state number
+      var out: DataFrame = null
+      var dt = 0.0
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        out = f
+        out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        dt = (System.nanoTime() - t0) / 1e9
+        if (rep == 1) out.unpersist()
+      }
+      val truthHits = truth.join(out.select(col("qid"), col("neighbor_id")),
+        Seq("qid", "neighbor_id"), "left_semi").count()
+      val recall = truthHits.toDouble / truthN
+      val rows = out.count()
+      println(f"[recall] $label%-28s recall@$k=${recall * 100}%5.1f%%  t=$dt%6.2f s  rows=$rows")
+      out.unpersist()
+    }
+
+    for (bits <- Seq(4, 6, 8, 10, 12))
+      measure(s"lshTopK bits=$bits") {
+        ext.EmbeddingSearch.lshTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", k = k, bits = bits)
+      }
+
+    for ((nlist, nprobe) <- Seq((16, 1), (16, 4), (16, 8), (16, 16),
+        (64, 1), (64, 4), (64, 16), (64, 64)))
+      measure(s"ivfTopK nlist=$nlist nprobe=$nprobe") {
+        ext.EmbeddingSearch.ivfTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", k = k, nlist = nlist, nprobe = nprobe)
+      }
+
+    spark.stop()
+  }
+}
