@@ -38,9 +38,15 @@ object Blowup {
 
   private val dims = Seq("nation", "region")
 
-  def build(spark: SparkSession, srcDir: String, outDir: String, times: Int): String = {
+  /** @param tables restrict the build to these fact tables (default:
+    *                all) — the ×100 tier only needs `documents`, and
+    *                writing 100× of lineitem for it would dwarf the
+    *                measurement itself.
+    */
+  def build(spark: SparkSession, srcDir: String, outDir: String, times: Int,
+            tables: Set[String] = factKeys.keySet): String = {
     val marker = new java.io.File(outDir, "_GRAFT_BLOWUP")
-    val stamp = s"$srcDir x$times"
+    val stamp = s"$srcDir x$times ${tables.toSeq.sorted.mkString(",")}"
     if (marker.isFile &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) == stamp)
       return outDir
@@ -57,7 +63,7 @@ object Blowup {
       }.reduce(_ unionAll _)
     }
 
-    factKeys.keys.foreach { name =>
+    factKeys.keys.filter(tables).foreach { name =>
       copies(name).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
     dims.foreach { name =>
