@@ -1580,6 +1580,10 @@ object ExtQueries {
         .select($"doc_id",
           TextAnalysis.subwordCount($"text").cast("long").as("n_subwords"),
           graft.functions.Bpe.count($"text").as("n_bpe"))
+        // always-true filter on the computed column: keeps BpeCount
+        // alive under the bench's count() (column pruning would
+        // otherwise time a bare scan); result set unchanged
+        .filter($"n_bpe" >= 0)
         .orderBy($"doc_id")
     },
     Some(s"""WITH RECURSIVE
@@ -1691,8 +1695,64 @@ object ExtQueries {
     },
     Some(q66Sql))
 
+  private def q67Sql: String =
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+       |wo AS (SELECT doc_id,
+       |              unnest(regexp_extract_all(text,
+       |                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS wd,
+       |              unnest(generate_series(1, len(regexp_extract_all(text,
+       |                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))) AS i
+       |       FROM d),
+       |dw AS (SELECT DISTINCT wd AS w FROM wo),
+       |m(r, a, b) AS (VALUES ${graft.functions.BpeUtil.mergesSqlValues}),
+       |e(w, s, r) AS (
+       |  SELECT w, regexp_extract_all(w, '.'), 1 FROM dw
+       |  UNION ALL
+       |  SELECT w,
+       |         CASE WHEN i IS NULL THEN s
+       |              ELSE s[1:i-1] || [s[i] || s[i+1]] || s[i+2:len(s)] END,
+       |         CASE WHEN i IS NULL THEN r + 1 ELSE r END
+       |  FROM (SELECT e.w AS w, e.s AS s, e.r AS r,
+       |               list_filter(generate_series(1, len(e.s) - 1),
+       |                 ix -> e.s[ix] = m.a AND e.s[ix + 1] = m.b)[1] AS i
+       |        FROM e JOIN m ON m.r = e.r)),
+       |n AS (SELECT w, s FROM e WHERE r = (SELECT max(r) FROM m) + 1),
+       |seq AS (SELECT d.doc_id, coalesce(x.t, CAST([] AS VARCHAR[])) AS t
+       |        FROM d LEFT JOIN
+       |          (SELECT wo.doc_id, flatten(list(n.s ORDER BY wo.i)) AS t
+       |           FROM wo JOIN n ON n.w = wo.wd GROUP BY wo.doc_id) x
+       |        ON x.doc_id = d.doc_id),
+       |st AS (SELECT doc_id, t,
+       |              unnest(generate_series(1,
+       |                1 + 48 * ((greatest(len(t) - 64, 0) + 47) // 48),
+       |                48)) AS s
+       |       FROM seq)
+       |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_id,
+       |       array_to_string(t[s:s + 63], ' ') AS chunk,
+       |       CAST(least(64, len(t) - s + 1) AS BIGINT) AS n_tokens
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Context-window chunking in REAL tokenizer units: 64-BPE-token
+    * windows every 48 over each document's full token sequence. The
+    * oracle re-derives per-doc token STREAMS (q65's recursive merge
+    * loop over distinct pre-tokens, flattened back in occurrence
+    * order) and mirrors the stride-grid window math — chunk text and
+    * counts hash-compared exactly.
+    */
+  val q67 = Q(
+    "q67_bpe_chunks",
+    (s, dir) => {
+      import s.implicits._
+      Chunking.bpeTokenChunks(
+          t(s, dir, "documents").filter($"doc_id" % 7 === 0),
+          $"doc_id", $"text", width = 64, stride = 48)
+        .orderBy($"doc_id", $"chunk_id")
+    },
+    Some(q67Sql))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66)
+    q61, q62, q63, q64, q65, q66, q67)
 }

@@ -62,4 +62,37 @@ object Chunking {
     */
   def withBpeCost(chunks: DataFrame): DataFrame =
     chunks.withColumn("n_bpe", graft.functions.Bpe.count(col("chunk")))
+
+  /** Chunk in REAL tokenizer units: windows of `width` BPE tokens every
+    * `stride` BPE tokens over the document's full token sequence
+    * ([[graft.functions.Bpe.tokens]]) — the shape a context-window
+    * budget actually constrains, where [[tokenChunks]]'s whitespace
+    * windows only approximate it (fertility drift puts a "40-token"
+    * whitespace window anywhere from 40 to 80 real tokens).
+    *
+    * `chunk` is the space-joined TOKEN STREAM (pre-tokenization drops
+    * the original whitespace, so source text is not reconstructible —
+    * training and embedding consumers feed token streams anyway);
+    * `n_tokens` counts real tokens, so every chunk is exactly `width`
+    * except a shorter covering tail. Same stride-grid / no-contained-
+    * tail rules as [[tokenChunks]]; a document always emits ≥ 1 chunk
+    * (empty text → one empty chunk). Same narrow shape: one codegen'd
+    * tokenize per row + explode, no shuffle.
+    */
+  def bpeTokenChunks(df: DataFrame, id: Column, text: Column,
+                     width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      s"need 1 <= stride <= width, got width=$width stride=$stride")
+    val lastStart = (floor((greatest(size(col("__t")) - width, lit(0))
+      + lit(stride - 1)) / stride) * stride + 1).cast("int")
+    df.select(id.as("doc_id"), graft.functions.Bpe.tokens(text).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), lastStart, lit(stride))).as("__s"))
+      .select(
+        col("doc_id"),
+        ((col("__s") - 1) / stride).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__t"), col("__s"), lit(width))).as("chunk"),
+        greatest(least(lit(width), size(col("__t")) - col("__s") + 1), lit(0))
+          .cast("long").as("n_tokens"))
+  }
 }

@@ -52,6 +52,35 @@ class ChunkingSpec extends SparkTestBase {
     assert(out.map(_._4).toSeq == Seq(4L, 4L, 2L))
   }
 
+  test("bpeTokenChunks: real-token windows, conservation, tails, empty doc") {
+    import graft.functions.{Bpe, BpeUtil}
+    val doc = "the would station which could notwithstanding estimate " * 6
+    val df = Seq((1L, doc), (2L, "the"), (3L, "")).toDF("id", "t")
+    // zero-overlap chunks reassemble the exact token stream
+    val streamed = Chunking.bpeTokenChunks(df.filter($"id" === 1L), $"id", $"t",
+        width = 16, stride = 16)
+      .orderBy($"chunk_id").as[(Long, Long, String, Long)].collect()
+    val full = df.filter($"id" === 1L).select(Bpe.tokens($"t"))
+      .as[Seq[String]].head()
+    assert(streamed.map(_._3).filter(_.nonEmpty).mkString(" ") == full.mkString(" "))
+    assert(streamed.map(_._4).sum == full.length)
+    // every chunk is exactly width tokens except a shorter covering tail
+    assert(streamed.init.forall(_._4 == 16L) && streamed.last._4 <= 16L)
+
+    // overlap: stride < width duplicates width-stride tokens per step
+    val over = Chunking.bpeTokenChunks(df.filter($"id" === 1L), $"id", $"t",
+        width = 16, stride = 12)
+      .orderBy($"chunk_id").as[(Long, Long, String, Long)].collect()
+    assert(over(1)._3.split(" ").take(4).toSeq ==
+      over(0)._3.split(" ").takeRight(4).toSeq)
+
+    // single-token and empty documents still emit exactly one chunk
+    val tiny = Chunking.bpeTokenChunks(df.filter($"id" >= 2L), $"id", $"t",
+        width = 16, stride = 16)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    assert(tiny.toSeq == Seq((2L, 0L, "the", 1L), (3L, 0L, "", 0L)))
+  }
+
   test("withBpeCost: chunk budgets in real tokenizer tokens") {
     import graft.functions.{Bpe, BpeUtil}
     val doc = "the would station which could " * 8
