@@ -266,14 +266,33 @@ object MinHashLsh {
     hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
   }
 
-  /** Band-key expressions over `m0..m{k-1}` signature columns. */
-  private def portableBandKeys(k: Int, bands: Int): Seq[Column] = {
+  /** Band-key expressions over `<prefix>0..<prefix>{k-1}` signature
+    * columns. The band INDEX is folded into the key, so keys from
+    * different bands can never collide-match — the property the
+    * streaming first-shared-band dedup relies on.
+    */
+  private[graft] def portableBandKeys(k: Int, bands: Int,
+                                      prefix: String = "m"): Seq[Column] = {
     val r = k / bands
     (0 until bands).map { bd =>
       val parts = lit(bd.toString) +:
-        (bd * r until (bd + 1) * r).map(i => col(s"m$i").cast("string"))
+        (bd * r until (bd + 1) * r).map(i => col(s"$prefix$i").cast("string"))
       md5(concat_ws(",", parts: _*).cast("binary"))
     }
+  }
+
+  /** Per-ROW portable signature slot expressions over a shingle-array
+    * column — the same minima as [[portableSignatures]] computed with
+    * higher-order functions instead of an aggregation. Interpreted
+    * (HOFs sit outside codegen) but STATELESS, which is what a
+    * streaming plan needs: no groupBy, no shuffle, no watermark.
+    */
+  private[graft] def rowSignature(shingles: Column, k: Int): Seq[Column] = {
+    val mod = 1L << 32
+    val hs = transform(shingles, s => portableHash32(s))
+    (0 until k).map(i =>
+      array_min(transform(hs, h =>
+        (h * lit(portableMul(i)) + lit(portableAdd(i))) % mod)))
   }
 
   /** MinHash+LSH near-dup pairs where EVERY step — base hash, slot

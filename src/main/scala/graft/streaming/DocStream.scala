@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ext.{MinHashLsh, ShingleJaccard}
+
+/** Streaming document ingest: near-dup screening of a document STREAM
+  * against a static corpus-state table — the continuous form of the
+  * daily-batch `MinHashLsh.incrementalNearDup` (q66), for pipelines
+  * that admit documents as they arrive rather than in batches.
+  *
+  * The whole plan is STATELESS, which is what makes it a legal and
+  * scale-safe streaming query:
+  *
+  *   - signatures are per-row higher-order-function arithmetic
+  *     ([[MinHashLsh.rowSignature]]) — no streaming aggregation, so no
+  *     watermark or state store for the signature stage;
+  *   - candidates come from a stream-static equi-join on band keys
+  *     (static side re-resolved per micro-batch);
+  *   - a pair sharing SEVERAL bands would join once per shared band —
+  *     instead of a stateful dropDuplicates, each joined row keeps
+  *     itself only when its band index equals the pair's FIRST shared
+  *     band, recomputed from both signatures carried on the row (band
+  *     keys embed their index, so cross-band key collisions cannot
+  *     occur). Exactly one output row per matching pair, zero state.
+  *
+  * Same slot-agreement estimate as the batch form (exact multiples of
+  * 1/k); results are row-for-row equal to
+  * `MinHashLsh.incrementalNearDup` on the same data (pinned in
+  * StreamingSpec). The batch form's `maxBucket` guard is a window over
+  * corpus bands and is intentionally not replicated here — pre-filter
+  * hot bands OUT of the stored state table instead (one batch pass)
+  * when boilerplate bands are a concern.
+  */
+object DocStream {
+
+  /** @param newDocs    streaming DataFrame of (id, text)
+    * @param corpusSigs STATIC signature table from
+    *                   [[MinHashLsh.portableSignatures]]: (id, m0..m{k-1})
+    * @return streaming (new_id, corpus_id, est_jaccard ≥ threshold)
+    */
+  def incrementalNearDup(newDocs: DataFrame, id: Column, text: Column,
+                         corpusSigs: DataFrame, n: Int = 3, k: Int = 8,
+                         bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val sigCols = MinHashLsh.rowSignature(ShingleJaccard.wordShingles(text, n), k)
+    val sig = newDocs.select(
+      id.as("new_id") +: sigCols.zipWithIndex.map { case (c, i) => c.as(s"__nm$i") }: _*)
+    val nBandKeys = MinHashLsh.portableBandKeys(k, bands, "__nm")
+    val nb = sig.select(col("new_id") +:
+      (0 until k).map(i => col(s"__nm$i")) :+
+      posexplode(array(nBandKeys: _*)).as(Seq("__bidx", "__bh")): _*)
+
+    val cBandKeys = MinHashLsh.portableBandKeys(k, bands, "__cm")
+    val cb = corpusSigs.select(col("id").as("corpus_id") +:
+        (0 until k).map(i => col(s"m$i").as(s"__cm$i")): _*)
+      .select(col("corpus_id") +:
+        (0 until k).map(i => col(s"__cm$i")) :+
+        explode(array(cBandKeys: _*)).as("__bh"): _*)
+
+    val joined = nb.join(cb, "__bh")
+    // first shared band of the PAIR, from both signatures on the row
+    val firstShared = (0 until bands).foldRight(lit(bands)) { (bd, acc) =>
+      when(nBandKeys(bd) === cBandKeys(bd), lit(bd)).otherwise(acc)
+    }
+    val est = (0 until k)
+      .map(i => when(col(s"__nm$i") === col(s"__cm$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    joined
+      .filter(col("__bidx") === firstShared)
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
+  }
+}

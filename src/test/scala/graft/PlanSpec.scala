@@ -131,6 +131,44 @@ class PlanSpec extends SparkTestBase {
     assert(!ep.contains("SortMergeJoin"), ep)
   }
 
+  test("q61/q67 chunking: narrow — no Exchange anywhere in the operator plan") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, dir, "documents")
+    for (p <- Seq(
+        plan(ext.Chunking.tokenChunks(docs, col("doc_id"), col("text"), 40, 30)),
+        plan(ext.Chunking.bpeTokenChunks(docs, col("doc_id"), col("text"), 64, 48))))
+      assert(!p.contains("Exchange"), p)
+  }
+
+  test("q60 bloom: confirm join keys on the digest — raw eval text never broadcast") {
+    val ep = ExtQueries.q60.run(spark, dir).queryExecution.executedPlan.toString
+    // both joins present and broadcast; no sort-merge of the corpus
+    assert(ep.contains("BroadcastNestedLoopJoin") || ep.contains("BroadcastHashJoin"), ep)
+    assert(!ep.contains("SortMergeJoin"), ep)
+    // the eval-side broadcast carries the md5 hex column, not text
+    assert(ep.contains("__ehex"), ep)
+    assert(!ep.contains("__etext"), ep)
+  }
+
+  test("q66 incremental near-dup: corpus text is never re-read after signatures") {
+    val df = ExtQueries.q66.run(spark, dir)
+    val ep = df.queryExecution.executedPlan.toString
+    // the probe joins shuffle band hashes and slot columns only — no
+    // text column may appear above the signature aggregates
+    val aboveSigs = ep.split("HashAggregate").head
+    assert(!aboveSigs.contains("text#"), aboveSigs)
+  }
+
+  test("q65 bpe: count stays a narrow codegen'd projection over a pruned scan") {
+    val df = ExtQueries.q65.run(spark, dir)
+    df.collect() // materialize so the AQE final plan (with codegen stages) exists
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReadSchema: struct<doc_id:bigint,text:string>"), ep)
+    assert(ep.contains("*("), ep) // WholeStageCodegen stage marker
+    // one scan, no join, no aggregate — per-row expression only
+    assert(!ep.contains("Join"), ep)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")

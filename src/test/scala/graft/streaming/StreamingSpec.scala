@@ -180,6 +180,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocStream.incrementalNearDup streams the same pairs as the batch probe") {
+    import graft.ext.MinHashLsh
+    val base = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val corpusSigs = MinHashLsh.portableSignatures(
+      base.filter($"doc_id" < 120), $"doc_id", $"text", n = 3, k = 8)
+      .localCheckpoint() // static state table stand-in (parquet in prod)
+    val newBatch = base.filter($"doc_id" < 8)
+      .select(($"doc_id" + 700000L).as("doc_id"),
+        concat($"text", lit(" streamed tail token")).as("text"))
+      .unionAll(base.filter($"doc_id" >= 10 && $"doc_id" < 14)
+        .select(($"doc_id" + 700000L).as("doc_id"), $"text"))
+
+    // stage the new batch as TWO files -> two micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream")
+    newBatch.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    newBatch.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part*")
+
+    val q = DocStream.incrementalNearDup(stream, $"doc_id", $"text", corpusSigs,
+        n = 3, k = 8, bands = 4, threshold = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val batch = MinHashLsh.incrementalNearDup(newBatch, $"doc_id", $"text",
+          corpusSigs, n = 3, k = 8, bands = 4, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed=$streamed batch=$batch")
+      // exactly one row per pair: the first-shared-band rule dedups
+      // without any state store
+      assert(streamed.map(r => (r._1, r._2)).distinct.size == streamed.size)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("checkpoint restart: stop mid-stream, resume recovers aggregation state") {
     // the first thing a real pipeline hits: a query dies between
     // micro-batches and must resume from its checkpoint with no loss
