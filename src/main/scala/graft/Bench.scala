@@ -124,7 +124,8 @@ object Bench {
     val x100Keep = Set("q20_exact_dedup",
       "q29_simhash_neardup", "q49_decontaminate", "q51_tfidf_keywords",
       "q55_sequence_pack", "q61_token_chunks", "q62_url_normalize",
-      "q64_boilerplate_grams", "q65_bpe_tokens")
+      "q64_boilerplate_grams", "q65_bpe_tokens",
+      "q68_span_dedup", "q69_temperature_sample")
     val x100: Option[Seq[(String, Double)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X100", "1") == "0") None
       else try {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, QualityFilter, Sampling, ShingleJaccard, SimHash, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, QualityFilter, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -1751,8 +1751,173 @@ object ExtQueries {
     },
     Some(q67Sql))
 
+  /** Repeated-span removal (exact substring dedup, Lee et al. 2021
+    * style): every 5-token span occurring ≥ 2 times corpus-wide is cut
+    * from every document. A shared license span is planted on every
+    * 5th doc (its 4 interior 5-grams are duplicated across ~100 docs;
+    * the windows straddling unique text survive, so exactly the
+    * planted suffix is removed) — natural duplicates (the corpus's
+    * exact-dup docs) exercise the whole-document path. Rewritten text,
+    * kept and removed token counts hash-compared against a full SQL
+    * mirror (gram → hot-gram → covered-position anti-join → rebuild).
+    */
+  val q68 = Q(
+    "q68_span_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 5 === 0,
+          concat($"text",
+            lit(" shared boilerplate sentinel span alpha beta gamma delta")))
+          .otherwise($"text").as("text"))
+      SpanDedup.cleanRepeatedSpans(d, $"doc_id", $"text", n = 5, minCount = 2L)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+            |                  CASE WHEN doc_id % 5 = 0
+            |                       THEN text || ' shared boilerplate sentinel span alpha beta gamma delta'
+            |                       ELSE text END AS text
+            |           FROM documents),
+            |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+            |occ AS (SELECT doc_id, i AS s, md5(array_to_string(t[i:i+4], ' ')) AS g
+            |        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+            |              FROM toks WHERE len(t) >= 5)),
+            |hot AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+            |cov AS (SELECT DISTINCT doc_id, p FROM (
+            |          SELECT occ.doc_id, unnest(generate_series(occ.s, occ.s + 4)) AS p
+            |          FROM occ JOIN hot USING (g))),
+            |tp AS (SELECT doc_id, i AS p, t[i] AS tok
+            |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+            |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+            |         FROM tp ANTI JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p),
+            |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean_text,
+            |               count(*) AS n_kept
+            |        FROM kept GROUP BY doc_id)
+            |SELECT toks.doc_id,
+            |       coalesce(agg.clean_text, '') AS clean_text,
+            |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+            |       CAST(len(toks.t) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+            |FROM toks LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin))
+
+  private def q69Sql: String = {
+    val horner = hornerSql
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |r AS (SELECT lang,
+       |             sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+       |      FROM c),
+       |hv AS (SELECT doc_id, lang,
+       |              md5(CAST(doc_id AS VARCHAR) || 'mix') AS h
+       |       FROM documents)
+       |SELECT hv.doc_id, hv.lang, r.rate
+       |FROM hv JOIN r USING (lang)
+       |WHERE $horner < r.rate * 4294967296.0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Temperature mixture sampling at α = ½: per-language keep rate
+    * √(c_min/c_lang) (en ≈ 0.54, fr = 1.0 on this corpus), decided by
+    * the portable 32-bit hash of the doc id. α = ½ goes through sqrt —
+    * correctly rounded by IEEE 754 on every engine — so the rate
+    * doubles and therefore the sampled row SET hash-match exactly.
+    */
+  val q69 = Q(
+    "q69_temperature_sample",
+    (s, dir) => {
+      import s.implicits._
+      Sampling.temperatureSample(
+          t(s, dir, "documents").select($"doc_id", $"lang"),
+          $"lang", $"doc_id", alpha = 0.5, salt = "mix")
+        .select($"doc_id", $"lang", $"rate")
+        .orderBy($"doc_id")
+    },
+    Some(q69Sql))
+
+  /** Semantic decontamination: the eval suite (vec_id % 97 = 0) has
+    * leaked into the training corpus — flag every training vector
+    * within cosine 0.9 of ANY eval vector. Two planted branches:
+    * verbatim leaks (the eval rows themselves, cos = 1) and
+    * PARAPHRASE-grade near-duplicates — each eval vector re-enters the
+    * corpus (id + 1e6) with its first component zeroed, a mutation
+    * both engines perform exactly (0.0f / 0.0), landing at cos ≈ 0.99.
+    * Argmax eval id, max cosine and hit count hash-compared against
+    * the exact SQL mirror (same fold-ordered dot product as q25).
+    */
+  val q70 = Q(
+    "q70_semantic_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val evalSet = emb.filter($"vec_id" % 97 === 0)
+        .select($"vec_id".as("eval_id"), $"embedding".as("evec"))
+      val planted = evalSet.select(
+        ($"eval_id" + 1000000L).as("vec_id"),
+        transform($"evec",
+          (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+      val train = emb.select($"vec_id", $"embedding").unionAll(planted)
+      Decontaminate.byEmbedding(train, "vec_id", "embedding",
+          evalSet, "eval_id", "evec", tau = 0.9)
+        .orderBy($"vec_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+            |                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |          FROM embeddings),
+            |q AS (SELECT vec_id AS eval_id, v AS qv FROM e WHERE vec_id % 97 = 0),
+            |pl AS (SELECT eval_id + 1000000 AS vec_id,
+            |              list_transform(generate_series(1, len(qv)),
+            |                             i -> CASE WHEN i = 1 THEN 0.0 ELSE qv[i] END) AS v
+            |       FROM q),
+            |c AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pl),
+            |p AS (SELECT c.vec_id, q.eval_id,
+            |             list_inner_product(qv, v) /
+            |               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))) AS cos
+            |      FROM c, q),
+            |f AS (SELECT vec_id, eval_id, cos,
+            |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn,
+            |             max(cos) OVER (PARTITION BY vec_id) AS max_cos,
+            |             count(*) OVER (PARTITION BY vec_id) AS n_hits
+            |      FROM p WHERE cos >= 0.9)
+            |SELECT vec_id, eval_id, max_cos, CAST(n_hits AS BIGINT) AS n_hits
+            |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin))
+
+  /** Leakage-safe split: near-dup clusters (q53's planted corpus and
+    * pair chain) hash-split BY COMPONENT — a near-dup pair can never
+    * straddle train/test. Component closure via the recursive-CTE
+    * mirror; the 80/10/10 bucket assignment mirrors bucket256 exactly.
+    */
+  val q71 = Q(
+    "q71_leakage_safe_split",
+    (s, dir) => {
+      import s.implicits._
+      val d = clusterCorpus(s, dir)
+      val pairs = ShingleJaccard.similarPairs(d, $"doc_id", $"text", 3, 0.6)
+      DedupClusters.leakageSafeSplit(d, "doc_id", pairs,
+          Seq("train" -> 204, "val" -> 26, "test" -> 26), salt = "split")
+        .select($"doc_id", $"component", $"split")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |$clusterCorpusSql,
+            |allc AS (SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+            |         FROM d LEFT JOIN comp ON comp.id = d.doc_id),
+            |hb AS (SELECT doc_id, component,
+            |              md5(CAST(component AS VARCHAR) || 'split') AS h
+            |       FROM allc),
+            |b AS (SELECT doc_id, component,
+            |             (CASE WHEN ascii(substring(h,1,1)) <= 57
+            |                   THEN ascii(substring(h,1,1)) - 48
+            |                   ELSE ascii(substring(h,1,1)) - 87 END) * 16 +
+            |             (CASE WHEN ascii(substring(h,2,1)) <= 57
+            |                   THEN ascii(substring(h,2,1)) - 48
+            |                   ELSE ascii(substring(h,2,1)) - 87 END) AS bucket
+            |      FROM hb)
+            |SELECT doc_id, component,
+            |       CASE WHEN bucket < 204 THEN 'train'
+            |            WHEN bucket < 230 THEN 'val'
+            |            ELSE 'test' END AS split
+            |FROM b ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }

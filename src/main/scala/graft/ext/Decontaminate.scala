@@ -57,6 +57,76 @@ object Decontaminate {
       .agg(count(lit(1)).as("shared_grams"))
   }
 
+  /** SEMANTIC contamination: training vectors whose embedding lies
+    * within cosine `tau` of ANY eval-set embedding — the
+    * paraphrase-robust complement of the n-gram overlap check above
+    * (a reworded benchmark question shares no 8-gram but sits at
+    * cosine ≈ 1 in embedding space; the classic failure is an eval
+    * suite leaked verbatim OR paraphrased into the crawl).
+    *
+    * One row per contaminated training vector:
+    * (train id, eval_id = nearest eval vector, max_cos, n_hits).
+    *
+    * Scale shape: the eval side is tiny by construction (benchmark
+    * suites) — broadcast; the corpus is scanned ONCE, cosines through
+    * the codegen'd [[graft.functions.VecDot]] fold (norms precomputed
+    * per side, bit-exact vs a sequential oracle, same discipline as
+    * [[EmbeddingSearch.bruteForceTopK]]); per-vector argmax/count via
+    * aggregation, no window over the corpus. Cost |corpus|·|eval| dot
+    * products, embarrassingly parallel. For eval sets too large to
+    * broadcast-multiply, [[byEmbeddingLsh]] prunes candidates first.
+    */
+  def byEmbedding(train: DataFrame, trainId: String, trainVec: String,
+                  evalSet: DataFrame, evalId: String, evalVec: String,
+                  tau: Double): DataFrame = {
+    val c = train.select(col(trainId).as("__tid"), col(trainVec).as("__tvec"))
+      .withColumn("__tn", EmbeddingSearch.norm(col("__tvec")))
+    val q = evalSet.select(col(evalId).as("__eid"), col(evalVec).as("__evec"))
+      .withColumn("__en", EmbeddingSearch.norm(col("__evec")))
+    c.crossJoin(broadcast(q))
+      .withColumn("__cos",
+        EmbeddingSearch.dot(col("__tvec"), col("__evec")) / (col("__tn") * col("__en")))
+      .filter(col("__cos") >= tau)
+      .groupBy(col("__tid"))
+      .agg(
+        // deterministic argmax: highest cosine, lowest eval id on ties
+        min(struct(negate(col("__cos")).as("__negcos"), col("__eid").as("__eid"))).as("__best"),
+        max(col("__cos")).as("max_cos"),
+        count(lit(1)).as("n_hits"))
+      .select(col("__tid").as(trainId), col("__best.__eid").as("eval_id"),
+        col("max_cos"), col("n_hits"))
+  }
+
+  /** Scale path for large eval sets: SRP-bucketed candidate
+    * generation (identical b-bit signatures ⇒ candidate) followed by
+    * the same exact-cosine confirm. Identical vectors always share a
+    * signature, so verbatim leaks are caught with certainty; near-
+    * duplicates are caught with SRP's standard collision probability
+    * (1 - θ/π)^bits — lower `bits` for recall, higher for pruning.
+    * Both sides shuffle on an 8-byte signature; no cross join.
+    */
+  def byEmbeddingLsh(train: DataFrame, trainId: String, trainVec: String,
+                     evalSet: DataFrame, evalId: String, evalVec: String,
+                     tau: Double, bits: Int = 16): DataFrame = {
+    val c = train.select(col(trainId).as("__tid"), col(trainVec).as("__tvec"))
+      .withColumn("__sig", EmbeddingSearch.srpSignature(col("__tvec"), bits))
+      .withColumn("__tn", EmbeddingSearch.norm(col("__tvec")))
+    val q = evalSet.select(col(evalId).as("__eid"), col(evalVec).as("__evec"))
+      .withColumn("__sig", EmbeddingSearch.srpSignature(col("__evec"), bits))
+      .withColumn("__en", EmbeddingSearch.norm(col("__evec")))
+    c.join(q, "__sig")
+      .withColumn("__cos",
+        EmbeddingSearch.dot(col("__tvec"), col("__evec")) / (col("__tn") * col("__en")))
+      .filter(col("__cos") >= tau)
+      .groupBy(col("__tid"))
+      .agg(
+        min(struct(negate(col("__cos")).as("__negcos"), col("__eid").as("__eid"))).as("__best"),
+        max(col("__cos")).as("max_cos"),
+        count(lit(1)).as("n_hits"))
+      .select(col("__tid").as(trainId), col("__best.__eid").as("eval_id"),
+        col("max_cos"), col("n_hits"))
+  }
+
   /** The decontaminated training corpus: every row of `train` whose
     * document shares no word n-gram with the eval corpus. Broadcast
     * anti-join — single scan of the training side.

@@ -81,6 +81,28 @@ object DedupClusters {
     labels
   }
 
+  /** Leakage-safe train/val/test split: assign every document to a
+    * split by the HASH OF ITS NEAR-DUP COMPONENT, not its own id — so
+    * two near-duplicate documents can never land on opposite sides of
+    * a train/test boundary (the classic eval-leakage failure: the
+    * test doc's near-copy was trained on). Documents in no pair are
+    * their own singleton component and split independently.
+    *
+    * Composition: [[connectedComponents]] over the candidate-pair
+    * list (LSH-proportional, not corpus-proportional), left-joined
+    * back, then [[Sampling.hashSplit]] on the component id —
+    * deterministic, per-component stable, engine-portable (md5).
+    * Output: input columns + `component` + `split`.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       cuts: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    val comp = connectedComponents(pairs)
+    docs.join(comp, docs(idCol) === comp("id"), "left")
+      .withColumn("component", coalesce(col("component"), docs(idCol)))
+      .drop("id")
+      .withColumn("split", Sampling.hashSplit(col("component"), cuts, salt))
+  }
+
   /** Canonical corpus after near-dup clustering: for each component
     * keep the minimum-id member; documents in no pair pass through.
     * `pairs` must carry id1/id2 drawn from `id`'s value space.

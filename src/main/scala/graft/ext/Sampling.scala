@@ -104,6 +104,50 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Temperature-based mixture sampling — the standard training-mix
+    * primitive (cf. multilingual/multi-corpus sampling with
+    * p_g ∝ c_g^α): down-sample each group so the SAMPLED mass of
+    * group g is proportional to c_g^α, with the smallest group kept
+    * in full. Keep rate per group:
+    *
+    *   rate_g = (c_min / c_g)^(1-α)      (α ∈ [0,1]; α=1 keeps all,
+    *                                      α=0 equalizes all groups)
+    *
+    * Rates derive from ONE tiny grouped count (groups = languages /
+    * sources — broadcast back, no second scan); the keep decision is
+    * the [[bucket256]] discipline at 32-bit granularity: a pure
+    * per-row function of (key, salt), so the sample is reproducible
+    * across runs, clusters and partitionings, and adding rows to one
+    * group never flips another group's rows.
+    *
+    * α = 0.5 is special-cased through `sqrt`, which IEEE 754 requires
+    * to be correctly rounded — so the rate doubles are bit-identical
+    * on any engine and the sampled row SET is oracle-checkable
+    * (`pow` carries no such guarantee; other α values remain
+    * deterministic per-engine but not bit-portable).
+    *
+    * Output: input rows that survive, plus the group's `rate`.
+    */
+  def temperatureSample(df: DataFrame, group: Column, key: Column,
+                        alpha: Double, salt: String = ""): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(group.as("__grp"))
+      .agg(count(lit(1)).as("__c"))
+    val cmin = counts.agg(min(col("__c")).as("__cmin"))
+    val ratio = col("__cmin").cast("double") / col("__c").cast("double")
+    val rateExpr =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else pow(ratio, 1.0 - alpha)
+    val rates = counts.crossJoin(broadcast(cmin))
+      .select(col("__grp"), rateExpr.as("rate"))
+    val h32 = MinHashLsh.portableHash32(
+      concat(key.cast("string"), lit(salt)))
+    df.join(broadcast(rates), group === col("__grp"))
+      .filter(h32 < col("rate") * 4294967296.0)
+      .drop("__grp")
+  }
+
   /** Scalable deterministic shuffle: the input with a `pos` column
     * (1-based) giving each row's position in the (md5(key || salt),
     * key) total order — the same permutation `shufflePosition` defines,

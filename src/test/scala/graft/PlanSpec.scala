@@ -169,6 +169,38 @@ class PlanSpec extends SparkTestBase {
     assert(!ep.contains("Join"), ep)
   }
 
+  test("q68 span dedup: gram text never shuffles — exchanges key on the md5 digest") {
+    val ep = ExtQueries.q68.run(spark, dir).queryExecution.executedPlan.toString
+    // the hot-gram count and occurrence join both partition on __g
+    // (fixed-width md5), and partial aggregation absorbs hot grams
+    assert(ep.contains("hashpartitioning(__g"), ep)
+    assert(ep.contains("partial_count"), ep)
+    // no exchange may carry the token array or raw text
+    ep.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("__t#") && !line.contains("text#"), line)
+    }
+  }
+
+  test("q69 temperature sample: rates broadcast back, corpus scanned without a data shuffle") {
+    val ep = ExtQueries.q69.run(spark, dir).queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin"), ep)
+    // the only exchanges belong to the tiny per-group count (keyed on
+    // the group column; the alias __grp may be collapsed into it) —
+    // corpus rows (doc_id) themselves never repartition
+    val exchanges = ep.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("doc_id#")),
+      exchanges.mkString("\n"))
+  }
+
+  test("q70 semantic decontamination: eval side broadcast, corpus norms computed below the pair join") {
+    val ep = ExtQueries.q70.run(spark, dir).queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastNestedLoopJoin"), ep)
+    assert(!ep.contains("SortMergeJoin"), ep)
+    // per-vector norm (__tn) is projected before the join, not per pair
+    val beforeJoin = ep.split("BroadcastNestedLoopJoin").last
+    assert(beforeJoin.contains("__tn"), ep)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")

@@ -72,4 +72,24 @@ class DedupClustersSpec extends SparkTestBase {
     assert(multi == expected)
     assert(expected == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
+
+  test("leakageSafeSplit: no near-dup pair ever straddles a split; singletons split independently") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 50 chained pairs → 50 two-doc clusters, plus 100 singleton docs
+    val p = pairs((1L to 100L by 2).map(i => i -> (i + 1)): _*)
+    val out = DedupClusters.leakageSafeSplit(docs, "doc_id", p,
+        Seq("train" -> 204, "val" -> 26, "test" -> 26), salt = "s")
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 200)
+    val byComp = out.groupBy(_._2)
+    // every component lands wholly in one split
+    assert(byComp.values.forall(_.map(_._3).distinct.length == 1))
+    // paired docs share their pair's min id as component
+    assert(out.filter(_._1 <= 100).forall(r => r._2 == (if (r._1 % 2 == 1) r._1 else r._1 - 1)))
+    // singletons are their own component
+    assert(out.filter(_._1 > 100).forall(r => r._2 == r._1))
+    // all three splits are populated at this size
+    assert(out.map(_._3).distinct.toSet == Set("train", "val", "test"))
+  }
 }

@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Temperature mixture sampling + embedding-space decontamination. */
+class MixDecontamSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // groups: a=32 rows, b=8 rows, c=2 rows
+  private def mixDf = ((1 to 32).map(i => (i.toLong, "a"))
+    ++ (33 to 40).map(i => (i.toLong, "b"))
+    ++ Seq((41L, "c"), (42L, "c"))).toDF("id", "grp")
+
+  test("temperatureSample: alpha=1 keeps every row at rate 1") {
+    val out = Sampling.temperatureSample(mixDf, $"grp", $"id", alpha = 1.0)
+    assert(out.count() == 42)
+    assert(out.select("rate").distinct().as[Double].collect().toSeq == Seq(1.0))
+  }
+
+  test("temperatureSample: alpha=0.5 rates are sqrt(cmin/c); smallest group kept whole") {
+    val out = Sampling.temperatureSample(mixDf, $"grp", $"id", alpha = 0.5)
+    val rates = out.select($"grp", $"rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("a") == 0.25 && rates("b") == 0.5 && rates("c") == 1.0)
+    val kept = out.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(kept("c") == 2L)                       // rate-1 group: complete
+    assert(kept("a") >= 2L && kept("a") <= 16L)   // ~32·0.25, hash-dependent
+  }
+
+  test("temperatureSample: alpha=0 equalizes (rate = cmin/c) and is repartition-invariant") {
+    val out = Sampling.temperatureSample(mixDf, $"grp", $"id", alpha = 0.0)
+    val rates = out.select($"grp", $"rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates.getOrElse("a", 1.0 / 16) == 1.0 / 16 && rates.getOrElse("c", 1.0) == 1.0)
+    val a = Sampling.temperatureSample(mixDf.repartition(1), $"grp", $"id", 0.5)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(mixDf.repartition(7, $"grp"), $"grp", $"id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("temperatureSample: membership is per-key stable — growing one group never flips another") {
+    val grown = mixDf.unionAll((100 to 131).map(i => (i.toLong, "a")).toDF("id", "grp"))
+    val before = Sampling.temperatureSample(mixDf, $"grp", $"id", 0.5)
+      .filter($"grp" === "b").select("id").as[Long].collect().toSet
+    val after = Sampling.temperatureSample(grown, $"grp", $"id", 0.5)
+      .filter($"grp" === "b").select("id").as[Long].collect().toSet
+    assert(before == after) // b's count and rate unchanged; a's growth is invisible to b
+  }
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(1.0f, 0.05f, 0.0f, 0.0f)),  // near-dup of 1
+    (4L, Array(0.0f, 0.0f, 1.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("byEmbedding: verbatim and near-dup leaks flagged, orthogonal vectors not") {
+    val evalSet = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("eval_id", "evec")
+    val out = Decontaminate.byEmbedding(vecs, "vec_id", "embedding",
+        evalSet, "eval_id", "evec", tau = 0.9)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    assert(out(0)._3 == 1.0 && out(0)._2 == 10L && out(0)._4 == 1L)
+    assert(out(1)._3 > 0.99 && out(1)._3 < 1.0)
+  }
+
+  test("byEmbedding: argmax takes the lowest eval id on exact cosine ties") {
+    val evalSet = Seq(
+      (20L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (21L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("eval_id", "evec")
+    val out = Decontaminate.byEmbedding(vecs, "vec_id", "embedding",
+        evalSet, "eval_id", "evec", tau = 0.9)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 20L, 1.0, 2L)))
+  }
+
+  test("byEmbeddingLsh: verbatim leaks are always caught; result is a subset of exact") {
+    val evalSet = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f, 1.0f))).toDF("eval_id", "evec")
+    val exact = Decontaminate.byEmbedding(vecs, "vec_id", "embedding",
+      evalSet, "eval_id", "evec", 0.9).select("vec_id").as[Long].collect().toSet
+    val lsh = Decontaminate.byEmbeddingLsh(vecs, "vec_id", "embedding",
+      evalSet, "eval_id", "evec", 0.9, bits = 8).select("vec_id").as[Long].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(Set(1L, 4L).subsetOf(lsh)) // identical vectors share any SRP signature
+  }
+}
