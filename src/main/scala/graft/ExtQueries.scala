@@ -1771,6 +1771,10 @@ object ExtQueries {
             lit(" shared boilerplate sentinel span alpha beta gamma delta")))
           .otherwise($"text").as("text"))
       SpanDedup.cleanRepeatedSpans(d, $"doc_id", $"text", n = 5, minCount = 2L)
+        // always-true filter on the computed columns: keeps the span
+        // mask alive under the bench's count() (column pruning would
+        // otherwise time only the gram side); result set unchanged
+        .filter($"n_kept" >= 0 && length($"clean_text") >= 0)
         .orderBy($"doc_id")
     },
     Some("""WITH d AS (SELECT doc_id,

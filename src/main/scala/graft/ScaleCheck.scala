@@ -72,6 +72,15 @@ object ScaleCheck {
       time(s"exactdedup ${n}docs") {
         graft.ext.ExactDedup.byContentHash(docs, $"text", $"doc_id").count()
       }
+      // worst case for span removal: every copy shares every original
+      // 5-gram, so ~ALL tokens are flagged and the per-row mask runs
+      // at its O(len·starts) ceiling — wall time must still track
+      // INPUT rows (output is one row per doc, never pairs)
+      time(s"spandedup ${n}docs") {
+        graft.ext.SpanDedup.cleanRepeatedSpans(docs, $"doc_id", $"text", n = 5)
+          .agg(sum($"n_removed")).collect()
+        n
+      }
       docs.unpersist()
     }
     spark.stop()

@@ -129,7 +129,16 @@ object Sampling {
     * Output: input rows that survive, plus the group's `rate`.
     */
   def temperatureSample(df: DataFrame, group: Column, key: Column,
-                        alpha: Double, salt: String = ""): DataFrame = {
+                        alpha: Double, salt: String = ""): DataFrame =
+    sampleByRates(df, group, key, temperatureRates(df, group, alpha), salt)
+
+  /** The per-group keep-rate table (`__grp`, `rate`) for
+    * [[temperatureSample]] — exposed so rates can be computed once on
+    * a reference corpus snapshot, persisted, and re-applied later
+    * (e.g. to a document STREAM via [[sampleByRates]], where a global
+    * group count is not computable).
+    */
+  def temperatureRates(df: DataFrame, group: Column, alpha: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
     val counts = df.groupBy(group.as("__grp"))
       .agg(count(lit(1)).as("__c"))
@@ -139,8 +148,19 @@ object Sampling {
       if (alpha == 1.0) lit(1.0)
       else if (alpha == 0.5) sqrt(ratio)
       else pow(ratio, 1.0 - alpha)
-    val rates = counts.crossJoin(broadcast(cmin))
+    counts.crossJoin(broadcast(cmin))
       .select(col("__grp"), rateExpr.as("rate"))
+  }
+
+  /** Apply a (`__grp`, `rate`) table to rows: keep a row iff its
+    * portable 32-bit hash of (key, salt) falls under its group's
+    * rate. Works identically on a batch frame and on a STREAMING
+    * frame (stream-static broadcast join + stateless per-row filter —
+    * no watermark, no state store), so a batch-computed mixture can
+    * govern continuous ingest.
+    */
+  def sampleByRates(df: DataFrame, group: Column, key: Column,
+                    rates: DataFrame, salt: String = ""): DataFrame = {
     val h32 = MinHashLsh.portableHash32(
       concat(key.cast("string"), lit(salt)))
     df.join(broadcast(rates), group === col("__grp"))

@@ -221,6 +221,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sampleByRates on a stream matches the batch temperature sample, stateless") {
+    import graft.ext.Sampling
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"lang")
+    // rates computed ONCE on the batch snapshot (the production shape:
+    // yesterday's corpus mix governs today's ingest)
+    val rates = Sampling.temperatureRates(docs, $"lang", alpha = 0.5)
+      .localCheckpoint()
+    val batch = Sampling.sampleByRates(docs, $"lang", $"doc_id", rates, "mix")
+      .select("doc_id").as[Long].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("docs-mix-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, lang STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part*")
+    val q = Sampling.sampleByRates(stream, $"lang", $"doc_id", rates, "mix")
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mix_stream").as[Long].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // stream-static join + per-row filter: no state store rows
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("checkpoint restart: stop mid-stream, resume recovers aggregation state") {
     // the first thing a real pipeline hits: a query dies between
     // micro-batches and must resume from its checkpoint with no loss
