@@ -90,7 +90,11 @@ object BpeUtil {
     ("e", "st"),   // est
     ("20", "00"))  // 2000
 
-  private val nRules = merges.length
+  /** The builtin table as a [[MergeTable]] — the same object the
+    * table-parameterized expressions use, so behavior is identical
+    * whichever API level callers pick.
+    */
+  val Builtin: MergeTable = MergeTable(merges)
 
   /** `(rank,'a','b'),(rank,'a','b'),…` for a SQL VALUES clause — the
     * single source of truth for the oracle's merge table (symbols are
@@ -106,7 +110,44 @@ object BpeUtil {
     * package does not depend on ext; BpeSpec pins the equality).
     */
   val PreTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  private val preToken = java.util.regex.Pattern.compile(PreTokenPattern)
+  /** Encode one pre-token with the BUILTIN table (rank-order merges). */
+  def encodeWord(word: String): Array[String] = Builtin.encodeWord(word)
+
+  /** BPE token count of a whole text with the builtin table — static
+    * entry point for the zero-argument codegen path.
+    */
+  def countTokens(s: UTF8String): Long = Builtin.countTokens(s)
+
+  /** Full builtin-table token sequence of a text. */
+  def tokens(s: UTF8String): ArrayData = Builtin.tokens(s)
+}
+
+/** A BPE merge table as a first-class, SERIALIZABLE value — the
+  * builtin table and tables learned by [[graft.ext.BpeTrain]] go
+  * through the same encoder, and an instance travels to executors
+  * inside the expression tree (codegen references it via
+  * `addReferenceObj`), so a table learned five minutes ago can drive
+  * distributed tokenization without a recompile.
+  *
+  * Invariant expected of `merges` (true of any sequentially-trained
+  * table): a composite operand appears only AFTER the rule that
+  * creates it — what makes exhaustive rank-order application
+  * equivalent to the canonical min-rank loop (see the header note).
+  */
+final case class MergeTable(merges: IndexedSeq[(String, String)])
+    extends Serializable {
+
+  private val nRules = merges.length
+
+  // per-table word → token-count cache (pre-tokens repeat heavily —
+  // Zipf — and the encode is a pure function). Transient: rebuilt
+  // empty after deserialization on each executor. Bounded: cleared if
+  // it ever exceeds ~1M entries (degenerate corpora).
+  @transient private lazy val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  @transient private lazy val preToken =
+    java.util.regex.Pattern.compile(BpeUtil.PreTokenPattern)
 
   /** One exhaustive (left-to-right, non-overlapping) merge pass of a
     * single rule over the symbol array; returns the new length.
@@ -133,7 +174,7 @@ object BpeUtil {
     // split to code points (surrogate-pair safe, matching the oracle's
     // regexp_extract_all(w, '.') code-point semantics)
     val cps = word.codePointCount(0, word.length)
-    var syms = new Array[String](cps)
+    val syms = new Array[String](cps)
     var cu = 0
     var i = 0
     while (i < cps) {
@@ -159,11 +200,6 @@ object BpeUtil {
     java.util.Arrays.copyOf(syms, len)
   }
 
-  // JVM-wide word → token-count cache (pre-tokens repeat heavily —
-  // Zipf — and the encode is a pure function). Bounded: cleared if it
-  // ever exceeds ~1M entries (degenerate corpora).
-  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-
   private def cachedCount(w: String): Int = {
     val hit = countCache.get(w)
     if (hit != null) hit.intValue()
@@ -176,7 +212,7 @@ object BpeUtil {
   }
 
   /** BPE token count of a whole text: pre-tokenize, sum per-word
-    * symbol counts. Static entry point for codegen.
+    * symbol counts. Codegen calls this on the referenced table object.
     */
   def countTokens(s: UTF8String): Long = {
     val m = preToken.matcher(s.toString)
@@ -232,8 +268,43 @@ case class BpeTokens(child: Expression) extends BpeBase {
     copy(child = newChild)
 }
 
+/** BPE token count under an ARBITRARY merge table (e.g. one learned
+  * by `graft.ext.BpeTrain`): the table rides along as a referenced
+  * object — codegen'd, no UDF, no recompile. Same per-row shape as
+  * [[BpeCount]].
+  */
+case class BpeCountTable(child: Expression, table: MergeTable) extends BpeBase {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    table.countTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[MergeTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countTokens($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeCountTable =
+    copy(child = newChild)
+}
+
+/** Full token sequence under an arbitrary merge table. */
+case class BpeTokensTable(child: Expression, table: MergeTable) extends BpeBase {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    table.tokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[MergeTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.tokens($c);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokensTable =
+    copy(child = newChild)
+}
+
 /** Column-level API. */
 object Bpe {
   def count(c: Column): Column = GraftBridge.column(BpeCount(GraftBridge.expression(c)))
   def tokens(c: Column): Column = GraftBridge.column(BpeTokens(GraftBridge.expression(c)))
+  /** Count/tokenize under a custom (e.g. learned) merge table. */
+  def count(c: Column, table: MergeTable): Column =
+    GraftBridge.column(BpeCountTable(GraftBridge.expression(c), table))
+  def tokens(c: Column, table: MergeTable): Column =
+    GraftBridge.column(BpeTokensTable(GraftBridge.expression(c), table))
 }
