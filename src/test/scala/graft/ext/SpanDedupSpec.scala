@@ -49,6 +49,33 @@ class SpanDedupSpec extends SparkTestBase {
     assert(out(2) == ((3L, "too short", 2L, 0L)))
   }
 
+  test("SpanDedup: random corpora match a naive driver-side reference") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // small alphabet forces plenty of accidental duplicate grams
+      val words = Vector("a", "b", "c", "d", "e")
+      val n = 3
+      val docs = (1L to 25L).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(15))(words(rnd.nextInt(words.size))).mkString(" "))
+      }
+      // naive reference: count every n-gram occurrence, mask covered tokens
+      val grams = scala.collection.mutable.Map[Seq[String], Int]()
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      toks.values.foreach { ts =>
+        ts.sliding(n).filter(_.size == n).foreach(g => grams(g) = grams.getOrElse(g, 0) + 1)
+      }
+      val expected = docs.map { case (id, _) =>
+        val ts = toks(id)
+        val starts = (0 to ts.size - n).filter(s => grams(ts.slice(s, s + n)) >= 2)
+        val covered = starts.flatMap(s => s until s + n).toSet
+        val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        (id, kept.mkString(" "), kept.size.toLong, (ts.size - kept.size).toLong)
+      }
+      val got = clean(docs, n)
+      assert(got.toSeq == expected, s"seed=$seed")
+    }
+  }
+
   test("SpanDedup: result is partition-invariant") {
     val docs = (1L to 40L).map { i =>
       val span = if (i % 4 == 0) " shared span alpha beta gamma delta epsilon" else ""
