@@ -28,12 +28,12 @@ import org.apache.spark.sql.functions._
   *     keys do not skew the shuffle.
   *   - flagged occurrences shuffle once more on doc_id (sorted start
   *     list per document — bounded by the document's own token count).
-  *   - span masking is a per-row array expression: position i is cut
-  *     iff some flagged start s satisfies s <= i < s+n. `exists` /
-  *     `filter` are interpreted HOFs, but they run O(len · |starts|)
-  *     per row with NO shuffle — and |starts| is per-document, tiny
-  *     for normal text. Documents that are pure boilerplate degrade
-  *     to O(len²) locally, never across the wire.
+  *   - span masking is a per-row array expression — the native
+  *     codegen'd [[graft.functions.SpanMask]] two-pointer sweep,
+  *     O(len + |starts|) per row with NO shuffle. Even a document
+  *     that is pure boilerplate (every position flagged) costs one
+  *     linear pass, so corpus inflation stress stays
+  *     input-proportional (ScaleCheck, SURVEY §8).
   *
   * Determinism: md5 keys and integer arithmetic only — bit-identical
   * on any engine, partitioning-invariant (oracle-checkable end to
@@ -79,10 +79,7 @@ object SpanDedup {
 
     val st = coalesce(col("__starts"), array().cast("array<int>"))
     // keep token at 1-based position p iff no flagged window covers it
-    val kept = filter(col("__t"), (tok, i) => {
-      val p = i + 1
-      !exists(st, s => s <= p && p < s + n)
-    })
+    val kept = graft.functions.SpanMask(col("__t"), st, n)
     base.join(starts, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

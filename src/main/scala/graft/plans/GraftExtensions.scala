@@ -113,6 +113,16 @@ object GraftFunctions {
       info("srp_signature", "srp_signature(vec, bits) - signed-random-projection signature of a float vector"),
       arity("srp_signature", 2)(a =>
         SrpSignature(a(0), intLit(a(1), "srp_signature")))),
+    (FunctionIdentifier("bpe_count"),
+      info("bpe_count", "bpe_count(s) - BPE token count under the builtin merge table"),
+      arity("bpe_count", 1)(a => BpeCount(a(0)))),
+    (FunctionIdentifier("bpe_tokens"),
+      info("bpe_tokens", "bpe_tokens(s) - BPE token sequence under the builtin merge table"),
+      arity("bpe_tokens", 1)(a => BpeTokens(a(0)))),
+    (FunctionIdentifier("span_mask"),
+      info("span_mask", "span_mask(tokens, starts, n) - tokens not covered by any n-token window at starts"),
+      arity("span_mask", 3)(a =>
+        SpanMask(a(0), a(1), intLit(a(2), "span_mask")))),
     (FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(s) - strip control chars, collapse whitespace, trim, lowercase"),
       arity("normalize_text", 1) { a =>

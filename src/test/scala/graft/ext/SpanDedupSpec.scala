@@ -76,6 +76,28 @@ class SpanDedupSpec extends SparkTestBase {
     }
   }
 
+  test("SpanMask: native two-pointer sweep ≡ the HOF filter/exists formulation") {
+    import org.apache.spark.sql.functions.{filter => ffilter, exists => fexists, _}
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map { i =>
+      val len = rnd.nextInt(20)
+      val toks = Seq.tabulate(len)(k => s"t$k")
+      val n = 1 + rnd.nextInt(4)
+      val starts = (1 to math.max(len - n + 1, 0))
+        .filter(_ => rnd.nextBoolean()).sorted
+      (i, toks, starts, n)
+    }
+    rows.groupBy(_._4).foreach { case (n, grp) =>
+      val df = grp.map(r => (r._1, r._2, r._3)).toDF("id", "toks", "starts")
+      val nat = graft.functions.SpanMask(col("toks"), col("starts"), n)
+      val hof = ffilter(col("toks"), (_, i) =>
+        !fexists(col("starts"), s => s <= i + 1 && i + 1 < s + n))
+      val bad = df.select(col("id"), nat.as("a"), hof.as("b"))
+        .filter(not(col("a") === col("b"))).count()
+      assert(bad == 0, s"n=$n")
+    }
+  }
+
   test("SpanDedup: result is partition-invariant") {
     val docs = (1L to 40L).map { i =>
       val span = if (i % 4 == 0) " shared span alpha beta gamma delta epsilon" else ""

@@ -50,6 +50,14 @@ class ExtensionsSpec extends SparkTestBase {
     val t = extSession.sql("SELECT normalize_text('  MiXeD \t Case  ') AS t")
       .head().getString(0)
     assert(t == "mixed case")
+    val b = extSession.sql("SELECT bpe_count('the cat') AS b").head().getLong(0)
+    assert(b == 3L) // 'the' merges to one token; 'cat' to two (c + at)
+    val bt = extSession.sql("SELECT bpe_tokens('the') AS t").head().getSeq[String](0)
+    assert(bt == Seq("the"))
+    val sm = extSession.sql(
+      "SELECT span_mask(array('a','b','c','d'), array(2), 2) AS k")
+      .head().getSeq[String](0)
+    assert(sm == Seq("a", "d"))
   }
 
   test("normalize_text SQL binding matches the Column API (no copy drift)") {
