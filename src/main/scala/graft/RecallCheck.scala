@@ -80,6 +80,31 @@ object RecallCheck {
           queries, "qid", "qvec", k = k, nlist = nlist, nprobe = nprobe)
       }
 
+    // semantic-decontamination catch rate: the jittered copies of the
+    // 50 "eval" vectors ARE the planted contamination (cos ≈ 0.9998);
+    // how many does the SRP-bucketed screen catch vs the exact one?
+    val tau = 0.99
+    val evalSet = queries.select($"qid".as("eval_id"), $"qvec".as("evec"))
+    val exactT0 = System.nanoTime()
+    val exact = ext.Decontaminate.byEmbedding(corpus, "vec_id", "embedding",
+        evalSet, "eval_id", "evec", tau)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    println(f"[recall] decontam exact tau=$tau flagged=$nExact " +
+      f"(${(System.nanoTime() - exactT0) / 1e9}%.2f s)")
+    for (bits <- Seq(4, 8, 12, 16)) {
+      var dt = 0.0
+      var caught = 0L
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val lsh = ext.Decontaminate.byEmbeddingLsh(corpus, "vec_id", "embedding",
+          evalSet, "eval_id", "evec", tau, bits = bits)
+        caught = lsh.join(exact, Seq("vec_id"), "left_semi").count()
+        dt = (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[recall] decontamLsh bits=$bits%-2d catch=${caught * 100.0 / nExact}%5.1f%%  t=$dt%6.2f s")
+    }
+
     spark.stop()
   }
 }
