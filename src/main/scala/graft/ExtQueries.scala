@@ -1920,8 +1920,43 @@ object ExtQueries {
             |            ELSE 'test' END AS split
             |FROM b ORDER BY doc_id""".stripMargin))
 
+  /** Broadcast interval join: every part defines a non-overlapping
+    * key range [pk·1000, pk·1000+499]; lineitem probes with a key that
+    * lands inside iff l_orderkey % 1000 < 500 (both branches planted
+    * corpus-wide). The probe is a codegen'd binary search — the plan
+    * has NO join operator at all (pinned) — while the oracle runs the
+    * equivalent BETWEEN join.
+    */
+  val q72 = Q(
+    "q72_interval_join",
+    (s, dir) => {
+      import s.implicits._
+      val iv = graft.ops.RangeJoin.intervalTable(
+        t(s, dir, "part"),
+        $"p_partkey" * 1000L, $"p_partkey" * 1000L + 499L, $"p_partkey")
+      val probed = graft.ops.RangeJoin.lookupJoin(
+        t(s, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_partkey" * 1000L + pmod($"l_orderkey", lit(1000L))).as("probe")),
+        $"probe", iv, as = "part_ref")
+      probed.filter($"part_ref".isNotNull)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          $"probe", $"part_ref")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""WITH iv AS (SELECT p_partkey * 1000 AS lo,
+            |                  p_partkey * 1000 + 499 AS hi,
+            |                  p_partkey AS v
+            |           FROM part),
+            |pr AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+            |              l_partkey * 1000 + l_orderkey % 1000 AS probe
+            |       FROM lineitem)
+            |SELECT pr.l_orderkey, pr.l_linenumber, pr.probe, iv.v AS part_ref
+            |FROM pr JOIN iv ON pr.probe BETWEEN iv.lo AND iv.hi
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }

@@ -201,6 +201,14 @@ class PlanSpec extends SparkTestBase {
     assert(beforeJoin.contains("__tn"), ep)
   }
 
+  test("q72 interval join: binary-search projection — no join operator, no data shuffle") {
+    val ep = ExtQueries.q72.run(spark, dir).queryExecution.executedPlan.toString
+    assert(!ep.contains("Join"), ep)
+    // the only exchange is the final orderBy's range partitioning
+    val ex = ep.split("\n").filter(_.contains("Exchange"))
+    assert(ex.forall(_.contains("rangepartitioning")), ex.mkString("\n"))
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
