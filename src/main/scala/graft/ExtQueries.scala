@@ -1955,8 +1955,28 @@ object ExtQueries {
             |FROM pr JOIN iv ON pr.probe BETWEEN iv.lo AND iv.hi
             |ORDER BY l_orderkey, l_linenumber""".stripMargin))
 
+  /** Grouped top-k through the mergeable bounded aggregate (no window,
+    * no full-fact sort — pinned): top-3 orders per customer by price,
+    * id-tiebroken; the oracle is the window formulation it replaces.
+    */
+  val q73 = Q(
+    "q73_grouped_topk",
+    (s, dir) => {
+      import s.implicits._
+      Aggs.groupedTopK(t(s, dir, "orders"),
+          Seq($"o_custkey"), $"o_totalprice", $"o_orderkey", k = 3,
+          scoreName = "o_totalprice", idName = "o_orderkey")
+        .orderBy($"o_custkey", $"rank")
+    },
+    Some("""SELECT o_custkey, CAST(rnk AS BIGINT) AS rank, o_totalprice, o_orderkey
+            |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+            |             row_number() OVER (PARTITION BY o_custkey
+            |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            |      FROM orders)
+            |WHERE rnk <= 3 ORDER BY o_custkey, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

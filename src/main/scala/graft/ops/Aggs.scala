@@ -53,6 +53,26 @@ object Aggs {
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
 
+  /** GROUPED top-k via the mergeable bounded [[graft.functions.TopKAgg]]
+    * aggregate — the scale form of `row_number() OVER (PARTITION BY g
+    * ORDER BY score DESC, id) <= k`: the window shuffles and sorts the
+    * whole fact table; this ships one ≤ k-entry buffer per (partition,
+    * group) through the shuffle (ObjectHashAggregate, map-side
+    * partial). Output: group columns + (rank, score, id), rank 1-based
+    * strongest-first, score desc / id asc total order.
+    */
+  def groupedTopK(df: DataFrame, groups: Seq[Column], score: Column,
+                  id: Column, k: Int,
+                  rankName: String = "rank", scoreName: String = "score",
+                  idName: String = "id"): DataFrame =
+    df.groupBy(groups: _*)
+      .agg(graft.functions.TopKAgg.topK(score, id, k).as("__topk"))
+      .select(col("*"), posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(groups ++ Seq(
+        (col("__pos") + 1).cast("long").as(rankName),
+        col("__e.score").as(scoreName),
+        col("__e.id").as(idName)): _*)
+
   /** O5: top-k AND bottom-k in one result (Reporting.py:262-263), each
     * side tagged. Two TakeOrderedAndProject passes over the (small,
     * already-aggregated) input — at scale this is two cheap driver-side
