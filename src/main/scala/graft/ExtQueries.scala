@@ -1975,8 +1975,76 @@ object ExtQueries {
             |      FROM orders)
             |WHERE rnk <= 3 ORDER BY o_custkey, rank""".stripMargin))
 
+  /** As-of join with a tolerance bound (pandas/polars semantics): the
+    * q38 click→view attribution, but a view more than 10 minutes old
+    * no longer matches — those clicks planted-revert to NULL. Oracle
+    * masks the same window match by the same ns gap.
+    */
+  val q74 = Q(
+    "q74_asof_tolerance",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("tsn", expr("ts div 1000 * 1000"))
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"tsn").agg(max($"value").as("last_view_value"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"user_id", $"tsn")
+      graft.ops.AsOfJoin.backward(clicks, views, Seq("user_id"), "tsn", "tsn",
+          tolerance = Some(600L * 1000000000L))
+        .select($"event_id", $"user_id", $"tsn".as("ts_ns"), $"last_view_value")
+        .orderBy($"event_id")
+    },
+    Some("""WITH v AS (SELECT user_id, epoch_ns(ts) AS tsn, max(value) AS vv
+            |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+            |c AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn
+            |      FROM events WHERE event_type = 'click'),
+            |u AS (SELECT user_id, tsn, 0 AS side, vv, NULL::BIGINT AS event_id FROM v
+            |      UNION ALL
+            |      SELECT user_id, tsn, 1, NULL, event_id FROM c),
+            |w AS (SELECT user_id, tsn, side, event_id,
+            |             last_value(vv IGNORE NULLS) OVER (
+            |               PARTITION BY user_id ORDER BY tsn, side
+            |               ROWS UNBOUNDED PRECEDING) AS m,
+            |             last_value(CASE WHEN side = 0 THEN tsn END IGNORE NULLS) OVER (
+            |               PARTITION BY user_id ORDER BY tsn, side
+            |               ROWS UNBOUNDED PRECEDING) AS mts
+            |      FROM u)
+            |SELECT event_id, user_id, tsn AS ts_ns,
+            |       CASE WHEN tsn - mts <= 600000000000 THEN m END AS last_view_value
+            |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin))
+
+  /** Unpivot / melt — the inverse of q41's pivot: four lineitem
+    * measures to (key, measure, value) rows via Spark's native
+    * unpivot; oracle is the UNION ALL it desugars to.
+    */
+  val q75 = Q(
+    "q75_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").filter($"l_orderkey" % 50 === 0)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "measure", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+    },
+    Some("""WITH b AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+            |                  l_quantity, l_extendedprice, l_discount, l_tax
+            |           FROM lineitem WHERE l_orderkey % 50 = 0)
+            |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM b
+            |UNION ALL
+            |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM b
+            |UNION ALL
+            |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM b
+            |UNION ALL
+            |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b
+            |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

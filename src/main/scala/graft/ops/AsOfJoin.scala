@@ -39,25 +39,44 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightTieBreak: Seq[String] = Nil): DataFrame =
-    asof(left, right, keys, leftTs, rightTs, rightTieBreak, forward = false)
+               rightTieBreak: Seq[String] = Nil,
+               tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightTieBreak, forward = false,
+      tolerance)
 
   /** Earliest right row at-or-after each left row. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTs: String, rightTs: String,
-              rightTieBreak: Seq[String] = Nil): DataFrame =
-    asof(left, right, keys, leftTs, rightTs, rightTieBreak, forward = true)
+              rightTieBreak: Seq[String] = Nil,
+              tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightTieBreak, forward = true,
+      tolerance)
 
+  /** `tolerance`: drop matches whose timestamp gap exceeds this bound
+    * (pandas/polars `merge_asof(tolerance=...)` semantics — a view
+    * from last week should not attribute a click today). Numeric
+    * timestamp columns only (the gap is computed by subtraction in
+    * the column's own unit); the match stays a left outer null.
+    */
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
-                   rightTieBreak: Seq[String], forward: Boolean): DataFrame = {
+                   rightTieBreak: Seq[String], forward: Boolean,
+                   tolerance: Option[Long] = None): DataFrame = {
     val lPayload = left.columns.toSeq.filterNot(keys.contains)
     val rPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTs)
     require(lPayload.intersect(rPayload).isEmpty,
       s"overlapping non-key columns: ${lPayload.intersect(rPayload).mkString(",")}")
 
     val lType = StructType(left.schema.fields.filter(f => lPayload.contains(f.name)))
-    val rType = StructType(right.schema.fields.filter(f => rPayload.contains(f.name)))
+    // the matched right timestamp rides along as a reserved struct
+    // field so a tolerance bound can compare it to the left timestamp
+    val rType = StructType(right.schema.fields.filter(f => rPayload.contains(f.name))
+      :+ org.apache.spark.sql.types.StructField("__rts", right.schema(rightTs).dataType))
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be >= 0, got $t")
+      require(right.schema(rightTs).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        "tolerance requires a numeric timestamp column")
+    }
 
     // all name-based references backtick-quoted: a payload column named
     // "a.b" must resolve as one name, not a struct path
@@ -70,7 +89,7 @@ object AsOfJoin {
       keys.map(q) ++
         Seq(q(rightTs).as("__ts"), lit(0).as("__side"),
           lit(null).cast(lType).as("__l"),
-          struct(rPayload.map(q): _*).as("__r")) ++
+          struct(rPayload.map(q) :+ q(rightTs).as("__rts"): _*).as("__r")) ++
         rightTieBreak.map(c => q(c).as(s"__tb_$c")): _*)
     val lSide = left.select(
       keys.map(q) ++
@@ -100,9 +119,17 @@ object AsOfJoin {
     // join (NULL = NULL is not a match) — emit them with null payload
     val matchable = col("__ts").isNotNull &&
       keys.map(q(_).isNotNull).reduce(_ && _)
+    val matched = last(col("__r"), ignoreNulls = true).over(w)
+    val withinTol = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        val gap =
+          if (forward) matched.getField("__rts") - col("__ts")
+          else col("__ts") - matched.getField("__rts")
+        when(gap <= tol, matched)
+    }
     lSide.unionByName(rSide)
-      .withColumn("__m", when(matchable,
-        last(col("__r"), ignoreNulls = true).over(w)).otherwise(lit(null).cast(rType)))
+      .withColumn("__m", when(matchable, withinTol).otherwise(lit(null).cast(rType)))
       .filter(col("__side") === 1)
       .select(keys.map(q) ++
         lPayload.map(c => col("__l").getField(c).as(c)) ++

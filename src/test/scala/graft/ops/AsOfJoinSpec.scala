@@ -116,6 +116,23 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("tolerance: stale matches revert to null in both directions; boundary inclusive") {
+    val right = Seq((1L, 10L, "r10"), (1L, 100L, "r100")).toDF("k", "ts", "rv")
+    val left = Seq((1L, 12L), (1L, 50L), (1L, 100L), (1L, 105L)).toDF("k", "ts")
+    val back = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+        tolerance = Some(5L))
+      .as[(Long, Long, Option[String])].collect().sortBy(_._2).toSeq
+    // 12-10=2 <= 5 match; 50-10=40 stale; 100/105 match r100 (gap 0/5)
+    assert(back == Seq((1L, 12L, Some("r10")), (1L, 50L, None),
+      (1L, 100L, Some("r100")), (1L, 105L, Some("r100"))))
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts",
+        tolerance = Some(5L))
+      .as[(Long, Long, Option[String])].collect().sortBy(_._2).toSeq
+    // 12→100 gap 88 stale; 50→100 gap 50 stale; 100→100 gap 0; 105→none
+    assert(fwd == Seq((1L, 12L, None), (1L, 50L, None),
+      (1L, 100L, Some("r100")), (1L, 105L, None)))
+  }
+
   test("matches the quadratic range-join formulation on real event data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val views = ev.filter($"event_type" === "view")
