@@ -2043,8 +2043,38 @@ object ExtQueries {
             |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b
             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin))
 
+  private def q76Sql: String = {
+    // the same 10-bit Morton interleave, generated term by term
+    val terms = (0 until 10).flatMap { i =>
+      Seq(s"(((x >> $i) & 1) << ${2 * i + 1})", s"(((y >> $i) & 1) << ${2 * i})")
+    }.mkString(" | ")
+    s"""WITH r AS (SELECT c_custkey,
+       |                  c_custkey % 1024 AS x,
+       |                  (c_nationkey * 41) % 1024 AS y
+       |           FROM customer)
+       |SELECT c_custkey, $terms AS z FROM r ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Z-order (Morton) curve values — the clustering key behind
+    * `Layout.zOrderedWrite`'s data-skipping layout: pure integer bit
+    * arithmetic (shift/and/or), mirrored term-for-term in the oracle.
+    */
+  val q76 = Q(
+    "q76_zorder_value",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey",
+          graft.ops.Layout.zValue(
+            pmod($"c_custkey", lit(1024L)),
+            pmod($"c_nationkey" * 41L, lit(1024L)), bits = 10).as("z"))
+        .orderBy($"c_custkey")
+    },
+    Some(q76Sql))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
-    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+    q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
+    q76)
 }

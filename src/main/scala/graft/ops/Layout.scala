@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
 
 /** Physical data layout for scale (SURVEY §8 scale notes): how tables
   * should be WRITTEN so the expensive operations never happen at read
@@ -65,4 +66,41 @@ object Layout {
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+
+  /** Z-order (Morton) interleave of two non-negative `bits`-bit
+    * integer ranks — built entirely from codegen'd integer bit ops
+    * (shift/and/or), so it is deterministic, engine-portable
+    * (oracle-checkable), and needs no custom expression. x takes the
+    * ODD bit positions, y the even.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write parquet clustered on the Z-order curve of two columns — the
+    * data-skipping layout when queries filter on EITHER or BOTH
+    * columns (a single-column sort gives perfect min/max pruning on
+    * one column and none on the other; the Z-curve keeps each output
+    * file's bounding box small in BOTH dimensions, so parquet
+    * row-group/file min-max stats prune most files for most 2-D
+    * predicates — measured in LayoutSpec).
+    *
+    * `x`/`y` must already be non-negative `bits`-bit ranks (bucketize
+    * raw values first — range-normalization is the caller's policy
+    * decision). Shape: one range repartition on the z-value (sampled
+    * range partitioner → equal-sized files) + per-partition sort; no
+    * extra pass.
+    */
+  def zOrderedWrite(df: DataFrame, x: Column, y: Column, bits: Int,
+                    path: String, numFiles: Int): Unit =
+    df.withColumn("__z", zValue(x, y, bits))
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -86,4 +86,39 @@ class LayoutSpec extends SparkTestBase {
       assert(n <= 4, s"${d.getName}: $n files")
     }
   }
+
+  test("zValue: bit interleave basics") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 3L), (1023L, 0L))
+      .toDF("x", "y")
+    val z = df.select(Layout.zValue($"x", $"y", 10)).as[Long].collect().toSeq
+    // x on odd bits, y on even: (1,0)→2, (0,1)→1, (3,3)→15
+    assert(z == Seq(0L, 2L, 1L, 15L, 0xAAAAAL))
+  }
+
+  test("z-ordered files have small bounding boxes in BOTH columns (data skipping)") {
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    // uniform 2-D grid: worst case for any single-column sort
+    val n = 1 << 14
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % n % 1024).as("x"),
+      (col("id") * 40503L % n % 1024).as("y"))
+    val files = 16
+
+    Layout.zOrderedWrite(df, col("x"), col("y"), 10, s"$tmp/z", files)
+    df.repartition(files).write.parquet(s"$tmp/rand")
+
+    // mean per-file bounding-box area ~ what fraction of 2-D predicates
+    // a file's min/max stats can exclude
+    def meanArea(path: String): Double =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max($"x") - min($"x")) * (max($"y") - min($"y"))).as("a"))
+        .agg(avg($"a")).as[Double].head()
+
+    val zArea = meanArea(s"$tmp/z")
+    val randArea = meanArea(s"$tmp/rand")
+    // random layout: every file spans ~the full 1024x1024 domain; the
+    // z-curve cuts the mean bounding box by well over 2x
+    assert(zArea * 2 < randArea, s"z=$zArea rand=$randArea")
+  }
 }
