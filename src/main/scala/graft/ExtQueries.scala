@@ -2072,9 +2072,41 @@ object ExtQueries {
     },
     Some(q76Sql))
 
+  /** Blocked fuzzy join (entity resolution): part names vs a batch of
+    * typo'd replays (every 7th name + ' zq', 3 edits); candidates
+    * blocked on the first name token, confirmed by Levenshtein ≤ 3 —
+    * planted typos hit, plus whatever naturally-close same-block name
+    * pairs exist. Oracle mirrors block + editdistance exactly.
+    */
+  val q77 = Q(
+    "q77_fuzzy_join",
+    (s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part")
+      val typos = p.filter($"p_partkey" % 7 === 0)
+        .select(($"p_partkey" + 1000000L).as("rid"),
+          concat($"p_name", lit(" zq")).as("rname"))
+      graft.ops.FuzzyJoin.byEditDistance(
+          p, $"p_partkey", $"p_name",
+          typos, $"rid", $"rname",
+          block = t => split(t, " ")(0), maxDist = 3)
+        .orderBy($"left_id", $"right_id")
+    },
+    Some("""WITH l AS (SELECT p_partkey AS lid, p_name AS lname,
+            |                 string_split(p_name, ' ')[1] AS bk
+            |           FROM part),
+            |r AS (SELECT p_partkey + 1000000 AS rid, p_name || ' zq' AS rname,
+            |             string_split(p_name, ' ')[1] AS bk
+            |      FROM part WHERE p_partkey % 7 = 0)
+            |SELECT l.lid AS left_id, r.rid AS right_id,
+            |       CAST(levenshtein(l.lname, r.rname) AS BIGINT) AS dist
+            |FROM l JOIN r USING (bk)
+            |WHERE levenshtein(l.lname, r.rname) <= 3
+            |ORDER BY left_id, right_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76)
+    q76, q77)
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy join — entity resolution by edit distance: match rows
+  * whose text is WITHIN `maxDist` Levenshtein edits, without the
+  * all-pairs cross join. The classic data-cleaning need behind the
+  * reference's domain (the same hospital arrives as "St. Mary's
+  * Medical Ctr" and "St Marys Medical Center"; key-equality dedup —
+  * `load_hhs.py:96-137` — cannot see it).
+  *
+  * Shape: candidate generation by a BLOCKING key (caller-chosen:
+  * first token, prefix, soundex, normalized form — the standard
+  * recall/cost dial of entity resolution) → ONE shuffle equi-join on
+  * the block key → codegen'd `levenshtein` confirm. Cost is linear in
+  * input plus Σ|block|² over blocks; pick blocking keys with bounded
+  * selectivity (the same discipline as LSH bands — a block IS a
+  * deterministic band). Pairs in different blocks are unreachable by
+  * construction: blocking trades that recall for never materializing
+  * the cross join.
+  */
+object FuzzyJoin {
+
+  /** (left_id, right_id, dist) for every cross-side pair sharing a
+    * blocking key with edit distance ≤ maxDist.
+    *
+    * @param block blocking-key derivation applied to BOTH text sides
+    */
+  def byEditDistance(left: DataFrame, leftId: Column, leftText: Column,
+                     right: DataFrame, rightId: Column, rightText: Column,
+                     block: Column => Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val l = left.select(leftId.as("left_id"), leftText.as("__lt"),
+      block(leftText).as("__bk"))
+    val r = right.select(rightId.as("right_id"), rightText.as("__rt"),
+      block(rightText).as("__bk"))
+    l.join(r, "__bk")
+      .withColumn("dist", levenshtein(col("__lt"), col("__rt")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("left_id"), col("right_id"), col("dist"))
+  }
+}

@@ -36,6 +36,24 @@ class RangeJoinSpec extends SparkTestBase {
       == IntervalTable.Miss)
   }
 
+  test("FuzzyJoin: same-block typos matched within maxDist; cross-block pairs unreachable") {
+    val gold = Seq((1L, "saint marys medical center"),
+      (2L, "oak valley clinic"), (3L, "riverside hospital")).toDF("id", "name")
+    val dirty = Seq((10L, "saint marys medical centre"),   // dist 2 to id 1
+      (11L, "oak valey clinic"),                            // dist 1 to id 2
+      (12L, "stone riverside hospital")                     // close to id 3 but block 'stone'
+    ).toDF("id", "name")
+    val got = FuzzyJoin.byEditDistance(gold, $"id", $"name",
+        dirty, $"id", $"name", t => split(t, " ")(0), maxDist = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 3↔12 is in another block ('riverside' vs 'stone') — unreachable
+    assert(got == Seq((1L, 10L, 2L), (2L, 11L, 1L)))
+
+    val none = FuzzyJoin.byEditDistance(gold, $"id", $"name",
+        dirty, $"id", $"name", t => split(t, " ")(0), maxDist = 0)
+    assert(none.count() == 0)
+  }
+
   test("lookupJoin matches Spark's native BETWEEN join on random interval sets") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
