@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming delivery into batch table sinks (`graft.sources.TableSink`
+  * targets: JDBC warehouse, parquet, JSONL shards) via foreachBatch.
+  *
+  * foreachBatch is AT-LEAST-ONCE: after a crash the restarted query
+  * re-runs the last uncommitted micro-batch, so a plain append can
+  * double-deliver. `keyedIdempotent` makes delivery effectively-once
+  * at the KEY level — each micro-batch drops rows whose keys the sink
+  * already holds (one anti-join against live sink state, the
+  * streaming form of the HHS loader's cross-file dedup against
+  * warehouse state, `load_hhs.py:96-137`): a replayed batch, or even
+  * a full re-ingest from scratch, re-delivers nothing.
+  *
+  * Scale shape: the anti-join is per-micro-batch — batch-sized left
+  * side against a key-projected read of the sink (pushed-down column
+  * scan via JDBC/parquet). State lives IN the sink; the stream itself
+  * keeps zero rows of state (no watermark, no state store).
+  * Single-writer assumption: concurrent writers to the same keys need
+  * sink-side transactions instead.
+  */
+object StreamSink {
+
+  /** A started-ready writer: call `.start()` (optionally after more
+    * options). `readExisting` must return the sink's current rows
+    * (only `keys` columns are used); `append` performs the actual
+    * write of the deduplicated batch.
+    */
+  def keyedIdempotent(stream: DataFrame, keys: Seq[String],
+                      readExisting: () => DataFrame,
+                      append: DataFrame => Unit,
+                      checkpoint: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing = readExisting().select(keys.map(col): _*)
+        val fresh = batch.dropDuplicates(keys)
+          .join(existing, keys, "left_anti")
+        append(fresh)
+      }
+}

@@ -251,6 +251,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("keyedIdempotent streams into a live Derby warehouse; a full replay re-delivers nothing") {
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("derby-stream").toString)
+    val url = "jdbc:derby:memory:stream_sink;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE event_sink (event_id BIGINT, user_id BIGINT)")
+    conn.close()
+
+    val events = Tables.table(spark, sfDir, "events")
+      .select($"event_id", $"user_id")
+    val dir = java.nio.file.Files.createTempDirectory("sink-stream")
+    // overlapping files: event_id % 3 == 0 rows appear in BOTH —
+    // cross-micro-batch duplicates arrive even before any replay
+    events.filter($"event_id" % 2 === 0).write.parquet(s"$dir/part1")
+    events.filter($"event_id" % 2 =!= 0 || $"event_id" % 3 === 0)
+      .write.parquet(s"$dir/part2")
+
+    def readSink() = spark.read.jdbc(url, "event_sink", props)
+    def appendSink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("append").jdbc(url, "event_sink", props)
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream
+        .schema("event_id BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/part*")
+      val q = StreamSink.keyedIdempotent(stream, Seq("event_id"),
+        readSink _, appendSink, checkpoint).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    run(java.nio.file.Files.createTempDirectory("ck1").toString)
+    val n1 = readSink().count()
+    assert(n1 == events.select("event_id").distinct().count())
+
+    // FULL replay from a fresh checkpoint — the worst-case redelivery:
+    // every micro-batch re-runs, the warehouse must not grow
+    run(java.nio.file.Files.createTempDirectory("ck2").toString)
+    assert(readSink().count() == n1)
+    // and no key ever landed twice
+    assert(readSink().groupBy($"event_id").count().filter($"count" > 1).count() == 0)
+  }
+
   test("checkpoint restart: stop mid-stream, resume recovers aggregation state") {
     // the first thing a real pipeline hits: a query dies between
     // micro-batches and must resume from its checkpoint with no loss
