@@ -27,11 +27,19 @@ object RangeJoin {
     * (same contract as broadcasting it); ~24 B per interval on the
     * driver and in each task's reference set.
     */
-  def intervalTable(dim: DataFrame, lo: Column, hi: Column, value: Column): IntervalTable =
-    IntervalTable.build(
-      dim.select(lo.cast("long"), hi.cast("long"), value.cast("long"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  def intervalTable(dim: DataFrame, lo: Column, hi: Column, value: Column,
+                    maxIntervals: Int = 10000000): IntervalTable = {
+    // fail fast with a clear message instead of a driver OOM when the
+    // "dimension" side turns out to be fact-sized
+    val rows = dim.select(lo.cast("long"), hi.cast("long"), value.cast("long"))
+      .limit(maxIntervals + 1)
+      .collect()
+    require(rows.length <= maxIntervals,
+      s"interval side exceeds maxIntervals=$maxIntervals — this operator " +
+        "broadcasts the interval table; use AsOfJoin/a shuffle join for " +
+        "fact-sized interval sides")
+    IntervalTable.build(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
 
   /** `fact` plus `as` = matched interval value. Left semantics: rows
     * with no containing interval keep NULL (filter on the column for

@@ -33,6 +33,31 @@ class SinksSpec extends SparkTestBase {
     assert(spark.read.schema(docs.schema).json(s"$dir/corpus").count() == docs.count())
   }
 
+  test("JsonlSource quarantines malformed lines without losing or killing anything") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl-q")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "good row"}""",
+      """{"doc_id": 2, "text": "also fine"}""",
+      """{"doc_id": 3, "text": "unterminated""",      // malformed JSON
+      """not json at all""",
+      """{"doc_id": 4, "text": "fine again"}""")
+    java.nio.file.Files.write(dir.resolve("in.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, quarantine) =
+      JsonlSource.readWithQuarantine(spark, dir.toString, schema)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    val bad = quarantine.as[String].collect().toSet
+    assert(bad == Set("""{"doc_id": 3, "text": "unterminated""", "not json at all"))
+    // quarantine is write-ready: the reference's invalid_data/ contract
+    val out = s"$dir/invalid"
+    quarantine.write.mode("overwrite").text(out)
+    assert(spark.read.text(out).count() == 2)
+  }
+
   test("OrcSink round-trips with schema intact") {
     val dir = java.nio.file.Files.createTempDirectory("orc").toString
     new OrcSink(dir).append(docs, "corpus")
