@@ -2111,9 +2111,68 @@ object ExtQueries {
             |WHERE levenshtein(l.lname, r.rname) <= 3
             |ORDER BY left_id, right_id""".stripMargin))
 
+  /** Time-series gap filling: the hourly × event-type grid from min to
+    * max hour, zero-filled where no events landed — dashboards and
+    * anomaly detectors need the EMPTY hours (a missing row reads as
+    * "no data", not "zero events"). Dense grid via sequence + explode
+    * (no calendar table), counts left-joined back; hour arithmetic on
+    * raw ns-longs so both engines bucket identically.
+    */
+  val q78 = Q(
+    "q78_gap_fill",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(expr("ts div 3600000000000").as("h"), $"event_type")
+      val counts = ev.groupBy($"h", $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+      val grid = ev.agg(min($"h").as("mn"), max($"h").as("mx"))
+        .select(explode(sequence($"mn", $"mx")).as("h"))
+        .crossJoin(ev.select($"event_type").distinct())
+      grid.join(counts, Seq("h", "event_type"), "left")
+        .select($"h", $"event_type", coalesce($"n_events", lit(0L)).as("n_events"))
+        .orderBy($"h", $"event_type")
+    },
+    Some("""WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS h, event_type
+            |           FROM events),
+            |c AS (SELECT h, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+            |b AS (SELECT min(h) AS mn, max(h) AS mx FROM e),
+            |t AS (SELECT DISTINCT event_type FROM e),
+            |g AS (SELECT unnest(generate_series(mn, mx)) AS h, event_type FROM b, t)
+            |SELECT g.h, g.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+            |FROM g LEFT JOIN c USING (h, event_type)
+            |ORDER BY h, event_type""".stripMargin))
+
+  /** Cohort retention: users bucketed by first-seen week; for each
+    * (cohort week, week offset) the distinct users still active —
+    * the standard retention triangle, all integer week arithmetic on
+    * ns-longs so both engines agree exactly.
+    */
+  val q79 = Q(
+    "q79_cohort_retention",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("ts div 604800000000000").as("w"))
+      val cohorts = ev.groupBy($"user_id").agg(min($"w").as("cw"))
+      val active = ev.distinct()
+      active.join(cohorts, "user_id")
+        .groupBy($"cw".as("cohort_week"), ($"w" - $"cw").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_offset")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS w
+            |           FROM events),
+            |u AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1),
+            |a AS (SELECT DISTINCT user_id, w FROM e)
+            |SELECT u.cw AS cohort_week, a.w - u.cw AS week_offset,
+            |       count(DISTINCT a.user_id) AS n_users
+            |FROM a JOIN u USING (user_id)
+            |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77)
+    q76, q77, q78, q79)
 }
