@@ -2170,9 +2170,77 @@ object ExtQueries {
             |FROM a JOIN u USING (user_id)
             |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin))
 
+  /** Funnel analysis (view → click → purchase within 6 h per step) as
+    * TWO chained forward as-of joins with tolerance — per view, the
+    * earliest click at-or-after it; per matched click, the earliest
+    * purchase at-or-after it; stale steps revert to null, so the row
+    * set is the full per-view funnel state. Linear (two key-shuffles),
+    * never the per-pair blowup a range-join funnel would pay. Oracle
+    * chains two union+window mirrors of the same merge.
+    */
+  val q80 = Q(
+    "q80_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val tol = 21600000000000L // 6 h in ns
+      val ev = t(s, dir, "events").withColumn("tsn", expr("ts div 1000 * 1000"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"tsn".as("vts"), $"event_id".as("view_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id", $"tsn".as("cts"))
+        .agg(min($"event_id").as("click_id"))
+        .select($"user_id", $"cts", $"click_id", $"cts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", $"tsn".as("pts"))
+        .agg(min($"event_id").as("purchase_id"))
+        .select($"user_id", $"pts", $"purchase_id")
+      val s1 = graft.ops.AsOfJoin.forward(views, clicks, Seq("user_id"),
+        "vts", "cts", tolerance = Some(tol))
+      val s2 = graft.ops.AsOfJoin.forward(s1, purchases, Seq("user_id"),
+        "click_ts", "pts", tolerance = Some(tol))
+      s2.select($"view_id", $"user_id", $"vts".as("view_ts_ns"),
+          $"click_id", $"purchase_id")
+        .orderBy($"view_id")
+    },
+    Some("""WITH v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) AS vt
+            |           FROM events WHERE event_type = 'view'),
+            |c AS (SELECT user_id, epoch_ns(ts) AS ct, min(event_id) AS click_id
+            |      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            |p AS (SELECT user_id, epoch_ns(ts) AS pt, min(event_id) AS purchase_id
+            |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            |u1 AS (SELECT user_id, vt AS t, 1 AS side, view_id,
+            |              NULL::BIGINT AS click_id, NULL::BIGINT AS ct FROM v
+            |       UNION ALL
+            |       SELECT user_id, ct, 0, NULL, click_id, ct FROM c),
+            |w1 AS (SELECT user_id, t, side, view_id,
+            |              last_value(click_id IGNORE NULLS) OVER fw AS mc,
+            |              last_value(ct IGNORE NULLS) OVER fw AS mct
+            |       FROM u1
+            |       WINDOW fw AS (PARTITION BY user_id ORDER BY t DESC, side
+            |                     ROWS UNBOUNDED PRECEDING)),
+            |s1 AS (SELECT user_id, view_id, t AS vt,
+            |              CASE WHEN mct - t <= 21600000000000 THEN mc END AS click_id,
+            |              CASE WHEN mct - t <= 21600000000000 THEN mct END AS click_ts
+            |       FROM w1 WHERE side = 1),
+            |u2 AS (SELECT user_id, click_ts AS t, 1 AS side, view_id, vt, click_id,
+            |              NULL::BIGINT AS purchase_id, NULL::BIGINT AS pt FROM s1
+            |       UNION ALL
+            |       SELECT user_id, pt, 0, NULL, NULL, NULL, purchase_id, pt FROM p),
+            |w2 AS (SELECT user_id, t, side, view_id, vt, click_id,
+            |              last_value(purchase_id IGNORE NULLS) OVER fw AS mp,
+            |              last_value(pt IGNORE NULLS) OVER fw AS mpt
+            |       FROM u2
+            |       WINDOW fw AS (PARTITION BY user_id ORDER BY t DESC, side
+            |                     ROWS UNBOUNDED PRECEDING)),
+            |s2 AS (SELECT view_id, user_id, vt AS view_ts_ns, click_id,
+            |              CASE WHEN mpt - t <= 21600000000000 THEN mp END AS purchase_id
+            |       FROM w2 WHERE side = 1)
+            |SELECT view_id, user_id, view_ts_ns, click_id, purchase_id
+            |FROM s2 ORDER BY view_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79)
+    q76, q77, q78, q79, q80)
 }
