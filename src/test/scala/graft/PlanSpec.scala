@@ -209,6 +209,21 @@ class PlanSpec extends SparkTestBase {
     assert(ex.forall(_.contains("rangepartitioning")), ex.mkString("\n"))
   }
 
+  test("q73 grouped top-k: ObjectHashAggregate partial, no Window over the fact table") {
+    val ep = ExtQueries.q73.run(spark, dir).queryExecution.executedPlan.toString
+    assert(ep.contains("ObjectHashAggregate"), ep)
+    assert(!ep.contains("Window"), ep)
+  }
+
+  test("q80 funnel: two key-shuffles, no nested-loop or range join anywhere") {
+    val ep = ExtQueries.q80.run(spark, dir).queryExecution.executedPlan.toString
+    assert(!ep.contains("NestedLoop") && !ep.contains("CartesianProduct"), ep)
+    // every hash exchange keys on user_id (the funnel key)
+    ep.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(l.contains("user_id"), l)
+    }
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
