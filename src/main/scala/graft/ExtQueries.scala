@@ -2238,9 +2238,50 @@ object ExtQueries {
             |SELECT view_id, user_id, view_ts_ns, click_id, purchase_id
             |FROM s2 ORDER BY view_id""".stripMargin))
 
+  /** Equi-width histogram of document lengths: 20 bins over the
+    * corpus [min, max] range, empty bins kept (zero), the binning
+    * arithmetic one correctly-rounded division + floor so both
+    * engines place every value identically (no engine-private
+    * width_bucket). Bin assignment is a narrow projection; ONE
+    * grouped count + a tiny grid left-join carries the zeros.
+    */
+  val q81 = Q(
+    "q81_histogram",
+    (s, dir) => {
+      import s.implicits._
+      val nBins = 20
+      val d = t(s, dir, "documents").select($"n_chars")
+      val b = d.agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"))
+      val binned = d.crossJoin(broadcast(b))
+        .select(least(
+          floor(($"n_chars" - $"mn").cast("double") * nBins /
+            ($"mx" - $"mn" + 1).cast("double")).cast("long"),
+          lit(nBins - 1L)).as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as("n_docs"))
+      b.select(explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"),
+          $"mn", $"mx")
+        .join(binned, Seq("bin"), "left")
+        .select($"bin",
+          ($"mn" + floor($"bin".cast("double") * ($"mx" - $"mn" + 1).cast("double") / nBins)
+            .cast("long")).as("bin_lo"),
+          coalesce($"n_docs", lit(0L)).as("n_docs"))
+        .orderBy($"bin")
+    },
+    Some("""WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+            |h AS (SELECT least(CAST(floor(CAST(n_chars - mn AS DOUBLE) * 20 /
+            |                        CAST(mx - mn + 1 AS DOUBLE)) AS BIGINT), 19) AS bin,
+            |             count(*) AS n
+            |      FROM documents, b GROUP BY 1),
+            |g AS (SELECT unnest(generate_series(0, 19)) AS bin, mn, mx FROM b)
+            |SELECT g.bin,
+            |       g.mn + CAST(floor(CAST(g.bin AS DOUBLE) * CAST(g.mx - g.mn + 1 AS DOUBLE) / 20) AS BIGINT) AS bin_lo,
+            |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_docs
+            |FROM g LEFT JOIN h USING (bin)
+            |ORDER BY bin""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80)
+    q76, q77, q78, q79, q80, q81)
 }
