@@ -2279,9 +2279,89 @@ object ExtQueries {
             |FROM g LEFT JOIN h USING (bin)
             |ORDER BY bin""".stripMargin))
 
+  /** Value-RANGE window frame (vs q14's row frame): per user, each
+    * event's count and value-sum over the trailing 7 days — the
+    * rolling-aggregate shape monitoring and features use. Frame
+    * bounds in raw ns-longs (exact integer arithmetic both engines).
+    */
+  val q82 = Q(
+    "q82_rolling_window",
+    (s, dir) => {
+      import s.implicits._
+      val weekNs = 7L * 86400L * 1000000000L
+      // µs-truncate BEFORE the window: DuckDB reads this parquet at µs
+      // precision, and a sub-µs skew at an exact 7-day frame edge
+      // would flip row inclusion (same discipline as q38)
+      val w = Window.partitionBy($"user_id").orderBy($"tsn")
+        .rangeBetween(-weekNs, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("tsn", expr("ts div 1000 * 1000"))
+        .select($"event_id", $"user_id", $"tsn".as("ts"),
+          count(lit(1)).over(w).as("n_7d"),
+          Aggs.dsum($"value").over(w).cast("double").as("sum_7d"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, epoch_ns(ts) AS ts,
+            |       CAST(count(*) OVER tw AS BIGINT) AS n_7d,
+            |       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER tw AS DOUBLE) AS sum_7d
+            |FROM events
+            |WINDOW tw AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+            |              RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
+            |ORDER BY event_id""".stripMargin))
+
+  /** Data-quality expectations report over a deliberately-dirtied
+    * orders table: planted FK orphans (%97), null keys (%93),
+    * non-positive prices (%89) and duplicated rows (%101) — every
+    * check fires with a non-zero, exactly-mirrored violation count.
+    */
+  val q83 = Q(
+    "q83_expectations",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val mutated = o
+        .withColumn("o_custkey",
+          when($"o_orderkey" % 97 === 0, $"o_custkey" + 1000000000L)
+            .when($"o_orderkey" % 93 === 0, lit(null))
+            .otherwise($"o_custkey"))
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 89 === 0, -$"o_totalprice")
+            .otherwise($"o_totalprice"))
+      val dirty = mutated.unionAll(mutated.filter($"o_orderkey" % 101 === 0))
+      graft.ops.Expectations.report(dirty,
+        rowChecks = Seq(
+          "custkey_not_null" -> $"o_custkey".isNull,
+          "totalprice_positive" -> ($"o_totalprice" <= 0)),
+        uniqueKeys = Seq("orderkey_unique" -> Seq($"o_orderkey")),
+        foreignKeys = Seq(
+          ("custkey_fk", $"o_custkey", t(s, dir, "customer"), $"c_custkey")))
+        .orderBy($"check")
+    },
+    Some("""WITH p AS (SELECT o_orderkey,
+            |                  CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000000
+            |                       WHEN o_orderkey % 93 = 0 THEN NULL
+            |                       ELSE o_custkey END AS o_custkey,
+            |                  CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+            |                       ELSE o_totalprice END AS o_totalprice
+            |           FROM orders),
+            |d AS (SELECT * FROM p
+            |      UNION ALL SELECT * FROM p WHERE o_orderkey % 101 = 0)
+            |SELECT 'custkey_not_null' AS check, count(*) AS n_violations
+            |FROM d WHERE o_custkey IS NULL
+            |UNION ALL
+            |SELECT 'totalprice_positive', count(*) FROM d WHERE o_totalprice <= 0
+            |UNION ALL
+            |SELECT 'orderkey_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+            |FROM (SELECT o_orderkey, count(*) AS n FROM d GROUP BY 1) WHERE n > 1
+            |UNION ALL
+            |SELECT 'custkey_fk', count(*)
+            |FROM d WHERE o_custkey IS NOT NULL
+            |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+            |ORDER BY "check"""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81)
+    q76, q77, q78, q79, q80, q81, q82, q83)
 }

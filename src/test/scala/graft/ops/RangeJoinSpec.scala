@@ -54,6 +54,20 @@ class RangeJoinSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("Expectations: a clean table reports every check with zero violations") {
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
+    val facts = Seq((10L, 1L, 5.0), (11L, 2L, 7.5), (12L, 1L, 1.0))
+      .toDF("id", "fk", "v")
+    val rep = Expectations.report(facts,
+        rowChecks = Seq("v_positive" -> ($"v" <= 0), "fk_not_null" -> $"fk".isNull),
+        uniqueKeys = Seq("id_unique" -> Seq($"id")),
+        foreignKeys = Seq(("fk_valid", $"fk", dim, $"pk")))
+      .as[(String, Long)].collect().toMap
+    // green rows are still emitted — a passing check is visible, not absent
+    assert(rep == Map("v_positive" -> 0L, "fk_not_null" -> 0L,
+      "id_unique" -> 0L, "fk_valid" -> 0L))
+  }
+
   test("lookupJoin matches Spark's native BETWEEN join on random interval sets") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
