@@ -72,6 +72,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaSql == viaCol)
   }
 
+  test("bpe_count SQL binding matches the Column API on corpus text (no drift)") {
+    val docs = graft.Tables.table(extSession, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    docs.createOrReplaceTempView("bpe_docs")
+    val viaSql = extSession.sql(
+      "SELECT doc_id, bpe_count(text) AS n FROM bpe_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaApi = docs.select(col("doc_id"),
+        graft.functions.Bpe.count(col("text")).as("n"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("foldable-but-unfolded constant args are accepted; bad args raise AnalysisException") {
     // builders run before constant folding — 1+1 must fold to 2
     val g = extSession.sql("SELECT word_ngrams('a b c', 1+1) AS g")
