@@ -2359,9 +2359,45 @@ object ExtQueries {
             |  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
             |ORDER BY "check"""".stripMargin))
 
+  /** Incremental connected components: fold a new pair batch into
+    * previously-computed component labels (stored-star-edge union, see
+    * DedupClusters.incrementalComponents) instead of recomputing from
+    * the full historical pair list. Old batch: (i,i+1) chains per
+    * decade; new batch: bridges that MERGE old components plus a
+    * brand-new component. Oracle: recursive closure over the unioned
+    * pair set — the equivalence the incremental identity guarantees.
+    */
+  val q84 = Q(
+    "q84_incremental_components",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id".as("i")).filter($"i" < 200)
+      val oldPairs = d
+        .filter($"i" % 10 === 0 || $"i" % 10 === 1 || $"i" % 10 === 5)
+        .select($"i".as("id1"), ($"i" + 1L).as("id2"))
+      val newPairs = d.filter($"i" % 10 === 3).select($"i".as("id1"), ($"i" + 2L).as("id2"))
+        .unionAll(d.filter($"i" % 10 === 2).select($"i".as("id1"), ($"i" + 3L).as("id2")))
+        .unionAll(d.filter($"i" % 10 === 8).select($"i".as("id1"), ($"i" + 1L).as("id2")))
+      val stored = DedupClusters.connectedComponents(oldPairs)
+      DedupClusters.incrementalComponents(stored, newPairs).orderBy($"id")
+    },
+    Some("""WITH RECURSIVE
+            |u AS (SELECT doc_id AS i FROM documents WHERE doc_id < 200),
+            |pairs AS (SELECT i AS id1, i + 1 AS id2 FROM u WHERE i % 10 IN (0, 1, 5)
+            |          UNION ALL SELECT i, i + 2 FROM u WHERE i % 10 = 3
+            |          UNION ALL SELECT i, i + 3 FROM u WHERE i % 10 = 2
+            |          UNION ALL SELECT i, i + 1 FROM u WHERE i % 10 = 8),
+            |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+            |          UNION SELECT id2, id1 FROM pairs),
+            |reach(id, r) AS (SELECT a, a FROM edges
+            |                 UNION
+            |                 SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+            |SELECT id, min(r) AS component FROM reach GROUP BY id
+            |ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84)
 }

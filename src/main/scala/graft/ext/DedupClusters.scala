@@ -13,22 +13,36 @@ import org.apache.spark.sql.functions._
   * (`load_hhs.py:96-137`) — transitive closure is the extension a
   * near-dup pipeline needs.
   *
-  * Algorithm: iterative min-label propagation (the Pregel formulation
-  * of connected components). Labels start as each node's own id; each
-  * round every node takes the min of its label and its neighbors'
-  * labels; fixpoint = components labeled by their min member id.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each
+  * round rewires the edge set toward a star per component rooted at
+  * the component's minimum id:
+  *
+  *   - large-star(u): link every neighbor v > u to m = min(Γ(u)∪{u})
+  *   - small-star(u): over edges directed larger→smaller, link every
+  *     smaller neighbor (and u itself) to m = min of them
+  *
+  * Both preserve connectivity and never create cross-component edges;
+  * the fixpoint is a star graph whose root is the component minimum.
+  * Unlike min-label propagation (rounds = component DIAMETER — a
+  * chain-shaped cluster from template drift needs O(n) rounds and a
+  * capped iteration silently SPLITS the component), star contraction
+  * converges in O(log n) rounds regardless of diameter, at the same
+  * one-shuffle-per-phase cost over the pair list.
   *
   * Scale design:
-  *   - Each round is ONE shuffle (edge⋈label join + grouped min) over
-  *     the PAIR list — near-dup pair sets are orders of magnitude
-  *     smaller than the corpus (candidate-proportional by LSH design).
-  *   - Rounds needed = max component diameter. Duplicate clusters are
-  *     dense (most pairs within a cluster survive the similarity
-  *     threshold), so diameters are small; `maxIter` caps pathology.
+  *   - All shuffles are over the PAIR list — near-dup pair sets are
+  *     orders of magnitude smaller than the corpus
+  *     (candidate-proportional by LSH design) — and the edge set only
+  *     shrinks toward |nodes| as stars form.
   *   - The per-round driver convergence check is one scalar count —
   *     a Pregel-style control-flow read, not a data collect; lineage
   *     is cut with localCheckpoint each round so plans don't grow
   *     exponentially across iterations.
+  *   - Hitting maxIter without convergence is an ERROR, never a
+  *     partial result: downstream guarantees (leakageSafeSplit's
+  *     no-straddle property) depend on component integrity, so a
+  *     silently split component is strictly worse than a loud failure.
   *   - Labels converge deterministically (min is order-insensitive),
   *     so results are partition-invariant and oracle-checkable.
   */
@@ -39,46 +53,123 @@ object DedupClusters {
     * Output: (id, component) for every node appearing in any pair,
     * where `component` is the smallest id in the node's component.
     *
+    * @throws IllegalStateException if star contraction has not reached
+    *         its fixpoint within maxIter rounds (default 30 covers
+    *         graphs far beyond 2^30 nodes; non-convergence indicates a
+    *         bug or corrupted input, not a tuning problem).
+    *
     * Retention note: each round's eager localCheckpoint blocks live
     * until the session ends (Dataset.unpersist is a no-op on
     * checkpoint blocks — see ScaleCheck). Total retention is bounded
-    * by rounds × |nodes-in-pairs| rows, small by construction since
-    * pair lists are LSH-candidate-proportional; long-lived sessions
+    * by rounds × |pair-list| rows, small by construction since pair
+    * lists are LSH-candidate-proportional; long-lived sessions
     * clearing aggressively should run this in a fresh session.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // no distinct() on edges: duplicate pairs only feed extra rows into
-    // the min-aggregation (harmless), and the dedup would cost a
-    // shuffle of the whole pair list up front
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .localCheckpoint(true) // reused every round — don't re-derive the pairs
-    // round 0 fused into initialization: each node starts at
-    // min(id, min neighbor) — one grouped min, no join, saves a round
-    var labels = edges
-      .groupBy(col("a").as("id"))
-      .agg(min(least(col("a"), col("b"))).as("component"))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    componentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds executed —
+    * exposed so tests and ScaleCheck can pin the O(log n) round bound
+    * (a 500-link chain must converge in ~log rounds, not 500).
+    */
+  private[graft] def componentsWithRounds(pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    // every node that appears in any pair — the output row contract;
+    // kept separately because star rewiring erases singleton self-pairs
+    val nodes = pairs.select(col("id1").as("id"))
+      .unionAll(pairs.select(col("id2").as("id")))
+      .distinct()
       .localCheckpoint(true)
-    var converged = false
+
+    // canonical directed edge set, larger → smaller; self-loops carry
+    // no connectivity. distinct() here bounds every later round by the
+    // true edge count (LSH emits the same pair from multiple bands).
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("u"),
+        least(col("id1"), col("id2")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate label for each node: min over its neighbors' labels
-      val viaNeighbors = edges
-        .join(labels, edges("a") === labels("id"))
-        .select(col("b").as("id"), col("component"))
-      val next = labels.unionAll(viaNeighbors)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
+      // ---- large-star: for each node u over the UNDIRECTED
+      // neighborhood, attach every strictly larger neighbor to
+      // m = min(Γ(u) ∪ {u}).
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        // v > u ≥ m, so (v, m) is already larger→smaller
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+      // ---- small-star: over directed edges (u > v), attach u and all
+      // its smaller neighbors to the minimum of them.
+      val mins2 = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = afterLarge.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      // Pregel-style convergence read: one scalar, not a data collect
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev"))
+
+      // fixpoint test: symmetric difference of two distinct edge sets,
+      // one shuffle + one scalar read (Pregel-style control flow)
+      val changed = next.unionAll(edges)
+        .groupBy("u", "v").count()
+        .filter(col("count") =!= 2)
         .count()
-      labels = next
+      edges = next
       converged = changed == 0
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: star contraction did not converge in $maxIter rounds; " +
+          "refusing to return possibly-split components (leakage-safety depends on " +
+          "component integrity). This indicates corrupted input or a bug, not tuning.")
+
+    // at the fixpoint the edge set is a star per component: (member,
+    // root). Emit every node; nodes absent from edges (singletons via
+    // self-pairs, or roots) label themselves via the left join.
+    val labels = nodes
+      .join(edges.withColumnRenamed("u", "id").withColumnRenamed("v", "__root"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+    (labels, iter)
+  }
+
+  /** Incremental connected components: fold a new batch of candidate
+    * pairs into previously-persisted component labels WITHOUT re-deriving
+    * pairs for the old corpus. Correctness identity:
+    *
+    *   incrementalComponents(cc(P_old), P_new) ≡ cc(P_old ∪ P_new)
+    *
+    * because a component's label table IS a star subgraph (member —
+    * root edges) with the same connectivity as the original pairs, and
+    * star contraction is indifferent to which spanning structure
+    * carries the connectivity. Cost: the old corpus contributes only
+    * |labels| star edges (already diameter ≤ 2), so re-convergence is
+    * O(log) rounds over |labels| + |new pairs| — no old text is
+    * re-read, no old pair list re-materialized. Completes the
+    * incremental-ingest family: q58 (exact digests), q66 (near-dup
+    * signatures), this (cluster labels).
+    *
+    * @param prevLabels (id, component) as produced by
+    *                   [[connectedComponents]] — e.g. read back from a
+    *                   parquet state table.
+    * @param newPairs   (id1, id2) candidate pairs from the new batch
+    *                   (including pairs that bridge old and new docs —
+    *                   the caller probes new docs against stored LSH
+    *                   signatures, see MinHashLsh.incrementalPairs).
+    */
+  def incrementalComponents(prevLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val starEdges = prevLabels.select(col("id").as("id1"), col("component").as("id2"))
+    connectedComponents(starEdges.unionAll(
+      newPairs.select(col("id1"), col("id2"))))
   }
 
   /** Leakage-safe train/val/test split: assign every document to a
@@ -93,13 +184,22 @@ object DedupClusters {
     * back, then [[Sampling.hashSplit]] on the component id —
     * deterministic, per-component stable, engine-portable (md5).
     * Output: input columns + `component` + `split`.
+    *
+    * The component frame is joined under reserved names so a caller
+    * whose idCol is literally "id" keeps their column; pre-existing
+    * `component`/`split` columns in docs are rejected loudly (the
+    * output contract would otherwise be ambiguous).
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        cuts: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    require(!docs.columns.contains("component") && !docs.columns.contains("split"),
+      s"leakageSafeSplit appends 'component' and 'split'; input already has " +
+        s"[${docs.columns.filter(c => c == "component" || c == "split").mkString(", ")}] — rename first")
     val comp = connectedComponents(pairs)
-    docs.join(comp, docs(idCol) === comp("id"), "left")
-      .withColumn("component", coalesce(col("component"), docs(idCol)))
-      .drop("id")
+      .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
+    docs.join(comp, docs(idCol) === col("__cc_id"), "left")
+      .withColumn("component", coalesce(col("__cc_component"), docs(idCol)))
+      .drop("__cc_id", "__cc_component")
       .withColumn("split", Sampling.hashSplit(col("component"), cuts, salt))
   }
 

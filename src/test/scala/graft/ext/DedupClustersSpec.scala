@@ -73,6 +73,71 @@ class DedupClustersSpec extends SparkTestBase {
     assert(expected == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("long chain labels correctly in O(log n) rounds — diameter-independent") {
+    // a 400-link chain (diameter 400) models template-drift clusters:
+    // A~B~C~… each adjacent pair similar, ends not. Min-label
+    // propagation would need 400 rounds (and silently split the
+    // component at maxIter=20); star contraction must stay logarithmic.
+    val chain = pairs((1L until 400L).map(i => i -> (i + 1)): _*)
+    val (labels, rounds) = DedupClusters.componentsWithRounds(chain)
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == 400)
+    assert(out.forall(_._2 == 1L), "every chain node must label to the min id")
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a 400-chain — not O(log n)")
+  }
+
+  test("round count stays flat as chain length grows") {
+    val r100 = DedupClusters.componentsWithRounds(pairs((1L until 100L).map(i => i -> (i + 1)): _*))._2
+    val r800 = DedupClusters.componentsWithRounds(pairs((1L until 800L).map(i => i -> (i + 1)): _*))._2
+    assert(r800 <= r100 + 3, s"rounds grew $r100 -> $r800 over 8x chain length")
+  }
+
+  test("hitting maxIter without convergence raises instead of returning split components") {
+    val chain = pairs((1L until 100L).map(i => i -> (i + 1)): _*)
+    val e = intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("self-pairs label as singletons") {
+    val out = DedupClusters.connectedComponents(pairs(5L -> 5L, 5L -> 6L, 9L -> 9L))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq(5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("incrementalComponents over stored labels equals full recompute on the unioned pairs") {
+    val oldPairs = pairs(1L -> 2L, 2L -> 3L, 10L -> 11L, 20L -> 21L)
+    // new batch: internal new-doc pair, a bridge merging two old
+    // components, and a brand-new component
+    val newPairs = pairs(30L -> 31L, 3L -> 10L, 40L -> 41L)
+    val stored = DedupClusters.connectedComponents(oldPairs)
+    val incremental = DedupClusters.incrementalComponents(stored, newPairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val full = DedupClusters.connectedComponents(oldPairs.unionAll(newPairs))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(incremental == full)
+    // the bridge must have merged 1-2-3 with 10-11
+    assert(incremental.contains(10L -> 1L) && incremental.contains(11L -> 1L))
+  }
+
+  test("leakageSafeSplit keeps the caller's column when idCol is literally 'id'") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val out = DedupClusters.leakageSafeSplit(docs, "id", pairs(1L -> 2L),
+      Seq("train" -> 128, "test" -> 128), salt = "s")
+    assert(out.columns.toSeq == Seq("id", "text", "component", "split"))
+    val rows = out.orderBy("id").select("id", "component").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("leakageSafeSplit rejects docs that already carry component/split columns") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "component")
+    val e = intercept[IllegalArgumentException] {
+      DedupClusters.leakageSafeSplit(docs, "doc_id", pairs(1L -> 2L), Seq("train" -> 256))
+    }
+    assert(e.getMessage.contains("rename first"))
+  }
+
   test("leakageSafeSplit: no near-dup pair ever straddles a split; singletons split independently") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // 50 chained pairs → 50 two-doc clusters, plus 100 singleton docs
