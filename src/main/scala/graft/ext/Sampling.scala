@@ -158,12 +158,24 @@ object Sampling {
     * frame (stream-static broadcast join + stateless per-row filter —
     * no watermark, no state store), so a batch-computed mixture can
     * govern continuous ingest.
+    *
+    * Rows whose group is ABSENT from the rates table are governed by
+    * `defaultRate` — the case a snapshot-computed mixture hits when a
+    * new language/source appears in continuous ingest after rates were
+    * persisted. The default of 1.0 keeps unseen groups whole (never
+    * silently drop data the snapshot didn't know about); pass 0.0 to
+    * quarantine-by-omission, or any rate between for a conservative
+    * prior.
     */
   def sampleByRates(df: DataFrame, group: Column, key: Column,
-                    rates: DataFrame, salt: String = ""): DataFrame = {
+                    rates: DataFrame, salt: String = "",
+                    defaultRate: Double = 1.0): DataFrame = {
+    require(defaultRate >= 0.0 && defaultRate <= 1.0,
+      s"defaultRate in [0,1], got $defaultRate")
     val h32 = MinHashLsh.portableHash32(
       concat(key.cast("string"), lit(salt)))
-    df.join(broadcast(rates), group === col("__grp"))
+    df.join(broadcast(rates), group === col("__grp"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(defaultRate)))
       .filter(h32 < col("rate") * 4294967296.0)
       .drop("__grp")
   }

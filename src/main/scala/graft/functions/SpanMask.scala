@@ -34,7 +34,18 @@ case class SpanMask(left: Expression, right: Expression, n: Int)
           s"(${l.catalogString}, ${r.catalogString})")
     }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  /** Null token elements pass through the mask unchanged, so the
+    * output element nullability follows the INPUT's — declaring
+    * containsNull=false unconditionally would hand downstream codegen
+    * (concat_ws, element access) an array violating its own type when
+    * the SQL-registered span_mask is called on a nullable-element
+    * array.
+    */
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(StringType, containsNull) =>
+      ArrayType(StringType, containsNull)
+    case _ => ArrayType(StringType, containsNull = false)
+  }
 
   override def nullSafeEval(toks: Any, starts: Any): Any =
     SpanMaskUtil.mask(toks.asInstanceOf[ArrayData],
@@ -50,7 +61,11 @@ case class SpanMask(left: Expression, right: Expression, n: Int)
 }
 
 object SpanMaskUtil {
-  /** Two-pointer sweep; `starts` 1-based sorted, windows length n. */
+  /** Two-pointer sweep; `starts` 1-based sorted, windows length n.
+    * Null tokens pass through (nullability declared by the output
+    * type); null START elements are skipped — a null has no window to
+    * erase, and getInt on a null slot would read garbage.
+    */
   def mask(toks: ArrayData, starts: ArrayData, n: Int): ArrayData = {
     val len = toks.numElements()
     val m = starts.numElements()
@@ -58,8 +73,9 @@ object SpanMaskUtil {
     var j = 0
     var p = 1
     while (p <= len) {
-      // drop windows that end before p (starts sorted → monotone j)
-      while (j < m && starts.getInt(j) + n - 1 < p) j += 1
+      // drop windows that end before p (starts sorted → monotone j),
+      // and null start slots outright
+      while (j < m && (starts.isNullAt(j) || starts.getInt(j) + n - 1 < p)) j += 1
       if (!(j < m && starts.getInt(j) <= p))
         out.add(toks.getUTF8String(p - 1))
       p += 1

@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.util.TreeSet
+import java.util.TreeMap
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, St
   * ascending on ties — the exact order a SQL window mirror can
   * reproduce, which makes the operator oracle-checkable.
   *
+  * The buffer is a MULTISET (count-carrying TreeMap): two input rows
+  * with identical (score, id) in one group are both retained, exactly
+  * as the row_number() window formulation emits both — a plain
+  * ordered-set buffer would silently collapse them and return fewer
+  * rows than the SQL mirror for callers whose id isn't unique.
+  *
   * eval() returns array<struct<score, id>> strongest-first.
   */
 case class TopKAgg(
@@ -31,7 +37,7 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TreeSet[TopKEntry]] {
+  extends TypedImperativeAggregate[TopKBuffer] {
 
   require(k >= 1, s"top-k needs k >= 1, got $k")
 
@@ -41,60 +47,62 @@ case class TopKAgg(
     StructType(Seq(StructField("score", DoubleType, nullable = false),
       StructField("id", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TreeSet[TopKEntry] =
-    new TreeSet[TopKEntry](TopKEntry.weakestFirst)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer
 
-  private def add(buf: TreeSet[TopKEntry], e: TopKEntry): Unit = {
-    if (buf.size < k) { buf.add(e); () }
-    else if (TopKEntry.weakestFirst.compare(e, buf.first()) > 0) {
-      buf.add(e)
-      if (buf.size > k) { buf.pollFirst(); () }
-    }
-  }
-
-  override def update(buf: TreeSet[TopKEntry], input: InternalRow): TreeSet[TopKEntry] = {
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null)
-      add(buf, TopKEntry(s.asInstanceOf[Double], i.asInstanceOf[Long]))
+      buf.add(TopKEntry(s.asInstanceOf[Double], i.asInstanceOf[Long]), 1, k)
     buf
   }
 
-  override def merge(b1: TreeSet[TopKEntry], b2: TreeSet[TopKEntry]): TreeSet[TopKEntry] = {
-    val it = b2.iterator()
-    while (it.hasNext) add(b1, it.next())
+  override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer = {
+    val it = b2.entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      b1.add(e.getKey, e.getValue, k)
+    }
     b1
   }
 
-  override def eval(buf: TreeSet[TopKEntry]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.descendingIterator() // strongest first
+  override def eval(buf: TopKBuffer): Any = {
+    val out = new Array[Any](buf.total)
+    val it = buf.entries.descendingMap().entrySet().iterator() // strongest first
     var i = 0
     while (it.hasNext) {
       val e = it.next()
-      out(i) = InternalRow(e.score, e.id)
-      i += 1
+      var c = e.getValue.intValue()
+      while (c > 0) {
+        out(i) = InternalRow(e.getKey.score, e.getKey.id)
+        i += 1; c -= 1
+      }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: TreeSet[TopKEntry]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.entries.size * 20)
+    bb.putInt(buf.entries.size)
+    val it = buf.entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      bb.putDouble(e.score); bb.putLong(e.id)
+      bb.putDouble(e.getKey.score); bb.putLong(e.getKey.id); bb.putInt(e.getValue)
     }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): TreeSet[TopKEntry] = {
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.add(TopKEntry(bb.getDouble(), bb.getLong())); i += 1 }
+    while (i < n) {
+      val e = TopKEntry(bb.getDouble(), bb.getLong())
+      val c = bb.getInt()
+      buf.add(e, c, k)
+      i += 1
+    }
     buf
   }
 
@@ -104,6 +112,30 @@ case class TopKAgg(
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKAgg =
     copy(score = c(0), id = c(1))
+}
+
+/** Bounded multiset of the strongest ≤ k entries: TreeMap keyed
+  * weakest-first with per-entry multiplicities, plus the tracked total
+  * so capacity checks are O(1). Mutation is only via [[add]], which
+  * evicts the weakest entries once `total` exceeds k.
+  */
+final class TopKBuffer {
+  val entries = new TreeMap[TopKEntry, Integer](TopKEntry.weakestFirst)
+  var total: Int = 0
+
+  /** Add `count` copies of `e`, keeping only the strongest k overall. */
+  def add(e: TopKEntry, count: Int, k: Int): Unit = {
+    if (total >= k && TopKEntry.weakestFirst.compare(e, entries.firstKey()) <= 0) return
+    entries.merge(e, count, (a, b) => Integer.valueOf(a + b))
+    total += count
+    while (total > k) {
+      val weakest = entries.firstEntry()
+      val drop = math.min(weakest.getValue.intValue(), total - k)
+      if (drop == weakest.getValue.intValue()) entries.remove(weakest.getKey)
+      else entries.put(weakest.getKey, weakest.getValue - drop)
+      total -= drop
+    }
+  }
 }
 
 final case class TopKEntry(score: Double, id: Long)

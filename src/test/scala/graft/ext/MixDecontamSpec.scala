@@ -50,6 +50,27 @@ class MixDecontamSpec extends SparkTestBase {
     assert(before == after) // b's count and rate unchanged; a's growth is invisible to b
   }
 
+  test("sampleByRates: groups unseen by the rate snapshot follow defaultRate") {
+    // snapshot rates know only groups a and b; group c appears later
+    // (new language in continuous ingest after rates were persisted)
+    val rates = Seq(("a", 0.25), ("b", 1.0)).toDF("__grp", "rate")
+    val keptDefault = Sampling.sampleByRates(mixDf, $"grp", $"id", rates, "s")
+      .filter($"grp" === "c")
+    assert(keptDefault.count() == 2,
+      "defaultRate=1.0 must keep unseen groups whole")
+    assert(keptDefault.select("rate").distinct().as[Double].collect().toSeq == Seq(1.0))
+    val dropped = Sampling.sampleByRates(mixDf, $"grp", $"id", rates, "s",
+      defaultRate = 0.0)
+    assert(dropped.filter($"grp" === "c").count() == 0,
+      "defaultRate=0.0 must drop unseen groups")
+    // known groups are untouched by the defaultRate choice
+    val knownA = Sampling.sampleByRates(mixDf, $"grp", $"id", rates, "s")
+      .filter($"grp" === "a").select("id").as[Long].collect().toSet
+    val knownB = Sampling.sampleByRates(mixDf, $"grp", $"id", rates, "s",
+      defaultRate = 0.0).filter($"grp" === "a").select("id").as[Long].collect().toSet
+    assert(knownA == knownB)
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),

@@ -98,6 +98,28 @@ class SpanDedupSpec extends SparkTestBase {
     }
   }
 
+  test("SpanMask: nullable-element arrays — output type tracks input, nulls pass through, null starts skipped") {
+    // SQL-registered span_mask is callable on arbitrary arrays: an
+    // array with null tokens must produce a declared-nullable output
+    // (not a containsNull=false array carrying nulls), and null start
+    // slots must not erase anything
+    val df = Seq(1).toDF("x").select(
+      graft.functions.SpanMask(
+        expr("array('a', CAST(NULL AS STRING), 'c', 'd')"),
+        expr("array(3)"), 2).as("m"),
+      graft.functions.SpanMask(
+        expr("array('a', 'b', 'c')"),
+        expr("array(CAST(NULL AS INT), 2)"), 1).as("ns"))
+    val schema = df.schema
+    assert(schema("m").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = true),
+      s"output must declare containsNull=true for nullable input, got ${schema("m").dataType}")
+    val row = df.head()
+    assert(row.getSeq[String](0) == Seq("a", null), row.toString)
+    assert(row.getSeq[String](1) == Seq("a", "c"), row.toString)
+  }
+
   test("SpanDedup: result is partition-invariant") {
     val docs = (1L to 40L).map { i =>
       val span = if (i % 4 == 0) " shared span alpha beta gamma delta epsilon" else ""

@@ -30,6 +30,34 @@ class TopKAggSpec extends SparkTestBase {
     }
   }
 
+  test("duplicate (score, id) rows are retained like the window formulation") {
+    // two full duplicates of (2.0, 7) in group a: row_number() keeps
+    // both; a set-backed buffer would collapse them to one
+    val df = Seq(("a", 2.0, 7L), ("a", 2.0, 7L), ("a", 1.0, 1L), ("a", 3.0, 2L),
+      ("b", 5.0, 3L)).toDF("g", "s", "i").repartition(4)
+    val got = Aggs.groupedTopK(df, Seq($"g"), $"s", $"i", k = 3)
+      .as[(String, Long, Double, Long)].collect().sorted.toSeq
+    val want = windowTopK(df, 3)
+      .as[(String, Long, Double, Long)].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.count(r => r._1 == "a" && r._3 == 2.0 && r._4 == 7L) == 2)
+  }
+
+  test("duplicate retention matches the window form across partitions and eviction") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // ids drawn from a tiny space → many exact (score, id) duplicates
+      val rows = (1 to 500).map(_ => (s"g${rnd.nextInt(4)}", rnd.nextInt(5).toDouble,
+        rnd.nextInt(8).toLong))
+      val df = rows.toDF("g", "s", "i").repartition(11)
+      val got = Aggs.groupedTopK(df, Seq($"g"), $"s", $"i", k = 6)
+        .as[(String, Long, Double, Long)].collect().sorted.toSeq
+      val want = windowTopK(df, 6)
+        .as[(String, Long, Double, Long)].collect().sorted.toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("groups smaller than k return all members; k=1 returns the max") {
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 5.0, 3L)).toDF("g", "s", "i")
     val all3 = Aggs.groupedTopK(df, Seq($"g"), $"s", $"i", k = 10)

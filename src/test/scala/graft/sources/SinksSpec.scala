@@ -47,15 +47,27 @@ class SinksSpec extends SparkTestBase {
 
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
-    val (clean, quarantine) =
-      JsonlSource.readWithQuarantine(spark, dir.toString, schema)
-    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
-    val bad = quarantine.as[String].collect().toSet
+    // default: no caching — nothing pinned for the session lifetime
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val r = JsonlSource.readWithQuarantine(spark, dir.toString, schema)
+    assert(r.clean.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    val bad = r.quarantine.as[String].collect().toSet
     assert(bad == Set("""{"doc_id": 3, "text": "unterminated""", "not json at all"))
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+      "uncached read must not pin anything")
     // quarantine is write-ready: the reference's invalid_data/ contract
     val out = s"$dir/invalid"
-    quarantine.write.mode("overwrite").text(out)
+    r.quarantine.write.mode("overwrite").text(out)
     assert(spark.read.text(out).count() == 2)
+
+    // opt-in persistence: same results, and unpersist() releases the scan
+    val p = JsonlSource.readWithQuarantine(spark, dir.toString, schema,
+      Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    assert(p.clean.count() == 3 && p.quarantine.count() == 2)
+    assert(spark.sparkContext.getPersistentRDDs.size > pinnedBefore)
+    p.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+      "unpersist() must release the shared scan")
   }
 
   test("OrcSink round-trips with schema intact") {
