@@ -2395,9 +2395,54 @@ object ExtQueries {
             |SELECT id, min(r) AS component FROM reach GROUP BY id
             |ORDER BY id""".stripMargin))
 
+  /** Quantile-band filter via the MERGEABLE bounded sketch
+    * (QuantileSketchAgg — bottom-64-by-portable-hash distinct sample
+    * with exact counts) instead of q52's exact percentile sort: the
+    * scale path for distribution-relative filtering. The sketch is a
+    * pure function of the input multiset fed by portable md5 hashing,
+    * so the sampled cutoffs — and therefore the kept row set — are
+    * reproduced exactly by the DuckDB mirror: a full oracle gate on an
+    * APPROXIMATE operator.
+    */
+  val q85 = Q(
+    "q85_sketch_quantile_band",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val h = MinHashLsh.portableHash32($"n_chars".cast("long").cast("string"))
+      QualityFilter.quantileBandSketch(d, $"n_chars", h, 0.10, 0.95, k = 64)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+          min($"cut_lo").as("cut_lo"), min($"cut_hi").as("cut_hi"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH hx AS (SELECT n_chars, md5(CAST(n_chars AS VARCHAR)) AS h FROM documents),
+            |d AS (SELECT n_chars, $hornerSql AS h32, count(*) AS c
+            |      FROM hx GROUP BY n_chars, h),
+            |rk AS (SELECT n_chars, c, row_number() OVER (ORDER BY h32, n_chars) AS r
+            |       FROM d),
+            |samp AS (SELECT CAST(n_chars AS DOUBLE) AS v, c FROM rk WHERE r <= 64),
+            |cdf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot
+            |        FROM samp),
+            |cuts AS (SELECT min(CASE WHEN CAST(cum AS DOUBLE) >=
+            |                              CAST(0.10 AS DOUBLE) * CAST(tot AS DOUBLE)
+            |                         THEN v END) AS cut_lo,
+            |                min(CASE WHEN CAST(cum AS DOUBLE) >=
+            |                              CAST(0.95 AS DOUBLE) * CAST(tot AS DOUBLE)
+            |                         THEN v END) AS cut_hi
+            |         FROM cdf),
+            |s AS (SELECT dd.lang, dd.n_chars, c2.cut_lo, c2.cut_hi
+            |      FROM documents dd CROSS JOIN cuts c2
+            |      WHERE CAST(dd.n_chars AS DOUBLE) BETWEEN c2.cut_lo AND c2.cut_hi)
+            |SELECT lang, count(*) AS n_docs,
+            |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+            |       min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi
+            |FROM s GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }

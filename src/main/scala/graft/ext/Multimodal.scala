@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * the executor, decode/feature steps run per-partition, and metadata
   * (not pixels) drives partitioning and filtering.
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment): `decodeHeader` parses a deterministic synthetic "GRFT"
-  * container header, and `resize`/`sampleFrames` transform metadata and
-  * pass the payload through. The Spark-side shape — schema, Dataset
-  * encoders, mapPartitions batching, explode for frame sampling — is
-  * real and tested; swapping in javacv/ffmpeg is a local change inside
-  * `decodeHeader`.
+  * IMAGE decode is REAL: `decodeImages`/`imageThumbnails` use
+  * JDK-native `javax.imageio` (PNG/JPEG/GIF/BMP — no external
+  * dependency) for dimensions, mean-color features, and resized
+  * thumbnails. Video/audio codec calls remain STUBBED (no such
+  * libraries in the JDK): `decodeHeader` parses a deterministic
+  * synthetic "GRFT" container header, and `resize`/`sampleFrames`
+  * transform metadata and pass the payload through. The Spark-side
+  * shape — schema, Dataset encoders, mapPartitions batching, explode
+  * for frame sampling — is identical on both paths; swapping in
+  * javacv/ffmpeg for video is a local change inside `decodeHeader`.
   *
   * Synthetic container layout (big-endian ints):
   *   bytes 0-3  magic "GRFT"
@@ -145,6 +148,121 @@ object Multimodal {
         AudioStats(r.media_id, samples.length, math.sqrt(sumSq / n), peak)
       }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL image decode — JDK-native javax.imageio (PNG/JPEG/GIF/BMP), no
+  // external dependency. This replaces the stub codec for the image
+  // modality; video/audio keep the synthetic-container stubs (no codec
+  // libraries in the JDK). Same plumbing discipline: binary stays on
+  // the executor, mapPartitions batches, typed metadata out.
+  // ---------------------------------------------------------------------
+
+  final case class ImageMeta(media_id: Long, valid: Boolean, format: String,
+                             width: Int, height: Int,
+                             mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Container format sniffed from magic bytes — cheap, no decode. */
+  def imageFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else "unknown"
+
+  /** Decode one image: dimensions + mean RGB. Returns valid=false (all
+    * zeros) on undecodable bytes — corrupt media must never kill a
+    * 100 TB ingest (same contract as the CSV/JSONL quarantine paths).
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): ImageMeta = {
+    val fmt = imageFormat(bytes)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) ImageMeta(id, valid = false, fmt, 0, 0, 0, 0, 0)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w.toLong * h, 1L).toDouble
+        ImageMeta(id, valid = true, fmt, w, h, r / n, g / n, b / n)
+      }
+    } catch { case _: Exception => ImageMeta(id, valid = false, fmt, 0, 0, 0, 0, 0) }
+  }
+
+  /** Per-partition REAL decode: binary → dimensions + mean-color
+    * features. ImageIO's disk cache is disabled once per partition
+    * (per-image tmp-file spooling would thrash executor-local disk at
+    * ingest scale; heap buffers are the right trade for thumbnails and
+    * metadata).
+    */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    implicit val enc: Encoder[ImageMeta] = Encoders.product[ImageMeta]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(r => decodeImage(r.media_id, r.content))
+    }
+  }
+
+  /** Real thumbnail: decode, scale so max(side) == maxSide (never
+    * upscale), re-encode PNG. Output rows carry the resized payload +
+    * new dimensions; undecodable inputs are dropped (route them via
+    * [[decodeImages]].valid for quarantine accounting).
+    */
+  final case class ThumbRow(media_id: Long, width: Int, height: Int, content: Array[Byte])
+
+  def imageThumbnails(ds: Dataset[MediaRow], maxSide: Int): Dataset[ThumbRow] = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    implicit val enc: Encoder[ThumbRow] = Encoders.product[ThumbRow]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          if (img == null) None
+          else {
+            val scale = math.min(1.0, maxSide.toDouble / math.max(math.max(img.getWidth, img.getHeight), 1))
+            val w = math.max((img.getWidth * scale).toInt, 1)
+            val h = math.max((img.getHeight * scale).toInt, 1)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gfx = out.createGraphics()
+            gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gfx.drawImage(img, 0, 0, w, h, null)
+            gfx.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some(ThumbRow(r.media_id, w, h, bos.toByteArray))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** Test/data-gen helper: a real PNG with a pixel function. */
+  def encodePng(width: Int, height: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Synthesize a deterministic media table (no binary testdata table

@@ -1,0 +1,89 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** REAL image decode via javax.imageio: checked-in-equivalent fixture
+  * bytes (deterministic in-test PNG/JPEG encodes) with exactly-asserted
+  * decoded metadata.
+  */
+class MultimodalImageSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def jpegBytes(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: real PNG bytes decode to exact dimensions and mean color") {
+    // left half pure red, right half pure blue → mean is exactly half each
+    val png = Multimodal.encodePng(8, 4)((x, _) => if (x < 4) 0xff0000 else 0x0000ff)
+    val media = Seq(Multimodal.MediaRow(1L, "image", png)).toDS()
+    val m = Multimodal.decodeImages(media).head()
+    assert(m.valid && m.format == "png")
+    assert(m.width == 8 && m.height == 4)
+    assert(m.mean_r == 127.5 && m.mean_g == 0.0 && m.mean_b == 127.5)
+  }
+
+  test("decodeImages: JPEG decodes with correct dimensions and near-exact color") {
+    val jpg = jpegBytes(16, 9, 0x00ff00) // solid green, lossy codec
+    val m = Multimodal.decodeImages(Seq(Multimodal.MediaRow(2L, "image", jpg)).toDS()).head()
+    assert(m.valid && m.format == "jpeg")
+    assert(m.width == 16 && m.height == 9)
+    assert(m.mean_g > 240 && m.mean_r < 40 && m.mean_b < 40,
+      s"solid green JPEG decoded to rgb=(${m.mean_r}, ${m.mean_g}, ${m.mean_b})")
+  }
+
+  test("decodeImages: undecodable bytes yield valid=false, never an exception") {
+    val junk = Seq(
+      Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaRow(4L, "image", Array.empty[Byte]),
+      // PNG magic with garbage body: format sniffs png, decode fails
+      Multimodal.MediaRow(5L, "image",
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 9, 9, 9))).toDS()
+    val out = Multimodal.decodeImages(junk).collect().sortBy(_.media_id)
+    assert(out.forall(!_.valid))
+    assert(out.map(_.format).toSeq == Seq("unknown", "unknown", "png"))
+    assert(out.forall(m => m.width == 0 && m.height == 0))
+  }
+
+  test("imageThumbnails: aspect-preserving downscale, re-decodable PNG output, no upscale") {
+    val wide = Multimodal.encodePng(100, 50)((_, _) => 0xffffff)
+    val tiny = Multimodal.encodePng(4, 3)((_, _) => 0x000000)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", wide),
+      Multimodal.MediaRow(2L, "image", tiny),
+      Multimodal.MediaRow(3L, "image", Array[Byte](9, 9, 9))).toDS()
+    val thumbs = Multimodal.imageThumbnails(media, maxSide = 10)
+      .collect().sortBy(_.media_id)
+    assert(thumbs.map(_.media_id).toSeq == Seq(1L, 2L), "undecodable row dropped")
+    assert(thumbs(0).width == 10 && thumbs(0).height == 5, "100x50 → 10x5")
+    assert(thumbs(1).width == 4 && thumbs(1).height == 3, "small images never upscale")
+    // the thumbnail payload is a REAL png: decode it back and check
+    val roundTrip = Multimodal.decodeImage(1L, thumbs(0).content)
+    assert(roundTrip.valid && roundTrip.format == "png")
+    assert(roundTrip.width == 10 && roundTrip.height == 5)
+    assert(roundTrip.mean_r == 255.0 && roundTrip.mean_g == 255.0 && roundTrip.mean_b == 255.0)
+  }
+
+  test("decode composes with the DataFrame layer: filter/aggregate on decoded metadata") {
+    val rows = (1 to 20).map { i =>
+      Multimodal.MediaRow(i.toLong, "image",
+        Multimodal.encodePng(10 * i, 5)((_, _) => 0x102030))
+    }
+    val meta = Multimodal.decodeImages(rows.toDS()).toDF()
+    val big = meta.filter($"width" >= 100)
+      .agg(count(lit(1)).as("n"), max($"width").as("mx"))
+      .as[(Long, Int)].head()
+    assert(big == ((11L, 200)))
+    // exact mean color survives the scan: 0x10=16, 0x20=32, 0x30=48
+    val colors = meta.select($"mean_r", $"mean_g", $"mean_b").distinct()
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(colors == Seq((16.0, 32.0, 48.0)))
+  }
+}
