@@ -80,6 +80,24 @@ object RecallCheck {
           queries, "qid", "qvec", k = k, nlist = nlist, nprobe = nprobe)
       }
 
+    // persistent-index probes: build once (timed separately), then
+    // measure the PER-BATCH probe cost against the prebuilt index —
+    // the daily-ingest number ivfTopK's all-in time conflates
+    for ((nlist, nprobe) <- Seq((16, 4), (64, 4), (64, 16))) {
+      val tBuild0 = System.nanoTime()
+      val idx = ext.EmbeddingSearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist)
+      val pinnedC = idx.centroids.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pinnedA = idx.assignments.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinnedC.count(); pinnedA.count()
+      val tBuild = (System.nanoTime() - tBuild0) / 1e9
+      val pinned = ext.EmbeddingSearch.IvfIndex(pinnedC, pinnedA)
+      measure(f"ivfProbe nlist=$nlist np=$nprobe (build $tBuild%.1f s)") {
+        ext.EmbeddingSearch.ivfProbe(pinned, corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", k = k, nprobe = nprobe)
+      }
+      pinnedC.unpersist(); pinnedA.unpersist()
+    }
+
     // semantic-decontamination catch rate: the jittered copies of the
     // 50 "eval" vectors ARE the planted contamination (cos ≈ 0.9998);
     // how many does the SRP-bucketed screen catch vs the exact one?

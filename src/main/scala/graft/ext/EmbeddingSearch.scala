@@ -126,6 +126,101 @@ object EmbeddingSearch {
     topKOut(cand, queryId, k)
   }
 
+  /** Persistent IVF index state: `centroids` (cell, centroid
+    * array<float>) and `assignments` (id, cell) — the cell structure
+    * WITHOUT the vectors (the corpus parquet already stores those;
+    * duplicating them in the index would double at-rest footprint for
+    * nothing). The [[MinHashLsh.portableSignatures]] pattern applied to
+    * embeddings: build once, persist as parquet, then PROBE-ONLY query
+    * batches — daily ingest never re-clusters the corpus.
+    */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /** Nearest-centroid cell per corpus vector (cosine, centroid-id
+    * tie-break — the ivfTopK assignment rule).
+    */
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("__cid").orderBy(col("__ccos").desc, col("cell").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("__ccos", cosine(col("__cvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__cid").as("id"), col("cell"))
+  }
+
+  /** Build the index: `refineIters` = 0 uses the `nlist` lowest-id
+    * corpus vectors as centroids (bit-identical cells to [[ivfTopK]],
+    * pinned by spec); ≥ 1 refines them with deterministic Lloyd rounds
+    * ([[kmeansCentroids]]) for better-balanced cells. One corpus
+    * assignment pass either way.
+    */
+  def buildIvfIndex(corpus: DataFrame, id: String, vec: String,
+                    nlist: Int, refineIters: Int = 0): IvfIndex = {
+    val c = aliased(corpus, id, vec, "__cid", "__cvec")
+    val cents =
+      if (refineIters == 0)
+        c.orderBy(col("__cid")).limit(nlist)
+          .select(col("__cid").as("cell"), col("__cvec").as("centroid"))
+      else
+        kmeansCentroids(corpus, id, vec, nlist, refineIters)
+          .select(col("cell"),
+            transform(col("centroid"), x => x.cast("float")).as("centroid"))
+    IvfIndex(cents, assignCells(c, cents))
+  }
+
+  /** Persist / reload the index as parquet state. */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"))
+
+  /** Fold a new document batch into the index WITHOUT re-clustering:
+    * assign new vectors to the stored centroids, union the assignment
+    * table. Cells drift from optimal as the corpus shifts — rebuild
+    * with refineIters ≥ 1 when probe recall degrades (measured via
+    * RecallCheck), exactly the rebuild cadence a production IVF runs.
+    */
+  def extendIvfIndex(index: IvfIndex, newDocs: DataFrame,
+                     id: String, vec: String): IvfIndex = {
+    val c = aliased(newDocs, id, vec, "__cid", "__cvec")
+    IvfIndex(index.centroids,
+      index.assignments.unionAll(assignCells(c, index.centroids)))
+  }
+
+  /** Probe-only approximate top-k against a prebuilt index: route each
+    * query to its `nprobe` nearest stored centroids, exact-rerank the
+    * corpus vectors assigned to those cells. NO corpus-wide assignment
+    * pass — the per-batch cost is |Q|·nlist centroid products plus the
+    * rerank inside probed cells, vs [[ivfTopK]]'s additional
+    * corpus×nlist assignment every call.
+    *
+    * `corpus` supplies the vectors for the rerank (joined by id to the
+    * stored assignments); with the same corpus and centroid rule this
+    * returns bit-identical rows to ivfTopK (pinned by spec).
+    */
+  def ivfProbe(index: IvfIndex, corpus: DataFrame, corpusId: String, corpusVec: String,
+               queries: DataFrame, queryId: String, queryVec: String,
+               k: Int, nprobe: Int = 4): DataFrame = {
+    val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
+    val q = aliased(queries, queryId, queryVec, "__qid", "__qvec")
+    val wProbe = Window.partitionBy("__qid")
+      .orderBy(col("__ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__ccos", cosine(col("__qvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qvec"), col("cell"))
+    val assigned = c.join(index.assignments.withColumnRenamed("id", "__cid"), "__cid")
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("cos", cosine(col("__qvec"), col("__cvec")))
+    topKOut(cand, queryId, k)
+  }
+
   /** Deterministic Lloyd k-means refinement over an embedding column —
     * the clustering primitive behind IVF cell layouts and corpus topic
     * bucketing. Initialization is the first k vectors by id (the same

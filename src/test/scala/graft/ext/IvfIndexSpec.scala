@@ -1,0 +1,83 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index: probe-only parity with fresh ivfTopK, parquet
+  * round-trip, and incremental extension without re-clustering.
+  */
+class IvfIndexSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def queriesOf(df: org.apache.spark.sql.DataFrame, n: Int) =
+    df.filter($"vec_id" < n).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+
+  test("ivfProbe over a built index is bit-identical to fresh ivfTopK") {
+    val q = queriesOf(emb, 5)
+    for ((nlist, nprobe) <- Seq((8, 2), (8, 8), (16, 4))) {
+      val fresh = EmbeddingSearch.ivfTopK(emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 5, nlist = nlist, nprobe = nprobe)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist)
+      val probed = EmbeddingSearch.ivfProbe(idx, emb, "vec_id", "embedding",
+        q, "qid", "qvec", k = 5, nprobe = nprobe)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(probed == fresh, s"nlist=$nlist nprobe=$nprobe")
+    }
+  }
+
+  test("index round-trips through parquet and probes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    EmbeddingSearch.writeIvfIndex(idx, dir)
+    val back = EmbeddingSearch.readIvfIndex(spark, dir)
+    assert(back.centroids.count() == 8)
+    assert(back.assignments.count() == emb.count())
+    val q = queriesOf(emb, 3)
+    val a = EmbeddingSearch.ivfProbe(idx, emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 4, nprobe = 3).as[(Long, Long, Int, Double)].collect().toSet
+    val b = EmbeddingSearch.ivfProbe(back, emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 4, nprobe = 3).as[(Long, Long, Int, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("extendIvfIndex folds a new batch in without re-clustering; equals full rebuild") {
+    // split the corpus: first 400 ids are the day-0 build, the rest a
+    // daily batch. New ids are HIGHER, so a full rebuild picks the same
+    // lowest-id centroids → extension must equal rebuild exactly.
+    val old = emb.filter($"vec_id" < 400)
+    val newer = emb.filter($"vec_id" >= 400)
+    val extended = EmbeddingSearch.extendIvfIndex(
+      EmbeddingSearch.buildIvfIndex(old, "vec_id", "embedding", nlist = 8),
+      newer, "vec_id", "embedding")
+    val rebuilt = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val extRows = extended.assignments.as[(Long, Long)].collect().toSet
+    val rebRows = rebuilt.assignments.as[(Long, Long)].collect().toSet
+    assert(extRows == rebRows)
+    // and the extended index serves probes over the full corpus
+    val q = queriesOf(emb, 3)
+    val out = EmbeddingSearch.ivfProbe(extended, emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 5, nprobe = 8)
+    assert(out.count() == 15)
+  }
+
+  test("kmeans-refined index assigns every vector and probes with full rows") {
+    val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding",
+      nlist = 8, refineIters = 2)
+    assert(idx.assignments.count() == emb.count())
+    assert(idx.assignments.select("cell").distinct().count() <= 8)
+    val q = queriesOf(emb, 5)
+    val out = EmbeddingSearch.ivfProbe(idx, emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 5, nprobe = 8)
+    assert(out.count() == 25)
+    // refined full-probe equals brute force (all cells probed → exact)
+    val brute = EmbeddingSearch.bruteForceTopK(emb, "vec_id", "embedding",
+      q, "qid", "qvec", k = 5).select("qid", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val got = out.select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+}
