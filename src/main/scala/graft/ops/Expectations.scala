@@ -63,4 +63,75 @@ object Expectations {
     }
     (rowReport.toSeq ++ uniqueReports ++ fkReports).reduce(_ unionAll _)
   }
+
+  /** Per-load profile for cross-load drift monitoring: one row per
+    * profiled column — `(column, n_rows, n_nulls, null_rate)` — in ONE
+    * scan (a single aggregate of conditional sums; adding a column
+    * costs a column, not a pass). Persist each load's profile as a
+    * tiny parquet table; [[driftReport]] compares consecutive loads.
+    * The operational layer the reference's logged counters
+    * (`load_quality.py:145-146`) gesture at: the log line becomes a
+    * queryable table with a decision attached.
+    */
+  def loadProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile at least one column")
+    val agg0 = df.agg(
+      count(lit(1)).as("__rows"),
+      columns.zipWithIndex.map { case (c, i) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n$i")
+      }: _*)
+    columns.zipWithIndex.map { case (c, i) =>
+      agg0.select(lit(c).as("column"), col("__rows").as("n_rows"),
+        coalesce(col(s"__n$i"), lit(0L)).as("n_nulls"),
+        (coalesce(col(s"__n$i"), lit(0L)).cast("double") /
+          greatest(col("__rows"), lit(1L)).cast("double")).as("null_rate"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Cross-load drift report: compare this load's profile against the
+    * previous load's. One `row_count_delta` row (table-level) plus one
+    * `null_rate_drift` row per column:
+    * `(check, column, current, previous, drift, ok)` — `drift` is the
+    * relative row-count change resp. absolute null-rate change, `ok`
+    * the pass/fail against the caller's bound. Columns present in only
+    * one profile fail loudly (`ok` = false, drift null) — a schema
+    * change between loads is drift, not a join artifact to drop.
+    *
+    * Scale: profiles are |columns| rows; everything here is
+    * broadcast-trivial regardless of the loads' own size.
+    */
+  def driftReport(current: DataFrame, previous: DataFrame,
+                  maxRowDeltaPct: Double = 0.5,
+                  maxNullRateDrift: Double = 0.05): DataFrame = {
+    val cur = current.select(col("column").as("__col"),
+      col("n_rows").as("__cur_rows"), col("null_rate").as("__cur_nr"))
+    val prev = previous.select(col("column").as("__pcol"),
+      col("n_rows").as("__prev_rows"), col("null_rate").as("__prev_nr"))
+    val joined = cur.join(prev, col("__col") === col("__pcol"), "full_outer")
+
+    // row counts ride on every profile row identically; max() over the
+    // joined frame is a deterministic way to read one value per side
+    // (and survives profiles whose column sets diverged entirely)
+    val rowDelta = joined.agg(
+      max(col("__cur_rows")).as("__c"), max(col("__prev_rows")).as("__p"))
+      .select(
+        lit("row_count_delta").as("check"), lit(null).cast("string").as("column"),
+        col("__c").cast("double").as("current"),
+        col("__p").cast("double").as("previous"),
+        (abs(col("__c") - col("__p")).cast("double") /
+          greatest(col("__p"), lit(1L)).cast("double")).as("drift"))
+      .withColumn("ok", col("drift") <= maxRowDeltaPct)
+
+    val nullDrift = joined.select(
+      lit("null_rate_drift").as("check"),
+      coalesce(col("__col"), col("__pcol")).as("column"),
+      col("__cur_nr").as("current"),
+      col("__prev_nr").as("previous"),
+      abs(col("__cur_nr") - col("__prev_nr")).as("drift"))
+      .withColumn("ok",
+        when(col("current").isNull || col("previous").isNull, lit(false))
+          .otherwise(col("drift") <= maxNullRateDrift))
+
+    rowDelta.unionAll(nullDrift)
+  }
 }

@@ -130,6 +130,51 @@ object EventStream {
         col("view_ts"), col("view_value"))
   }
 
+  /** Streaming AS-OF enrichment: attach to each click the SINGLE most
+    * recent view by the same user within `lookbackMinutes` — the
+    * stream-side analogue of AsOfJoin.backward + tolerance (q38/q74
+    * semantics), the feature-pipeline shape ("most recent profile
+    * snapshot at event time") batch as-of covers offline.
+    *
+    * Composition, both stages Catalyst-native stateful operators:
+    *   1. late-bounded stream-stream interval join (state bounded by
+    *      watermark + lookback interval, exactly clickViewAttribution's
+    *      envelope) emitting ALL views within the lookback;
+    *   2. event-time-windowed argmax — group by (click window,
+    *      click_id) and keep the match with max_by view_ts, with
+    *      view_ts DESC, view_value DESC as the deterministic tie-break
+    *      (the batch rightTieBreak convention). The window key is what
+    *      licenses append-mode emission downstream of a join (chained
+    *      stateful operators need an event-time window key to know
+    *      when a group is final).
+    *
+    * Semantics note: inner as-of — clicks with NO view inside the
+    * lookback produce no row (the batch form emits them with null
+    * payload; a streaming operator cannot emit "no match yet" before
+    * the watermark closes the group, and emitting nulls at close is a
+    * policy choice left to the caller's outer reconciliation).
+    * StreamingSpec pins equivalence with the batch as-of's MATCHED
+    * subset.
+    *
+    * Scale: join state is |views in lookback+watermark| + |clicks in
+    * watermark| per user partition; the argmax state is one small
+    * struct per open (window, click) group — both watermark-evicted.
+    */
+  def asofEnrichment(events: DataFrame, lookbackMinutes: Int = 30,
+                     watermark: String = "2 hours"): DataFrame = {
+    val matches = clickViewAttribution(events, lookbackMinutes, watermark)
+    matches
+      .groupBy(window(col("click_ts"), "1 hour"), col("click_id"))
+      .agg(
+        first(col("user_id")).as("user_id"),
+        first(col("click_ts")).as("click_ts"),
+        max_by(struct(col("view_ts"), col("view_value")),
+          struct(col("view_ts"), col("view_value"))).as("__best"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("__best.view_ts").as("view_ts"),
+        col("__best.view_value").as("view_value"))
+  }
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   final case class SessionState(start: Long, last: Long, n: Long) // ns epoch

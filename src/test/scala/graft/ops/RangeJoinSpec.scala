@@ -68,6 +68,68 @@ class RangeJoinSpec extends SparkTestBase {
       "id_unique" -> 0L, "fk_valid" -> 0L))
   }
 
+  test("driftReport: planted row-count and null-rate drift fires; steady loads stay green") {
+    val week1 = (1L to 1000L).map(i => (i, if (i % 10 == 0) null else "v"))
+      .toDF("id", "payload") // 10% null
+    val steady = (1L to 1020L).map(i => (i, if (i % 10 == 0) null else "v"))
+      .toDF("id", "payload") // +2% rows, same null rate
+    val broken = (1L to 400L).map(i => (i, if (i % 2 == 0) null else "v"))
+      .toDF("id", "payload") // -60% rows, 50% null
+    val p1 = Expectations.loadProfile(week1, Seq("id", "payload"))
+    assert(p1.orderBy("column").as[(String, Long, Long, Double)].collect().toSeq ==
+      Seq(("id", 1000L, 0L, 0.0), ("payload", 1000L, 100L, 0.1)))
+
+    val green = Expectations.driftReport(
+      Expectations.loadProfile(steady, Seq("id", "payload")), p1,
+      maxRowDeltaPct = 0.1, maxNullRateDrift = 0.02)
+      .select("check", "ok").as[(String, Boolean)].collect()
+    assert(green.length == 3 && green.forall(_._2), green.mkString(","))
+
+    val red = Expectations.driftReport(
+      Expectations.loadProfile(broken, Seq("id", "payload")), p1,
+      maxRowDeltaPct = 0.1, maxNullRateDrift = 0.02)
+      .as[(String, String, Double, Double, Double, Boolean)].collect()
+    val byCheck = red.map(r => (r._1, Option(r._2).getOrElse("")) -> r).toMap
+    assert(!byCheck(("row_count_delta", ""))._6)
+    assert(byCheck(("row_count_delta", ""))._5 == 0.6)
+    assert(!byCheck(("null_rate_drift", "payload"))._6)
+    assert(byCheck(("null_rate_drift", "payload"))._5 == 0.4)
+    assert(byCheck(("null_rate_drift", "id"))._6) // id stayed clean
+  }
+
+  test("driftReport: a column present in only one load fails loudly") {
+    val a = Seq((1L, "x")).toDF("id", "old_col")
+    val b = Seq((1L, "x")).toDF("id", "new_col")
+    val rep = Expectations.driftReport(
+      Expectations.loadProfile(b, Seq("id", "new_col")),
+      Expectations.loadProfile(a, Seq("id", "old_col")))
+      .filter($"check" === "null_rate_drift")
+      .select("column", "ok").as[(String, Boolean)].collect().toMap
+    assert(rep("id"))
+    assert(!rep("old_col") && !rep("new_col"), "schema change must surface as failure")
+  }
+
+  test("driftReport over two real HHS weeks: row delta tiny, bed-metric null rates drift within bounds") {
+    import graft.aragon.HhsLoad
+    val w1 = HhsLoad.clean(HhsLoad.readRaw(spark,
+      "/root/reference/hhs_data/2022-09-23-hhs-data.csv"))
+    val w2 = HhsLoad.clean(HhsLoad.readRaw(spark,
+      "/root/reference/hhs_data/2022-09-30-hhs-data.csv"))
+    val cols = Seq("hospital_pk", "collection_week", "all_adult_hospital_beds_7_day_avg",
+      "total_icu_beds_7_day_avg", "inpatient_beds_used_covid_7_day_avg")
+    val rep = Expectations.driftReport(
+      Expectations.loadProfile(w2, cols), Expectations.loadProfile(w1, cols),
+      maxRowDeltaPct = 0.05, maxNullRateDrift = 0.05)
+      .as[(String, String, Double, Double, Double, Boolean)].collect()
+    assert(rep.length == cols.length + 1)
+    // consecutive HHS weeks are near-identical hospital sets: all green
+    assert(rep.forall(_._6), rep.filterNot(_._6).mkString(","))
+    // and the numbers are real: both weeks ~4996 rows, keys never null
+    val rd = rep.find(_._1 == "row_count_delta").get
+    assert(rd._3 > 4900 && rd._3 < 5100 && rd._4 > 4900 && rd._4 < 5100)
+    assert(rep.find(r => r._2 == "hospital_pk").get._3 == 0.0)
+  }
+
   test("lookupJoin matches Spark's native BETWEEN join on random interval sets") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)

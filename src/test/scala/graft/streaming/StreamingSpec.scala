@@ -162,6 +162,66 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofEnrichment streams the batch as-of join's matched subset (q38 semantics)") {
+    import graft.ops.AsOfJoin
+    // stage events plus flush click+view pairs at a far-future ts for a
+    // sentinel user: both sides' watermarks must advance for the
+    // chained join→argmax pipeline to emit (filters sit above the
+    // watermark nodes, so the flush rows must BE clicks/views)
+    val dir = java.nio.file.Files.createTempDirectory("events-asof")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("a_events.parquet"))
+    val maxTs = Tables.events(spark, sfDir).agg(max("ts")).as[Long].head()
+    def flush(name: String, days: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("flush-asof")
+      val t = maxTs + days * 86400L * 1000000000L
+      Seq((-1L, t, -1L, "click", 0.0, ""), (-2L, t, -1L, "view", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, dir.resolve(name))
+    }
+    flush("b_flush.parquet", 10)
+
+    val stream = EventStream.readStream(spark, dir.toString, maxFilesPerTrigger = 1)
+    val q = EventStream.asofEnrichment(stream, lookbackMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream").start()
+    try {
+      q.processAllAvailable()
+      flush("c_flush2.parquet", 20) // drive the watermark-close batch
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream")
+        .filter($"user_id" >= 0)
+        .select($"click_id", $"view_ts", $"view_value")
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq.sortBy(_._1)
+
+      // batch reference: AsOfJoin.backward with tolerance, µs-domain
+      // (the streaming side compares µs timestamps), matched subset
+      val ev = Tables.events(spark, sfDir)
+        .withColumn("ts_us", expr("ts div 1000")) // µs longs, exact arithmetic
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts_us")
+      // the matched view's timestamp must ride along as PAYLOAD (the
+      // as-of timestamp column itself is excluded from the output)
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"value".as("view_value"),
+          $"ts_us".as("view_us"), $"ts_us".as("matched_view_us"))
+      val batch = AsOfJoin.backward(clicks, views, Seq("user_id"),
+          "ts_us", "view_us", rightTieBreak = Seq("view_value"),
+          tolerance = Some(30L * 60L * 1000000L))
+        .filter($"view_value".isNotNull)
+        .select($"click_id", expr("timestamp_micros(matched_view_us)"), $"view_value")
+        .as[(Long, java.sql.Timestamp, Double)].collect().toSeq.sortBy(_._1)
+
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"first diffs: ${streamed.diff(batch).take(3)} / ${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("sessionize (session_window) matches the batch lag-gap session count") {
     val stream = EventStream.readStream(spark, eventsDir)
     val q = EventStream.sessionize(stream)
