@@ -86,6 +86,27 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + (if (full) v.toString else fmt(v)) }
         .mkString("{", ",", "}")
 
+    // Fixed-work calibration: a deterministic SF-independent kernel
+    // (32-partition range → hash → 1024-group agg → scalar) timed
+    // min-over-reps. Its time moves with ambient load / JVM state, not
+    // with any query change, so cross-round comparisons divide by it:
+    // the uniform +18% drift between r5 and r6 (same code, busier box)
+    // would have shown up here and normalized out. Measured BEFORE and
+    // AFTER the query passes so intra-run drift is visible too.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // pmod BEFORE the sums: full-range xxhash64 longs overflow an
+      // ANSI sum over 20M rows
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("id", "pmod(xxhash64(id), 1024L) AS b",
+          "pmod(xxhash64(id, 7L), 1000000L) AS h")
+        .groupBy(org.apache.spark.sql.functions.col("b"))
+        .agg(org.apache.spark.sql.functions.sum("h").as("s"))
+        .agg(org.apache.spark.sql.functions.sum("s")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibration = (1 to reps).map(_ => calibrate()).min
+
     val results = timeAll(sfDir, Set.empty)
     val total = results.map(_._2).sum
 
@@ -159,10 +180,13 @@ object Bench {
     val x10Part = x10.map(r => s""","x10_total":${fmt(r.map(_._2).sum)}""" +
       s""","x10_skipped":${x10Skip.map("\"" + _ + "\"").mkString("[", ",", "]")}""").getOrElse("") +
       x100.map(r => s""","x100_total":${fmt(r.map(_._2).sum)},"x100_n":${r.size}""").getOrElse("")
+    val calibrationEnd = calibrate()
     def line(sel: Seq[(String, Double)]): String = {
       val omitted = results.size - sel.size
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sf":"$sfDir"$x10Part$om,"queries":${toJson(sel.sortBy(_._1), full = false)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sf":"$sfDir"""" +
+        s""","calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)}""" +
+        s"""$x10Part$om,"queries":${toJson(sel.sortBy(_._1), full = false)}}"""
     }
     val MaxLine = 1800
     var sel = results

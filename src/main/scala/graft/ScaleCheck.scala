@@ -83,6 +83,24 @@ object ScaleCheck {
       }
       docs.unpersist()
     }
+
+    // Connected components: star contraction must hold its ROUND COUNT
+    // (and one-shuffle-per-phase cost) flat as component DIAMETER
+    // grows — the chain graph is the adversarial case that made
+    // min-label propagation diameter-bound (rounds = n, silent split
+    // at maxIter). Expect rounds ~log n: flat-ish across 100×.
+    Seq(1000, 10000, 100000).foreach { n =>
+      val chain = spark.range(1L, n.toLong)
+        .select($"id".as("id1"), ($"id" + 1L).as("id2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      chain.count()
+      val t0 = System.nanoTime()
+      val (labels, rounds) = graft.ext.DedupClusters.componentsWithRounds(chain)
+      val ok = labels.agg(max($"component")).head().getLong(0) == 1L
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] cc-chain n=$n%-7d rounds=$rounds  $s%.2f s  single-component=$ok")
+      chain.unpersist()
+    }
     spark.stop()
   }
 }
