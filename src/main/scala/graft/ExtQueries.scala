@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, QualityFilter, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, ParagraphDedup, QualityFilter, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -2440,9 +2440,53 @@ object ExtQueries {
             |       min(cut_lo) AS cut_lo, min(cut_hi) AS cut_hi
             |FROM s GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Paragraph-level exact dedup (C4/RefinedWeb curation): paragraphs
+    * appearing in ≥ 2 distinct docs removed from ALL of them. Planted:
+    * a shared footer paragraph on every third doc, plus whole-document
+    * copies (which empty out but remain in the corpus). Every step —
+    * split positions, distinct-doc df, order-preserving reassembly —
+    * mirrored in the oracle.
+    */
+  val q86 = Q(
+    "q86_paragraph_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").filter($"doc_id" < 120)
+        .select($"doc_id", when($"doc_id" % 3 === 0,
+          concat($"text", lit("\n\nSubscribe to our newsletter today")))
+          .otherwise($"text").as("text"))
+      val d = base.unionAll(base.filter($"doc_id" < 8)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+      ParagraphDedup.dedupParagraphs(d, $"doc_id", $"text").orderBy($"id")
+    },
+    Some("""WITH b AS (SELECT doc_id,
+            |                 CASE WHEN doc_id % 3 = 0
+            |                      THEN text || chr(10) || chr(10) || 'Subscribe to our newsletter today'
+            |                      ELSE text END AS text
+            |          FROM documents WHERE doc_id < 120),
+            |d AS (SELECT * FROM b
+            |      UNION ALL SELECT doc_id + 500000, text FROM b WHERE doc_id < 8),
+            |sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM d),
+            |p0 AS (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM sp),
+            |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ps[CAST(i AS INT)] AS para FROM p0),
+            |hot AS (SELECT para FROM p WHERE trim(para) <> ''
+            |        GROUP BY para HAVING count(DISTINCT doc_id) >= 2),
+            |kept AS (SELECT doc_id, pos, para FROM p
+            |         WHERE para NOT IN (SELECT para FROM hot)),
+            |tot AS (SELECT doc_id, count(*) AS total FROM p GROUP BY doc_id),
+            |k AS (SELECT doc_id, count(*) AS n_kept,
+            |             string_agg(para, chr(10)||chr(10) ORDER BY pos) AS clean_text
+            |      FROM kept GROUP BY doc_id)
+            |SELECT t.doc_id AS id,
+            |       coalesce(k.clean_text, '') AS clean_text,
+            |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+            |       CAST(t.total - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+            |FROM tot t LEFT JOIN k USING (doc_id)
+            |ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
 }

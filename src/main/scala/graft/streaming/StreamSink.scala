@@ -43,4 +43,34 @@ object StreamSink {
           .join(existing, keys, "left_anti")
         append(fresh)
       }
+
+  /** Continuous drift monitoring: per micro-batch, compute the
+    * `Expectations.loadProfile` of the batch and append it — stamped
+    * with the batch id — to a monitoring table. The streaming face of
+    * the cross-load drift story: the batch pipeline compares weekly
+    * load profiles (`Expectations.driftReport`); a continuous ingest
+    * gets one profile row-set per micro-batch, and the same
+    * driftReport runs over any two batch ids after the fact.
+    *
+    * Scale shape: the profile is ONE scan of the micro-batch folding
+    * all columns into a single aggregate (|columns| output rows);
+    * monitoring writes are |columns| rows per batch — nothing here is
+    * stream-state, and the data batch itself is not double-scanned
+    * unless the caller also writes it in this foreachBatch (pass
+    * `alsoAppend` to share the single materialization).
+    */
+  def withBatchProfiles(stream: DataFrame, columns: Seq[String],
+                        appendProfile: DataFrame => Unit,
+                        checkpoint: String,
+                        alsoAppend: Option[DataFrame => Unit] = None): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = if (alsoAppend.isDefined) batch.persist() else batch
+        appendProfile(graft.ops.Expectations.loadProfile(b, columns)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)))
+        alsoAppend.foreach(_(b))
+        if (alsoAppend.isDefined) { b.unpersist(); () }
+      }
 }

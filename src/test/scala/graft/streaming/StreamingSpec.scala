@@ -311,6 +311,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("withBatchProfiles emits one profile per micro-batch; driftReport runs across batch ids") {
+    import graft.ops.Expectations
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"lang")
+    val dir = java.nio.file.Files.createTempDirectory("docs-profile-stream")
+    // batch 0: even ids with lang nulled on %10==0; batch 1: odd ids intact
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", when($"doc_id" % 10 === 0, lit(null)).otherwise($"lang").as("lang"))
+      .write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, lang STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part*")
+
+    val profiles = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val delivered = new java.util.concurrent.atomic.AtomicLong
+    val q = StreamSink.withBatchProfiles(stream, Seq("doc_id", "lang"),
+        appendProfile = p => profiles ++= p.collect(),
+        checkpoint = java.nio.file.Files.createTempDirectory("ck-profile").toString,
+        alsoAppend = Some(b => { delivered.addAndGet(b.count()); () }))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val total = docs.count()
+    assert(delivered.get() == total, "alsoAppend must deliver every row once")
+    // two micro-batches × two profiled columns
+    assert(profiles.size == 4, profiles.mkString(","))
+    val byBatch = profiles.groupBy(_.getLong(4)) // batch_id
+    assert(byBatch.keySet == Set(0L, 1L))
+    assert(byBatch.values.flatMap(_.filter(_.getString(0) == "doc_id"))
+      .map(_.getLong(1)).sum == total, "per-batch row counts sum to the corpus")
+    // the planted null burst is visible in exactly the batch carrying it
+    val langRows = profiles.filter(_.getString(0) == "lang")
+    assert(langRows.count(_.getLong(2) > 0) == 1)
+
+    // and driftReport consumes any two batch profiles after the fact
+    val pdf = spark.createDataFrame(spark.sparkContext.parallelize(profiles.toSeq),
+      Expectations.loadProfile(docs, Seq("doc_id", "lang")).schema
+        .add("batch_id", "long"))
+    val rep = Expectations.driftReport(
+        pdf.filter($"batch_id" === 1L).drop("batch_id"),
+        pdf.filter($"batch_id" === 0L).drop("batch_id"),
+        maxRowDeltaPct = 0.2, maxNullRateDrift = 0.01)
+      .as[(String, String, Double, Double, Double, Boolean)].collect()
+    assert(rep.length == 3)
+    assert(!rep.find(r => r._2 == "lang").get._6, "planted null drift must fire")
+    assert(rep.find(r => r._2 == "doc_id").get._6, "doc_id stayed clean")
+  }
+
   test("keyedIdempotent streams into a live Derby warehouse; a full replay re-delivers nothing") {
     System.setProperty("derby.system.home",
       java.nio.file.Files.createTempDirectory("derby-stream").toString)
