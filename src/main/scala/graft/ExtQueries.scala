@@ -2484,9 +2484,49 @@ object ExtQueries {
             |FROM tot t LEFT JOIN k USING (doc_id)
             |ORDER BY id""".stripMargin))
 
+  /** Vocabulary-coverage quality score: per-doc fraction of tokens
+    * inside the corpus top-200 vocabulary (count desc, token asc —
+    * deterministic at the boundary). The LM-free perplexity stand-in:
+    * exact integer counting + one IEEE division, fully mirrored.
+    * Grouped summary keeps the gate result compact.
+    */
+  val q87 = Q(
+    "q87_vocab_coverage",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      ext.VocabScore.coverage(d, $"doc_id", $"text", topN = 200)
+        .join(d.select($"doc_id".as("id"), $"lang"), "id")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tot_tokens"),
+          sum($"n_in_vocab").as("tot_in_vocab"),
+          min($"coverage").as("min_cov"), max($"coverage").as("max_cov"))
+        .orderBy($"lang")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+            |                     unnest(list_filter(
+            |                       string_split_regex(trim(lower(text)), '\s+'),
+            |                       t -> t <> '')) AS tok
+            |              FROM documents),
+            |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks
+            |                           GROUP BY tok ORDER BY c DESC, tok LIMIT 200)),
+            |cov AS (SELECT doc_id,
+            |               count(*) AS n_tokens,
+            |               sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+            |                        THEN 1 ELSE 0 END) AS n_in_vocab
+            |        FROM toks GROUP BY doc_id)
+            |SELECT d.lang, count(*) AS n_docs,
+            |       CAST(sum(c.n_tokens) AS BIGINT) AS tot_tokens,
+            |       CAST(sum(c.n_in_vocab) AS BIGINT) AS tot_in_vocab,
+            |       min(CAST(c.n_in_vocab AS DOUBLE) / CAST(c.n_tokens AS DOUBLE)) AS min_cov,
+            |       max(CAST(c.n_in_vocab AS DOUBLE) / CAST(c.n_tokens AS DOUBLE)) AS max_cov
+            |FROM cov c JOIN documents d USING (doc_id)
+            |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 }

@@ -224,6 +224,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q85 sketch quantile band: ObjectHashAggregate partials, no global sort of the data") {
+    val ep = ExtQueries.q85.run(spark, dir).queryExecution.executedPlan.toString
+    // the sketch aggregates map-side; the cutoffs broadcast back
+    assert(ep.contains("ObjectHashAggregate"), ep)
+    assert(ep.contains("partial_quantilesketchagg"), ep)
+    assert(ep.contains("BroadcastNestedLoopJoin") || ep.contains("BroadcastHashJoin"), ep)
+    // no exchange repartitions the documents rows themselves: the only
+    // range partitioning allowed is the final ORDER BY on the 5-row
+    // grouped summary, and no hash exchange may carry doc text
+    ep.split("\n").filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), l)
+    }
+  }
+
+  test("q86 paragraph dedup: exchanges key on digests or ids, never paragraph text") {
+    val ep = ExtQueries.q86.run(spark, dir).queryExecution.executedPlan.toString
+    // df count partially aggregates (hot boilerplate absorbs map-side)
+    assert(ep.contains("partial_count"), ep)
+    // no exchange may carry paragraph/text payload columns
+    ep.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#") || l.contains("clean_text"), l)
+    }
+    assert(!ep.contains("CartesianProduct") && !ep.contains("SortMergeJoin"), ep)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
