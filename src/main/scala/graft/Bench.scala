@@ -146,7 +146,8 @@ object Bench {
       "q29_simhash_neardup", "q49_decontaminate", "q51_tfidf_keywords",
       "q55_sequence_pack", "q61_token_chunks", "q62_url_normalize",
       "q64_boilerplate_grams", "q65_bpe_tokens",
-      "q68_span_dedup", "q69_temperature_sample")
+      "q68_span_dedup", "q69_temperature_sample",
+      "q86_paragraph_dedup", "q87_vocab_coverage")
     val x100: Option[Seq[(String, Double)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X100", "1") == "0") None
       else try {
