@@ -91,39 +91,61 @@ object DedupClusters {
       .localCheckpoint(true)
 
     var converged = edges.isEmpty
+    var nEdges = if (converged) 0L else edges.count()
     var iter = 0
     while (!converged && iter < maxIter) {
+      // Each phase computes its per-node minimum with a WINDOW over the
+      // phase's one hash-exchange — not a groupBy + self-join, which
+      // would shuffle the edge set twice per phase. 3 shuffles/round
+      // total (large-star window, small-star window, final distinct).
+
       // ---- large-star: for each node u over the UNDIRECTED
       // neighborhood, attach every strictly larger neighbor to
       // m = min(Γ(u) ∪ {u}).
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
       val nbrs = edges.select(col("u"), col("v"))
         .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val afterLarge = nbrs.join(mins, "u")
+      val afterLarge = nbrs
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
-        // v > u ≥ m, so (v, m) is already larger→smaller
+        // v > u ≥ m, so (v, m) is already larger→smaller; duplicates
+        // ride to the end-of-round distinct (they don't affect mins)
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
 
       // ---- small-star: over directed edges (u > v), attach u and all
-      // its smaller neighbors to the minimum of them.
-      val mins2 = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
-      val next = afterLarge.join(mins2, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(mins2.select(col("u"), col("m").as("v")))
+      // its smaller neighbors to the minimum of them. Both outputs —
+      // (v, m) per row with v ≠ m, and one (u, m) per node — emit from
+      // ONE windowed pass via a 2-slot explode (no two-branch union,
+      // which would recompute the window subtree twice).
+      val wUv = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy("v")
+      val next = afterLarge
+        .withColumn("m", min(col("v")).over(wU))
+        .withColumn("__rn", row_number().over(wUv))
+        .select(explode(array(
+          when(col("v") =!= col("m"),
+            struct(col("v").as("u"), col("m").as("v"))),
+          when(col("__rn") === 1,
+            struct(col("u"), col("m").as("v"))))).as("__e"))
+        .filter(col("__e").isNotNull)
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
         .distinct()
         .localCheckpoint(true)
 
-      // fixpoint test: symmetric difference of two distinct edge sets,
-      // one shuffle + one scalar read (Pregel-style control flow)
-      val changed = next.unionAll(edges)
-        .groupBy("u", "v").count()
-        .filter(col("count") =!= 2)
-        .count()
+      // fixpoint test, cheap-first: star rounds shrink the edge set
+      // until the last one, so compare COUNTS (scalar aggregates on
+      // materialized checkpoints) and run the full symmetric-difference
+      // shuffle only when counts agree — ~once per run.
+      val nNext = next.count()
+      val changed =
+        if (nNext != nEdges) 1L
+        else next.unionAll(edges)
+          .groupBy("u", "v").count()
+          .filter(col("count") =!= 2)
+          .count()
       edges = next
+      nEdges = nNext
       converged = changed == 0
       iter += 1
     }
