@@ -67,6 +67,24 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(graft.functions.KmvSketchAgg.kMinima(col("h32"), k).as("mins"))
 
+  /** Streaming per-type value-distribution sketch (the
+    * [[graft.functions.QuantileSketchAgg]] under incremental
+    * execution): like the KMV sketch, its bottom-k-by-hash state is
+    * MERGEABLE and bounded, so each micro-batch's partials fold into
+    * ≤ k entries per group on an unbounded stream — and because the
+    * sketch is a pure function of the input multiset, the streamed
+    * state is IDENTICAL to the batch sketch over the same rows, not
+    * merely approximately equal. Complete mode; no watermark needed.
+    */
+  def valueQuantileSketch(events: DataFrame, k: Int = 32): DataFrame =
+    events
+      .select(col("event_type"),
+        graft.ext.MinHashLsh.portableHash32(col("value").cast("string")).as("__h"),
+        col("value").cast("double").as("__v"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketchAgg.sample(col("__h"), col("__v"), k)
+        .as("sketch"))
+
   /** Session windows per user with a 30-minute gap — the built-in
     * session_window operator keeps per-user state and emits a session
     * row when the watermark passes the gap (streaming analogue of

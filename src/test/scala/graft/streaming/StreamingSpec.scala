@@ -59,6 +59,24 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("valueQuantileSketch streams state identical to the batch sketch") {
+    val stream = EventStream.readStream(spark, eventsDir)
+    val q = EventStream.valueQuantileSketch(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qsketch").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qsketch")
+        .selectExpr("event_type", "cast(sketch as string) s")
+        .orderBy("event_type").as[(String, String)].collect().toSeq
+      val batch = EventStream.valueQuantileSketch(Tables.events(spark, sfDir))
+        .selectExpr("event_type", "cast(sketch as string) s")
+        .orderBy("event_type").as[(String, String)].collect().toSeq
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(streamed.forall(_._2.length > 2), "sketches must be non-empty")
+    } finally q.stop()
+  }
+
   test("sessionizeCustomState (flatMapGroupsWithState) matches the batch session count") {
     import spark.implicits._
     // stage events + a far-future flush event that advances the global
