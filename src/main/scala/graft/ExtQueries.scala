@@ -2524,9 +2524,32 @@ object ExtQueries {
             |FROM cov c JOIN documents d USING (doc_id)
             |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
 
+  /** Salted equi-join (hot-key mitigation): fact rows salted
+    * positionally, dimension replicated per salt, join on (key, salt)
+    * — row-identical to the plain join, which IS the oracle. Summary
+    * aggregate keeps the gate compact; decimal-exact sum.
+    */
+  val q88 = Q(
+    "q88_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+      val o = t(s, dir, "orders")
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      graft.ops.Skew.saltedJoin(l, o, Seq("l_orderkey"), buckets = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Aggs.dsum($"l_quantity").cast("double").as("qty"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+            |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

@@ -46,4 +46,36 @@ object Skew {
     saltedAgg(df, keys, buckets,
       Seq("count" -> count(lit(1))),
       n => sum(col(n)))
+
+  /** Salted equi-join for hot join keys: the fact side tags each row
+    * with a positional salt in [0, buckets); the dimension side is
+    * REPLICATED once per salt value; the join runs on (key, salt) — a
+    * hot key's rows now land on `buckets` reducers instead of one.
+    * Exactly the plain inner/left join's rows (the salt is join-
+    * invariant bookkeeping, dropped on output).
+    *
+    * When to use: the dimension is too big to broadcast AND a few fact
+    * keys are hot enough that AQE's skew split (which only splits the
+    * oversized partitions of a sort-merge join after materialization)
+    * still leaves a straggler — pre-salting spreads the key BEFORE the
+    * first shuffle. Cost: dim shuffles `buckets`× its size; size
+    * buckets to the skew ratio, not higher.
+    *
+    * Same positional-salt reasoning as [[saltedAgg]]: content-derived
+    * salts collapse for byte-identical hot rows; join correctness
+    * needs no cross-run stability, only that each fact row carries ONE
+    * salt value.
+    */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salted join supports inner/left joins, got $joinType")
+    val saltedFacts = facts.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+    saltedFacts.join(replicatedDim, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
 }

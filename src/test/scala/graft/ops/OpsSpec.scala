@@ -146,6 +146,31 @@ class OpsSpec extends SparkTestBase {
     assert(out == expect)
   }
 
+  test("Skew.saltedJoin equals the plain join on a hot-key distribution") {
+    // 90% of fact rows share one key — the shape that makes a plain
+    // shuffle join put 90% of the work on one reducer
+    val facts = (1 to 3000).map(i =>
+      (if (i % 10 == 0) ("k" + i % 40) else "HOT", i.toLong)).toDF("k", "v")
+    val dim = (Seq("HOT") ++ (0 until 40).map("k" + _)).zipWithIndex
+      .map { case (k, i) => (k, s"payload$i") }.toDF("k", "p")
+    val salted = Skew.saltedJoin(facts.repartition(13), dim, Seq("k"), buckets = 8)
+      .as[(String, Long, String)].collect().sorted.toSeq
+    val plain = facts.join(dim, Seq("k"))
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(salted == plain && salted.size == 3000)
+  }
+
+  test("Skew.saltedJoin left join keeps unmatched fact rows with null payload") {
+    val facts = Seq(("a", 1L), ("zzz", 2L)).toDF("k", "v")
+    val dim = Seq(("a", "pa")).toDF("k", "p")
+    val out = Skew.saltedJoin(facts, dim, Seq("k"), buckets = 4, joinType = "left")
+      .as[(String, Long, Option[String])].collect().sorted.toSeq
+    assert(out == Seq(("a", 1L, Some("pa")), ("zzz", 2L, None)))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts, dim, Seq("k"), joinType = "full_outer")
+    }
+  }
+
   test("Profile.numeric: one row per column, nulls excluded from n_vals, exact distincts") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (1.0, 10.0), (2.0, 10.0), (null, 30.0), (2.0, null))
