@@ -81,6 +81,23 @@ object SkewCheck {
     time("distinct-state sketch")(
       fact.groupBy("k").agg(approx_count_distinct($"v").as("d")).count())
 
+    // 4. pre-salted join vs the same skewed sort-merge join: saltedJoin
+    // spreads key 0 across 16 reducers at the FIRST shuffle (the dim
+    // pays 16× replication — 1M rows, cheap), where AQE's skew split
+    // reacts only after the oversized partition materializes. Measures
+    // both against the AQE-split plan from section 2.
+    def saltedSmj(): Long = {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", -1)
+      try graft.ops.Skew.saltedJoin(fact, dim, Seq("k"), buckets = 16)
+        .agg(sum($"w" * $"v")).count()
+      finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+    time("join pre-salted (16)")(saltedSmj())
+
     spark.stop()
   }
 }
