@@ -2547,9 +2547,102 @@ object ExtQueries {
             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Persistent IVF index probe under the oracle gate: build the index
+    * (parquet-ready state), probe ALL cells — at nprobe = nlist the
+    * probe is exhaustive, so the result is exactly cosine brute force
+    * and the oracle is the q25 pair/rank formulation. Pins the whole
+    * stored-index path (build → assign → probe → rerank) to
+    * bit-exactness, complementing the unit probe≡fresh pin.
+    */
+  val q89 = Q(
+    "q89_ivf_probe",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+      EmbeddingSearch.ivfProbe(idx, emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 4, nprobe = 8)
+        .select($"qid".as("vec_id"), $"neighbor_id",
+          $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"vec_id", $"rank")
+    },
+    Some("""WITH c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 8),
+            pairs AS (SELECT q.qid, c.vec_id AS nid,
+                             list_inner_product(qv, v) /
+                               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS cos
+                      FROM c, q WHERE c.vec_id != q.qid),
+            ranked AS (SELECT qid, nid, cos,
+                              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+                       FROM pairs)
+            SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
+            FROM ranked WHERE rnk <= 4 ORDER BY vec_id, rank"""))
+
+  /** Cross-load drift report under the oracle gate: profiles of two
+    * deterministic documents "loads" (the second with planted nulls
+    * and a row-count delta), compared with explicit bounds — every
+    * profile count, rate, drift, and ok/fail mirrored exactly.
+    */
+  val q90 = Q(
+    "q90_drift_report",
+    (s, dir) => {
+      import s.implicits._
+      val prev = t(s, dir, "documents").filter($"doc_id" < 300)
+        .select($"doc_id", $"lang", $"source")
+      val cur = t(s, dir, "documents").filter($"doc_id" < 360)
+        .select($"doc_id",
+          when($"doc_id" % 5 === 0, lit(null)).otherwise($"lang").as("lang"),
+          $"source")
+      val cols = Seq("doc_id", "lang", "source")
+      graft.ops.Expectations.driftReport(
+          graft.ops.Expectations.loadProfile(cur, cols),
+          graft.ops.Expectations.loadProfile(prev, cols),
+          maxRowDeltaPct = 0.5, maxNullRateDrift = 0.05)
+        .orderBy($"check", $"column")
+    },
+    Some("""WITH prev AS (SELECT doc_id, lang, source FROM documents WHERE doc_id < 300),
+            |cur AS (SELECT doc_id,
+            |               CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+            |               source
+            |        FROM documents WHERE doc_id < 360),
+            |pp AS (SELECT 'doc_id' AS col, count(*) AS n_rows,
+            |              sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls FROM prev
+            |       UNION ALL SELECT 'lang', count(*),
+            |              sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) FROM prev
+            |       UNION ALL SELECT 'source', count(*),
+            |              sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) FROM prev),
+            |cp AS (SELECT 'doc_id' AS col, count(*) AS n_rows,
+            |              sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls FROM cur
+            |       UNION ALL SELECT 'lang', count(*),
+            |              sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) FROM cur
+            |       UNION ALL SELECT 'source', count(*),
+            |              sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) FROM cur),
+            |rowd AS (SELECT 'row_count_delta' AS check, CAST(NULL AS VARCHAR) AS "column",
+            |                CAST(max(c.n_rows) AS DOUBLE) AS current,
+            |                CAST(max(p.n_rows) AS DOUBLE) AS previous,
+            |                CAST(abs(max(c.n_rows) - max(p.n_rows)) AS DOUBLE) /
+            |                  CAST(greatest(max(p.n_rows), 1) AS DOUBLE) AS drift
+            |         FROM cp c, pp p),
+            |nulld AS (SELECT 'null_rate_drift' AS check, c.col AS "column",
+            |                 CAST(c.n_nulls AS DOUBLE) / CAST(greatest(c.n_rows, 1) AS DOUBLE) AS current,
+            |                 CAST(p.n_nulls AS DOUBLE) / CAST(greatest(p.n_rows, 1) AS DOUBLE) AS previous,
+            |                 abs(CAST(c.n_nulls AS DOUBLE) / CAST(greatest(c.n_rows, 1) AS DOUBLE) -
+            |                     CAST(p.n_nulls AS DOUBLE) / CAST(greatest(p.n_rows, 1) AS DOUBLE)) AS drift
+            |          FROM cp c JOIN pp p ON c.col = p.col)
+            |SELECT "check", "column", current, previous, drift,
+            |       drift <= 0.5 AS ok FROM rowd
+            |UNION ALL
+            |SELECT "check", "column", current, previous, drift,
+            |       drift <= 0.05 AS ok FROM nulld
+            |ORDER BY "check", "column"""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }
