@@ -147,7 +147,9 @@ object Bench {
       "q55_sequence_pack", "q61_token_chunks", "q62_url_normalize",
       "q64_boilerplate_grams", "q65_bpe_tokens",
       "q68_span_dedup", "q69_temperature_sample",
-      "q86_paragraph_dedup", "q87_vocab_coverage")
+      // q86 is NOT here: its gate slices a constant doc_id range, the
+      // exact "measures nothing at x100" case this tier excludes
+      "q87_vocab_coverage")
     val x100: Option[Seq[(String, Double)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X100", "1") == "0") None
       else try {

@@ -120,7 +120,12 @@ object Expectations {
         col("__p").cast("double").as("previous"),
         (abs(col("__c") - col("__p")).cast("double") /
           greatest(col("__p"), lit(1L)).cast("double")).as("drift"))
-      .withColumn("ok", col("drift") <= maxRowDeltaPct)
+      // an EMPTY profile side (a batch id that never ran, an empty
+      // state dir) must FAIL, not yield a null ok that every
+      // filter(!ok) monitoring query silently skips
+      .withColumn("ok",
+        when(col("current").isNull || col("previous").isNull, lit(false))
+          .otherwise(col("drift") <= maxRowDeltaPct))
 
     val nullDrift = joined.select(
       lit("null_rate_drift").as("check"),

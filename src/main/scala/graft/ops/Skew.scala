@@ -71,6 +71,8 @@ object Skew {
     require(buckets > 0)
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted join supports inner/left joins, got $joinType")
+    require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves '__salt'; an input already carries it — rename first")
     val saltedFacts = facts.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val replicatedDim = dim.withColumn("__salt",

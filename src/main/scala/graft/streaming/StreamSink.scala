@@ -68,9 +68,13 @@ object StreamSink {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = if (alsoAppend.isDefined) batch.persist() else batch
-        appendProfile(graft.ops.Expectations.loadProfile(b, columns)
-          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)))
-        alsoAppend.foreach(_(b))
-        if (alsoAppend.isDefined) { b.unpersist(); () }
+        // finally: a throwing sink must not leak the cached batch —
+        // under streaming retry each re-attempt would otherwise pin a
+        // fresh copy for the session lifetime
+        try {
+          appendProfile(graft.ops.Expectations.loadProfile(b, columns)
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)))
+          alsoAppend.foreach(_(b))
+        } finally if (alsoAppend.isDefined) { b.unpersist(); () }
       }
 }

@@ -32,6 +32,22 @@ class VocabScoreSpec extends SparkTestBase {
       Seq(1L -> 2L, 2L -> 0L, 3L -> 2L, 4L -> 0L))
   }
 
+  test("coverageWithVocab against a stored vocabulary equals the self-contained form") {
+    val docs = (1L to 30L).map(i => (i, s"alpha beta gamma word$i")).toDF("doc_id", "text")
+    val vocab = VocabScore.topVocabulary(docs, $"doc_id", $"text", topN = 3)
+    assert(vocab.as[String].collect().sorted.toSeq == Seq("alpha", "beta", "gamma"))
+    // round-trip through parquet: the production single-pass path
+    val dir = java.nio.file.Files.createTempDirectory("vocab").toString
+    vocab.write.mode("overwrite").parquet(dir)
+    val a = VocabScore.coverageWithVocab(docs, $"doc_id", $"text",
+        spark.read.parquet(dir))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = VocabScore.coverage(docs, $"doc_id", $"text", topN = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.forall(r => r._2 == 4L && r._3 == 3L && r._4 == 0.75))
+  }
+
   test("result is partition-invariant; zero-token docs yield no row") {
     val docs = ((1L to 50L).map(i => (i, s"common words here plus token$i"))
       ++ Seq((99L, "   "))).toDF("doc_id", "text")

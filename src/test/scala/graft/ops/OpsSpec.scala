@@ -169,6 +169,10 @@ class OpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Skew.saltedJoin(facts, dim, Seq("k"), joinType = "full_outer")
     }
+    // reserved-name collision is rejected, not silently overwritten+dropped
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(facts.withColumn("__salt", lit(1)), dim, Seq("k"))
+    }
   }
 
   test("Profile.numeric: one row per column, nulls excluded from n_vals, exact distincts") {

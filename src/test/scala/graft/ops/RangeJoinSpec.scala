@@ -97,6 +97,18 @@ class RangeJoinSpec extends SparkTestBase {
     assert(byCheck(("null_rate_drift", "id"))._6) // id stayed clean
   }
 
+  test("driftReport: an empty previous profile FAILS the row-count check, never null-passes") {
+    val cur = Expectations.loadProfile(Seq((1L, "x")).toDF("id", "v"), Seq("id", "v"))
+    val emptyPrev = cur.filter(lit(false))
+    val rep = Expectations.driftReport(cur, emptyPrev)
+      .filter($"check" === "row_count_delta")
+      .select("ok").as[Boolean].collect().toSeq
+    assert(rep == Seq(false),
+      "missing previous profile must fail loudly, not evaluate ok to null")
+    // and a monitoring filter on !ok actually surfaces it
+    assert(Expectations.driftReport(cur, emptyPrev).filter(!$"ok").count() >= 1)
+  }
+
   test("driftReport: a column present in only one load fails loudly") {
     val a = Seq((1L, "x")).toDF("id", "old_col")
     val b = Seq((1L, "x")).toDF("id", "new_col")
