@@ -221,6 +221,40 @@ object EmbeddingSearch {
     topKOut(cand, queryId, k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * (query, positive) pair, the top-k corpus vectors by cosine that
+    * are NEITHER the query itself NOR its labeled positive — the
+    * highest-scoring wrong answers, which is exactly what contrastive
+    * losses need as negatives (random negatives are too easy; the
+    * near-misses carry the gradient).
+    *
+    * Composition of the [[bruteForceTopK]] kernel with the exclusion
+    * pushed BELOW the ranking window (excluding after rank ≤ k would
+    * under-fill): same broadcast-queries shape, |Q|·|C| scored pairs,
+    * bit-exact ordered-fold cosine so the operator is oracle-checkable.
+    * For corpus-scale mining swap the candidate source to [[ivfProbe]]
+    * cells and rerank — the plan shape is unchanged.
+    *
+    * @param pairs (qid, qvec, pos_id) — labeled query/positive pairs
+    */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    pairs: DataFrame, queryId: String, queryVec: String,
+                    positiveId: String, k: Int): DataFrame = {
+    val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
+      .withColumn("__cn", norm(col("__cvec")))
+    val q = pairs.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"),
+        col(positiveId).as("__pos"))
+      .withColumn("__qn", norm(col("__qvec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__cid") =!= col("__qid") && col("__cid") =!= col("__pos"))
+      .withColumn("cos", dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("__qid").orderBy(col("cos").desc, col("__cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as("negative_id"),
+        col("rank"), col("cos"))
+  }
+
   /** Deterministic Lloyd k-means refinement over an embedding column —
     * the clustering primitive behind IVF cell layouts and corpus topic
     * bucketing. Initialization is the first k vectors by id (the same

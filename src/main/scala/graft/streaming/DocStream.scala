@@ -72,4 +72,35 @@ object DocStream {
       .filter(col("est_jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
   }
+
+  /** Leakage-safe split routing for a document STREAM: assign each
+    * arriving document to train/val/test by the hash of its NEAR-DUP
+    * COMPONENT (from a batch-computed, persisted label table), falling
+    * back to its own id for unseen documents — so a streamed document
+    * can never land opposite its near-duplicates from the batch
+    * corpus. The streaming face of
+    * [[graft.ext.DedupClusters.leakageSafeSplit]]: stream-static
+    * broadcast join + a pure per-row md5 bucket decision — stateless,
+    * no watermark, and the SAME md5 arithmetic as the batch splitter,
+    * so batch and stream route every shared document identically
+    * (pinned in StreamingSpec).
+    *
+    * Unseen-document caveat: a NEW document that is a near-dup of a
+    * batch document but wasn't in the label table routes by its own
+    * id — run [[incrementalNearDup]] on the same stream and fold its
+    * pairs into the labels ([[graft.ext.DedupClusters.incrementalComponents]])
+    * on the batch cadence to close that gap.
+    *
+    * @param labels (id, component) from connectedComponents, read from
+    *               parquet state; must be a STATIC frame
+    */
+  def routedSplit(docs: DataFrame, id: Column, labels: DataFrame,
+                  cuts: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    val comp = labels.select(col("id").as("__cc_id"),
+      col("component").as("__cc_component"))
+    docs.join(broadcast(comp), id === col("__cc_id"), "left")
+      .withColumn("component", coalesce(col("__cc_component"), id))
+      .drop("__cc_id", "__cc_component")
+      .withColumn("split", graft.ext.Sampling.hashSplit(col("component"), cuts, salt))
+  }
 }

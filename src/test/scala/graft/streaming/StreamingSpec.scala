@@ -299,6 +299,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("routedSplit on a stream routes identically to the batch leakage-safe split, stateless") {
+    import graft.ext.DedupClusters
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select($"doc_id", $"lang").filter($"doc_id" < 200)
+    // batch-computed component labels (pairs: consecutive-id chains)
+    val pairs = docs.filter($"doc_id" % 4 === 0)
+      .select($"doc_id".as("id1"), ($"doc_id" + 1L).as("id2"))
+    val labels = DedupClusters.connectedComponents(pairs).localCheckpoint()
+    val cuts = Seq("train" -> 204, "val" -> 26, "test" -> 26)
+    val batch = DedupClusters.leakageSafeSplit(docs, "doc_id", pairs, cuts, "r7")
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("docs-route-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, lang STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part*")
+    val q = DocStream.routedSplit(stream, $"doc_id", labels, cuts, "r7")
+      .select("doc_id", "component", "split")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("routed").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("routed").as[(Long, Long, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // paired docs share a split; the routing kept zero state
+      val byComp = streamed.groupBy(_._2)
+      assert(byComp.values.forall(_.map(_._3).size >= 1))
+      assert(byComp.filter(_._2.size > 1).values.forall(_.map(_._3).toSet.size == 1))
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("sampleByRates on a stream matches the batch temperature sample, stateless") {
     import graft.ext.Sampling
     val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"lang")
