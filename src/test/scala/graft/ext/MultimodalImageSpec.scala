@@ -71,6 +71,27 @@ class MultimodalImageSpec extends SparkTestBase {
     assert(roundTrip.mean_r == 255.0 && roundTrip.mean_g == 255.0 && roundTrip.mean_b == 255.0)
   }
 
+  test("real image mean-color features feed embedding search end-to-end") {
+    // two red-ish, two blue-ish, one green image — real PNG bytes
+    val media = Seq(
+      (1L, 0xff0000), (2L, 0xee1010), // red pair
+      (3L, 0x0000ff), (4L, 0x1010ee), // blue pair
+      (5L, 0x00ff00)).map { case (id, rgb) =>
+      Multimodal.MediaRow(id, "image", Multimodal.encodePng(6, 6)((_, _) => rgb))
+    }.toDS()
+    val feats = Multimodal.decodeImages(media).toDF()
+      .filter($"valid")
+      .select($"media_id",
+        array($"mean_r".cast("float"), $"mean_g".cast("float"),
+          $"mean_b".cast("float")).as("embedding"))
+    val queries = feats.filter($"media_id" === 1L)
+      .select($"media_id".as("qid"), $"embedding".as("qvec"))
+    val nn = EmbeddingSearch.bruteForceTopK(feats, "media_id", "embedding",
+        queries, "qid", "qvec", k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(nn == 2L, s"nearest neighbor of the red image must be the other red, got $nn")
+  }
+
   test("decode composes with the DataFrame layer: filter/aggregate on decoded metadata") {
     val rows = (1 to 20).map { i =>
       Multimodal.MediaRow(i.toLong, "image",
