@@ -167,9 +167,16 @@ object QuantileSketchAgg {
     * hash distinct sample of `value` with exact per-value counts,
     * sorted by value ascending. Feed `hash` with a PORTABLE hash of
     * the value for cross-engine reproducibility.
+    *
+    * Inputs are cast here (hash→long, value→double): update() reads
+    * the buffers with unchecked casts, so an int hash or a decimal
+    * value column fed raw would ClassCastException at runtime —
+    * casting in the public builder makes the contract type-safe for
+    * any numeric input without a per-row branch in the hot path.
     */
   def sample(hash: Column, value: Column, k: Int): Column =
     GraftBridge.column(QuantileSketchAgg(
-      GraftBridge.expression(hash), GraftBridge.expression(value), k)
+      GraftBridge.expression(hash.cast("long")),
+      GraftBridge.expression(value.cast("double")), k)
       .toAggregateExpression())
 }

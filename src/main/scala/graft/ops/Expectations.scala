@@ -75,17 +75,24 @@ object Expectations {
     */
   def loadProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profile at least one column")
+    // The per-column rows come out of ONE aggregate STRUCTURALLY: the
+    // single agg row carries an array of per-column null counts which
+    // is then exploded — not N selects over the same aggregate, whose
+    // one-scan property would hinge on the optimizer's exchange-reuse
+    // deduplicating N identical subtrees (and silently become N scans
+    // if a plan change broke subtree equality).
     val agg0 = df.agg(
       count(lit(1)).as("__rows"),
-      columns.zipWithIndex.map { case (c, i) =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n$i")
-      }: _*)
-    columns.zipWithIndex.map { case (c, i) =>
-      agg0.select(lit(c).as("column"), col("__rows").as("n_rows"),
-        coalesce(col(s"__n$i"), lit(0L)).as("n_nulls"),
-        (coalesce(col(s"__n$i"), lit(0L)).cast("double") /
+      array(columns.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L))): _*).as("__nulls"))
+    val names = array(columns.map(lit): _*)
+    agg0.select(col("__rows"),
+        posexplode(col("__nulls")).as(Seq("__i", "__n")))
+      .select(element_at(names, col("__i") + 1).as("column"),
+        col("__rows").as("n_rows"),
+        coalesce(col("__n"), lit(0L)).as("n_nulls"),
+        (coalesce(col("__n"), lit(0L)).cast("double") /
           greatest(col("__rows"), lit(1L)).cast("double")).as("null_rate"))
-    }.reduce(_ unionAll _)
   }
 
   /** Cross-load drift report: compare this load's profile against the

@@ -65,16 +65,33 @@ object Skew {
     * salts collapse for byte-identical hot rows; join correctness
     * needs no cross-run stability, only that each fact row carries ONE
     * salt value.
+    *
+    * RETRY CAVEAT (positional mode): monotonically_increasing_id is
+    * nondeterministic across recomputes — under a partial map-stage
+    * retry (shuffle-fetch failure) a recomputed fact row can receive a
+    * different salt than the original attempt and be routed to a
+    * different reducer mid-join. Per-row output is salt-invariant, so
+    * this only matters when a stage retry overlaps a running reduce —
+    * routine at the 1000-executor scale this repo targets. When the
+    * facts carry a UNIQUE row key (not the hot join key — a unique
+    * key's hash spreads even when join-key values are byte-identical),
+    * pass it as `saltKey`: the salt becomes pmod(xxhash64(saltKey),
+    * buckets) — a pure function of the row, deterministic across
+    * recomputes, with the same uniform spread.
     */
   def saltedJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
-                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+                 buckets: Int = 16, joinType: String = "inner",
+                 saltKey: Option[Column] = None): DataFrame = {
     require(buckets > 0)
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted join supports inner/left joins, got $joinType")
     require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "saltedJoin reserves '__salt'; an input already carries it — rename first")
-    val saltedFacts = facts.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val salt = saltKey match {
+      case Some(key) => pmod(xxhash64(key), lit(buckets.toLong))
+      case None => pmod(monotonically_increasing_id(), lit(buckets.toLong))
+    }
+    val saltedFacts = facts.withColumn("__salt", salt)
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
     saltedFacts.join(replicatedDim, keys :+ "__salt", joinType)

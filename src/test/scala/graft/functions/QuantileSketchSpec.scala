@@ -15,6 +15,18 @@ class QuantileSketchSpec extends SparkTestBase {
   private def hashOf(c: org.apache.spark.sql.Column) =
     MinHashLsh.portableHash32(c.cast("long").cast("string"))
 
+  test("sample builder casts inputs: int hash / int value columns work, matching the pre-cast form") {
+    val df = (1 to 500).map(i => (i % 97, i % 50)).toDF("h", "v")
+    def rows(s: org.apache.spark.sql.DataFrame) =
+      s.select(explode(col("s")).as("e")).select(col("e.value"), col("e.count"))
+        .as[(Double, Long)].collect().toSeq
+    // raw IntegerType columns — previously a runtime ClassCastException
+    val auto = rows(df.agg(QuantileSketchAgg.sample($"h", $"v", 16).as("s")))
+    val explicitCast = rows(df.agg(
+      QuantileSketchAgg.sample($"h".cast("long"), $"v".cast("double"), 16).as("s")))
+    assert(auto == explicitCast && auto.nonEmpty)
+  }
+
   test("sketch is a pure function of the multiset: identical across partitionings") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 5000).map(_ => rnd.nextInt(300).toLong)

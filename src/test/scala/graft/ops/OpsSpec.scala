@@ -160,6 +160,25 @@ class OpsSpec extends SparkTestBase {
     assert(salted == plain && salted.size == 3000)
   }
 
+  test("Skew.saltedJoin with a deterministic saltKey spreads a hot key and matches the plain join") {
+    val facts = (1 to 3000).map(i =>
+      (if (i % 10 == 0) ("k" + i % 40) else "HOT", i.toLong)).toDF("k", "v")
+    val dim = (Seq("HOT") ++ (0 until 40).map("k" + _)).zipWithIndex
+      .map { case (k, i) => (k, s"payload$i") }.toDF("k", "p")
+    val salted = Skew.saltedJoin(facts.repartition(13), dim, Seq("k"),
+        buckets = 8, saltKey = Some($"v"))
+      .as[(String, Long, String)].collect().sorted.toSeq
+    val plain = facts.join(dim, Seq("k"))
+      .as[(String, Long, String)].collect().sorted.toSeq
+    assert(salted == plain && salted.size == 3000)
+    // the deterministic salt actually SPREADS the hot key: the byte-
+    // identical join-key rows land in >1 bucket via the unique row key
+    val spread = facts.filter($"k" === "HOT")
+      .select(pmod(xxhash64($"v"), lit(8L)).as("b"))
+      .distinct().count()
+    assert(spread > 1, s"hot key collapsed to $spread buckets")
+  }
+
   test("Skew.saltedJoin left join keeps unmatched fact rows with null payload") {
     val facts = Seq(("a", 1L), ("zzz", 2L)).toDF("k", "v")
     val dim = Seq(("a", "pa")).toDF("k", "p")
