@@ -2674,10 +2674,45 @@ object ExtQueries {
             SELECT qid, nid AS negative_id, rnk AS rank, cos
             FROM ranked WHERE rnk <= 3 ORDER BY qid, rank"""))
 
+  /** Corpus-scale hard-negative mining via IVF cells. With nprobe ==
+    * nlist every cell is probed, so the output must be row-identical
+    * to exact brute-force mining — which is what makes an approximate
+    * serving path oracle-gatable (the q89 discipline): the oracle IS
+    * the exact computation.
+    */
+  val q92 = Q(
+    "q92_hard_negatives_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val pairs = emb.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+          ($"vec_id" + 1L).as("pos_id"))
+      val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+      EmbeddingSearch.hardNegativesIvf(idx, emb, "vec_id", "embedding",
+          pairs, "qid", "qvec", "pos_id", k = 4, nprobe = 8)
+        .select($"qid", $"negative_id", $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"qid", $"rank")
+    },
+    Some("""WITH c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, v AS qv, vec_id + 1 AS pos_id
+                  FROM c WHERE vec_id < 10),
+            pairs AS (SELECT q.qid, c.vec_id AS nid,
+                             list_inner_product(qv, v) /
+                               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS cos
+                      FROM c, q WHERE c.vec_id != q.qid AND c.vec_id != q.pos_id),
+            ranked AS (SELECT qid, nid, cos,
+                              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+                       FROM pairs)
+            SELECT qid, nid AS negative_id, rnk AS rank, cos
+            FROM ranked WHERE rnk <= 4 ORDER BY qid, rank"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91)
+    q91, q92)
 }

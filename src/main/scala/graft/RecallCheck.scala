@@ -98,6 +98,44 @@ object RecallCheck {
       pinnedC.unpersist(); pinnedA.unpersist()
     }
 
+    // corpus-scale hard-negative mining: |Q| = THE WHOLE CORPUS (every
+    // vector mines its own negatives, positive = a planted jitter copy
+    // where one exists, else itself+1) — the regime where the brute
+    // |Q|·|C| path is off the table. Negatives-recall = fraction of
+    // brute-force negatives the IVF path reproduces, on a 2k-query
+    // sample of the corpus-sized run (the truth side is quadratic; the
+    // MINING side runs at full |Q| so the measured time is the real
+    // corpus-scale cost).
+    {
+      val allPairs = corpus.select($"vec_id".as("qid"), $"embedding".as("qvec"),
+        (when($"vec_id" < 1000000L, $"vec_id" + 1000000L)
+          .otherwise($"vec_id" - 1000000L)).as("pos_id"))
+      val nQ = allPairs.count()
+      val kNeg = 5
+      for ((nlist, nprobe) <- Seq((64, 4), (64, 16))) {
+        val idx = ext.EmbeddingSearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist)
+        val t0 = System.nanoTime()
+        val mined = ext.EmbeddingSearch.hardNegativesIvf(idx, corpus, "vec_id", "embedding",
+            allPairs, "qid", "qvec", "pos_id", k = kNeg, nprobe = nprobe)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nMined = mined.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val sample = allPairs.filter($"qid" % 37 === 0).limit(2000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nSample = sample.count()
+        val bruteSample = ext.EmbeddingSearch.hardNegatives(corpus, "vec_id", "embedding",
+            sample, "qid", "qvec", "pos_id", k = kNeg)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nBrute = bruteSample.count()
+        val hit = bruteSample.join(mined.select($"qid", $"negative_id"),
+          Seq("qid", "negative_id"), "left_semi").count()
+        println(f"[recall] hardNegIvf nlist=$nlist np=$nprobe |Q|=$nQ " +
+          f"negRecall=${hit * 100.0 / nBrute}%5.1f%% (on $nSample sampled queries) " +
+          f"t=$dt%6.2f s rows=$nMined")
+        bruteSample.unpersist(); sample.unpersist(); mined.unpersist()
+      }
+    }
+
     // semantic-decontamination catch rate: the jittered copies of the
     // 50 "eval" vectors ARE the planted contamination (cos ≈ 0.9998);
     // how many does the SRP-bucketed screen catch vs the exact one?

@@ -255,6 +255,59 @@ object EmbeddingSearch {
         col("rank"), col("cos"))
   }
 
+  /** Corpus-scale hard-negative mining: [[hardNegatives]] semantics
+    * with candidates drawn from the `nprobe` IVF cells nearest each
+    * query instead of the full corpus — and, critically, NO broadcast
+    * of the pairs side, so |Q| can be corpus-sized (the real
+    * contrastive-mining regime, where every training query mines its
+    * own negatives).
+    *
+    * Plan shape: the only broadcast is the `nlist`-row centroid table
+    * (constant-size); probe routing is a window over |Q|·nprobe rows;
+    * the candidate join is a SHUFFLE hash join on `cell` between the
+    * assignment-joined corpus and the probe list — both sides
+    * corpus-proportional, co-partitioned by cell, never a cross
+    * product. Exclusion of the query itself and its labeled positive
+    * sits BELOW the ranking window (same reasoning as
+    * [[hardNegatives]]: excluding after rank ≤ k would under-fill).
+    *
+    * With nprobe == nlist every cell is probed and the output is
+    * row-identical to [[hardNegatives]] (pinned by the q92 oracle);
+    * at nprobe < nlist negatives-recall vs brute force is measured in
+    * RecallCheck — cells that cover the true top-k make the two
+    * equal, the planted-neighbor property the spec pins.
+    *
+    * @param pairs (qid, qvec, pos_id) — corpus-sized is fine
+    */
+  def hardNegativesIvf(index: IvfIndex, corpus: DataFrame,
+                       corpusId: String, corpusVec: String,
+                       pairs: DataFrame, queryId: String, queryVec: String,
+                       positiveId: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
+      .withColumn("__cn", norm(col("__cvec")))
+    val q = pairs.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"),
+        col(positiveId).as("__pos"))
+      .withColumn("__qn", norm(col("__qvec")))
+    val wProbe = Window.partitionBy("__qid")
+      .orderBy(col("__ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__ccos", cosine(col("__qvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qvec"), col("__qn"), col("__pos"), col("cell"))
+    val assigned = c.join(index.assignments.withColumnRenamed("id", "__cid"), "__cid")
+    // shuffle join on cell — NO broadcast hint: the probe side carries
+    // |Q|·nprobe rows and |Q| may be corpus-sized
+    val cand = assigned.join(probes, Seq("cell"))
+      .filter(col("__cid") =!= col("__qid") && col("__cid") =!= col("__pos"))
+      .withColumn("cos", dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("__qid").orderBy(col("cos").desc, col("__cid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as("negative_id"),
+        col("rank"), col("cos"))
+  }
+
   /** Deterministic Lloyd k-means refinement over an embedding column —
     * the clustering primitive behind IVF cell layouts and corpus topic
     * bucketing. Initialization is the first k vectors by id (the same

@@ -64,6 +64,53 @@ class IvfIndexSpec extends SparkTestBase {
     assert(out.count() == 15)
   }
 
+  test("hardNegativesIvf at nprobe == nlist is row-identical to brute-force mining") {
+    val pairs = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), ($"vec_id" + 1L).as("pos_id"))
+    val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val ivf = EmbeddingSearch.hardNegativesIvf(idx, emb, "vec_id", "embedding",
+      pairs, "qid", "qvec", "pos_id", k = 5, nprobe = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val brute = EmbeddingSearch.hardNegatives(emb, "vec_id", "embedding",
+      pairs, "qid", "qvec", "pos_id", k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(ivf == brute && ivf.size == 40)
+  }
+
+  test("hardNegativesIvf at nprobe < nlist matches brute force when probed cells cover the top-k") {
+    // query = its own pair source: each query's true nearest vectors
+    // overwhelmingly share its cell in this fixture; verify per-query
+    // that WHEN the brute-force top-k all sit in probed cells, the IVF
+    // output is identical — and that coverage actually occurs
+    val pairs = emb.filter($"vec_id" < 12)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), ($"vec_id" + 1L).as("pos_id"))
+    val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val nprobe = 4
+    val ivf = EmbeddingSearch.hardNegativesIvf(idx, emb, "vec_id", "embedding",
+      pairs, "qid", "qvec", "pos_id", k = 3, nprobe = nprobe)
+      .select($"qid", $"negative_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = EmbeddingSearch.hardNegatives(emb, "vec_id", "embedding",
+      pairs, "qid", "qvec", "pos_id", k = 3)
+      .select($"qid", $"negative_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // probe list per query, and cell of every corpus vector
+    val cells = idx.assignments.as[(Long, Long)].collect().toMap
+    val probes = pairs.crossJoin(broadcast(idx.centroids))
+      .withColumn("c", EmbeddingSearch.cosine($"qvec", $"centroid"))
+      .select($"qid", $"cell", $"c")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(t => (-t._3, t._2)).take(nprobe).map(_._2).toSet).toMap
+    var covered = 0
+    brute.foreach { case (qid, negs) =>
+      if (negs.forall(n => probes(qid).contains(cells(n)))) {
+        covered += 1
+        assert(ivf(qid) == negs, s"covered query $qid diverged from brute force")
+      }
+    }
+    assert(covered > 0, "fixture produced no covered queries — test is vacuous")
+  }
+
   test("kmeans-refined index assigns every vector and probes with full rows") {
     val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding",
       nlist = 8, refineIters = 2)
