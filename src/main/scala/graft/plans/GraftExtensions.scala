@@ -3,9 +3,9 @@ package graft.plans
 import graft.functions._
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst pieces available to ANY session — including pure-SQL users
@@ -123,6 +123,34 @@ object GraftFunctions {
       info("span_mask", "span_mask(tokens, starts, n) - tokens not covered by any n-token window at starts"),
       arity("span_mask", 3)(a =>
         SpanMask(a(0), a(1), intLit(a(2), "span_mask")))),
+    // ---- signature/sketch AGGREGATES: the SQL face of the engine's
+    // TypedImperativeAggregates. Builders return the bare
+    // AggregateFunction — the analyzer wraps it in AggregateExpression
+    // (the same contract Spark's builtin aggregate builders rely on).
+    // Inputs are Cast here (hash→long, value→double): update() reads
+    // buffers with unchecked casts, and a SQL user's integer literal
+    // column must be an analysis-time coercion, not a runtime CCE.
+    (FunctionIdentifier("minhash_agg"),
+      info("minhash_agg", "minhash_agg(hash, k) - k-slot minhash signature of the group's 64-bit hashes"),
+      arity("minhash_agg", 2)(a =>
+        MinHashAgg(Cast(a(0), LongType), intLit(a(1), "minhash_agg")))),
+    (FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(hash) - 64-bit simhash of the group's token hashes"),
+      arity("simhash_agg", 1)(a => SimHashAgg(Cast(a(0), LongType)))),
+    (FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch", "kmv_sketch(hash, k) - k minimum values of the group's hashes, sorted ascending"),
+      arity("kmv_sketch", 2)(a =>
+        KmvSketchAgg(Cast(a(0), LongType), intLit(a(1), "kmv_sketch")))),
+    (FunctionIdentifier("quantile_sketch"),
+      info("quantile_sketch", "quantile_sketch(hash, value, k) - bottom-k-by-hash distinct sample with exact counts"),
+      arity("quantile_sketch", 3)(a =>
+        QuantileSketchAgg(Cast(a(0), LongType), Cast(a(1), DoubleType),
+          intLit(a(2), "quantile_sketch")))),
+    (FunctionIdentifier("top_k"),
+      info("top_k", "top_k(score, id, k) - array<struct<score,id>> of the group's top k, strongest first"),
+      arity("top_k", 3)(a =>
+        TopKAgg(Cast(a(0), DoubleType), Cast(a(1), LongType),
+          intLit(a(2), "top_k")))),
     (FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(s) - strip control chars, collapse whitespace, trim, lowercase"),
       arity("normalize_text", 1) { a =>
