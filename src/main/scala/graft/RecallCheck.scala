@@ -73,6 +73,17 @@ object RecallCheck {
           queries, "qid", "qvec", k = k, bits = bits)
       }
 
+    // OR-amplified SRP banding: same per-band selectivity as the
+    // single-band rows above, recall lifted by any-band agreement —
+    // the measurement behind the "bands lift the single-band plateau"
+    // claim in EmbeddingSearch.lshTopK's doc
+    for ((bits, bands) <- Seq((8, 2), (8, 4), (8, 6), (10, 4), (12, 4),
+        (4, 8), (5, 8), (6, 8), (4, 12)))
+      measure(s"lshTopK bits=$bits bands=$bands") {
+        ext.EmbeddingSearch.lshTopK(corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", k = k, bits = bits, bands = bands)
+      }
+
     for ((nlist, nprobe) <- Seq((16, 1), (16, 4), (16, 8), (16, 16),
         (64, 1), (64, 4), (64, 16), (64, 64)))
       measure(s"ivfTopK nlist=$nlist nprobe=$nprobe") {

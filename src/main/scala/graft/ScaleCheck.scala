@@ -101,6 +101,37 @@ object ScaleCheck {
       println(f"[scale] cc-chain n=$n%-7d rounds=$rounds  $s%.2f s  single-component=$ok")
       chain.unpersist()
     }
+
+    // Storage-release probe: a long-lived service session invoking CC
+    // once per ingest batch must NOT accumulate storage across
+    // invocations. Ten releasable runs; the persisted-RDD count after
+    // each release must return to its pre-loop baseline (the round-7
+    // localCheckpoint design accumulated rounds×frames per invocation
+    // with no way to free them short of session teardown).
+    {
+      val sc = spark.sparkContext
+      val pairs = spark.range(0L, 20000L)
+        .select(($"id" % 7000L).as("id1"), ($"id" % 9000L + 500L).as("id2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      val baseline = sc.getPersistentRDDs.size
+      var maxAfterRelease = 0
+      var labelCount = -1L
+      for (i <- 1 to 10) {
+        val (labels, release) =
+          graft.ext.DedupClusters.connectedComponentsReleasable(pairs)
+        val n = labels.count() // consume
+        if (labelCount < 0) labelCount = n
+        assert(n == labelCount, s"invocation $i diverged: $n vs $labelCount")
+        release()
+        val now = sc.getPersistentRDDs.size
+        maxAfterRelease = math.max(maxAfterRelease, now)
+        println(s"[scale] cc-release invocation=$i persisted_rdds=$now (baseline=$baseline)")
+      }
+      println(s"[scale] cc-release storage flat=${maxAfterRelease <= baseline} " +
+        s"(max=$maxAfterRelease baseline=$baseline)")
+      pairs.unpersist()
+    }
     spark.stop()
   }
 }

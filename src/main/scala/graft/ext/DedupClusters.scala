@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate cluster canonicalization: connected components over
@@ -58,37 +58,64 @@ object DedupClusters {
     *         graphs far beyond 2^30 nodes; non-convergence indicates a
     *         bug or corrupted input, not a tuning problem).
     *
-    * Retention note: each round's eager localCheckpoint blocks live
-    * until the session ends (Dataset.unpersist is a no-op on
-    * checkpoint blocks — see ScaleCheck). Total retention is bounded
-    * by rounds × |pair-list| rows, small by construction since pair
-    * lists are LSH-candidate-proportional; long-lived sessions
-    * clearing aggressively should run this in a fresh session.
+    * Retention note: each round runs under a RELEASABLE persisted
+    * lineage cut ([[GraftBridge.persistCutFrame]] — plans stay
+    * constant-size like localCheckpoint, blocks releasable unlike it);
+    * round N-1's blocks are freed as soon as round N materializes, so
+    * in-flight retention is O(1) frames, not O(rounds). What survives
+    * the call is the node set + final star edges backing the returned
+    * labels — [[connectedComponentsReleasable]] hands back the release
+    * for those; the plain entry point leaves them to the session-level
+    * sweep (sparkContext.getPersistentRDDs unpersist), which CAN free
+    * them.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame =
     componentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] returning the labels together with an
+    * explicit release handle for the persisted blocks that back them
+    * (node set + final star edges). Call `release()` once the labels
+    * are consumed (written, counted, joined-and-materialized) —
+    * storage returns to its pre-call level, which is what lets a
+    * long-lived service session run CC per batch indefinitely
+    * (pinned: ScaleCheck's 10-invocation flat-storage probe). The
+    * labels remain CORRECT after release (the cut keeps recompute
+    * lineage); consuming them again merely re-executes.
+    */
+  def connectedComponentsReleasable(pairs: DataFrame,
+                                    maxIter: Int = 30): (DataFrame, () => Unit) = {
+    val (labels, _, release) = componentsImpl(pairs, maxIter)
+    (labels, release)
+  }
 
   /** [[connectedComponents]] plus the number of star rounds executed —
     * exposed so tests and ScaleCheck can pin the O(log n) round bound
     * (a 500-link chain must converge in ~log rounds, not 500).
     */
   private[graft] def componentsWithRounds(pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    val (labels, iters, _) = componentsImpl(pairs, maxIter)
+    (labels, iters)
+  }
+
+  private def componentsImpl(pairs: DataFrame, maxIter: Int): (DataFrame, Int, () => Unit) = {
     // every node that appears in any pair — the output row contract;
     // kept separately because star rewiring erases singleton self-pairs
-    val nodes = pairs.select(col("id1").as("id"))
-      .unionAll(pairs.select(col("id2").as("id")))
-      .distinct()
-      .localCheckpoint(true)
+    val nodesCut = GraftBridge.persistCutFrame(
+      pairs.select(col("id1").as("id"))
+        .unionAll(pairs.select(col("id2").as("id")))
+        .distinct(), eager = true)
+    val nodes = nodesCut.df
 
     // canonical directed edge set, larger → smaller; self-loops carry
     // no connectivity. distinct() here bounds every later round by the
     // true edge count (LSH emits the same pair from multiple bands).
-    var edges = pairs
-      .select(greatest(col("id1"), col("id2")).as("u"),
-        least(col("id1"), col("id2")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    var edgesCut = GraftBridge.persistCutFrame(
+      pairs
+        .select(greatest(col("id1"), col("id2")).as("u"),
+          least(col("id1"), col("id2")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(), eager = true)
+    var edges = edgesCut.df
 
     var converged = edges.isEmpty
     var nEdges = if (converged) 0L else edges.count()
@@ -120,22 +147,23 @@ object DedupClusters {
       // which would recompute the window subtree twice).
       val wUv = org.apache.spark.sql.expressions.Window
         .partitionBy("u").orderBy("v")
-      val next = afterLarge
-        .withColumn("m", min(col("v")).over(wU))
-        .withColumn("__rn", row_number().over(wUv))
-        .select(explode(array(
-          when(col("v") =!= col("m"),
-            struct(col("v").as("u"), col("m").as("v"))),
-          when(col("__rn") === 1,
-            struct(col("u"), col("m").as("v"))))).as("__e"))
-        .filter(col("__e").isNotNull)
-        .select(col("__e.u").as("u"), col("__e.v").as("v"))
-        .distinct()
-        .localCheckpoint(true)
+      val nextCut = GraftBridge.persistCutFrame(
+        afterLarge
+          .withColumn("m", min(col("v")).over(wU))
+          .withColumn("__rn", row_number().over(wUv))
+          .select(explode(array(
+            when(col("v") =!= col("m"),
+              struct(col("v").as("u"), col("m").as("v"))),
+            when(col("__rn") === 1,
+              struct(col("u"), col("m").as("v"))))).as("__e"))
+          .filter(col("__e").isNotNull)
+          .select(col("__e.u").as("u"), col("__e.v").as("v"))
+          .distinct())
+      val next = nextCut.df
 
       // fixpoint test, cheap-first: star rounds shrink the edge set
       // until the last one, so compare COUNTS (scalar aggregates on
-      // materialized checkpoints) and run the full symmetric-difference
+      // materialized cuts) and run the full symmetric-difference
       // shuffle only when counts agree — ~once per run.
       val nNext = next.count()
       val changed =
@@ -144,6 +172,11 @@ object DedupClusters {
           .groupBy("u", "v").count()
           .filter(col("count") =!= 2)
           .count()
+      // round N is materialized and the convergence check has read
+      // round N-1 for the last time — free N-1's blocks NOW, keeping
+      // in-flight retention at O(1) frames
+      edgesCut.release()
+      edgesCut = nextCut
       edges = next
       nEdges = nNext
       converged = changed == 0
@@ -161,7 +194,8 @@ object DedupClusters {
     val labels = nodes
       .join(edges.withColumnRenamed("u", "id").withColumnRenamed("v", "__root"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
-    (labels, iter)
+    val finalCut = edgesCut
+    (labels, iter, () => { nodesCut.release(); finalCut.release() })
   }
 
   /** Incremental connected components: fold a new batch of candidate

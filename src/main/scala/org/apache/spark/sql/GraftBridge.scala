@@ -32,4 +32,54 @@ object GraftBridge {
     new AnalysisException(
       errorClass = "_LEGACY_ERROR_TEMP_3100", // generic pass-through message class
       messageParameters = Map("message" -> message))
+
+  /** A releasable lineage cut with its release handle. `release()`
+    * unpersists the backing RDD blocks; the frame stays CORRECT
+    * afterwards (the RDD keeps its dependency chain, unlike
+    * localCheckpoint, whose blocks are both unreleasable via
+    * Dataset.unpersist and unrecoverable if lost) — consuming the
+    * frame after release merely recomputes.
+    */
+  final case class CutFrame(df: Dataset[Row], release: () => Unit)
+
+  /** Cut a DataFrame's lineage at the SQL layer with RELEASABLE
+    * storage: materializes the physical plan's InternalRow RDD under a
+    * persist and rebuilds the frame as a leaf (LogicalRDD) over it.
+    *
+    * Why not the alternatives, for iterative operators (connected
+    * components, Lloyd rounds, LSH self-joins):
+    *   - plain persist does NOT cut the logical plan — each round
+    *     embeds the previous round's tree several times, so plans grow
+    *     EXPONENTIALLY and a ~12-round run dies inside plan
+    *     stringification before anything executes (measured; see
+    *     DedupClusters);
+    *   - localCheckpoint cuts lineage but its blocks ignore
+    *     Dataset.unpersist and survive until session teardown, and a
+    *     lost block is unrecoverable (lineage truncated).
+    * This cut gives both properties: the logical plan collapses to a
+    * leaf (plans stay constant-size across rounds) AND the blocks are
+    * individually releasable — release the PREVIOUS round as soon as
+    * the next is materialized and retention stays O(1) rounds.
+    *
+    * Rows are defensively copied before caching (the physical plan may
+    * reuse row buffers); the cut is lazy — force it with an action (the
+    * iterative loops' convergence counts do) or `eager = true`.
+    */
+  def persistCutFrame(df: Dataset[Row], eager: Boolean = false): CutFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = ds.sparkSession
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (eager) rdd.count()
+    CutFrame(spark.internalCreateDataFrame(rdd, ds.schema), () => {
+      rdd.unpersist(blocking = false); ()
+    })
+  }
+
+  /** [[persistCutFrame]] without the handle — for one-shot barriers
+    * whose blocks are released by the session-level sweep
+    * (sparkContext.getPersistentRDDs.unpersist), which CAN free these
+    * (and cannot free localCheckpoint blocks).
+    */
+  def persistCut(df: Dataset[Row]): Dataset[Row] = persistCutFrame(df).df
 }

@@ -15,6 +15,31 @@ class DedupClustersSpec extends SparkTestBase {
     assert(out == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("connectedComponentsReleasable frees all storage it allocated; labels stay correct after release") {
+    val sc = spark.sparkContext
+    val ps = pairs(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L, 10L -> 11L)
+    val baseline = sc.getPersistentRDDs.size
+    val (labels, release) = DedupClusters.connectedComponentsReleasable(ps)
+    val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L)
+    assert(labels.orderBy("id").as[(Long, Long)].collect().toSeq == expect)
+    assert(sc.getPersistentRDDs.size > baseline, "cut frames should be registered while live")
+    release()
+    assert(sc.getPersistentRDDs.size <= baseline,
+      "release() must return persisted-RDD count to its pre-call level")
+    // the frame survives its own release: recompute, same labels
+    assert(labels.orderBy("id").as[(Long, Long)].collect().toSeq == expect)
+    // ten invocations with release: storage stays flat (the service-
+    // session pattern the localCheckpoint design could not support)
+    var high = 0
+    for (_ <- 1 to 10) {
+      val (l, r) = DedupClusters.connectedComponentsReleasable(ps)
+      assert(l.count() == 7)
+      r()
+      high = math.max(high, sc.getPersistentRDDs.size)
+    }
+    assert(high <= baseline, s"storage grew across invocations: $high > $baseline")
+  }
+
   test("disjoint components keep separate min labels") {
     val out = DedupClusters.connectedComponents(pairs(10L -> 11L, 12L -> 11L, 20L -> 21L))
       .orderBy("id").as[(Long, Long)].collect().toSeq

@@ -138,6 +138,49 @@ class ExtSpec extends SparkTestBase {
     assert((1L to 5L).forall(i => pairs.contains((i, i + 1000L))))
   }
 
+  test("EmbeddingSearch: multi-band LSH emits each pair exactly once and never misses single-band pairs") {
+    val base = (1L to 60L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat)))
+    val twins = base.take(8).map { case (i, v) => (i + 1000L, v.map(_ * 2f)) }
+    val df = (base ++ twins).toDF("id", "vec")
+    val multi = EmbeddingSearch.lshNearDupPairs(df, "id", "vec",
+      threshold = 0.9, bits = 6, bands = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSeq
+    // a pair sharing several bands must still appear exactly once
+    assert(multi.distinct == multi, "duplicate pairs from multi-band join")
+    // identical-direction twins share EVERY band → all planted pairs found
+    assert((1L to 8L).forall(i => multi.contains((i, i + 1000L))))
+    // OR-amplification: multi-band candidates are a superset of any
+    // single band's, so found pairs must be a superset of the
+    // same-plane single-band run (bits=24 = the full signature)
+    val single = EmbeddingSearch.lshNearDupPairs(df, "id", "vec",
+      threshold = 0.9, bits = 24)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi.toSet))
+    intercept[IllegalArgumentException] {
+      EmbeddingSearch.lshNearDupPairs(df, "id", "vec", 0.9, bits = 32, bands = 2)
+    }
+  }
+
+  test("EmbeddingSearch: multi-band lshTopK scores each candidate once (ranks equal brute force on covered queries)") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 17 + d * 11) % 19 - 9).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Seq((901L, vecs(3)._2), (902L, vecs(11)._2)).toDF("qid", "qvec")
+    val multi = EmbeddingSearch.lshTopK(df, "vec_id", "embedding",
+      q, "qid", "qvec", k = 5, bits = 5, bands = 4)
+      .select("qid", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    // no candidate may appear twice for a query (dedup-by-first-band)
+    assert(multi.map(t => (t._1, t._2)).distinct.size == multi.size)
+    // ranks within each query are 1..n with no gaps
+    multi.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toList)
+    }
+    // identical query vectors: the twin must rank first with cos ≈ 1
+    val twin = multi.filter(_._1 == 901L).find(_._3 == 1)
+    assert(twin.exists(_._2 == 4L))
+  }
+
   test("TextAnalysis: token/char counts and fingerprint basics") {
     val df = Seq((1L, "the cat sat on 3 mats"), (2L, "  spaced  out  ")).toDF("id", "text")
     val out = df.select($"id",
