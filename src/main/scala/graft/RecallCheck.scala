@@ -109,6 +109,36 @@ object RecallCheck {
       pinnedC.unpersist(); pinnedA.unpersist()
     }
 
+    // index-maintenance drift: day-0 index built on the ORIGINAL 10%
+    // slice, then extended with the 9× jittered batches against the
+    // stale centroids (the extendIvfIndex accretion path). The advice
+    // row's skew quantifies the drift; the advised refined rebuild
+    // should restore recall toward the fresh-build number at equal
+    // probe cost — the measurement behind ivfRebuildAdvice's cadence.
+    {
+      val idx0 = ext.EmbeddingSearch.buildIvfIndex(base, "vec_id", "embedding", nlist = 16)
+      val drifted = ext.EmbeddingSearch.extendIvfIndex(idx0,
+        corpus.filter($"vec_id" >= 1000000L), "vec_id", "embedding")
+      def advice(label: String, ix: ext.EmbeddingSearch.IvfIndex): Unit = {
+        val r = ext.EmbeddingSearch.ivfRebuildAdvice(ix).collect().head
+        println(f"[recall] ivfAdvice $label%-10s skew=${r.getAs[Double]("skew")}%5.2f " +
+          f"empty=${r.getAs[Long]("n_empty")} max=${r.getAs[Long]("max_cell")} " +
+          f"rebuild=${r.getAs[Boolean]("rebuild")}")
+      }
+      advice("drifted", drifted)
+      measure("ivfProbe drifted np=4") {
+        ext.EmbeddingSearch.ivfProbe(drifted, corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", k = k, nprobe = 4)
+      }
+      val rebuilt = ext.EmbeddingSearch.buildIvfIndex(corpus, "vec_id", "embedding",
+        nlist = 16, refineIters = 1)
+      advice("rebuilt", rebuilt)
+      measure("ivfProbe rebuilt np=4") {
+        ext.EmbeddingSearch.ivfProbe(rebuilt, corpus, "vec_id", "embedding",
+          queries, "qid", "qvec", k = k, nprobe = 4)
+      }
+    }
+
     // corpus-scale hard-negative mining: |Q| = THE WHOLE CORPUS (every
     // vector mines its own negatives, positive = a planted jitter copy
     // where one exists, else itself+1) — the regime where the brute

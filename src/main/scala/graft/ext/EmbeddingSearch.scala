@@ -255,6 +255,47 @@ object EmbeddingSearch {
         col("rank"), col("cos"))
   }
 
+  /** Cell-occupancy profile of an IVF index: one row per CENTROID cell
+    * — `(cell, n_members)` — including empty cells (a cell with no
+    * members still costs every query a centroid product and signals
+    * drift just as loudly as a hot one). One grouped count over the
+    * assignment table joined to the centroid list; |nlist| rows out.
+    */
+  def ivfCellProfile(index: IvfIndex): DataFrame = {
+    val counts = index.assignments.groupBy("cell").agg(count(lit(1)).as("__n"))
+    index.centroids.select(col("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("__n"), lit(0L)).as("n_members"))
+  }
+
+  /** Maintenance telemetry for an accreting index ([[extendIvfIndex]]
+    * appends assignments but nothing watches balance): one summary row
+    * — `(n_cells, n_empty, n_vectors, max_cell, mean_cell, skew,
+    * rebuild)` — where `skew` = max cell size / mean cell size and
+    * `rebuild` fires when skew exceeds `maxSkew` or any cell is
+    * empty-while-others-overflow. A firing row is the signal to
+    * rebuild with `refineIters >= 1` (Lloyd-refined centroids) —
+    * probe cost is proportional to the cells actually probed, so a
+    * cell holding `skew`× the mean makes every query that probes it
+    * pay `skew`× the intended rerank, and empty cells make nprobe
+    * smaller than the caller asked. The [[graft.ops.Expectations]]
+    * profile→decision pattern applied to index state.
+    */
+  def ivfRebuildAdvice(index: IvfIndex, maxSkew: Double = 4.0): DataFrame = {
+    require(maxSkew > 1.0, s"maxSkew must exceed 1, got $maxSkew")
+    ivfCellProfile(index).agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("n_members") === 0L, 1L).otherwise(0L)).as("n_empty"),
+        sum(col("n_members")).as("n_vectors"),
+        max(col("n_members")).as("max_cell"))
+      .withColumn("mean_cell",
+        col("n_vectors").cast("double") / greatest(col("n_cells"), lit(1L)))
+      .withColumn("skew",
+        col("max_cell").cast("double") / greatest(col("mean_cell"), lit(1e-9)))
+      .withColumn("rebuild",
+        col("skew") > maxSkew || (col("n_empty") > 0 && col("skew") > lit(1.5)))
+  }
+
   /** Corpus-scale hard-negative mining: [[hardNegatives]] semantics
     * with candidates drawn from the `nprobe` IVF cells nearest each
     * query instead of the full corpus — and, critically, NO broadcast

@@ -250,6 +250,188 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // REAL audio/video container metadata — pure-JVM walks of the two
+  // ubiquitous PUBLIC container formats: WAV (RIFF chunks, Microsoft
+  // multimedia file format) and MP4 (ISO/IEC 14496-12 box/atom
+  // structure). No codec is involved — container METADATA (duration,
+  // tracks, sample layout) is a header walk, which is exactly what a
+  // 100 TB curation pass filters on (drop sub-second clips, cap
+  // durations, route by track count) before any expensive decode.
+  // Payload DECODE stays stubbed (no JDK codec exists); the dispatch
+  // in containerMetadata routes wav/mp4/GRFT/unknown uniformly.
+  // ---------------------------------------------------------------------
+
+  final case class ContainerMeta(media_id: Long, valid: Boolean, container: String,
+                                 duration_ms: Long, n_tracks: Int, sample_rate: Int,
+                                 channels: Int, bits_per_sample: Int, n_samples: Long)
+
+  private def invalidMeta(id: Long, kind: String) =
+    ContainerMeta(id, valid = false, kind, 0L, 0, 0, 0, 0, 0L)
+
+  /** WAV metadata from the RIFF chunk list: `fmt ` supplies the sample
+    * layout, `data` the payload size; duration follows. Little-endian
+    * throughout (RIFF); tolerant of extra chunks (LIST, fact, cue) —
+    * real-world WAVs carry them — and of a truncated final chunk.
+    */
+  def wavMetadata(id: Long, bytes: Array[Byte]): ContainerMeta = {
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return invalidMeta(id, "wav")
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0; var dataSize = -1L
+    while (off + 8 <= bytes.length) {
+      val ckId = tag(off)
+      val ckSize = le32(off + 4)
+      val body = off + 8
+      if (ckId == "fmt " && body + 16 <= bytes.length) {
+        channels = le16(body + 2)
+        sampleRate = le32(body + 4).toInt
+        bits = le16(body + 14)
+      } else if (ckId == "data") {
+        // size may overrun a truncated file — clamp to what's present
+        dataSize = math.min(ckSize, (bytes.length - body).toLong)
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      off = body + ckSize.toInt + (ckSize.toInt & 1)
+    }
+    if (sampleRate <= 0 || channels <= 0 || bits <= 0 || dataSize < 0)
+      return invalidMeta(id, "wav")
+    val bytesPerFrame = channels * (bits / 8)
+    val nSamples = if (bytesPerFrame > 0) dataSize / bytesPerFrame else 0L
+    val durationMs = if (sampleRate > 0) nSamples * 1000L / sampleRate else 0L
+    ContainerMeta(id, valid = true, "wav", durationMs, 1, sampleRate,
+      channels, bits, nSamples)
+  }
+
+  /** MP4 metadata from the ISO box tree: `moov/mvhd` supplies
+    * timescale + duration (version 0: 32-bit fields, version 1:
+    * 64-bit), each `moov/trak` is one track. Big-endian (ISO); walks
+    * ONLY the top level and moov's children — sibling boxes (mdat,
+    * free, ftyp payload) are skipped by size, never read, so the walk
+    * is O(#boxes) regardless of media size. 64-bit largesize boxes
+    * (size field == 1) are followed; size 0 ("to end of file") closes
+    * the level.
+    */
+  def mp4Metadata(id: Long, bytes: Array[Byte]): ContainerMeta = {
+    def be32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    // (bodyStart, bodyEnd, type) for each box in [from, to)
+    def boxes(from: Int, to: Int): Seq[(Int, Int, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      var off = from
+      var open = true
+      while (open && off + 8 <= to) {
+        val size32 = be32(off)
+        val tpe = tag(off + 4)
+        val (body, end) =
+          if (size32 == 1L && off + 16 <= to) (off + 16, off + be64(off + 8))
+          else if (size32 == 0L) (off + 8, to.toLong) // box extends to end
+          else (off + 8, off + size32)
+        if (end < body || end > to) open = false
+        else {
+          out += ((body, end.toInt, tpe))
+          off = end.toInt
+          if (size32 == 0L) open = false
+        }
+      }
+      out.toSeq
+    }
+    if (bytes.length < 8) return invalidMeta(id, "mp4")
+    val top = boxes(0, bytes.length)
+    if (!top.exists(_._3 == "ftyp")) return invalidMeta(id, "mp4")
+    top.find(_._3 == "moov") match {
+      case None => invalidMeta(id, "mp4")
+      case Some((mBody, mEnd, _)) =>
+        val children = boxes(mBody, mEnd)
+        val nTracks = children.count(_._3 == "trak")
+        children.find(_._3 == "mvhd") match {
+          case Some((b, e, _)) if e - b >= 4 =>
+            val version = bytes(b) & 0xff
+            val (timescale, duration) =
+              if (version == 1 && e - b >= 4 + 16 + 12)
+                (be32(b + 4 + 16), be64(b + 4 + 20)) // v1: 8-byte times
+              else if (version == 0 && e - b >= 4 + 8 + 8)
+                (be32(b + 4 + 8), be32(b + 4 + 12)) // v0: 4-byte times
+              else (0L, 0L)
+            if (timescale <= 0) invalidMeta(id, "mp4")
+            else ContainerMeta(id, valid = true, "mp4",
+              duration * 1000L / timescale, nTracks, 0, 0, 0, 0L)
+          case _ => invalidMeta(id, "mp4")
+        }
+    }
+  }
+
+  /** Container-metadata extraction across modalities: sniffs WAV /
+    * MP4 / legacy GRFT per row and runs the matching header walk —
+    * same mapPartitions batch shape as [[decode]], binary never
+    * leaves the executor, one typed metadata row out per input.
+    */
+  def containerMetadata(ds: Dataset[MediaRow]): Dataset[ContainerMeta] = {
+    implicit val enc: Encoder[ContainerMeta] = Encoders.product[ContainerMeta]
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val b = r.content
+        if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
+          wavMetadata(r.media_id, b)
+        else if (b.length >= 8 && new String(b, 4, 4, "US-ASCII") == "ftyp")
+          mp4Metadata(r.media_id, b)
+        else {
+          val m = decodeHeader(b)
+          if (m.valid)
+            ContainerMeta(r.media_id, valid = true, "grft", 0L, 1, 0, 0, 0, m.nFrames.toLong)
+          else invalidMeta(r.media_id, "unknown")
+        }
+      }
+    }
+  }
+
+  /** Test/data-gen helper: a REAL RIFF/WAVE file (PCM fmt + data
+    * chunks) with the given layout — the bytes any standard WAV reader
+    * accepts.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                pcm: Array[Byte]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val blockAlign = channels * bitsPerSample / 8
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(byteRate) ++ le16(blockAlign) ++ le16(bitsPerSample)
+    val data = "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm ++
+      (if ((pcm.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Test/data-gen helper: a REAL minimal MP4 (ftyp + moov(mvhd +
+    * n×trak) + mdat) with version-0 mvhd fields.
+    */
+  def encodeMp4(timescale: Int, duration: Int, nTracks: Int,
+                payload: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ tpe.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(512) ++
+      "isomiso2".getBytes("US-ASCII"))
+    // mvhd v0: version+flags, ctime, mtime, timescale, duration, then
+    // rate/volume/reserved/matrix/predefined/nextTrackId (zeros suffice
+    // for a metadata walk; total body = 100 bytes per spec)
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ Array.fill[Byte](80)(0))
+    val traks = (0 until nTracks).map(i =>
+      box("trak", box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(i + 1) ++
+        Array.fill[Byte](68)(0)))).toArray.flatten
+    val moov = box("moov", mvhd ++ traks)
+    val mdat = box("mdat", payload)
+    ftyp ++ moov ++ mdat
+  }
+
   /** Test/data-gen helper: a real PNG with a pixel function. */
   def encodePng(width: Int, height: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,

@@ -64,6 +64,44 @@ class IvfIndexSpec extends SparkTestBase {
     assert(out.count() == 15)
   }
 
+  test("ivfRebuildAdvice: balanced index stays green; planted one-cell drift fires") {
+    import org.apache.spark.sql.Row
+    val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val before = EmbeddingSearch.ivfRebuildAdvice(idx, maxSkew = 6.0).collect().head
+    assert(!before.getAs[Boolean]("rebuild"),
+      s"fresh index on the fixture should not demand rebuild: $before")
+    assert(before.getAs[Long]("n_cells") == 8)
+    assert(before.getAs[Long]("n_vectors") == emb.count())
+
+    // planted drift: a daily batch whose vectors all sit exactly ON one
+    // centroid — every new assignment lands in that cell
+    val hotCentroid = idx.centroids.orderBy($"cell").limit(1)
+      .select($"centroid").as[Array[Float]].head()
+    val batch = (0 until 4000).map(i => (100000L + i, hotCentroid))
+      .toDF("vec_id", "embedding")
+    val drifted = EmbeddingSearch.extendIvfIndex(idx, batch, "vec_id", "embedding")
+    val after = EmbeddingSearch.ivfRebuildAdvice(drifted, maxSkew = 6.0).collect().head
+    assert(after.getAs[Boolean]("rebuild"), s"planted hot cell must fire: $after")
+    assert(after.getAs[Long]("max_cell") >= 4000L)
+    assert(after.getAs[Double]("skew") > 6.0)
+
+    // the advised rebuild (refined centroids) restores balance below
+    // the pre-drift trigger
+    val full = emb.select($"vec_id", $"embedding").unionAll(batch)
+    val rebuilt = EmbeddingSearch.buildIvfIndex(full, "vec_id", "embedding",
+      nlist = 8, refineIters = 2)
+    val healed = EmbeddingSearch.ivfRebuildAdvice(rebuilt, maxSkew = 6.0).collect().head
+    assert(healed.getAs[Double]("skew") < after.getAs[Double]("skew"),
+      s"refined rebuild should reduce skew: ${healed} vs ${after}")
+
+    // profile includes EMPTY cells (an unassigned centroid row)
+    val empty = EmbeddingSearch.IvfIndex(idx.centroids,
+      idx.assignments.filter($"cell" === idx.assignments.select($"cell").head().getLong(0)))
+    val prof = EmbeddingSearch.ivfCellProfile(empty)
+    assert(prof.count() == 8)
+    assert(prof.filter($"n_members" === 0).count() > 0)
+  }
+
   test("hardNegativesIvf at nprobe == nlist is row-identical to brute-force mining") {
     val pairs = emb.filter($"vec_id" < 8)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"), ($"vec_id" + 1L).as("pos_id"))

@@ -1,0 +1,119 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+/** Real WAV (RIFF) and MP4 (ISO box) container metadata — exact
+  * assertions over real-format bytes, the MultimodalImageSpec pattern
+  * applied to the audio/video containers. The WAV walk is additionally
+  * cross-checked against the JDK's OWN RIFF reader
+  * (javax.sound.sampled.AudioSystem): two independent parsers, one
+  * byte stream, same answer.
+  */
+class MultimodalContainerSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("wavMetadata: exact duration/layout on a real RIFF/WAVE stream; JDK AudioSystem agrees") {
+    // 8 kHz mono 16-bit, 8000 samples = exactly 1000 ms
+    val pcm = Array.tabulate[Byte](16000)(i => (i % 251).toByte)
+    val wav = Multimodal.encodeWav(8000, 1, 16, pcm)
+    val m = Multimodal.wavMetadata(7L, wav)
+    assert(m == Multimodal.ContainerMeta(7L, valid = true, "wav",
+      1000L, 1, 8000, 1, 16, 8000L))
+
+    // the JDK's independent RIFF parser accepts the bytes and reads
+    // the identical layout — proof the encoder writes REAL WAV
+    val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(wav))
+    assert(fmt.getType == javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    assert(fmt.getFormat.getSampleRate == 8000f)
+    assert(fmt.getFormat.getChannels == 1)
+    assert(fmt.getFormat.getSampleSizeInBits == 16)
+    assert(fmt.getFrameLength == 8000)
+
+    // stereo 44.1 kHz: 22050 frames = 500 ms
+    val pcm2 = new Array[Byte](22050 * 2 * 2)
+    val m2 = Multimodal.wavMetadata(8L, Multimodal.encodeWav(44100, 2, 16, pcm2))
+    assert(m2 == Multimodal.ContainerMeta(8L, valid = true, "wav",
+      500L, 1, 44100, 2, 16, 22050L))
+  }
+
+  test("wavMetadata: extra chunks, odd-size padding, truncation, and garbage") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // hand-build: RIFF [LIST(5 bytes, padded)] [fmt ] [data] — real
+    // files carry metadata chunks before fmt; odd sizes take a pad byte
+    val base = Multimodal.encodeWav(16000, 1, 8, Array.tabulate[Byte](4000)(_.toByte))
+    val list = "LIST".getBytes("US-ASCII") ++ le32(5) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val withList = base.take(12) ++ list ++ base.drop(12)
+    // fix the RIFF size field (bytes 4-7) for the inserted chunk
+    val fixed = withList.take(4) ++ le32(withList.length - 8) ++ withList.drop(8)
+    val m = Multimodal.wavMetadata(1L, fixed)
+    assert(m == Multimodal.ContainerMeta(1L, valid = true, "wav",
+      250L, 1, 16000, 1, 8, 4000L))
+
+    // truncated data chunk: declared 4000, only 1000 present → clamps
+    val cut = base.take(base.length - 3000)
+    val mt = Multimodal.wavMetadata(2L, cut)
+    assert(mt.valid && mt.n_samples == 1000L && mt.duration_ms == 62L)
+
+    assert(!Multimodal.wavMetadata(3L, "RIFFxxxxNOPE".getBytes("US-ASCII")).valid)
+    assert(!Multimodal.wavMetadata(4L, Array[Byte](1, 2, 3)).valid)
+  }
+
+  test("mp4Metadata: exact duration and track count from mvhd/trak; v1 and largesize handled") {
+    // timescale 600, duration 1800 → exactly 3000 ms, 2 tracks
+    val mp4 = Multimodal.encodeMp4(600, 1800, nTracks = 2,
+      payload = Array.tabulate[Byte](100)(_.toByte))
+    val m = Multimodal.mp4Metadata(11L, mp4)
+    assert(m == Multimodal.ContainerMeta(11L, valid = true, "mp4",
+      3000L, 2, 0, 0, 0, 0L))
+
+    // version-1 mvhd (8-byte ctime/mtime/duration): timescale 90000,
+    // duration 45000 → 500 ms
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def box(t: String, b: Array[Byte]) = be32(b.length + 8) ++ t.getBytes("US-ASCII") ++ b
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++
+      be32(90000) ++ be64(45000L) ++ Array.fill[Byte](80)(0))
+    val v1 = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", mvhd1 ++ box("trak", Array.fill[Byte](8)(0)))
+    val m1 = Multimodal.mp4Metadata(12L, v1)
+    assert(m1 == Multimodal.ContainerMeta(12L, valid = true, "mp4",
+      500L, 1, 0, 0, 0, 0L))
+
+    // 64-bit largesize mdat between ftyp and moov is skipped by size
+    val big = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      (be32(1) ++ "mdat".getBytes("US-ASCII") ++ be64(16L + 24L) ++ new Array[Byte](24)) ++
+      box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(2500) ++ Array.fill[Byte](80)(0)))
+    val mb = Multimodal.mp4Metadata(13L, big)
+    assert(mb.valid && mb.duration_ms == 2500L && mb.n_tracks == 0)
+
+    // no ftyp → not an mp4; moov missing → invalid
+    assert(!Multimodal.mp4Metadata(14L, box("moov", be32(0))).valid)
+    assert(!Multimodal.mp4Metadata(15L,
+      box("ftyp", "isom".getBytes("US-ASCII"))).valid)
+  }
+
+  test("containerMetadata dispatches wav/mp4/grft/unknown per row in one pass") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", Multimodal.encodeWav(8000, 1, 16,
+        new Array[Byte](16000))),
+      Multimodal.MediaRow(2L, "video", Multimodal.encodeMp4(600, 600, 1)),
+      Multimodal.MediaRow(3L, "video", Multimodal.encode(64, 48, 10,
+        Array[Byte](1, 2, 3))),
+      Multimodal.MediaRow(4L, "junk", Array[Byte](9, 9, 9, 9)))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.containerMetadata(ds).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(1L) == Multimodal.ContainerMeta(1L, valid = true, "wav",
+      1000L, 1, 8000, 1, 16, 8000L))
+    assert(out(2L) == Multimodal.ContainerMeta(2L, valid = true, "mp4",
+      1000L, 1, 0, 0, 0, 0L))
+    assert(out(3L) == Multimodal.ContainerMeta(3L, valid = true, "grft",
+      0L, 1, 0, 0, 0, 10L))
+    assert(out(4L) == Multimodal.ContainerMeta(4L, valid = false, "unknown",
+      0L, 0, 0, 0, 0, 0L))
+  }
+}
