@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.ext.EmbeddingSearch
+import graft.ext.EmbeddingSearch.IvfIndex
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming embedding serving: route a QUERY STREAM against a
+  * persisted IVF index ([[EmbeddingSearch.buildIvfIndex]] /
+  * readIvfIndex) — the continuous form of the batch
+  * [[EmbeddingSearch.ivfProbe]], for pipelines that answer
+  * similarity queries as they arrive.
+  *
+  * The whole plan is STATELESS, which is what makes it a legal,
+  * watermark-free streaming query (the [[DocStream]] discipline):
+  *
+  *   - probe-cell selection is a PER-ROW expression: the nlist
+  *     centroids are collected once at plan-build time (bounded driver
+  *     state — nlist rows, the same contract as the BPE merge table)
+  *     and embedded as an array literal; each query row sorts
+  *     (cos desc, cell asc) in-row and slices its nprobe cells — no
+  *     shuffle, no window;
+  *   - candidate fetch is `nprobe` successive STREAM-STATIC left
+  *     joins against the packed cell table ([[packIvfCells]]: one row
+  *     per cell, members as an array) — stream-static joins keep no
+  *     state; a query probing fewer cells (nlist < nprobe) null-joins
+  *     and contributes an empty member set;
+  *   - the top-k merge is again per-row: concatenate the probed
+  *     member arrays, drop the query itself, sort by (cos desc, id
+  *     asc), slice k, posexplode to ranked rows — no streaming
+  *     aggregation, no state store.
+  *
+  * Arithmetic is the batch kernel's ordered-fold cosine on identical
+  * trees, so results are ROW-IDENTICAL to [[EmbeddingSearch.ivfProbe]]
+  * on the same data (pinned in StreamingSpec, state rows == 0).
+  *
+  * Scale: the packed table carries the corpus vectors partitioned BY
+  * CELL — each micro-batch's joins touch only probed cells' rows; the
+  * per-row sort is over the probed members only (cells are
+  * corpus/nlist sized by construction; run [[EmbeddingSearch.ivfRebuildAdvice]]
+  * on the index to keep that true). Persist the packed frame across
+  * micro-batches — it is the serving index.
+  */
+object EmbedStream {
+
+  /** One row per cell: `(cell, members array<struct<id,vec,nrm>>)` —
+    * the corpus vectors joined to the index assignments and packed
+    * per cell, with norms precomputed batch-side. STATIC serving
+    * state; persist it.
+    */
+  def packIvfCells(index: IvfIndex, corpus: DataFrame,
+                   corpusId: String, corpusVec: String): DataFrame = {
+    val c = corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+      .withColumn("__cn", EmbeddingSearch.norm(col("__cvec")))
+    c.join(index.assignments.withColumnRenamed("id", "__cid"), "__cid")
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("__cid").as("id"), col("__cvec").as("vec"),
+        col("__cn").as("nrm"))).as("members"))
+  }
+
+  /** Probe-only approximate top-k for a streaming query frame.
+    *
+    * @param queryStream streaming DataFrame carrying (queryId, queryVec)
+    * @return streaming (queryId, neighbor_id, rank, cos)
+    */
+  def streamingIvfProbe(index: IvfIndex, corpus: DataFrame,
+                        corpusId: String, corpusVec: String,
+                        queryStream: DataFrame, queryId: String, queryVec: String,
+                        k: Int, nprobe: Int = 4): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
+    // nlist rows of bounded driver state, embedded as a literal so the
+    // probe choice is a pure per-row expression
+    val cents: Array[(Long, Array[Float])] = index.centroids
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, "index has no centroids")
+    val centLit: Column = array(cents.map { case (cell, vec) =>
+      struct(lit(cell).as("cell"), typedLit(vec).as("vec"))
+    }: _*)
+    val packed = packIvfCells(index, corpus, corpusId, corpusVec)
+
+    val q = queryStream.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+      .withColumn("__qn", EmbeddingSearch.norm(col("__qvec")))
+    // (cos desc, cell asc) == ascending struct(negcos, cell) — the
+    // batch ivfProbe probe ordering, reproduced by array_sort's
+    // lexicographic struct comparison
+    val scoredCells = array_sort(transform(centLit, c =>
+      struct((-(EmbeddingSearch.dot(col("__qvec"), c.getField("vec")) /
+        (col("__qn") * EmbeddingSearch.norm(c.getField("vec"))))).as("negcos"),
+        c.getField("cell").as("cell"))))
+    val probed = q.withColumn("__pc",
+      transform(slice(scoredCells, 1, nprobe), s => s.getField("cell")))
+
+    // one stream-static left join per probe slot (try_element_at:
+    // short probe lists null-join cleanly under ANSI)
+    val emptyMembers = array()
+      .cast("array<struct<id:bigint,vec:array<float>,nrm:double>>")
+    var joined = probed
+    for (i <- 0 until nprobe) {
+      val m = packed.select(col("cell").as(s"__cell$i"), col("members").as(s"__m$i"))
+      joined = joined
+        .join(m, try_element_at(col("__pc"), lit(i + 1)) === col(s"__cell$i"), "left")
+        .drop(s"__cell$i")
+    }
+    val allMembers = flatten(array((0 until nprobe).map(i =>
+      coalesce(col(s"__m$i"), emptyMembers)): _*))
+
+    // per-row exact rerank: (cos desc, id asc) via ascending
+    // struct(negcos, id) — the batch topKOut ordering
+    val ranked = array_sort(transform(
+      filter(allMembers, m => m.getField("id") =!= col("__qid")),
+      m => struct((-(EmbeddingSearch.dot(col("__qvec"), m.getField("vec")) /
+        (col("__qn") * m.getField("nrm")))).as("negcos"),
+        m.getField("id").as("id"))))
+    joined
+      .select(col("__qid"), posexplode(slice(ranked, 1, k)).as(Seq("__pos", "__c")))
+      .select(col("__qid").as(queryId), col("__c.id").as("neighbor_id"),
+        (col("__pos") + 1).cast("int").as("rank"),
+        (-col("__c.negcos")).as("cos"))
+  }
+}

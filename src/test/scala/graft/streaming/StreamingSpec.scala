@@ -482,6 +482,7 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.outputMode("complete").format("memory")
       .queryName("rollup_restart").option("checkpointLocation", ckpt).start()
 
+
     arrive(0); arrive(1)
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop()
@@ -510,4 +511,54 @@ class StreamingSpec extends SparkTestBase {
         && batchHourly.except(streamedHourly).isEmpty)
     } finally q2.stop()
   }
+  test("streamingIvfProbe answers a query stream row-identically to batch ivfProbe, stateless") {
+    import graft.ext.EmbeddingSearch
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val queriesDf = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val batch = EmbeddingSearch.ivfProbe(idx, emb, "vec_id", "embedding",
+        queriesDf, "qid", "qvec", k = 5, nprobe = 3)
+      .select($"qid", $"neighbor_id", $"rank", $"cos")
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("embed-stream")
+    queriesDf.filter($"qid" % 2 === 0).write.parquet(s"$dir/part1")
+    queriesDf.filter($"qid" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream
+      .schema(queriesDf.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part*")
+    val q = EmbedStream.streamingIvfProbe(idx, emb, "vec_id", "embedding",
+        stream, "qid", "qvec", k = 5, nprobe = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("embed_probe").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("embed_probe")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty,
+        s"streamed ${streamed.size} rows vs batch ${batch.size}")
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+
+    // nprobe beyond nlist: short probe lists null-join cleanly and the
+    // full-probe stream equals exact brute force (every cell probed)
+    val batchFull = EmbeddingSearch.ivfProbe(idx, emb, "vec_id", "embedding",
+        queriesDf, "qid", "qvec", k = 3, nprobe = 12)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val q2 = EmbedStream.streamingIvfProbe(idx, emb, "vec_id", "embedding",
+        stream, "qid", "qvec", k = 3, nprobe = 12)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("embed_probe_full").start()
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("embed_probe_full")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(streamed == batchFull && streamed.nonEmpty)
+      assert(q2.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q2.stop()
+  }
+
 }
