@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, ParagraphDedup, QualityFilter, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, ParagraphDedup, QualityFilter, QualityModel, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -2709,10 +2709,42 @@ object ExtQueries {
             SELECT qid, nid AS negative_id, rnk AS rank, cos
             FROM ranked WHERE rnk <= 4 ORDER BY qid, rank"""))
 
+  /** Supervised quality classifier: the checked-in linear model's
+    * score and keep decision, feature arithmetic and the left-folded
+    * dot mirrored term-for-term in ANSI SQL — a trained classifier's
+    * serving path as an oracle-gated operator.
+    */
+  val q93 = Q(
+    "q93_quality_classifier",
+    (s, dir) => {
+      import s.implicits._
+      QualityModel.classify(t(s, dir, "documents"), $"text", threshold = 0.0)
+        .select($"doc_id", $"quality_score", $"keep")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                          t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE) AS stop,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok_raw,
+                     CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS ntok,
+                     CAST(greatest(length(text), 1) AS DOUBLE) AS nchar,
+                     CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS ndig,
+                     CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS nspace
+              FROM documents),
+            sc AS (
+              SELECT doc_id,
+                     (-1.6) + 4.0 * (stop / ntok) + (-3.0) * (ndig / nchar)
+                       + 1.5 * (nspace / nchar) + 0.05 * (nchar / ntok)
+                       + 1.0 * least(ntok_raw / 100.0, 1.0) AS quality_score
+              FROM f)
+            SELECT doc_id, quality_score, quality_score >= 0.0 AS keep
+            FROM sc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92)
+    q91, q92, q93)
 }
