@@ -116,15 +116,22 @@ object Bench {
     // it is the exact all-pairs cosine oracle kernel (quadratic in the
     // corpus, documented as a bounded-slice rerank primitive) — its
     // scale path is the SRP-bucketed lshNearDupPairs. Disable the pass
-    // with SPARK_GRAFT_X10=0.
+    // with SPARK_GRAFT_X10=0. Always ≥ 2 reps with its OWN calibration
+    // bracket: the r7 verdict saw a 1-rep tier swing 2× on identical
+    // code under ambient load — a tier that can't be normalized is
+    // noise, not signal.
     val x10Skip = Set("q34_embed_neardup")
+    var x10Cal = (0.0, 0.0)
     val x10: Option[Seq[(String, Double)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X10", "1") == "0") None
       else try {
         val sfName = new java.io.File(sfDir).getName
         val x10Dir = Blowup.build(spark, sfDir,
           s"${sys.props("java.io.tmpdir")}/graft_x10_$sfName", times = 10)
-        Some(timeAll(x10Dir, x10Skip))
+        val calBefore = calibrate()
+        val r = timeAll(x10Dir, x10Skip, nreps = math.max(reps, 2))
+        x10Cal = (calBefore, calibrate())
+        Some(r)
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] x10 pass failed: $e"); None
@@ -150,6 +157,7 @@ object Bench {
       // q86 is NOT here: its gate slices a constant doc_id range, the
       // exact "measures nothing at x100" case this tier excludes
       "q87_vocab_coverage")
+    var x100Cal = (0.0, 0.0)
     val x100: Option[Seq[(String, Double)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X100", "1") == "0") None
       else try {
@@ -157,7 +165,10 @@ object Bench {
         val x100Dir = Blowup.build(spark, sfDir,
           s"${sys.props("java.io.tmpdir")}/graft_x100_$sfName", times = 100,
           tables = Set("documents"))
-        Some(timeAll(x100Dir, Set.empty, Some(x100Keep), nreps = 1))
+        val calBefore = calibrate()
+        val r = timeAll(x100Dir, Set.empty, Some(x100Keep), nreps = 1)
+        x100Cal = (calBefore, calibrate())
+        Some(r)
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] x100 pass failed: $e"); None
@@ -174,20 +185,51 @@ object Bench {
       x10.map(r => s""","x10_queries":${toJson(r, full = true)}""").getOrElse("") +
       x100.map(r => s""","x100_queries":${toJson(r, full = true)}""").getOrElse("") + "}}"
     println(detail)
-    try {
-      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench_detail.json")
-      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
-      System.err.println(s"[bench] detail written to $p")
-    } catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed: $e") }
+    // persisted in-repo (committed with the round) AND to tmp: the
+    // harness keeps only the summary line, so the per-query detail the
+    // next round's verdict wants must survive somewhere durable
+    Seq(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench_detail.json"))
+      .foreach { p =>
+        try {
+          java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+          System.err.println(s"[bench] detail written to $p")
+        } catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed ($p): $e") }
+      }
 
-    val x10Part = x10.map(r => s""","x10_total":${fmt(r.map(_._2).sum)}""" +
-      s""","x10_skipped":${x10Skip.map("\"" + _ + "\"").mkString("[", ",", "]")}""").getOrElse("") +
-      x100.map(r => s""","x100_total":${fmt(r.map(_._2).sum)},"x100_n":${r.size}""").getOrElse("")
+    // Self-normalizing totals: scale by idle_cal / measured_cal so the
+    // recorded artifact already backs out ambient load instead of
+    // asking the reader to (r7 verdict item). measured_cal = the MIN of
+    // the run's calibration bracket (closest to this box's achievable
+    // state during the run); idle_cal = the recorded idle-box reference
+    // for the kernel (BASELINE.md; override with SPARK_GRAFT_IDLE_CAL
+    // after a hardware change). Normalization never inflates: an
+    // idle-or-better box reports raw totals (factor capped at 1).
+    val idleCal = sys.env.getOrElse("SPARK_GRAFT_IDLE_CAL", "0.42").toDouble
     val calibrationEnd = calibrate()
+    def normFactor(cals: Double*): Double = {
+      val measured = cals.filter(_ > 0)
+      if (measured.isEmpty) 1.0 else math.min(1.0, idleCal / measured.min)
+    }
+    val totalNormalized = total * normFactor(calibration, calibrationEnd)
+    val x10Part = x10.map { r =>
+      val x10Total = r.map(_._2).sum
+      s""","x10_total":${fmt(x10Total)}""" +
+        s""","x10_total_normalized":${fmt(x10Total * normFactor(x10Cal._1, x10Cal._2))}""" +
+        s""","x10_calibration":${fmt(x10Cal._1)},"x10_calibration_end":${fmt(x10Cal._2)}""" +
+        s""","x10_skipped":${x10Skip.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }.getOrElse("") +
+      x100.map { r =>
+        val x100Total = r.map(_._2).sum
+        s""","x100_total":${fmt(x100Total)},"x100_n":${r.size}""" +
+          s""","x100_total_normalized":${fmt(x100Total * normFactor(x100Cal._1, x100Cal._2))}""" +
+          s""","x100_calibration":${fmt(x100Cal._1)},"x100_calibration_end":${fmt(x100Cal._2)}"""
+      }.getOrElse("")
     def line(sel: Seq[(String, Double)]): String = {
       val omitted = results.size - sel.size
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sf":"$sfDir"""" +
+        s""","total_normalized":${fmt(totalNormalized)},"idle_cal":${fmt(idleCal)}""" +
         s""","calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)}""" +
         s"""$x10Part$om,"queries":${toJson(sel.sortBy(_._1), full = false)}}"""
     }
