@@ -156,7 +156,7 @@ object Bench {
       "q68_span_dedup", "q69_temperature_sample",
       // q86 is NOT here: its gate slices a constant doc_id range, the
       // exact "measures nothing at x100" case this tier excludes
-      "q87_vocab_coverage")
+      "q87_vocab_coverage", "q93_quality_classifier")
     var x100Cal = (0.0, 0.0)
     val x100: Option[Seq[(String, Double)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X100", "1") == "0") None

@@ -249,6 +249,31 @@ class PlanSpec extends SparkTestBase {
     assert(!ep.contains("CartesianProduct") && !ep.contains("SortMergeJoin"), ep)
   }
 
+  test("q92 hard-negatives IVF: only the centroid table broadcasts — the candidate join on cell shuffles both sides") {
+    val p = plan(ExtQueries.q92.run(spark, dir))
+    // the candidate join on cell must SHUFFLE both sides — a broadcast
+    // there would cap |Q| (the probe side is |Q|·nprobe rows) at
+    // driver memory, the exact regression this pin exists to catch.
+    // Other broadcasts are fine: the nlist-row centroid crossJoins by
+    // construction, and size-based picks on small-SF side tables.
+    assert(p.contains("SortMergeJoin [cell") || p.contains("ShuffledHashJoin [cell"),
+      s"candidate join on cell must be a shuffle join:\n$p")
+    assert(!p.contains("BroadcastHashJoin [cell"),
+      s"cell join must not broadcast either side:\n$p")
+  }
+
+  test("q93 quality classifier: one column-pruned scan, no shuffle, no UDF") {
+    val df = ExtQueries.q93.run(spark, dir)
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+    // scoring itself adds no exchange: the only allowed exchange is the
+    // rangepartitioning for the gate's ORDER BY
+    val ep = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(ep).length
+    assert(exchanges <= 1, s"expected at most the orderBy range exchange, got $exchanges:\n$ep")
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
