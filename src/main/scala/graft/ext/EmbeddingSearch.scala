@@ -296,6 +296,37 @@ object EmbeddingSearch {
         col("skew") > maxSkew || (col("n_empty") > 0 && col("skew") > lit(1.5)))
   }
 
+  /** The `nprobe` nearest stored cells per row, as a PURE PER-ROW
+    * EXPRESSION over the centroid table embedded as a literal
+    * (`cents` is nlist rows of bounded driver state — the BPE
+    * merge-table contract): score every centroid in-row, sort by
+    * (cos desc, cell asc) via ascending struct(negcos, cell) —
+    * array_sort's lexicographic struct order reproduces the window
+    * formulation's ordering exactly — and slice. NO shuffle: routing
+    * a corpus-sized query set through the crossJoin+window form
+    * shuffles |Q|·nlist rows (64× the corpus at nlist=64); this form
+    * shuffles nothing and is what [[hardNegativesIvf]] and
+    * [[graft.streaming.EmbedStream.streamingIvfProbe]] route with.
+    */
+  private[graft] def probeCellsExpr(cents: Array[(Long, Array[Float])],
+                                    qvec: Column, qn: Column, nprobe: Int): Column = {
+    val centLit = array(cents.map { case (cell, vec) =>
+      struct(lit(cell).as("cell"), typedLit(vec).as("vec"))
+    }: _*)
+    val scored = array_sort(transform(centLit, c =>
+      struct((-(dot(qvec, c.getField("vec")) /
+        (qn * norm(c.getField("vec"))))).as("negcos"),
+        c.getField("cell").as("cell"))))
+    transform(slice(scored, 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** Collect an index's centroids as the bounded driver-state form
+    * [[probeCellsExpr]] embeds. nlist rows.
+    */
+  private[graft] def collectCentroids(index: IvfIndex): Array[(Long, Array[Float])] =
+    index.centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
   /** Corpus-scale hard-negative mining: [[hardNegatives]] semantics
     * with candidates drawn from the `nprobe` IVF cells nearest each
     * query instead of the full corpus — and, critically, NO broadcast
@@ -303,14 +334,17 @@ object EmbeddingSearch {
     * contrastive-mining regime, where every training query mines its
     * own negatives).
     *
-    * Plan shape: the only broadcast is the `nlist`-row centroid table
-    * (constant-size); probe routing is a window over |Q|·nprobe rows;
-    * the candidate join is a SHUFFLE hash join on `cell` between the
+    * Plan shape: probe routing is a PER-ROW expression over the
+    * embedded centroid table ([[probeCellsExpr]] — zero shuffle; the
+    * crossJoin+window alternative shuffles |Q|·nlist rows, 64× the
+    * corpus at nlist=64) followed by one explode to |Q|·nprobe probe
+    * rows; the candidate join is a SHUFFLE join on `cell` between the
     * assignment-joined corpus and the probe list — both sides
     * corpus-proportional, co-partitioned by cell, never a cross
-    * product. Exclusion of the query itself and its labeled positive
-    * sits BELOW the ranking window (same reasoning as
-    * [[hardNegatives]]: excluding after rank ≤ k would under-fill).
+    * product (pinned in PlanSpec). Exclusion of the query itself and
+    * its labeled positive sits BELOW the ranking window (same
+    * reasoning as [[hardNegatives]]: excluding after rank ≤ k would
+    * under-fill).
     *
     * With nprobe == nlist every cell is probed and the output is
     * row-identical to [[hardNegatives]] (pinned by the q92 oracle);
@@ -324,18 +358,16 @@ object EmbeddingSearch {
                        corpusId: String, corpusVec: String,
                        pairs: DataFrame, queryId: String, queryVec: String,
                        positiveId: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val cents = collectCentroids(index)
+    require(cents.nonEmpty, "index has no centroids")
     val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
       .withColumn("__cn", norm(col("__cvec")))
-    val q = pairs.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"),
+    val probes = pairs
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"),
         col(positiveId).as("__pos"))
       .withColumn("__qn", norm(col("__qvec")))
-    val wProbe = Window.partitionBy("__qid")
-      .orderBy(col("__ccos").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("__ccos", cosine(col("__qvec"), col("centroid")))
-      .withColumn("__rn", row_number().over(wProbe))
-      .filter(col("__rn") <= nprobe)
-      .select(col("__qid"), col("__qvec"), col("__qn"), col("__pos"), col("cell"))
+      .withColumn("cell",
+        explode(probeCellsExpr(cents, col("__qvec"), col("__qn"), nprobe)))
     val assigned = c.join(index.assignments.withColumnRenamed("id", "__cid"), "__cid")
     // shuffle join on cell — NO broadcast hint: the probe side carries
     // |Q|·nprobe rows and |Q| may be corpus-sized

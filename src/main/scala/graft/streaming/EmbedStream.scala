@@ -69,27 +69,16 @@ object EmbedStream {
                         k: Int, nprobe: Int = 4): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
     // nlist rows of bounded driver state, embedded as a literal so the
-    // probe choice is a pure per-row expression
-    val cents: Array[(Long, Array[Float])] = index.centroids
-      .select(col("cell"), col("centroid")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // probe choice is a pure per-row expression (cos desc, cell asc —
+    // the batch ivfProbe ordering; shared with hardNegativesIvf)
+    val cents = EmbeddingSearch.collectCentroids(index)
     require(cents.nonEmpty, "index has no centroids")
-    val centLit: Column = array(cents.map { case (cell, vec) =>
-      struct(lit(cell).as("cell"), typedLit(vec).as("vec"))
-    }: _*)
     val packed = packIvfCells(index, corpus, corpusId, corpusVec)
 
     val q = queryStream.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
       .withColumn("__qn", EmbeddingSearch.norm(col("__qvec")))
-    // (cos desc, cell asc) == ascending struct(negcos, cell) — the
-    // batch ivfProbe probe ordering, reproduced by array_sort's
-    // lexicographic struct comparison
-    val scoredCells = array_sort(transform(centLit, c =>
-      struct((-(EmbeddingSearch.dot(col("__qvec"), c.getField("vec")) /
-        (col("__qn") * EmbeddingSearch.norm(c.getField("vec"))))).as("negcos"),
-        c.getField("cell").as("cell"))))
     val probed = q.withColumn("__pc",
-      transform(slice(scoredCells, 1, nprobe), s => s.getField("cell")))
+      EmbeddingSearch.probeCellsExpr(cents, col("__qvec"), col("__qn"), nprobe))
 
     // one stream-static left join per probe slot (try_element_at:
     // short probe lists null-join cleanly under ANSI)

@@ -250,16 +250,30 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q92 hard-negatives IVF: only the centroid table broadcasts — the candidate join on cell shuffles both sides") {
+    // probe routing must be the in-row expression, not a
+    // crossJoin+window: the window form shuffles |Q|·nlist rows (64×
+    // the corpus at nlist=64). Exactly TWO windows may remain — the
+    // gate's inline index BUILD (one-time nearest-centroid assignment)
+    // and the final top-k ranking; a third would be routing regressing
+    // to the window form.
     val p = plan(ExtQueries.q92.run(spark, dir))
-    // the candidate join on cell must SHUFFLE both sides — a broadcast
-    // there would cap |Q| (the probe side is |Q|·nprobe rows) at
-    // driver memory, the exact regression this pin exists to catch.
-    // Other broadcasts are fine: the nlist-row centroid crossJoins by
-    // construction, and size-based picks on small-SF side tables.
-    assert(p.contains("SortMergeJoin [cell") || p.contains("ShuffledHashJoin [cell"),
-      s"candidate join on cell must be a shuffle join:\n$p")
-    assert(!p.contains("BroadcastHashJoin [cell"),
-      s"cell join must not broadcast either side:\n$p")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 2, s"expected build-assignment + top-k windows only, got $windows:\n$p")
+    // no HINT may force the cell join to broadcast (that would cap |Q|
+    // at driver memory). Mechanical proof: with size-based broadcast
+    // disabled, a hinted broadcast would survive — the cell join must
+    // instead degrade to a shuffle join. (At small SF with the
+    // threshold on, a size-based broadcast pick is fine and scales
+    // away on its own.)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pNoAuto = plan(ExtQueries.q92.run(spark, dir))
+      assert(pNoAuto.contains("SortMergeJoin [cell") ||
+        pNoAuto.contains("ShuffledHashJoin [cell"),
+        s"cell join must not be hint-forced to broadcast:\n$pNoAuto")
+      assert(!pNoAuto.contains("BroadcastHashJoin [cell"), pNoAuto)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("q93 quality classifier: one column-pruned scan, no shuffle, no UDF") {
