@@ -201,6 +201,21 @@ object RecallCheck {
       }
       println(f"[recall] decontamLsh bits=$bits%-2d catch=${caught * 100.0 / nExact}%5.1f%%  t=$dt%6.2f s")
     }
+    // banded screens: same plane budgets as the single-band rows
+    // above, OR-amplified — the operating points a leakage-sensitive
+    // pipeline should run
+    for ((bits, bands) <- Seq((4, 4), (8, 4), (4, 8), (8, 2))) {
+      var dt = 0.0
+      var caught = 0L
+      for (rep <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val lsh = ext.Decontaminate.byEmbeddingLsh(corpus, "vec_id", "embedding",
+          evalSet, "eval_id", "evec", tau, bits = bits, bands = bands)
+        caught = lsh.join(exact, Seq("vec_id"), "left_semi").count()
+        dt = (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[recall] decontamLsh bits=$bits%-2d bands=$bands catch=${caught * 100.0 / nExact}%5.1f%%  t=$dt%6.2f s")
+    }
 
     spark.stop()
   }

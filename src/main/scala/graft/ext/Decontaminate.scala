@@ -104,17 +104,45 @@ object Decontaminate {
     * duplicates are caught with SRP's standard collision probability
     * (1 - θ/π)^bits — lower `bits` for recall, higher for pruning.
     * Both sides shuffle on an 8-byte signature; no cross join.
+    *
+    * `bands` > 1 = OR-amplification over a (bands·bits)-plane
+    * signature ([[EmbeddingSearch.srpBandKeys]]): a pair is a
+    * candidate if ANY band agrees — catch probability
+    * 1-(1-p^bits)^bands instead of p^bits — and each pair is kept
+    * only at its FIRST shared band so n_hits/max_cos never
+    * double-count (the lshNearDupPairs dedup). A missed paraphrase
+    * here is EVAL LEAKAGE, so this screen wants the banded operating
+    * points (measured in RecallCheck: bits=16 single-band catches
+    * 97-98% of near-dup contamination; bits=8 bands=4 reaches ~100%
+    * at comparable cost).
     */
   def byEmbeddingLsh(train: DataFrame, trainId: String, trainVec: String,
                      evalSet: DataFrame, evalId: String, evalVec: String,
-                     tau: Double, bits: Int = 16): DataFrame = {
+                     tau: Double, bits: Int = 16, bands: Int = 1): DataFrame = {
+    require(bands >= 1 && bits * bands <= 62,
+      s"bands*bits must fit a long signature, got bits=$bits bands=$bands")
     val c = train.select(col(trainId).as("__tid"), col(trainVec).as("__tvec"))
-      .withColumn("__sig", EmbeddingSearch.srpSignature(col("__tvec"), bits))
+      .withColumn("__tsig", EmbeddingSearch.srpSignature(col("__tvec"), bits * bands))
       .withColumn("__tn", EmbeddingSearch.norm(col("__tvec")))
     val q = evalSet.select(col(evalId).as("__eid"), col(evalVec).as("__evec"))
-      .withColumn("__sig", EmbeddingSearch.srpSignature(col("__evec"), bits))
+      .withColumn("__esig", EmbeddingSearch.srpSignature(col("__evec"), bits * bands))
       .withColumn("__en", EmbeddingSearch.norm(col("__evec")))
-    c.join(q, "__sig")
+    val joined =
+      if (bands == 1) c.join(q, col("__tsig") === col("__esig"))
+      else {
+        val cb = c.select(col("*"), posexplode(array(
+          EmbeddingSearch.srpBandKeys(col("__tsig"), bits, bands): _*))
+          .as(Seq("__bidx", "__bh")))
+        val qb = q.select(col("*"), explode(array(
+          EmbeddingSearch.srpBandKeys(col("__esig"), bits, bands): _*)).as("__bh"))
+        val tKeys = EmbeddingSearch.srpBandKeys(col("__tsig"), bits, bands)
+        val eKeys = EmbeddingSearch.srpBandKeys(col("__esig"), bits, bands)
+        val firstShared = (0 until bands).foldRight(lit(bands)) { (bd, acc) =>
+          when(tKeys(bd) === eKeys(bd), lit(bd)).otherwise(acc)
+        }
+        cb.join(qb, Seq("__bh")).filter(col("__bidx") === firstShared)
+      }
+    joined
       .withColumn("__cos",
         EmbeddingSearch.dot(col("__tvec"), col("__evec")) / (col("__tn") * col("__en")))
       .filter(col("__cos") >= tau)

@@ -109,4 +109,37 @@ class MixDecontamSpec extends SparkTestBase {
     assert(lsh.subsetOf(exact))
     assert(Set(1L, 4L).subsetOf(lsh)) // identical vectors share any SRP signature
   }
+
+  test("byEmbeddingLsh banded: catch set is a superset of the full-signature single band; hits never double-count") {
+    val evalSet = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 1.0f, 1.0f))).toDF("eval_id", "evec")
+    val exact = Decontaminate.byEmbedding(vecs, "vec_id", "embedding",
+      evalSet, "eval_id", "evec", 0.9)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val single = Decontaminate.byEmbeddingLsh(vecs, "vec_id", "embedding",
+      evalSet, "eval_id", "evec", 0.9, bits = 16)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val banded = Decontaminate.byEmbeddingLsh(vecs, "vec_id", "embedding",
+      evalSet, "eval_id", "evec", 0.9, bits = 4, bands = 4)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // OR-amplification over the same 16 planes: candidates (hence
+    // flagged rows) are a superset of the single-band run...
+    assert(single.map(_._1).subsetOf(banded.map(_._1)))
+    // ...and each flagged row carries the SAME argmax/count as the
+    // exact screen whenever its pairs were all candidates — verify the
+    // rows banded shares with exact agree exactly (no band-multiplied
+    // n_hits, no wrong argmax from a dropped pair)
+    banded.foreach { r =>
+      exact.find(_._1 == r._1).foreach { e =>
+        assert(r._4 <= e._4, s"banded n_hits exceeds exact for ${r._1}: $r vs $e")
+      }
+    }
+    // verbatim leaks always caught, any banding
+    assert(Set(1L, 4L).subsetOf(banded.map(_._1)))
+    intercept[IllegalArgumentException] {
+      Decontaminate.byEmbeddingLsh(vecs, "vec_id", "embedding",
+        evalSet, "eval_id", "evec", 0.9, bits = 32, bands = 4)
+    }
+  }
 }
