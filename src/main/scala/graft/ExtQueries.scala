@@ -2741,10 +2741,44 @@ object ExtQueries {
             SELECT doc_id, quality_score, quality_score >= 0.0 AS keep
             FROM sc ORDER BY doc_id"""))
 
+  /** Banded SRP near-dup pairs under a FULL oracle: the planted pairs
+    * are exact scaled copies (θ = 0), which share EVERY SRP band with
+    * certainty, so the banded LSH output must EQUAL the exact
+    * all-pairs screen — turning the approximate path's certainty case
+    * into a DuckDB hash gate (the q89/q92 discipline: the oracle IS
+    * the exact computation). Deterministic: signatures are seedless
+    * pure functions, so band agreement is a fixed property of the
+    * fixture, not a probability.
+    */
+  val q94 = Q(
+    "q94_banded_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val planted = emb.filter($"vec_id" < 20)
+        .select(($"vec_id" + 100000L).as("vec_id"),
+          transform($"embedding", x => x + x).as("embedding"))
+      EmbeddingSearch.lshNearDupPairs(emb.unionAll(planted),
+          "vec_id", "embedding", threshold = 0.99, bits = 4, bands = 8)
+        .orderBy($"id1", $"id2")
+    },
+    Some("""WITH planted AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     list_transform(embedding, x -> CAST(x + x AS FLOAT)) AS embedding
+              FROM embeddings WHERE vec_id < 20),
+            u AS (SELECT vec_id, embedding FROM embeddings
+                  UNION ALL SELECT vec_id, embedding FROM planted),
+            c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
+            p AS (SELECT a.vec_id id1, b.vec_id id2,
+                         list_inner_product(a.v, b.v) /
+                           (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cos
+                  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+            SELECT id1, id2, cos FROM p WHERE cos >= 0.99 ORDER BY id1, id2"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93)
+    q91, q92, q93, q94)
 }
