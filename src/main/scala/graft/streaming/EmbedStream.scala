@@ -58,6 +58,55 @@ object EmbedStream {
         col("__cn").as("nrm"))).as("members"))
   }
 
+  /** Screen a DOCUMENT STREAM for semantic contamination against a
+    * static eval set as documents arrive — the streaming face of
+    * [[graft.ext.Decontaminate.byEmbedding]], for pipelines that must
+    * reject leaked eval material at ingest rather than in a batch
+    * sweep afterwards.
+    *
+    * Stateless by the same construction as [[streamingIvfProbe]]: the
+    * eval set (benchmark-sized by definition) is packed into ONE
+    * static row of (eval_id, vec, norm) structs; each streaming row
+    * picks it up through a single broadcast stream-static join on a
+    * constant key, then computes its hits, argmax and count as IN-ROW
+    * array expressions — no streaming aggregation, no state store.
+    * Same ordered-fold cosine trees and the same (max cos, min
+    * eval_id) tie-break as the batch screen, so flagged rows are
+    * ROW-IDENTICAL to `byEmbedding` on the same data (pinned in
+    * StreamingSpec, state rows == 0).
+    *
+    * @return streaming (trainId, eval_id, max_cos, n_hits) — one row
+    *         per CONTAMINATED document, the batch screen's contract
+    */
+  def streamingDecontaminate(docStream: DataFrame, trainId: String, trainVec: String,
+                             evalSet: DataFrame, evalId: String, evalVec: String,
+                             tau: Double): DataFrame = {
+    val packed = evalSet
+      .select(col(evalId).as("__eid"), col(evalVec).as("__evec"))
+      .withColumn("__en", EmbeddingSearch.norm(col("__evec")))
+      .agg(collect_list(struct(col("__eid"), col("__evec"), col("__en"))).as("__evals"))
+      .withColumn("__k", lit(0))
+    val t = docStream.select(col(trainId).as("__tid"), col(trainVec).as("__tvec"))
+      .withColumn("__tn", EmbeddingSearch.norm(col("__tvec")))
+      .withColumn("__k", lit(0))
+    val hits = filter(col("__evals"), e =>
+      EmbeddingSearch.dot(col("__tvec"), e.getField("__evec")) /
+        (col("__tn") * e.getField("__en")) >= lit(tau))
+    // (cos desc, eval_id asc) argmax == ascending struct(negcos, eid)
+    // — the batch screen's min(struct(...)) tie-break, in-row
+    val ranked = array_sort(transform(col("__hits"), e =>
+      struct((-(EmbeddingSearch.dot(col("__tvec"), e.getField("__evec")) /
+        (col("__tn") * e.getField("__en")))).as("__negcos"),
+        e.getField("__eid").as("__eid"))))
+    t.join(broadcast(packed), Seq("__k"))
+      .withColumn("__hits", hits)
+      .filter(size(col("__hits")) >= 1)
+      .withColumn("__best", element_at(ranked, 1))
+      .select(col("__tid").as(trainId), col("__best.__eid").as("eval_id"),
+        (-col("__best.__negcos")).as("max_cos"),
+        size(col("__hits")).cast("long").as("n_hits"))
+  }
+
   /** Probe-only approximate top-k for a streaming query frame.
     *
     * @param queryStream streaming DataFrame carrying (queryId, queryVec)

@@ -511,6 +511,40 @@ class StreamingSpec extends SparkTestBase {
         && batchHourly.except(streamedHourly).isEmpty)
     } finally q2.stop()
   }
+  test("streamingDecontaminate flags a doc stream row-identically to the batch screen, stateless") {
+    import graft.ext.Decontaminate
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // eval set: 5 original vectors + one scaled copy planted verbatim —
+    // their sources MUST be flagged; orthogonal background mostly not
+    val evalSet = emb.filter($"vec_id" % 97 === 3).limit(5)
+      .select(($"vec_id" + 900000L).as("eval_id"),
+        transform($"embedding", x => x + x).as("evec"))
+    val batch = Decontaminate.byEmbedding(emb, "vec_id", "embedding",
+        evalSet, "eval_id", "evec", tau = 0.99)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture must plant contamination")
+
+    val dir = java.nio.file.Files.createTempDirectory("decontam-stream")
+    emb.filter($"vec_id" % 2 === 0).write.parquet(s"$dir/part1")
+    emb.filter($"vec_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/part*")
+    val q = EmbedStream.streamingDecontaminate(stream, "vec_id", "embedding",
+        evalSet, "eval_id", "evec", tau = 0.99)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decontam_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decontam_stream")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streamingIvfProbe answers a query stream row-identically to batch ivfProbe, stateless") {
     import graft.ext.EmbeddingSearch
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
