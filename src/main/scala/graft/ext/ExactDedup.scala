@@ -52,6 +52,17 @@ object ExactDedup {
     * (in practice a maintained digest table, not a rescan), and the
     * join shuffles digests, never text.
     */
+  /** The persisted digest-state form of a corpus: one row per distinct
+    * content digest (sha2-256 of the content string — 32 bytes/row
+    * regardless of document size). This IS the state table an
+    * incremental pipeline maintains instead of rescanning the corpus:
+    * [[incremental]] anti-joins against it, and
+    * [[graft.streaming.DocStream.admitNew]] screens a document stream
+    * against it statically.
+    */
+  def digestTable(df: DataFrame, content: Column): DataFrame =
+    df.select(sha2(content.cast("string"), 256).as("digest")).distinct()
+
   def incremental(incoming: DataFrame, existing: DataFrame,
                   content: Column, idName: String): DataFrame = {
     val existingDigests = existing

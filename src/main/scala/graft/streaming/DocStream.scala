@@ -73,6 +73,34 @@ object DocStream {
       .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
   }
 
+  /** Exact-content admission screen for a document STREAM: pass
+    * through only documents whose content digest does NOT already
+    * exist in the persisted corpus digest state
+    * ([[graft.ext.ExactDedup.digestTable]]) — the streaming face of
+    * the batch incremental ingest dedup (q58 semantics), for
+    * pipelines that reject re-crawled/re-delivered content on arrival.
+    *
+    * Stateless: one sha2-256 per row and a stream-static LEFT-ANTI
+    * join on the 32-byte digest — no watermark, no state store, and
+    * the join shuffles digests, never text. NO broadcast hint: the
+    * digest table is corpus-proportional.
+    *
+    * Intra-stream caveat (the [[routedSplit]] unseen-document
+    * pattern): two NEW documents with identical content arriving
+    * before the digest state is refreshed both pass — fold admitted
+    * digests back into the state table on the batch cadence (or run
+    * the watermarked
+    * [[graft.streaming.EventStream.dedupedStream]] downstream) to
+    * close that window. Pinned in StreamingSpec.
+    *
+    * @param corpusDigests STATIC (digest) table from
+    *                      [[graft.ext.ExactDedup.digestTable]]
+    */
+  def admitNew(docs: DataFrame, content: Column, corpusDigests: DataFrame): DataFrame =
+    docs.withColumn("__h", sha2(content.cast("string"), 256))
+      .join(corpusDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
+      .drop("__h")
+
   /** Leakage-safe split routing for a document STREAM: assign each
     * arriving document to train/val/test by the hash of its NEAR-DUP
     * COMPONENT (from a batch-computed, persisted label table), falling

@@ -511,6 +511,57 @@ class StreamingSpec extends SparkTestBase {
         && batchHourly.except(streamedHourly).isEmpty)
     } finally q2.stop()
   }
+  test("admitNew passes exactly the batch incremental-dedup survivors, stateless; intra-stream caveat pinned") {
+    import graft.ext.ExactDedup
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    // "corpus" = docs with doc_id < 250; the stream delivers everything
+    // — re-crawled corpus content must be rejected, new content passes
+    val corpus = docs.filter($"doc_id" < 250)
+    val digests = ExactDedup.digestTable(corpus, $"text").localCheckpoint()
+    val batch = ExactDedup.incremental(docs, corpus, $"text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("admit-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+    val q = DocStream.admitNew(stream, $"text", digests)
+      .select($"doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admitted").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("admitted").as[Long].collect().toSet
+      // batch incremental ALSO dedups within the incoming batch; the
+      // stateless stream admits per-arrival — on this fixture every
+      // admitted text is unique, so the sets must agree exactly, and
+      // that agreement is only meaningful if nothing collapsed:
+      val admitted = docs.join(spark.table("admitted"), "doc_id")
+      assert(admitted.select($"text").distinct().count() == streamed.size,
+        "fixture must have unique admitted content for set equality to bite")
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+
+    // the documented intra-stream window: identical NEW content in two
+    // micro-batches passes twice until digests fold back
+    val dir2 = java.nio.file.Files.createTempDirectory("admit-dup")
+    val dup = Seq((9001L, "brand new never seen text")).toDF("doc_id", "text")
+    dup.write.parquet(s"$dir2/p1")
+    dup.select(($"doc_id" + 1).as("doc_id"), $"text").write.parquet(s"$dir2/p2")
+    val stream2 = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir2/p*")
+    val q2 = DocStream.admitNew(stream2, $"text", digests)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admitted_dup").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("admitted_dup").count() == 2,
+        "stateless screen admits intra-stream duplicates — the documented caveat")
+    } finally q2.stop()
+  }
+
   test("streamingDecontaminate flags a doc stream row-identically to the batch screen, stateless") {
     import graft.ext.Decontaminate
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
