@@ -109,6 +109,11 @@ object Bench {
 
     val results = timeAll(sfDir, Set.empty)
     val total = results.map(_._2).sum
+    // the main pass's closing bracket, taken IMMEDIATELY — the x10/x100
+    // tiers run for minutes and have their own brackets; reading the
+    // main pass's end state after them would normalize the main total
+    // against a snapshot of a different load regime
+    val calibrationEnd = calibrate()
 
     // second pass at ×10 synthetic scale: at the gate SF fixed cost
     // dominates, so data-proportional regressions hide; the blowup pass
@@ -187,8 +192,11 @@ object Bench {
     println(detail)
     // persisted in-repo (committed with the round) AND to tmp: the
     // harness keeps only the summary line, so the per-query detail the
-    // next round's verdict wants must survive somewhere durable
-    Seq(java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+    // next round's verdict wants must survive somewhere durable. The
+    // repo dir is overridable so a run from another checkout doesn't
+    // silently write into an unrelated tree.
+    val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
+    Seq(java.nio.file.Paths.get(repoDir, "BENCH_DETAIL.json"),
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench_detail.json"))
       .foreach { p =>
         try {
@@ -206,7 +214,6 @@ object Bench {
     // after a hardware change). Normalization never inflates: an
     // idle-or-better box reports raw totals (factor capped at 1).
     val idleCal = sys.env.getOrElse("SPARK_GRAFT_IDLE_CAL", "0.42").toDouble
-    val calibrationEnd = calibrate()
     def normFactor(cals: Double*): Double = {
       val measured = cals.filter(_ > 0)
       if (measured.isEmpty) 1.0 else math.min(1.0, idleCal / measured.min)

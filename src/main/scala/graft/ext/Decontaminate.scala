@@ -129,19 +129,7 @@ object Decontaminate {
       .withColumn("__en", EmbeddingSearch.norm(col("__evec")))
     val joined =
       if (bands == 1) c.join(q, col("__tsig") === col("__esig"))
-      else {
-        val cb = c.select(col("*"), posexplode(array(
-          EmbeddingSearch.srpBandKeys(col("__tsig"), bits, bands): _*))
-          .as(Seq("__bidx", "__bh")))
-        val qb = q.select(col("*"), explode(array(
-          EmbeddingSearch.srpBandKeys(col("__esig"), bits, bands): _*)).as("__bh"))
-        val tKeys = EmbeddingSearch.srpBandKeys(col("__tsig"), bits, bands)
-        val eKeys = EmbeddingSearch.srpBandKeys(col("__esig"), bits, bands)
-        val firstShared = (0 until bands).foldRight(lit(bands)) { (bd, acc) =>
-          when(tKeys(bd) === eKeys(bd), lit(bd)).otherwise(acc)
-        }
-        cb.join(qb, Seq("__bh")).filter(col("__bidx") === firstShared)
-      }
+      else EmbeddingSearch.bandedJoin(c, "__tsig", q, "__esig", bits, bands)
     joined
       .withColumn("__cos",
         EmbeddingSearch.dot(col("__tvec"), col("__evec")) / (col("__tn") * col("__en")))

@@ -496,6 +496,34 @@ object EmbeddingSearch {
         lit(b.toLong * (1L << bits))
     }
 
+  /** THE any-band candidate join: explode each side's band keys, join
+    * on key, keep each (a, b) pair only where the exploded band index
+    * equals the pair's FIRST shared band (recomputed from both
+    * signatures on the row — the stateless [[graft.streaming.DocStream]]
+    * dedup), so every candidate pair survives exactly once with no
+    * distinct shuffle. The single implementation behind
+    * [[lshNearDupPairs]], [[lshTopK]] and
+    * [[Decontaminate.byEmbeddingLsh]] — their oracle-pinned agreement
+    * depends on these paths never diverging.
+    */
+  private[graft] def bandedJoin(a: DataFrame, aSig: String,
+                                b: DataFrame, bSig: String,
+                                bits: Int, bands: Int,
+                                broadcastRight: Boolean = false): DataFrame = {
+    val ab = a.select(col("*"), posexplode(array(
+      srpBandKeys(col(aSig), bits, bands): _*)).as(Seq("__bidx", "__bh")))
+    val bbRaw = b.select(col("*"), explode(array(
+      srpBandKeys(col(bSig), bits, bands): _*)).as("__bh"))
+    val bb = if (broadcastRight) broadcast(bbRaw) else bbRaw
+    val aKeys = srpBandKeys(col(aSig), bits, bands)
+    val bKeys = srpBandKeys(col(bSig), bits, bands)
+    val firstShared = (0 until bands).foldRight(lit(bands)) { (bd, acc) =>
+      when(aKeys(bd) === bKeys(bd), lit(bd)).otherwise(acc)
+    }
+    ab.join(bb, Seq("__bh")).filter(col("__bidx") === firstShared)
+      .drop("__bidx", "__bh")
+  }
+
   /** Near-dup pairs at scale: bucket by SRP signature, compare within
     * buckets only — identical-direction vectors always share a bucket,
     * near-misses with probability rising as `bits` falls. Linear
@@ -532,18 +560,7 @@ object EmbeddingSearch {
     val joined =
       if (bands == 1)
         a.join(b, col("__sig1") === col("__sig2")) // one band → pairs unique
-      else {
-        val ab = a.select(col("*"), posexplode(array(
-          srpBandKeys(col("__sig1"), bits, bands): _*)).as(Seq("__bidx", "__bh")))
-        val bb = b.select(col("*"), explode(array(
-          srpBandKeys(col("__sig2"), bits, bands): _*)).as("__bh"))
-        val aKeys = srpBandKeys(col("__sig1"), bits, bands)
-        val bKeys = srpBandKeys(col("__sig2"), bits, bands)
-        val firstShared = (0 until bands).foldRight(lit(bands)) { (bd, acc) =>
-          when(aKeys(bd) === bKeys(bd), lit(bd)).otherwise(acc)
-        }
-        ab.join(bb, Seq("__bh")).filter(col("__bidx") === firstShared)
-      }
+      else bandedJoin(a, "__sig1", b, "__sig2", bits, bands)
     joined.filter(col("id1") < col("id2"))
       .withColumn("cos", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
       .filter(col("cos") >= threshold)
@@ -580,18 +597,7 @@ object EmbeddingSearch {
     val cand =
       if (bands == 1)
         c.join(broadcast(q), col("__csig") === col("__qsig"))
-      else {
-        val cb = c.select(col("*"), posexplode(array(
-          srpBandKeys(col("__csig"), bits, bands): _*)).as(Seq("__bidx", "__bh")))
-        val qb = q.select(col("*"), explode(array(
-          srpBandKeys(col("__qsig"), bits, bands): _*)).as("__bh"))
-        val cKeys = srpBandKeys(col("__csig"), bits, bands)
-        val qKeys = srpBandKeys(col("__qsig"), bits, bands)
-        val firstShared = (0 until bands).foldRight(lit(bands)) { (bd, acc) =>
-          when(cKeys(bd) === qKeys(bd), lit(bd)).otherwise(acc)
-        }
-        cb.join(broadcast(qb), Seq("__bh")).filter(col("__bidx") === firstShared)
-      }
+      else bandedJoin(c, "__csig", q, "__qsig", bits, bands, broadcastRight = true)
     topKOut(cand
       .filter(col("__qid") =!= col("__cid"))
       .withColumn("cos", cosine(col("__qvec"), col("__cvec"))), queryId, k)

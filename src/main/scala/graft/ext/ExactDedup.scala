@@ -40,6 +40,26 @@ object ExactDedup {
     df.join(keepers, Seq(idName), "left_semi")
   }
 
+  /** THE content-digest definition — sha2-256 of the content string,
+    * 32 bytes regardless of document size. Every exact-dedup path
+    * (batch incremental, digest state table, streaming admission)
+    * derives from this one expression: a change here (e.g.
+    * normalization before hashing) changes them all together, which
+    * is what keeps the batch/stream agreement StreamingSpec pins.
+    */
+  def contentDigest(content: Column): Column =
+    sha2(content.cast("string"), 256)
+
+  /** The persisted digest-state form of a corpus: one row per distinct
+    * content digest. This IS the state table an incremental pipeline
+    * maintains instead of rescanning the corpus: [[incremental]]
+    * anti-joins against it, and
+    * [[graft.streaming.DocStream.admitNew]] screens a document stream
+    * against it statically.
+    */
+  def digestTable(df: DataFrame, content: Column): DataFrame =
+    df.select(contentDigest(content).as("digest")).distinct()
+
   /** Incremental ingest dedup: rows of `incoming` whose content does
     * not already exist in `existing` — the daily-batch operation of a
     * continuously-built corpus (the reference's batched set-membership
@@ -52,23 +72,12 @@ object ExactDedup {
     * (in practice a maintained digest table, not a rescan), and the
     * join shuffles digests, never text.
     */
-  /** The persisted digest-state form of a corpus: one row per distinct
-    * content digest (sha2-256 of the content string — 32 bytes/row
-    * regardless of document size). This IS the state table an
-    * incremental pipeline maintains instead of rescanning the corpus:
-    * [[incremental]] anti-joins against it, and
-    * [[graft.streaming.DocStream.admitNew]] screens a document stream
-    * against it statically.
-    */
-  def digestTable(df: DataFrame, content: Column): DataFrame =
-    df.select(sha2(content.cast("string"), 256).as("digest")).distinct()
-
   def incremental(incoming: DataFrame, existing: DataFrame,
                   content: Column, idName: String): DataFrame = {
-    val existingDigests = existing
-      .select(sha2(content.cast("string"), 256).as("__h")).distinct()
+    val existingDigests = digestTable(existing, content)
+      .select(col("digest").as("__h"))
     val incomingKeyed = incoming
-      .withColumn("__h", sha2(content.cast("string"), 256))
+      .withColumn("__h", contentDigest(content))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h")).orderBy(col(idName))
     incomingKeyed

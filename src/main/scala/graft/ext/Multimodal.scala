@@ -283,7 +283,8 @@ object Multimodal {
       return invalidMeta(id, "wav")
     var off = 12
     var sampleRate = 0; var channels = 0; var bits = 0; var dataSize = -1L
-    while (off + 8 <= bytes.length) {
+    var walking = true
+    while (walking && off + 8 <= bytes.length) {
       val ckId = tag(off)
       val ckSize = le32(off + 4)
       val body = off + 8
@@ -295,8 +296,14 @@ object Multimodal {
         // size may overrun a truncated file — clamp to what's present
         dataSize = math.min(ckSize, (bytes.length - body).toLong)
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      off = body + ckSize.toInt + (ckSize.toInt & 1)
+      // chunks are word-aligned: odd sizes carry a pad byte. Advance in
+      // LONG arithmetic — a hostile 32-bit size near 2^32 truncated to
+      // Int goes negative and would stall or reverse the walk (corrupt
+      // media must never hang a 100 TB ingest); any advance past the
+      // buffer just ends the walk with whatever was parsed so far.
+      val next = body.toLong + ckSize + (ckSize & 1L)
+      if (next <= off || next > bytes.length.toLong) walking = false
+      else off = next.toInt
     }
     if (sampleRate <= 0 || channels <= 0 || bits <= 0 || dataSize < 0)
       return invalidMeta(id, "wav")
@@ -359,7 +366,11 @@ object Multimodal {
               else if (version == 0 && e - b >= 4 + 8 + 8)
                 (be32(b + 4 + 8), be32(b + 4 + 12)) // v0: 4-byte times
               else (0L, 0L)
-            if (timescale <= 0) invalidMeta(id, "mp4")
+            // a sign-bit or absurd 64-bit duration must route through
+            // the invalid path like every other malformed header, not
+            // come back valid with a negative/overflowed duration_ms
+            if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000L)
+              invalidMeta(id, "mp4")
             else ContainerMeta(id, valid = true, "mp4",
               duration * 1000L / timescale, nTracks, 0, 0, 0, 0L)
           case _ => invalidMeta(id, "mp4")

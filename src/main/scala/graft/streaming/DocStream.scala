@@ -96,10 +96,13 @@ object DocStream {
     * @param corpusDigests STATIC (digest) table from
     *                      [[graft.ext.ExactDedup.digestTable]]
     */
-  def admitNew(docs: DataFrame, content: Column, corpusDigests: DataFrame): DataFrame =
-    docs.withColumn("__h", sha2(content.cast("string"), 256))
+  def admitNew(docs: DataFrame, content: Column, corpusDigests: DataFrame): DataFrame = {
+    require(!docs.columns.contains("__h"),
+      "admitNew reserves '__h'; the input already carries it — rename first")
+    docs.withColumn("__h", graft.ext.ExactDedup.contentDigest(content))
       .join(corpusDigests.select(col("digest").as("__h")), Seq("__h"), "left_anti")
       .drop("__h")
+  }
 
   /** Leakage-safe split routing for a document STREAM: assign each
     * arriving document to train/val/test by the hash of its NEAR-DUP

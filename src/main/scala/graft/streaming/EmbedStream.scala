@@ -130,9 +130,11 @@ object EmbedStream {
       EmbeddingSearch.probeCellsExpr(cents, col("__qvec"), col("__qn"), nprobe))
 
     // one stream-static left join per probe slot (try_element_at:
-    // short probe lists null-join cleanly under ANSI)
-    val emptyMembers = array()
-      .cast("array<struct<id:bigint,vec:array<float>,nrm:double>>")
+    // short probe lists null-join cleanly under ANSI). The null-slot
+    // fallback takes its type FROM the packed schema — a corpus with
+    // int ids or double vectors would otherwise hit a coalesce type
+    // mismatch a hard-coded cast string cannot follow
+    val emptyMembers = array().cast(packed.schema("members").dataType)
     var joined = probed
     for (i <- 0 until nprobe) {
       val m = packed.select(col("cell").as(s"__cell$i"), col("members").as(s"__m$i"))

@@ -95,6 +95,40 @@ class MultimodalContainerSpec extends SparkTestBase {
       box("ftyp", "isom".getBytes("US-ASCII"))).valid)
   }
 
+  test("hostile inputs: huge RIFF chunk sizes terminate the walk; sign-bit mvhd durations route invalid") {
+    def le32(v: Long) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // chunk size 0xFFFFFFF8: as Int this is -8 (a walk that advances by
+    // it stalls forever); the Long-advance walk must terminate and
+    // return whatever parsed — here nothing valid
+    val hostile = "RIFF".getBytes("US-ASCII") ++ le32(0xFFFFFFF0L) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ le32(0xFFFFFFF8L) ++ new Array[Byte](64)
+    val m = Multimodal.wavMetadata(1L, hostile) // must return, not hang
+    assert(!m.valid)
+    // a valid fmt BEFORE the hostile chunk still parses (walk ends at
+    // the bad advance, keeping what it saw)
+    val good = Multimodal.encodeWav(8000, 1, 16, new Array[Byte](1600))
+    val tail = "evil".getBytes("US-ASCII") ++ le32(0xFFFFFFF8L) ++ new Array[Byte](8)
+    val mixed = good ++ tail
+    val m2 = Multimodal.wavMetadata(2L, mixed)
+    assert(m2.valid && m2.sample_rate == 8000 && m2.n_samples == 800L)
+
+    // v1 mvhd with the duration sign bit set: valid=false, never a
+    // negative duration_ms a threshold filter would silently misroute
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def box(t: String, b: Array[Byte]) = be32(b.length + 8) ++ t.getBytes("US-ASCII") ++ b
+    val evilMvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++
+      be32(90000) ++ be64(java.lang.Long.MIN_VALUE) ++ Array.fill[Byte](80)(0))
+    val evil = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ box("moov", evilMvhd)
+    assert(!Multimodal.mp4Metadata(3L, evil).valid)
+    // absurd-but-positive duration that overflows *1000 also invalid
+    val bigMvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++
+      be32(90000) ++ be64(Long.MaxValue / 100L) ++ Array.fill[Byte](80)(0))
+    val big = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++ box("moov", bigMvhd)
+    assert(!Multimodal.mp4Metadata(4L, big).valid)
+  }
+
   test("containerMetadata dispatches wav/mp4/grft/unknown per row in one pass") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "audio", Multimodal.encodeWav(8000, 1, 16,
