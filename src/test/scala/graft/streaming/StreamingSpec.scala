@@ -511,6 +511,28 @@ class StreamingSpec extends SparkTestBase {
         && batchHourly.except(streamedHourly).isEmpty)
     } finally q2.stop()
   }
+  test("QualityModel.classify scores a stream row-identically to batch, stateless (pure per-row scorer)") {
+    import graft.ext.QualityModel
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val batch = QualityModel.classify(docs, $"text")
+      .select($"doc_id", $"quality_score", $"keep")
+      .as[(Long, Double, Boolean)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("quality-stream")
+    docs.write.parquet(s"$dir/part1")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/part*")
+    val q = QualityModel.classify(stream, $"text")
+      .select($"doc_id", $"quality_score", $"keep")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("quality_stream")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("admitNew passes exactly the batch incremental-dedup survivors, stateless; intra-stream caveat pinned") {
     import graft.ext.ExactDedup
     val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
