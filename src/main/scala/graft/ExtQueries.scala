@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Keywords, MinHashLsh, Multimodal, Packing, ParagraphDedup, QualityFilter, QualityModel, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Multimodal, Packing, ParagraphDedup, QualityFilter, QualityModel, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -2775,10 +2775,71 @@ object ExtQueries {
                   FROM c a JOIN c b ON a.vec_id < b.vec_id)
             SELECT id1, id2, cos FROM p WHERE cos >= 0.99 ORDER BY id1, id2"""))
 
+  /** Deletion propagation through stored component labels — the
+    * takedown cascade's hard case, oracle-gated on BOTH failure modes:
+    * even decades delete a BRIDGE member (the stored component must
+    * split in two), odd decades delete the ROOT (survivors must adopt
+    * the new minimum as canonical). Identity proved by the gate:
+    * retract-then-read ≡ rebuild-from-scratch over the pairs whose
+    * endpoints both survive, with pair-nodes that lost every pair
+    * surviving as singletons.
+    */
+  val q95 = Q(
+    "q95_retract_components",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id".as("i")).filter($"i" < 200)
+      // decade d gets the chain d—d+1—d+2—d+3
+      val pairs = d.filter($"i" % 10 <= 2)
+        .select($"i".as("id1"), ($"i" + 1L).as("id2"))
+      // even decades lose the bridge (d+1): {d} splits from {d+2,d+3};
+      // odd decades lose the root (d): {d+1,d+2,d+3} re-canonicalizes
+      val deleted = d.filter($"i" % 20 === 1 || $"i" % 20 === 10)
+        .select($"i".as("id"))
+      val stored = DedupClusters.connectedComponents(pairs)
+      Forget.retractComponents(stored, pairs, deleted).orderBy($"id")
+    },
+    Some("""WITH RECURSIVE
+            |u AS (SELECT doc_id AS i FROM documents WHERE doc_id < 200),
+            |pairs AS (SELECT i AS id1, i + 1 AS id2 FROM u WHERE i % 10 IN (0, 1, 2)),
+            |del AS (SELECT i FROM u WHERE i % 20 = 1 OR i % 20 = 10),
+            |nodes AS (SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs),
+            |retained AS (SELECT id FROM nodes WHERE id NOT IN (SELECT i FROM del)),
+            |sp AS (SELECT id1, id2 FROM pairs
+            |       WHERE id1 NOT IN (SELECT i FROM del)
+            |         AND id2 NOT IN (SELECT i FROM del)),
+            |edges AS (SELECT id1 AS a, id2 AS b FROM sp
+            |          UNION SELECT id2, id1 FROM sp
+            |          UNION SELECT id, id FROM retained),
+            |reach(id, r) AS (SELECT a, a FROM edges
+            |                 UNION
+            |                 SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+            |SELECT id, min(r) AS component FROM reach GROUP BY id
+            |ORDER BY id""".stripMargin))
+
+  /** Deletion propagation through counted exact-dedup digest state:
+    * subtract the deleted rows' multiplicities, digests hitting zero
+    * leave. The gate pins the cascade identity — retracted state ≡
+    * digestCounts of the retained corpus — cross-engine (DuckDB's
+    * sha256 and Spark's sha2(...,256) agree on UTF-8 text).
+    */
+  val q96 = Q(
+    "q96_retract_digests",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val state = Forget.digestCounts(docs, $"text")
+      val deletedRows = docs.filter($"doc_id" % 7 === 0)
+      Forget.retractDigests(state, deletedRows, $"text").orderBy($"digest")
+    },
+    Some("""SELECT sha256(text) AS digest, count(*) AS n
+            FROM documents WHERE doc_id % 7 <> 0
+            GROUP BY sha256(text) ORDER BY digest"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94)
+    q91, q92, q93, q94, q95, q96)
 }

@@ -191,6 +191,38 @@ object EmbeddingSearch {
       index.assignments.unionAll(assignCells(c, index.centroids)))
   }
 
+  /** Rebuild-on-advice: re-refine an index's CURRENT centroids with
+    * `refineIters` deterministic Lloyd rounds over the (current) corpus
+    * and remap every assignment — the repair [[ivfRebuildAdvice]]'s
+    * `rebuild` flag calls for, closing the accretion loop
+    * ([[extendIvfIndex]] appends assignments to a frozen cell layout;
+    * drift or mass deletion eventually unbalances it).
+    *
+    * Seeding from the current centroids (not from scratch) keeps the
+    * rebuild warm — cells move toward their member means, so a mild
+    * drift costs one or two rounds, and stable regions of the corpus
+    * keep (numerically nudged) versions of their cells. Cells that end
+    * a Lloyd round with no members DROP OUT (they were costing every
+    * probe a centroid product for nothing — the advice's n_empty
+    * signal); cell ids of surviving cells are retained, so persisted
+    * per-cell telemetry remains comparable across the rebuild. The
+    * probe CONTRACT is preserved — same centroids/assignments schema,
+    * [[ivfProbe]]/[[hardNegativesIvf]] run unchanged — but routing
+    * changes by design: that is what a rebuild is for (RecallCheck
+    * measures the recovery on a drifted fixture).
+    */
+  def rebuildIvfIndex(index: IvfIndex, corpus: DataFrame, id: String, vec: String,
+                      refineIters: Int = 2): IvfIndex = {
+    require(refineIters >= 1, s"refineIters must be >= 1, got $refineIters")
+    val c = aliased(corpus, id, vec, "__cid", "__cvec")
+    val init = index.centroids.select(col("cell").as("__ctr_id"),
+      transform(col("centroid"), x => x.cast("float")).as("__ctr_vec"))
+    val refined = lloydRefine(c, init, refineIters)
+      .select(col("cell"),
+        transform(col("centroid"), x => x.cast("float")).as("centroid"))
+    IvfIndex(refined, assignCells(c, refined))
+  }
+
   /** Probe-only approximate top-k against a prebuilt index: route each
     * query to its `nprobe` nearest stored centroids, exact-rerank the
     * corpus vectors assigned to those cells. NO corpus-wide assignment
@@ -416,8 +448,19 @@ object EmbeddingSearch {
                       k: Int, iters: Int = 1): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val c = aliased(corpus, id, vec, "__cid", "__cvec")
-    var cents = c.orderBy(col("__cid")).limit(k)
+    val init = c.orderBy(col("__cid")).limit(k)
       .select(col("__cid").as("__ctr_id"), col("__cvec").as("__ctr_vec"))
+    lloydRefine(c, init, iters)
+  }
+
+  /** The Lloyd rounds of [[kmeansCentroids]], seeded from an explicit
+    * centroid frame `(__ctr_id, __ctr_vec)` — shared with
+    * [[rebuildIvfIndex]], which refines from an index's CURRENT
+    * centroids instead of the lowest-id vectors. Cells that end a round
+    * empty drop out (no member rows reach their aggregate).
+    */
+  private def lloydRefine(c: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cents = init
     var prevCut: Option[GraftBridge.CutFrame] = None
     var result: DataFrame = null
     for (i <- 1 to iters) {

@@ -1,0 +1,199 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deletion / takedown propagation — the missing half of the
+  * incremental-ingest family. `ExactDedup.incremental` /
+  * `MinHashLsh.incrementalNearDup` / `DedupClusters.incrementalComponents`
+  * fold ADDITIONS into persisted derived state without re-reading the
+  * corpus; this object cascades REMOVALS (takedown and opt-out requests,
+  * routine at 100 TB) through the same state tables, with the same
+  * identity discipline: retract-then-query must equal
+  * rebuild-from-scratch on the retained corpus.
+  *
+  * Reference scope note: the reference handles row-level deletes only in
+  * its CDC ingest (`load_hhs.py` upserts); cascading deletion through
+  * derived dedup/index state is the extension a curation pipeline needs
+  * once it persists that state at all.
+  *
+  * The cascade covers every derived state this engine persists:
+  *
+  *   - corpus rows               → [[retainDocs]] (anti-join)
+  *   - exact-dedup digest state  → [[digestCounts]] + [[retractDigests]]
+  *     (counted state: a digest survives while ANY retained row still
+  *     carries it — the DISTINCT digest table of `ExactDedup.digestTable`
+  *     cannot answer that without a rescan, so the retractable form
+  *     carries multiplicities; `toDigestTable` recovers the distinct
+  *     form for `DocStream.admitNew` / `ExactDedup.incremental`)
+  *   - MinHash signature state   → [[retractSignatures]] (anti-join on id
+  *     — signatures are per-document, no cross-row dependency)
+  *   - CC component labels       → [[retractComponents]] (the hard case:
+  *     deleting a BRIDGE document splits its component, deleting the
+  *     minimum-id member changes the component's canonical label —
+  *     neither is derivable from the label table alone, so affected
+  *     components re-label over the surviving candidate-PAIR list,
+  *     which the caller retains alongside the labels; unaffected
+  *     components pass through untouched)
+  *   - IVF index state           → [[retractIvf]] (assignments anti-join;
+  *     centroids are retained layout, watched by `ivfRebuildAdvice`)
+  *
+  * Bloom screens ([[Bloom]]) deliberately have NO retraction: a Bloom
+  * filter cannot delete (bits are shared). Rebuild it from the retracted
+  * digest state — digest-proportional, no corpus re-read.
+  *
+  * Scale design: every path is join-shaped over STATE tables (digests,
+  * signatures, labels, pairs — all corpus-row-proportional at worst,
+  * LSH-candidate-proportional for pairs) plus the delete-id set, which
+  * is broadcast-sized in any real takedown batch. No path re-reads or
+  * re-shingles corpus text; [[retractComponents]] runs star contraction
+  * only over the pairs of components that actually lost a member.
+  */
+object Forget {
+
+  /** Distinct single-column delete frame under a reserved name. */
+  private def deleteSet(deletedIds: DataFrame): DataFrame = {
+    require(deletedIds.columns.length == 1,
+      s"delete-id frame must have exactly one column, got [${deletedIds.columns.mkString(", ")}]")
+    deletedIds.select(col(deletedIds.columns.head).as("__del")).distinct()
+  }
+
+  /** The retained corpus: rows of `docs` whose id is not in the delete
+    * set. One anti-join; no broadcast hint — AQE broadcasts the delete
+    * side when it measures small (it always is), and a pathological
+    * mass-deletion still executes as a shuffle join.
+    */
+  def retainDocs(docs: DataFrame, idCol: String, deletedIds: DataFrame): DataFrame =
+    docs.join(deleteSet(deletedIds), docs(idCol) === col("__del"), "left_anti")
+
+  /** Retractable exact-dedup state: one row per distinct content digest
+    * with its multiplicity — `(digest, n)`. [[ExactDedup.digestTable]]'s
+    * distinct form plus the refcount that makes deletion decidable
+    * without a corpus rescan: a digest leaves the state exactly when its
+    * count reaches zero.
+    */
+  def digestCounts(df: DataFrame, content: Column): DataFrame =
+    df.groupBy(ExactDedup.contentDigest(content).as("digest"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cascade a deletion through counted digest state: subtract the
+    * deleted rows' digest multiplicities, drop digests whose count hits
+    * zero. Identity (gate q96):
+    *
+    *   retractDigests(digestCounts(corpus), deletedRows)
+    *     ≡ digestCounts(corpus ∖ deletedRows)
+    *
+    * `deletedDocs` must be the deleted ROWS (with their content column)
+    * — the digest state stores no ids, so the content is what locates
+    * the rows' digests. A takedown pipeline has those rows by
+    * construction (they are what it is deleting). Digests in the delete
+    * batch but absent from the state are ignored (idempotent replay of
+    * an already-applied takedown).
+    *
+    * Shape: one aggregation over the (small) delete batch, one
+    * digest-keyed left join against the state — digests shuffle, text
+    * never does.
+    */
+  def retractDigests(state: DataFrame, deletedDocs: DataFrame,
+                     content: Column): DataFrame = {
+    val delCounts = digestCounts(deletedDocs, content)
+      .select(col("digest"), col("n").as("__dn"))
+    state.join(delCounts, Seq("digest"), "left")
+      .select(col("digest"), (col("n") - coalesce(col("__dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+  }
+
+  /** The distinct digest-table view of counted state — what
+    * [[ExactDedup.incremental]] and `DocStream.admitNew` consume.
+    */
+  def toDigestTable(state: DataFrame): DataFrame =
+    state.select(col("digest"))
+
+  /** Cascade a deletion through per-document signature state
+    * ([[MinHashLsh.portableSignatures]] schema `(id, m0..)` — or any
+    * state keyed one-row-per-document by `idCol`): drop the deleted
+    * rows. Signatures carry no cross-row dependency, so the anti-join
+    * IS the full cascade; `incrementalNearDup` against the retracted
+    * state can never again surface a deleted document.
+    */
+  def retractSignatures(sigState: DataFrame, idCol: String,
+                        deletedIds: DataFrame): DataFrame =
+    sigState.join(deleteSet(deletedIds), sigState(idCol) === col("__del"), "left_anti")
+
+  /** Cascade a deletion through stored component labels. The label
+    * table ([[DedupClusters.connectedComponents]] output `(id,
+    * component)`) is a star subgraph rooted at each component's
+    * minimum id — deleting a member invalidates it two ways the table
+    * itself cannot repair:
+    *
+    *   - the deleted doc was the ROOT: survivors need the new minimum
+    *     as their canonical label;
+    *   - the deleted doc was a BRIDGE: the component falls apart into
+    *     pieces only the original pair list can distinguish (the star
+    *     edges all run through the root, erasing which members were
+    *     connected via whom).
+    *
+    * So retraction re-labels AFFECTED components (those that lost at
+    * least one member) over the surviving pair list, and passes every
+    * untouched component through as-is. Identity (gate q95): equal to
+    * `connectedComponents` over the pairs with both endpoints retained,
+    * with retained pair-nodes that lost all their pairs surviving as
+    * singletons (component = own id).
+    *
+    * @param prevLabels (id, component) — stored labels
+    * @param pairs      (id1, id2) — the candidate-pair list the labels
+    *                   were built from (LSH-proportional; the state a
+    *                   near-dup pipeline already persists to support
+    *                   incremental folds)
+    * @param deletedIds one-column delete-id frame
+    *
+    * Scale: affected components are located with two semi-joins against
+    * the (broadcast-sized) delete set; star contraction runs ONLY over
+    * pairs of affected components — a takedown batch touching c
+    * components costs O(pairs within those c components), not
+    * O(|pairs|), and the untouched-label passthrough is join-free after
+    * the one anti-join on component id.
+    */
+  def retractComponents(prevLabels: DataFrame, pairs: DataFrame,
+                        deletedIds: DataFrame): DataFrame = {
+    val del = deleteSet(deletedIds)
+    // components that lost >= 1 member
+    val affected = prevLabels
+      .join(del, prevLabels("id") === col("__del"), "left_semi")
+      .select(col("component").as("__ac")).distinct()
+    val untouched = prevLabels
+      .join(affected, prevLabels("component") === col("__ac"), "left_anti")
+    // surviving members of affected components — every one must appear
+    // in the output (as a singleton if its last pair died with the
+    // deleted doc), hence the self-pair union below
+    val survivors = prevLabels
+      .join(affected, prevLabels("component") === col("__ac"), "left_semi")
+      .join(del, prevLabels("id") === col("__del"), "left_anti")
+      .select(col("id"))
+    // pairs with both endpoints alive, restricted to affected
+    // components (pairs never cross components, so one endpoint's
+    // membership decides)
+    val livePairs = pairs
+      .join(del, pairs("id1") === col("__del"), "left_anti")
+      .join(del, pairs("id2") === col("__del"), "left_anti")
+      .join(survivors.select(col("id").as("__s")), col("id1") === col("__s"), "left_semi")
+    val relabeled = DedupClusters.connectedComponents(
+      livePairs.select(col("id1"), col("id2"))
+        .unionAll(survivors.select(col("id").as("id1"), col("id").as("id2"))))
+    untouched.unionByName(relabeled)
+  }
+
+  /** Cascade a deletion through IVF index state: deleted documents
+    * leave the assignment table; the centroid layout is RETAINED (it is
+    * the probe contract — queries routed before and after the takedown
+    * see the same cells). A mass deletion that unbalances or empties
+    * cells surfaces through [[EmbeddingSearch.ivfRebuildAdvice]] exactly
+    * like ingest drift does, and [[EmbeddingSearch.rebuildIvfIndex]] is
+    * the repair.
+    */
+  def retractIvf(index: EmbeddingSearch.IvfIndex,
+                 deletedIds: DataFrame): EmbeddingSearch.IvfIndex =
+    EmbeddingSearch.IvfIndex(index.centroids,
+      index.assignments.join(deleteSet(deletedIds),
+        index.assignments("id") === col("__del"), "left_anti"))
+}
