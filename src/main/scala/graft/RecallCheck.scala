@@ -130,8 +130,10 @@ object RecallCheck {
         ext.EmbeddingSearch.ivfProbe(drifted, corpus, "vec_id", "embedding",
           queries, "qid", "qvec", k = k, nprobe = 4)
       }
-      val rebuilt = ext.EmbeddingSearch.buildIvfIndex(corpus, "vec_id", "embedding",
-        nlist = 16, refineIters = 1)
+      // the advice-loop repair: warm Lloyd refinement seeded from the
+      // DRIFTED centroids (rebuildIvfIndex), not a cold re-build
+      val rebuilt = ext.EmbeddingSearch.rebuildIvfIndex(drifted, corpus,
+        "vec_id", "embedding", refineIters = 1)
       advice("rebuilt", rebuilt)
       measure("ivfProbe rebuilt np=4") {
         ext.EmbeddingSearch.ivfProbe(rebuilt, corpus, "vec_id", "embedding",

@@ -165,4 +165,77 @@ class IvfIndexSpec extends SparkTestBase {
     val got = out.select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(got == brute)
   }
+
+  test("rebuildIvfIndex recovers probe recall on a drifted corpus, preserves the probe contract, drops dead cells") {
+    val dim = 16
+    // deterministic zero-mean jitter in [-0.1, 0.1)
+    def jit(i: Long, d: Int): Float =
+      ((math.floorMod(i * 2654435761L + d * 40503L, 1000L) - 500L) / 5000.0).toFloat
+    // day-0 corpus: 8 axis-aligned clusters living in dims 0..7, ids
+    // interleaved so the 8 lowest ids cover every cluster (the
+    // refineIters=0 centroid rule)
+    val base = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      (i, Array.tabulate(dim)(d =>
+        if (d < 8) (if (d == c) 1f else 0f) + jit(i, d) else 0f))
+    }
+    // drifted batches: 8 NEW clusters on axes e_8..e_15, orthogonal to
+    // every stale centroid. Neighbor RANKING inside a cluster is
+    // decided by the 0.1-scale jitter on dims 8..15; stale-cell
+    // ROUTING is decided by an independent 0.01-scale component on
+    // dims 0..7 (the only dims the stale centroids see). Ranking and
+    // routing are therefore independent: a query's true neighbors
+    // scatter across cells its nprobe=1 probe never visits — the
+    // drift failure ivfRebuildAdvice exists to catch.
+    val batch = (0L until 200L).map { j =>
+      val i = 1000L + j
+      val c = 8 + (j % 8).toInt
+      (i, Array.tabulate(dim)(d =>
+        if (d >= 8) (if (d == c) 1f else 0f) + jit(i, d)
+        else jit(i, d) * 0.1f))
+    }
+    val baseDf = base.toDF("vec_id", "embedding")
+    val corpus = (base ++ batch).toDF("vec_id", "embedding")
+    val idx0 = EmbeddingSearch.buildIvfIndex(baseDf, "vec_id", "embedding", nlist = 8)
+    val drifted = EmbeddingSearch.extendIvfIndex(idx0,
+      batch.toDF("vec_id", "embedding"), "vec_id", "embedding")
+
+    val queries = batch.filter(_._1 % 1000 < 24)
+      .map { case (i, v) => (i, v) }.toDF("qid", "qvec")
+    val truth = EmbeddingSearch.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 10).select("qid", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(ix: EmbeddingSearch.IvfIndex): Double = {
+      val got = EmbeddingSearch.ivfProbe(ix, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, nprobe = 1)
+        .select("qid", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val recallDrifted = recallOf(drifted)
+    val rebuilt = EmbeddingSearch.rebuildIvfIndex(drifted, corpus,
+      "vec_id", "embedding", refineIters = 4)
+    val recallRebuilt = recallOf(rebuilt)
+    info(f"recall@10 np=1: drifted=$recallDrifted%.3f rebuilt=$recallRebuilt%.3f")
+    assert(recallRebuilt > recallDrifted,
+      f"rebuild must recover recall: drifted=$recallDrifted%.3f rebuilt=$recallRebuilt%.3f")
+    // probe contract: same schema, every corpus vector assigned exactly once
+    assert(rebuilt.centroids.columns.toSeq == drifted.centroids.columns.toSeq)
+    assert(rebuilt.assignments.columns.toSeq == drifted.assignments.columns.toSeq)
+    assert(rebuilt.assignments.count() == corpus.count())
+    assert(rebuilt.assignments.select("id").distinct().count() == corpus.count())
+
+    // a cell nothing routes to any more (anti-corpus direction — the
+    // mass-takedown aftermath) is dropped by the rebuild instead of
+    // taxing every probe forever; measured on the tight base corpus,
+    // where every vector strongly prefers its own cluster's centroid
+    val dead = Seq((999L, Array.tabulate(dim)(d => if (d == 0) -1f else 0f)))
+      .toDF("cell", "centroid")
+    val withDead = EmbeddingSearch.IvfIndex(
+      idx0.centroids.unionByName(dead), idx0.assignments)
+    val cleaned = EmbeddingSearch.rebuildIvfIndex(withDead, baseDf,
+      "vec_id", "embedding", refineIters = 1)
+    assert(cleaned.centroids.filter($"cell" === 999L).count() == 0)
+    assert(cleaned.centroids.count() == 8)
+    assert(cleaned.assignments.count() == baseDf.count())
+  }
 }
