@@ -402,6 +402,166 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // REAL WAV PCM payload decode — integer PCM samples are raw in the
+  // `data` chunk the RIFF walk above locates; no codec is involved, so
+  // the decode is pure-JVM byte arithmetic: 8-bit unsigned, 16/24/32-bit
+  // signed little-endian (the WAV PCM layouts). Features (RMS, peak,
+  // zero-crossings, exact sample count) are what an audio curation pass
+  // filters on — silence/clipping detection, level gates — before any
+  // model sees a waveform. Video frames stay stubbed: raw frames
+  // genuinely need a codec the JDK lacks.
+  // ---------------------------------------------------------------------
+
+  final case class PcmFeatures(media_id: Long, valid: Boolean, sample_rate: Int,
+                               channels: Int, bits_per_sample: Int, n_frames: Long,
+                               duration_ms: Long, rms: Double, peak: Double,
+                               zero_crossings: Long, mean: Double)
+
+  private def invalidPcm(id: Long) =
+    PcmFeatures(id, valid = false, 0, 0, 0, 0L, 0L, 0.0, 0.0, 0L, 0.0)
+
+  /** Locate the `data` chunk body: (start offset, clamped byte length).
+    * The shared walk behind every payload-decode path; None on a
+    * malformed chunk list.
+    */
+  private def wavDataChunk(bytes: Array[Byte]): Option[(Int, Long)] = {
+    def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val ckSize = le32(off + 4)
+      if (new String(bytes, off, 4, "US-ASCII") == "data")
+        return Some((off + 8, math.min(ckSize, (bytes.length - off - 8).toLong)))
+      val next = off + 8L + ckSize + (ckSize & 1L)
+      if (next <= off || next > bytes.length.toLong) return None
+      off = next.toInt
+    }
+    None
+  }
+
+  /** Sample i (interleaved order) of a PCM payload as a raw signed
+    * integer. WAV layouts: 8-bit is UNSIGNED with bias 128; 16/24/32
+    * are signed little-endian.
+    */
+  private def pcmRaw(bytes: Array[Byte], dataStart: Int, bits: Int, i: Long): Long = {
+    val o = dataStart + (i * (bits / 8)).toInt
+    bits match {
+      case 8 => (bytes(o) & 0xffL) - 128L
+      case 16 => ((bytes(o) & 0xffL) | (bytes(o + 1).toLong << 8)).toShort.toLong
+      case 24 =>
+        val v = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16)
+        if ((v & 0x800000L) != 0) v - 0x1000000L else v
+      case _ =>
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | (bytes(o + 3).toLong << 24)
+    }
+  }
+
+  private def pcmLayoutOk(meta: ContainerMeta): Boolean =
+    meta.valid && meta.n_samples > 0 && meta.channels > 0 &&
+      (meta.bits_per_sample == 8 || meta.bits_per_sample == 16 ||
+        meta.bits_per_sample == 24 || meta.bits_per_sample == 32)
+
+  /** Decode one WAV's PCM payload and reduce it to acoustic features
+    * in ONE STREAMING PASS — samples are read off the byte array and
+    * never materialized (a long clip costs no per-row buffer).
+    * Normalization to [-1, 1] follows the AudioSystem convention
+    * (divide by the type's max magnitude). Frames are
+    * channel-interleaved; RMS/peak/mean run over all channels'
+    * samples, zero-crossings count per-channel sign changes summed (a
+    * stereo file's channels cross independently). Corrupt or
+    * non-integer-PCM bytes return valid=false — the quarantine
+    * contract every decode path shares.
+    */
+  def wavPcmFeatures(id: Long, bytes: Array[Byte]): PcmFeatures = {
+    val meta = wavMetadata(id, bytes)
+    if (!pcmLayoutOk(meta)) return invalidPcm(id)
+    val bits = meta.bits_per_sample
+    wavDataChunk(bytes) match {
+      case None => invalidPcm(id)
+      case Some((dataStart, dataLen)) =>
+        val nSamplesAll = dataLen / (bits / 8) // across channels
+        if (nSamplesAll <= 0) return invalidPcm(id)
+        val maxMag = (1L << (bits - 1)).toDouble // 128 / 32768 / 2^23 / 2^31
+        var i = 0L
+        var sumSq = 0.0
+        var sum = 0.0
+        var peak = 0.0
+        var crossings = 0L
+        // previous sign per channel (0 until first nonzero); channel
+        // count is bounded by the fmt chunk's 16-bit field
+        val prevSign = new Array[Int](meta.channels)
+        while (i < nSamplesAll) {
+          val raw = pcmRaw(bytes, dataStart, bits, i)
+          val s = raw / maxMag
+          sumSq += s * s
+          sum += s
+          val mag = math.abs(s)
+          if (mag > peak) peak = mag
+          val ch = (i % meta.channels).toInt
+          val sign = java.lang.Long.signum(raw)
+          if (sign != 0) {
+            if (prevSign(ch) != 0 && sign != prevSign(ch)) crossings += 1
+            prevSign(ch) = sign
+          }
+          i += 1
+        }
+        PcmFeatures(id, valid = true, meta.sample_rate, meta.channels, bits,
+          meta.n_samples, meta.duration_ms,
+          math.sqrt(sumSq / nSamplesAll), peak, crossings, sum / nSamplesAll)
+    }
+  }
+
+  /** Per-partition real PCM decode: WAV binary → acoustic features.
+    * Same mapPartitions batch shape as [[decodeImages]]; the payload
+    * never leaves the executor, one typed feature row out per input.
+    */
+  def wavFeatures(ds: Dataset[MediaRow]): Dataset[PcmFeatures] = {
+    implicit val enc: Encoder[PcmFeatures] = Encoders.product[PcmFeatures]
+    ds.mapPartitions(_.map(r => wavPcmFeatures(r.media_id, r.content)))
+  }
+
+  /** Fixed-width embedding from a WAV's PCM payload: per-band RMS over
+    * `dim` equal time slices of the (channel-mixed) waveform — a
+    * deterministic acoustic envelope, shaped exactly like the image
+    * path's mean-color features so it feeds [[EmbeddingSearch]]
+    * directly (audio near-dup / similarity clustering). Invalid or
+    * non-PCM inputs are dropped (route them through [[wavFeatures]]
+    * first for quarantine accounting).
+    */
+  def wavEmbeddings(ds: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    implicit val enc: Encoder[FeatureRow] = Encoders.product[FeatureRow]
+    ds.mapPartitions(_.flatMap { r =>
+      val meta = wavMetadata(r.media_id, r.content)
+      if (!pcmLayoutOk(meta) || meta.n_samples < dim) None
+      else wavDataChunk(r.content).map { case (dataStart, dataLen) =>
+        val bits = meta.bits_per_sample
+        val maxMag = (1L << (bits - 1)).toDouble
+        val nFrames = dataLen / (bits / 8) / meta.channels
+        val out = new Array[Float](dim)
+        var b = 0
+        while (b < dim) {
+          val lo = b.toLong * nFrames / dim
+          val hi = (b + 1).toLong * nFrames / dim
+          var sumSq = 0.0
+          var i = lo * meta.channels
+          val end = hi * meta.channels
+          while (i < end) {
+            val s = pcmRaw(r.content, dataStart, bits, i) / maxMag
+            sumSq += s * s
+            i += 1
+          }
+          out(b) = math.sqrt(sumSq / math.max(end - lo * meta.channels, 1L)).toFloat
+          b += 1
+        }
+        FeatureRow(r.media_id, out)
+      }
+    })
+  }
+
   /** Test/data-gen helper: a REAL RIFF/WAVE file (PCM fmt + data
     * chunks) with the given layout — the bytes any standard WAV reader
     * accepts.
