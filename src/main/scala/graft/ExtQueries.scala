@@ -2836,10 +2836,104 @@ object ExtQueries {
             FROM documents WHERE doc_id % 7 <> 0
             GROUP BY sha256(text) ORDER BY digest"""))
 
+  /** Wide-coverage language ID: script detection (9 non-Latin scripts)
+    * over planted multilingual rows + stopword argmax (7 Latin
+    * languages) over the corpus, the whole two-branch CASE mirrored in
+    * the oracle. The synthetic documents exercise the Latin branch;
+    * the planted VALUES rows (identical literals both sides) exercise
+    * every script branch including the kana-vs-ideograph ja/zh split.
+    */
+  val q97 = Q(
+    "q97_lang_id_wide",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (100000L, "это новый дом и мы живём здесь уже давно"),
+        (100001L, "αυτό είναι ένα καλό σπίτι και μένουμε εδώ χρόνια"),
+        (100002L, "هذا بيت جديد ونحن نعيش هنا منذ زمن طويل"),
+        (100003L, "זה בית חדש ואנחנו גרים כאן הרבה זמן"),
+        (100004L, "यह एक नया घर है और हम यहाँ रहते हैं"),
+        (100005L, "นี่คือบ้านใหม่และเราอยู่ที่นี่มานาน"),
+        (100006L, "이것은 새 집이고 우리는 여기 오래 살았다"),
+        (100007L, "これは新しい家でわたしたちはここに住んでいます"),
+        (100008L, "这是一个新房子我们在这里住了很久"),
+        (100009L, "il gatto è sul tetto della casa e non vuole scendere che bello"),
+        (100010L, "o menino não quer uma coisa que ele viu e o pai dele também"),
+        (100011L, "de man en het kind zijn in een huis en dat is mooi"))
+        .toDF("doc_id", "text")
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+        .select($"doc_id", TextAnalysis.langIdWide($"text").as("pred_lang"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH planted(doc_id, text) AS (VALUES
+            |  (100000, 'это новый дом и мы живём здесь уже давно'),
+            |  (100001, 'αυτό είναι ένα καλό σπίτι και μένουμε εδώ χρόνια'),
+            |  (100002, 'هذا بيت جديد ونحن نعيش هنا منذ زمن طويل'),
+            |  (100003, 'זה בית חדש ואנחנו גרים כאן הרבה זמן'),
+            |  (100004, 'यह एक नया घर है और हम यहाँ रहते हैं'),
+            |  (100005, 'นี่คือบ้านใหม่และเราอยู่ที่นี่มานาน'),
+            |  (100006, '이것은 새 집이고 우리는 여기 오래 살았다'),
+            |  (100007, 'これは新しい家でわたしたちはここに住んでいます'),
+            |  (100008, '这是一个新房子我们在这里住了很久'),
+            |  (100009, 'il gatto è sul tetto della casa e non vuole scendere che bello'),
+            |  (100010, 'o menino não quer uma coisa que ele viu e o pai dele também'),
+            |  (100011, 'de man en het kind zijn in een huis en dat is mooi')),
+            |u AS (SELECT doc_id, text FROM documents
+            |      UNION ALL SELECT doc_id, text FROM planted),
+            |c AS (SELECT doc_id,
+            |  length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS ru,
+            |  length(text) - length(regexp_replace(text, '[\x{0370}-\x{03FF}]', '', 'g')) AS el,
+            |  length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}\x{0750}-\x{077F}]', '', 'g')) AS ar,
+            |  length(text) - length(regexp_replace(text, '[\x{0590}-\x{05FF}]', '', 'g')) AS he,
+            |  length(text) - length(regexp_replace(text, '[\x{0900}-\x{097F}]', '', 'g')) AS hi,
+            |  length(text) - length(regexp_replace(text, '[\x{0E00}-\x{0E7F}]', '', 'g')) AS th,
+            |  length(text) - length(regexp_replace(text, '[\x{AC00}-\x{D7A3}\x{1100}-\x{11FF}\x{3130}-\x{318F}]', '', 'g')) AS ko,
+            |  length(text) - length(regexp_replace(text, '[\x{3040}-\x{30FF}]', '', 'g')) AS ja,
+            |  length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]', '', 'g')) AS zh,
+            |  greatest(length(text) - length(regexp_replace(text, ' ', '', 'g')), 1) AS nonspace,
+            |  len(list_filter(string_split_regex(trim(text), '\s+'),
+            |      t -> list_contains(['the','a','of','and','is'], t))) AS en,
+            |  len(list_filter(string_split_regex(trim(text), '\s+'),
+            |      t -> list_contains(['der','die','das','und','ist'], t))) AS de,
+            |  len(list_filter(string_split_regex(trim(text), '\s+'),
+            |      t -> list_contains(['el','los','una','y','es'], t))) AS es,
+            |  len(list_filter(string_split_regex(trim(text), '\s+'),
+            |      t -> list_contains(['le','les','une','et','est'], t))) AS fr,
+            |  len(list_filter(string_split_regex(trim(text), '\s+'),
+            |      t -> list_contains(['il','della','che','e','è'], t))) AS it,
+            |  len(list_filter(string_split_regex(trim(text), '\s+'),
+            |      t -> list_contains(['o','uma','que','e','não'], t))) AS pt,
+            |  len(list_filter(string_split_regex(trim(text), '\s+'),
+            |      t -> list_contains(['de','het','een','en','is'], t))) AS nl
+            |FROM u),
+            |a AS (SELECT *, CASE WHEN ja > 0 THEN ja + zh ELSE 0 END AS jaa FROM c)
+            |SELECT doc_id,
+            |  CASE WHEN greatest(ru, el, ar, he, hi, th, ko, jaa, zh) * 10 >= nonspace * 3 THEN
+            |    CASE WHEN ru >= el AND ru >= ar AND ru >= he AND ru >= hi AND ru >= th AND ru >= ko AND ru >= jaa AND ru >= zh THEN 'ru'
+            |         WHEN el >= ar AND el >= he AND el >= hi AND el >= th AND el >= ko AND el >= jaa AND el >= zh THEN 'el'
+            |         WHEN ar >= he AND ar >= hi AND ar >= th AND ar >= ko AND ar >= jaa AND ar >= zh THEN 'ar'
+            |         WHEN he >= hi AND he >= th AND he >= ko AND he >= jaa AND he >= zh THEN 'he'
+            |         WHEN hi >= th AND hi >= ko AND hi >= jaa AND hi >= zh THEN 'hi'
+            |         WHEN th >= ko AND th >= jaa AND th >= zh THEN 'th'
+            |         WHEN ko >= jaa AND ko >= zh THEN 'ko'
+            |         WHEN jaa >= zh THEN 'ja'
+            |         ELSE 'zh' END
+            |  ELSE
+            |    CASE WHEN en >= de AND en >= es AND en >= fr AND en >= it AND en >= pt AND en >= nl THEN 'en'
+            |         WHEN de >= es AND de >= fr AND de >= it AND de >= pt AND de >= nl THEN 'de'
+            |         WHEN es >= fr AND es >= it AND es >= pt AND es >= nl THEN 'es'
+            |         WHEN fr >= it AND fr >= pt AND fr >= nl THEN 'fr'
+            |         WHEN it >= pt AND it >= nl THEN 'it'
+            |         WHEN pt >= nl THEN 'pt'
+            |         ELSE 'nl' END
+            |  END AS pred_lang
+            |FROM a ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96)
+    q91, q92, q93, q94, q95, q96, q97)
 }

@@ -52,18 +52,86 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "una", "y", "es"),
     "fr" -> Seq("le", "les", "une", "et", "est"))
 
-  /** n-gram/stopword language-ID: argmax over per-language hit counts,
-    * ties resolved by list order.
+  /** First-wins argmax over (language, score) columns: entry i is the
+    * answer when its score is >= every LATER entry's (list order is the
+    * tie preference) — the shared chain behind [[langId]] and
+    * [[langIdWide]], mirrored as a CASE ladder in the oracles.
     */
-  def langId(c: Column): Column = {
-    val scores = langWords.map { case (lang, ws) => lang -> stopwordCount(c, ws) }
-    val winner = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+  private def argmaxLang(scores: Seq[(String, Column)]): Column =
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
       case (((lang, s), i), acc) =>
         val rest = scores.drop(i + 1)
         if (rest.isEmpty) acc
         else when(rest.map(r => s >= r._2).reduce(_ && _), lang).otherwise(acc)
     }
-    winner
+
+  /** n-gram/stopword language-ID: argmax over per-language hit counts,
+    * ties resolved by list order.
+    */
+  def langId(c: Column): Column =
+    argmaxLang(langWords.map { case (lang, ws) => lang -> stopwordCount(c, ws) })
+
+  /** Unicode script character classes for the non-Latin branch of
+    * [[langIdWide]], as `\x{…}` ranges — the ONE hex-escape syntax
+    * Java regex and RE2 share, so the identical pattern string runs in
+    * Spark and the DuckDB oracle. All ranges are BMP, where Java's
+    * UTF-16-unit counting and DuckDB's codepoint counting agree.
+    * "ja" deliberately maps the KANA block only — kana is the ja/zh
+    * discriminator (Japanese text mixes kana with the CJK ideographs
+    * "zh" matches; Chinese text has no kana).
+    */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "ru" -> "[\\x{0400}-\\x{04FF}]",
+    "el" -> "[\\x{0370}-\\x{03FF}]",
+    "ar" -> "[\\x{0600}-\\x{06FF}\\x{0750}-\\x{077F}]",
+    "he" -> "[\\x{0590}-\\x{05FF}]",
+    "hi" -> "[\\x{0900}-\\x{097F}]",
+    "th" -> "[\\x{0E00}-\\x{0E7F}]",
+    "ko" -> "[\\x{AC00}-\\x{D7A3}\\x{1100}-\\x{11FF}\\x{3130}-\\x{318F}]",
+    "ja" -> "[\\x{3040}-\\x{30FF}]",
+    "zh" -> "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]")
+
+  /** Latin-script stopword lists for [[langIdWide]]: the [[langWords]]
+    * four first (tie-preference compatibility), then Italian,
+    * Portuguese, Dutch. Lists are small and DISTINCTIVE by design —
+    * shared function words ("e" it/pt, "is" en/nl) are outweighed by
+    * each list's unshared members on real text.
+    */
+  val langWordsWide: Seq[(String, Seq[String])] = langWords ++ Seq(
+    "it" -> Seq("il", "della", "che", "e", "è"),
+    "pt" -> Seq("o", "uma", "que", "e", "não"),
+    "nl" -> Seq("de", "het", "een", "en", "is"))
+
+  /** Wide-coverage language-ID: script detection first (a non-Latin
+    * script owning ≥ 30% of non-space characters decides — Cyrillic→ru,
+    * Greek→el, Arabic→ar, Hebrew→he, Devanagari→hi, Thai→th,
+    * Hangul→ko, kana→ja, kana-free CJK→zh), stopword argmax over
+    * [[langWordsWide]] otherwise. Same determinism contract as
+    * [[langId]]: one codegen'd expression, list order breaks ties,
+    * oracle-mirrored CASE for CASE (gate q97). Script-language
+    * PRECISION on planted multilingual docs is pinned in
+    * TextWideLangSpec's confusion matrix.
+    *
+    * The 30% threshold keeps a Latin document quoting a few foreign
+    * words on the stopword path, while genuinely non-Latin text (whose
+    * letters are nearly all in one script block) clears it with a wide
+    * margin; ja's score counts kana + ideographs jointly so
+    * kanji-heavy Japanese still routes ja (kana presence is the
+    * discriminator, kana share is not).
+    */
+  def langIdWide(c: Column): Column = {
+    val counts = scriptClasses.map { case (l, cls) => l -> classCount(c, cls) }
+    val byLang = counts.toMap
+    val adjusted = counts.map {
+      case ("ja", kana) => "ja" -> when(kana > 0, kana + byLang("zh")).otherwise(lit(0))
+      case other => other
+    }
+    val nonSpace = greatest(charCount(c) - spaceCount(c), lit(1))
+    val maxScript = greatest(adjusted.map(_._2): _*)
+    val scriptLang = argmaxLang(adjusted)
+    val latinLang = argmaxLang(
+      langWordsWide.map { case (lang, ws) => lang -> stopwordCount(c, ws) })
+    when(maxScript * 10 >= nonSpace * 3, scriptLang).otherwise(latinLang)
   }
 
   /** Heuristic quality score in [0,1]: stopword density + non-digit
