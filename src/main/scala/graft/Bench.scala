@@ -125,6 +125,20 @@ object Bench {
     // bracket: the r7 verdict saw a 1-rep tier swing 2× on identical
     // code under ambient load — a tier that can't be normalized is
     // noise, not signal.
+    // Self-normalizing totals: scale by idle_cal / measured_cal so the
+    // recorded artifact already backs out ambient load instead of
+    // asking the reader to (r7 verdict item). measured_cal = the MIN of
+    // the run's calibration bracket (closest to this box's achievable
+    // state during the run); idle_cal = the recorded idle-box reference
+    // for the kernel (BASELINE.md; override with SPARK_GRAFT_IDLE_CAL
+    // after a hardware change). Normalization never inflates: an
+    // idle-or-better box reports raw totals (factor capped at 1).
+    val idleCal = sys.env.getOrElse("SPARK_GRAFT_IDLE_CAL", "0.42").toDouble
+    def normFactor(cals: Double*): Double = {
+      val measured = cals.filter(_ > 0)
+      if (measured.isEmpty) 1.0 else math.min(1.0, idleCal / measured.min)
+    }
+
     val x10Skip = Set("q34_embed_neardup")
     var x10Cal = (0.0, 0.0)
     val x10: Option[Seq[(String, Double)]] =
@@ -179,6 +193,36 @@ object Bench {
           System.err.println(s"[bench] x100 pass failed: $e"); None
       }
 
+    // ---- sf1 honesty tier: per-query SCALING EXPONENTS ----------------
+    // The x10 pass at the driver's sf0.1 bench dir IS sf1-scale data;
+    // what the raw tier totals hide is per-query growth. For the
+    // corpus-proportional headline gates, record t(10·sf)/t(sf) with
+    // each pass's calibration normalization backed out, plus the
+    // implied scaling exponent log10(ratio) — 1.0 = perfectly linear,
+    // >~1.08 (ratio >12) flags a super-linear plan for the round-notes
+    // audit. Gates that slice planted constant ranges are excluded
+    // (their ratio measures fixed cost, not scaling).
+    val sf1Head: Set[String] = x100Keep ++ Set("q28_minhash_neardup",
+      "q45_minhash_portable", "q53_dedup_clusters",
+      "q66_incremental_neardup", "q71_leakage_safe_split")
+    val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
+      val mainT = results.toMap
+      val nfMain = normFactor(calibration, calibrationEnd)
+      val nf10 = normFactor(x10Cal._1, x10Cal._2)
+      r.filter(q => sf1Head(q._1)).flatMap { case (name, t10) =>
+        mainT.get(name).filter(t => t > 0 && t10 > 0).map { tm =>
+          val ratio = (t10 * nf10) / (tm * nfMain)
+          (name, ratio, math.log10(ratio))
+        }
+      }
+    }.getOrElse(Seq.empty)
+    val sf1Offenders = sf1Rows.filter(_._2 > 12.0).map(_._1)
+    val sf1Detail =
+      if (sf1Rows.isEmpty) ""
+      else s""","sf1_scaling":{${sf1Rows.sortBy(_._1).map { case (n, ratio, exp) =>
+        "\"" + n + "\":{\"ratio\":" + fmt(ratio) + ",\"exponent\":" + fmt(exp) + "}"
+      }.mkString(",")}}"""
+
     // The harness that collects this output keeps only the LAST ~2000
     // characters of the run log, so the machine-readable summary line
     // must (a) be printed last and (b) fit that window whole — a
@@ -188,7 +232,8 @@ object Bench {
     // map, dropping the FASTEST queries first if it would overflow.
     val detail = s"""{"detail":{"queries":${toJson(results, full = true)}""" +
       x10.map(r => s""","x10_queries":${toJson(r, full = true)}""").getOrElse("") +
-      x100.map(r => s""","x100_queries":${toJson(r, full = true)}""").getOrElse("") + "}}"
+      x100.map(r => s""","x100_queries":${toJson(r, full = true)}""").getOrElse("") +
+      sf1Detail + "}}"
     println(detail)
     // persisted in-repo (committed with the round) AND to tmp: the
     // harness keeps only the summary line, so the per-query detail the
@@ -205,19 +250,6 @@ object Bench {
         } catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed ($p): $e") }
       }
 
-    // Self-normalizing totals: scale by idle_cal / measured_cal so the
-    // recorded artifact already backs out ambient load instead of
-    // asking the reader to (r7 verdict item). measured_cal = the MIN of
-    // the run's calibration bracket (closest to this box's achievable
-    // state during the run); idle_cal = the recorded idle-box reference
-    // for the kernel (BASELINE.md; override with SPARK_GRAFT_IDLE_CAL
-    // after a hardware change). Normalization never inflates: an
-    // idle-or-better box reports raw totals (factor capped at 1).
-    val idleCal = sys.env.getOrElse("SPARK_GRAFT_IDLE_CAL", "0.42").toDouble
-    def normFactor(cals: Double*): Double = {
-      val measured = cals.filter(_ > 0)
-      if (measured.isEmpty) 1.0 else math.min(1.0, idleCal / measured.min)
-    }
     val totalNormalized = total * normFactor(calibration, calibrationEnd)
     val x10Part = x10.map { r =>
       val x10Total = r.map(_._2).sum
@@ -232,13 +264,25 @@ object Bench {
           s""","x100_total_normalized":${fmt(x100Total * normFactor(x100Cal._1, x100Cal._2))}""" +
           s""","x100_calibration":${fmt(x100Cal._1)},"x100_calibration_end":${fmt(x100Cal._2)}"""
       }.getOrElse("")
+    // compact sf1 summary for the final line: count, worst normalized
+    // sf→10·sf ratio, and any super-linear offenders (ratio > 12; a
+    // perfectly linear query reads 10). Full per-query ratios +
+    // exponents live in the detail artifact's sf1_scaling map.
+    val sf1Part =
+      if (sf1Rows.isEmpty) ""
+      else {
+        val worst = sf1Rows.maxBy(_._2)
+        s""","sf1":{"n":${sf1Rows.size},"max_ratio":${fmt(worst._2)}""" +
+          s""","max_query":"${worst._1}"""" +
+          s""","gt12x":${sf1Offenders.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      }
     def line(sel: Seq[(String, Double)]): String = {
       val omitted = results.size - sel.size
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sf":"$sfDir"""" +
         s""","total_normalized":${fmt(totalNormalized)},"idle_cal":${fmt(idleCal)}""" +
         s""","calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)}""" +
-        s"""$x10Part$om,"queries":${toJson(sel.sortBy(_._1), full = false)}}"""
+        s"""$x10Part$sf1Part$om,"queries":${toJson(sel.sortBy(_._1), full = false)}}"""
     }
     val MaxLine = 1800
     var sel = results

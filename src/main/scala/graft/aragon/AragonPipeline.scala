@@ -27,14 +27,17 @@ object AragonPipeline {
   }
 
   /** Production warehouse (S4/S5/S6): key probes via spark.read.jdbc,
-    * appends with the reference's 500-row batching (write path shared
-    * with JdbcSink). No live database in the harness, so this path is
-    * exercised only by construction; the pipeline code is identical
-    * either way.
+    * appends with the reference's 500-row batching through
+    * [[graft.sources.AtomicJdbcSink]] — each load publishes in ONE
+    * transaction (stage + INSERT…SELECT + drop), reproducing the
+    * reference's per-file commit/rollback (`load_hhs.py:148,166` — one commit per file, rollback on any error);
+    * a failed load leaves the warehouse untouched. Exercised live on
+    * embedded Derby by JdbcPipelineSpec; the pipeline code is
+    * identical for parquet and JDBC warehouses.
     */
   final class JdbcWarehouse(url: String, props: java.util.Properties,
                             batchSize: Int = 500, numPartitions: Int = 8)
-      extends graft.sources.JdbcSink(url, props, batchSize, numPartitions) with Warehouse {
+      extends graft.sources.AtomicJdbcSink(url, props, batchSize, numPartitions) with Warehouse {
     /** None ONLY when the table genuinely doesn't exist (checked via
       * JDBC metadata); any other failure — connectivity, auth — must
       * propagate. Swallowing it would make the loader treat the target

@@ -35,6 +35,89 @@ class JdbcSink(url: String, props: java.util.Properties,
       .jdbc(url, table, props)
 }
 
+/** ATOMIC JDBC sink — closes the per-partition-transaction delta the
+  * plain [[JdbcSink]] documents (SURVEY §3 E1): Spark's JDBC writer
+  * commits each partition separately, so a mid-write failure leaves the
+  * target holding a PARTIAL load, which the reference's single-commit
+  * psycopg pattern (`load_hhs.py:148,166` — one commit per file, full
+  * rollback on any error) never does.
+  *
+  * Shape: executors stage the frame into a fresh per-call staging table
+  * (per-partition transactions are harmless there — the target is
+  * untouched and a partial stage is dropped), then ONE driver-side
+  * transaction publishes: create-target-if-missing + `INSERT … SELECT`
+  * + drop-stage, committed together (Derby and PostgreSQL both have
+  * transactional DDL). Any failure — executor-side mid-stage or
+  * driver-side mid-publish — rolls back to a byte-identical target;
+  * the staging table is dropped on every path.
+  *
+  * Scale note: the publish statement is server-side set copy (no data
+  * through the driver); the staged rows flow over JDBC exactly once,
+  * same as the non-atomic path.
+  */
+class AtomicJdbcSink(url: String, props: java.util.Properties,
+                     batchSize: Int = 500, numPartitions: Int = 8) extends TableSink {
+
+  override def append(df: DataFrame, table: String): Unit = {
+    val stage = s"${table}_stg_${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    try {
+      // ErrorIfExists: a stage-name collision must fail loudly, never
+      // publish another writer's rows
+      df.coalesce(numPartitions)
+        .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .option("batchsize", batchSize)
+        .jdbc(url, stage, props)
+      publish(df.schema.fieldNames, stage, table)
+    } finally dropIfExists(stage)
+  }
+
+  private def connect() = java.sql.DriverManager.getConnection(url, props)
+
+  /** One transaction: target created if missing (from the stage's own
+    * layout), rows published, stage retired. Column lists are quoted
+    * exact-case — Spark's JDBC writer creates quoted identifiers, so
+    * the publish must reference them the same way.
+    */
+  private def publish(fieldNames: Seq[String], stage: String, table: String): Unit = {
+    val cols = fieldNames.map("\"" + _ + "\"").mkString(", ")
+    val conn = connect()
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        val meta = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        var exists = false
+        while (!exists && meta.next())
+          exists = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
+        if (!exists)
+          st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+        st.executeUpdate(s"DROP TABLE $stage")
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Best-effort stage cleanup for the failure paths (the success path
+    * already dropped it inside the publish transaction).
+    */
+  private def dropIfExists(stage: String): Unit = {
+    val conn = connect()
+    try {
+      val meta = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var exists = false
+      while (!exists && meta.next())
+        exists = meta.getString("TABLE_NAME").equalsIgnoreCase(stage)
+      if (exists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+      }
+    } finally conn.close()
+  }
+}
+
 /** JSONL sink — the training-data interchange format (one JSON object
   * per line). `maxRecordsPerFile` bounds shard size so a 100 TB export
   * emits evenly-sized files downstream trainers can stream (0 = let

@@ -82,4 +82,58 @@ class JdbcPipelineSpec extends SparkTestBase {
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(byDate == Map("2021-07-01" -> 5336L, "2021-08-01" -> 5336L))
   }
+
+  test("AtomicJdbcSink: a mid-write failure leaves the target byte-identical and no stage behind") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val url = "jdbc:derby:memory:atomic_rt;create=true"
+    val props = new java.util.Properties()
+    java.sql.DriverManager.getConnection(url).close()
+    val sink = new graft.sources.AtomicJdbcSink(url, props, numPartitions = 4)
+
+    def tableCount(name: String): Long = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val rs = conn.createStatement().executeQuery(s"SELECT count(*) FROM $name")
+        rs.next(); rs.getLong(1)
+      } finally conn.close()
+    }
+    def allTables(): Seq[String] = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val rs = conn.getMetaData.getTables(null, "APP", "%", Array("TABLE"))
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) out += rs.getString("TABLE_NAME")
+        out.toSeq
+      } finally conn.close()
+    }
+
+    // success path: creates the target transactionally, rows land once
+    val good = (1L to 100L).map(i => (i, s"row $i")).toDF("id", "v")
+    sink.append(good, "atomic_target")
+    assert(tableCount("atomic_target") == 100L)
+
+    // poisoned frame: partition 3 throws on first pull — the staged
+    // write fails mid-flight after other partitions committed to the
+    // STAGE (exactly the partial-load scenario the plain per-partition
+    // JdbcSink would leak into the target)
+    val base = (101L to 200L).map(i => (i, s"row $i")).toDF("id", "v").repartition(4)
+    val poisoned = spark.createDataFrame(
+      base.rdd.mapPartitionsWithIndex { (i, it) =>
+        if (i == 3) it.map[Row] { _ => Thread.sleep(50); throw new RuntimeException("boom") }
+        else it
+      }, base.schema)
+    intercept[org.apache.spark.SparkException] {
+      sink.append(poisoned, "atomic_target")
+    }
+    // target untouched: same 100 rows, same ids
+    assert(tableCount("atomic_target") == 100L)
+    // and NOTHING else remains — the partially-written stage is gone
+    assert(allTables().filter(_.toLowerCase.contains("stg")).isEmpty,
+      s"stage leaked: ${allTables().mkString(", ")}")
+
+    // the sink recovers: a later good load publishes normally
+    sink.append(good.withColumn("id", $"id" + 1000L), "atomic_target")
+    assert(tableCount("atomic_target") == 200L)
+  }
 }
