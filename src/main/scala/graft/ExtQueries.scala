@@ -2930,10 +2930,52 @@ object ExtQueries {
             |  END AS pred_lang
             |FROM a ORDER BY doc_id""".stripMargin))
 
+  /** Deletion propagation through a stored packed-sequence manifest:
+    * only the md5 buckets that lost a document repack (their orders,
+    * prefix sums, and bin boundaries shift); the rest of the manifest
+    * passes through untouched. The gate pins the full identity —
+    * retract ≡ repack-from-scratch over the retained corpus — via the
+    * q55 oracle restricted to retained doc_ids.
+    */
+  val q98 = Q(
+    "q98_retract_packing",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      val stored = Packing.packByBudget(docs, $"doc_id", $"n_tokens",
+        budget = 512L, salt = "pack")
+      val deleted = docs.filter($"doc_id" % 9 === 2).select($"doc_id".as("id"))
+      Forget.retractPacking(stored, docs, "doc_id", "n_tokens", deleted,
+          budget = 512L, salt = "pack")
+        .orderBy($"bucket", $"pack_pos")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+            |                 len(string_split_regex(trim(text), '\s+')) AS n,
+            |                 md5(CAST(doc_id AS VARCHAR) || 'pack') AS h
+            |          FROM documents WHERE doc_id % 9 <> 2),
+            |v AS (SELECT doc_id, n, h,
+            |             (CASE WHEN ascii(substring(h,1,1)) <= 57
+            |                   THEN ascii(substring(h,1,1)) - 48
+            |                   ELSE ascii(substring(h,1,1)) - 87 END) * 16 +
+            |             (CASE WHEN ascii(substring(h,2,1)) <= 57
+            |                   THEN ascii(substring(h,2,1)) - 48
+            |                   ELSE ascii(substring(h,2,1)) - 87 END) AS bucket
+            |      FROM d),
+            |p AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+            |             row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS pack_pos,
+            |             CAST(sum(n) OVER (PARTITION BY bucket ORDER BY h, doc_id
+            |                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+            |             CAST(n AS BIGINT) AS nn
+            |      FROM v)
+            |SELECT doc_id, bucket, CAST(pack_pos AS BIGINT) AS pack_pos,
+            |       cum_tokens, (cum_tokens - nn) // 512 AS bin_id
+            |FROM p ORDER BY bucket, pack_pos""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97)
+    q91, q92, q93, q94, q95, q96, q97, q98)
 }

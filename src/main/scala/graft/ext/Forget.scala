@@ -183,6 +183,49 @@ object Forget {
     untouched.unionByName(relabeled)
   }
 
+  /** Cascade a deletion through a stored packed-sequence layout
+    * ([[Packing.packByBudget]] output persisted as the training-batch
+    * manifest): removing a document shifts positions, prefix sums, and
+    * bin boundaries for every document BEHIND it in its md5 bucket's
+    * order — but ONLY within that bucket (the layout is
+    * bucket-partitioned by construction, 256 independent orders). So
+    * retraction repacks exactly the buckets that lost a document and
+    * passes the other ~255/256 of the manifest through untouched.
+    * Identity (gate q98): ≡ packByBudget over the retained corpus with
+    * the same budget/salt, bit for bit.
+    *
+    * @param stored     persisted packByBudget output
+    *                   (doc_id, bucket, pack_pos, cum_tokens, bin_id)
+    * @param docs       the current corpus (token counts re-derivable;
+    *                   only affected-bucket rows are touched)
+    * @param idCol      document id column in `docs`
+    * @param tokCol     token-count column in `docs`
+    * @param budget     the SAME budget the stored layout used
+    * @param salt       the SAME salt the stored layout used
+    */
+  def retractPacking(stored: DataFrame, docs: DataFrame, idCol: String,
+                     tokCol: String, deletedIds: DataFrame,
+                     budget: Long, salt: String = ""): DataFrame = {
+    val del = deleteSet(deletedIds)
+    val affected = stored.join(del, stored("doc_id") === col("__del"), "left_semi")
+      .select(col("bucket")).distinct()
+    val untouched = stored.join(affected, Seq("bucket"), "left_anti")
+    // retained docs of affected buckets only — packByBudget recomputes
+    // the identical bucket assignment, and bucket independence makes
+    // the partial repack equal the same buckets of a full repack
+    val candidates = docs
+      .join(del, docs(idCol) === col("__del"), "left_anti")
+      .withColumn("__b", Sampling.bucket256(col(idCol), salt).cast("long"))
+      .join(affected.withColumnRenamed("bucket", "__b"), Seq("__b"), "left_semi")
+      .drop("__b")
+    val repacked = Packing.packByBudget(candidates, col(idCol), col(tokCol),
+      budget, salt)
+    // the using-join floats "bucket" to the front of untouched — put
+    // the packByBudget column order back (the manifest contract)
+    untouched.unionByName(repacked)
+      .select("doc_id", "bucket", "pack_pos", "cum_tokens", "bin_id")
+  }
+
   /** Cascade a deletion through IVF index state: deleted documents
     * leave the assignment table; the centroid layout is RETAINED (it is
     * the probe contract — queries routed before and after the takedown

@@ -110,6 +110,25 @@ class ForgetSpec extends SparkTestBase {
     assert(screened.count() == 1, "retracted digest must not block re-ingestion")
   }
 
+  // ---- packed-sequence manifest ---------------------------------------
+
+  test("retractPacking ≡ repack-from-scratch on the retained corpus; empty delete set is the identity") {
+    val docs = (0L until 400L).map(i => (i, 5L + i % 37)).toDF("doc_id", "n_tokens")
+    val stored = Packing.packByBudget(docs, $"doc_id", $"n_tokens", 64L, "s")
+    val delSet = Seq(3L, 77L, 123L)
+    val retracted = Forget.retractPacking(stored, docs, "doc_id", "n_tokens",
+        ids(delSet: _*), 64L, "s")
+      .orderBy("bucket", "pack_pos").collect().toSeq
+    val rebuilt = Packing.packByBudget(docs.filter(!$"doc_id".isin(delSet: _*)),
+        $"doc_id", $"n_tokens", 64L, "s")
+      .orderBy("bucket", "pack_pos").collect().toSeq
+    assert(retracted == rebuilt)
+    assert(retracted.size == 397)
+    val same = Forget.retractPacking(stored, docs, "doc_id", "n_tokens", ids(), 64L, "s")
+      .orderBy("bucket", "pack_pos").collect().toSeq
+    assert(same == stored.orderBy("bucket", "pack_pos").collect().toSeq)
+  }
+
   // ---- signature + IVF state ------------------------------------------
 
   test("retractSignatures: incrementalNearDup against retracted state never surfaces a deleted doc") {
