@@ -2859,7 +2859,12 @@ object ExtQueries {
         (100008L, "这是一个新房子我们在这里住了很久"),
         (100009L, "il gatto è sul tetto della casa e non vuole scendere che bello"),
         (100010L, "o menino não quer uma coisa que ele viu e o pai dele também"),
-        (100011L, "de man en het kind zijn in een huis en dat is mooi"))
+        (100011L, "de man en het kind zijn in een huis en dat is mooi"),
+        // mixed row BETWEEN the two thresholds (script chars > 3× the
+        // space count but < 30% of non-space chars): distinguishes the
+        // correct non-space denominator from a space-count denominator
+        // — the regression the r9 review caught in this oracle
+        (100012L, "the quick brown fox список слов plus more english words here"))
         .toDF("doc_id", "text")
       t(s, dir, "documents").select($"doc_id", $"text")
         .unionAll(planted)
@@ -2878,7 +2883,8 @@ object ExtQueries {
             |  (100008, '这是一个新房子我们在这里住了很久'),
             |  (100009, 'il gatto è sul tetto della casa e non vuole scendere che bello'),
             |  (100010, 'o menino não quer uma coisa que ele viu e o pai dele também'),
-            |  (100011, 'de man en het kind zijn in een huis en dat is mooi')),
+            |  (100011, 'de man en het kind zijn in een huis en dat is mooi'),
+            |  (100012, 'the quick brown fox список слов plus more english words here')),
             |u AS (SELECT doc_id, text FROM documents
             |      UNION ALL SELECT doc_id, text FROM planted),
             |c AS (SELECT doc_id,
@@ -2891,7 +2897,7 @@ object ExtQueries {
             |  length(text) - length(regexp_replace(text, '[\x{AC00}-\x{D7A3}\x{1100}-\x{11FF}\x{3130}-\x{318F}]', '', 'g')) AS ko,
             |  length(text) - length(regexp_replace(text, '[\x{3040}-\x{30FF}]', '', 'g')) AS ja,
             |  length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]', '', 'g')) AS zh,
-            |  greatest(length(text) - length(regexp_replace(text, ' ', '', 'g')), 1) AS nonspace,
+            |  greatest(length(regexp_replace(text, ' ', '', 'g')), 1) AS nonspace,
             |  len(list_filter(string_split_regex(trim(text), '\s+'),
             |      t -> list_contains(['the','a','of','and','is'], t))) AS en,
             |  len(list_filter(string_split_regex(trim(text), '\s+'),

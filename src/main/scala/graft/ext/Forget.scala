@@ -87,8 +87,13 @@ object Forget {
     * — the digest state stores no ids, so the content is what locates
     * the rows' digests. A takedown pipeline has those rows by
     * construction (they are what it is deleting). Digests in the delete
-    * batch but absent from the state are ignored (idempotent replay of
-    * an already-applied takedown).
+    * batch but absent from the state are ignored — so replaying a
+    * takedown whose digests already LEFT the state is a no-op. Note
+    * the contract is apply-each-batch-ONCE, like any counted ledger:
+    * replaying a batch while retained copies of the same content still
+    * hold the digest's count above zero would subtract again (the
+    * state carries counts, not row identities, so it cannot tell a
+    * replay from a second takedown of another copy).
     *
     * Shape: one aggregation over the (small) delete batch, one
     * digest-keyed left join against the state — digests shuffle, text
@@ -210,14 +215,18 @@ object Forget {
     val affected = stored.join(del, stored("doc_id") === col("__del"), "left_semi")
       .select(col("bucket")).distinct()
     val untouched = stored.join(affected, Seq("bucket"), "left_anti")
-    // retained docs of affected buckets only — packByBudget recomputes
-    // the identical bucket assignment, and bucket independence makes
-    // the partial repack equal the same buckets of a full repack
-    val candidates = docs
-      .join(del, docs(idCol) === col("__del"), "left_anti")
-      .withColumn("__b", Sampling.bucket256(col(idCol), salt).cast("long"))
-      .join(affected.withColumnRenamed("bucket", "__b"), Seq("__b"), "left_semi")
-      .drop("__b")
+    // retained docs of affected buckets only. The affected-doc set
+    // comes from STORED (which already maps doc_id → bucket) — no
+    // per-row bucket hash over the full corpus; only the candidate
+    // rows (≈ |affected buckets| / 256 of the corpus) re-enter
+    // packByBudget, which recomputes their identical bucket
+    // assignment, and bucket independence makes the partial repack
+    // equal the same buckets of a full repack.
+    val affectedIds = stored
+      .join(affected, Seq("bucket"), "left_semi")
+      .join(del, col("doc_id") === col("__del"), "left_anti")
+      .select(col("doc_id").as("__aid"))
+    val candidates = docs.join(affectedIds, docs(idCol) === col("__aid"), "left_semi")
     val repacked = Packing.packByBudget(candidates, col(idCol), col(tokCol),
       budget, salt)
     // the using-join floats "bucket" to the front of untouched — put

@@ -422,22 +422,28 @@ object Multimodal {
     PcmFeatures(id, valid = false, 0, 0, 0, 0L, 0L, 0.0, 0.0, 0L, 0.0)
 
   /** Locate the `data` chunk body: (start offset, clamped byte length).
-    * The shared walk behind every payload-decode path; None on a
-    * malformed chunk list.
+    * The shared walk behind every payload-decode path. Keeps the LAST
+    * `data` chunk when a (legal-if-unusual) file carries several —
+    * the SAME first/last rule as [[wavMetadata]]'s size field, so the
+    * decoded samples and the reported n_samples/duration always refer
+    * to the same bytes. The walk ends (returning whatever was found)
+    * on a malformed advance, again mirroring the metadata walk.
     */
   private def wavDataChunk(bytes: Array[Byte]): Option[(Int, Long)] = {
     def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     var off = 12
-    while (off + 8 <= bytes.length) {
+    var found: Option[(Int, Long)] = None
+    var walking = true
+    while (walking && off + 8 <= bytes.length) {
       val ckSize = le32(off + 4)
       if (new String(bytes, off, 4, "US-ASCII") == "data")
-        return Some((off + 8, math.min(ckSize, (bytes.length - off - 8).toLong)))
+        found = Some((off + 8, math.min(ckSize, (bytes.length - off - 8).toLong)))
       val next = off + 8L + ckSize + (ckSize & 1L)
-      if (next <= off || next > bytes.length.toLong) return None
-      off = next.toInt
+      if (next <= off || next > bytes.length.toLong) walking = false
+      else off = next.toInt
     }
-    None
+    found
   }
 
   /** Sample i (interleaved order) of a PCM payload as a raw signed

@@ -63,6 +63,15 @@ object QualityTrain {
     try {
       val n = cut.df.count()
       require(n > 0, "cannot fit on an empty labeled frame")
+      // null text or label would silently skip gradient terms while n
+      // still counts the row (a stealth learning-rate shrink no
+      // reference trainer reproduces) — fail loudly instead, the
+      // module's determinism discipline
+      val nBad = cut.df.filter(
+        (0 until nFeat).map(j => col(s"f$j").isNull)
+          .foldLeft(col("__y").isNull)(_ || _)).count()
+      require(nBad == 0,
+        s"labeled frame has $nBad rows with null text/label — drop or impute before fit")
       val w = Array.fill(nFeat)(0.0)
       for (_ <- 1 to iters) {
         // w·x with the same left-to-right fold as QualityModel.score

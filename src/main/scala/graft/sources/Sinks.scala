@@ -73,6 +73,27 @@ class AtomicJdbcSink(url: String, props: java.util.Properties,
 
   private def connect() = java.sql.DriverManager.getConnection(url, props)
 
+  /** Existence probe bounded to the CONNECTION'S OWN schema — a
+    * catalog-wide scan would take a same-named table in an unrelated
+    * schema as "exists", skip CREATE, and then publish against a
+    * target the INSERT cannot resolve (the multi-schema-warehouse
+    * trap). Name match is case-insensitive because the unquoted DDL
+    * here case-folds per dialect while JDBC metadata reports the
+    * stored form.
+    */
+  private def tableExists(conn: java.sql.Connection, name: String): Boolean = {
+    val schema =
+      try conn.getSchema
+      catch { case _: java.sql.SQLException | _: AbstractMethodError => null }
+    val meta = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+    try {
+      var exists = false
+      while (!exists && meta.next())
+        exists = meta.getString("TABLE_NAME").equalsIgnoreCase(name)
+      exists
+    } finally meta.close()
+  }
+
   /** One transaction: target created if missing (from the stage's own
     * layout), rows published, stage retired. Column lists are quoted
     * exact-case — Spark's JDBC writer creates quoted identifiers, so
@@ -85,11 +106,7 @@ class AtomicJdbcSink(url: String, props: java.util.Properties,
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        val meta = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-        var exists = false
-        while (!exists && meta.next())
-          exists = meta.getString("TABLE_NAME").equalsIgnoreCase(table)
-        if (!exists)
+        if (!tableExists(conn, table))
           st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
         st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
         st.executeUpdate(s"DROP TABLE $stage")
@@ -106,11 +123,7 @@ class AtomicJdbcSink(url: String, props: java.util.Properties,
   private def dropIfExists(stage: String): Unit = {
     val conn = connect()
     try {
-      val meta = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
-      var exists = false
-      while (!exists && meta.next())
-        exists = meta.getString("TABLE_NAME").equalsIgnoreCase(stage)
-      if (exists) {
+      if (tableExists(conn, stage)) {
         val st = conn.createStatement()
         try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
       }

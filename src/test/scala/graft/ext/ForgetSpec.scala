@@ -92,7 +92,7 @@ class ForgetSpec extends SparkTestBase {
     assert(retracted.size == 2 && retracted.forall(_._2 == 1L))
   }
 
-  test("retractDigests is idempotent under takedown replay and a retracted digest readmits the content") {
+  test("replaying a takedown whose digests fully left the state is a no-op, and a retracted digest readmits the content") {
     val docs = Seq((1L, "only"), (2L, "kept")).toDF("doc_id", "text")
     val state = Forget.digestCounts(docs, col("text"))
     val deleted = docs.filter($"doc_id" === 1L)

@@ -93,6 +93,28 @@ class MultimodalPcmSpec extends SparkTestBase {
     assert(f.zero_crossings == cross)
   }
 
+  test("multi-data-chunk WAV: features and metadata agree on the SAME (last) chunk") {
+    // hand-build RIFF with TWO data chunks — the decode and the
+    // metadata walk must pick the same one or the feature row is
+    // internally inconsistent (n_frames from one chunk, rms from another)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16v(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16v(1) ++ le16v(1) ++
+      le32(8000) ++ le32(16000) ++ le16v(2) ++ le16v(16)
+    val pcm1 = Seq(1000, -1000).flatMap(le16).toArray // 2 frames, quiet
+    val pcm2 = Seq(30000, -30000, 30000, -30000).flatMap(le16).toArray // 4 frames, loud
+    val d1 = "data".getBytes("US-ASCII") ++ le32(pcm1.length) ++ pcm1
+    val d2 = "data".getBytes("US-ASCII") ++ le32(pcm2.length) ++ pcm2
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ d1 ++ d2
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val meta = Multimodal.wavMetadata(1L, wav)
+    val f = Multimodal.wavPcmFeatures(1L, wav)
+    assert(meta.valid && f.valid)
+    assert(meta.n_samples == 4 && f.n_frames == 4) // the LAST chunk
+    assert(f.peak == 30000.0 / 32768) // ...and the samples are from it too
+    assert(f.zero_crossings == 3)
+  }
+
   test("corrupt, non-PCM-width, and truncated inputs route through valid=false") {
     assert(!Multimodal.wavPcmFeatures(1L, Array[Byte](1, 2, 3)).valid)
     assert(!Multimodal.wavPcmFeatures(2L, "not audio at all".getBytes).valid)

@@ -107,4 +107,20 @@ class QualityTrainSpec extends SparkTestBase {
       QualityTrain.fit(labeled, $"text", $"label", iters = 0)
     }
   }
+
+  test("null text or label fails loudly instead of silently shrinking the gradient") {
+    val withNullText = labeled.unionByName(
+      Seq((9L, null.asInstanceOf[String], 1)).toDF("doc_id", "text", "label"))
+    val e1 = intercept[IllegalArgumentException] {
+      QualityTrain.fit(withNullText, $"text", $"label", iters = 2)
+    }
+    assert(e1.getMessage.contains("null"))
+    val withNullLabel = labeled.unionByName(
+      Seq((9L, "some text here", null.asInstanceOf[Integer]))
+        .toDF("doc_id", "text", "label"))
+    val e2 = intercept[IllegalArgumentException] {
+      QualityTrain.fit(withNullLabel, $"text", $"label", iters = 2)
+    }
+    assert(e2.getMessage.contains("null"))
+  }
 }
