@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Multimodal, Packing, ParagraphDedup, QualityFilter, QualityModel, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Multimodal, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -2978,10 +2978,89 @@ object ExtQueries {
             |       cum_tokens, (cum_tokens - nn) // 512 AS bin_id
             |FROM p ORDER BY bucket, pack_pos""".stripMargin))
 
+  /** The TRAINER itself under a full oracle: three batch-gradient
+    * iterations of QualityTrain.fit unrolled in SQL — per-row IEEE
+    * gradients, DECIMAL(38,6) quantization, exact decimal sums, and
+    * the identical step arithmetic — so the learned weights hash-match
+    * cross-engine, not just cross-partitioning (the q85 discipline:
+    * determinism claims get gated, not asserted). Labels are a
+    * deterministic function of doc_id; the gate pins the FIT, not the
+    * fixture's learnability.
+    */
+  val q99 = Q(
+    "q99_trained_classifier",
+    (s, dir) => {
+      import s.implicits._
+      val labeled = t(s, dir, "documents")
+        .select($"doc_id", $"text", ($"doc_id" % 3 === 0).cast("int").as("label"))
+      QualityTrain.fit(labeled, $"text", $"label", iters = 3, lr = 0.5)
+        .toDF("feature", "weight").orderBy($"feature")
+    },
+    Some("""WITH base AS (
+            |  SELECT CAST(CAST(doc_id % 3 = 0 AS INTEGER) AS DOUBLE) AS y,
+            |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            |              t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE) AS stop,
+            |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok_raw,
+            |         CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS ntok,
+            |         CAST(greatest(length(text), 1) AS DOUBLE) AS nchar,
+            |         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS ndig,
+            |         CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS nspace
+            |  FROM documents),
+            |f AS (SELECT y, 1.0 AS f0, stop / ntok AS f1, ndig / nchar AS f2,
+            |             nspace / nchar AS f3, nchar / ntok AS f4,
+            |             least(ntok_raw / 100.0, 1.0) AS f5
+            |      FROM base),
+            |n AS (SELECT count(*) AS n FROM f),
+            |w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3, 0.0 AS a4, 0.0 AS a5),
+            |g1 AS (SELECT
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f0 AS DECIMAL(38,6))) AS DOUBLE) AS g0,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f1 AS DECIMAL(38,6))) AS DOUBLE) AS g1,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f2 AS DECIMAL(38,6))) AS DOUBLE) AS g2,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f3 AS DECIMAL(38,6))) AS DOUBLE) AS g3,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f4 AS DECIMAL(38,6))) AS DOUBLE) AS g4,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f5 AS DECIMAL(38,6))) AS DOUBLE) AS g5
+            |  FROM f, w0),
+            |w1 AS (SELECT a0 - 0.5*(g0/n) AS a0, a1 - 0.5*(g1/n) AS a1,
+            |              a2 - 0.5*(g2/n) AS a2, a3 - 0.5*(g3/n) AS a3,
+            |              a4 - 0.5*(g4/n) AS a4, a5 - 0.5*(g5/n) AS a5
+            |       FROM w0, g1, n),
+            |g2s AS (SELECT
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f0 AS DECIMAL(38,6))) AS DOUBLE) AS g0,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f1 AS DECIMAL(38,6))) AS DOUBLE) AS g1,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f2 AS DECIMAL(38,6))) AS DOUBLE) AS g2,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f3 AS DECIMAL(38,6))) AS DOUBLE) AS g3,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f4 AS DECIMAL(38,6))) AS DOUBLE) AS g4,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f5 AS DECIMAL(38,6))) AS DOUBLE) AS g5
+            |  FROM f, w1),
+            |w2 AS (SELECT a0 - 0.5*(g0/n) AS a0, a1 - 0.5*(g1/n) AS a1,
+            |              a2 - 0.5*(g2/n) AS a2, a3 - 0.5*(g3/n) AS a3,
+            |              a4 - 0.5*(g4/n) AS a4, a5 - 0.5*(g5/n) AS a5
+            |       FROM w1, g2s, n),
+            |g3s AS (SELECT
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f0 AS DECIMAL(38,6))) AS DOUBLE) AS g0,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f1 AS DECIMAL(38,6))) AS DOUBLE) AS g1,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f2 AS DECIMAL(38,6))) AS DOUBLE) AS g2,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f3 AS DECIMAL(38,6))) AS DOUBLE) AS g3,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f4 AS DECIMAL(38,6))) AS DOUBLE) AS g4,
+            |  CAST(SUM(CAST((1.0/(1.0+exp(-(a0*f0+a1*f1+a2*f2+a3*f3+a4*f4+a5*f5))) - y)*f5 AS DECIMAL(38,6))) AS DOUBLE) AS g5
+            |  FROM f, w2),
+            |w3 AS (SELECT a0 - 0.5*(g0/n) AS a0, a1 - 0.5*(g1/n) AS a1,
+            |              a2 - 0.5*(g2/n) AS a2, a3 - 0.5*(g3/n) AS a3,
+            |              a4 - 0.5*(g4/n) AS a4, a5 - 0.5*(g5/n) AS a5
+            |       FROM w2, g3s, n)
+            |SELECT feature, weight FROM (
+            |  SELECT 'intercept' AS feature, a0 AS weight FROM w3
+            |  UNION ALL SELECT 'stopword_ratio', a1 FROM w3
+            |  UNION ALL SELECT 'digit_ratio', a2 FROM w3
+            |  UNION ALL SELECT 'space_ratio', a3 FROM w3
+            |  UNION ALL SELECT 'mean_token_len', a4 FROM w3
+            |  UNION ALL SELECT 'len_norm', a5 FROM w3)
+            |ORDER BY feature""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99)
 }
