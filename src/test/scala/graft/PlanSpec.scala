@@ -288,6 +288,45 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 1, s"expected at most the orderBy range exchange, got $exchanges:\n$ep")
   }
 
+  test("q97 wide language ID: one column-pruned scan, no shuffle, no UDF") {
+    val df = ExtQueries.q97.run(spark, dir)
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+    // the whole two-branch CASE is per-row arithmetic: the only
+    // allowed exchange is the gate's ORDER BY range partitioning
+    val ep = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(ep).length
+    assert(exchanges <= 1, s"expected at most the orderBy range exchange, got $exchanges:\n$ep")
+  }
+
+  test("q96 digest retraction: every hash exchange carries digests, never document text") {
+    val ep = ExtQueries.q96.run(spark, dir).queryExecution.executedPlan.toString
+    // both the state build and the delete-batch aggregation partial-
+    // aggregate map-side (32-byte digest keys), and no exchange may
+    // carry the text payload
+    assert(ep.contains("partial_count"), ep)
+    ep.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), l)
+    }
+    assert(!ep.contains("CartesianProduct") && !ep.contains("BroadcastNestedLoopJoin"), ep)
+  }
+
+  test("retractPacking: the repack window partitions by bucket — never a global (empty-key) window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, 5L + i % 17)).toDF("doc_id", "n_tokens")
+    val stored = ext.Packing.packByBudget(docs, $"doc_id", $"n_tokens", 64L, "s")
+    val out = ext.Forget.retractPacking(stored, docs, "doc_id", "n_tokens",
+      Seq(7L).toDF("id"), 64L, "s")
+    val p = plan(out)
+    assert(p.contains("Window"), p)
+    // a Window with an empty partition spec would serialize the corpus
+    // through one task — the exact failure the bucketed layout avoids
+    assert(!p.contains("Window [") || !p.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"global window detected:\n$p")
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
