@@ -102,6 +102,33 @@ object ScaleCheck {
       chain.unpersist()
     }
 
+    // Takedown-cascade cost: retractComponents claims to re-label ONLY
+    // components that lost a member. Against a corpus of many small
+    // components, deleting ONE member must cost the small-component
+    // relabel (+ the passthrough joins), not the full-graph rebuild —
+    // the ratio is the measured evidence behind the claim. Chains of
+    // length 4 × n/4 components; one deletion touches 1 component.
+    Seq(100000, 400000).foreach { n =>
+      val pairs = spark.range(0L, n.toLong)
+        .filter($"id" % 4 =!= 3L) // 0-1,1-2,2-3 per decade-of-4
+        .select($"id".as("id1"), ($"id" + 1L).as("id2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pairs.count()
+      val t0 = System.nanoTime()
+      val stored = graft.ext.DedupClusters.connectedComponents(pairs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stored.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val del = Seq(41L).toDF("id") // bridge of component {40..43}
+      val t1 = System.nanoTime()
+      val retracted = graft.ext.Forget.retractComponents(stored, pairs, del)
+      val nOut = retracted.count()
+      val tRetract = (System.nanoTime() - t1) / 1e9
+      println(f"[scale] forget-cc n=$n%-7d rebuild=$tBuild%.2f s retract=$tRetract%.2f s " +
+        f"ratio=${tRetract / tBuild}%.2f rows=$nOut")
+      stored.unpersist(); pairs.unpersist()
+    }
+
     // Storage-release probe: a long-lived service session invoking CC
     // once per ingest batch must NOT accumulate storage across
     // invocations. Ten releasable runs; the persisted-RDD count after
