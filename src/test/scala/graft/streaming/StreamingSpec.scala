@@ -584,6 +584,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("takedown cascade reaches the streaming screen: retracted content re-admits, retained content stays blocked") {
+    import graft.ext.{ExactDedup, Forget}
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" < 250)
+    // takedown deletes every fifth corpus doc; the digest state is
+    // retracted through the cascade, then the SAME content is
+    // re-crawled (licensed copies arriving after an opt-out window —
+    // the re-admission scenario the cascade exists for)
+    val deletedRows = corpus.filter($"doc_id" % 5 === 0)
+    val retracted = Forget.retractDigests(
+      Forget.digestCounts(corpus, $"text"), deletedRows, $"text").localCheckpoint()
+    val redeliver = corpus.filter($"doc_id" % 5 === 0 || $"doc_id" % 5 === 1)
+
+    // expected admissions from FIRST PRINCIPLES — digests of the
+    // rebuilt retained corpus, not the retraction path under test
+    // (q96 pins the two equal); a deleted doc whose text also lives in
+    // a retained doc must STAY blocked
+    val retainedDigests = ExactDedup.digestTable(
+      corpus.filter($"doc_id" % 5 =!= 0), $"text")
+    val expected = redeliver
+      .withColumn("__h", ExactDedup.contentDigest($"text"))
+      .join(retainedDigests.withColumnRenamed("digest", "__h"), Seq("__h"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty, "fixture must re-admit something")
+    assert(expected.size < redeliver.count(), "fixture must also block something")
+
+    val dir = java.nio.file.Files.createTempDirectory("takedown-stream")
+    redeliver.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/p1")
+    redeliver.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/p2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/p*")
+    val q = DocStream.admitNew(stream, $"text", Forget.toDigestTable(retracted))
+      .select($"doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("readmitted").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("readmitted").as[Long].collect().toSet
+      assert(streamed == expected,
+        s"stream admissions diverge from the retained-corpus identity: " +
+          s"extra=${streamed -- expected} missing=${expected -- streamed}")
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("streamingDecontaminate flags a doc stream row-identically to the batch screen, stateless") {
     import graft.ext.Decontaminate
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
