@@ -323,32 +323,41 @@ object Multimodal {
     * (size field == 1) are followed; size 0 ("to end of file") closes
     * the level.
     */
-  def mp4Metadata(id: Long, bytes: Array[Byte]): ContainerMeta = {
-    def be32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+  private def be32At(bytes: Array[Byte], o: Int): Long =
+    ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
       ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
-    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
-    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
-    // (bodyStart, bodyEnd, type) for each box in [from, to)
-    def boxes(from: Int, to: Int): Seq[(Int, Int, String)] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
-      var off = from
-      var open = true
-      while (open && off + 8 <= to) {
-        val size32 = be32(off)
-        val tpe = tag(off + 4)
-        val (body, end) =
-          if (size32 == 1L && off + 16 <= to) (off + 16, off + be64(off + 8))
-          else if (size32 == 0L) (off + 8, to.toLong) // box extends to end
-          else (off + 8, off + size32)
-        if (end < body || end > to) open = false
-        else {
-          out += ((body, end.toInt, tpe))
-          off = end.toInt
-          if (size32 == 0L) open = false
-        }
+
+  /** (bodyStart, bodyEnd, type) for each ISO box in [from, to) — the
+    * shared walker behind [[mp4Metadata]] and [[mp4Tracks]]. Sibling
+    * payloads are skipped by size, never read; 64-bit largesize boxes
+    * followed; size 0 (to end) closes the level.
+    */
+  private def mp4Boxes(bytes: Array[Byte], from: Int, to: Int): Seq[(Int, Int, String)] = {
+    def be64(o: Int): Long = (be32At(bytes, o) << 32) | be32At(bytes, o + 4)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var off = from
+    var open = true
+    while (open && off + 8 <= to) {
+      val size32 = be32At(bytes, off)
+      val tpe = new String(bytes, off + 4, 4, "US-ASCII")
+      val (body, end) =
+        if (size32 == 1L && off + 16 <= to) (off + 16, off + be64(off + 8))
+        else if (size32 == 0L) (off + 8, to.toLong) // box extends to end
+        else (off + 8, off + size32)
+      if (end < body || end > to) open = false
+      else {
+        out += ((body, end.toInt, tpe))
+        off = end.toInt
+        if (size32 == 0L) open = false
       }
-      out.toSeq
     }
+    out.toSeq
+  }
+
+  def mp4Metadata(id: Long, bytes: Array[Byte]): ContainerMeta = {
+    def be32(o: Int): Long = be32At(bytes, o)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def boxes(from: Int, to: Int): Seq[(Int, Int, String)] = mp4Boxes(bytes, from, to)
     if (bytes.length < 8) return invalidMeta(id, "mp4")
     val top = boxes(0, bytes.length)
     if (!top.exists(_._3 == "ftyp")) return invalidMeta(id, "mp4")
@@ -376,6 +385,68 @@ object Multimodal {
           case _ => invalidMeta(id, "mp4")
         }
     }
+  }
+
+  final case class TrackMeta(media_id: Long, track_id: Long, duration_ms: Long,
+                             width: Double, height: Double)
+
+  /** Per-TRACK metadata from the `moov/trak/tkhd` boxes: track id,
+    * duration (tkhd durations are in the MOVIE timescale from mvhd),
+    * and presentation width/height (16.16 fixed-point — nonzero for
+    * video tracks, zero for audio). Pure header walk like
+    * [[mp4Metadata]] — this is what lets a 100 TB curation pass route
+    * by RESOLUTION (drop sub-720p, split portrait/landscape, separate
+    * audio-only) before any codec touches a payload. v0 (32-bit
+    * times) and v1 (64-bit) tkhd layouts both handled; malformed
+    * boxes yield no row rather than a bogus one.
+    */
+  def mp4Tracks(id: Long, bytes: Array[Byte]): Seq[TrackMeta] = {
+    def be32(o: Int): Long = be32At(bytes, o)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    if (bytes.length < 8) return Seq.empty
+    val top = mp4Boxes(bytes, 0, bytes.length)
+    if (!top.exists(_._3 == "ftyp")) return Seq.empty
+    top.find(_._3 == "moov").toSeq.flatMap { case (mBody, mEnd, _) =>
+      val children = mp4Boxes(bytes, mBody, mEnd)
+      // movie timescale for duration conversion (0 → durations stay 0)
+      val timescale = children.find(_._3 == "mvhd").map { case (b, e, _) =>
+        val v = bytes(b) & 0xff
+        if (v == 1 && e - b >= 4 + 16 + 4) be32(b + 4 + 16)
+        else if (v == 0 && e - b >= 4 + 8 + 4) be32(b + 4 + 8)
+        else 0L
+      }.getOrElse(0L)
+      children.filter(_._3 == "trak").flatMap { case (tBody, tEnd, _) =>
+        mp4Boxes(bytes, tBody, tEnd).find(_._3 == "tkhd").flatMap { case (b, e, _) =>
+          val v = bytes(b) & 0xff
+          // v0: flags(3) ctime(4) mtime(4) id(4) res(4) dur(4) … w@76 h@80, body 84
+          // v1: 8-byte times → id@20, dur@28(8) … w@88 h@92, body 96
+          val ok0 = v == 0 && e - b >= 84
+          val ok1 = v == 1 && e - b >= 96
+          if (!ok0 && !ok1) None
+          else {
+            val trackId = if (v == 0) be32(b + 12) else be32(b + 20)
+            val dur = if (v == 0) be32(b + 20) else be64(b + 28)
+            val wOff = if (v == 0) b + 76 else b + 88
+            val width = be32(wOff) / 65536.0
+            val height = be32(wOff + 4) / 65536.0
+            val durMs =
+              if (timescale > 0 && dur >= 0 && dur <= Long.MaxValue / 1000L)
+                dur * 1000L / timescale
+              else 0L
+            Some(TrackMeta(id, trackId, durMs, width, height))
+          }
+        }
+      }
+    }
+  }
+
+  /** Per-partition track extraction: one output row per track. The
+    * explode happens executor-side; only typed per-track metadata —
+    * never payload bytes — crosses into the downstream plan.
+    */
+  def trackTable(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc: Encoder[TrackMeta] = Encoders.product[TrackMeta]
+    ds.mapPartitions(_.flatMap(r => mp4Tracks(r.media_id, r.content))).toDF()
   }
 
   /** Container-metadata extraction across modalities: sniffs WAV /
@@ -590,7 +661,8 @@ object Multimodal {
     * n×trak) + mdat) with version-0 mvhd fields.
     */
   def encodeMp4(timescale: Int, duration: Int, nTracks: Int,
-                payload: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+                payload: Array[Byte] = Array.emptyByteArray,
+                trackDims: Seq[(Int, Int, Int)] = Seq.empty): Array[Byte] = {
     def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
     def box(tpe: String, body: Array[Byte]): Array[Byte] =
       be32(body.length + 8) ++ tpe.getBytes("US-ASCII") ++ body
@@ -601,9 +673,16 @@ object Multimodal {
     // for a metadata walk; total body = 100 bytes per spec)
     val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
       be32(duration) ++ Array.fill[Byte](80)(0))
-    val traks = (0 until nTracks).map(i =>
+    // tkhd v0 body (84 bytes): vf, ctime, mtime, track_ID, reserved,
+    // duration, then 52 bytes (reserved/layer/group/volume/matrix),
+    // width and height as 16.16 fixed-point. trackDims plants
+    // (duration, width, height) per track; absent entries stay zero.
+    val traks = (0 until nTracks).map { i =>
+      val (dur, w, h) = if (i < trackDims.length) trackDims(i) else (0, 0, 0)
       box("trak", box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(i + 1) ++
-        Array.fill[Byte](68)(0)))).toArray.flatten
+        be32(0) ++ be32(dur) ++ Array.fill[Byte](52)(0) ++
+        be32(w << 16) ++ be32(h << 16)))
+    }.toArray.flatten
     val moov = box("moov", mvhd ++ traks)
     val mdat = box("mdat", payload)
     ftyp ++ moov ++ mdat

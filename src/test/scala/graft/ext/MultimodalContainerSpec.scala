@@ -129,6 +129,40 @@ class MultimodalContainerSpec extends SparkTestBase {
     assert(!Multimodal.mp4Metadata(4L, big).valid)
   }
 
+  test("mp4Tracks: per-track id/duration/resolution from tkhd; v0 16.16 fixed-point exact; audio tracks zero-sized") {
+    // movie timescale 1000, duration 90000 → 90 s; track 1 is 1920×1080
+    // video for the full movie, track 2 audio (0×0), track 3 a shorter
+    // 640×480 overlay
+    val mp4 = Multimodal.encodeMp4(1000, 90000, nTracks = 3,
+      trackDims = Seq((90000, 1920, 1080), (90000, 0, 0), (30000, 640, 480)))
+    val tracks = Multimodal.mp4Tracks(5L, mp4)
+    assert(tracks == Seq(
+      Multimodal.TrackMeta(5L, 1L, 90000L, 1920.0, 1080.0),
+      Multimodal.TrackMeta(5L, 2L, 90000L, 0.0, 0.0),
+      Multimodal.TrackMeta(5L, 3L, 30000L, 640.0, 480.0)))
+    // mp4Metadata agrees on the track count, and the movie duration is
+    // the mvhd's, not any track's
+    val m = Multimodal.mp4Metadata(5L, mp4)
+    assert(m.n_tracks == 3 && m.duration_ms == 90000L)
+    // garbage and non-mp4 containers yield NO rows, never bogus ones
+    assert(Multimodal.mp4Tracks(6L, "not a container".getBytes).isEmpty)
+    assert(Multimodal.mp4Tracks(7L, Multimodal.encodeWav(8000, 1, 16,
+      Array.fill[Byte](64)(3))).isEmpty)
+
+    // the dataset path: one row per track, resolution filterable
+    // BEFORE any payload decode — the route-by-resolution curation step
+    val rows = Seq(
+      Multimodal.MediaRow(5L, "video", mp4),
+      Multimodal.MediaRow(6L, "video", Multimodal.encodeMp4(600, 1200, nTracks = 1,
+        trackDims = Seq((1200, 320, 240)))))
+    val table = Multimodal.trackTable(rows.toDS())
+    assert(table.count() == 4)
+    import org.apache.spark.sql.functions.col
+    val hd = table.filter(col("width") >= 1280).select("media_id", "track_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hd == Seq((5L, 1L)))
+  }
+
   test("containerMetadata dispatches wav/mp4/grft/unknown per row in one pass") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "audio", Multimodal.encodeWav(8000, 1, 16,
