@@ -2792,9 +2792,12 @@ object ExtQueries {
       // decade d gets the chain d—d+1—d+2—d+3
       val pairs = d.filter($"i" % 10 <= 2)
         .select($"i".as("id1"), ($"i" + 1L).as("id2"))
-      // even decades lose the bridge (d+1): {d} splits from {d+2,d+3};
-      // odd decades lose the root (d): {d+1,d+2,d+3} re-canonicalizes
-      val deleted = d.filter($"i" % 20 === 1 || $"i" % 20 === 10)
+      // decades ≡ 0 (mod 40) lose the bridge (d+1): {d} splits from
+      // {d+2,d+3}; decades ≡ 30 lose the root (d): {d+1,d+2,d+3}
+      // re-canonicalizes; decades ≡ 10, 20 lose NOTHING — their stored
+      // labels must pass through the untouched-component path, so the
+      // gate exercises split, re-root, AND passthrough together
+      val deleted = d.filter($"i" % 40 === 1 || $"i" % 40 === 30)
         .select($"i".as("id"))
       val stored = DedupClusters.connectedComponents(pairs)
       Forget.retractComponents(stored, pairs, deleted).orderBy($"id")
@@ -2802,7 +2805,7 @@ object ExtQueries {
     Some("""WITH RECURSIVE
             |u AS (SELECT doc_id AS i FROM documents WHERE doc_id < 200),
             |pairs AS (SELECT i AS id1, i + 1 AS id2 FROM u WHERE i % 10 IN (0, 1, 2)),
-            |del AS (SELECT i FROM u WHERE i % 20 = 1 OR i % 20 = 10),
+            |del AS (SELECT i FROM u WHERE i % 40 = 1 OR i % 40 = 30),
             |nodes AS (SELECT id1 AS id FROM pairs UNION SELECT id2 FROM pairs),
             |retained AS (SELECT id FROM nodes WHERE id NOT IN (SELECT i FROM del)),
             |sp AS (SELECT id1, id2 FROM pairs
