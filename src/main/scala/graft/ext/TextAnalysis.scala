@@ -74,8 +74,15 @@ object TextAnalysis {
   /** Unicode script character classes for the non-Latin branch of
     * [[langIdWide]], as `\x{…}` ranges — the ONE hex-escape syntax
     * Java regex and RE2 share, so the identical pattern string runs in
-    * Spark and the DuckDB oracle. All ranges are BMP, where Java's
-    * UTF-16-unit counting and DuckDB's codepoint counting agree.
+    * Spark and the DuckDB oracle. The ranges are BMP-only, but the
+    * cross-engine identity does NOT depend on a BMP corpus: Spark's
+    * `length` counts CODEPOINTS (`UTF8String.numChars` walks UTF-8
+    * sequence starts — an astral char is 1, not 2), exactly like
+    * DuckDB's `length`, and Java regex matches astral input as single
+    * codepoints like RE2 — so both the class counts and the non-space
+    * denominator in [[langIdWide]] agree on emoji / CJK-extension-B
+    * text too. Gate q97 plants an astral row engineered to FLIP its
+    * branch under UTF-16-unit counting, pinning this every round.
     * "ja" deliberately maps the KANA block only — kana is the ja/zh
     * discriminator (Japanese text mixes kana with the CJK ideographs
     * "zh" matches; Chinese text has no kana).

@@ -56,10 +56,12 @@ class JdbcSink(url: String, props: java.util.Properties,
   * same as the non-atomic path.
   */
 class AtomicJdbcSink(url: String, props: java.util.Properties,
-                     batchSize: Int = 500, numPartitions: Int = 8) extends TableSink {
+                     batchSize: Int = 500, numPartitions: Int = 8,
+                     schema: Option[String] = None) extends TableSink {
 
   override def append(df: DataFrame, table: String): Unit = {
     val stage = s"${table}_stg_${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    var primary: Throwable = null
     try {
       // ErrorIfExists: a stage-name collision must fail loudly, never
       // publish another writer's rows
@@ -68,7 +70,19 @@ class AtomicJdbcSink(url: String, props: java.util.Properties,
         .option("batchsize", batchSize)
         .jdbc(url, stage, props)
       publish(df.schema.fieldNames, stage, table)
-    } finally dropIfExists(stage)
+    } catch {
+      case e: Throwable => primary = e; throw e
+    } finally {
+      // The cleanup opens a NEW connection; if the failure being
+      // unwound is connectivity loss, the drop fails too — that
+      // secondary failure must never replace the root cause.
+      try dropIfExists(stage)
+      catch {
+        case cleanup: Throwable =>
+          if (primary == null) throw cleanup
+          else primary.addSuppressed(cleanup)
+      }
+    }
   }
 
   private def connect() = java.sql.DriverManager.getConnection(url, props)
@@ -79,13 +93,23 @@ class AtomicJdbcSink(url: String, props: java.util.Properties,
     * target the INSERT cannot resolve (the multi-schema-warehouse
     * trap). Name match is case-insensitive because the unquoted DDL
     * here case-folds per dialect while JDBC metadata reports the
-    * stored form.
+    * stored form. Drivers predating JDBC 4.1 (or ones that throw on
+    * `getSchema`) can't report the current schema — then the explicit
+    * `schema` constructor arg is REQUIRED: falling back to a
+    * catalog-wide pattern would re-open the very trap this probe
+    * exists to close, so the sink refuses loudly instead.
     */
   private def tableExists(conn: java.sql.Connection, name: String): Boolean = {
-    val schema =
-      try conn.getSchema
-      catch { case _: java.sql.SQLException | _: AbstractMethodError => null }
-    val meta = conn.getMetaData.getTables(null, schema, "%", Array("TABLE"))
+    val current =
+      try Option(conn.getSchema)
+      catch { case _: java.sql.SQLException | _: AbstractMethodError => None }
+    val schemaPattern = current.orElse(schema).getOrElse(
+      throw new IllegalStateException(
+        "AtomicJdbcSink: the JDBC driver cannot report its current schema " +
+          "and no explicit schema was configured - refusing a catalog-wide " +
+          "existence probe (a same-named table in an unrelated schema would " +
+          "be mistaken for the target). Pass schema=Some(...) to the sink."))
+    val meta = conn.getMetaData.getTables(null, schemaPattern, "%", Array("TABLE"))
     try {
       var exists = false
       while (!exists && meta.next())
@@ -98,23 +122,48 @@ class AtomicJdbcSink(url: String, props: java.util.Properties,
     * layout), rows published, stage retired. Column lists are quoted
     * exact-case — Spark's JDBC writer creates quoted identifiers, so
     * the publish must reference them the same way.
+    *
+    * First-load race: two concurrent loads to a missing target can
+    * both pass the not-exists probe; the loser's CREATE fails with a
+    * duplicate-table error AFTER its transaction rolled back cleanly.
+    * That is "the table exists now", not a load failure — the loser
+    * republishes INSERT-only, and neither load is dropped.
     */
   private def publish(fieldNames: Seq[String], stage: String, table: String): Unit = {
     val cols = fieldNames.map("\"" + _ + "\"").mkString(", ")
     val conn = connect()
     try {
       conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      try {
-        if (!tableExists(conn, table))
-          st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
-        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
-        st.executeUpdate(s"DROP TABLE $stage")
-        conn.commit()
-      } catch {
-        case e: Throwable => conn.rollback(); throw e
-      } finally st.close()
+      def run(createFirst: Boolean): Unit = {
+        val st = conn.createStatement()
+        try {
+          if (createFirst)
+            st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+          st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+          st.executeUpdate(s"DROP TABLE $stage")
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally st.close()
+      }
+      val needCreate = !tableExists(conn, table)
+      try run(createFirst = needCreate)
+      catch {
+        case e: java.sql.SQLException if needCreate && isDuplicateTable(e) =>
+          run(createFirst = false)
+      }
     } finally conn.close()
+  }
+
+  /** Duplicate-table detection by SQLSTATE: Derby X0Y32, PostgreSQL
+    * 42P07, SQL-standard-ish 42S01 (MySQL/H2) — plus the message as a
+    * last resort for drivers with vendor states.
+    */
+  private def isDuplicateTable(e: java.sql.SQLException): Boolean = {
+    val states = Iterator.iterate[java.sql.SQLException](e)(_.getNextException)
+      .takeWhile(_ != null).take(8).flatMap(x => Option(x.getSQLState)).toSet
+    states.exists(Set("X0Y32", "42P07", "42S01")) ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
   }
 
   /** Best-effort stage cleanup for the failure paths (the success path

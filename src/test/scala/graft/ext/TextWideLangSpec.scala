@@ -72,6 +72,18 @@ class TextWideLangSpec extends SparkTestBase {
     assert(predict("der begriff 日本 ist japanisch und der text ist deutsch") == "de")
   }
 
+  test("astral input: codepoint denominator holds on the 30% boundary; ext-B stays out of zh") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val extB = new String(Character.toChars(0x20000))
+    // 3 Cyrillic of 10 non-space CODEPOINTS — exactly the 30% threshold.
+    // An engine counting UTF-16 units (denominator 14) would flip this
+    // to the stopword branch (en); Spark's length counts codepoints.
+    assert(predict("ввв " + (emoji * 4) + " abc") == "ru")
+    // CJK-extension-B ideographs: outside the zh class, inside the
+    // denominator — the 7 BMP ideographs still clear 30% (7/9)
+    assert(predict((extB * 2) + " 这是一个新房子") == "zh")
+  }
+
   test("langId (the narrow 4-language gate surface) is unchanged by the wide extension") {
     val df = Seq("the cat and the dog is a pet of a man",
       "der hund und die katze das ist gut",
