@@ -56,12 +56,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.contains))
+    // gcBefore (blowup tiers only): the r9 driver artifact read q68 at
+    // x100 at 112.9 s where the steady state is ~25 s — heap pressure
+    // left behind by the preceding tier queries, not a plan change. So
+    // memory-pressure tiers get the full isolation discipline BEFORE
+    // the timed region: drain residual blocks, then an explicit GC so
+    // each query starts from a settled heap. (The main sf pass skips
+    // the GC — its queries are sub-second and 100 extra collections
+    // per rep would cost more wall-clock than they'd stabilize.)
     def timeOnce(dir: String, skip: Set[String],
-                 keep: Option[Set[String]] = None): Seq[(String, Double)] =
+                 keep: Option[Set[String]] = None,
+                 gcBefore: Boolean = false): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => selected(q._1)).filter(q => keep.forall(_.contains(q._1)))
         .filterNot(q => skip(q._1)).map {
         case (name, fn) =>
+          if (gcBefore) { dropResidualBlocks(); System.gc(); Thread.sleep(100) }
           val t0 = System.nanoTime()
           try { fn(spark, dir).count() }
           catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1L }
@@ -74,8 +84,9 @@ object Bench {
     // minimum is the reproducible cost of the plan itself.
     def timeAll(dir: String, skip: Set[String],
                 keep: Option[Set[String]] = None,
-                nreps: Int = reps): Seq[(String, Double)] =
-      (1 to nreps).map(_ => timeOnce(dir, skip, keep)).reduce { (a, b) =>
+                nreps: Int = reps,
+                gcBefore: Boolean = false): Seq[(String, Double)] =
+      (1 to nreps).map(_ => timeOnce(dir, skip, keep, gcBefore)).reduce { (a, b) =>
         a.zip(b).map { case ((n, x), (_, y)) => n -> math.min(x, y) }
       }
     // 3-decimal fixed-point keeps the final line compact (ms resolution
@@ -148,7 +159,7 @@ object Bench {
         val x10Dir = Blowup.build(spark, sfDir,
           s"${sys.props("java.io.tmpdir")}/graft_x10_$sfName", times = 10)
         val calBefore = calibrate()
-        val r = timeAll(x10Dir, x10Skip, nreps = math.max(reps, 2))
+        val r = timeAll(x10Dir, x10Skip, nreps = math.max(reps, 2), gcBefore = true)
         x10Cal = (calBefore, calibrate())
         Some(r)
       } catch {
@@ -167,7 +178,11 @@ object Bench {
     // rerank) is excluded from the RECURRING tier after a one-off
     // measurement: 535 s for ~25M pairs (~21 µs/pair, output-bound;
     // BASELINE.md) — rerunning that every round re-measures the output
-    // volume, not the plan. One rep; disable with SPARK_GRAFT_X100=0.
+    // volume, not the plan. Two reps minimum with min-taking + the
+    // gcBefore isolation discipline (r9: the 1-rep tier read q68 at
+    // 112.9 s where the steady state is ~25 s — a number that
+    // irreproducible is noise in the official artifact). Disable with
+    // SPARK_GRAFT_X100=0.
     val x100Keep = Set("q20_exact_dedup",
       "q29_simhash_neardup", "q49_decontaminate", "q51_tfidf_keywords",
       "q55_sequence_pack", "q61_token_chunks", "q62_url_normalize",
@@ -185,7 +200,8 @@ object Bench {
           s"${sys.props("java.io.tmpdir")}/graft_x100_$sfName", times = 100,
           tables = Set("documents"))
         val calBefore = calibrate()
-        val r = timeAll(x100Dir, Set.empty, Some(x100Keep), nreps = 1)
+        val r = timeAll(x100Dir, Set.empty, Some(x100Keep),
+          nreps = math.max(reps, 2), gcBefore = true)
         x100Cal = (calBefore, calibrate())
         Some(r)
       } catch {
@@ -200,11 +216,23 @@ object Bench {
     // each pass's calibration normalization backed out, plus the
     // implied scaling exponent log10(ratio) — 1.0 = perfectly linear,
     // >~1.08 (ratio >12) flags a super-linear plan for the round-notes
-    // audit. Gates that slice planted constant ranges are excluded
-    // (their ratio measures fixed cost, not scaling).
+    // audit. Coverage (r9 verdict item 7): every gate whose input
+    // grows with the corpus — text family, embedding family, skew,
+    // retraction. The CC-family gates (q84, q95) and the planted-range
+    // q95 fixture are SF-constant BY DESIGN; they're in the list so
+    // that flatness is measured each round, not asserted. Gates that
+    // slice planted constant ranges and have no designed-flatness
+    // claim stay excluded (their ratio measures fixed cost only).
     val sf1Head: Set[String] = x100Keep ++ Set("q28_minhash_neardup",
       "q45_minhash_portable", "q53_dedup_clusters",
-      "q66_incremental_neardup", "q71_leakage_safe_split")
+      "q66_incremental_neardup", "q71_leakage_safe_split",
+      "q25_embed_topk", "q46_simhash_portable", "q54_canonical_corpus",
+      "q57_kmeans_step", "q60_bloom_decontaminate",
+      "q70_semantic_decontaminate", "q84_incremental_components",
+      "q88_salted_join", "q89_ivf_probe", "q92_hard_negatives_ivf",
+      "q94_banded_neardup", "q95_retract_components",
+      "q96_retract_digests", "q98_retract_packing",
+      "q99_trained_classifier")
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)

@@ -109,6 +109,55 @@ object RecallCheck {
       pinnedC.unpersist(); pinnedA.unpersist()
     }
 
+    // PQ-compressed serving state: recall vs compression at fixed
+    // probe cost (nlist=64, nprobe=16). Codebooks train on a
+    // deterministic 1-in-7 corpus sample (PQ converges on thousands of
+    // points — the 100 TB training recipe in VectorQuant's doc);
+    // encoding is the only full pass. "B/vec" is the logical serving
+    // payload: m one-byte codes (ksub <= 256) vs dim·4 = 256 float
+    // bytes. The rerank rows re-score the PQ survivors against full
+    // vectors — the standard ADC-then-rerank operating point.
+    {
+      val dim = 64
+      val idx = ext.EmbeddingSearch.buildIvfIndex(corpus, "vec_id", "embedding", 64)
+      val sample = corpus.filter($"vec_id" % 7 === 0)
+      for ((m, ksub) <- Seq((8, 256), (8, 64), (8, 16), (16, 256))) {
+        val tTrain0 = System.nanoTime()
+        val book = ext.VectorQuant.pqTrain(sample, "vec_id", "embedding",
+          m, ksub, iters = 2, dim = dim)
+        val pq = ext.VectorQuant.quantizeIndex(idx, corpus, "vec_id", "embedding", book)
+        val pinnedA = pq.assignments
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinnedA.count()
+        val tTrain = (System.nanoTime() - tTrain0) / 1e9
+        val pinned = pq.copy(assignments = pinnedA)
+        measure(f"pqProbe m=$m ksub=$ksub ($m B/vec, build $tTrain%.1f s)") {
+          ext.VectorQuant.ivfProbePq(pinned, queries, "qid", "qvec",
+            k = k, nprobe = 16)
+        }
+        measure(f"pqProbe+rerank m=$m ksub=$ksub (top-${3 * k} exact)") {
+          ext.VectorQuant.ivfProbePqRerank(pinned, corpus, "vec_id", "embedding",
+            queries, "qid", "qvec", k = k, rerankK = 3 * k, nprobe = 16)
+        }
+        pinnedA.unpersist()
+      }
+      // int8 scalar quantization: the 4× point — decode is a pure
+      // per-row expression, so the probe is the same brute kernel over
+      // reconstructed vectors
+      val p = ext.VectorQuant.int8Params(corpus, "embedding")
+      val coded = corpus.select($"vec_id",
+          ext.VectorQuant.int8EncodeExpr(p, $"embedding").as("codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      coded.count()
+      measure("int8 bruteForce (64 B/vec)") {
+        ext.EmbeddingSearch.bruteForceTopK(
+          coded.select($"vec_id",
+            ext.VectorQuant.int8DecodeExpr(p, $"codes").as("embedding")),
+          "vec_id", "embedding", queries, "qid", "qvec", k = k)
+      }
+      coded.unpersist()
+    }
+
     // index-maintenance drift: day-0 index built on the ORIGINAL 10%
     // slice, then extended with the 9× jittered batches against the
     // stale centroids (the extendIvfIndex accretion path). The advice

@@ -1,0 +1,317 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+
+/** Vector compression for ANN serving state — the 100 TB memory bill.
+  *
+  * A 10⁹-vector corpus at dim 64 float32 is 256 GB of raw vectors; the
+  * IVF index ([[EmbeddingSearch.IvfIndex]]) deliberately stores only
+  * (id, cell) and reads vectors from the corpus parquet, but a probe
+  * still has to FETCH those vectors for the rerank. Product
+  * quantization replaces them with m one-byte codes per vector
+  * (dim 64, m=8 → 32× smaller rerank state, codebook amortized), so
+  * the whole serving path — route, rerank, top-k — runs from the
+  * compressed index alone; full vectors are only touched by the
+  * optional exact re-rank of the top survivors.
+  *
+  * Spark shapes, chosen per stage:
+  *  - TRAIN: per-subspace Lloyd rounds in ONE DataFrame pass per
+  *    iteration — all m subspaces assign and update together, keyed by
+  *    (sub, code); sums go through DECIMAL(38,6) (order-invariant →
+  *    partition-invariant, the [[EmbeddingSearch.kmeansCentroids]]
+  *    discipline). Codebooks are bounded driver state (m·ksub rows —
+  *    the BPE merge-table contract), lineage-cut per round.
+  *  - ENCODE: broadcast the codebook, `min(struct(d2, code))` partial
+  *    aggregation — map-side combine, no window sort, never more than
+  *    one shuffle of n·m grouped rows.
+  *  - DECODE / SERVE: a pure per-row expression over the codebook
+  *    embedded as a literal ([[EmbeddingSearch.probeCellsExpr]]
+  *    pattern) — zero shuffle, zero join, runs inside the probe
+  *    projection.
+  *
+  * Correctness contract (gate q100): with `iters = 0` and `ksub` ≥ the
+  * number of distinct sub-vectors, the codebook IS the distinct
+  * sub-vector set, every vector's reconstruction is bit-identical to
+  * the original, and the quantized probe ≡ the exact probe (q89's
+  * oracle discipline: the oracle is the exact computation). The
+  * d2 = |s|² − 2·s·c + |c|² expansion evaluates to exactly 0.0 in IEEE
+  * arithmetic when s == c (a − 2a + a), so the degenerate argmin is
+  * exact, not approximately exact. Lossy operating points are measured
+  * (RecallCheck: compression-vs-recall table), not asserted.
+  */
+object VectorQuant {
+
+  /** Trained product-quantization codebook.
+    *
+    * @param m        number of subspaces
+    * @param dsub     dimensions per subspace
+    * @param codebook (sub, code, centroid array<float>) — m·ksub rows
+    */
+  final case class PqCodebook(m: Int, dsub: Int, codebook: DataFrame)
+
+  /** IVF index with PQ-coded vectors: the complete serving state.
+    * `assignments` carries (id, cell, codes array<int>) — routing AND
+    * rerank data in one table; the corpus is not needed at probe time.
+    */
+  final case class PqIvfIndex(centroids: DataFrame, assignments: DataFrame,
+                              book: PqCodebook)
+
+  /** (id, sub, subvec) rows — one per (vector, subspace). `dim` must be
+    * divisible by `m`; validated against the first row at plan time is
+    * impossible, so the caller contract is documented instead and the
+    * slice simply truncates/underfills on violation.
+    */
+  private def subVectors(df: DataFrame, id: String, vec: String, m: Int,
+                         dsub: Int): DataFrame =
+    df.select(col(id).as("__id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col(vec), s * dsub + 1, lit(dsub)))).as(Seq("__sub", "__sv")))
+      .select(col("__id"), col("__sub"), col("__sv"))
+
+  /** Squared L2 distance via the expanded form — three codegen'd
+    * ordered-fold dot products ([[EmbeddingSearch.dot]]); exactly 0.0
+    * when the operands are bit-identical (see object doc).
+    */
+  private def dist2(a: Column, b: Column): Column =
+    EmbeddingSearch.dot(a, a) - lit(2.0) * EmbeddingSearch.dot(a, b) +
+      EmbeddingSearch.dot(b, b)
+
+  /** Nearest-code assignment per (vector, subspace): broadcast the
+    * m·ksub codebook, join on sub, keep `min(struct(d2, code))` — a
+    * hash aggregation with map-side partial combine (deterministic
+    * tie-break: lowest code), never a window sort.
+    * Output: (__id, __sub, __code, __sv).
+    */
+  private def assignCodes(sv: DataFrame, book: DataFrame): DataFrame =
+    sv.join(broadcast(book.select(col("sub").as("__sub"),
+        col("code").as("__bc"), col("centroid").as("__bv"))), Seq("__sub"))
+      .withColumn("__d2", dist2(col("__sv"), col("__bv")))
+      .groupBy(col("__id"), col("__sub"))
+      .agg(min(struct(col("__d2"), col("__bc"))).as("__best"),
+        first(col("__sv")).as("__sv"))
+      .select(col("__id"), col("__sub"),
+        col("__best").getField("__bc").as("__code"), col("__sv"))
+
+  /** Train a PQ codebook: deterministic init (per subspace, the first
+    * `ksub` DISTINCT sub-vectors ordered by the lowest vector id that
+    * carries them), then `iters` Lloyd rounds over all m subspaces in
+    * one pass each. `iters = 0` returns the init as-is — the
+    * exact-reconstruction degenerate path when ksub covers every
+    * distinct sub-vector (gate q100).
+    *
+    * 100 TB note: training cost is corpus × m × ksub distance kernels
+    * per round — run it on a corpus SAMPLE (PQ codebooks converge on
+    * thousands of points; pass `corpus.sample(...)`), then [[pqEncode]]
+    * the full corpus once. The encode is the only full pass.
+    */
+  def pqTrain(corpus: DataFrame, id: String, vec: String,
+              m: Int, ksub: Int, iters: Int, dim: Int): PqCodebook = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(ksub >= 1 && iters >= 0, s"bad ksub=$ksub / iters=$iters")
+    val dsub = dim / m
+    val sv = subVectors(corpus, id, vec, m, dsub)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("__fid"), col("centroid"))
+    val init = sv.groupBy(col("__sub").as("sub"), col("__sv").as("centroid"))
+      .agg(min(col("__id")).as("__fid"))
+      .withColumn("code", row_number().over(w).cast("int") - 1)
+      .filter(col("code") < ksub)
+      .select(col("sub"), col("code"), col("centroid"))
+    var book = init
+    var prevCut: Option[GraftBridge.CutFrame] = None
+    for (i <- 1 to iters) {
+      val assigned = assignCodes(sv, book)
+      // per-(sub, code, dim) decimal means — the kmeansCentroids
+      // update, generalized to m subspaces in one aggregation
+      val dims = assigned
+        .select(col("__sub"), col("__code"),
+          posexplode(col("__sv")).as(Seq("__pos", "__v")))
+        .groupBy(col("__sub"), col("__code"), col("__pos"))
+        .agg(sum(col("__v").cast("double").cast("decimal(38,6)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("__sub"), col("__code"), col("__pos"),
+          (col("__s").cast("double") / col("__n")).as("__mu"))
+      val next = dims.groupBy(col("__sub"), col("__code"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__mu")))).as("__pm"))
+        .select(col("__sub").as("sub"), col("__code").as("code"),
+          transform(col("__pm"), s => s.getField("__mu").cast("float")).as("centroid"))
+      val cut = GraftBridge.persistCutFrame(next, eager = true)
+      prevCut.foreach(_.release())
+      prevCut = Some(cut)
+      book = cut.df
+    }
+    PqCodebook(m, dsub, book)
+  }
+
+  /** Encode every corpus vector to its m-code array: one assignment
+    * pass + one (id)-grouped sort-collect. Output: (id, codes
+    * array<int>) with codes ordered by subspace.
+    */
+  def pqEncode(corpus: DataFrame, id: String, vec: String,
+               book: PqCodebook): DataFrame =
+    assignCodes(subVectors(corpus, id, vec, book.m, book.dsub), book.codebook)
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__sub"), col("__code")))).as("__sc"))
+      .select(col("__id").as("id"),
+        transform(col("__sc"), s => s.getField("__code")).as("codes"))
+
+  /** Codebook as bounded driver state: [sub][code] → centroid floats.
+    * m·ksub rows — the same contract as
+    * [[EmbeddingSearch.collectCentroids]] / the BPE merge table.
+    */
+  def collectBook(book: PqCodebook): Array[Array[Array[Float]]] = {
+    val rows = book.codebook.select(col("sub"), col("code"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    (0 until book.m).toArray.map { s =>
+      val subRows = rows.filter(_._1 == s)
+      require(subRows.nonEmpty, s"codebook has no entries for subspace $s")
+      // indexed by ORIGINAL code id — Lloyd rounds can drop empty
+      // codes, and a dense re-pack here would silently shift every
+      // later code's decode target. Holes decode to an empty slot no
+      // encode output can reference.
+      val slots = Array.fill(subRows.map(_._2).max + 1)(Array.empty[Float])
+      subRows.foreach { case (_, c, v) => slots(c) = v }
+      slots
+    }
+  }
+
+  /** Per-row reconstruction: codes → concatenated codebook centroids,
+    * as a pure projection over the embedded codebook literal. The
+    * reconstructed vector is array<float> with the exact bits the
+    * codebook holds — which, under the degenerate codebook, are the
+    * original vector's bits (gate q100's identity).
+    */
+  def pqDecodeExpr(collected: Array[Array[Array[Float]]], codes: Column): Column = {
+    val bookLit = array(collected.map(sub =>
+      array(sub.map(cw => typedLit(cw)): _*)): _*)
+    flatten(zip_with(bookLit, codes, (sub, code) => element_at(sub, code + 1)))
+  }
+
+  /** Quantize an IVF index: same centroids, assignments augmented with
+    * the PQ codes — (id, cell, codes). This table IS the serving state;
+    * at m=8/dim=64 it is ~32× smaller than carrying float vectors.
+    */
+  def quantizeIndex(index: EmbeddingSearch.IvfIndex, corpus: DataFrame,
+                    id: String, vec: String, book: PqCodebook): PqIvfIndex =
+    PqIvfIndex(index.centroids,
+      index.assignments.join(pqEncode(corpus, id, vec, book), Seq("id")),
+      book)
+
+  /** Persist / reload the quantized index as parquet state. */
+  def writePqIndex(index: PqIvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+    index.book.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  m: Int, dsub: Int): PqIvfIndex = {
+    val cb = spark.read.parquet(s"$dir/codebook")
+    PqIvfIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"), PqCodebook(m, dsub, cb))
+  }
+
+  /** Probe-only approximate top-k served ENTIRELY from quantized state:
+    * route each query to its nprobe nearest centroids
+    * ([[EmbeddingSearch.ivfProbe]] shape), then rerank candidates
+    * against their RECONSTRUCTED vectors — a per-row decode expression,
+    * no corpus join anywhere in the plan. With the degenerate codebook
+    * the output is bit-identical to the exact probe (gate q100); at
+    * lossy operating points recall is measured in RecallCheck.
+    */
+  def ivfProbePq(index: PqIvfIndex,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int, nprobe: Int = 4): DataFrame = {
+    val collected = collectBook(index.book)
+    val q = queries.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("__ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__ccos", EmbeddingSearch.cosine(col("__qvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qvec"), col("cell"))
+    val cand = index.assignments.withColumnRenamed("id", "__cid")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("__rvec", pqDecodeExpr(collected, col("codes")))
+      .withColumn("cos", EmbeddingSearch.cosine(col("__qvec"), col("__rvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("cos").desc, col("__cid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  /** Two-stage serving: PQ probe keeps `rerankK` approximate survivors
+    * per query, then ONLY those join the full-precision corpus for an
+    * exact re-score — the standard ADC-then-rerank pipeline. The
+    * full-vector fetch touches k'·|Q| rows instead of every candidate
+    * in every probed cell.
+    */
+  def ivfProbePqRerank(index: PqIvfIndex, corpus: DataFrame,
+                       corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int, rerankK: Int, nprobe: Int = 4): DataFrame = {
+    require(rerankK >= k, s"rerankK $rerankK must be >= k $k")
+    val survivors = ivfProbePq(index, queries, queryId, queryVec, rerankK, nprobe)
+      .select(col(queryId).as("__qid"), col("neighbor_id").as("__cid"))
+    val q = queries.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+    val c = corpus.select(col(corpusId).as("__cid"), col(corpusVec).as("__cvec"))
+    val exact = survivors
+      .join(c, Seq("__cid"))
+      .join(broadcast(q), Seq("__qid"))
+      .withColumn("cos", EmbeddingSearch.cosine(col("__qvec"), col("__cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("cos").desc, col("__cid").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  // ---- int8 scalar quantization ------------------------------------
+
+  /** Per-dimension affine int8 parameters over the corpus: (pos, lo,
+    * scale) with scale = (hi − lo)/255 — exact min/max aggregation, one
+    * pass. dim rows of driver state.
+    */
+  def int8Params(corpus: DataFrame, vec: String): Array[(Double, Double)] =
+    corpus.select(posexplode(col(vec)).as(Seq("__pos", "__v")))
+      .groupBy(col("__pos"))
+      .agg(min(col("__v").cast("double")).as("__lo"),
+        max(col("__v").cast("double")).as("__hi"))
+      .orderBy(col("__pos"))
+      .collect()
+      .map { r =>
+        val lo = r.getDouble(1); val hi = r.getDouble(2)
+        (lo, if (hi > lo) (hi - lo) / 255.0 else 1.0)
+      }
+
+  /** codes[i] = round((x[i] − lo[i]) / scale[i]) clamped to [0, 255] —
+    * a pure per-row expression over the dim-sized parameter literals.
+    * 4× smaller than float32; values already ON the grid round-trip
+    * exactly (the unit-testable identity — arbitrary floats do NOT,
+    * which is why int8 has no oracle gate and PQ's degenerate case
+    * does).
+    */
+  def int8EncodeExpr(params: Array[(Double, Double)], vec: Column): Column = {
+    val lo = typedLit(params.map(_._1))
+    val sc = typedLit(params.map(_._2))
+    zip_with(vec, sequence(lit(0), lit(params.length - 1)), (x, i) =>
+      least(greatest(round((x.cast("double") - element_at(lo, i + 1)) /
+        element_at(sc, i + 1)).cast("int"), lit(0)), lit(255)))
+  }
+
+  /** x̂[i] = lo[i] + codes[i]·scale[i], back to float. */
+  def int8DecodeExpr(params: Array[(Double, Double)], codes: Column): Column = {
+    val lo = typedLit(params.map(_._1))
+    val sc = typedLit(params.map(_._2))
+    zip_with(codes, sequence(lit(0), lit(params.length - 1)), (c, i) =>
+      (element_at(lo, i + 1) + c.cast("double") * element_at(sc, i + 1))
+        .cast("float"))
+  }
+}
