@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Multimodal, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Multimodal, NgramLm, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -3132,10 +3132,105 @@ object ExtQueries {
             SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
             FROM ranked WHERE rnk <= 4 ORDER BY vec_id, rank"""))
 
+  /** N-gram LM quality scoring under the oracle gate: the model (bigram
+    * + history counts + vocab size) trains on the documents corpus and
+    * scores the corpus plus two planted rows — an OOV gibberish doc
+    * (every bigram unseen → n_oov = n_bigrams, score = 1/V-ish) and a
+    * repeated-common-word doc (all bigrams seen). The gated score is
+    * the RATIONAL face — mean add-one bigram probability with
+    * DECIMAL(38,6) order-invariant sums over 1e6-prescaled terms — so
+    * the whole train→score loop hash-matches cross-engine with no ln()
+    * anywhere (the q51 discipline; ln lives in the ungated
+    * [[graft.ext.NgramLm.avgLogProb]]).
+    */
+  val q101 = Q(
+    "q101_ngram_lm",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = Seq(
+        (200000L, "zxqw vbnk qpzm zxqw vbnk qpzm zxqw"),
+        (200001L, "the the the the the the")).toDF("doc_id", "text")
+      val model = NgramLm.train(docs, $"text")
+      NgramLm.scoreDocs(docs.unionAll(planted), $"doc_id", $"text", model)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id, text FROM documents),
+            |cand AS (SELECT doc_id, text FROM src
+            |         UNION ALL SELECT * FROM (VALUES
+            |           (200000, 'zxqw vbnk qpzm zxqw vbnk qpzm zxqw'),
+            |           (200001, 'the the the the the the')) p(doc_id, text)),
+            |rtok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM src),
+            |vocab AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM rtok)),
+            |rbig AS (SELECT t[i] || ' ' || t[i+1] AS gram, t[i] AS w1
+            |         FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM rtok WHERE len(t) >= 2)),
+            |bc AS (SELECT gram, count(*) AS c12 FROM rbig GROUP BY gram),
+            |hc AS (SELECT w1, count(*) AS c1 FROM rbig GROUP BY w1),
+            |ctok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM cand),
+            |cbig AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, t[i] AS w1
+            |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM ctok WHERE len(t) >= 2)),
+            |j AS (SELECT doc_id,
+            |             (CAST(coalesce(bc.c12, 0) AS DOUBLE) + 1.0) /
+            |             (CAST(coalesce(hc.c1, 0) AS DOUBLE) + CAST(v AS DOUBLE)) AS p,
+            |             CASE WHEN bc.c12 IS NULL THEN 1 ELSE 0 END AS oov
+            |      FROM cbig LEFT JOIN bc USING (gram) LEFT JOIN hc USING (w1), vocab)
+            |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(oov) AS BIGINT) AS n_oov,
+            |       CAST(SUM(CAST(p * 1e6 AS DECIMAL(38,6))) AS DOUBLE) /
+            |         CAST(count(*) AS DOUBLE) / 1e6 AS lm_score
+            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** The PQ TRAINER under the oracle gate (the q99 discipline applied
+    * to codebook training): one full Lloyd round — deterministic
+    * distinct-subvector init, L2-argmin assignment with the expanded
+    * |s|²−2sc+|c|² kernel, DECIMAL(38,6) order-invariant per-dimension
+    * means — mirrored completely in SQL, and the learned codebook
+    * itself hash-matches cross-engine. Together with q100 (degenerate
+    * encode/serve identity) the train→encode→serve loop is closed the
+    * way q99+q93 closed the classifier's.
+    */
+  val q102 = Q(
+    "q102_pq_train",
+    (s, dir) => {
+      import s.implicits._
+      val slice = t(s, dir, "embeddings").filter($"vec_id" < 64)
+        .select($"vec_id", $"embedding")
+      graft.ext.VectorQuant.pqTrain(slice, "vec_id", "embedding",
+          m = 8, ksub = 4, iters = 1, dim = 64)
+        .codebook.orderBy($"sub", $"code")
+    },
+    Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
+            |sv AS (SELECT vec_id, s.sub,
+            |              list_transform(embedding[s.sub * 8 + 1 : s.sub * 8 + 8],
+            |                             x -> CAST(x AS DOUBLE)) AS v
+            |       FROM c, (SELECT unnest(generate_series(0, 7)) AS sub) s),
+            |init AS (SELECT sub, centroid,
+            |                CAST(row_number() OVER (PARTITION BY sub ORDER BY fid) - 1 AS INT) AS code
+            |         FROM (SELECT sub, v AS centroid, min(vec_id) AS fid
+            |               FROM sv GROUP BY sub, v)
+            |         QUALIFY code < 4),
+            |d AS (SELECT sv.vec_id, sv.sub, sv.v, i.code,
+            |             list_inner_product(sv.v, sv.v)
+            |               - 2.0 * list_inner_product(sv.v, i.centroid)
+            |               + list_inner_product(i.centroid, i.centroid) AS d2
+            |      FROM sv JOIN init i ON sv.sub = i.sub),
+            |a AS (SELECT vec_id, sub, v, code,
+            |             row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+            |      FROM d QUALIFY rn = 1),
+            |dims AS (SELECT sub, code, u.pos, u.val
+            |         FROM a, LATERAL (SELECT unnest(v) AS val,
+            |                                 generate_subscripts(v, 1) AS pos) u),
+            |mu AS (SELECT sub, code, pos,
+            |              CAST(CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
+            |       FROM dims GROUP BY sub, code, pos)
+            |SELECT CAST(sub AS INT) AS sub, code, list(m ORDER BY pos) AS centroid
+            |FROM mu GROUP BY sub, code ORDER BY sub, code""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
 }

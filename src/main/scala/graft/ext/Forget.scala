@@ -38,9 +38,29 @@ import org.apache.spark.sql.functions._
   *   - IVF index state           → [[retractIvf]] (assignments anti-join;
   *     centroids are retained layout, watched by `ivfRebuildAdvice`)
   *
-  * Bloom screens ([[Bloom]]) deliberately have NO retraction: a Bloom
-  * filter cannot delete (bits are shared). Rebuild it from the retracted
-  * digest state — digest-proportional, no corpus re-read.
+  * NON-RETRACTABLE state — the takedown runbook's rebuild column.
+  * Three sketch families deliberately have NO retract path, because
+  * bounded-state deletion is information-theoretically impossible for
+  * them; each has a cheap rebuild source that never re-reads corpus
+  * text:
+  *
+  *   - Bloom screens ([[Bloom]]): bits are shared across insertions —
+  *     clearing a deleted item's bits would also delete every item
+  *     that hashed onto them. Rebuild from the retracted DIGEST state
+  *     ([[retractDigests]] output) — digest-proportional.
+  *   - KMV distinct sketches ([[graft.functions.KmvSketchAgg]]): the
+  *     k minimum hashes discard everything above the k-th minimum, so
+  *     the sketch cannot know what should replace a deleted minimum.
+  *     Rebuild by re-running the aggregate over the retained rows (one
+  *     grouped pass; the values hashed are keys, not text).
+  *   - Mergeable quantile sketches
+  *     ([[graft.functions.QuantileSketchAgg]]): compaction merges
+  *     neighbor ranks irreversibly — a deleted value's rank weight
+  *     cannot be un-merged. Rebuild from retained rows, same shape.
+  *
+  *   Both sketch rebuilds are pinned retract-equivalent in ForgetSpec
+  *   (rebuild-over-retained ≡ sketch of the corpus that never held
+  *   the deleted rows).
   *
   * Scale design: every path is join-shaped over STATE tables (digests,
   * signatures, labels, pairs — all corpus-row-proportional at worst,

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring (the CCNet/KenLM curation
+  * signal): train integer bigram count tables on a trusted reference
+  * corpus, score candidate documents by how well the reference model
+  * predicts their bigrams. Low scores flag gibberish, boilerplate
+  * soup, and wrong-language text that the surface heuristics
+  * ([[TextAnalysis.qualityScore]], [[VocabScore]]) under-penalize.
+  *
+  * ORACLE-EXACT BY CONSTRUCTION (the q51 discipline): where KenLM
+  * reports float log-probabilities (whose ln() differs between libm
+  * and the JVM in the last ulp — measured on q51's workload), the
+  * gated face here is a pure RATIONAL function of integer counts:
+  * add-one-smoothed bigram probability p = (c12 + 1) / (c1 + V), each
+  * term one exactly-rounded IEEE division of integers, per-document
+  * score = mean of terms with the sum taken over DECIMAL(38,6)
+  * (order-invariant → partition-invariant; terms pre-scaled by 1e6 so
+  * the quantization keeps ~12 significant digits at corpus-vocabulary
+  * V). The classic avg-ln-p form is available as [[avgLogProb]] for
+  * in-engine ranking, exactly like [[Keywords.tfIdfLog]].
+  *
+  * Scale shape: the model is corpus-VOCABULARY-sized state (bigram
+  * and history count tables — sparse, far smaller than the corpus),
+  * trained in one explode + two grouped counts + one distinct count.
+  * Scoring is one explode and two shuffle joins keyed on gram / w1 —
+  * the model side is the small side and AQE broadcasts it when it
+  * fits, same honesty note as [[Keywords]] (a web-scale vocab is too
+  * big to ASSUME broadcast); the per-document aggregate is
+  * partial-aggregated map-side. Unseen bigrams take the left-join
+  * null path: p = 1 / (c1 + V), and the OOV count is reported — the
+  * standard curation cut.
+  */
+object NgramLm {
+
+  /** Trained model: (w1, c1) history-occurrence counts, (gram, c12)
+    * bigram counts, and the reference vocabulary size.
+    */
+  final case class NgramModel(history: DataFrame, bigrams: DataFrame,
+                              vocabSize: Long)
+
+  /** (doc_id, gram, w1) bigram rows — lowercased whitespace bigrams;
+    * documents with fewer than two tokens contribute nothing (the
+    * degenerate single-token "gram" carries no space and is filtered,
+    * mirroring q64's CASE len(t) < 2 branch by exclusion).
+    */
+  private def bigramRows(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(graft.functions.NGrams.wordNGramSeq(lower(trim(text)), 2)).as("gram"))
+      .filter(col("gram").contains(" "))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+
+  /** Train on the trusted reference corpus. `vocabSize` counts
+    * distinct whitespace tokens (ALL tokens, including those of
+    * single-token documents — the vocabulary is a token property, not
+    * a bigram property).
+    */
+  def train(ref: DataFrame, text: Column): NgramModel = {
+    val b = bigramRows(ref, lit(0L), text)
+    val bigrams = b.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+    val history = b.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = ref.select(explode(split(lower(trim(text)), "\\s+")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    NgramModel(history, bigrams, v)
+  }
+
+  /** Score candidate documents against the model. Output one row per
+    * document WITH at least one bigram: (doc_id, n_bigrams, n_oov,
+    * lm_score) where lm_score = mean add-one bigram probability — the
+    * oracle-gated rational face (see object doc). Higher = more
+    * reference-like; gibberish scores ≈ 1/V.
+    */
+  def scoreDocs(docs: DataFrame, id: Column, text: Column,
+                model: NgramModel): DataFrame = {
+    val v = model.vocabSize.toDouble
+    val b = bigramRows(docs, id, text)
+      .join(model.bigrams.select(col("gram"), col("c12").as("__c12")),
+        Seq("gram"), "left")
+      .join(model.history.select(col("w1"), col("c1").as("__c1")),
+        Seq("w1"), "left")
+      .withColumn("__p",
+        (coalesce(col("__c12"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("__c1"), lit(0L)).cast("double") + lit(v)))
+    b.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(when(col("__c12").isNull, 1L).otherwise(0L)).as("n_oov"),
+      (sum((col("__p") * lit(1e6)).cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double") / lit(1e6)).as("lm_score"))
+  }
+
+  /** Classic average log-probability (≈ −ln perplexity) — in-engine
+    * ranking use only; ln() is not bit-stable cross-engine (the
+    * [[Keywords.tfIdfLog]] precedent). Monotonic per-term in the
+    * rational face's p.
+    */
+  def avgLogProb(docs: DataFrame, id: Column, text: Column,
+                 model: NgramModel): DataFrame = {
+    val v = model.vocabSize.toDouble
+    bigramRows(docs, id, text)
+      .join(model.bigrams.select(col("gram"), col("c12").as("__c12")),
+        Seq("gram"), "left")
+      .join(model.history.select(col("w1"), col("c1").as("__c1")),
+        Seq("w1"), "left")
+      .withColumn("__lp", log(
+        (coalesce(col("__c12"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("__c1"), lit(0L)).cast("double") + lit(v))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("avg_logp"))
+  }
+
+  /** Persist / reload the model as parquet state (the serving pattern
+    * every stored-state operator here follows).
+    */
+  def writeModel(model: NgramModel, dir: String): Unit = {
+    model.history.write.mode("overwrite").parquet(s"$dir/history")
+    model.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    model.history.sparkSession.range(1)
+      .select(lit(model.vocabSize).as("vocab_size"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readModel(spark: SparkSession, dir: String): NgramModel =
+    NgramModel(spark.read.parquet(s"$dir/history"),
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/meta").head().getLong(0))
+}

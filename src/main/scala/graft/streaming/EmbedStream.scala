@@ -58,6 +58,24 @@ object EmbedStream {
         col("__cn").as("nrm"))).as("members"))
   }
 
+  /** [[packIvfCells]] from QUANTIZED serving state: member vectors are
+    * reconstructed from the PQ codes as a per-row decode expression —
+    * no corpus anywhere in the plan, which is the point (the packed
+    * frame derives from the index tables alone; the full corpus stays
+    * cold storage). Same `(cell, members)` schema, so the probe body
+    * is shared verbatim; under the degenerate codebook the packed
+    * members are bit-identical to [[packIvfCells]]'s.
+    */
+  def packIvfCellsPq(index: graft.ext.VectorQuant.PqIvfIndex): DataFrame = {
+    val collected = graft.ext.VectorQuant.collectBook(index.book)
+    index.assignments
+      .withColumn("__v", graft.ext.VectorQuant.pqDecodeExpr(collected, col("codes")))
+      .withColumn("__n", EmbeddingSearch.norm(col("__v")))
+      .groupBy(col("cell"))
+      .agg(collect_list(struct(col("id"), col("__v").as("vec"),
+        col("__n").as("nrm"))).as("members"))
+  }
+
   /** Screen a DOCUMENT STREAM for semantic contamination against a
     * static eval set as documents arrive — the streaming face of
     * [[graft.ext.Decontaminate.byEmbedding]], for pipelines that must
@@ -116,14 +134,38 @@ object EmbedStream {
                         corpusId: String, corpusVec: String,
                         queryStream: DataFrame, queryId: String, queryVec: String,
                         k: Int, nprobe: Int = 4): DataFrame = {
-    require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
     // nlist rows of bounded driver state, embedded as a literal so the
     // probe choice is a pure per-row expression (cos desc, cell asc —
     // the batch ivfProbe ordering; shared with hardNegativesIvf)
-    val cents = EmbeddingSearch.collectCentroids(index)
-    require(cents.nonEmpty, "index has no centroids")
-    val packed = packIvfCells(index, corpus, corpusId, corpusVec)
+    probePacked(EmbeddingSearch.collectCentroids(index),
+      packIvfCells(index, corpus, corpusId, corpusVec),
+      queryStream, queryId, queryVec, k, nprobe)
+  }
 
+  /** [[streamingIvfProbe]] served ENTIRELY from quantized state: the
+    * probe routing, candidate fetch, and rerank all run against
+    * PQ-reconstructed members ([[packIvfCellsPq]]) — the streaming
+    * face of [[graft.ext.VectorQuant.ivfProbePq]]. Same statelessness,
+    * same plan shape; with the degenerate codebook the output is
+    * row-identical to [[streamingIvfProbe]] (pinned in StreamingSpec).
+    */
+  def streamingIvfProbePq(index: graft.ext.VectorQuant.PqIvfIndex,
+                          queryStream: DataFrame, queryId: String, queryVec: String,
+                          k: Int, nprobe: Int = 4): DataFrame =
+    probePacked(
+      EmbeddingSearch.collectCentroids(IvfIndex(index.centroids, index.assignments)),
+      packIvfCellsPq(index),
+      queryStream, queryId, queryVec, k, nprobe)
+
+  /** The shared stateless probe body: per-row cell choice over the
+    * centroid literal, nprobe stream-static left joins against the
+    * packed cell table, in-row exact rerank — see the object doc.
+    */
+  private def probePacked(cents: Array[(Long, Array[Float])], packed: DataFrame,
+                          queryStream: DataFrame, queryId: String, queryVec: String,
+                          k: Int, nprobe: Int): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k and nprobe must be >= 1, got k=$k nprobe=$nprobe")
+    require(cents.nonEmpty, "index has no centroids")
     val q = queryStream.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
       .withColumn("__qn", EmbeddingSearch.norm(col("__qvec")))
     val probed = q.withColumn("__pc",

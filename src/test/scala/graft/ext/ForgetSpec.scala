@@ -184,4 +184,45 @@ class ForgetSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](Forget.retainDocs(docs, "doc_id", bad))
     assert(e.getMessage.contains("one column"))
   }
+
+  // ---- non-retractable sketch state: the rebuild runbook ---------------
+
+  test("KMV sketch: the delete target's replacement was DISCARDED (why no retract exists); rebuild from retained rows is exact and partition-invariant") {
+    val rows = spark.range(1L, 101L).toDF("id")
+      .select($"id", xxhash64($"id").as("h"))
+    val full = rows.agg(graft.functions.KmvSketchAgg.kMinima($"h", 8).as("s"))
+      .as[Array[Long]].head().toSet
+    // delete the row holding the sketch's minimum hash
+    val minId = rows.orderBy($"h").select($"id").as[Long].head()
+    val retained = Forget.retainDocs(rows, "id", Seq(minId).toDF("id"))
+    val rebuilt = retained.repartition(7)
+      .agg(graft.functions.KmvSketchAgg.kMinima($"h", 8).as("s"))
+      .as[Array[Long]].head().toSet
+    // information loss, concretely: the retained corpus's 8th minimum
+    // was NOT in the stored sketch — no bounded-state retraction could
+    // have produced it, which is why the runbook says rebuild
+    assert((rebuilt -- full).nonEmpty,
+      "fixture must surface a replacement minimum absent from the stored sketch")
+    // rebuild ≡ a sketch over a corpus that never held the deleted row,
+    // at a different partitioning (merge-order invariance)
+    val fresh = rows.filter($"id" =!= minId).coalesce(1)
+      .agg(graft.functions.KmvSketchAgg.kMinima($"h", 8).as("s"))
+      .as[Array[Long]].head().toSet
+    assert(rebuilt == fresh)
+  }
+
+  test("quantile sketch: same runbook — rebuild from retained rows, partition-invariant; deleted sample slots refill from discarded data") {
+    val rows = spark.range(1L, 201L).toDF("id")
+      .select($"id", xxhash64($"id").as("h"), ($"id" % 37).cast("double").as("v"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(graft.functions.QuantileSketchAgg.sample($"h", $"v", 8).as("s"))
+        .select(to_json($"s")).as[String].head()
+    val full = sketchOf(rows)
+    val minId = rows.orderBy($"h").select($"id").as[Long].head()
+    val retained = Forget.retainDocs(rows, "id", Seq(minId).toDF("id"))
+    val rebuilt = sketchOf(retained.repartition(7))
+    val fresh = sketchOf(rows.filter($"id" =!= minId).coalesce(1))
+    assert(rebuilt == fresh, "rebuild must be partition-invariant and equal a never-held-it corpus")
+    assert(rebuilt != full, "deleting a sampled row must change the sketch (slot refills)")
+  }
 }

@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** N-gram LM quality scoring: separation on a STRUCTURED fixture
+  * (in-distribution > same-vocab word salad > OOV gibberish — the
+  * ordering vocabulary coverage cannot produce, measured side by
+  * side), OOV accounting, the log-face ordering agreement, and model
+  * parquet round-trip.
+  */
+class NgramLmSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val sentences = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a stitch in time saves nine every single day",
+    "practice makes perfect when the work is steady")
+
+  // reference corpus: the three sentences, repeated — REAL structure
+  // (stable bigrams), unlike the random-word synthetic corpus
+  private def reference = (0 until 30)
+    .map(i => (i.toLong, sentences(i % 3))).toDF("doc_id", "text")
+
+  // candidates: an in-distribution doc, a word salad over the SAME
+  // vocabulary (every token known, no bigram structure), and OOV junk
+  private def candidates = Seq(
+    (100L, sentences.head),
+    (101L, "fox the over quick dog lazy brown jumps the fox"),
+    (102L, "zzz qqq xxx zzz qqq xxx zzz")).toDF("doc_id", "text")
+
+  test("score separation: in-distribution > same-vocab salad > OOV gibberish; coverage can't see the salad") {
+    val model = NgramLm.train(reference, $"text")
+    val scored = NgramLm.scoreDocs(candidates, $"doc_id", $"text", model)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val sIn = scored(100L).getDouble(3)
+    val sSalad = scored(101L).getDouble(3)
+    val sJunk = scored(102L).getDouble(3)
+    info(f"lm_score: in-dist=$sIn%.6f salad=$sSalad%.6f oov=$sJunk%.6f")
+    assert(sIn > sSalad && sSalad > sJunk,
+      f"LM must order in-dist > salad > junk, got $sIn%.6f / $sSalad%.6f / $sJunk%.6f")
+    // OOV accounting: junk is 100% OOV, in-dist 0%
+    assert(scored(102L).getLong(2) == scored(102L).getLong(1))
+    assert(scored(100L).getLong(2) == 0L)
+
+    // the measured VocabScore comparison: the salad covers the
+    // reference vocabulary perfectly, so coverage CANNOT separate it
+    // from the in-distribution doc — the LM's bigram structure can
+    val vocab = VocabScore.topVocabulary(reference, $"doc_id", $"text", 1000)
+    val cov = VocabScore.coverageWithVocab(candidates, $"doc_id", $"text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("coverage")).toMap
+    info(f"coverage: in-dist=${cov(100L)}%.3f salad=${cov(101L)}%.3f oov=${cov(102L)}%.3f")
+    assert(cov(100L) == 1.0 && cov(101L) == 1.0,
+      "fixture invariant: salad must be coverage-indistinguishable from real text")
+    assert(cov(102L) == 0.0)
+  }
+
+  test("log face orders the same fixture identically (per-term monotone in the rational face)") {
+    val model = NgramLm.train(reference, $"text")
+    val lp = NgramLm.avgLogProb(candidates, $"doc_id", $"text", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(lp(100L) > lp(101L) && lp(101L) > lp(102L))
+  }
+
+  test("unseen-history path: OOV bigram scores exactly 1/(0+V)") {
+    val model = NgramLm.train(reference, $"text")
+    val v = model.vocabSize.toDouble
+    val one = NgramLm.scoreDocs(Seq((1L, "zzz qqq")).toDF("doc_id", "text"),
+      $"doc_id", $"text", model).collect().head
+    assert(one.getLong(1) == 1 && one.getLong(2) == 1)
+    // mean of the single term (1/V)·1e6 quantized at 6 dp then back
+    val expected = math.floor(1.0 / v * 1e6 * 1e6 + 0.5) / 1e6 / 1e6
+    assert(math.abs(one.getDouble(3) - expected) < 1e-12,
+      s"got ${one.getDouble(3)}, expected $expected (V=$v)")
+  }
+
+  test("documents with fewer than two tokens drop out; model round-trips through parquet") {
+    val model = NgramLm.train(reference, $"text")
+    val scored = NgramLm.scoreDocs(
+      Seq((1L, "single"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text"),
+      $"doc_id", $"text", model)
+    assert(scored.select("doc_id").as[Long].collect().toSet == Set(3L))
+
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm").toString
+    NgramLm.writeModel(model, dir)
+    val back = NgramLm.readModel(spark, dir)
+    assert(back.vocabSize == model.vocabSize)
+    val a = NgramLm.scoreDocs(candidates, $"doc_id", $"text", model)
+      .orderBy($"doc_id").collect().toSeq
+    val b = NgramLm.scoreDocs(candidates, $"doc_id", $"text", back)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

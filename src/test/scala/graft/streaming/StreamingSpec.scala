@@ -713,4 +713,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("streamingIvfProbePq from quantized state: degenerate codebook is row-identical to the exact streaming probe, stateless, no corpus in the plan") {
+    import graft.ext.{EmbeddingSearch, VectorQuant}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").filter($"vec_id" < 100)
+    val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4)
+    val book = VectorQuant.pqTrain(emb, "vec_id", "embedding",
+      m = 8, ksub = 100, iters = 0, dim = 64)
+    val pq = VectorQuant.quantizeIndex(idx, emb, "vec_id", "embedding", book)
+    val queriesDf = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val batch = EmbeddingSearch.ivfProbe(idx, emb, "vec_id", "embedding",
+        queriesDf, "qid", "qvec", k = 5, nprobe = 2)
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("embed-stream-pq")
+    queriesDf.write.parquet(s"$dir/part1")
+    val stream = spark.readStream.schema(queriesDf.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+    val q = EmbedStream.streamingIvfProbePq(pq, stream, "qid", "qvec",
+        k = 5, nprobe = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("embed_probe_pq").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("embed_probe_pq")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty,
+        s"streamed ${streamed.size} rows vs batch ${batch.size}")
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
 }
