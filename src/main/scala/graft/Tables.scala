@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated testdata star schema (TESTDATA.md).
   *
@@ -42,6 +44,23 @@ object Tables {
     while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
   }
 
+  /** Engine-wide contract: `events.ts` is nanoseconds-since-epoch
+    * BIGINT. Early testdata wrote parquet TIMESTAMP(NANOS), which
+    * `nanosAsLong=true` already surfaces as exactly that; current
+    * testdata writes TIMESTAMP(MICROS), which Spark reads as
+    * TIMESTAMP_NTZ. Convert at the only loader so every operator (and
+    * every plan pin) keeps seeing ns-longs. Under the UTC session
+    * timezone `unix_micros(cast(ntz as timestamp)) * 1000` is the same
+    * instant DuckDB's `epoch_ns(ts)` computes for the oracle side, so
+    * the cross-engine gates stay value-identical.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val cached = memo.synchronized {
@@ -54,7 +73,7 @@ object Tables {
     // concurrent first reads of different tables/sessions must not
     // serialize on driver I/O. A racing duplicate read is harmless —
     // putIfAbsent keeps the first relation, the loser is garbage.
-    val df = spark.read.parquet(path)
+    val df = normalizeEventTs(spark.read.parquet(path))
     memo.synchronized {
       val perSession = {
         val existing = memo.get(spark)

@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   * and session windows with watermarking — the streaming face of the
   * batch rollup/sessionization queries (ExtQueries q26/q27).
   *
-  * Source schema matches events.parquet with its TIMESTAMP(NANOS)
-  * column read as ns-longs (nanosAsLong); `withEventTime` converts to a
+  * Source rows carry `ts` as ns-longs regardless of the on-disk
+  * encoding (see [[readStream]]); `withEventTime` converts to a
   * proper µs timestamp column once, up front.
   *
   * Scale notes: both aggregations are keyed state — state size is
@@ -29,12 +29,28 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-source stream over an events directory. Streaming file
+    * sources require a caller-supplied schema, and the on-disk `ts`
+    * encoding varies (TIMESTAMP(NANOS)→ns-long under nanosAsLong,
+    * TIMESTAMP(MICROS)→TIMESTAMP_NTZ, or plain int64 for frames this
+    * engine wrote itself), so peek at the existing files' footers with
+    * a one-off batch read and then re-impose the engine contract —
+    * `ts` as ns-longs — via the shared [[graft.Tables.normalizeEventTs]].
+    * The batch read touches only footers already present at start-up;
+    * files that arrive later must match them, which is the standard
+    * file-source contract anyway.
+    */
   def readStream(spark: SparkSession, dir: String,
-                 maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+                 maxFilesPerTrigger: Int = 1): DataFrame = {
+    val fileSchema =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventSchema }
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
+  }
 
   /** ns-long → event-time timestamp column. */
   def withEventTime(events: DataFrame): DataFrame =

@@ -134,7 +134,7 @@ class AsOfJoinSpec extends SparkTestBase {
   }
 
   test("matches the quadratic range-join formulation on real event data") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val views = ev.filter($"event_type" === "view")
       .groupBy($"user_id", $"ts").agg(max($"value").as("vv"))
     val clicks = ev.filter($"event_type" === "click")

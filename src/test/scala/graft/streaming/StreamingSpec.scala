@@ -25,6 +25,25 @@ class StreamingSpec extends SparkTestBase {
     dir.toString
   }
 
+  /** Stage the events table into `dir` ALREADY normalized to the
+    * engine contract (ts = ns-long INT64). Fixtures that later append
+    * engine-written frames (flush sentinels, re-deliveries) must use
+    * this rather than copying the raw testdata file: the raw footer's
+    * ts encoding (TIMESTAMP_NTZ/NANOS, varies by generator) would
+    * differ from the appended frames' INT64, and a parquet file source
+    * cannot serve two physical types for one column from one dir —
+    * the standard file-source single-schema contract.
+    */
+  private def stageNormalizedEvents(dir: java.nio.file.Path,
+                                    name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("stage-events")
+    Tables.events(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part, dir.resolve(name))
+  }
+
   test("hourlyRollup streams the same totals as the batch rollup") {
     val stream = EventStream.readStream(spark, eventsDir)
     val q = EventStream.hourlyRollup(stream)
@@ -82,9 +101,7 @@ class StreamingSpec extends SparkTestBase {
     // stage events + a far-future flush event that advances the global
     // watermark so every real session times out and emits
     val dir = java.nio.file.Files.createTempDirectory("events-fmgws")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("a_events.parquet"))
+    stageNormalizedEvents(dir, "a_events.parquet")
     val maxTs = Tables.events(spark, sfDir).agg(max("ts")).as[Long].head()
     // FileStreamSource lists leaf FILES only — df.write.parquet creates
     // a directory, so extract the single part file into the stream dir
@@ -187,9 +204,7 @@ class StreamingSpec extends SparkTestBase {
     // chained join→argmax pipeline to emit (filters sit above the
     // watermark nodes, so the flush rows must BE clicks/views)
     val dir = java.nio.file.Files.createTempDirectory("events-asof")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("a_events.parquet"))
+    stageNormalizedEvents(dir, "a_events.parquet")
     val maxTs = Tables.events(spark, sfDir).agg(max("ts")).as[Long].head()
     def flush(name: String, days: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("flush-asof")
