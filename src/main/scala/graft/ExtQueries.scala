@@ -11,10 +11,12 @@ import graft.ops.{Aggs, Cdc}
   * text analysis, event analytics) over the documents/embeddings/events
   * tables — each oracle-checked where ANSI SQL can express it.
   *
-  * events.parquet carries TIMESTAMP(NANOS) which Spark reads as a long
-  * (spark.sql.legacy.parquet.nanosAsLong=true, set by the harness
-  * sessions); timestamps are surfaced as strings or ns-longs so the
-  * Spark and DuckDB sides agree bit-for-bit.
+  * events.ts reaches these queries as nanoseconds-since-epoch BIGINT
+  * regardless of the on-disk encoding ([[Tables.normalizeEventTs]] —
+  * TIMESTAMP(NANOS) testdata arrives as ns-longs via nanosAsLong,
+  * TIMESTAMP(MICROS) testdata as TIMESTAMP_NTZ converted at the
+  * loader); the DuckDB oracles read the same instants with
+  * `epoch_ns(ts)`, so the two engines agree bit-for-bit.
   */
 object ExtQueries {
 
@@ -3227,10 +3229,65 @@ object ExtQueries {
             |SELECT CAST(sub AS INT) AS sub, code, list(m ORDER BY pos) AS centroid
             |FROM mu GROUP BY sub, code ORDER BY sub, code""".stripMargin))
 
+  /** The interpolated (Jelinek–Mercer) LM face under the oracle gate:
+    * same train corpus and planted rows as q101, but the score backs
+    * off onto an add-one unigram — the face that orders known-word
+    * salad above OOV gibberish (see
+    * [[graft.ext.NgramLm.scoreDocsInterpolated]]). λ = 0.75 is dyadic,
+    * every term is one exactly-rounded IEEE op mirrored verbatim in
+    * the SQL, and the mean uses the same 1e6-prescaled DECIMAL(38,6)
+    * order-invariant sum — so the whole train→back-off→score loop
+    * hash-matches cross-engine.
+    */
+  val q103 = Q(
+    "q103_lm_interpolated",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = Seq(
+        (200000L, "zxqw vbnk qpzm zxqw vbnk qpzm zxqw"),
+        (200001L, "the the the the the the")).toDF("doc_id", "text")
+      val model = NgramLm.train(docs, $"text")
+      NgramLm.scoreDocsInterpolated(docs.unionAll(planted), $"doc_id", $"text", model)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id, text FROM documents),
+            |cand AS (SELECT doc_id, text FROM src
+            |         UNION ALL SELECT * FROM (VALUES
+            |           (200000, 'zxqw vbnk qpzm zxqw vbnk qpzm zxqw'),
+            |           (200001, 'the the the the the the')) p(doc_id, text)),
+            |rtok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM src),
+            |toks AS (SELECT unnest(t) AS tok FROM rtok),
+            |tots AS (SELECT count(DISTINCT tok) AS v, count(*) AS n FROM toks),
+            |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+            |rbig AS (SELECT t[i] || ' ' || t[i+1] AS gram, t[i] AS w1
+            |         FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM rtok WHERE len(t) >= 2)),
+            |bc AS (SELECT gram, count(*) AS c12 FROM rbig GROUP BY gram),
+            |hc AS (SELECT w1, count(*) AS c1 FROM rbig GROUP BY w1),
+            |ctok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM cand),
+            |cbig AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, t[i] AS w1, t[i+1] AS w2
+            |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM ctok WHERE len(t) >= 2)),
+            |j AS (SELECT doc_id,
+            |             CASE WHEN coalesce(hc.c1, 0) > 0
+            |                  THEN 0.75 * (CAST(coalesce(bc.c12, 0) AS DOUBLE) /
+            |                               CAST(hc.c1 AS DOUBLE))
+            |                  ELSE 0.0 END +
+            |             0.25 * ((CAST(coalesce(uni.cu, 0) AS DOUBLE) + 1.0) /
+            |                     CAST(n + v AS DOUBLE)) AS p,
+            |             CASE WHEN bc.c12 IS NULL THEN 1 ELSE 0 END AS oov
+            |      FROM cbig LEFT JOIN bc USING (gram) LEFT JOIN hc USING (w1)
+            |                LEFT JOIN uni ON cbig.w2 = uni.tok, tots)
+            |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(oov) AS BIGINT) AS n_oov,
+            |       CAST(SUM(CAST(p * 1e6 AS DECIMAL(38,6))) AS DOUBLE) /
+            |         CAST(count(*) AS DOUBLE) / 1e6 AS lm_score
+            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }

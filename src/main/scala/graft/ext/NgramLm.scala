@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions._
 object NgramLm {
 
   /** Trained model: (w1, c1) history-occurrence counts, (gram, c12)
-    * bigram counts, and the reference vocabulary size.
+    * bigram counts, (tok, cu) unigram counts with the corpus token
+    * total, and the reference vocabulary size.
     */
   final case class NgramModel(history: DataFrame, bigrams: DataFrame,
+                              unigrams: DataFrame, totalTokens: Long,
                               vocabSize: Long)
 
   /** (doc_id, gram, w1) bigram rows — lowercased whitespace bigrams;
@@ -61,9 +63,12 @@ object NgramLm {
     val b = bigramRows(ref, lit(0L), text)
     val bigrams = b.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
     val history = b.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val v = ref.select(explode(split(lower(trim(text)), "\\s+")).as("tok"))
-      .agg(countDistinct(col("tok"))).head().getLong(0)
-    NgramModel(history, bigrams, v)
+    val toks = ref.select(explode(split(lower(trim(text)), "\\s+")).as("tok"))
+    val unigrams = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val Array(v, n) = unigrams
+      .agg(count(lit(1)), sum(col("cu"))).head()
+      .toSeq.map(x => x.asInstanceOf[Long]).toArray
+    NgramModel(history, bigrams, unigrams, n, v)
   }
 
   /** Score candidate documents against the model. Output one row per
@@ -83,6 +88,48 @@ object NgramLm {
       .withColumn("__p",
         (coalesce(col("__c12"), lit(0L)).cast("double") + lit(1.0)) /
           (coalesce(col("__c1"), lit(0L)).cast("double") + lit(v)))
+    b.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(when(col("__c12").isNull, 1L).otherwise(0L)).as("n_oov"),
+      (sum((col("__p") * lit(1e6)).cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double") / lit(1e6)).as("lm_score"))
+  }
+
+  /** Interpolated (Jelinek–Mercer) scoring face: per bigram (w1, w2),
+    *
+    *   p = 0.75 · (c12/c1 when c1 > 0 else 0)  +  0.25 · (cu(w2)+1)/(N+V)
+    *
+    * i.e. maximum-likelihood bigram probability backed off onto an
+    * add-one unigram. Unlike the pure add-one face ([[scoreDocs]]),
+    * this orders same-vocabulary word salad ABOVE out-of-vocabulary
+    * gibberish: add-one alone scores an unseen bigram 1/(c1+V), which
+    * for a popular (high-c1) history is LOWER than the fully-OOV
+    * 1/(0+V) — the classic additive-smoothing artifact; the unigram
+    * back-off term restores the separation a curation cut needs
+    * (known-word soup ≻ unknown-word soup). Still oracle-exact: λ =
+    * 0.75 and 1−λ = 0.25 are dyadic (exact doubles), each division is
+    * one exactly-rounded IEEE op, and the per-document mean uses the
+    * same 1e6-prescaled DECIMAL(38,6) order-invariant sum.
+    *
+    * Output: (doc_id, n_bigrams, n_oov, lm_score).
+    */
+  def scoreDocsInterpolated(docs: DataFrame, id: Column, text: Column,
+                            model: NgramModel): DataFrame = {
+    val nv = (model.totalTokens + model.vocabSize).toDouble
+    val b = bigramRows(docs, id, text)
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+      .join(model.bigrams.select(col("gram"), col("c12").as("__c12")),
+        Seq("gram"), "left")
+      .join(model.history.select(col("w1"), col("c1").as("__c1")),
+        Seq("w1"), "left")
+      .join(model.unigrams.select(col("tok").as("w2"), col("cu").as("__cu")),
+        Seq("w2"), "left")
+      .withColumn("__p",
+        when(coalesce(col("__c1"), lit(0L)) > 0L,
+          lit(0.75) * (coalesce(col("__c12"), lit(0L)).cast("double") /
+            col("__c1").cast("double"))).otherwise(lit(0.0)) +
+        lit(0.25) * ((coalesce(col("__cu"), lit(0L)).cast("double") + lit(1.0)) /
+          lit(nv)))
     b.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_bigrams"),
       sum(when(col("__c12").isNull, 1L).otherwise(0L)).as("n_oov"),
@@ -116,13 +163,19 @@ object NgramLm {
   def writeModel(model: NgramModel, dir: String): Unit = {
     model.history.write.mode("overwrite").parquet(s"$dir/history")
     model.bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+    model.unigrams.write.mode("overwrite").parquet(s"$dir/unigrams")
     model.history.sparkSession.range(1)
-      .select(lit(model.vocabSize).as("vocab_size"))
+      .select(lit(model.vocabSize).as("vocab_size"),
+        lit(model.totalTokens).as("total_tokens"))
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  def readModel(spark: SparkSession, dir: String): NgramModel =
+  def readModel(spark: SparkSession, dir: String): NgramModel = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
     NgramModel(spark.read.parquet(s"$dir/history"),
       spark.read.parquet(s"$dir/bigrams"),
-      spark.read.parquet(s"$dir/meta").head().getLong(0))
+      spark.read.parquet(s"$dir/unigrams"),
+      meta.getAs[Long]("total_tokens"),
+      meta.getAs[Long]("vocab_size"))
+  }
 }

@@ -37,12 +37,29 @@ class NgramLmSpec extends SparkTestBase {
     val sIn = scored(100L).getDouble(3)
     val sSalad = scored(101L).getDouble(3)
     val sJunk = scored(102L).getDouble(3)
-    info(f"lm_score: in-dist=$sIn%.6f salad=$sSalad%.6f oov=$sJunk%.6f")
-    assert(sIn > sSalad && sSalad > sJunk,
-      f"LM must order in-dist > salad > junk, got $sIn%.6f / $sSalad%.6f / $sJunk%.6f")
+    info(f"add-1 lm_score: in-dist=$sIn%.6f salad=$sSalad%.6f oov=$sJunk%.6f")
+    // The add-one face separates REAL text from both kinds of noise,
+    // but canNOT order salad above OOV junk: an unseen bigram after a
+    // popular history scores 1/(c1+V) < 1/(0+V) — the additive-
+    // smoothing artifact the interpolated face exists to fix.
+    assert(sIn > sSalad && sIn > sJunk,
+      f"add-1 LM must put in-dist above both noise classes, got $sIn%.6f / $sSalad%.6f / $sJunk%.6f")
     // OOV accounting: junk is 100% OOV, in-dist 0%
     assert(scored(102L).getLong(2) == scored(102L).getLong(1))
     assert(scored(100L).getLong(2) == 0L)
+
+    // The interpolated (Jelinek–Mercer) face restores the full
+    // curation ordering: known-word soup ≻ unknown-word soup.
+    val jm = NgramLm.scoreDocsInterpolated(candidates, $"doc_id", $"text", model)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val jIn = jm(100L).getDouble(3)
+    val jSalad = jm(101L).getDouble(3)
+    val jJunk = jm(102L).getDouble(3)
+    info(f"interpolated lm_score: in-dist=$jIn%.6f salad=$jSalad%.6f oov=$jJunk%.6f")
+    assert(jIn > jSalad && jSalad > jJunk,
+      f"interpolated LM must order in-dist > salad > junk, got $jIn%.6f / $jSalad%.6f / $jJunk%.6f")
+    // and by a margin, not a rounding accident
+    assert(jSalad > 2 * jJunk)
 
     // the measured VocabScore comparison: the salad covers the
     // reference vocabulary perfectly, so coverage CANNOT separate it
@@ -56,11 +73,17 @@ class NgramLmSpec extends SparkTestBase {
     assert(cov(102L) == 0.0)
   }
 
-  test("log face orders the same fixture identically (per-term monotone in the rational face)") {
+  test("log face agrees with the rational add-1 face on the fixture's ranking") {
     val model = NgramLm.train(reference, $"text")
     val lp = NgramLm.avgLogProb(candidates, $"doc_id", $"text", model)
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
-    assert(lp(100L) > lp(101L) && lp(101L) > lp(102L))
+    val sc = NgramLm.scoreDocs(candidates, $"doc_id", $"text", model)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
+    // same smoothing, so same top doc...
+    assert(lp(100L) > lp(101L) && lp(100L) > lp(102L))
+    // ...and the two noise classes rank the same way under both faces
+    // (whichever way add-1 put them — see the separation test)
+    assert((lp(101L) > lp(102L)) == (sc(101L) > sc(102L)))
   }
 
   test("unseen-history path: OOV bigram scores exactly 1/(0+V)") {

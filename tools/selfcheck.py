@@ -15,6 +15,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # list/array cells aren't sortable/hashable — compare via a stable
+    # string form (matches the driver's value-hash approach closely
+    # enough for a dev pre-flight)
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     hasattr(v, "__array__")).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
