@@ -3284,10 +3284,60 @@ object ExtQueries {
             |         CAST(count(*) AS DOUBLE) / 1e6 AS lm_score
             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** int8 scalar quantization under the oracle gate, via the same
+    * degenerate-exactness discipline as q100: a planted corpus whose
+    * values all sit on a DYADIC affine grid — v[i] = ((id+i) mod
+    * 256)/256, so every dimension sees all 256 residues, per-dim lo
+    * is 0 and hi is 255/256, and the learned scale is exactly 2⁻⁸.
+    * On that grid encode→decode is bit-exact (round((v−0)/2⁻⁸) = k,
+    * decode k·2⁻⁸ = v), so serving brute-force top-k FROM THE
+    * INT8-DECODED corpus must equal the oracle's brute force over the
+    * same generated values. Every intermediate is exact dyadic (dot
+    * terms k₁k₂/2¹⁶ summed to < 2²²), so the comparison is
+    * order-independent and hash-exact cross-engine; ties break on
+    * neighbor id on both sides.
+    */
+  val q104 = Q(
+    "q104_int8_exact",
+    (s, dir) => {
+      import s.implicits._
+      val corpus = s.range(256).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          ((($"id" + i) % 256).cast("double") / lit(256.0)).cast("float"))
+          .as("embedding"))
+      val params = graft.ext.VectorQuant.int8Params(corpus, "embedding")
+      val served = corpus.select($"vec_id",
+        graft.ext.VectorQuant.int8DecodeExpr(params,
+          graft.ext.VectorQuant.int8EncodeExpr(params, $"embedding"))
+          .as("embedding"))
+      val queries = corpus.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      EmbeddingSearch.bruteForceTopK(served, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 4)
+        .select($"qid".as("vec_id"), $"neighbor_id",
+          $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"vec_id", $"rank")
+    },
+    Some("""WITH c AS (SELECT id AS vec_id,
+            |                  list_transform(generate_series(0, 63),
+            |                    i -> CAST((id + i) % 256 AS DOUBLE) / 256.0) AS v
+            |           FROM range(256) t(id)),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 8),
+            |pairs AS (SELECT q.qid, c.vec_id AS nid,
+            |                 list_inner_product(qv, v) /
+            |                   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS cos
+            |          FROM c, q WHERE c.vec_id != q.qid),
+            |ranked AS (SELECT qid, nid, cos,
+            |                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+            |           FROM pairs)
+            |SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
+            |FROM ranked WHERE rnk <= 4 ORDER BY vec_id, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103)
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
+    q104)
 }

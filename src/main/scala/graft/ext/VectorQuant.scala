@@ -294,9 +294,11 @@ object VectorQuant {
   /** codes[i] = round((x[i] − lo[i]) / scale[i]) clamped to [0, 255] —
     * a pure per-row expression over the dim-sized parameter literals.
     * 4× smaller than float32; values already ON the grid round-trip
-    * exactly (the unit-testable identity — arbitrary floats do NOT,
-    * which is why int8 has no oracle gate and PQ's degenerate case
-    * does).
+    * exactly — arbitrary floats do NOT, so the oracle gate (q104)
+    * plants a DYADIC grid corpus (v = k/256, per-dim lo 0 and hi
+    * 255/256 ⇒ scale exactly 2⁻⁸) where encode→decode is bit-exact
+    * and the int8-served probe must equal brute force, the PQ
+    * degenerate-codebook (q100) discipline.
     */
   def int8EncodeExpr(params: Array[(Double, Double)], vec: Column): Column = {
     val lo = typedLit(params.map(_._1))

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import graft.ext.{MinHashLsh, ShingleJaccard}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.ext.{MinHashLsh, NgramLm, ShingleJaccard}
 
 /** Streaming document ingest: near-dup screening of a document STREAM
   * against a static corpus-state table — the continuous form of the
@@ -125,6 +126,47 @@ object DocStream {
     * @param labels (id, component) from connectedComponents, read from
     *               parquet state; must be a STATIC frame
     */
+  /** N-gram LM quality scoring for a document STREAM: each arriving
+    * document gets its [[NgramLm]] score against a static trained
+    * model — the streaming face of the q101/q103 curation signal, for
+    * pipelines that score (and cut) documents at ingest.
+    *
+    * Why foreachBatch and not a declarative streaming plan: the score
+    * is a pure function of (one row, static model), but expressing it
+    * declaratively takes explode → stream-static count-table joins →
+    * a per-doc re-aggregation, and THAT final groupBy is a streaming
+    * aggregation whose state store holds every doc_id ever seen —
+    * unbounded at corpus scale, and no watermark can bound it because
+    * document ids never expire. Every document arrives whole in one
+    * row, so scoring each micro-batch with the batch scorer is EXACT:
+    * per-doc output is independent of how the stream was batched
+    * (pinned in StreamingSpec), zero cross-batch state, and the body
+    * reuses the oracle-gated batch code verbatim.
+    *
+    * foreachBatch delivery is at-least-once; compose with
+    * [[StreamSink.keyedIdempotent]] semantics in `emit` (scores are
+    * deterministic per doc, so key-level dedup is safe) when the sink
+    * is not idempotent.
+    *
+    * @param model trained (typically [[NgramLm.readModel]] from
+    *              parquet state); must be STATIC
+    * @param emit  receives each scored micro-batch
+    *              (doc_id, n_bigrams, n_oov, lm_score)
+    */
+  def lmScored(docs: DataFrame, id: Column, text: Column,
+               model: NgramLm.NgramModel,
+               emit: DataFrame => Unit,
+               checkpoint: String,
+               interpolated: Boolean = true): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(
+          if (interpolated) NgramLm.scoreDocsInterpolated(batch, id, text, model)
+          else NgramLm.scoreDocs(batch, id, text, model))
+      }
+
   def routedSplit(docs: DataFrame, id: Column, labels: DataFrame,
                   cuts: Seq[(String, Int)], salt: String = ""): DataFrame = {
     val comp = labels.select(col("id").as("__cc_id"),

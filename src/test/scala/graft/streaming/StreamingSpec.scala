@@ -760,4 +760,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocStream.lmScored scores a doc stream batch-identically regardless of micro-batching, zero state") {
+    import graft.ext.NgramLm
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val model = NgramLm.train(docs, $"text")
+    val batch = NgramLm.scoreDocsInterpolated(docs, $"doc_id", $"text", model)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // two frames -> maxFilesPerTrigger=1 forces >=2 micro-batches: the
+    // per-doc scores must not depend on how the stream was batched
+    val dir = java.nio.file.Files.createTempDirectory("lm-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+
+    val emitted = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]
+    var batches = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("lm-stream-ckpt")
+    val q = DocStream.lmScored(stream, $"doc_id", $"text", model,
+      scored => emitted.synchronized {
+        emitted ++= scored.as[(Long, Long, Long, Double)].collect(); batches += 1; ()
+      }, ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+      assert(emitted.toSet == batch && batch.nonEmpty)
+      assert(emitted.size == emitted.toSet.size) // each doc scored exactly once
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
 }
