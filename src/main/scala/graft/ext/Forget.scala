@@ -268,4 +268,29 @@ object Forget {
     EmbeddingSearch.IvfIndex(index.centroids,
       index.assignments.join(deleteSet(deletedIds),
         index.assignments("id") === col("__del"), "left_anti"))
+
+  /** Cascade a deletion through PQ-quantized IVF serving state
+    * ([[VectorQuant.PqIvfIndex]]): deleted documents leave the
+    * (id, cell, codes) assignment table — one anti-join, the
+    * [[retractIvf]] shape. The centroid layout is retained (the probe
+    * contract) and so is the CODEBOOK: like centroids it is bounded
+    * aggregate state — m·ksub mean sub-vectors, not per-document
+    * rows — so deletion semantics mirror the centroid contract, not
+    * the digest-ledger one. A deletion heavy enough to drift the
+    * distribution the codebook was trained on degrades RECALL, not
+    * correctness (ADC distances stay well-defined; the rerank variant
+    * re-scores against retained full vectors), surfaces through the
+    * same [[EmbeddingSearch.ivfRebuildAdvice]] telemetry, and the
+    * repair is retraining on the retained corpus
+    * ([[VectorQuant.pqTrain]] + [[VectorQuant.quantizeIndex]]).
+    * Retract ≡ filtered-rebuild for probes is pinned exactly at the
+    * degenerate codebook by the q105 oracle gate, and for lossy
+    * codebooks by ForgetSpec.
+    */
+  def retractPq(index: VectorQuant.PqIvfIndex,
+                deletedIds: DataFrame): VectorQuant.PqIvfIndex =
+    VectorQuant.PqIvfIndex(index.centroids,
+      index.assignments.join(deleteSet(deletedIds),
+        index.assignments("id") === col("__del"), "left_anti"),
+      index.book)
 }

@@ -175,6 +175,40 @@ class ForgetSpec extends SparkTestBase {
     assert(viaRetract == viaManual)
   }
 
+  test("retractPq drops deleted codes, keeps centroids AND codebook, and probes match a filtered rebuild at a LOSSY codebook") {
+    val dim = 8
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d => math.sin(i * 1.3 + d * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    // lossy on purpose: ksub=4 cannot represent 40 distinct vectors
+    val book = VectorQuant.pqTrain(corpus, "vec_id", "embedding",
+      m = 2, ksub = 4, iters = 2, dim = dim)
+    val ivf = EmbeddingSearch.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 4)
+    val pidx = VectorQuant.quantizeIndex(ivf, corpus, "vec_id", "embedding", book)
+    val deleted = ids(5L, 6L, 7L).withColumnRenamed("id", "vec_id")
+    val after = Forget.retractPq(pidx, deleted)
+    // serving-state hygiene: deleted ids gone, centroids + book untouched
+    assert(after.assignments.filter($"id".isin(5L, 6L, 7L)).count() == 0)
+    assert(after.assignments.count() == 37)
+    assert(after.centroids.orderBy("cell").collect().toSeq ==
+      pidx.centroids.orderBy("cell").collect().toSeq)
+    assert(after.book eq pidx.book)
+    val queries = corpus.filter($"vec_id" < 3L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val viaRetract = VectorQuant.ivfProbePq(after, queries, "qid", "qvec",
+      k = 3, nprobe = 4).orderBy("qid", "rank").collect().toSeq
+    // filtered rebuild: re-quantize the RETAINED corpus with the same book
+    val retained = corpus.filter(!$"vec_id".isin(5L, 6L, 7L))
+    val manualIvf = EmbeddingSearch.IvfIndex(ivf.centroids,
+      ivf.assignments.filter(!$"id".isin(5L, 6L, 7L)))
+    val manual = VectorQuant.quantizeIndex(manualIvf, retained, "vec_id", "embedding", book)
+    val viaManual = VectorQuant.ivfProbePq(manual, queries, "qid", "qvec",
+      k = 3, nprobe = 4).orderBy("qid", "rank").collect().toSeq
+    assert(viaRetract == viaManual && viaRetract.nonEmpty)
+    // deleted ids never surface as neighbors
+    assert(!viaRetract.exists(r => Set(5L, 6L, 7L)(r.getLong(1))))
+  }
+
   test("retainDocs rejects multi-column delete frames and drops exactly the listed ids") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val kept = Forget.retainDocs(docs, "doc_id", ids(2L))
