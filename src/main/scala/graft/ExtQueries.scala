@@ -3379,11 +3379,52 @@ object ExtQueries {
             |SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
             |FROM ranked WHERE rnk <= 4 ORDER BY vec_id, rank""".stripMargin))
 
+  /** Hard-negative mining from QUANTIZED serving state under the
+    * oracle gate: q92's mining semantics with candidates decoded
+    * per-row from (cell, codes) instead of joined from the corpus —
+    * at the q100 degenerate-exactness point (ksub covers every
+    * distinct sub-vector, full probe), where reconstruction is
+    * bit-exact and the mined negatives must equal plain brute force
+    * with self + positive excluded, which is all the oracle computes.
+    */
+  val q106 = Q(
+    "q106_hard_negatives_pq",
+    (s, dir) => {
+      import s.implicits._
+      val slice = t(s, dir, "embeddings").filter($"vec_id" < 64)
+        .select($"vec_id", $"embedding")
+      val pairs = slice.filter($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+          ($"vec_id" + 1L).as("pos_id"))
+      val book = graft.ext.VectorQuant.pqTrain(slice, "vec_id", "embedding",
+        m = 8, ksub = 64, iters = 0, dim = 64)
+      val ivf = EmbeddingSearch.buildIvfIndex(slice, "vec_id", "embedding", nlist = 4)
+      val pidx = graft.ext.VectorQuant.quantizeIndex(ivf, slice, "vec_id", "embedding", book)
+      graft.ext.VectorQuant.hardNegativesIvfPq(pidx, pairs, "qid", "qvec",
+          "pos_id", k = 4, nprobe = 4)
+        .select($"qid", $"negative_id", $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"qid", $"rank")
+    },
+    Some("""WITH c AS (SELECT vec_id,
+            |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+            |           FROM embeddings WHERE vec_id < 64),
+            |q AS (SELECT vec_id AS qid, v AS qv, vec_id + 1 AS pos_id
+            |      FROM c WHERE vec_id < 10),
+            |pairs AS (SELECT q.qid, c.vec_id AS nid,
+            |                 list_inner_product(qv, v) /
+            |                   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS cos
+            |          FROM c, q WHERE c.vec_id != q.qid AND c.vec_id != q.pos_id),
+            |ranked AS (SELECT qid, nid, cos,
+            |                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+            |           FROM pairs)
+            |SELECT qid, nid AS negative_id, rnk AS rank, cos
+            |FROM ranked WHERE rnk <= 4 ORDER BY qid, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105)
+    q104, q105, q106)
 }

@@ -53,6 +53,15 @@ object Tables {
     * timezone `unix_micros(cast(ntz as timestamp)) * 1000` is the same
     * instant DuckDB's `epoch_ns(ts)` computes for the oracle side, so
     * the cross-engine gates stay value-identical.
+    *
+    * Scan-cost note for 100 TB deployments: the converted `ts` is a
+    * DERIVED column, so a literal range predicate on it no longer
+    * reaches the parquet scan (PushedFilters) — no current operator
+    * filters ts against literals (they filter event_type/user_id,
+    * which still push down), but a pipeline that slices raw time
+    * ranges at scale should either filter the on-disk column BEFORE
+    * this conversion or land data in the engine contract (INT64 ns)
+    * at rest, where pushdown and row-group pruning apply directly.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts").map(_.dataType) match {

@@ -273,6 +273,49 @@ object VectorQuant {
         col("rank"), col("cos"))
   }
 
+  /** Corpus-scale hard-negative mining served from QUANTIZED state:
+    * [[EmbeddingSearch.hardNegativesIvf]]'s plan shape — probe-cell
+    * routing is an IN-ROW expression over the embedded centroid
+    * table, candidates come from a shuffle join on cell with NO
+    * broadcast of the pairs side, so |Q| can be corpus-sized — but
+    * the candidate side is the (id, cell, codes) table with a per-row
+    * decode expression instead of a join against the full-precision
+    * corpus. At 10⁹+ embeddings that swaps the mining pass's biggest
+    * input (4d bytes/vector) for m bytes/vector; the positives
+    * exclusion sits below the ranking window exactly like the exact
+    * variant. With the degenerate codebook and nprobe = nlist the
+    * output is row-identical to [[EmbeddingSearch.hardNegativesIvf]]
+    * (gate q106, the q100/q105 discipline); at lossy operating points
+    * feed the survivors to a full-precision re-score the
+    * [[ivfProbePqRerank]] way if exact margins matter.
+    */
+  def hardNegativesIvfPq(index: PqIvfIndex,
+                         pairs: DataFrame, queryId: String, queryVec: String,
+                         positiveId: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val collected = collectBook(index.book)
+    val cents = index.centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, "index has no centroids")
+    val probes = pairs
+      .select(col(queryId).as("__qid"), col(queryVec).as("__qvec"),
+        col(positiveId).as("__pos"))
+      .withColumn("__qn", EmbeddingSearch.norm(col("__qvec")))
+      .withColumn("cell", explode(
+        EmbeddingSearch.probeCellsExpr(cents, col("__qvec"), col("__qn"), nprobe)))
+    val cand = index.assignments.withColumnRenamed("id", "__cid")
+      .join(probes, Seq("cell"))
+      .filter(col("__cid") =!= col("__qid") && col("__cid") =!= col("__pos"))
+      .withColumn("__rvec", pqDecodeExpr(collected, col("codes")))
+      .withColumn("cos", EmbeddingSearch.dot(col("__qvec"), col("__rvec")) /
+        (col("__qn") * EmbeddingSearch.norm(col("__rvec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("cos").desc, col("__cid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as("negative_id"),
+        col("rank"), col("cos"))
+  }
+
   // ---- int8 scalar quantization ------------------------------------
 
   /** Per-dimension affine int8 parameters over the corpus: (pos, lo,

@@ -276,6 +276,25 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("q106 PQ hard-negatives: no corpus table in the serving plan; cell join never hint-broadcast") {
+    // the whole point of mining from quantized state: candidates come
+    // from (cell, codes) + a per-row decode expression — the corpus
+    // embedding column must appear ONLY under the one-time index/
+    // codebook build, never on the candidate side of the cell join.
+    // Same no-hint proof as q92: with size-based broadcast disabled, a
+    // hinted broadcast of the |Q|·nprobe probe side would survive — it
+    // must degrade to a shuffle join instead.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pNoAuto = plan(ExtQueries.q106.run(spark, dir))
+      assert(pNoAuto.contains("SortMergeJoin [cell") ||
+        pNoAuto.contains("ShuffledHashJoin [cell"),
+        s"cell join must not be hint-forced to broadcast:\n$pNoAuto")
+      assert(!pNoAuto.contains("BroadcastHashJoin [cell"), pNoAuto)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("q93 quality classifier: one column-pruned scan, no shuffle, no UDF") {
     val df = ExtQueries.q93.run(spark, dir)
     val p = plan(df)

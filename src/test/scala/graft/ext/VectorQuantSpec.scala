@@ -83,6 +83,33 @@ class VectorQuantSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("hardNegativesIvfPq: degenerate full-probe mining == exact hardNegativesIvf; lossy mining never surfaces self or the positive") {
+    val slice = emb.filter($"vec_id" < 100)
+    val pairs = slice.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"),
+        ($"vec_id" + 1L).as("pos_id"))
+    val ivf = EmbeddingSearch.buildIvfIndex(slice, "vec_id", "embedding", nlist = 4)
+    // degenerate: quantized mining must be row-identical to exact mining
+    val exactBook = VectorQuant.pqTrain(slice, "vec_id", "embedding",
+      m = 8, ksub = 100, iters = 0, dim = 64)
+    val exactPq = VectorQuant.quantizeIndex(ivf, slice, "vec_id", "embedding", exactBook)
+    val viaPq = VectorQuant.hardNegativesIvfPq(exactPq, pairs, "qid", "qvec",
+      "pos_id", k = 4, nprobe = 4).as[(Long, Long, Int, Double)].collect().toSet
+    val viaExact = EmbeddingSearch.hardNegativesIvf(ivf, slice, "vec_id", "embedding",
+      pairs, "qid", "qvec", "pos_id", k = 4, nprobe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaPq == viaExact && viaPq.nonEmpty)
+    // lossy: exclusions still hold below the window
+    val lossyBook = VectorQuant.pqTrain(slice, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2, dim = 64)
+    val lossyPq = VectorQuant.quantizeIndex(ivf, slice, "vec_id", "embedding", lossyBook)
+    val lossy = VectorQuant.hardNegativesIvfPq(lossyPq, pairs, "qid", "qvec",
+      "pos_id", k = 4, nprobe = 4).as[(Long, Long, Int, Double)].collect()
+    assert(lossy.nonEmpty)
+    assert(!lossy.exists(r => r._2 == r._1 || r._2 == r._1 + 1L),
+      "self and positive must be excluded from mined negatives")
+  }
+
   test("int8: grid-aligned values round-trip exactly; arbitrary values obey the quantization error bound") {
     // per-dim min 0 / max 255 planted → scale = 1 → integer values sit
     // exactly ON the int8 grid and must round-trip bit-exactly

@@ -791,4 +791,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("videoFrames decodes a media stream row-identically to batch, stateless (mapPartitions is a legal stream op)") {
+    import graft.ext.Multimodal
+    import java.awt.image.BufferedImage
+    def solid(w: Int, h: Int, rgb: (Int, Int, Int)): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb._1, rgb._2, rgb._3)); g.fillRect(0, 0, w, h); g.dispose()
+      img
+    }
+    val palette = Seq((200, 0, 0), (0, 200, 0), (0, 0, 200))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video",
+        Multimodal.encodeGifAnimated(palette.map(solid(20, 12, _)))),
+      Multimodal.MediaRow(2L, "video",
+        Multimodal.encodeAviMjpeg(16, 8, 40000, palette.map(solid(16, 8, _)))),
+      Multimodal.MediaRow(3L, "video", Array[Byte](0, 1, 2, 3))) // undecodable → 0 rows
+    val ds = media.toDS()
+    val batch = Multimodal.videoFrames(ds).collect().toSet
+    assert(batch.map(_.media_id) == Set(1L, 2L) && batch.size == 6)
+
+    val dir = java.nio.file.Files.createTempDirectory("video-stream")
+    ds.write.parquet(s"$dir/part1")
+    val stream = spark.readStream.schema(ds.schema).parquet(s"$dir/part*")
+      .as[Multimodal.MediaRow]
+    val q = Multimodal.videoFrames(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("video_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("video_stream")
+        .as[Multimodal.FrameMeta].collect().toSet
+      assert(streamed == batch)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
 }
