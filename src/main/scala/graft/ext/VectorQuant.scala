@@ -189,6 +189,32 @@ object VectorQuant {
     flatten(zip_with(bookLit, codes, (sub, code) => element_at(sub, code + 1)))
   }
 
+  /** In-row PQ encode against the collected codebook literal — the
+    * zero-shuffle sibling of [[pqEncode]]: per subspace,
+    * codes[s] = argmin over the ksub entries of the expanded-form d²,
+    * with the identical lowest-code tie-break (`array_min` over
+    * (d², code) structs ≡ the join form's `min(struct(d², code))`), so
+    * the codes are bit-identical (pinned in VectorQuantSpec). Being a
+    * pure projection, this is the encode for STREAMING admission
+    * ([[graft.streaming.EmbedStream.admitVectors]]) — the join+agg
+    * form's (id, sub)-grouped aggregation would be unbounded stream
+    * state — and for batch callers whose codebook is already driver
+    * state it removes the encode's shuffle entirely. Cost is
+    * m·ksub distance kernels per row, the same arithmetic the join
+    * form distributes.
+    */
+  def pqEncodeExpr(collected: Array[Array[Array[Float]]], vec: Column): Column = {
+    require(collected.nonEmpty && collected.head.nonEmpty, "empty codebook")
+    val dsub = collected.head.head.length
+    array(collected.indices.map { s =>
+      val bookLit = typedLit(collected(s))
+      val sv = slice(vec, s * dsub + 1, dsub)
+      val scored = transform(sequence(lit(0), lit(collected(s).length - 1)),
+        c => struct(dist2(sv, element_at(bookLit, c + 1)).as("d"), c.as("c")))
+      array_min(scored).getField("c")
+    }: _*)
+  }
+
   /** Quantize an IVF index: same centroids, assignments augmented with
     * the PQ codes — (id, cell, codes). This table IS the serving state;
     * at m=8/dim=64 it is ~32× smaller than carrying float vectors.

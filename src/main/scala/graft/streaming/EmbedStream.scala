@@ -157,6 +157,38 @@ object EmbedStream {
       packIvfCellsPq(index),
       queryStream, queryId, queryVec, k, nprobe)
 
+  /** Admit an EMBEDDING STREAM into quantized IVF serving state: each
+    * arriving vector gets its cell (nearest centroid — the
+    * [[EmbeddingSearch.buildIvfIndex]] assignment rule, cosine with
+    * cell-id tie-break) and its PQ codes, both as PURE per-row
+    * expressions over driver-state literals
+    * ([[EmbeddingSearch.probeCellsExpr]] with nprobe = 1 and
+    * [[graft.ext.VectorQuant.pqEncodeExpr]]) — fully stateless, no
+    * join, no aggregation, no state store. The output rows are in the
+    * exact (id, cell, codes) schema of
+    * [[graft.ext.VectorQuant.PqIvfIndex.assignments]]: append them to
+    * the persisted state on the batch cadence (the [[graft.ext.ExactDedup]]
+    * admitNew fold-back pattern) and the new vectors become probe-able
+    * without any corpus re-encode. Codes and cells are bit-identical
+    * to what the batch build computes for the same vectors (pinned in
+    * StreamingSpec); centroid/codebook DRIFT from sustained ingest
+    * surfaces through [[graft.ext.EmbeddingSearch.ivfRebuildAdvice]]
+    * as usual.
+    */
+  def admitVectors(stream: DataFrame, index: graft.ext.VectorQuant.PqIvfIndex,
+                   id: String, vec: String): DataFrame = {
+    val cents = EmbeddingSearch.collectCentroids(
+      IvfIndex(index.centroids, index.assignments))
+    require(cents.nonEmpty, "index has no centroids")
+    val collected = graft.ext.VectorQuant.collectBook(index.book)
+    stream.select(col(id).as("id"), col(vec).as("__v"))
+      .withColumn("__n", EmbeddingSearch.norm(col("__v")))
+      .select(col("id"),
+        element_at(EmbeddingSearch.probeCellsExpr(cents, col("__v"), col("__n"), 1),
+          1).as("cell"),
+        graft.ext.VectorQuant.pqEncodeExpr(collected, col("__v")).as("codes"))
+  }
+
   /** The shared stateless probe body: per-row cell choice over the
     * centroid literal, nprobe stream-static left joins against the
     * packed cell table, in-row exact rerank — see the object doc.

@@ -110,6 +110,22 @@ class VectorQuantSpec extends SparkTestBase {
       "self and positive must be excluded from mined negatives")
   }
 
+  test("pqEncodeExpr: in-row encode is bit-identical to the join+agg encode, degenerate and lossy") {
+    val slice = emb.filter($"vec_id" < 100)
+    for ((m, ksub, iters) <- Seq((8, 100, 0), (4, 8, 2), (8, 16, 1))) {
+      val book = VectorQuant.pqTrain(slice, "vec_id", "embedding",
+        m = m, ksub = ksub, iters = iters, dim = 64)
+      val viaJoin = VectorQuant.pqEncode(slice, "vec_id", "embedding", book)
+        .as[(Long, Seq[Int])].collect().toMap
+      val collected = VectorQuant.collectBook(book)
+      val viaExpr = slice.select($"vec_id",
+          VectorQuant.pqEncodeExpr(collected, $"embedding").as("codes"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(viaExpr == viaJoin && viaExpr.size == 100,
+        s"in-row encode diverged at m=$m ksub=$ksub iters=$iters")
+    }
+  }
+
   test("int8: grid-aligned values round-trip exactly; arbitrary values obey the quantization error bound") {
     // per-dim min 0 / max 255 planted → scale = 1 → integer values sit
     // exactly ON the int8 grid and must round-trip bit-exactly

@@ -791,6 +791,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("EmbedStream.admitVectors reproduces the stored serving state row-for-row on a stream, stateless") {
+    import graft.ext.{EmbeddingSearch, VectorQuant}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val book = VectorQuant.pqTrain(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2, dim = 64)
+    val ivf = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4)
+    val pidx = VectorQuant.quantizeIndex(ivf, emb, "vec_id", "embedding", book)
+    val stored = pidx.assignments.as[(Long, Long, Seq[Int])].collect().toSet
+
+    // stream the SAME vectors through the admission face: cells and
+    // codes must reproduce the stored state exactly — the proof that
+    // admitted vectors are probe-able without a corpus re-encode
+    val dir = java.nio.file.Files.createTempDirectory("admit-vec")
+    emb.write.parquet(s"$dir/part1")
+    val stream = spark.readStream.schema(emb.schema).parquet(s"$dir/part*")
+    val q = EmbedStream.admitVectors(stream, pidx, "vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admit_vectors").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("admit_vectors")
+        .as[(Long, Long, Seq[Int])].collect().toSet
+      assert(streamed == stored && streamed.nonEmpty)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("videoFrames decodes a media stream row-identically to batch, stateless (mapPartitions is a legal stream op)") {
     import graft.ext.Multimodal
     import java.awt.image.BufferedImage
