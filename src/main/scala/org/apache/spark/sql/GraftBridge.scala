@@ -69,6 +69,7 @@ object GraftBridge {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
+      .setName("graft-cut")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (eager) rdd.count()
     CutFrame(spark.internalCreateDataFrame(rdd, ds.schema), () => {

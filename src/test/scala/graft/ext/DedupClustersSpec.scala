@@ -16,28 +16,39 @@ class DedupClustersSpec extends SparkTestBase {
   }
 
   test("connectedComponentsReleasable frees all storage it allocated; labels stay correct after release") {
+    // suites share one SparkContext and sbt runs them concurrently, so
+    // GLOBAL persisted-RDD counts are racy (a neighbor suite releasing
+    // its own frames mid-assert once turned `size > baseline` false).
+    // Track identity instead: cut frames are named, and every id that
+    // APPEARS during an invocation must be GONE after its release —
+    // robust to foreign releases, and foreign transient frames only
+    // intersect the millisecond-wide snapshot window.
     val sc = spark.sparkContext
+    def cutIds: Set[Int] =
+      sc.getPersistentRDDs.filter(_._2.name == "graft-cut").keySet.toSet
     val ps = pairs(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L, 10L -> 11L)
-    val baseline = sc.getPersistentRDDs.size
+    val before = cutIds
     val (labels, release) = DedupClusters.connectedComponentsReleasable(ps)
     val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L)
     assert(labels.orderBy("id").as[(Long, Long)].collect().toSeq == expect)
-    assert(sc.getPersistentRDDs.size > baseline, "cut frames should be registered while live")
+    val mine = cutIds -- before
+    assert(mine.nonEmpty, "cut frames should be registered while live")
     release()
-    assert(sc.getPersistentRDDs.size <= baseline,
-      "release() must return persisted-RDD count to its pre-call level")
+    assert((cutIds & mine).isEmpty,
+      "release() must free every cut frame the invocation registered")
     // the frame survives its own release: recompute, same labels
     assert(labels.orderBy("id").as[(Long, Long)].collect().toSeq == expect)
-    // ten invocations with release: storage stays flat (the service-
-    // session pattern the localCheckpoint design could not support)
-    var high = 0
+    // ten invocations with release: each drains its own frames (the
+    // service-session pattern the localCheckpoint design could not
+    // support)
     for (_ <- 1 to 10) {
+      val b = cutIds
       val (l, r) = DedupClusters.connectedComponentsReleasable(ps)
       assert(l.count() == 7)
+      val m = cutIds -- b
       r()
-      high = math.max(high, sc.getPersistentRDDs.size)
+      assert((cutIds & m).isEmpty, "invocation left cut frames persisted")
     }
-    assert(high <= baseline, s"storage grew across invocations: $high > $baseline")
   }
 
   test("disjoint components keep separate min labels") {
