@@ -170,8 +170,17 @@ object NgramLm {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Fails loudly on state written by the pre-unigram writeModel (no
+    * `unigrams/` table, no `total_tokens` meta): the interpolated face
+    * needs both, silently defaulting them would mis-score every
+    * document, and the corpus is not available here to rebuild them —
+    * re-run [[train]] + [[writeModel]] once to migrate.
+    */
   def readModel(spark: SparkSession, dir: String): NgramModel = {
     val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.schema.fieldNames.contains("total_tokens"),
+      s"$dir holds a pre-unigram NgramLm model (no total_tokens/unigrams); " +
+        "re-run train + writeModel to migrate this state")
     NgramModel(spark.read.parquet(s"$dir/history"),
       spark.read.parquet(s"$dir/bigrams"),
       spark.read.parquet(s"$dir/unigrams"),

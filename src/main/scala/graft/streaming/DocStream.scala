@@ -126,6 +126,16 @@ object DocStream {
     * @param labels (id, component) from connectedComponents, read from
     *               parquet state; must be a STATIC frame
     */
+  def routedSplit(docs: DataFrame, id: Column, labels: DataFrame,
+                  cuts: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    val comp = labels.select(col("id").as("__cc_id"),
+      col("component").as("__cc_component"))
+    docs.join(broadcast(comp), id === col("__cc_id"), "left")
+      .withColumn("component", coalesce(col("__cc_component"), id))
+      .drop("__cc_id", "__cc_component")
+      .withColumn("split", graft.ext.Sampling.hashSplit(col("component"), cuts, salt))
+  }
+
   /** N-gram LM quality scoring for a document STREAM: each arriving
     * document gets its [[NgramLm]] score against a static trained
     * model — the streaming face of the q101/q103 curation signal, for
@@ -166,14 +176,4 @@ object DocStream {
           if (interpolated) NgramLm.scoreDocsInterpolated(batch, id, text, model)
           else NgramLm.scoreDocs(batch, id, text, model))
       }
-
-  def routedSplit(docs: DataFrame, id: Column, labels: DataFrame,
-                  cuts: Seq[(String, Int)], salt: String = ""): DataFrame = {
-    val comp = labels.select(col("id").as("__cc_id"),
-      col("component").as("__cc_component"))
-    docs.join(broadcast(comp), id === col("__cc_id"), "left")
-      .withColumn("component", coalesce(col("__cc_component"), id))
-      .drop("__cc_id", "__cc_component")
-      .withColumn("split", graft.ext.Sampling.hashSplit(col("component"), cuts, salt))
-  }
 }

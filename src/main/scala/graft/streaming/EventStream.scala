@@ -39,6 +39,16 @@ object EventStream {
     * The batch read touches only footers already present at start-up;
     * files that arrive later must match them, which is the standard
     * file-source contract anyway.
+    *
+    * Starting on an EMPTY (or not-yet-created) directory: there is no
+    * footer to peek, so the stream assumes the ENGINE's own contract
+    * (`ts` INT64 ns) — correct for directories this engine's sinks
+    * feed. A producer that writes a FOREIGN encoding
+    * (TIMESTAMP_MICROS/NANOS) into a dir the consumer opened first
+    * will fail every batch with a parquet type mismatch: either land
+    * one file before the stream starts (so the peek sees it) or write
+    * the engine contract at rest — a file source cannot re-resolve
+    * its schema after start.
     */
   def readStream(spark: SparkSession, dir: String,
                  maxFilesPerTrigger: Int = 1): DataFrame = {

@@ -65,12 +65,31 @@ object GraftBridge {
     * reuse row buffers); the cut is lazy — force it with an action (the
     * iterative loops' convergence counts do) or `eager = true`.
     */
+  private val trackedCuts =
+    new ThreadLocal[scala.collection.mutable.Set[Int]]
+
+  /** Test hook: run `body` and also return the ids of every cut RDD
+    * the CALLING THREAD persisted inside it. Storage assertions on a
+    * SHARED SparkContext (concurrent test suites) cannot attribute
+    * global persisted-RDD deltas to one invocation — this gives exact
+    * ownership instead. Frames are registered at creation on the
+    * calling thread, so executor-side work never races the buffer.
+    */
+  def trackCuts[T](body: => T): (T, Set[Int]) = {
+    val buf = scala.collection.mutable.Set.empty[Int]
+    val prev = trackedCuts.get
+    trackedCuts.set(buf)
+    try { val r = body; (r, buf.toSet) }
+    finally { if (prev == null) trackedCuts.remove() else trackedCuts.set(prev) }
+  }
+
   def persistCutFrame(df: Dataset[Row], eager: Boolean = false): CutFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
       .setName("graft-cut")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(trackedCuts.get).foreach(_ += rdd.id)
     if (eager) rdd.count()
     CutFrame(spark.internalCreateDataFrame(rdd, ds.schema), () => {
       rdd.unpersist(blocking = false); ()

@@ -18,23 +18,22 @@ class DedupClustersSpec extends SparkTestBase {
   test("connectedComponentsReleasable frees all storage it allocated; labels stay correct after release") {
     // suites share one SparkContext and sbt runs them concurrently, so
     // GLOBAL persisted-RDD counts are racy (a neighbor suite releasing
-    // its own frames mid-assert once turned `size > baseline` false).
-    // Track identity instead: cut frames are named, and every id that
-    // APPEARS during an invocation must be GONE after its release —
-    // robust to foreign releases, and foreign transient frames only
-    // intersect the millisecond-wide snapshot window.
+    // its own frames mid-assert once turned `size > baseline` false,
+    // and a neighbor's still-live frame would poison any snapshot
+    // diff). GraftBridge.trackCuts attributes frame ids to THIS
+    // thread's invocation exactly — zero attribution race either way.
     val sc = spark.sparkContext
-    def cutIds: Set[Int] =
-      sc.getPersistentRDDs.filter(_._2.name == "graft-cut").keySet.toSet
+    def live: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     val ps = pairs(5L -> 4L, 4L -> 3L, 3L -> 2L, 2L -> 1L, 10L -> 11L)
-    val before = cutIds
-    val (labels, release) = DedupClusters.connectedComponentsReleasable(ps)
+    val ((labels, release), mine) = org.apache.spark.sql.GraftBridge.trackCuts {
+      DedupClusters.connectedComponentsReleasable(ps)
+    }
     val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L)
     assert(labels.orderBy("id").as[(Long, Long)].collect().toSeq == expect)
-    val mine = cutIds -- before
     assert(mine.nonEmpty, "cut frames should be registered while live")
+    assert((live & mine).nonEmpty, "cut frames should be persisted while live")
     release()
-    assert((cutIds & mine).isEmpty,
+    assert((live & mine).isEmpty,
       "release() must free every cut frame the invocation registered")
     // the frame survives its own release: recompute, same labels
     assert(labels.orderBy("id").as[(Long, Long)].collect().toSeq == expect)
@@ -42,12 +41,12 @@ class DedupClustersSpec extends SparkTestBase {
     // service-session pattern the localCheckpoint design could not
     // support)
     for (_ <- 1 to 10) {
-      val b = cutIds
-      val (l, r) = DedupClusters.connectedComponentsReleasable(ps)
+      val ((l, r), m) = org.apache.spark.sql.GraftBridge.trackCuts {
+        DedupClusters.connectedComponentsReleasable(ps)
+      }
       assert(l.count() == 7)
-      val m = cutIds -- b
       r()
-      assert((cutIds & m).isEmpty, "invocation left cut frames persisted")
+      assert((live & m).isEmpty, "invocation left cut frames persisted")
     }
   }
 

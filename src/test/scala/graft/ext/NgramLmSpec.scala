@@ -109,10 +109,30 @@ class NgramLmSpec extends SparkTestBase {
     NgramLm.writeModel(model, dir)
     val back = NgramLm.readModel(spark, dir)
     assert(back.vocabSize == model.vocabSize)
+    assert(back.totalTokens == model.totalTokens) // meta fields not swapped
     val a = NgramLm.scoreDocs(candidates, $"doc_id", $"text", model)
       .orderBy($"doc_id").collect().toSeq
     val b = NgramLm.scoreDocs(candidates, $"doc_id", $"text", back)
       .orderBy($"doc_id").collect().toSeq
     assert(a == b)
+    // the reloaded unigram table + totals drive the interpolated face
+    // identically — the round-trip pieces scoreDocs never touches
+    val ja = NgramLm.scoreDocsInterpolated(candidates, $"doc_id", $"text", model)
+      .orderBy($"doc_id").collect().toSeq
+    val jb = NgramLm.scoreDocsInterpolated(candidates, $"doc_id", $"text", back)
+      .orderBy($"doc_id").collect().toSeq
+    assert(ja == jb)
+  }
+
+  test("readModel fails loudly on pre-unigram model state instead of mis-scoring") {
+    val model = NgramLm.train(reference, $"text")
+    val dir = java.nio.file.Files.createTempDirectory("ngramlm-old").toString
+    // the pre-round-10 layout: history/bigrams + vocab_size-only meta
+    model.history.write.parquet(s"$dir/history")
+    model.bigrams.write.parquet(s"$dir/bigrams")
+    spark.range(1).select(lit(model.vocabSize).as("vocab_size"))
+      .write.parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException](NgramLm.readModel(spark, dir))
+    assert(e.getMessage.contains("pre-unigram"))
   }
 }
