@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Multimodal, NgramLm, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Multimodal, NgramLm, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, SemDedup, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -3420,11 +3420,258 @@ object ExtQueries {
             |SELECT qid, nid AS negative_id, rnk AS rank, cos
             |FROM ranked WHERE rnk <= 4 ORDER BY qid, rank""".stripMargin))
 
+  /** Interpolated Kneser–Ney LM scoring under the oracle gate: the
+    * smoothing KenLM actually ships, kept rational (see
+    * [[graft.ext.NgramLm.scoreDocsKneserNey]] — every term one
+    * exactly-rounded IEEE op over integer counts, D = 0.75 dyadic,
+    * continuation counts derived from the distinct-bigram table).
+    * Same train corpus and planted rows as q101/q103; the third
+    * smoothing face closes the family: add-one (q101), Jelinek–Mercer
+    * (q103), Kneser–Ney (here), each hash-matched cross-engine from
+    * the same model tables.
+    */
+  val q107 = Q(
+    "q107_kneser_ney",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = Seq(
+        (200000L, "zxqw vbnk qpzm zxqw vbnk qpzm zxqw"),
+        (200001L, "the the the the the the")).toDF("doc_id", "text")
+      val model = NgramLm.train(docs, $"text")
+      NgramLm.scoreDocsKneserNey(docs.unionAll(planted), $"doc_id", $"text", model)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id, text FROM documents),
+            |cand AS (SELECT doc_id, text FROM src
+            |         UNION ALL SELECT * FROM (VALUES
+            |           (200000, 'zxqw vbnk qpzm zxqw vbnk qpzm zxqw'),
+            |           (200001, 'the the the the the the')) p(doc_id, text)),
+            |rtok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM src),
+            |vocab AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM rtok)),
+            |rbig AS (SELECT t[i] || ' ' || t[i+1] AS gram, t[i] AS w1
+            |         FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM rtok WHERE len(t) >= 2)),
+            |bc AS (SELECT gram, count(*) AS c12 FROM rbig GROUP BY gram),
+            |hc AS (SELECT w1, count(*) AS c1 FROM rbig GROUP BY w1),
+            |fwd AS (SELECT split_part(gram, ' ', 1) AS w1, count(*) AS n1pf
+            |        FROM bc GROUP BY 1),
+            |bwd AS (SELECT split_part(gram, ' ', 2) AS w2, count(*) AS n1pb
+            |        FROM bc GROUP BY 1),
+            |btot AS (SELECT count(*) AS b FROM bc),
+            |ctok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM cand),
+            |cbig AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, t[i] AS w1, t[i+1] AS w2
+            |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM ctok WHERE len(t) >= 2)),
+            |j AS (SELECT doc_id,
+            |             CASE WHEN coalesce(hc.c1, 0) > 0
+            |                  THEN greatest(CAST(coalesce(bc.c12, 0) AS DOUBLE) - 0.75, 0.0) /
+            |                         CAST(hc.c1 AS DOUBLE) +
+            |                       ((0.75 * CAST(coalesce(fwd.n1pf, 0) AS DOUBLE)) /
+            |                         CAST(hc.c1 AS DOUBLE)) *
+            |                         ((CAST(coalesce(bwd.n1pb, 0) AS DOUBLE) + 1.0) /
+            |                           CAST(b + v AS DOUBLE))
+            |                  ELSE (CAST(coalesce(bwd.n1pb, 0) AS DOUBLE) + 1.0) /
+            |                         CAST(b + v AS DOUBLE) END AS p,
+            |             CASE WHEN bc.c12 IS NULL THEN 1 ELSE 0 END AS oov
+            |      FROM cbig LEFT JOIN bc USING (gram) LEFT JOIN hc USING (w1)
+            |                LEFT JOIN fwd USING (w1) LEFT JOIN bwd ON cbig.w2 = bwd.w2,
+            |           btot, vocab)
+            |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(oov) AS BIGINT) AS n_oov,
+            |       CAST(SUM(CAST(p * 1e6 AS DECIMAL(38,6))) AS DOUBLE) /
+            |         CAST(count(*) AS DOUBLE) / 1e6 AS lm_score
+            |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** CCNet-style perplexity bucketing under the oracle gate: q103's
+    * interpolated scores ranked globally (score DESC, id ASC) and cut
+    * into head/middle/tail thirds by INTEGER threshold arithmetic
+    * (3·rank ≤ n / ≤ 2n). The scores hash-match cross-engine (q103),
+    * so the exact-rank labels do too; the sketch-threshold scale face
+    * is [[graft.ext.QualityFilter.quantileBandSketch]] (gated at q85).
+    */
+  val q108 = Q(
+    "q108_perplexity_buckets",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = Seq(
+        (200000L, "zxqw vbnk qpzm zxqw vbnk qpzm zxqw"),
+        (200001L, "the the the the the the")).toDF("doc_id", "text")
+      val model = NgramLm.train(docs, $"text")
+      val scored = NgramLm.scoreDocsInterpolated(
+        docs.unionAll(planted), $"doc_id", $"text", model)
+      NgramLm.perplexityBuckets(scored, $"doc_id", $"lm_score")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id, text FROM documents),
+            |cand AS (SELECT doc_id, text FROM src
+            |         UNION ALL SELECT * FROM (VALUES
+            |           (200000, 'zxqw vbnk qpzm zxqw vbnk qpzm zxqw'),
+            |           (200001, 'the the the the the the')) p(doc_id, text)),
+            |rtok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM src),
+            |toks AS (SELECT unnest(t) AS tok FROM rtok),
+            |tots AS (SELECT count(DISTINCT tok) AS v, count(*) AS n FROM toks),
+            |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+            |rbig AS (SELECT t[i] || ' ' || t[i+1] AS gram, t[i] AS w1
+            |         FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM rtok WHERE len(t) >= 2)),
+            |bc AS (SELECT gram, count(*) AS c12 FROM rbig GROUP BY gram),
+            |hc AS (SELECT w1, count(*) AS c1 FROM rbig GROUP BY w1),
+            |ctok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM cand),
+            |cbig AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, t[i] AS w1, t[i+1] AS w2
+            |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM ctok WHERE len(t) >= 2)),
+            |j AS (SELECT doc_id,
+            |             CASE WHEN coalesce(hc.c1, 0) > 0
+            |                  THEN 0.75 * (CAST(coalesce(bc.c12, 0) AS DOUBLE) /
+            |                               CAST(hc.c1 AS DOUBLE))
+            |                  ELSE 0.0 END +
+            |             0.25 * ((CAST(coalesce(uni.cu, 0) AS DOUBLE) + 1.0) /
+            |                     CAST(n + v AS DOUBLE)) AS p
+            |      FROM cbig LEFT JOIN bc USING (gram) LEFT JOIN hc USING (w1)
+            |                LEFT JOIN uni ON cbig.w2 = uni.tok, tots),
+            |scored AS (SELECT doc_id,
+            |                  CAST(SUM(CAST(p * 1e6 AS DECIMAL(38,6))) AS DOUBLE) /
+            |                    CAST(count(*) AS DOUBLE) / 1e6 AS lm_score
+            |           FROM j GROUP BY doc_id),
+            |ranked AS (SELECT doc_id, lm_score,
+            |                  row_number() OVER (ORDER BY lm_score DESC, doc_id) AS rn,
+            |                  count(*) OVER () AS nn
+            |           FROM scored)
+            |SELECT doc_id, lm_score,
+            |       CASE WHEN rn * 3 <= nn THEN 'head'
+            |            WHEN rn * 3 <= nn * 2 THEN 'middle'
+            |            ELSE 'tail' END AS bucket
+            |FROM ranked ORDER BY doc_id""".stripMargin))
+
+  /** Gopher fixed-rule quality cascade under the oracle gate
+    * ([[graft.ext.QualityFilter.gopherFlags]] — every rule an INTEGER
+    * comparison, no float boundary anywhere). Planted rows trip each
+    * rule individually: a 64-word passing doc, a too-short doc, a
+    * long-word doc, a `#`-ridden doc, an all-bullet doc, an
+    * ellipsis-line doc, and a stopword-free doc — so every flag column
+    * exercises both values regardless of what the synthetic corpus
+    * happens to contain.
+    */
+  val q109 = Q(
+    "q109_gopher_rules",
+    (s, dir) => {
+      import s.implicits._
+      val passing = ("the quick brown fox jumps over the lazy dog " +
+        "and runs to the river of dreams ") * 4
+      val planted = Seq(
+        (300000L, passing.trim),
+        (300001L, "the cat sat on the mat and that is all"),
+        (300002L, ("pneumonoultramicroscopic " * 60).trim),
+        (300003L, ("# value " * 30).trim + " the of"),
+        (300004L, "- item one\n- item two\n- item three\n- item four"),
+        (300005L, "well this is a line...\nand another line goes here...\nthe final line is plain"),
+        (300006L, ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5).trim))
+        .toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      QualityFilter.gopherFlags(docs.unionAll(planted), $"doc_id", $"text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH cand AS (SELECT doc_id, text FROM documents
+            |             UNION ALL SELECT * FROM (VALUES
+            |  (300000, trim(repeat('the quick brown fox jumps over the lazy dog and runs to the river of dreams ', 4))),
+            |  (300001, 'the cat sat on the mat and that is all'),
+            |  (300002, trim(repeat('pneumonoultramicroscopic ', 60))),
+            |  (300003, trim(repeat('# value ', 30)) || ' the of'),
+            |  (300004, '- item one' || chr(10) || '- item two' || chr(10) || '- item three' || chr(10) || '- item four'),
+            |  (300005, 'well this is a line...' || chr(10) || 'and another line goes here...' || chr(10) || 'the final line is plain'),
+            |  (300006, trim(repeat('alpha beta gamma delta epsilon zeta eta theta iota kappa ', 5)))) p(doc_id, text)),
+            |stats AS (SELECT doc_id,
+            |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+            |    length(regexp_replace(text, '\s+', '', 'g')) AS sum_word_len,
+            |    length(text) - length(replace(text, '#', '')) AS n_hash,
+            |    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis,
+            |    len(string_split(text, chr(10))) AS n_lines,
+            |    len(list_filter(string_split(text, chr(10)),
+            |                    l -> l LIKE '- %' OR l LIKE '* %')) AS n_bullet_lines,
+            |    len(list_filter(string_split(text, chr(10)),
+            |                    l -> l LIKE '%...')) AS n_ellipsis_lines,
+            |    len(list_filter(string_split_regex(trim(text), '\s+'),
+            |                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+            |    len(list_filter(['the','be','to','of','and','that','have','with'],
+            |                    w -> list_contains(string_split_regex(trim(lower(text)), '\s+'), w))) AS n_stopwords
+            |  FROM cand),
+            |flags AS (SELECT *,
+            |    CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS f_word_count,
+            |    CAST(n_words * 3 <= sum_word_len AND sum_word_len <= n_words * 10 AS BIGINT) AS f_mean_word_len,
+            |    CAST((n_hash + n_ellipsis) * 10 <= n_words AS BIGINT) AS f_symbol_ratio,
+            |    CAST(n_bullet_lines * 10 <= n_lines * 9 AS BIGINT) AS f_bullet_lines,
+            |    CAST(n_ellipsis_lines * 10 <= n_lines * 3 AS BIGINT) AS f_ellipsis_lines,
+            |    CAST(n_alpha_words * 5 >= n_words * 4 AS BIGINT) AS f_alpha_words,
+            |    CAST(n_stopwords >= 2 AS BIGINT) AS f_stopwords
+            |  FROM stats)
+            |SELECT doc_id, n_words, sum_word_len, n_hash, n_ellipsis, n_lines,
+            |       n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopwords,
+            |       f_word_count, f_mean_word_len, f_symbol_ratio, f_bullet_lines,
+            |       f_ellipsis_lines, f_alpha_words, f_stopwords,
+            |       CAST(f_word_count = 1 AND f_mean_word_len = 1 AND f_symbol_ratio = 1
+            |            AND f_bullet_lines = 1 AND f_ellipsis_lines = 1
+            |            AND f_alpha_words = 1 AND f_stopwords = 1 AS BIGINT) AS passes
+            |FROM flags ORDER BY doc_id""".stripMargin))
+
+  /** SemDeDup-style cluster-bounded semantic dedup under the oracle
+    * gate ([[graft.ext.SemDedup.semanticDedup]]): coarse cells from
+    * the deterministic nlist-lowest-id centroids (the q89/q100 IVF
+    * layout), min-id witness rule within each cell at cosine ≥ 0.9.
+    * Planted rows duplicate the eight lowest-id vectors verbatim under
+    * new ids — identical vectors land in identical cells, so each
+    * planted copy must be dropped with `dup_of` = its original, while
+    * the (randomized, mutually-distant) corpus vectors pass through
+    * kept. The oracle recomputes assignment + the full within-cell
+    * pairwise sweep from scratch; cosines are bit-identical
+    * cross-engine (the strict-left-fold dot kernel, q25), so the
+    * kept/dropped partition hash-matches exactly.
+    */
+  val q110 = Q(
+    "q110_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings").filter($"vec_id" < 128)
+        .select($"vec_id", $"embedding")
+      val planted = base.filter($"vec_id" < 8)
+        .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+      SemDedup.semanticDedup(base.unionAll(planted), "vec_id", "embedding",
+          nlist = 4, tau = 0.9)
+        .select($"id".as("vec_id"), $"cell", $"dup_of", $"kept")
+        .orderBy($"vec_id")
+    },
+    Some("""WITH base AS (SELECT vec_id,
+            |                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |              FROM embeddings WHERE vec_id < 128),
+            |corpus AS (SELECT * FROM base
+            |           UNION ALL SELECT vec_id + 1000, v FROM base WHERE vec_id < 8),
+            |cents AS (SELECT vec_id AS cell, v AS cv FROM corpus ORDER BY vec_id LIMIT 4),
+            |asg AS (SELECT vec_id, cell FROM (
+            |          SELECT c.vec_id, ct.cell,
+            |                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+            |                   list_inner_product(c.v, ct.cv) /
+            |                     (sqrt(list_inner_product(c.v, c.v)) *
+            |                      sqrt(list_inner_product(ct.cv, ct.cv))) DESC,
+            |                   ct.cell) AS rn
+            |          FROM corpus c, cents ct) WHERE rn = 1),
+            |mem AS (SELECT a.vec_id, a.cell, c.v
+            |        FROM asg a JOIN corpus c USING (vec_id)),
+            |wit AS (SELECT b.vec_id AS bid, min(a.vec_id) AS dup_of
+            |        FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            |        WHERE list_inner_product(a.v, b.v) /
+            |                (sqrt(list_inner_product(a.v, a.v)) *
+            |                 sqrt(list_inner_product(b.v, b.v))) >= 0.9
+            |        GROUP BY b.vec_id)
+            |SELECT asg.vec_id, asg.cell, wit.dup_of,
+            |       CASE WHEN wit.dup_of IS NULL THEN 1 ELSE 0 END AS kept
+            |FROM asg LEFT JOIN wit ON asg.vec_id = wit.bid
+            |ORDER BY vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106)
+    q104, q105, q106, q107, q108, q109, q110)
 }

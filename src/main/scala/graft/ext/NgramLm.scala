@@ -137,6 +137,110 @@ object NgramLm {
         count(lit(1)).cast("double") / lit(1e6)).as("lm_score"))
   }
 
+  /** Interpolated Kneser–Ney scoring face — the smoothing KenLM/CCNet
+    * actually ship — kept oracle-exact by the same rational discipline
+    * as [[scoreDocsInterpolated]]. Per candidate bigram (w1, w2):
+    *
+    *   pcont(w2) = (N1+(·w2) + 1) / (B + V)
+    *   p = max(c12 − D, 0)/c1 + (D · N1+(w1·) / c1) · pcont(w2)   when c1 > 0
+    *   p = pcont(w2)                                              when c1 = 0
+    *
+    * where N1+(w1·) / N1+(·w2) are the distinct-continuation /
+    * distinct-history counts (derived from the model's bigram table —
+    * each row there IS a distinct bigram), B the distinct-bigram count
+    * and V the vocabulary. Two deltas from the textbook form, both
+    * documented choices: the continuation distribution is add-one
+    * smoothed over B+V (textbook KN gives an unseen w2 zero mass,
+    * which would zero whole documents — a curation scorer needs OOV
+    * mass, the same reason [[scoreDocs]] is add-one), and unseen
+    * HISTORIES back off to pcont alone rather than to a held-out
+    * λ-weighted mix (c1 = 0 leaves no count to discount).
+    *
+    * Exactness: D = 0.75 is dyadic, c12 − 0.75 and 0.75·N1+ are exact
+    * doubles (integer ± dyadic below 2⁵⁰), every division is one
+    * exactly-rounded IEEE op mirrored verbatim in the oracle SQL, and
+    * the per-document mean is the usual 1e6-prescaled DECIMAL(38,6)
+    * order-invariant sum. What KN buys over Jelinek–Mercer: the
+    * back-off weight is per-HISTORY (D·N1+(w1·)/c1 — promiscuous
+    * histories back off harder) and the back-off distribution rewards
+    * words seen after MANY distinct histories rather than raw-frequent
+    * words — "san francisco"-soup stops inflating p(francisco|·).
+    * What it does NOT buy (measured, NgramLmSpec): ordering known-word
+    * salad above OOV gibberish — a seen history discounts its unseen
+    * continuations by the small λ(w1) while an unseen history falls
+    * back to the (larger) bland continuation prior, the KN-shaped
+    * cousin of add-one's artifact. A curation cut that needs the
+    * salad ≻ gibberish ordering should read [[scoreDocsInterpolated]];
+    * this face is for in-distribution ranking with honest
+    * history-confidence discounting.
+    *
+    * Output: (doc_id, n_bigrams, n_oov, lm_score).
+    */
+  def scoreDocsKneserNey(docs: DataFrame, id: Column, text: Column,
+                         model: NgramModel): DataFrame = {
+    // continuation tables derived from the (distinct-by-construction)
+    // bigram count table: one row per distinct (w1,w2) pair
+    val grams = model.bigrams.select(
+      substring_index(col("gram"), " ", 1).as("w1"),
+      substring_index(col("gram"), " ", -1).as("w2"))
+    val fwd = grams.groupBy(col("w1")).agg(count(lit(1)).as("__n1pf"))
+    val bwd = grams.groupBy(col("w2")).agg(count(lit(1)).as("__n1pb"))
+    // distinct-bigram total: bounded driver-side scalar (the model is
+    // vocabulary-sized state, not corpus-sized — same class as train()'s
+    // vocab head())
+    val bTotal = model.bigrams.count()
+    val denom = (bTotal + model.vocabSize).toDouble
+    val b = bigramRows(docs, id, text)
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+      .join(model.bigrams.select(col("gram"), col("c12").as("__c12")),
+        Seq("gram"), "left")
+      .join(model.history.select(col("w1"), col("c1").as("__c1")),
+        Seq("w1"), "left")
+      .join(fwd, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left")
+      .withColumn("__pcont",
+        (coalesce(col("__n1pb"), lit(0L)).cast("double") + lit(1.0)) / lit(denom))
+      .withColumn("__p",
+        when(coalesce(col("__c1"), lit(0L)) > 0L,
+          greatest(coalesce(col("__c12"), lit(0L)).cast("double") - lit(0.75),
+            lit(0.0)) / col("__c1").cast("double") +
+          ((lit(0.75) * coalesce(col("__n1pf"), lit(0L)).cast("double")) /
+            col("__c1").cast("double")) * col("__pcont"))
+        .otherwise(col("__pcont")))
+    b.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(when(col("__c12").isNull, 1L).otherwise(0L)).as("n_oov"),
+      (sum((col("__p") * lit(1e6)).cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double") / lit(1e6)).as("lm_score"))
+  }
+
+  /** CCNet-style perplexity bucketing: label every scored document
+    * head / middle / tail by exact global rank on (score DESC, id ASC)
+    * — head = best-scoring third, the slice CCNet keeps outright.
+    * Integer-threshold arithmetic (3·rank ≤ n, ≤ 2n) so the bucket
+    * boundary is exact cross-engine; ties on score break on id, and
+    * the scores themselves hash-match cross-engine (the q101/q103
+    * gates), so the labeling is deterministic end to end.
+    *
+    * The exact-rank face needs one global sort (this IS the oracle
+    * semantics — same class as the top/bottom-k reporting gates). At
+    * corpus scale swap the thresholds for
+    * [[QualityFilter.quantileBandSketch]] cut points — mergeable
+    * sketch, no global sort — and keep the same labeling rule.
+    */
+  def perplexityBuckets(scored: DataFrame, id: Column, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(score.desc, id.asc)
+    scored.select(id.as("doc_id"), score.as("lm_score"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket",
+        when(col("__rn") * 3 <= col("__n"), lit("head"))
+          .when(col("__rn") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lm_score"), col("bucket"))
+  }
+
   /** Classic average log-probability (≈ −ln perplexity) — in-engine
     * ranking use only; ln() is not bit-stable cross-engine (the
     * [[Keywords.tfIdfLog]] precedent). Monotonic per-term in the

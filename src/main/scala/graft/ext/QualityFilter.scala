@@ -78,4 +78,74 @@ object QualityFilter {
     df.crossJoin(broadcast(cuts))
       .filter(metric.cast("double").between(col("cut_lo"), col("cut_hi")))
   }
+
+  /** The eight Gopher words a document must contain two of (the
+    * fixed-rule complement to the distribution-relative bands above).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style fixed-rule quality cascade (Rae et al. 2021, the
+    * rule set RedPajama/Dolma reuse): per document, the integer stats
+    * each rule reads plus one 0/1 flag per rule and the conjunction.
+    * Every comparison is INTEGER arithmetic (3·n ≤ Σlen, not Σlen/n ≥
+    * 3.0) so the cascade is exact cross-engine — no ratio ever hits a
+    * float boundary.
+    *
+    * Rules: word count in [50, 100 000]; mean word length in [3, 10];
+    * `#`-or-`…` symbol-to-word ratio ≤ 0.1; ≤ 90% of lines bullet-led;
+    * ≤ 30% of lines ellipsis-terminated; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 distinct [[GopherStopwords]] present.
+    *
+    * Scale: one projection-only scan, zero shuffles, zero joins — every
+    * stat is a per-row expression (the line/token filters are bounded
+    * higher-order passes over that row's own splits), so the cascade
+    * runs wherever the scan runs and survives any corpus size by
+    * construction. Counting conventions pinned for the oracle: `...`
+    * occurrences count non-overlapping left-to-right (replace-scan
+    * semantics, identical in both engines), lines split on `\n`,
+    * tokens on runs of whitespace.
+    */
+  def gopherFlags(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(trim(text), "\\s+")
+    val toksLower = split(trim(lower(text)), "\\s+")
+    val lines = split(text, "\n")
+    val nWords = size(toks).cast("long")
+    val sumLen = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEllipsis = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val nEllEnd = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(
+      array(GopherStopwords.map(lit): _*),
+      w => array_contains(toksLower, w))).cast("long")
+    df.select(
+        id.as("doc_id"), nWords.as("n_words"), sumLen.as("sum_word_len"),
+        nHash.as("n_hash"), nEllipsis.as("n_ellipsis"), nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEllEnd.as("n_ellipsis_lines"),
+        nAlpha.as("n_alpha_words"), nStop.as("n_stopwords"))
+      .withColumn("f_word_count",
+        (col("n_words") >= 50L && col("n_words") <= 100000L).cast("long"))
+      .withColumn("f_mean_word_len",
+        (col("n_words") * 3L <= col("sum_word_len") &&
+          col("sum_word_len") <= col("n_words") * 10L).cast("long"))
+      .withColumn("f_symbol_ratio",
+        ((col("n_hash") + col("n_ellipsis")) * 10L <= col("n_words")).cast("long"))
+      .withColumn("f_bullet_lines",
+        (col("n_bullet_lines") * 10L <= col("n_lines") * 9L).cast("long"))
+      .withColumn("f_ellipsis_lines",
+        (col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L).cast("long"))
+      .withColumn("f_alpha_words",
+        (col("n_alpha_words") * 5L >= col("n_words") * 4L).cast("long"))
+      .withColumn("f_stopwords", (col("n_stopwords") >= 2L).cast("long"))
+      .withColumn("passes",
+        (col("f_word_count") === 1L && col("f_mean_word_len") === 1L &&
+          col("f_symbol_ratio") === 1L && col("f_bullet_lines") === 1L &&
+          col("f_ellipsis_lines") === 1L && col("f_alpha_words") === 1L &&
+          col("f_stopwords") === 1L).cast("long"))
+  }
 }

@@ -98,6 +98,68 @@ class NgramLmSpec extends SparkTestBase {
       s"got ${one.getDouble(3)}, expected $expected (V=$v)")
   }
 
+  test("Kneser–Ney face: full curation ordering, and continuation counts beat raw frequency") {
+    val model = NgramLm.train(reference, $"text")
+    val kn = NgramLm.scoreDocsKneserNey(candidates, $"doc_id", $"text", model)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val kIn = kn(100L).getDouble(3)
+    val kSalad = kn(101L).getDouble(3)
+    val kJunk = kn(102L).getDouble(3)
+    info(f"kneser-ney lm_score: in-dist=$kIn%.6f salad=$kSalad%.6f oov=$kJunk%.6f")
+    // KN separates real text from both noise classes. It does NOT
+    // order salad above junk: a seen history discounts its unseen
+    // continuations by λ(w1) = D·N1+(w1·)/c1 — far below the bland
+    // continuation prior an unseen history falls back to. That is
+    // textbook KN (confident histories punish surprises hardest);
+    // ordering known-word soup above unknown-word soup remains the
+    // Jelinek–Mercer face's job (see the separation test above).
+    assert(kIn > kSalad && kIn > kJunk,
+      f"KN must put in-dist above both noise classes, got $kIn%.6f / $kSalad%.6f / $kJunk%.6f")
+
+    // THE property KN buys over Jelinek–Mercer: the back-off rewards
+    // words seen after MANY DISTINCT histories, not raw-frequent words.
+    // "francisco" appears 5 times but always after "san" (one distinct
+    // history); "day" appears 3 times after 3 distinct histories. After
+    // an unseen history both faces are pure back-off — JM (unigram
+    // back-off) ranks francisco above day, KN (continuation back-off)
+    // ranks day above francisco.
+    val ref2 = Seq(
+      "we saw san francisco at dawn",
+      "san francisco is hilly",
+      "back to san francisco again",
+      "san francisco by night",
+      "crossing san francisco slowly",
+      "one fine day",
+      "another good day",
+      "a long day").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val m2 = NgramLm.train(ref2, $"text")
+    val probes = Seq((1L, "zzzq francisco"), (2L, "zzzq day")).toDF("doc_id", "text")
+    val knP = NgramLm.scoreDocsKneserNey(probes, $"doc_id", $"text", m2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
+    val jmP = NgramLm.scoreDocsInterpolated(probes, $"doc_id", $"text", m2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
+    info(f"after unseen history: KN francisco=${knP(1L)}%.8f day=${knP(2L)}%.8f; " +
+      f"JM francisco=${jmP(1L)}%.8f day=${jmP(2L)}%.8f")
+    assert(knP(2L) > knP(1L),
+      "KN continuation back-off must rank the many-history word above the one-history word")
+    assert(jmP(1L) > jmP(2L),
+      "fixture invariant: JM's raw-frequency back-off must rank them the other way")
+  }
+
+  test("Kneser–Ney unseen-history bigram scores exactly the add-one continuation probability") {
+    val model = NgramLm.train(reference, $"text")
+    val b = model.bigrams.count()
+    val denom = (b + model.vocabSize).toDouble
+    val one = NgramLm.scoreDocsKneserNey(Seq((1L, "zzz qqq")).toDF("doc_id", "text"),
+      $"doc_id", $"text", model).collect().head
+    assert(one.getLong(1) == 1 && one.getLong(2) == 1)
+    // pcont(qqq) = (0 + 1)/(B + V), then the 1e6 DECIMAL quantization
+    val expected = math.floor(1.0 / denom * 1e6 * 1e6 + 0.5) / 1e6 / 1e6
+    assert(math.abs(one.getDouble(3) - expected) < 1e-12,
+      s"got ${one.getDouble(3)}, expected $expected (B=$b, V=${model.vocabSize})")
+  }
+
   test("documents with fewer than two tokens drop out; model round-trips through parquet") {
     val model = NgramLm.train(reference, $"text")
     val scored = NgramLm.scoreDocs(
