@@ -3667,11 +3667,93 @@ object ExtQueries {
             |FROM asg LEFT JOIN wit ON asg.vec_id = wit.bid
             |ORDER BY vec_id""".stripMargin))
 
+  /** DSIR-style importance weighting under the oracle gate
+    * ([[graft.ext.Dsir]]): a target LM trains on the in-domain slice
+    * (documents mentioning "spark"), a raw LM on the whole corpus;
+    * every document's importance weight is the ratio of its two
+    * Jelinek–Mercer scores (each the q103-gated rational face, the
+    * ratio one further IEEE division of bit-identical doubles), and
+    * the top quarter by weight is selected with integer rank
+    * arithmetic. The oracle replays BOTH train→score pipelines and
+    * the ranked cut from scratch.
+    */
+  val q111 = Q(
+    "q111_dsir_weights",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val tm = NgramLm.train(docs.filter($"text".contains("spark")), $"text")
+      val rm = NgramLm.train(docs, $"text")
+      val w = graft.ext.Dsir.importanceWeights(docs, $"doc_id", $"text", tm, rm)
+      graft.ext.Dsir.selectTopFraction(w, $"doc_id", $"weight", 1, 4)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH src AS (SELECT doc_id, text FROM documents),
+            |tgt AS (SELECT doc_id, text FROM src WHERE text LIKE '%spark%'),
+            |rtokR AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM src),
+            |toksR AS (SELECT unnest(t) AS tok FROM rtokR),
+            |totsR AS (SELECT count(DISTINCT tok) AS v, count(*) AS n FROM toksR),
+            |uniR AS (SELECT tok, count(*) AS cu FROM toksR GROUP BY tok),
+            |rbigR AS (SELECT t[i] || ' ' || t[i+1] AS gram, t[i] AS w1
+            |          FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            |                FROM rtokR WHERE len(t) >= 2)),
+            |bcR AS (SELECT gram, count(*) AS c12 FROM rbigR GROUP BY gram),
+            |hcR AS (SELECT w1, count(*) AS c1 FROM rbigR GROUP BY w1),
+            |rtokT AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM tgt),
+            |toksT AS (SELECT unnest(t) AS tok FROM rtokT),
+            |totsT AS (SELECT count(DISTINCT tok) AS v, count(*) AS n FROM toksT),
+            |uniT AS (SELECT tok, count(*) AS cu FROM toksT GROUP BY tok),
+            |rbigT AS (SELECT t[i] || ' ' || t[i+1] AS gram, t[i] AS w1
+            |          FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            |                FROM rtokT WHERE len(t) >= 2)),
+            |bcT AS (SELECT gram, count(*) AS c12 FROM rbigT GROUP BY gram),
+            |hcT AS (SELECT w1, count(*) AS c1 FROM rbigT GROUP BY w1),
+            |ctok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM src),
+            |cbig AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram, t[i] AS w1, t[i+1] AS w2
+            |         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            |               FROM ctok WHERE len(t) >= 2)),
+            |jR AS (SELECT doc_id,
+            |              CASE WHEN coalesce(hcR.c1, 0) > 0
+            |                   THEN 0.75 * (CAST(coalesce(bcR.c12, 0) AS DOUBLE) /
+            |                                CAST(hcR.c1 AS DOUBLE))
+            |                   ELSE 0.0 END +
+            |              0.25 * ((CAST(coalesce(uniR.cu, 0) AS DOUBLE) + 1.0) /
+            |                      CAST(n + v AS DOUBLE)) AS p
+            |       FROM cbig LEFT JOIN bcR USING (gram) LEFT JOIN hcR USING (w1)
+            |                 LEFT JOIN uniR ON cbig.w2 = uniR.tok, totsR),
+            |scoredR AS (SELECT doc_id,
+            |                   CAST(SUM(CAST(p * 1e6 AS DECIMAL(38,6))) AS DOUBLE) /
+            |                     CAST(count(*) AS DOUBLE) / 1e6 AS score_raw
+            |            FROM jR GROUP BY doc_id),
+            |jT AS (SELECT doc_id,
+            |              CASE WHEN coalesce(hcT.c1, 0) > 0
+            |                   THEN 0.75 * (CAST(coalesce(bcT.c12, 0) AS DOUBLE) /
+            |                                CAST(hcT.c1 AS DOUBLE))
+            |                   ELSE 0.0 END +
+            |              0.25 * ((CAST(coalesce(uniT.cu, 0) AS DOUBLE) + 1.0) /
+            |                      CAST(n + v AS DOUBLE)) AS p
+            |       FROM cbig LEFT JOIN bcT USING (gram) LEFT JOIN hcT USING (w1)
+            |                 LEFT JOIN uniT ON cbig.w2 = uniT.tok, totsT),
+            |scoredT AS (SELECT doc_id,
+            |                   CAST(SUM(CAST(p * 1e6 AS DECIMAL(38,6))) AS DOUBLE) /
+            |                     CAST(count(*) AS DOUBLE) / 1e6 AS score_target
+            |            FROM jT GROUP BY doc_id),
+            |joined AS (SELECT doc_id, score_target, score_raw,
+            |                  score_target / score_raw AS weight
+            |           FROM scoredT JOIN scoredR USING (doc_id)),
+            |ranked AS (SELECT *,
+            |                  row_number() OVER (ORDER BY weight DESC, doc_id) AS rn,
+            |                  count(*) OVER () AS nn
+            |           FROM joined)
+            |SELECT doc_id, score_target, score_raw, weight,
+            |       CAST(rn * 4 <= nn AS BIGINT) AS selected
+            |FROM ranked ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q108, q109, q110)
+    q104, q105, q106, q107, q108, q109, q110, q111)
 }

@@ -176,4 +176,16 @@ object DocStream {
           if (interpolated) NgramLm.scoreDocsInterpolated(batch, id, text, model)
           else NgramLm.scoreDocs(batch, id, text, model))
       }
+
+  /** Gopher fixed-rule screening at ingest — the cheapest filter in
+    * the admission chain, so it runs FIRST on a crawl stream (every
+    * rule is a per-row expression over the document's own text: no
+    * model, no state, no join). Stateless and batch-invariant by
+    * construction ([[graft.ext.QualityFilter.gopherFlags]] reads one
+    * row at a time), pinned in StreamingSpec; compose the `passes`
+    * column with [[admitNew]]/the decontamination screens for the
+    * full admission cascade.
+    */
+  def gopherScreened(docs: DataFrame, id: Column, text: Column): DataFrame =
+    graft.ext.QualityFilter.gopherFlags(docs, id, text)
 }

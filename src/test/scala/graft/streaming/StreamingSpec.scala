@@ -760,6 +760,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocStream.gopherScreened flags a doc stream batch-identically, stateless, across micro-batch splits") {
+    import graft.ext.QualityFilter
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val batch = QualityFilter.gopherFlags(docs, $"doc_id", $"text")
+      .collect().map(_.toSeq).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("gopher-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+
+    val q = DocStream.gopherScreened(stream, $"doc_id", $"text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_screen").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_screen").collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("DocStream.lmScored scores a doc stream batch-identically regardless of micro-batching, zero state") {
     import graft.ext.NgramLm
     val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
