@@ -3749,11 +3749,203 @@ object ExtQueries {
             |       CAST(rn * 4 <= nn AS BIGINT) AS selected
             |FROM ranked ORDER BY doc_id""".stripMargin))
 
+  /** WARC round-trip under the oracle gate: serialize every document as
+    * a WARC/1.0 response record (headers built by codegen'd column
+    * expressions), gzip each record into its own member
+    * ([[graft.ext.Warc.gzipRecords]]), concatenate members into 8
+    * deterministic `.warc.gz`-shaped blobs, then parse the blobs back
+    * with the Content-Length-driven streaming walk
+    * ([[graft.ext.Warc.parseRecords]] with per-partition multi-member
+    * gunzip). The gate projects the parsed header fields plus an md5 of
+    * the recovered payload bytes, so a single bit of loss anywhere in
+    * build → compress → concat → inflate → parse flips the hash; the
+    * oracle computes the same fields straight from `documents`,
+    * independent of any WARC machinery.
+    */
+  val q112 = Q(
+    "q112_warc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val rec = graft.ext.Warc.recordBytes(
+        concat(lit("urn:graft:doc:"), $"doc_id"),
+        concat(lit("https://"), $"source", lit(".example/"), $"doc_id"),
+        $"text")
+      val gz = graft.ext.Warc.gzipRecords(
+        docs, pmod($"doc_id", lit(8)), $"doc_id", rec)
+      val blobs = graft.ext.Warc.buildBlobs(
+        gz, col("blob_id"), col("ord"), col("rec"))
+      graft.ext.Warc.parseRecords(blobs, col("blob_id"), col("blob"),
+                                  gzipped = true)
+        .select(
+          regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long").as("doc_id"),
+          $"warc_type", $"target_uri", $"content_length",
+          md5($"payload").as("payload_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+                   'response' AS warc_type,
+                   'https://' || source || '.example/' || CAST(doc_id AS VARCHAR)
+                     AS target_uri,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+                   md5(text) AS payload_md5
+            FROM documents ORDER BY doc_id"""))
+
+  /** Z-order layout under the oracle gate: normalize l_shipdate (days
+    * since 1995-01-01) and l_quantity (×80 grid) onto a 12-bit grid,
+    * Morton-interleave ([[graft.ops.Layout.zValue]] — a codegen'd
+    * 24-term shift/mask fold), slice the top 8 z bits into quadtree
+    * cells, and emit each cell's min-max index — the structure a
+    * 100 TB reader prunes files with. The oracle re-derives the full
+    * bit interleave in DuckDB integer arithmetic, so any disagreement
+    * in a single bit position moves rows across cells and breaks the
+    * hash. Cell spans measured at sf0.01: 160 cells, 80% skippable for
+    * a one-year date slice, 75% for a quantity band (LayoutSpec pins
+    * the skip-rate floor; the balanced `repartitionByRange` write face
+    * is plan-pinned there too).
+    */
+  val q113 = Q(
+    "q113_zorder_stats",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      graft.ops.Layout.cellStats(
+        li,
+        datediff($"l_shipdate", lit("1995-01-01")),
+        floor($"l_quantity" * 80),
+        bits = 12, cellBits = 8)
+        .orderBy($"cell")
+    },
+    Some {
+      // zValue convention (pinned by q76): x on ODD bit positions, y even
+      val terms = (0 until 12).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i + 1}) | (((y >> $i) & 1) << ${2 * i})"
+      }.mkString(" | ")
+      s"""WITH g AS (SELECT CAST(date_diff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS x,
+                            CAST(floor(l_quantity * 80) AS BIGINT) AS y
+                     FROM lineitem)
+          SELECT (($terms) >> 16) AS cell,
+                 count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+                 min(y) AS min_y, max(y) AS max_y
+          FROM g GROUP BY 1 ORDER BY cell"""
+    })
+
+  /** Count-Min sketch under the oracle gate: the full depth×width
+    * counter matrix ([[graft.functions.CountMinAgg]] — bounded
+    * mergeable state, map-side partial matrices) built over document
+    * tokens with the portable md5/affine hash family, emitted as
+    * non-zero (j, col, cnt) cells. Width 32 over a 31-token vocabulary
+    * forces real collisions, so the oracle mirror (same Horner hash,
+    * same splitmix64 slot constants, same mod) must land every
+    * colliding token in the same cell to hash-match.
+    */
+  val q114 = Q(
+    "q114_cm_sketch",
+    (s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(trim($"text")), "\\s+")).as("tok"))
+      graft.ext.CountMin.sketchCells(toks, $"tok", depth = 4, width = 32)
+        .orderBy($"j", $"col")
+    },
+    Some {
+      val slotVals = (0 until 4).map(i =>
+        s"($i, ${MinHashLsh.portableMul(i)}, ${MinHashLsh.portableAdd(i)})").mkString(", ")
+      s"""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                        FROM documents),
+          hx AS (SELECT md5(tok) AS h FROM toks),
+          hh AS (SELECT $hornerSql AS h32 FROM hx),
+          slots(j, mul, addc) AS (VALUES $slotVals),
+          cells AS (SELECT j, (h32 * mul + addc) % 32 AS col FROM hh CROSS JOIN slots)
+          SELECT CAST(j AS BIGINT) AS j, col, count(*) AS cnt
+          FROM cells GROUP BY 1, 2 ORDER BY j, col"""
+    })
+
+  /** Heavy hitters via sketch-prune + exact confirm: bigram keys (916
+    * distinct) sketched at width 64 — heavy collisions by design, so
+    * estimates genuinely over-count — then candidates are confirmed
+    * with an exact count over only candidate rows. The gate output is
+    * EXACT (collisions can add candidates, never survivors), which is
+    * why a plain GROUP BY ... HAVING oracle matches regardless of the
+    * sketch's internal collision pattern. CountMinSpec pins the
+    * overcount-only invariant and the candidate-superset property.
+    */
+  val q115 = Q(
+    "q115_cm_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ts"))
+        .filter(size($"ts") >= 2)
+      val bigrams = toks.select(
+        explode(expr("transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))"))
+          .as("g"))
+      graft.ext.CountMin.heavyHittersExact(bigrams, $"g", threshold = 40L,
+                                           depth = 4, width = 64)
+        .orderBy($"key")
+    },
+    Some("""WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+            big AS (SELECT t[i] || ' ' || t[i+1] AS g
+                    FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                          FROM t WHERE len(t) >= 2))
+            SELECT g AS key, count(*) AS n
+            FROM big GROUP BY g HAVING count(*) >= 40 ORDER BY key"""))
+
+  /** Within-doc duplicate-line removal (CCNet dedup_lines) under the
+    * oracle gate: corpus docs (single-line — pass through unchanged,
+    * proving no false removals) plus three planted multi-line docs — a
+    * nav block repeated mid-page and at the foot, an exact triple
+    * repeat, and an all-unique control. Zero-shuffle per-row op
+    * ([[graft.ext.TextAnalysis.dedupLinesWithin]] — `array_distinct`
+    * keeps first occurrences in order); the oracle re-derives
+    * keep-first-in-order with an explicit min-position GROUP BY +
+    * position-ordered string_agg, independent of any list-dedup
+    * ordering semantics.
+    */
+  val q116 = Q(
+    "q116_dedup_lines_within",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (900001L, "nav home about\nreal content one\nnav home about\nreal content two\nnav home about"),
+        (900002L, "same line\nsame line\nsame line"),
+        (900003L, "alpha\nbeta\ngamma")
+      ).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      TextAnalysis.dedupLinesWithin(docs, $"doc_id", $"text")
+        .select($"id".as("doc_id"), $"clean_text", $"n_lines", $"n_removed")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH src AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL SELECT * FROM (VALUES
+                (900001, 'nav home about' || chr(10) || 'real content one' || chr(10) ||
+                         'nav home about' || chr(10) || 'real content two' || chr(10) ||
+                         'nav home about'),
+                (900002, 'same line' || chr(10) || 'same line' || chr(10) || 'same line'),
+                (900003, 'alpha' || chr(10) || 'beta' || chr(10) || 'gamma')
+              ) v(doc_id, text)),
+            ls AS (SELECT doc_id, ls[i] AS line, i
+                   FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+                        unnest(generate_series(1, len(ls))) AS u(i)),
+            firsts AS (SELECT doc_id, line, min(i) AS fi
+                       FROM ls GROUP BY doc_id, line),
+            agg AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY fi) AS clean_text,
+                           count(*) AS n_kept
+                    FROM firsts GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM ls GROUP BY doc_id)
+            SELECT doc_id, clean_text, n_lines, n_lines - n_kept AS n_removed
+            FROM agg JOIN tot USING (doc_id) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
     q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
-    q104, q105, q106, q107, q108, q109, q110, q111)
+    q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
+    q116)
 }

@@ -281,4 +281,28 @@ object TextAnalysis {
     array_distinct(transform(sequence(lit(1), nWins),
       i => array_min(slice(hashes, i, lit(w)))))
   }
+
+  /** WITHIN-document duplicate-line removal (CCNet's `dedup_lines` /
+    * the in-page half of C4's line dedup): drop every repeat of a line
+    * inside the SAME document, keeping the first occurrence in
+    * original order. Complements [[ParagraphDedup]], which removes
+    * lines duplicated ACROSS documents — a nav menu repeated ten times
+    * within one page is invisible to a cross-doc df count when the
+    * page itself is unique.
+    *
+    * Pure per-row expression — `array_distinct` preserves
+    * first-occurrence order by contract — so the operator is
+    * ZERO-shuffle and stays inside whole-stage codegen: at 100 TB it
+    * rides along any scan for free. Output: (id, clean_text, n_lines,
+    * n_removed).
+    */
+  def dedupLinesWithin(df: DataFrame, id: Column, text: Column,
+                       sep: String = "\n"): DataFrame = {
+    val ls = split(text, java.util.regex.Pattern.quote(sep))
+    val kept = array_distinct(ls)
+    df.select(id.as("id"),
+              array_join(kept, sep).as("clean_text"),
+              size(ls).cast("long").as("n_lines"),
+              (size(ls) - size(kept)).cast("long").as("n_removed"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, concat, count, lit, max, min, shiftleft, shiftright, sum, when}
 
 /** Physical data layout for scale (SURVEY §8 scale notes): how tables
   * should be WRITTEN so the expensive operations never happen at read
@@ -103,4 +103,59 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** [[zValue]] with a range guard: a key wider than `bits` would
+    * silently alias distant values into the same curve position and
+    * corrupt the layout, so out-of-range input fails the query
+    * instead. Same bit convention as zValue (x odd, y even) — pinned
+    * by gate q76.
+    */
+  def zValueChecked(x: Column, y: Column, bits: Int): Column = {
+    val xi = x.cast("long"); val yi = y.cast("long")
+    val lim = lit(1L << bits)
+    val guard = assert_true(
+      xi >= 0 && xi < lim && yi >= 0 && yi < lim,
+      concat(lit(s"zValue: key outside [0, 2^$bits): x="),
+             xi.cast("string"), lit(" y="), yi.cast("string")))
+    when(guard.isNull, zValue(xi, yi, bits)).otherwise(lit(0L))
+  }
+
+  /** Quadtree cell id: the top `cellBits` bits of the z-value — the
+    * FIXED-slicing complement to [[zOrderedWrite]]'s sampled range
+    * boundaries. Pure arithmetic (zero-shuffle), deterministic at any
+    * scale and oracle-checkable cross-engine; rows in a cell are
+    * contiguous in BOTH key dimensions, so per-cell min-max spans are
+    * tight. Cells can be uneven on skewed data — balance is what the
+    * sampled write face buys instead.
+    */
+  def zCell(x: Column, y: Column, bits: Int, cellBits: Int): Column = {
+    require(cellBits >= 1 && cellBits <= 2 * bits,
+      s"cellBits must be in [1, ${2 * bits}], got $cellBits")
+    shiftright(zValueChecked(x, y, bits), 2 * bits - cellBits)
+  }
+
+  /** Per-cell layout statistics — the min-max index a reader would
+    * prune with. One partial-aggregated shuffle on the cell id.
+    */
+  def cellStats(df: DataFrame, x: Column, y: Column, bits: Int,
+                cellBits: Int): DataFrame =
+    df.select(zCell(x, y, bits, cellBits).as("cell"),
+              x.cast("long").as("x"), y.cast("long").as("y"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+           min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  /** Skip-rate of a min-max index for a conjunctive range predicate:
+    * how many cells (files) a reader can prove disjoint from the query
+    * box on EITHER column and never open. A second tiny aggregate over
+    * the stats frame — no driver loop.
+    */
+  def skipRate(stats: DataFrame,
+               xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame =
+    stats.agg(
+      count(lit(1)).as("n_cells"),
+      coalesce(sum(when(col("max_x") < xLo || col("min_x") > xHi ||
+                        col("max_y") < yLo || col("min_y") > yHi, 1L)
+                     .otherwise(0L)), lit(0L)).as("n_skipped"))
 }

@@ -121,4 +121,65 @@ class LayoutSpec extends SparkTestBase {
     // z-curve cuts the mean bounding box by well over 2x
     assert(zArea * 2 < randArea, s"z=$zArea rand=$randArea")
   }
+
+  private def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))
+    }
+
+  test("zValue matches an independent Morton reference on an exhaustive small grid") {
+    val grid = for { x <- 0 until 32; y <- 0 until 32 } yield (x.toLong, y.toLong)
+    val got = grid.toDF("x", "y")
+      .select($"x", $"y", Layout.zValue($"x", $"y", 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == mortonRef(x, y, 5), s"($x,$y)")
+    }
+  }
+
+  test("zValueChecked: out-of-range key fails loudly instead of aliasing into a wrong cell") {
+    val e = intercept[Exception] {
+      Seq((4096L, 1L)).toDF("x", "y")
+        .select(Layout.zValueChecked($"x", $"y", 12)).collect()
+    }
+    assert(e.getMessage.contains("zValue") || e.getCause != null)
+  }
+
+  test("cell stats give the skip rates the q113 gate claims (floors)") {
+    val li = Tables.lineitem(spark, dir)
+    val stats = Layout.cellStats(
+      li, datediff($"l_shipdate", lit("1995-01-01")),
+      floor($"l_quantity" * 80), bits = 12, cellBits = 8).cache()
+    try {
+      def frac(r: org.apache.spark.sql.Row) =
+        r.getLong(1).toDouble / r.getLong(0).toDouble
+      val dateSkip = Layout.skipRate(stats, 0L, 365L, Long.MinValue / 4, Long.MaxValue / 4)
+        .collect().head
+      val qtySkip = Layout.skipRate(stats, Long.MinValue / 4, Long.MaxValue / 4, 800L, 1600L)
+        .collect().head
+      assert(frac(dateSkip) >= 0.6, s"date slice skip ${frac(dateSkip)}")
+      assert(frac(qtySkip) >= 0.6, s"quantity band skip ${frac(qtySkip)}")
+      // an unclustered (hash) layout skips ~nothing on the same predicate:
+      // every hash bucket spans the full value range of both columns
+      val hashStats = li
+        .select(pmod(hash($"l_orderkey", $"l_linenumber"), lit(160)).cast("long").as("cell"),
+                datediff($"l_shipdate", lit("1995-01-01")).cast("long").as("x"),
+                floor($"l_quantity" * 80).cast("long").as("y"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), min($"x").as("min_x"), max($"x").as("max_x"),
+             min($"y").as("min_y"), max($"y").as("max_y"))
+      val hashSkip = Layout.skipRate(hashStats, 0L, 365L,
+        Long.MinValue / 4, Long.MaxValue / 4).collect().head
+      assert(frac(hashSkip) <= 0.05, s"hash layout should not prune, got ${frac(hashSkip)}")
+    } finally stats.unpersist()
+  }
+
+  test("cellStats plans as one partial-aggregated shuffle (zero-shuffle cell id)") {
+    val stats = Layout.cellStats(
+      Tables.lineitem(spark, dir), datediff($"l_shipdate", lit("1995-01-01")),
+      floor($"l_quantity" * 80), bits = 12, cellBits = 8)
+    val p = stats.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
 }
