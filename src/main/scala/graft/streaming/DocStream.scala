@@ -188,4 +188,30 @@ object DocStream {
     */
   def gopherScreened(docs: DataFrame, id: Column, text: Column): DataFrame =
     graft.ext.QualityFilter.gopherFlags(docs, id, text)
+
+  /** WARC ingest front door for a CRAWL stream: each arriving
+    * `.warc.gz`-style blob is inflated and split into records in one
+    * per-partition pass ([[graft.ext.Warc.parseRecords]] — the
+    * Content-Length-driven walk; mapPartitions is a legal stateless
+    * stream op, the [[graft.ext.Multimodal]] precedent), payloads are
+    * UTF-8 decoded, and the resulting documents run through the
+    * exact-content admission screen ([[admitNew]]) against the
+    * persisted corpus digest state — so re-crawled pages die at the
+    * door without any corpus text being re-read.
+    *
+    * Stateless end to end: no watermark, no state store; the one join
+    * is stream-static on 32-byte digests. Output: (record_id,
+    * target_uri, text) for admitted documents only. Same intra-stream
+    * caveat as [[admitNew]] (two copies of NEW content in one
+    * micro-batch both pass until digests fold back on the batch
+    * cadence).
+    */
+  def warcAdmitted(blobs: DataFrame, blobId: Column, blob: Column,
+                   corpusDigests: DataFrame,
+                   gzipped: Boolean = true): DataFrame = {
+    val docs = graft.ext.Warc.parseRecords(blobs, blobId, blob, gzipped)
+      .select(col("record_id"), col("target_uri"),
+              decode(col("payload"), "UTF-8").as("text"))
+    admitNew(docs, col("text"), corpusDigests)
+  }
 }

@@ -842,6 +842,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocStream.warcAdmitted: WARC blobs stream through parse + dedup admission batch-identically, stateless") {
+    import graft.ext.{ExactDedup, Warc}
+    // corpus already holds "seen page" — its re-crawl must die at the door
+    val corpus = Seq((1L, "seen page")).toDF("doc_id", "text")
+    val digests = ExactDedup.digestTable(corpus, $"text")
+    val crawl = Seq(
+      (10L, "fresh page one", "a"),
+      (11L, "seen page", "a"),      // re-crawl of corpus content
+      (12L, "fresh page two", "b")
+    ).toDF("doc_id", "text", "source")
+    val rec = Warc.recordBytes(
+      concat(lit("urn:graft:doc:"), $"doc_id"),
+      concat(lit("https://"), $"source", lit(".example/"), $"doc_id"),
+      $"text")
+    val gz = Warc.gzipRecords(crawl, pmod($"doc_id", lit(2)), $"doc_id", rec)
+    val blobs = Warc.buildBlobs(gz, col("blob_id"), col("ord"), col("rec"))
+
+    val batch = DocStream.warcAdmitted(blobs, col("blob_id"), col("blob"), digests)
+      .select($"record_id", $"target_uri", $"text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(batch.map(_._1) == Set("urn:graft:doc:10", "urn:graft:doc:12"),
+      s"re-crawled content must be screened out: $batch")
+
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream")
+    blobs.write.parquet(s"$dir/part1")
+    val stream = spark.readStream.schema(blobs.schema).parquet(s"$dir/part*")
+    val q = DocStream.warcAdmitted(stream, col("blob_id"), col("blob"), digests)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("warc_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("warc_stream")
+        .select($"record_id", $"target_uri", $"text")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed == batch)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("videoFrames decodes a media stream row-identically to batch, stateless (mapPartitions is a legal stream op)") {
     import graft.ext.Multimodal
     import java.awt.image.BufferedImage
