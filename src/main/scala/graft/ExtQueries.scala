@@ -3963,6 +3963,68 @@ object ExtQueries {
     },
     None)
 
+  /** Incremental aggregate-state maintenance, merge identity:
+    * merge(state(old), state(delta)) must equal state(full) — the
+    * materialized-rollup absorb-a-day path with no corpus rescan. The
+    * oracle computes state(full) directly (one GROUP BY with exact
+    * DECIMAL sums), so the gate pins the whole split → per-batch state
+    * → union-merge algebra against an implementation-free mirror.
+    */
+  val q118 = Q(
+    "q118_incremental_agg",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val old = li.filter($"l_orderkey" % 5 =!= 0)
+      val delta = li.filter($"l_orderkey" % 5 === 0)
+      graft.ops.IncrementalAgg.merge(
+        Seq(graft.ops.IncrementalAgg.state(old, Seq($"l_suppkey"), $"l_extendedprice"),
+            graft.ops.IncrementalAgg.state(delta, Seq($"l_suppkey"), $"l_extendedprice")),
+        Seq("l_suppkey"))
+        .orderBy($"l_suppkey")
+    },
+    Some("""SELECT l_suppkey, count(*) AS n,
+                   sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS s,
+                   min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+            FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
+
+  /** Retraction identity for the aggregate state: count/sum are exact
+    * group inverses; stored extrema survive with `stale_minmax`
+    * flagging EXACTLY the groups whose min or max the deleted batch
+    * touched (the affected-only rescan list — the [[graft.ext.Forget]]
+    * contract applied to rollup state). The oracle derives the same
+    * staleness from full-vs-deleted states independently.
+    */
+  val q119 = Q(
+    "q119_retract_agg",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val full = graft.ops.IncrementalAgg.state(li, Seq($"l_suppkey"), $"l_extendedprice")
+      val deleted = graft.ops.IncrementalAgg.state(
+        li.filter($"l_orderkey" % 7 === 0), Seq($"l_suppkey"), $"l_extendedprice")
+      graft.ops.IncrementalAgg.retract(full, deleted, Seq("l_suppkey"))
+        .orderBy($"l_suppkey")
+    },
+    Some("""WITH f AS (SELECT l_suppkey, count(*) AS n,
+                              sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS s,
+                              min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                       FROM lineitem GROUP BY l_suppkey),
+                 d AS (SELECT l_suppkey, count(*) AS n,
+                              sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS s,
+                              min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                       FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY l_suppkey)
+            SELECT f.l_suppkey,
+                   f.n - coalesce(d.n, 0) AS n,
+                   CAST(f.s - coalesce(d.s, CAST(0 AS DECIMAL(38,6)))
+                        AS DECIMAL(38,6)) AS s,
+                   f.mn, f.mx,
+                   (d.mn IS NOT DISTINCT FROM f.mn OR
+                    d.mx IS NOT DISTINCT FROM f.mx) AS stale_minmax
+            FROM f LEFT JOIN d USING (l_suppkey)
+            WHERE f.n - coalesce(d.n, 0) > 0
+            ORDER BY f.l_suppkey"""))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -3970,5 +4032,5 @@ object ExtQueries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117)
+    q116, q117, q118, q119)
 }

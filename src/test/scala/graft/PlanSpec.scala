@@ -346,6 +346,29 @@ class PlanSpec extends SparkTestBase {
       s"global window detected:\n$p")
   }
 
+  test("q112 WARC round-trip: two exchanges total (blob grouping + final sort), payload bytes shuffle once") {
+    val p = ExtQueries.q112.run(spark, dir).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q116 within-doc line dedup: zero-shuffle op — only the final sort exchanges") {
+    val p = ExtQueries.q116.run(spark, dir).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("hashpartitioning"), s"per-row op must not key-shuffle:\n$p")
+  }
+
+  test("q118/q119 incremental agg: maintenance joins state tables, never re-scans wide data") {
+    val p118 = ExtQueries.q118.run(spark, dir).queryExecution.executedPlan.toString
+    // per-batch states partial-aggregate before their shuffles
+    assert(p118.contains("partial_count") || p118.contains("partial_"), p118)
+    val p119 = ExtQueries.q119.run(spark, dir).queryExecution.executedPlan.toString
+    // the retract join is state×state — never a corpus-side SortMergeJoin
+    assert(!p119.contains("CartesianProduct"), p119)
+    // both scans are column-pruned to exactly the key/value/split columns
+    assert(p119.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double>"), p119)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")

@@ -842,6 +842,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("IncrementalAgg state absorbs micro-batches via foreachBatch merge; final state equals the one-pass recompute") {
+    import graft.ops.IncrementalAgg
+    val events = Tables.events(spark, sfDir).select($"user_id", $"value")
+    val dir = java.nio.file.Files.createTempDirectory("incagg-stream").toString + "/in"
+    events.repartition(3).write.parquet(dir)
+
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the production maintenance step: state-sized merge, no
+        // corpus rescan — stored state + this batch's partial state
+        val s = IncrementalAgg.state(batch, Seq(col("user_id")), col("value"))
+        state = Some(IncrementalAgg
+          .merge(state.toSeq :+ s, Seq("user_id")).localCheckpoint(true))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = state.get.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2),
+          r.getDouble(3), r.getDouble(4))).toMap
+      val want = IncrementalAgg.state(events, Seq($"user_id"), $"value")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDecimal(2),
+          r.getDouble(3), r.getDouble(4))).toMap
+      assert(got == want)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "maintenance lives in the sink; the stream itself is stateless")
+    } finally q.stop()
+  }
+
   test("DocStream.warcAdmitted: WARC blobs stream through parse + dedup admission batch-identically, stateless") {
     import graft.ext.{ExactDedup, Warc}
     // corpus already holds "seen page" — its re-crawl must die at the door
