@@ -4025,6 +4025,48 @@ object ExtQueries {
             WHERE f.n - coalesce(d.n, 0) > 0
             ORDER BY f.l_suppkey"""))
 
+  /** Skew-robust Z-order layout under the oracle gate: keys are first
+    * mapped onto a 12-bit grid by GLOBAL RANK
+    * ([[graft.ops.Layout.rankGrid]] — `(rank*4096) div n`, integer
+    * arithmetic, total tiebreak) so the marginal grid distribution is
+    * uniform by construction; the squared-price column is the planted
+    * skew (a fixed affine normalization measures 5.9× cell imbalance
+    * on it at sf0.01 where this face holds 1.11× — LayoutSpec pins
+    * the separation). The oracle re-derives
+    * both global ranks, the floor-division, the 24-term Morton
+    * interleave, and the per-cell spans independently.
+    */
+  val q120 = Q(
+    "q120_rank_zorder",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val tie = Seq($"l_orderkey", $"l_linenumber")
+      val xn = graft.ops.Layout.rankGrid(
+        $"l_extendedprice" * $"l_extendedprice", tie, 4096)
+      val yn = graft.ops.Layout.rankGrid(
+        datediff($"l_shipdate", lit("1995-01-01")), tie, 4096)
+      graft.ops.Layout.cellStats(li, xn, yn, bits = 12, cellBits = 6)
+        .orderBy($"cell")
+    },
+    Some {
+      val terms = (0 until 12).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i + 1}) | (((y >> $i) & 1) << ${2 * i})"
+      }.mkString(" | ")
+      s"""WITH r AS (
+            SELECT row_number() OVER (ORDER BY l_extendedprice * l_extendedprice,
+                                               l_orderkey, l_linenumber) - 1 AS xr,
+                   row_number() OVER (ORDER BY date_diff('day', DATE '1995-01-01', l_shipdate),
+                                               l_orderkey, l_linenumber) - 1 AS yr,
+                   count(*) OVER () AS n
+            FROM lineitem),
+          g AS (SELECT (xr * 4096) // n AS x, (yr * 4096) // n AS y FROM r)
+          SELECT (($terms) >> 18) AS cell,
+                 count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+                 min(y) AS min_y, max(y) AS max_y
+          FROM g GROUP BY 1 ORDER BY cell"""
+    })
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4032,5 +4074,5 @@ object ExtQueries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119)
+    q116, q117, q118, q119, q120)
 }

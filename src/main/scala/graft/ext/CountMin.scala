@@ -52,6 +52,20 @@ object CountMin {
               pmod(col("pos"), lit(width)).cast("long").as("col"),
               col("cnt"))
 
+  /** Merge sketch-cell tables from separate batches/shards/days into
+    * one — counter matrices add element-wise, so the cell form merges
+    * with a union + one STATE-sized re-aggregation (the
+    * [[graft.ops.IncrementalAgg]] maintenance shape; also the
+    * foreachBatch streaming step). Tables must share depth/width and
+    * hash family — the caller's contract, as with any sketch state.
+    */
+  def mergeCells(cells: Seq[DataFrame]): DataFrame = {
+    require(cells.nonEmpty, "mergeCells needs at least one cell table")
+    cells.reduce(_ unionByName _)
+      .groupBy(col("j"), col("col"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Count-Min estimate per distinct key of `keys`: min over the d
     * counters the key hashes to. The sketch side is depth×width rows
     * — broadcast, so this is one shuffle (the distinct) regardless of

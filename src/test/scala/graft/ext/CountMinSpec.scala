@@ -65,6 +65,18 @@ class CountMinSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("mergeCells over any batch split equals the one-pass sketch (incremental maintenance)") {
+    val one = CountMin.sketchCells(corpus, $"key", depth = 3, width = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val parts = (0 until 3).map(i =>
+      CountMin.sketchCells(
+        corpus.filter(pmod(xxhash64($"key"), lit(3)) === i), $"key",
+        depth = 3, width = 8))
+    val merged = CountMin.mergeCells(parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == one)
+  }
+
   test("total mass is conserved per sketch row (each input bumps one counter per row)") {
     val cells = CountMin.sketchCells(corpus, $"key", depth = 3, width = 8)
       .collect().map(r => (r.getLong(0), r.getLong(2)))

@@ -174,6 +174,36 @@ class LayoutSpec extends SparkTestBase {
     } finally stats.unpersist()
   }
 
+  test("rankGrid keeps z-cells balanced on skewed keys where affine normalization cannot") {
+    val df = Tables.lineitem(spark, dir)
+    val tie = Seq($"l_orderkey", $"l_linenumber")
+    val skewed = $"l_extendedprice" * $"l_extendedprice"
+
+    def imbalance(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): Double = {
+      val counts = Layout.cellStats(df, x, y, bits = 12, cellBits = 6)
+        .select($"n").as[Long].collect()
+      counts.max.toDouble / counts.min.toDouble
+    }
+
+    val yAffine = datediff($"l_shipdate", lit("1995-01-01")).cast("long") * 4096L / 2500L
+    // affine: squared price concentrates mass into few cells
+    val mnmx = df.agg(min(skewed), max(skewed)).collect().head
+    val (mn, mx) = (mnmx.getDouble(0), mnmx.getDouble(1))
+    val xAffine = floor((skewed - mn) / (mx - mn) * 4095)
+    val affineRatio = imbalance(xAffine, yAffine)
+
+    val xRank = Layout.rankGrid(skewed, tie, 4096)
+    val yRank = Layout.rankGrid(datediff($"l_shipdate", lit("1995-01-01")), tie, 4096)
+    val rankRatio = imbalance(xRank, yRank)
+
+    // ~94 rows/cell at sf0.001: Poisson noise alone reaches ~1.6-1.8×,
+    // so the bound is 2× here; at sf0.01 the same ratio measures 1.11×
+    assert(affineRatio >= 3.0, s"fixture no longer skewed: affine $affineRatio")
+    assert(rankRatio <= 2.0, s"rank grid must stay balanced: $rankRatio")
+    assert(rankRatio * 2 < affineRatio,
+      s"rank ($rankRatio) must clearly beat affine ($affineRatio)")
+  }
+
   test("cellStats plans as one partial-aggregated shuffle (zero-shuffle cell id)") {
     val stats = Layout.cellStats(
       Tables.lineitem(spark, dir), datediff($"l_shipdate", lit("1995-01-01")),
