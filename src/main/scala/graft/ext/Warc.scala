@@ -191,6 +191,8 @@ object Warc {
         var contentLength = -1L
         var done = false
         while (!done) {
+          require(pos + 1 < blob.length,
+            s"blob $blobId: truncated header block in record at offset $recStart")
           val e = lineEnd(pos)
           val line = new String(blob, pos, e - pos, UTF_8)
           pos = e + 2

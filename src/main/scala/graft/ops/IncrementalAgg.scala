@@ -66,6 +66,10 @@ object IncrementalAgg {
     * keeps the extremum valid but bounded state cannot tell). Groups
     * whose count reaches zero disappear. One state-sized left join —
     * no corpus rescan anywhere.
+    *
+    * Contract: `deleted` describes rows that ARE in the stored state
+    * (both derive from the same corpus); a deleted group absent from
+    * `stored` is ignored — there is nothing to subtract from.
     */
   def retract(stored: DataFrame, deleted: DataFrame,
               keyNames: Seq[String]): DataFrame = {
