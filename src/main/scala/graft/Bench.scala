@@ -232,7 +232,8 @@ object Bench {
       "q88_salted_join", "q89_ivf_probe", "q92_hard_negatives_ivf",
       "q94_banded_neardup", "q95_retract_components",
       "q96_retract_digests", "q98_retract_packing",
-      "q99_trained_classifier", "q101_ngram_lm")
+      "q99_trained_classifier", "q101_ngram_lm",
+      "q121_nfc_normalize", "q123_sketch_grid", "q124_cap_per_group")
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)

@@ -4067,6 +4067,167 @@ object ExtQueries {
           FROM g GROUP BY 1 ORDER BY cell"""
     })
 
+  /** Unicode NFC normalization ([[graft.functions.NormalizeUnicode]]):
+    * the encoding-unification step before any hash-based dedup — é
+    * composed (U+00E9) and decomposed (e+U+0301) must digest
+    * identically or web corpora under-dedup. Planted rows exercise
+    * every NFC rewrite class: combining-mark composition, singleton
+    * replacement (OHM→Ω, ANGSTROM→Å), Hangul jamo LVT composition,
+    * mixed composed/decomposed, plus the no-op fast paths (pure ASCII
+    * and already-composed). The oracle is DuckDB's own independent
+    * UAX #15 implementation (`nfc_normalize`), so the gate pins the
+    * normalization itself, not a mirror of this engine's arithmetic;
+    * the codepoint length re-checks composition shrank the string.
+    * Scale: per-row, zero-shuffle, whole-stage codegen; the dominant
+    * already-NFC path is a quick-check scan returning the input
+    * buffer unchanged.
+    */
+  val q121 = Q(
+    "q121_nfc_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (200000L, "résumé and café"),
+        (200001L, "Ω load and Å scale"),
+        (200002L, "각 hangul jamo"),
+        (200003L, "Å is Å already"),
+        (200004L, "plain ascii stays identical"),
+        (200005L, "café already composed")).toDF("doc_id", "text")
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+        .select($"doc_id",
+          graft.functions.NormalizeUnicode.nfc($"text").as("norm"))
+        .select($"doc_id", $"norm", length($"norm").cast("long").as("n_cp"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH planted(doc_id, text) AS (VALUES
+            |  (200000, 're' || chr(769) || 'sume' || chr(769) || ' and cafe' || chr(769)),
+            |  (200001, chr(8486) || ' load and ' || chr(8491) || ' scale'),
+            |  (200002, chr(4352) || chr(4449) || chr(4520) || ' hangul jamo'),
+            |  (200003, 'A' || chr(778) || ' is ' || chr(197) || ' already'),
+            |  (200004, 'plain ascii stays identical'),
+            |  (200005, 'caf' || chr(233) || ' already composed')),
+            |u AS (SELECT doc_id, text FROM documents
+            |      UNION ALL SELECT doc_id, text FROM planted)
+            |SELECT doc_id, nfc_normalize(text) AS norm,
+            |       length(nfc_normalize(text)) AS n_cp
+            |FROM u ORDER BY doc_id""".stripMargin))
+
+  /** Quality-aware canonical selection
+    * ([[graft.ext.DedupClusters.keepBest]]): per near-dup component
+    * keep the HIGHEST-QUALITY member (score = char length here; any
+    * per-doc signal works), min id on ties — the curation-correct
+    * complement to q54's min-id keeper, which lets crawl order pick
+    * the survivor. On the planted fixture the ' tail a'/' tail b'
+    * copies are strictly longer than their originals, so the keeper
+    * set provably differs from q54's (originals lose); the two tails
+    * tie on length and the id tiebreak decides. The oracle re-derives
+    * components (recursive CTE), the argmax, and the tiebreak with an
+    * independent window-rank formulation of the same selection.
+    * Scale: the argmax is max(struct(score,-id)) — map-side-combinable,
+    * no per-component sort; shuffles touch the pair list and one
+    * corpus groupBy.
+    */
+  val q122 = Q(
+    "q122_keep_best",
+    (s, dir) => {
+      import s.implicits._
+      val d = clusterCorpus(s, dir)
+      val pairs = ShingleJaccard.similarPairs(d, $"doc_id", $"text", 3, 0.6)
+      DedupClusters.keepBest(d.withColumn("n_chars_d", length($"text")),
+          "doc_id", "n_chars_d", pairs)
+        .select($"doc_id", $"n_chars_d".cast("long").as("n"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |$clusterCorpusSql,
+            |lab AS (SELECT d.doc_id, d.text,
+            |               coalesce(c.component, d.doc_id) AS cmp
+            |        FROM d LEFT JOIN comp c ON c.id = d.doc_id),
+            |rk AS (SELECT doc_id, length(text) AS n,
+            |               row_number() OVER (PARTITION BY cmp
+            |                 ORDER BY length(text) DESC, doc_id) AS rn
+            |        FROM lab)
+            |SELECT doc_id, n FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  /** Sort-free grid normalization from the mergeable quantile sketch
+    * ([[graft.ops.Layout.sketchCutpoints]] / `sketchGridCell`) — the
+    * corpus-scale face of q120's exact rank grid: cutpoints come from
+    * one partially-aggregated sketch scan instead of a global sort,
+    * and cell assignment is a broadcast probe of the grid-1 cutpoint
+    * array. k=64 over floor(l_extendedprice) keeps the sketch LOSSY
+    * (thousands of distinct prices), so the gate pins the whole
+    * sampled path cross-engine — the md5-Horner base hash, the
+    * bottom-64-by-(hash,value) sample with exact survivor counts, the
+    * integer-compare cutpoint rule (`cum*grid >= i*tot`), and the
+    * count-distinct-cuts cell assignment — against an independent
+    * DuckDB window/series mirror, not just the degenerate exact
+    * regime.
+    */
+  val q123 = Q(
+    "q123_sketch_grid",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "lineitem")
+        .select(floor($"l_extendedprice").cast("long").as("v"))
+      val cuts = graft.ops.Layout.sketchCutpoints(
+        base, $"v", MinHashLsh.portableHash32($"v".cast("string")),
+        grid = 8, k = 64)
+      graft.ops.Layout.sketchGridCell(base, $"v", cuts, "cell")
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), min($"v").as("min_v"), max($"v").as("max_v"))
+        .orderBy($"cell")
+    },
+    Some(s"""WITH base AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+            |              FROM lineitem),
+            |hx AS (SELECT v, md5(CAST(v AS VARCHAR)) AS h FROM base),
+            |d AS (SELECT v, $hornerSql AS h32, count(*) AS c
+            |      FROM hx GROUP BY v, h),
+            |rk AS (SELECT v, c, row_number() OVER (ORDER BY h32, v) AS r FROM d),
+            |samp AS (SELECT CAST(v AS DOUBLE) AS sv, c FROM rk WHERE r <= 64),
+            |cdf AS (SELECT sv, sum(c) OVER (ORDER BY sv) AS cum,
+            |               sum(c) OVER () AS tot
+            |        FROM samp),
+            |cuts AS (SELECT i, min(CASE WHEN cum * 8 >= i * tot THEN sv END) AS cut
+            |         FROM cdf CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS i) g
+            |         GROUP BY i),
+            |cells AS (SELECT b.v,
+            |                 (SELECT count(DISTINCT c.cut) FROM cuts c
+            |                  WHERE c.cut <= CAST(b.v AS DOUBLE)) AS cell
+            |          FROM base b)
+            |SELECT cell, count(*) AS n, min(v) AS min_v, max(v) AS max_v
+            |FROM cells GROUP BY cell ORDER BY cell""".stripMargin))
+
+  /** Per-group quota cap ([[graft.ext.Sampling.capPerGroup]] — the
+    * C4-style per-host rule: no source contributes more than `cap`
+    * docs). Selection is the cap smallest salted portable hashes of
+    * doc_id per source — deterministic and engine-portable, so the
+    * oracle re-derives the md5-Horner hash, the per-source ranking,
+    * and the cutoff independently. cap=10 binds on every source at
+    * every SF (25+ docs/source), so the gate is never vacuous.
+    * SamplingSpec pins the bounded-state aggregate face
+    * ([[graft.ext.Sampling.capPerGroupAgg]] — the skew-immune
+    * 100 TB path) row-identical to this window face.
+    */
+  val q124 = Q(
+    "q124_cap_per_group",
+    (s, dir) => {
+      import s.implicits._
+      Sampling.capPerGroup(t(s, dir, "documents"), $"source", $"doc_id",
+          cap = 10, salt = "q124")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH hx AS (SELECT doc_id, source,
+            |                   md5(CAST(doc_id AS VARCHAR) || 'q124') AS h
+            |            FROM documents),
+            |rk AS (SELECT doc_id, source,
+            |               row_number() OVER (PARTITION BY source
+            |                 ORDER BY $hornerSql, doc_id) AS rn
+            |        FROM hx)
+            |SELECT doc_id, source FROM rk WHERE rn <= 10
+            |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4074,5 +4235,5 @@ object ExtQueries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -271,4 +271,48 @@ object DedupClusters {
     // corpus-proportional — let AQE pick broadcast when it measures small
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
+
+  /** Canonical corpus by QUALITY: per near-dup component keep the
+    * member with the highest `scoreCol` (min id breaks ties);
+    * documents in no pair pass through. [[keepCanonical]] keeps the
+    * min-ID member — fine when duplicates are byte-identical, wrong
+    * for near-dups, where members genuinely differ (boilerplate
+    * variants, truncations, OCR noise): crawl order decides what
+    * survives instead of the best copy. This is the curation form:
+    * score with any per-doc signal already in the frame
+    * (quality-classifier output, Gopher pass count, length) and the
+    * cluster keeps its best representative.
+    *
+    * Scale shape: the argmax is `max(struct(score, -id))` per
+    * component — an associative+commutative aggregate with map-side
+    * partial combine, so a 10M-member template cluster reduces inside
+    * each scan task instead of sorting through one reducer (the
+    * window-rank formulation would). One pair-list CC, one
+    * corpus-shuffle groupBy, one join back; AQE picks broadcast for
+    * the winner list when it measures small.
+    *
+    * `id` must be non-negative (the negation trick needs the order
+    * flip to be exact — checked); gate q122 re-derives components,
+    * the argmax, and the tiebreak independently in DuckDB SQL.
+    */
+  def keepBest(docs: DataFrame, idCol: String, scoreCol: String,
+               pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    val labeled = docs
+      .join(comp, docs(idCol) === col("__cc_id"), "left")
+      .withColumn("__comp", coalesce(col("__cc_comp"), docs(idCol)))
+      .drop("__cc_id", "__cc_comp")
+    val guarded = labeled.withColumn("__negid",
+      when(col(idCol) >= 0, -col(idCol))
+        .otherwise(raise_error(concat(
+          lit(s"keepBest: negative $idCol breaks the argmax tiebreak: "),
+          col(idCol).cast("string")))))
+    val winners = guarded
+      .groupBy(col("__comp"))
+      .agg(max(struct(col(scoreCol), col("__negid"))).as("__b"))
+      .select((-col("__b.__negid")).as("__win_id"))
+    labeled.join(winners, labeled(idCol) === col("__win_id"), "left_semi")
+      .drop("__comp")
+  }
 }

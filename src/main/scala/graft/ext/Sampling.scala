@@ -204,6 +204,53 @@ object Sampling {
     * cluster layout. Output rows are NOT returned physically sorted;
     * order by `pos` when materializing a curriculum.
     */
+  /** Per-group quota cap (the C4/web-curation per-host rule: no
+    * domain may contribute more than `cap` documents, so template
+    * farms and mirror hosts can't dominate the mixture). Keeps, per
+    * `group`, the `cap` rows with the SMALLEST salted portable hash
+    * of `key` (key ascending on the ~2^-32 hash tie) — a
+    * deterministic, partition-invariant, auditable uniform choice,
+    * not "first by crawl order".
+    *
+    * Window face: one shuffle on `group`, per-group sort. A heavy
+    * group sorts through one reducer — fine up to tens of millions of
+    * rows per group; beyond that use [[capPerGroupAgg]], which keeps
+    * only `cap` candidates in bounded aggregate state with map-side
+    * combine (same selection, same order, no per-group sort).
+    */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, cap: Int,
+                  salt: String = ""): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val h = MinHashLsh.portableHash32(concat(key.cast("string"), lit(salt)))
+    val rn = row_number().over(
+      Window.partitionBy(group).orderBy(h.asc, key.asc))
+    df.withColumn("__capRn", rn).filter(col("__capRn") <= cap).drop("__capRn")
+  }
+
+  /** [[capPerGroup]] in bounded aggregate state: per group keep the
+    * top-`cap` ids by NEGATED hash ([[graft.functions.TopKAgg]] —
+    * score desc ≡ hash asc; its id-asc tie rule matches the window
+    * face), then semi-join the winners back. State is ≤ cap entries
+    * per group with associative map-side partial merge, so a
+    * 100M-row mirror host reduces inside each scan task instead of
+    * sorting through one reducer — the skew-immune shape. Selection
+    * is identical to the window face (tested); requires a non-negative
+    * long-compatible `key`.
+    */
+  def capPerGroupAgg(df: DataFrame, group: Column, key: Column, cap: Int,
+                     salt: String = ""): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val h = MinHashLsh.portableHash32(concat(key.cast("string"), lit(salt)))
+    val winners = df
+      .select(group.as("__g"), key.cast("long").as("__id"), h.as("__h"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopKAgg.topK(-col("__h").cast("double"),
+        col("__id"), cap).as("__top"))
+      .select(col("__g"), explode(col("__top.id")).as("__win"))
+    df.join(winners,
+      group === col("__g") && key.cast("long") === col("__win"), "left_semi")
+  }
+
   def shuffled(df: DataFrame, key: Column, salt: String = "",
                bucketChars: Int = 4): DataFrame = {
     require(bucketChars >= 1 && bucketChars <= 8, "bucketChars in [1,8]")

@@ -177,6 +177,66 @@ object Layout {
     ((num - org.apache.spark.sql.functions.pmod(num, n)) / n).cast("long")
   }
 
+  /** Sketch-derived grid cutpoints — the SORT-FREE scale face of
+    * [[rankGrid]]. rankGrid's exact global rank costs one full sort
+    * per layout column; at corpus scale the standard substitute is
+    * range cutpoints from a mergeable quantile sketch
+    * ([[graft.functions.QuantileSketchAgg]] — bottom-k-by-hash
+    * distinct sample, deterministic and partition-invariant), one
+    * partially-aggregated scan instead of a sort. Returns `grid-1`
+    * rows (i, cut): cut_i is the smallest sampled value whose
+    * cumulative sampled count reaches i/grid of the sampled total —
+    * pure INTEGER comparison (`cum*grid >= i*tot`), no float
+    * quantile definition to mismatch across engines.
+    *
+    * Fed a PORTABLE hash of the value ([[graft.ext.MinHashLsh
+    * .portableHash32]]), the sample — and therefore every cutpoint —
+    * is reproducible in any engine with md5, so the LOSSY regime is
+    * oracle-checkable end-to-end (gate q123), not just the degenerate
+    * exact one. Balance degrades O(1/√k) with sketch size; LayoutSpec
+    * measures the cell-imbalance cost vs the exact face on the skewed
+    * squared-price column.
+    */
+  def sketchCutpoints(df: DataFrame, metric: Column, hash: Column,
+                      grid: Int, k: Int): DataFrame = {
+    require(grid >= 2 && grid <= 4096, s"grid in [2,4096], got $grid")
+    import org.apache.spark.sql.functions.{col, explode, sequence, sum, when, min => fmin}
+    val sk = df.agg(graft.functions.QuantileSketchAgg
+      .sample(hash, metric.cast("double"), k).as("__s"))
+    // ≤ k rows from here on
+    val w = org.apache.spark.sql.expressions.Window
+    val cdf = sk.select(explode(col("__s")).as("e"))
+      .select(col("e.value").as("__v"), col("e.count").as("__c"))
+      .select(col("__v"),
+        sum(col("__c")).over(w.orderBy(col("__v"))
+          .rowsBetween(Long.MinValue, 0)).as("__cum"),
+        sum(col("__c")).over(w.rowsBetween(Long.MinValue, Long.MaxValue)).as("__tot"))
+    cdf.select(col("__v"), col("__cum"), col("__tot"),
+        explode(sequence(lit(1), lit(grid - 1))).as("i"))
+      .groupBy(col("i"))
+      .agg(fmin(when(col("__cum") * lit(grid.toLong) >= col("i") * col("__tot"),
+        col("__v"))).as("cut"))
+  }
+
+  /** Assign each row its grid cell from a [[sketchCutpoints]] table:
+    * cell = number of DISTINCT cutpoints ≤ value (duplicate cutpoints
+    * — a value heavier than 1/grid of the corpus — collapse, so a
+    * heavy value occupies ONE cell rather than inflating its
+    * neighbors' indices). The cutpoint table is grid-1 rows —
+    * broadcast as a sorted array; the probe is a bounded in-row scan,
+    * zero shuffles over `df`.
+    */
+  def sketchGridCell(df: DataFrame, metric: Column, cuts: DataFrame,
+                     out: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, broadcast, col, collect_list, filter, size}
+    val arr = cuts.agg(
+      array_distinct(array_sort(collect_list(col("cut")))).as("__cuts"))
+    df.crossJoin(broadcast(arr))
+      .withColumn(out,
+        size(filter(col("__cuts"), c => c <= metric.cast("double"))).cast("long"))
+      .drop("__cuts")
+  }
+
   /** Skip-rate of a min-max index for a conjunctive range predicate:
     * how many cells (files) a reader can prove disjoint from the query
     * box on EITHER column and never open. A second tiny aggregate over

@@ -75,6 +75,15 @@ object GraftFunctions {
     }
   }
 
+  private def stringLit(e: Expression, fn: String): String = {
+    if (!e.foldable || e.dataType != StringType)
+      fail(fn, s"expected a constant string argument, got $e")
+    e.eval() match {
+      case null => fail(fn, "constant string argument must not be NULL")
+      case s => s.toString
+    }
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft.functions", name, usage)
 
@@ -151,6 +160,10 @@ object GraftFunctions {
       arity("top_k", 3)(a =>
         TopKAgg(Cast(a(0), DoubleType), Cast(a(1), LongType),
           intLit(a(2), "top_k")))),
+    (FunctionIdentifier("normalize_unicode"),
+      info("normalize_unicode", "normalize_unicode(s, 'NFC'|'NFD'|'NFKC'|'NFKD') - UAX #15 Unicode normalization"),
+      arity("normalize_unicode", 2)(a =>
+        NormalizeUnicode(a(0), stringLit(a(1), "normalize_unicode")))),
     (FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(s) - strip control chars, collapse whitespace, trim, lowercase"),
       arity("normalize_text", 1) { a =>

@@ -63,6 +63,28 @@ class DedupClustersSpec extends SparkTestBase {
     assert(kept == Seq(1L, 9L))
   }
 
+  test("keepBest keeps the highest-scored member, min id on ties, unpaired pass through") {
+    val docs = Seq(
+      (1L, "short", 5.0), (2L, "the long best copy", 18.0), (3L, "mid copy", 8.0),
+      (10L, "tie a", 7.0), (11L, "tie b", 7.0),
+      (9L, "solo", 1.0)).toDF("doc_id", "text", "score")
+    val kept = DedupClusters.keepBest(docs, "doc_id", "score",
+        pairs(2L -> 1L, 3L -> 2L, 10L -> 11L))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // component {1,2,3}: 2 wins on score (beats keepCanonical's 1);
+    // component {10,11}: tie on score, min id 10 wins; solo 9 passes
+    assert(kept == Seq(2L, 9L, 10L))
+    assert(docs.columns.toSeq.diff(Seq("doc_id", "text", "score")).isEmpty)
+  }
+
+  test("keepBest fails loudly on a negative id (tiebreak contract)") {
+    val docs = Seq((-1L, "a", 1.0), (2L, "b", 2.0)).toDF("doc_id", "text", "score")
+    val e = intercept[Exception] {
+      DedupClusters.keepBest(docs, "doc_id", "score", pairs(2L -> -1L)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("empty pair list yields empty components; keepCanonical passes all docs") {
     val noPairs = pairs()
     assert(DedupClusters.connectedComponents(noPairs).count() == 0)

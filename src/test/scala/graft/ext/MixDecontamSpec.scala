@@ -142,4 +142,29 @@ class MixDecontamSpec extends SparkTestBase {
         evalSet, "eval_id", "evec", 0.9, bits = 32, bands = 4)
     }
   }
+
+  test("capPerGroup keeps exactly cap rows per oversized group, all of smaller ones") {
+    val capped = Sampling.capPerGroup(mixDf, $"grp", $"id", cap = 5, salt = "s")
+    val byGrp = capped.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp == Map("a" -> 5L, "b" -> 5L, "c" -> 2L))
+    // deterministic: same selection under any partitioning
+    val again = Sampling.capPerGroup(mixDf.repartition(7, $"id"), $"grp", $"id", 5, "s")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(again == capped.select($"id").as[Long].collect().sorted.toSeq)
+    // salt changes the kept subset (unbiased re-draw), not the counts
+    val other = Sampling.capPerGroup(mixDf, $"grp", $"id", 5, "other")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(other != again)
+    assert(other.size == again.size)
+  }
+
+  test("capPerGroupAgg (bounded-state scale face) selects the identical rows") {
+    for (salt <- Seq("", "s", "zz"); cap <- Seq(1, 3, 5, 40)) {
+      val w = Sampling.capPerGroup(mixDf, $"grp", $"id", cap, salt)
+        .as[(Long, String)].collect().sorted.toSeq
+      val a = Sampling.capPerGroupAgg(mixDf, $"grp", $"id", cap, salt)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(a == w, s"faces diverge at cap=$cap salt=$salt")
+    }
+  }
 }

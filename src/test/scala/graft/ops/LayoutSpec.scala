@@ -204,6 +204,58 @@ class LayoutSpec extends SparkTestBase {
       s"rank ($rankRatio) must clearly beat affine ($affineRatio)")
   }
 
+  test("sketchCutpoints at the exact regime (k >= distinct) equals brute-force rank cutpoints") {
+    val df = Tables.lineitem(spark, dir).select($"l_quantity".cast("long").as("v"))
+    // l_quantity has 50 distinct values -> k=64 keeps ALL of them:
+    // the sketch degenerates to the exact value histogram
+    val cuts = Layout.sketchCutpoints(df, $"v",
+        graft.ext.MinHashLsh.portableHash32($"v".cast("string")), grid = 8, k = 64)
+      .orderBy($"i").select($"cut").as[Double].collect().toSeq
+    val vals = df.as[Long].collect().sorted
+    val n = vals.length.toLong
+    val expect = (1 to 7).map { i =>
+      // smallest value whose cumulative count reaches i/8 of the total:
+      // with the full histogram, that's the element at ceil(i*n/8)-1
+      vals(((i * n + 7) / 8 - 1).toInt).toDouble
+    }
+    assert(cuts == expect, s"got $cuts want $expect")
+  }
+
+  test("sketch grid balance: lossy k costs bounded imbalance vs the exact rank grid") {
+    val df = Tables.lineitem(spark, dir)
+    val skewed = floor($"l_extendedprice" * $"l_extendedprice").cast("long")
+    val base = df.select(skewed.as("v"))
+    def maxShare(cells: Array[Long]): Double = {
+      val total = cells.sum.toDouble
+      cells.max / total
+    }
+    val grid = 8
+    val cuts = Layout.sketchCutpoints(base, $"v",
+      graft.ext.MinHashLsh.portableHash32($"v".cast("string")), grid, k = 256)
+    val sketchCells = Layout.sketchGridCell(base, $"v", cuts, "cell")
+      .groupBy($"cell").count().select($"count").as[Long].collect()
+    // ideal share is 1/8 = 0.125; the O(1/sqrt(k)) sampling error at
+    // k=256 should hold the heaviest cell under 2x ideal even on the
+    // squared-price skew (affine slicing puts >60% in one cell here)
+    assert(sketchCells.length == grid, s"expected $grid cells, got ${sketchCells.length}")
+    assert(maxShare(sketchCells) <= 0.25,
+      s"sketch grid too imbalanced: ${maxShare(sketchCells)}")
+    // affine comparison: same skewed column, fixed-range slicing
+    val mnmx = base.agg(min($"v"), max($"v")).collect().head
+    val (mn, mx) = (mnmx.getLong(0), mnmx.getLong(1))
+    val affineCells = base
+      .select(floor(($"v" - mn).cast("double") / (mx - mn + 1).toDouble * grid)
+        .cast("long").as("cell"))
+      .groupBy($"cell").count().select($"count").as[Long].collect()
+    // at 8 coarse cells the squared-price skew measures ~0.35 in the
+    // heaviest affine cell (2.8x ideal) — the sketch grid must clearly
+    // beat it
+    assert(maxShare(affineCells) >= 0.3,
+      s"fixture no longer skewed: affine max share ${maxShare(affineCells)}")
+    assert(maxShare(sketchCells) < maxShare(affineCells),
+      s"sketch (${maxShare(sketchCells)}) must beat affine (${maxShare(affineCells)})")
+  }
+
   test("cellStats plans as one partial-aggregated shuffle (zero-shuffle cell id)") {
     val stats = Layout.cellStats(
       Tables.lineitem(spark, dir), datediff($"l_shipdate", lit("1995-01-01")),
