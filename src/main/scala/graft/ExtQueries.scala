@@ -4228,6 +4228,181 @@ object ExtQueries {
             |SELECT doc_id, source FROM rk WHERE rn <= 10
             |ORDER BY doc_id""".stripMargin))
 
+  /** Luhn-validated card redaction ([[graft.functions.RedactCards]]):
+    * the precision upgrade over q47's blanket digit-run scrub — only
+    * maximal digit/separator spans that strip to 13-19 digits AND
+    * pass the ISO 7812 Luhn checksum become `<CARD>`; order ids,
+    * dates, and random digit runs survive. Planted rows cover a
+    * grouped valid card, a checksum-failing lookalike, a 13-digit
+    * PAN, a 20-digit overlong run, dash separators, and no-digit
+    * text. The oracle rebuilds the ENTIRE operator independently in
+    * DuckDB — candidate spans via the same regex, Luhn via a list
+    * lambda, and the redacted string itself reassembled from
+    * regexp_split_to_array + per-span verdicts — so spans, checksum,
+    * and splice are all pinned cross-engine, alongside audit counts.
+    * Scale: one O(len) codegen'd pass per row, zero shuffle.
+    */
+  val q125 = Q(
+    "q125_redact_cards",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (300000L, "pay with 4111 1111 1111 1111 now"),
+        (300001L, "fake 4111111111111112 number"),
+        (300002L, "id 12345 and card 4222222222222 ok"),
+        (300003L, "no digits here"),
+        (300004L, "overlong 41111111111111110000 run"),
+        (300005L, "5500-0000-0000-0004 and 1234"),
+        (300006L, "4111111111111111")).toDF("doc_id", "text")
+      val pat = "[0-9]+(?:[ -][0-9]+)*"
+      val runs = regexp_extract_all($"text", lit(pat), lit(0))
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+        .select($"doc_id",
+          graft.functions.RedactCards($"text").as("red"),
+          size(runs).cast("long").as("n_runs"),
+          size(filter(runs, r => graft.functions.LuhnCard(r)))
+            .cast("long").as("n_valid"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH planted(doc_id, text) AS (VALUES
+            |  (300000, 'pay with 4111 1111 1111 1111 now'),
+            |  (300001, 'fake 4111111111111112 number'),
+            |  (300002, 'id 12345 and card 4222222222222 ok'),
+            |  (300003, 'no digits here'),
+            |  (300004, 'overlong 41111111111111110000 run'),
+            |  (300005, '5500-0000-0000-0004 and 1234'),
+            |  (300006, '4111111111111111')),
+            |u AS (SELECT doc_id, text FROM documents
+            |      UNION ALL SELECT doc_id, text FROM planted),
+            |m AS (SELECT doc_id, text,
+            |        regexp_split_to_array(text, '[0-9]+(?:[ -][0-9]+)*') AS parts,
+            |        regexp_extract_all(text, '[0-9]+(?:[ -][0-9]+)*') AS runs
+            |      FROM u),
+            |z AS (SELECT doc_id, i,
+            |        regexp_replace(runs[i], '[ -]', '', 'g') AS d,
+            |        runs[i] AS run, parts[i+1] AS tail_part
+            |      FROM m, unnest(range(1, len(runs)+1)) AS t(i)),
+            |v AS (SELECT *,
+            |        len(d) BETWEEN 13 AND 19 AND
+            |        (list_sum(list_transform(range(1, len(d)+1), j ->
+            |           CASE WHEN (len(d) - j) % 2 = 1
+            |                THEN CASE WHEN 2*CAST(d[j] AS INT) > 9
+            |                          THEN 2*CAST(d[j] AS INT) - 9
+            |                          ELSE 2*CAST(d[j] AS INT) END
+            |                ELSE CAST(d[j] AS INT) END)) % 10 = 0) AS ok
+            |      FROM z),
+            |agg AS (SELECT doc_id,
+            |          string_agg(CASE WHEN ok THEN '<CARD>' ELSE run END
+            |                       || tail_part, '' ORDER BY i) AS tail,
+            |          count(*) FILTER (ok) AS n_valid,
+            |          count(*) AS n_runs
+            |        FROM v GROUP BY doc_id)
+            |SELECT m.doc_id, m.parts[1] || coalesce(a.tail, '') AS red,
+            |       coalesce(a.n_runs, 0) AS n_runs,
+            |       coalesce(a.n_valid, 0) AS n_valid
+            |FROM m LEFT JOIN agg a USING (doc_id) ORDER BY m.doc_id""".stripMargin))
+
+  /** URL blocklist screen ([[graft.ext.UrlOps.blockScreen]] — the
+    * UT1-convention domain list every web-corpus pipeline applies
+    * before any content work): a rule blocks its host and every
+    * subdomain (dot-suffix match), optionally narrowed to a path
+    * prefix; overlapping rules resolve to the smallest rule_id.
+    * Synthesized URLs put every branch in play: whole-ccTLD-domain
+    * block (rule 1), single-host block (2), path-prefix block over a
+    * domain suffix (3, fires only for lang=de), a dead prefix rule
+    * (4), and a never-matching domain (5); src3+de docs exercise the
+    * overlap→min resolution. The oracle re-derives host, path,
+    * suffix match, prefix match, and min-rule independently.
+    * Scale: rules broadcast; the corpus never shuffles.
+    */
+  val q126 = Q(
+    "q126_blocklist_screen",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"lang", $"source")
+      // TLD switch on doc_id % 3, NOT parity: source correlates with
+      // parity in the testdata, and a parity switch would leave the
+      // single-host rule (2) and the overlap→min branch vacuous
+      val url = concat(lit("https://"), $"source",
+        when($"doc_id" % 3 === 0, lit(".example.com"))
+          .otherwise(lit(".example.co.uk")),
+        lit("/"), $"lang", lit("/doc/"), $"doc_id".cast("string"))
+      val rules = Seq(
+        ("example.co.uk", "", 1L),
+        ("src3.example.com", "", 2L),
+        ("example.com", "/de/", 3L),
+        ("src5.example.com", "/xx/", 4L),
+        ("nomatch.org", "", 5L)).toDF("domain", "prefix", "rule_id")
+      UrlOps.blockScreen(d.select($"doc_id", url.as("url")),
+          $"doc_id", $"url", rules)
+        .select($"doc_id", $"blocked", $"block_rule")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+            |        'https://' || source ||
+            |        (CASE WHEN doc_id % 3 = 0 THEN '.example.com'
+            |              ELSE '.example.co.uk' END) ||
+            |        '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+            |      FROM documents),
+            |c AS (SELECT doc_id,
+            |        lower(regexp_extract(url,
+            |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS h,
+            |        regexp_extract(url,
+            |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p
+            |      FROM u),
+            |bl(domain, prefix, rule_id) AS (VALUES
+            |  ('example.co.uk', '', 1), ('src3.example.com', '', 2),
+            |  ('example.com', '/de/', 3), ('src5.example.com', '/xx/', 4),
+            |  ('nomatch.org', '', 5)),
+            |hits AS (SELECT c.doc_id, CAST(min(bl.rule_id) AS BIGINT) AS block_rule
+            |         FROM c JOIN bl
+            |           ON (c.h = bl.domain OR c.h LIKE '%.' || bl.domain)
+            |          AND (bl.prefix = '' OR starts_with(c.p, bl.prefix))
+            |         GROUP BY c.doc_id)
+            |SELECT d.doc_id, h2.block_rule IS NOT NULL AS blocked, h2.block_rule
+            |FROM documents d LEFT JOIN hits h2 USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Incremental quota admission ([[graft.ext.Sampling.quotaAdmit]]):
+    * the crawl-front-door form of q124's per-source cap — earlier
+    * batches keep their slots, open slots within a batch go to the
+    * smallest salted hashes, and the only cross-batch state is the
+    * (source, n_admitted) counts table (state-sized join, no corpus
+    * rescan). Three sequential batches (doc_id mod 3) at cap=12 over
+    * 25-doc sources force every admission shape: a whole batch
+    * admitted, a PARTIAL batch (some of its rows lose to prior
+    * batches' slots), and a fully-rejected batch. The oracle collapses
+    * the three-step protocol into one independent ranking — priority
+    * (batch, hash, id) truncated at cap — which equals the sequential
+    * admission exactly iff slot-holding works.
+    */
+  val q127 = Q(
+    "q127_quota_admit",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"source")
+      var stored = Seq.empty[(String, Long)].toDF("source", "n_admitted")
+      var admitted = Seq.empty[(Long, String)].toDF("doc_id", "source")
+      for (b <- 0 to 2) {
+        val batch = d.filter($"doc_id" % 3 === b)
+        val (adm, ns) = Sampling.quotaAdmit(batch, stored,
+          "source", "doc_id", cap = 12, salt = "q127")
+        admitted = admitted.unionByName(adm.select($"doc_id", $"source"))
+        stored = ns
+      }
+      admitted.orderBy($"doc_id")
+    },
+    Some(s"""WITH hx AS (SELECT doc_id, source, doc_id % 3 AS b,
+            |                   md5(CAST(doc_id AS VARCHAR) || 'q127') AS h
+            |            FROM documents),
+            |rk AS (SELECT doc_id, source,
+            |               row_number() OVER (PARTITION BY source
+            |                 ORDER BY b, $hornerSql, doc_id) AS rn
+            |        FROM hx)
+            |SELECT doc_id, source FROM rk WHERE rn <= 12
+            |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4235,5 +4410,6 @@ object ExtQueries {
     q76, q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
-    q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
+    q127)
 }

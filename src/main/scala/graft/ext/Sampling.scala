@@ -251,6 +251,44 @@ object Sampling {
       group === col("__g") && key.cast("long") === col("__win"), "left_semi")
   }
 
+  /** Incremental per-group quota admission — [[capPerGroup]] for an
+    * ARRIVING corpus. Batch-mode capping is an unbiased re-draw over
+    * the whole corpus; a crawl front door cannot re-draw (admitted
+    * docs are already downstream), so the online contract is: earlier
+    * batches keep their slots, and within a batch the open slots go
+    * to the smallest salted hashes (same order as the batch face —
+    * so a single-batch run IS the batch face). `stored` is the
+    * persisted counts table (`group`, `n_admitted`); returns
+    * (admitted rows, updated counts). The whole admission is one
+    * batch-sized window plus one state-sized join — the corpus is
+    * never rescanned, the [[graft.ops.IncrementalAgg]] maintenance
+    * discipline. Run exact-dedup admission
+    * ([[graft.streaming.DocStream.admitNew]]) upstream if re-crawled
+    * duplicates must not consume quota.
+    */
+  def quotaAdmit(batch: DataFrame, stored: DataFrame, group: String,
+                 key: String, cap: Int,
+                 salt: String = ""): (DataFrame, DataFrame) = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val h = MinHashLsh.portableHash32(concat(col(key).cast("string"), lit(salt)))
+    val rn = row_number().over(
+      Window.partitionBy(col(group)).orderBy(h.asc, col(key).asc))
+    val joined = batch.withColumn("__quotaRn", rn)
+      .join(stored.select(col(group), col("n_admitted").as("__quotaN0")),
+        Seq(group), "left")
+      .withColumn("__quotaN0", coalesce(col("__quotaN0"), lit(0L)))
+    val admitted = joined
+      .filter(col("__quotaRn") + col("__quotaN0") <= cap)
+      .drop("__quotaRn", "__quotaN0")
+    val batchCounts = admitted.groupBy(col(group))
+      .agg(count(lit(1)).as("__quotaAdd"))
+    val newCounts = stored.join(batchCounts, Seq(group), "full_outer")
+      .select(col(group),
+        (coalesce(col("n_admitted"), lit(0L)) +
+          coalesce(col("__quotaAdd"), lit(0L))).as("n_admitted"))
+    (admitted, newCounts)
+  }
+
   def shuffled(df: DataFrame, key: Column, salt: String = "",
                bucketChars: Int = 4): DataFrame = {
     require(bucketChars >= 1 && bucketChars <= 8, "bucketChars in [1,8]")

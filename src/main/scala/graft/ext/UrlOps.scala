@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL parsing and normalization for web-corpus curation.
@@ -145,6 +145,39 @@ object UrlOps {
     */
   private def cleanQuery(q: Column): Column =
     regexp_replace(regexp_replace(q, "(^|&)utm_[^&]*", ""), "^&", "")
+
+  /** UT1-style URL blocklist screen: a rule table
+    * `(domain, prefix, rule_id)` where `domain` blocks that host AND
+    * every subdomain (dot-suffix match — the blocklist convention:
+    * 'example.org' covers 'ads.example.org'), and a non-empty
+    * `prefix` narrows the rule to paths starting with it ('' = the
+    * whole domain). Returns `df` plus `block_rule` (the smallest
+    * matching rule_id — deterministic when rules overlap; NULL =
+    * clean) and `blocked`.
+    *
+    * Scale shape: published blocklists are a few million rows —
+    * broadcast; the probe joins on nothing corpus-sized (the hit list
+    * is (id, rule) pairs, duplicate-free after the min-aggregate), so
+    * the corpus never shuffles. Dot-suffix matching is expressed as
+    * an equality OR endsWith — both engines' string ops, mirrored in
+    * gate q126's oracle.
+    */
+  def blockScreen(df: DataFrame, id: Column, url: Column,
+                  rules: DataFrame): DataFrame = {
+    val probe = df.select(id.as("__bs_id"), host(url).as("__bs_h"),
+      path(url).as("__bs_p"))
+    val r = rules.select(col("domain").as("__bl_d"),
+      col("prefix").as("__bl_p"), col("rule_id").as("__bl_r"))
+    val hits = probe.join(broadcast(r),
+        (col("__bs_h") === col("__bl_d") ||
+          col("__bs_h").endsWith(concat(lit("."), col("__bl_d")))) &&
+        (col("__bl_p") === lit("") ||
+          col("__bs_p").startsWith(col("__bl_p"))))
+      .groupBy(col("__bs_id")).agg(min(col("__bl_r")).as("block_rule"))
+    df.join(hits, id === col("__bs_id"), "left")
+      .withColumn("blocked", col("block_rule").isNotNull)
+      .drop("__bs_id")
+  }
 
   /** Canonical URL string (see object scaladoc for the rules). */
   def normalized(url: Column): Column = {

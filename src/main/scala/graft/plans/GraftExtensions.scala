@@ -160,6 +160,12 @@ object GraftFunctions {
       arity("top_k", 3)(a =>
         TopKAgg(Cast(a(0), DoubleType), Cast(a(1), LongType),
           intLit(a(2), "top_k")))),
+    (FunctionIdentifier("luhn_card"),
+      info("luhn_card", "luhn_card(s) - s is a Luhn-valid 13-19-digit card span (single space/dash separators allowed)"),
+      arity("luhn_card", 1)(a => LuhnCard(a(0)))),
+    (FunctionIdentifier("redact_cards"),
+      info("redact_cards", "redact_cards(s) - replace Luhn-valid card spans with <CARD>"),
+      arity("redact_cards", 1)(a => RedactCards(a(0)))),
     (FunctionIdentifier("normalize_unicode"),
       info("normalize_unicode", "normalize_unicode(s, 'NFC'|'NFD'|'NFKC'|'NFKD') - UAX #15 Unicode normalization"),
       arity("normalize_unicode", 2)(a =>

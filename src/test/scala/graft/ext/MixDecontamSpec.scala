@@ -167,4 +167,43 @@ class MixDecontamSpec extends SparkTestBase {
       assert(a == w, s"faces diverge at cap=$cap salt=$salt")
     }
   }
+
+  test("quotaAdmit: earlier batches hold slots; a single batch equals the batch face") {
+    import org.apache.spark.sql.DataFrame
+    val empty = Seq.empty[(String, Long)].toDF("grp", "n_admitted")
+    // one batch with everything = the batch-face re-draw
+    val (all1, counts1) = Sampling.quotaAdmit(mixDf, empty, "grp", "id", cap = 5, salt = "s")
+    val batchFace = Sampling.capPerGroup(mixDf, $"grp", $"id", 5, "s")
+    assert(all1.select($"id", $"grp").as[(Long, String)].collect().sorted.toSeq ==
+      batchFace.select($"id", $"grp").as[(Long, String)].collect().sorted.toSeq)
+    assert(counts1.as[(String, Long)].collect().toMap == Map("a" -> 5L, "b" -> 5L, "c" -> 2L))
+
+    // sequential: batch 1 = ids 1..3 of group a (all admitted, under cap);
+    // batch 2 = ids 4..9 of a (only 2 open slots left; smallest hashes win)
+    val b1 = mixDf.filter($"id" <= 3)
+    val b2 = mixDf.filter($"id" > 3 && $"id" <= 9)
+    val (a1, c1) = Sampling.quotaAdmit(b1, empty, "grp", "id", 5, "s")
+    assert(a1.count() == 3 && c1.as[(String, Long)].collect().toMap == Map("a" -> 3L))
+    val (a2, c2) = Sampling.quotaAdmit(b2, c1, "grp", "id", 5, "s")
+    assert(a2.count() == 2, "only the two open slots admit")
+    assert(c2.as[(String, Long)].collect().toMap == Map("a" -> 5L))
+    // slot-holding makes the sequential result differ from the re-draw
+    // over the union (ids 1-3 are guaranteed in; the re-draw may drop them)
+    val seq9 = (a1.select($"id").as[Long].collect() ++
+      a2.select($"id").as[Long].collect()).sorted.toSeq
+    assert(Set(1L, 2L, 3L).subsetOf(seq9.toSet))
+    // a full group admits nothing more
+    val b3 = mixDf.filter($"id" > 9 && $"id" <= 12)
+    val (a3, c3) = Sampling.quotaAdmit(b3, c2, "grp", "id", 5, "s")
+    assert(a3.count() == 0)
+    assert(c3.as[(String, Long)].collect().toMap == Map("a" -> 5L))
+  }
+
+  test("quotaAdmit counts table carries groups absent from the current batch") {
+    val stored = Seq(("a", 2L), ("zzz", 4L)).toDF("grp", "n_admitted")
+    val batch = mixDf.filter($"grp" === "b")
+    val (_, counts) = Sampling.quotaAdmit(batch, stored, "grp", "id", 3, "s")
+    assert(counts.as[(String, Long)].collect().toMap ==
+      Map("a" -> 2L, "zzz" -> 4L, "b" -> 3L))
+  }
 }

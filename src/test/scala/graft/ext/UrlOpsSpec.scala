@@ -79,4 +79,30 @@ class UrlOpsSpec extends SparkTestBase {
     val r = df.select(UrlOps.registeredDomain($"u")).as[String].collect().toSeq
     assert(r == Seq("bbc.co.uk", "x.com.au", "example.org", "co.uk", "zz.fr"))
   }
+
+  test("blockScreen: suffix match, exact host, path prefix, overlap min, clean passthrough") {
+    val docs = Seq(
+      (1L, "https://ads.bad.org/x"),         // subdomain of rule 1
+      (2L, "https://bad.org/x"),             // exact host, rule 1
+      (3L, "https://notbad.org/x"),          // NOT a dot-suffix match
+      (4L, "https://a.site.com/private/p"),  // prefix rule 2
+      (5L, "https://a.site.com/public/p"),   // same domain, prefix misses
+      (6L, "https://ads.bad.org/private/p")  // rules 1 and 2... only 1 (domain differs for 2)
+    ).toDF("id", "url")
+    val rules = Seq(
+      ("bad.org", "", 1L),
+      ("site.com", "/private/", 2L),
+      ("bad.org", "/x", 7L) // overlaps rule 1 on /x paths -> min wins
+    ).toDF("domain", "prefix", "rule_id")
+    val out = UrlOps.blockScreen(docs, $"id", $"url", rules)
+      .select($"id", $"blocked", $"block_rule")
+      .as[(Long, Boolean, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, true, Some(1L)), (2L, true, Some(1L)), (3L, false, None),
+      (4L, true, Some(2L)), (5L, false, None), (6L, true, Some(1L))))
+    // the rule side must broadcast — the corpus never shuffles for the probe
+    val plan = UrlOps.blockScreen(docs, $"id", $"url", rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
 }

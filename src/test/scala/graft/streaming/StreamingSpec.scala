@@ -951,4 +951,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quotaAdmit as the foreachBatch front door: per-group totals hit min(cap, n), stream stays stateless") {
+    import graft.ext.Sampling
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"source")
+    val dir = java.nio.file.Files.createTempDirectory("quota-stream").toString + "/in"
+    docs.repartition(3).write.parquet(dir)
+
+    var counts: org.apache.spark.sql.DataFrame =
+      Seq.empty[(String, Long)].toDF("source", "n_admitted")
+    var admitted = 0L
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (adm, nc) = Sampling.quotaAdmit(batch, counts,
+          "source", "doc_id", cap = 3, salt = "s")
+        admitted += adm.count()
+        counts = nc.localCheckpoint(true)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = counts.as[(String, Long)].collect().toMap
+      val want = docs.groupBy($"source").count()
+        .as[(String, Long)].collect().toMap
+        .map { case (g, n) => g -> math.min(3L, n) }
+      assert(got == want)
+      assert(admitted == want.values.sum)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "quota state lives in the maintained counts table, not stream state")
+    } finally q.stop()
+  }
 }
