@@ -4403,6 +4403,68 @@ object ExtQueries {
             |SELECT doc_id, source FROM rk WHERE rn <= 12
             |ORDER BY doc_id""".stripMargin))
 
+  /** Perceptual image dedup pipeline
+    * ([[graft.ext.Multimodal.syntheticGridDHash]] →
+    * [[graft.ext.Multimodal.dHashNearDupPairs]]): dHash's 9×8
+    * gradient-sign grid packed to 64 bits, 16-bit LSH bands, bucket
+    * join, exact bit_count(xor) Hamming confirm. This gate runs the
+    * oracle-checkable face — the deterministic GRFT payload IS the
+    * luminance grid, so DuckDB independently re-derives grid values,
+    * comparison directions, the bit-index layout (y*8+x), the band
+    * slicing, the candidate join, and the distances; the REAL pixel
+    * path (ImageIO decode → integer box sums → the same packDHash)
+    * is pinned on real PNG bytes in MultimodalImageSpec. Fixture: 200
+    * mixed-grid media + 10 one-cell-perturbed copies — the planted
+    * pairs land at distance 1-2 and ~116 random single-band
+    * collisions must be rejected by the exact confirm.
+    */
+  val q128 = Q(
+    "q128_image_dhash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val media = s.range(210).map { id =>
+        val i: Long = id
+        val base: Long = if (i < 200) i else i - 200
+        val payload = Array.tabulate(72) { j =>
+          val v = ((base * 31 + j.toLong * j * 7 + base * j * 13) % 251).toInt
+          (if (i >= 200 && j == 30) (v + 100) % 251 else v).toByte
+        }
+        Multimodal.MediaRow(i, "image", Multimodal.encode(9, 8, 1, payload))
+      }
+      val hashes = Multimodal.syntheticGridDHash(media).toDF()
+        .filter($"valid")
+      Multimodal.dHashNearDupPairs(hashes, "media_id", "dhash",
+          bands = 4, maxDist = 6)
+        .orderBy($"id1", $"id2")
+    },
+    Some("""WITH g AS (
+            |  SELECT i, j,
+            |         CASE WHEN i < 200
+            |              THEN (i*31 + j*j*7 + i*j*13) % 251
+            |              ELSE CASE WHEN j = 30
+            |                   THEN (((i-200)*31 + j*j*7 + (i-200)*j*13) % 251 + 100) % 251
+            |                   ELSE ((i-200)*31 + j*j*7 + (i-200)*j*13) % 251 END
+            |         END AS v
+            |  FROM range(0, 210) t(i), range(0, 72) s(j)),
+            |bits AS (
+            |  SELECT a.i, (a.j // 9) * 8 + (a.j % 9) AS b,
+            |         CASE WHEN r.v > a.v THEN 1 ELSE 0 END AS bit
+            |  FROM g a JOIN g r ON r.i = a.i AND r.j = a.j + 1
+            |  WHERE a.j % 9 < 8),
+            |bands AS (SELECT i, b // 16 AS k, sum(bit * (1 << (b % 16))) AS v
+            |          FROM bits GROUP BY i, b // 16),
+            |cand AS (SELECT DISTINCT a.i AS id1, b2.i AS id2
+            |         FROM bands a JOIN bands b2
+            |           ON a.k = b2.k AND a.v = b2.v AND a.i < b2.i),
+            |dist AS (SELECT c.id1, c.id2,
+            |           CAST((SELECT sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+            |            FROM bits x JOIN bits y
+            |            ON x.b = y.b AND x.i = c.id1 AND y.i = c.id2)
+            |            AS BIGINT) AS dist
+            |         FROM cand c)
+            |SELECT id1, id2, dist FROM dist WHERE dist <= 6
+            |ORDER BY id1, id2""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4411,5 +4473,5 @@ object ExtQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127)
+    q127, q128)
 }

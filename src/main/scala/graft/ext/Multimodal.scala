@@ -256,6 +256,145 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // Perceptual image dedup: dHash (difference hash) — the standard
+  // near-dup signature for image corpora. Re-encoded, resized, or
+  // uniformly brightness-shifted copies of an image keep the same
+  // hash (the hash reads the SIGN of adjacent luminance gradients,
+  // which survives monotone per-pixel transforms and box downsampling)
+  // while unrelated images land ~32 bits apart. Pairing then reuses
+  // the engine's banded-LSH shape: 16-bit bands → bucket join →
+  // exact Hamming confirm — shuffles carry (band, id) pairs, never
+  // pixels.
+  // ---------------------------------------------------------------------
+
+  final case class ImageHashRow(media_id: Long, valid: Boolean, dhash: Long)
+
+  /** 64-bit dHash from a 9-wide × 8-tall luminance box grid given as
+    * exact integer (sum, area) pairs, row-major. Bit `y*8+x` is set
+    * iff mean(x+1, y) > mean(x, y). Mean comparison is EXACT integer
+    * arithmetic — quotient first, then cross-multiplied remainders
+    * (remainders are < area, so the products stay far under 2^63 for
+    * any real image) — no float rounding, deterministic on any JVM.
+    */
+  private[ext] def packDHash(sums: Array[Long], areas: Array[Long]): Long = {
+    require(sums.length == 72 && areas.length == 72, "9x8 grid required")
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val l = y * 9 + x
+        val r = l + 1
+        val ql = sums(l) / areas(l); val rl = sums(l) % areas(l)
+        val qr = sums(r) / areas(r); val rr = sums(r) % areas(r)
+        val gt = qr > ql || (qr == ql && rr * areas(l) > rl * areas(r))
+        if (gt) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** REAL per-partition dHash: ImageIO decode → integer luminance
+    * (ITU-R 601 weights ×1000) box-summed onto the 9×8 grid (pixel x
+    * lands in column x*9/w — exact integer box partition, no AWT
+    * interpolation in the loop) → [[packDHash]]. Undecodable bytes
+    * yield valid=false, hash 0 — corrupt media never kills the ingest.
+    */
+  def imageDHash(ds: Dataset[MediaRow]): Dataset[ImageHashRow] = {
+    implicit val enc: Encoder[ImageHashRow] = Encoders.product[ImageHashRow]
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.content))
+          if (img == null) ImageHashRow(row.media_id, valid = false, 0L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val sums = new Array[Long](72)
+            val areas = new Array[Long](72)
+            var y = 0
+            while (y < h) {
+              val by = (y.toLong * 8 / h).toInt
+              var x = 0
+              while (x < w) {
+                val bx = (x.toLong * 9 / w).toInt
+                val p = img.getRGB(x, y)
+                val lum = 299L * ((p >> 16) & 0xff) +
+                  587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+                val cell = by * 9 + bx
+                sums(cell) += lum
+                areas(cell) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            ImageHashRow(row.media_id, valid = true, packDHash(sums, areas))
+          }
+        } catch {
+          case _: Exception => ImageHashRow(row.media_id, valid = false, 0L)
+        }
+      }
+    }
+  }
+
+  /** dHash over the deterministic synthetic grid: the first 72 payload
+    * bytes of a GRFT container ARE the 9×8 luminance grid (area 1 per
+    * cell). This is the oracle-checkable face (gate q128 re-derives
+    * grid, comparisons, bit pack, banding, and Hamming join in SQL);
+    * the pixel path above is the same [[packDHash]] fed box sums.
+    */
+  def syntheticGridDHash(ds: Dataset[MediaRow]): Dataset[ImageHashRow] = {
+    implicit val enc: Encoder[ImageHashRow] = Encoders.product[ImageHashRow]
+    ds.mapPartitions(_.map { row =>
+      val meta = decodeHeader(row.content)
+      val payload = if (meta.valid) row.content.drop(16) else Array.empty[Byte]
+      if (payload.length < 72) ImageHashRow(row.media_id, valid = false, 0L)
+      else {
+        val sums = Array.tabulate(72)(j => (payload(j) & 0xff).toLong)
+        val areas = Array.fill(72)(1L)
+        ImageHashRow(row.media_id, valid = true, packDHash(sums, areas))
+      }
+    })
+  }
+
+  /** Near-duplicate image pairs from a (id, dhash) frame: 64/bands-bit
+    * band keys bucket the candidates (a pair within Hamming distance
+    * d < bands is GUARANTEED to share a band — pigeonhole; beyond
+    * that, banding is the standard recall/cost trade), then the exact
+    * `bit_count(xor)` distance confirms survivors. Shuffles carry
+    * (band value, id) rows and the ≤ pairs join — never image bytes.
+    */
+  def dHashNearDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                        bands: Int = 4, maxDist: Int = 6): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist in [0,64], got $maxDist")
+    val slice = 64 / bands
+    val mask = if (slice == 64) -1L else (1L << slice) - 1L
+    val banded = hashes.select(
+      col(idCol).as("__ph_id"), col(hashCol).as("__ph_h"),
+      explode(array((0 until bands).map(k =>
+        struct(lit(k).as("b"),
+          shiftrightunsigned(col(hashCol), k * slice)
+            .bitwiseAND(lit(mask)).as("v"))): _*)).as("__band"))
+      .select(col("__ph_id"), col("__ph_h"),
+        col("__band.b").as("__b"), col("__band.v").as("__v"))
+    val left = banded.select(col("__b"), col("__v"),
+      col("__ph_id").as("id1"), col("__ph_h").as("h1"))
+    val right = banded.select(col("__b").as("__b2"), col("__v").as("__v2"),
+      col("__ph_id").as("id2"), col("__ph_h").as("h2"))
+    left.join(right,
+        col("__b") === col("__b2") && col("__v") === col("__v2") &&
+          col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  // ---------------------------------------------------------------------
   // REAL audio/video container metadata — pure-JVM walks of the two
   // ubiquitous PUBLIC container formats: WAV (RIFF chunks, Microsoft
   // multimedia file format) and MP4 (ISO/IEC 14496-12 box/atom

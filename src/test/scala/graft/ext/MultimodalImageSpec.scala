@@ -107,4 +107,79 @@ class MultimodalImageSpec extends SparkTestBase {
       .as[(Double, Double, Double)].collect().toSeq
     assert(colors == Seq((16.0, 32.0, 48.0)))
   }
+
+  private def gradientPng(seed: Int, w: Int = 90, h: Int = 80,
+                          shift: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      // structured, seed-dependent luminance field; +shift is a
+      // uniform brightness change (kept clip-free: values stay <= 245)
+      val v = ((x * 7 + y * 13 + seed * 37 + (x * y) % 31) % 200) + shift
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def dhashOf(rows: (Long, Array[Byte])*): Map[Long, (Boolean, Long)] =
+    Multimodal.imageDHash(
+      rows.map { case (id, b) => Multimodal.MediaRow(id, "image", b) }.toDS())
+      .collect().map(r => r.media_id -> (r.valid, r.dhash)).toMap
+
+  test("imageDHash: re-encode and uniform brightness shift keep the hash; edits move it a little; unrelated images far") {
+    val base = gradientPng(seed = 1)
+    val reEncoded = {
+      // decode + re-encode round trip (PNG is lossless -> same pixels)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val brighter = gradientPng(seed = 1, shift = 10)
+    val edited = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      for (y <- 0 until 30; x <- 0 until 30) img.setRGB(x, y, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val other = gradientPng(seed = 9)
+    val hs = dhashOf(1L -> base, 2L -> reEncoded, 3L -> brighter,
+      4L -> edited, 5L -> other)
+    assert(hs.values.forall(_._1), "all inputs decodable")
+    def dist(a: Long, b: Long) =
+      java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+    assert(dist(1L, 2L) == 0, "lossless re-encode must not move the hash")
+    assert(dist(1L, 3L) == 0, "uniform brightness shift preserves gradient signs")
+    assert(dist(1L, 4L) > 0 && dist(1L, 4L) <= 12, s"small edit small move: ${dist(1L, 4L)}")
+    assert(dist(1L, 5L) >= 16, s"unrelated images far apart: ${dist(1L, 5L)}")
+  }
+
+  test("imageDHash: undecodable bytes yield valid=false hash 0, never an exception") {
+    val hs = dhashOf(7L -> Array[Byte](1, 2, 3, 4))
+    assert(hs(7L) == (false, 0L))
+  }
+
+  test("dHashNearDupPairs on real pixels: planted near-dup found, unrelated rejected, pigeonhole holds") {
+    val base = gradientPng(seed = 4)
+    val nearDup = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      for (y <- 0 until 6; x <- 0 until 6) img.setRGB(x, y, 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(1L -> base, 2L -> nearDup, 3L -> gradientPng(seed = 11),
+      4L -> gradientPng(seed = 23))
+    val hashes = Multimodal.imageDHash(
+      rows.map { case (id, b) => Multimodal.MediaRow(id, "image", b) }.toDS()).toDF()
+    val pairs = Multimodal.dHashNearDupPairs(hashes, "media_id", "dhash",
+        bands = 4, maxDist = 6)
+      .select($"id1", $"id2", $"dist").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exactly the planted pair: $pairs")
+    assert(pairs.head._3 <= 3, "dist < bands -> pigeonhole guaranteed the catch")
+  }
 }
