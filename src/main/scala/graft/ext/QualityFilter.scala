@@ -61,7 +61,11 @@ object QualityFilter {
   def quantileBandSketch(df: DataFrame, metric: Column, hash: Column,
                          pLo: Double, pHi: Double, k: Int = 512): DataFrame = {
     require(pLo <= pHi, s"pLo <= pHi required, got $pLo > $pHi")
-    val sk = df.agg(QuantileSketchAgg.sample(hash, metric.cast("double"), k).as("__s"))
+    // hash/value behind a codegen'd projection: TypedImperativeAggregate
+    // evals child expressions interpreted per row (see Layout
+    // .sketchCutpoints — measured ~15 µs/row on the md5-Horner tree)
+    val sk = df.select(hash.as("__qb_h"), metric.cast("double").as("__qb_v"))
+      .agg(QuantileSketchAgg.sample(col("__qb_h"), col("__qb_v"), k).as("__s"))
     // ≤ k rows from here down: the window and aggregate are trivial
     val cdf = sk.select(explode(col("__s")).as("e"))
       .select(col("e.value").as("__v"), col("e.count").as("__c"))

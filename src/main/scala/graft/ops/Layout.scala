@@ -201,8 +201,16 @@ object Layout {
                       grid: Int, k: Int): DataFrame = {
     require(grid >= 2 && grid <= 4096, s"grid in [2,4096], got $grid")
     import org.apache.spark.sql.functions.{col, explode, sequence, sum, when, min => fmin}
-    val sk = df.agg(graft.functions.QuantileSketchAgg
-      .sample(hash, metric.cast("double"), k).as("__s"))
+    // materialize hash/value through a codegen'd projection FIRST:
+    // TypedImperativeAggregate.update evals its child expressions
+    // INTERPRETED per row, so feeding the md5-Horner tree directly
+    // costs ~15 µs/row (measured 8.8 s over 600k rows); behind a
+    // projection the agg reads two bound columns and the md5 runs
+    // inside whole-stage codegen
+    val prepped = df.select(hash.as("__qs_h"),
+      metric.cast("double").as("__qs_v"))
+    val sk = prepped.agg(graft.functions.QuantileSketchAgg
+      .sample(col("__qs_h"), col("__qs_v"), k).as("__s"))
     // ≤ k rows from here on
     val w = org.apache.spark.sql.expressions.Window
     val cdf = sk.select(explode(col("__s")).as("e"))
@@ -222,19 +230,20 @@ object Layout {
     * cell = number of DISTINCT cutpoints ≤ value (duplicate cutpoints
     * — a value heavier than 1/grid of the corpus — collapse, so a
     * heavy value occupies ONE cell rather than inflating its
-    * neighbors' indices). The cutpoint table is grid-1 rows —
-    * broadcast as a sorted array; the probe is a bounded in-row scan,
-    * zero shuffles over `df`.
+    * neighbors' indices). The grid-1 distinct cutpoints are bounded
+    * driver state (the nlist-centroids precedent) compiled into a
+    * codegen'd O(log grid) binary-search expression
+    * ([[graft.functions.CutpointCell]]) — the broadcast-array
+    * higher-order `filter` formulation evaluates its lambda
+    * interpreted per row and measured ~7 s over 600k rows where this
+    * is scan-cost. Zero shuffles over `df`.
     */
   def sketchGridCell(df: DataFrame, metric: Column, cuts: DataFrame,
                      out: String): DataFrame = {
-    import org.apache.spark.sql.functions.{array_distinct, array_sort, broadcast, col, collect_list, filter, size}
-    val arr = cuts.agg(
-      array_distinct(array_sort(collect_list(col("cut")))).as("__cuts"))
-    df.crossJoin(broadcast(arr))
-      .withColumn(out,
-        size(filter(col("__cuts"), c => c <= metric.cast("double"))).cast("long"))
-      .drop("__cuts")
+    val arr = cuts.select(col("cut")).where(col("cut").isNotNull)
+      .distinct().collect().map(_.getDouble(0)).sorted
+    df.withColumn(out,
+      graft.functions.CutpointCell(metric.cast("double"), arr))
   }
 
   /** Skip-rate of a min-max index for a conjunctive range predicate:
