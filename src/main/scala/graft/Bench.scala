@@ -233,8 +233,9 @@ object Bench {
       "q94_banded_neardup", "q95_retract_components",
       "q96_retract_digests", "q98_retract_packing",
       "q99_trained_classifier", "q101_ngram_lm",
-      "q121_nfc_normalize", "q123_sketch_grid", "q124_cap_per_group",
-      "q125_redact_cards", "q126_blocklist_screen", "q127_quota_admit")
+      "q121_nfc_normalize", "q122_keep_best", "q123_sketch_grid",
+      "q124_cap_per_group", "q125_redact_cards", "q126_blocklist_screen",
+      "q127_quota_admit")
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)

@@ -74,6 +74,30 @@ object CurationScaleCheck {
       }
       pairs.unpersist()
     }
+
+    // ---- per-host quota cap: window face vs bounded-state agg face
+    // under EXTREME skew (one host owns ~90% of the corpus — the
+    // mirror-host case). The window sorts the whole heavy group
+    // through one task; the TopKAgg face keeps <= cap rows of state
+    // per group with map-side combine, so the heavy group reduces
+    // inside every scan task. Both faces return the IDENTICAL row set
+    // (pinned in MixDecontamSpec); this measures the cost shape.
+    Seq(1000000, 4000000).foreach { n =>
+      val skewed = spark.range(n.toLong).select(
+          col("id"),
+          when(col("id") % 10 < 9, lit("megahost"))
+            .otherwise(concat(lit("host"), (col("id") % 1000).cast("string")))
+            .as("grp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      skewed.count()
+      time(s"capPerGroup(window) ${n}rows 90%-skew") {
+        graft.ext.Sampling.capPerGroup(skewed, col("grp"), col("id"), 100, "s").count()
+      }
+      time(s"capPerGroupAgg(topk) ${n}rows 90%-skew") {
+        graft.ext.Sampling.capPerGroupAgg(skewed, col("grp"), col("id"), 100, "s").count()
+      }
+      skewed.unpersist()
+    }
     spark.stop()
   }
 }

@@ -307,34 +307,40 @@ object Multimodal {
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { row =>
-        try {
-          val img = javax.imageio.ImageIO.read(
+        // the catch wraps ONLY the codec boundary: a decode failure is
+        // expected corpus dirt, but an exception out of the hash loop
+        // below would be a bug and must surface, not masquerade as
+        // corrupt media
+        val img =
+          try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(row.content))
-          if (img == null) ImageHashRow(row.media_id, valid = false, 0L)
-          else {
-            val w = img.getWidth; val h = img.getHeight
-            val sums = new Array[Long](72)
-            val areas = new Array[Long](72)
-            var y = 0
-            while (y < h) {
-              val by = (y.toLong * 8 / h).toInt
-              var x = 0
-              while (x < w) {
-                val bx = (x.toLong * 9 / w).toInt
-                val p = img.getRGB(x, y)
-                val lum = 299L * ((p >> 16) & 0xff) +
-                  587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
-                val cell = by * 9 + bx
-                sums(cell) += lum
-                areas(cell) += 1L
-                x += 1
-              }
-              y += 1
+          catch { case _: Exception => null }
+        // sub-grid images (w<9 or h<8) have no 9x8 gradient field to
+        // read — explicitly invalid, not an accidental division by a
+        // zero-area cell
+        if (img == null || img.getWidth < 9 || img.getHeight < 8)
+          ImageHashRow(row.media_id, valid = false, 0L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](72)
+          val areas = new Array[Long](72)
+          var y = 0
+          while (y < h) {
+            val by = (y.toLong * 8 / h).toInt
+            var x = 0
+            while (x < w) {
+              val bx = (x.toLong * 9 / w).toInt
+              val p = img.getRGB(x, y)
+              val lum = 299L * ((p >> 16) & 0xff) +
+                587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+              val cell = by * 9 + bx
+              sums(cell) += lum
+              areas(cell) += 1L
+              x += 1
             }
-            ImageHashRow(row.media_id, valid = true, packDHash(sums, areas))
+            y += 1
           }
-        } catch {
-          case _: Exception => ImageHashRow(row.media_id, valid = false, 0L)
+          ImageHashRow(row.media_id, valid = true, packDHash(sums, areas))
         }
       }
     }

@@ -235,7 +235,11 @@ object Sampling {
     * 100M-row mirror host reduces inside each scan task instead of
     * sorting through one reducer — the skew-immune shape. Selection
     * is identical to the window face (tested); requires a non-negative
-    * long-compatible `key`.
+    * long-compatible `key` that UNIQUELY identifies rows (both faces
+    * assume it: with duplicate keys the window face caps the count but
+    * picks among equal keys arbitrarily, and this face's semi-join
+    * would return EVERY row carrying a winning key — exceeding the
+    * cap. Run exact dedup first, or cap on a synthesized unique id).
     */
   def capPerGroupAgg(df: DataFrame, group: Column, key: Column, cap: Int,
                      salt: String = ""): DataFrame = {

@@ -155,24 +155,34 @@ object UrlOps {
     * matching rule_id — deterministic when rules overlap; NULL =
     * clean) and `blocked`.
     *
-    * Scale shape: published blocklists are a few million rows —
-    * broadcast; the probe joins on nothing corpus-sized (the hit list
-    * is (id, rule) pairs, duplicate-free after the min-aggregate), so
-    * the corpus never shuffles. Dot-suffix matching is expressed as
-    * an equality OR endsWith — both engines' string ops, mirrored in
-    * gate q126's oracle.
+    * Scale shape: dot-suffix matching is NOT a join condition — that
+    * would be a non-equi OR predicate, which Spark can only plan as a
+    * nested-loop join (O(corpus × rules): intractable against a
+    * real ~2M-rule blocklist). Instead each host EXPLODES into its
+    * bounded dot-suffix chain (`a.b.c` → [a.b.c, b.c, c] — ≤ label
+    * count entries, ~5 for real hosts) and the probe is an EQUI-join
+    * on the suffix: a broadcast hash join, ~2M-row build side, the
+    * corpus never shuffles. The path-prefix narrowing filters the
+    * candidate matches after the hash probe. Rule domains are
+    * lowercased/trimmed on the build side (blocklist files are
+    * mixed-case in the wild; hosts are already lowercased by
+    * [[host]]). Semantics mirrored in gate q126's oracle.
     */
   def blockScreen(df: DataFrame, id: Column, url: Column,
                   rules: DataFrame): DataFrame = {
     val probe = df.select(id.as("__bs_id"), host(url).as("__bs_h"),
       path(url).as("__bs_p"))
-    val r = rules.select(col("domain").as("__bl_d"),
+    // dot-suffix chain: for parts [a,b,c] the suffixes a.b.c, b.c, c
+    val parts = split(col("__bs_h"), "\\.")
+    val suffixes = transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts)), "."))
+    val r = rules.select(lower(trim(col("domain"))).as("__bl_d"),
       col("prefix").as("__bl_p"), col("rule_id").as("__bl_r"))
-    val hits = probe.join(broadcast(r),
-        (col("__bs_h") === col("__bl_d") ||
-          col("__bs_h").endsWith(concat(lit("."), col("__bl_d")))) &&
-        (col("__bl_p") === lit("") ||
-          col("__bs_p").startsWith(col("__bl_p"))))
+    val hits = probe
+      .select(col("__bs_id"), col("__bs_p"), explode(suffixes).as("__bs_sfx"))
+      .join(broadcast(r), col("__bs_sfx") === col("__bl_d"))
+      .filter(col("__bl_p") === lit("") ||
+        col("__bs_p").startsWith(col("__bl_p")))
       .groupBy(col("__bs_id")).agg(min(col("__bl_r")).as("block_rule"))
     df.join(hits, id === col("__bs_id"), "left")
       .withColumn("blocked", col("block_rule").isNotNull)

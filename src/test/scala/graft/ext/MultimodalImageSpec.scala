@@ -157,9 +157,19 @@ class MultimodalImageSpec extends SparkTestBase {
     assert(dist(1L, 5L) >= 16, s"unrelated images far apart: ${dist(1L, 5L)}")
   }
 
-  test("imageDHash: undecodable bytes yield valid=false hash 0, never an exception") {
-    val hs = dhashOf(7L -> Array[Byte](1, 2, 3, 4))
+  test("imageDHash: undecodable bytes and sub-grid images yield valid=false, never an exception") {
+    val tiny = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val hs = dhashOf(7L -> Array[Byte](1, 2, 3, 4), 8L -> tiny)
     assert(hs(7L) == (false, 0L))
+    // decodable but narrower than the 9-wide grid: explicitly invalid,
+    // not a swallowed divide-by-zero
+    assert(hs(8L) == (false, 0L))
   }
 
   test("dHashNearDupPairs on real pixels: planted near-dup found, unrelated rejected, pigeonhole holds") {

@@ -100,9 +100,17 @@ class UrlOpsSpec extends SparkTestBase {
     assert(out == Seq(
       (1L, true, Some(1L)), (2L, true, Some(1L)), (3L, false, None),
       (4L, true, Some(2L)), (5L, false, None), (6L, true, Some(1L))))
-    // the rule side must broadcast — the corpus never shuffles for the probe
+    // the probe must be an EQUI hash join on the exploded suffix chain
+    // with the rule side broadcast — a nested-loop join here would be
+    // O(corpus x rules) against a real ~2M-rule blocklist
     val plan = UrlOps.blockScreen(docs, $"id", $"url", rules)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // mixed-case rule files still match (domains normalized build-side)
+    val messy = Seq(("  BAD.org ", "", 9L)).toDF("domain", "prefix", "rule_id")
+    val out2 = UrlOps.blockScreen(docs, $"id", $"url", messy)
+      .filter($"blocked").select($"id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(1L, 2L, 6L))
   }
 }
