@@ -369,6 +369,64 @@ class PlanSpec extends SparkTestBase {
     assert(p119.contains("ReadSchema: struct<l_orderkey:bigint,l_suppkey:bigint,l_extendedprice:double>"), p119)
   }
 
+  test("q121 NFC normalize: one per-row scan, zero key-shuffle, no UDF") {
+    val p = ExtQueries.q121.run(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), s"per-row op must not key-shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q123 sketch grid: the sort-free claim holds in both plans — sketch is object-hash partial, assignment has no corpus sort or window") {
+    import org.apache.spark.sql.functions.{col, floor}
+    import spark.implicits._
+    val base = Tables.lineitem(spark, dir)
+      .select(floor($"l_extendedprice").cast("long").as("v"))
+    val cuts = graft.ops.Layout.sketchCutpoints(base, col("v"),
+      graft.ext.MinHashLsh.portableHash32(col("v").cast("string")), 8, 64)
+    val pc = cuts.queryExecution.executedPlan.toString
+    // the sketch side: partial object-hash agg, no sort of the corpus
+    // (the <=64-row cdf window sorts sketch rows, not data rows)
+    assert(pc.contains("ObjectHashAggregate"), pc)
+    assert(pc.contains("partial_quantilesketchagg") || pc.contains("partial_"), pc)
+    // the gate plan (cuts already collected driver-side at build time):
+    // assignment is a codegen'd projection; the only Sort is the final
+    // 8-row orderBy on cell — the exact face (q120) pays two window
+    // sorts of the corpus, this face must pay none
+    val p = ExtQueries.q123.run(spark, dir).queryExecution.executedPlan.toString
+    val sorts = "Sort \\[".r.findAllIn(p).size
+    assert(sorts <= 1, s"expected at most the final tiny orderBy, got $sorts sorts:\n$p")
+    assert(!p.contains("Window"), s"no rank window in the sketch face:\n$p")
+    assert(p.contains("cutpointcell"), s"assignment must be the codegen'd expression:\n$p")
+  }
+
+  test("q124 per-group cap: one key-shuffle for the window, scan pruned to the cap columns") {
+    val p = ExtQueries.q124.run(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"), p)
+  }
+
+  test("q125 card redaction: one per-row scan, zero key-shuffle, codegen'd expressions only") {
+    val p = ExtQueries.q125.run(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), s"per-row op must not key-shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("q126 blocklist: broadcast hash equi-join on the suffix chain, never a nested loop") {
+    val p = ExtQueries.q126.run(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("capPerGroupAgg plans bounded-state partial aggregation, no per-group sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, dir, "documents").select($"doc_id", $"source")
+    val p = graft.ext.Sampling.capPerGroupAgg(docs, col("source"), col("doc_id"), 10, "s")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkagg") || p.contains("partial_"), p)
+    assert(!p.contains("Window"), s"the agg face must not fall back to a window:\n$p")
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
