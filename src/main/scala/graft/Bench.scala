@@ -235,7 +235,7 @@ object Bench {
       "q99_trained_classifier", "q101_ngram_lm",
       "q121_nfc_normalize", "q122_keep_best", "q123_sketch_grid",
       "q124_cap_per_group", "q125_redact_cards", "q126_blocklist_screen",
-      "q127_quota_admit")
+      "q127_quota_admit", "q129_sentences", "q130_common_sentences")
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)

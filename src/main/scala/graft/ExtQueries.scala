@@ -4465,6 +4465,109 @@ object ExtQueries {
             |SELECT id1, id2, dist FROM dist WHERE dist <= 6
             |ORDER BY id1, id2""".stripMargin))
 
+  /** Rule-based sentence segmentation
+    * ([[graft.ext.TextAnalysis.sentences]]): terminator-run + space
+    * boundaries, trimmed non-empty segments, order preserved — the
+    * granularity between paragraph blocks and whole docs. Planted
+    * rows exercise every branch: multi-sentence with !/?? runs, a
+    * trailing unterminated fragment, leading/multiple/trailing
+    * whitespace, a no-terminator doc (one sentence), and the
+    * documented abbreviation split ("Dr." DOES split — the rule-based
+    * contract). The corpus (punctuation-free synthetic text) runs the
+    * one-sentence path at scale. The oracle rebuilds the mark-split
+    * pipeline in RE2 syntax (no lookbehind on either engine — that is
+    * WHY the mark-then-split mechanism exists) with list lambdas +
+    * ordinality. Zero shuffle but the final sort.
+    */
+  val q129 = Q(
+    "q129_sentences",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (400000L, "First sentence. Second one! Third?? Trailing fragment"),
+        (400001L, "One only."),
+        (400002L, "  Leading space. multiple   spaces after.  "),
+        (400003L, "No terminator at all"),
+        (400004L, "Dr. Smith went home. He slept.")).toDF("doc_id", "text")
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+        .select($"doc_id", posexplode(TextAnalysis.sentences($"text"))
+          .as(Seq("sent_idx", "sentence")))
+        .select($"doc_id", $"sent_idx".cast("long").as("sent_idx"), $"sentence")
+        .orderBy($"doc_id", $"sent_idx")
+    },
+    Some("""WITH planted(doc_id, text) AS (VALUES
+            |  (400000, 'First sentence. Second one! Third?? Trailing fragment'),
+            |  (400001, 'One only.'),
+            |  (400002, '  Leading space. multiple   spaces after.  '),
+            |  (400003, 'No terminator at all'),
+            |  (400004, 'Dr. Smith went home. He slept.')),
+            |u AS (SELECT doc_id, text FROM documents
+            |      UNION ALL SELECT doc_id, text FROM planted),
+            |m AS (SELECT doc_id,
+            |        list_filter(list_transform(
+            |          string_split(regexp_replace(text, '([.!?]+)\s+',
+            |                                      '\1' || chr(1), 'g'), chr(1)),
+            |          x -> trim(x)), x -> x <> '') AS l
+            |      FROM u)
+            |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, l[i] AS sentence
+            |FROM m, unnest(range(1, len(l) + 1)) t(i)
+            |ORDER BY doc_id, sent_idx""".stripMargin))
+
+  /** Cross-document common-sentence detection — the template/boilerplate
+    * signal at sentence granularity (the "All rights reserved" class
+    * that paragraph-level dedup misses when surrounding text differs):
+    * segment, distinct per (doc, sentence), count distinct docs per
+    * sentence, keep df ≥ 2. Planted: five docs with unique leads
+    * sharing one footer sentence (must surface at n_docs=5); corpus
+    * exact-dupe texts surface as their whole-text "sentence". Shuffle
+    * shape: (doc_id, sentence) distinct + one keyed count — sentence
+    * text shuffles once; at corpus scale swap the sentence for its
+    * digest (the q86 discipline) — same plan, narrower rows.
+    */
+  val q130 = Q(
+    "q130_common_sentences",
+    (s, dir) => {
+      import s.implicits._
+      val planted = (0 until 5).map(i =>
+        (500000L + i, s"Unique lead number $i in doc. All rights reserved by example."))
+        .toDF("doc_id", "text")
+        // a second repeat at exactly the df=2 boundary (and one doc
+        // repeating the footer twice, which must count ONCE)
+        .unionAll(Seq(
+          (500005L, "Pair sentence here. Something else entirely now."),
+          (500006L, "Pair sentence here. All rights reserved by example. All rights reserved by example."))
+          .toDF("doc_id", "text"))
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+        .select($"doc_id", explode(TextAnalysis.sentences($"text")).as("sentence"))
+        .distinct()
+        .groupBy($"sentence").agg(count(lit(1)).as("n_docs"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"sentence")
+    },
+    Some("""WITH planted(doc_id, text) AS (
+            |  SELECT 500000 + i,
+            |         'Unique lead number ' || CAST(i AS VARCHAR) ||
+            |         ' in doc. All rights reserved by example.'
+            |  FROM range(0, 5) t(i)),
+            |planted2(doc_id, text) AS (VALUES
+            |  (500005, 'Pair sentence here. Something else entirely now.'),
+            |  (500006, 'Pair sentence here. All rights reserved by example. All rights reserved by example.')),
+            |u AS (SELECT doc_id, text FROM documents
+            |      UNION ALL SELECT doc_id, text FROM planted
+            |      UNION ALL SELECT doc_id, text FROM planted2),
+            |m AS (SELECT doc_id,
+            |        list_filter(list_transform(
+            |          string_split(regexp_replace(text, '([.!?]+)\s+',
+            |                                      '\1' || chr(1), 'g'), chr(1)),
+            |          x -> trim(x)), x -> x <> '') AS l
+            |      FROM u),
+            |sent AS (SELECT DISTINCT doc_id, unnest(l) AS sentence FROM m)
+            |SELECT sentence, count(*) AS n_docs
+            |FROM sent GROUP BY sentence HAVING count(*) >= 2
+            |ORDER BY sentence""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4473,5 +4576,5 @@ object ExtQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128)
+    q127, q128, q129, q130)
 }

@@ -219,6 +219,28 @@ object TextAnalysis {
   def longNumberCount(c: Column): Column =
     size(regexp_extract_all(c, lit(LongNumberPattern), lit(0)))
 
+  /** Rule-based sentence segmentation — the deterministic granularity
+    * between [[graft.ext.ParagraphDedup]]'s blank-line blocks and
+    * whole documents, used for sentence-level dedup/boilerplate
+    * signals (common-sentence detection is a classic template
+    * indicator). Boundary: a terminator run `[.!?]+` followed by
+    * whitespace; each sentence is the trimmed segment, empties
+    * dropped, order preserved. Mechanism: mark boundaries with U+0001
+    * (consuming the whitespace) then split — no lookbehind, so the
+    * oracle mirrors it in RE2-based engines where `(?<=...)` does not
+    * exist. Abbreviation periods ("Dr. Smith") DO split — the
+    * documented rule-based limitation; model-grade segmentation is a
+    * different tool. Per-row expressions only, zero shuffle (the
+    * transform/filter lambdas are interpreted HOFs — fine for
+    * segment-level arrays; see CutpointCell for when that matters).
+    */
+  def sentences(c: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(c, "([.!?]+)\\s+", "$1\u0001"), "\u0001"),
+        s => trim(s)),
+      s => s =!= "")
+
   /** 64-bit content fingerprint (xxhash64 builtin — codegen'd, seed 42). */
   /** Canonical text normalization — the cleaning pass that runs before
     * shingling/dedup so that cosmetic variants (tabs vs spaces, CRLF,
