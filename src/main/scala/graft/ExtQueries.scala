@@ -4568,6 +4568,91 @@ object ExtQueries {
             |FROM sent GROUP BY sentence HAVING count(*) >= 2
             |ORDER BY sentence""".stripMargin))
 
+  /** Host-graph PageRank quality prior ([[graft.ext.LinkGraph]]): the
+    * web-graph signal URL-level curation attaches to every crawl. The
+    * fixture derives a 21-host graph from the documents table — the 20
+    * `source` hosts each link to two arithmetic-derived `src{0..6}`
+    * targets (so src7..src19 take only the base+dangling share) plus a
+    * pure-sink `hub` host with NO out-edges, forcing the
+    * dangling-mass branch every iteration. Three power iterations; the
+    * oracle SQL is GENERATED from the same per-iteration formula
+    * ([[LinkGraph.pageRankOracleSql]]), with per-edge contributions
+    * and the dangling mass floored onto a 1e-15 integer grid before
+    * summing in both engines so the double-valued ranks hash-match
+    * bit for bit (the q99 trainer discipline applied to power
+    * iteration, with an IEEE-portable grid instead of a decimal cast).
+    */
+  val q131 = Q(
+    "q131_host_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"source")
+      val raw = d.select($"source".as("src"),
+          concat(lit("src"), ($"doc_id" % 7).cast("string")).as("dst"))
+        .unionAll(d.select($"source".as("src"),
+          concat(lit("src"), (($"doc_id" * 3 + 1) % 7).cast("string")).as("dst")))
+        .unionAll(d.filter($"doc_id" % 11 === 0)
+          .select($"source".as("src"), lit("hub").as("dst")))
+      graft.ext.LinkGraph.pageRank(raw, "src", "dst", iters = 3, damping = 0.85)
+        .orderBy($"host")
+    },
+    Some(graft.ext.LinkGraph.pageRankOracleSql(
+      """raw AS (
+        |  SELECT source AS src, 'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT source, 'src' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT source, 'hub' FROM documents WHERE doc_id % 11 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM raw)""".stripMargin,
+      iters = 3, damping = 0.85)))
+
+  /** Exact-budget stratified sampling
+    * ([[graft.ext.Sampling.takeStratified]] over
+    * [[graft.ext.Sampling.allocateLargestRemainder]]): Hamilton
+    * largest-remainder allocation of a 137-doc budget across the
+    * language strata — all-integer arithmetic (BIGINT products,
+    * DIV/%, remainder-ranked top-up, stratum-asc ties), then the
+    * per-stratum draw by smallest md5(doc_id||salt). 137 is coprime
+    * to the stratum counts so base quotas truncate and the remainder
+    * top-up path is exercised; the oracle mirrors allocation and draw
+    * in window SQL and the quota column audits the allocation table
+    * itself.
+    */
+  val q132 = Q(
+    "q132_stratified_budget",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"lang")
+      Sampling.takeStratified(d, $"lang", $"doc_id", budget = 137L, salt = "q132")
+        .select($"doc_id", $"lang", $"quota")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH c AS (SELECT lang AS stratum, count(*) AS n_rows
+            |           FROM documents GROUP BY lang),
+            |t AS (SELECT sum(n_rows) AS total FROM c),
+            |a AS (SELECT stratum, n_rows,
+            |             (137 * n_rows) // total AS base,
+            |             (137 * n_rows) % total AS rem
+            |      FROM c, t),
+            |l AS (SELECT 137 - sum(base) AS leftover FROM a),
+            |q AS (SELECT stratum,
+            |             base + (CASE WHEN row_number() OVER
+            |                 (ORDER BY rem DESC, stratum ASC) <= leftover
+            |               THEN 1 ELSE 0 END) AS quota
+            |      FROM a, l),
+            |h AS (SELECT doc_id, lang,
+            |             md5(CAST(doc_id AS VARCHAR) || 'q132') AS hx
+            |      FROM documents),
+            |r AS (SELECT doc_id, lang, hx, row_number() OVER
+            |        (PARTITION BY lang ORDER BY hx ASC, doc_id ASC) AS rn
+            |      FROM h)
+            |SELECT r.doc_id, r.lang, q.quota
+            |FROM r JOIN q ON q.stratum = r.lang
+            |WHERE r.rn <= q.quota
+            |ORDER BY r.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4576,5 +4661,5 @@ object ExtQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130)
+    q127, q128, q129, q130, q131, q132)
 }

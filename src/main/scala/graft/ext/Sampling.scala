@@ -313,4 +313,65 @@ object Sampling {
       .withColumn("pos", col("__off") + rn)
       .drop("__b", "__off", "__shuffle_h")
   }
+
+  /** Largest-remainder (Hamilton) allocation of an EXACT total budget
+    * across strata, proportional to stratum size. [[stratifiedSample]]
+    * and [[temperatureSample]] draw per-row with a rate — their output
+    * size is only approximately the target; eval-set construction and
+    * fixed-token-budget mixtures need the total to come out exact.
+    * Entirely integer arithmetic (BIGINT products, DIV/%, a
+    * remainder-ranked top-up), so the allocation is engine-portable
+    * and oracle-checkable with no floating point anywhere.
+    *
+    * Quotas sum to exactly `budget` when `budget <= total rows`
+    * (callers wanting per-stratum caps on top compose with
+    * [[capPerGroup]]). Ties in the remainder rank break by stratum
+    * value ascending. The allocation table is one row per stratum —
+    * driver-scale by definition — so the two whole-table windows
+    * (total, remainder rank) run on a single task over a tiny
+    * aggregate, never the corpus.
+    *
+    * @return (stratum, n_rows, quota)
+    */
+  def allocateLargestRemainder(df: DataFrame, group: Column,
+                               budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = df.groupBy(group.as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+    val one = Window.partitionBy(lit(1))
+    val withTot = counts
+      .withColumn("__tot", sum(col("n_rows")).over(one))
+      .withColumn("__base", expr(s"($budget * n_rows) DIV __tot"))
+      .withColumn("__rem", expr(s"($budget * n_rows) % __tot"))
+    val leftover = lit(budget) - sum(col("__base")).over(one)
+    val remRank = row_number().over(
+      Window.orderBy(col("__rem").desc, col("stratum").asc))
+    withTot
+      .withColumn("quota",
+        col("__base") + when(remRank <= leftover, 1L).otherwise(0L))
+      .select(col("stratum"), col("n_rows"), col("quota"))
+  }
+
+  /** Exact-budget stratified sample: allocate with
+    * [[allocateLargestRemainder]], then take the per-stratum quota
+    * deterministically — smallest `md5(key || salt)` first, key-asc
+    * tie break (the [[capPerGroup]] draw order, so the per-stratum
+    * selection is an unbiased reproducible draw). Output carries the
+    * stratum's quota for audit. One corpus-side window partitioned by
+    * stratum plus a broadcast join against the tiny allocation table.
+    */
+  def takeStratified(df: DataFrame, group: Column, key: Column,
+                     budget: Long, salt: String = ""): DataFrame = {
+    require(!df.columns.contains("quota"),
+      "takeStratified appends a `quota` column; input already has one")
+    val alloc = allocateLargestRemainder(df, group, budget)
+      .select(col("stratum").as("__allocG"), col("quota"))
+    val h = md5(concat(key.cast("string"), lit(salt)).cast("binary"))
+    val rn = row_number().over(
+      Window.partitionBy(group).orderBy(h.asc, key.asc))
+    df.withColumn("__strataRn", rn)
+      .join(broadcast(alloc), group === col("__allocG"))
+      .filter(col("__strataRn") <= col("quota"))
+      .drop("__strataRn", "__allocG")
+  }
 }
