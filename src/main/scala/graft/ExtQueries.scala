@@ -4653,6 +4653,46 @@ object ExtQueries {
             |WHERE r.rn <= q.quota
             |ORDER BY r.doc_id""".stripMargin))
 
+  /** TrustRank host spam screen ([[graft.ext.LinkGraph.trustRank]]):
+    * personalized PageRank whose reset/dangling mass flows only to a
+    * vetted seed set — the Gyöngyi-et-al. host-trust signal crawl
+    * curation uses to drop spam hosts. Same 21-host fixture graph as
+    * q131 plus a seed list of two linked hosts and one
+    * vetted-but-UNLINKED host (exercising the seeds-as-extra-nodes
+    * path: it must keep a nonzero score with no edges at all); hosts
+    * unreachable from the seeds must land at exactly 0.0. Oracle
+    * generated per iteration by [[LinkGraph.trustRankOracleSql]] with
+    * the same integer-grid quantization as q131.
+    */
+  val q133 = Q(
+    "q133_trustrank",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"source")
+      val raw = d.select($"source".as("src"),
+          concat(lit("src"), ($"doc_id" % 7).cast("string")).as("dst"))
+        .unionAll(d.select($"source".as("src"),
+          concat(lit("src"), (($"doc_id" * 3 + 1) % 7).cast("string")).as("dst")))
+        .unionAll(d.filter($"doc_id" % 11 === 0)
+          .select($"source".as("src"), lit("hub").as("dst")))
+      val seeds = Seq("src0", "src1", "vetted.example").toDF("host")
+      graft.ext.LinkGraph.trustRank(raw, "src", "dst", seeds,
+          iters = 3, damping = 0.85)
+        .orderBy($"host")
+    },
+    Some(graft.ext.LinkGraph.trustRankOracleSql(
+      """raw AS (
+        |  SELECT source AS src, 'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT source, 'src' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT source, 'hub' FROM documents WHERE doc_id % 11 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM raw),
+        |s(host) AS (VALUES ('src0'), ('src1'), ('vetted.example'))""".stripMargin,
+      iters = 3, damping = 0.85)))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4661,5 +4701,5 @@ object ExtQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132)
+    q127, q128, q129, q130, q131, q132, q133)
 }

@@ -52,6 +52,47 @@ class LinkGraphSpec extends SparkTestBase {
     assert(a.sameElements(b), "partitioning leaked into the ranks")
   }
 
+  test("trustRank: hosts unreachable from seeds score exactly zero; unlinked seed keeps reset mass") {
+    // seed a links to b; c->d is a disconnected spam pair; v is a
+    // vetted host with no edges at all
+    val e = Seq(("a", "b"), ("c", "d")).toDF("src", "dst")
+    val seeds = Seq("a", "v").toDF("host")
+    val r = LinkGraph.trustRank(e, "src", "dst", seeds, iters = 6)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("c") == 0.0 && r("d") == 0.0,
+      s"unreachable hosts must be exactly 0: $r")
+    assert(r("a") > 0.0 && r("b") > 0.0)
+    assert(r("v") > 0.0, "unlinked seed must keep its reset mass")
+  }
+
+  test("trustRank with every host seeded equals pageRank") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")).toDF("src", "dst")
+    val seeds = Seq("a", "b", "c").toDF("host")
+    val pr = LinkGraph.pageRank(e, "src", "dst", iters = 4)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).sortBy(_._1)
+    val tr = LinkGraph.trustRank(e, "src", "dst", seeds, iters = 4)
+      .collect().map(x => (x.getString(0), x.getDouble(1))).sortBy(_._1)
+    // identical reset vector (uniform) -> identical iterates, up to the
+    // shared grid: the expression trees differ only in p(v) == 1/N
+    pr.zip(tr).foreach { case ((h1, a), (h2, b)) =>
+      assert(h1 == h2 && math.abs(a - b) < 1e-12, s"$h1: $a vs $b")
+    }
+  }
+
+  test("hostEdgesFromHtml extracts absolute-href hosts, skips relative links, dedups") {
+    val docs = Seq(
+      ("news.example", """<a href="https://blog.example/post/1">x</a>
+        <a HREF='http://blog.example/other'>y</a>
+        <a href="/local/page">rel</a>
+        <a href="https://shop.example:8443/item?id=2#frag">z</a>"""),
+      ("blog.example", """no links here""")).toDF("host", "html")
+    val e = LinkGraph.hostEdgesFromHtml(docs, col("host"), col("html"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(e.toSeq == Seq(
+      ("news.example", "blog.example"),
+      ("news.example", "shop.example")), e.mkString(", "))
+  }
+
   test("higher in-degree from high-rank sources means higher rank") {
     // hub h is linked by everyone; spoke nodes only by the chain
     val spokes = (0 until 6).map(i => (s"n$i", "h")) ++
