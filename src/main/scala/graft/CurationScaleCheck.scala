@@ -98,6 +98,26 @@ object CurationScaleCheck {
       }
       skewed.unpersist()
     }
+
+    // ---- link-graph PageRank: cost must be edge-proportional with a
+    // fixed iteration count (3 iterations here). Graph shape: E edges
+    // over H=E/20 linking hosts plus as many link-targets again that
+    // never link out (dangling) — the crawl-real mix. The per-edge hash
+    // spreads dst so every iteration pays the full src-join + dst-agg
+    // shuffle, which is the thing whose growth curve matters.
+    Seq(100000L, 400000L, 1600000L).foreach { edges =>
+      val hosts = edges / 20
+      val g = spark.range(edges).select(
+          concat(lit("h"), (col("id") % hosts).cast("string")).as("src"),
+          concat(lit("h"),
+            pmod(col("id") * 2654435761L, lit(hosts * 2)).cast("string")).as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      g.count()
+      time(s"pagerank ${edges}edges x3iters") {
+        graft.ext.LinkGraph.pageRank(g, "src", "dst", iters = 3).count()
+      }
+      g.unpersist()
+    }
     spark.stop()
   }
 }

@@ -4593,7 +4593,12 @@ object ExtQueries {
           concat(lit("src"), (($"doc_id" * 3 + 1) % 7).cast("string")).as("dst")))
         .unionAll(d.filter($"doc_id" % 11 === 0)
           .select($"source".as("src"), lit("hub").as("dst")))
-      graft.ext.LinkGraph.pageRank(raw, "src", "dst", iters = 3, damping = 0.85)
+      // checkpoint=false: lineage truncation exists for DEEP loops;
+      // at 3 iterations the 27-subtree plan analyzes instantly and
+      // skipping the three eager materializations cuts the gate's
+      // fixed cost ~3x (values identical either way)
+      graft.ext.LinkGraph.pageRank(raw, "src", "dst", iters = 3, damping = 0.85,
+          checkpoint = false)
         .orderBy($"host")
     },
     Some(graft.ext.LinkGraph.pageRankOracleSql(
@@ -4677,7 +4682,7 @@ object ExtQueries {
           .select($"source".as("src"), lit("hub").as("dst")))
       val seeds = Seq("src0", "src1", "vetted.example").toDF("host")
       graft.ext.LinkGraph.trustRank(raw, "src", "dst", seeds,
-          iters = 3, damping = 0.85)
+          iters = 3, damping = 0.85, checkpoint = false)
         .orderBy($"host")
     },
     Some(graft.ext.LinkGraph.trustRankOracleSql(
@@ -4693,6 +4698,59 @@ object ExtQueries {
         |s(host) AS (VALUES ('src0'), ('src1'), ('vetted.example'))""".stripMargin,
       iters = 3, damping = 0.85)))
 
+  /** Mirror-host clusters ([[graft.ext.LinkGraph.mirrorClusters]]):
+    * reciprocal-link pairs → connected components over host STRINGS
+    * (min-label is lexicographic — the q53 contraction machinery
+    * unchanged on a new id type). Fixture plants five a↔b mirror
+    * pairs, a reciprocal bridge m0b↔m1a merging two of them into one
+    * 4-host cluster (transitivity), and a `one.way` host that links
+    * INTO every mirror but is never linked back — it must not appear
+    * in any cluster. Oracle: the recursive-CTE closure over the same
+    * mutual-pair derivation.
+    */
+  val q134 = Q(
+    "q134_mirror_hosts",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id")
+      def m(suffix: String) =
+        concat(lit("m"), ($"doc_id" % 5).cast("string"), lit(suffix))
+      val raw = d.select(m("a").as("src"), m("b").as("dst"))
+        .unionAll(d.filter($"doc_id" % 2 === 0)
+          .select(m("b").as("src"), m("a").as("dst")))
+        .unionAll(d.filter($"doc_id" % 7 === 0)
+          .select(lit("m0b").as("src"), lit("m1a").as("dst")))
+        .unionAll(d.filter($"doc_id" % 14 === 0)
+          .select(lit("m1a").as("src"), lit("m0b").as("dst")))
+        .unionAll(d.select(lit("one.way").as("src"), m("a").as("dst")))
+      graft.ext.LinkGraph.mirrorClusters(raw, "src", "dst").orderBy($"id")
+    },
+    Some("""WITH RECURSIVE
+            |raw AS (
+            |  SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) || 'a' AS src,
+            |         'm' || CAST(doc_id % 5 AS VARCHAR) || 'b' AS dst
+            |  FROM documents
+            |  UNION ALL
+            |  SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) || 'b',
+            |         'm' || CAST(doc_id % 5 AS VARCHAR) || 'a'
+            |  FROM documents WHERE doc_id % 2 = 0
+            |  UNION ALL SELECT 'm0b', 'm1a' FROM documents WHERE doc_id % 7 = 0
+            |  UNION ALL SELECT 'm1a', 'm0b' FROM documents WHERE doc_id % 14 = 0
+            |  UNION ALL SELECT 'one.way', 'm' || CAST(doc_id % 5 AS VARCHAR) || 'a'
+            |  FROM documents),
+            |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            |mut AS (SELECT a.src AS id1, a.dst AS id2
+            |        FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+            |        WHERE a.src < a.dst),
+            |edges AS (SELECT id1 AS a, id2 AS b FROM mut
+            |          UNION SELECT id2, id1 FROM mut),
+            |reach(id, r) AS (SELECT a, a FROM edges
+            |                 UNION
+            |                 SELECT reach.id, e2.b FROM reach
+            |                 JOIN edges e2 ON reach.r = e2.a),
+            |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+            |SELECT id, component FROM comp ORDER BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4701,5 +4759,5 @@ object ExtQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133)
+    q127, q128, q129, q130, q131, q132, q133, q134)
 }

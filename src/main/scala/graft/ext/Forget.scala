@@ -62,6 +62,15 @@ import org.apache.spark.sql.functions._
   *   (rebuild-over-retained ≡ sketch of the corpus that never held
   *   the deleted rows).
   *
+  * DERIVED-ONLY state (no retraction needed): [[LinkGraph]] rank
+  * tables (PageRank/TrustRank) are pure functions of the edge list
+  * with no per-document residue — a takedown drops the retracted
+  * documents' edges and recomputes, edge-proportional with a fixed
+  * iteration count, warm-startable from the pre-takedown scores via
+  * [[LinkGraph.pageRankWarm]]. Nothing a deleted document contributed
+  * survives the recompute, so there is no retract/rebuild distinction
+  * to pin.
+  *
   * Scale design: every path is join-shaped over STATE tables (digests,
   * signatures, labels, pairs — all corpus-row-proportional at worst,
   * LSH-candidate-proportional for pairs) plus the delete-id set, which

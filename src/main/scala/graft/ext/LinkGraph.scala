@@ -57,7 +57,8 @@ object LinkGraph {
     *         to ~1 up to the quantization grid
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85): DataFrame = {
+               iters: Int, damping: Double = 0.85,
+               checkpoint: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -97,13 +98,13 @@ object LinkGraph {
         .select(nodes("host"),
           (coalesce($"csum", lit(0.0)) +
             (lit(base) + (lit(damping) * $"dm") / lit(n.toDouble))).as("rank"))
-        // Truncate lineage: each iteration references the previous rank
-        // vector three times (dangling mass, contributions, carry), so
-        // an unbroken plan grows ~3^iters and analysis time explodes.
-        // The rank vector is host-sized state — materializing it per
-        // iteration is the cheap side of the loop, and values are
-        // unaffected.
-        .localCheckpoint(true)
+      // Truncate lineage: each iteration references the previous rank
+      // vector three times (dangling mass, contributions, carry), so
+      // an unbroken plan grows ~3^iters and analysis time explodes.
+      // The rank vector is host-sized state — materializing it per
+      // iteration is the cheap side of the loop, and values are
+      // unaffected. `checkpoint = false` exists for plan audits only.
+      if (checkpoint) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
@@ -165,7 +166,8 @@ object LinkGraph {
     */
   def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, iters: Int,
-                damping: Double = 0.85): DataFrame = {
+                damping: Double = 0.85,
+                checkpoint: Boolean = true): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -215,7 +217,7 @@ object LinkGraph {
         .select(nodesP("host"),
           (coalesce($"csum", lit(0.0)) +
             (lit(oneMinusD) * $"p" + (lit(damping) * $"dm") * $"p")).as("rank"))
-        .localCheckpoint(true)
+      if (checkpoint) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
@@ -270,4 +272,125 @@ object LinkGraph {
       .select(col("src"), UrlOps.host(col("__target")).as("dst"))
       .filter(col("dst").isNotNull && col("dst") =!= "")
       .distinct()
+
+  /** Warm-start [[pageRank]]: resume power iteration from a stored
+    * rank table instead of uniform — the daily-crawl lifecycle (the
+    * [[EmbeddingSearch.rebuildIvfIndex]] discipline applied to the
+    * link graph: the graph grows, the persisted scores are nearly
+    * right, so refresh from them instead of paying cold-start
+    * iterations). Hosts new to the graph start at 1/N; the seeded
+    * vector is renormalized to total mass 1 (grid-quantized sum, so
+    * the renormalization is as portable and partition-invariant as
+    * the iteration itself). With `stored` already at the fixed point
+    * and an unchanged graph, one warm iteration moves nothing beyond
+    * the quantization grid.
+    */
+  def pageRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                   stored: DataFrame, iters: Int,
+                   damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+    val nodes = e.select($"src".as("host"))
+      .unionAll(e.select($"dst".as("host")))
+      .distinct()
+      .cache()
+    val n = nodes.count()
+    require(n > 0, "pageRankWarm: empty edge list")
+
+    val outdeg = e.groupBy($"src").agg(count(lit(1)).as("odeg"))
+    val eDeg = e.join(outdeg, "src")
+
+    val base = (1.0 - damping) / n
+    val grid = 1.0e15
+    val seeded = nodes
+      .join(stored.select(col("host"), col("rank").as("__stored")),
+        Seq("host"), "left")
+      .select($"host", coalesce($"__stored", lit(1.0 / n)).as("rank"))
+    val tot = seeded.agg((coalesce(sum(floor($"rank" * lit(grid))), lit(0L))
+      .cast("double") / lit(grid)).as("tot"))
+    var ranks = seeded.crossJoin(broadcast(tot))
+      .select($"host", ($"rank" / $"tot").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dm = ranks
+        .join(outdeg, ranks("host") === outdeg("src"), "left_anti")
+        .agg((coalesce(sum(floor($"rank" * lit(grid))), lit(0L))
+          .cast("double") / lit(grid)).as("dm"))
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("host", "src"), "src")
+        .groupBy($"dst")
+        .agg((sum(floor(((lit(damping) * $"rank") / $"odeg") * lit(grid)))
+          .cast("double") / lit(grid)).as("csum"))
+      ranks = nodes
+        .join(contrib, nodes("host") === contrib("dst"), "left")
+        .crossJoin(broadcast(dm))
+        .select(nodes("host"),
+          (coalesce($"csum", lit(0.0)) +
+            (lit(base) + (lit(damping) * $"dm") / lit(n.toDouble))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Mutually-linked host pairs: (a, b) with a→b AND b→a, a < b.
+    * Reciprocal linking at the host level is the standard first cut
+    * for mirror/farm detection — organic cross-host links are mostly
+    * one-directional, mirrors and link farms reciprocate. One
+    * self-equi-join of the (already distinct) edge list on the
+    * reversed key — shuffle carries host pairs only.
+    */
+  def mutualPairs(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    e.join(e.select(col("dst").as("__rs"), col("src").as("__rd")),
+        col("src") === col("__rs") && col("dst") === col("__rd"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id1"), col("dst").as("id2"))
+  }
+
+  /** Mirror-host clusters: connected components over [[mutualPairs]]
+    * ([[DedupClusters.connectedComponents]] works unchanged on string
+    * ids — min-label is lexicographic). A cluster is a set of hosts
+    * transitively joined by reciprocal links; feed the cluster id to
+    * [[Sampling.capPerGroup]] (cap per mirror cluster, not per host)
+    * or [[DedupClusters.keepCanonical]] to keep one mirror.
+    */
+  def mirrorClusters(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    DedupClusters.connectedComponents(mutualPairs(edges, srcCol, dstCol))
+
+  /** Anchor-text terms per target host: what the web SAYS a host is
+    * about — the classic topical/quality signal (link text is
+    * author-curated description of the TARGET, not the source). For
+    * every absolute http(s) `<a href=…>text</a>` whose inner text is
+    * plain (no nested markup), emit the target host with each
+    * lowercased anchor token; returns (dst, term, n_links) counts.
+    * Counting is per LINK (one host linking twice with the same term
+    * counts twice — repetition is signal here, unlike dedup).
+    * Per-row regex work then ONE count shuffle keyed (dst, term) with
+    * map-side combine; join the result to [[pageRank]] output or feed
+    * the per-host top-k via [[graft.functions.TopKAgg]].
+    */
+  def anchorTexts(docs: DataFrame, html: Column): DataFrame = {
+    val anchorRe = "(?i)<a\\s[^>]*href\\s*=\\s*[\"'][^\"']+[\"'][^>]*>[^<]*</a>"
+    docs
+      .select(explode(regexp_extract_all(html, lit(anchorRe), lit(0))).as("__a"))
+      .select(
+        regexp_extract(col("__a"),
+          "(?i)href\\s*=\\s*[\"']([^\"']+)[\"']", 1).as("__target"),
+        lower(regexp_extract(col("__a"), ">([^<]*)<", 1)).as("__text"))
+      .filter(col("__target").rlike("(?i)^https?://"))
+      .select(UrlOps.host(col("__target")).as("dst"),
+        explode(split(trim(col("__text")), "\\s+")).as("term"))
+      .filter(col("dst") =!= "" && col("term") =!= "")
+      .groupBy(col("dst"), col("term"))
+      .agg(count(lit(1)).as("n_links"))
+  }
 }

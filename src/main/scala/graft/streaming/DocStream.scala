@@ -214,4 +214,32 @@ object DocStream {
               decode(col("payload"), "UTF-8").as("text"))
     admitNew(docs, col("text"), corpusDigests)
   }
+
+  /** Host-trust screen for a document STREAM: stream-static join of
+    * arriving documents against a persisted host-score table
+    * ([[graft.ext.LinkGraph.trustRank]] output, refreshed on the batch
+    * cadence as the crawl's link graph grows) and a `passes` verdict
+    * at the given floor. Stateless — the scores are the state, held
+    * outside the stream like the IVF/decontamination screens.
+    *
+    * A host ABSENT from the score table scores 0.0: under TrustRank
+    * semantics absence means "no trust path from the seeds", which is
+    * exactly the spam default; pass `floor = 0.0` and treat
+    * `score > 0` as the screen when unknown-but-linked hosts should
+    * still pass.
+    *
+    * @param scores STATIC (host, rank) from trustRank/pageRank
+    */
+  def trustScreened(docs: DataFrame, host: Column, scores: DataFrame,
+                    floor: Double): DataFrame = {
+    require(!docs.columns.contains("trust") && !docs.columns.contains("passes"),
+      "trustScreened appends `trust`/`passes`; the input already has one")
+    docs
+      .join(scores.select(col("host").as("__trustHost"),
+        col("rank").as("__trustScore")), host === col("__trustHost"), "left")
+      .withColumn("trust", coalesce(col("__trustScore"), lit(0.0)))
+      .withColumn("passes", col("trust") >= lit(floor) &&
+        (lit(floor) > 0.0 || col("trust") > 0.0))
+      .drop("__trustHost", "__trustScore")
+  }
 }

@@ -427,6 +427,46 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"the agg face must not fall back to a window:\n$p")
   }
 
+  test("pageRank iteration: map-side partial combine on dst, one-row dangling scalar broadcast, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.table(spark, dir, "documents")
+      .select(col("source").as("src"),
+        concat(lit("h"), (col("doc_id") % 7).cast("string")).as("dst"))
+    val p = plan(graft.ext.LinkGraph.pageRank(e, "src", "dst",
+      iters = 1, damping = 0.85, checkpoint = false))
+    // the per-dst contribution sum combines map-side — at web scale the
+    // reduce side sees one partial row per (task, dst), not one per edge
+    assert(p.contains("partial_"), p)
+    // the dangling mass is a broadcast one-row join, never a shuffled
+    // cartesian against the host-sized rank vector
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // grid quantization is plain codegen'd arithmetic — no UDF anywhere
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("trustRank iteration: same shuffle discipline as pageRank") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.table(spark, dir, "documents")
+      .select(col("source").as("src"),
+        concat(lit("h"), (col("doc_id") % 7).cast("string")).as("dst"))
+    import spark.implicits._
+    val seeds = Seq("src0", "src1").toDF("host")
+    val p = plan(graft.ext.LinkGraph.trustRank(e, "src", "dst", seeds,
+      iters = 1, damping = 0.85, checkpoint = false))
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q132 stratified budget: pruned scan, allocation table enters via broadcast") {
+    val p = plan(ExtQueries.q132.run(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+    // the per-stratum allocation is tiny by construction and must join
+    // as a broadcast — a sort-merge here would shuffle the corpus twice
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")

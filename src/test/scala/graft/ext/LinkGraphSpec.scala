@@ -93,6 +93,38 @@ class LinkGraphSpec extends SparkTestBase {
       ("news.example", "shop.example")), e.mkString(", "))
   }
 
+  test("pageRankWarm: resuming from the fixed point moves nothing; new hosts get default mass") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val cold = LinkGraph.pageRank(e, "src", "dst", iters = 12)
+    val warm = LinkGraph.pageRankWarm(e, "src", "dst", cold, iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val fixed = cold.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    fixed.foreach { case (h, r) =>
+      assert(math.abs(warm(h) - r) < 1e-9, s"$h drifted: ${warm(h)} vs $r")
+    }
+    // grow the graph: a new host d linked from a; warm restart covers it
+    val e2 = e.unionAll(Seq(("a", "d")).toDF("src", "dst"))
+    val warm2 = LinkGraph.pageRankWarm(e2, "src", "dst", cold, iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(warm2.contains("d") && warm2("d") > 0.0)
+    assert(math.abs(warm2.values.sum - 1.0) < 1e-6,
+      s"renormalized mass must stay ~1: ${warm2.values.sum}")
+  }
+
+  test("mutualPairs keeps only reciprocated links; mirrorClusters merges transitively") {
+    val e = Seq(
+      ("a", "b"), ("b", "a"),       // mirror pair
+      ("b", "c"), ("c", "b"),       // chains the cluster to c
+      ("x", "a"),                   // one-way in
+      ("a", "y")).toDF("src", "dst") // one-way out
+    val mp = LinkGraph.mutualPairs(e, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(mp.toSeq == Seq(("a", "b"), ("b", "c")), mp.mkString(","))
+    val cc = LinkGraph.mirrorClusters(e, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a"), cc.toString)
+  }
+
   test("higher in-degree from high-rank sources means higher rank") {
     // hub h is linked by everyone; spoke nodes only by the chain
     val spokes = (0 until 6).map(i => (s"n$i", "h")) ++
