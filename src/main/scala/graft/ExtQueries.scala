@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Multimodal, NgramLm, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, SemDedup, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Mixture, Multimodal, NgramLm, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, SemDedup, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -4751,6 +4751,130 @@ object ExtQueries {
             |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
             |SELECT id, component FROM comp ORDER BY id""".stripMargin))
 
+  /** Token-budget mixture planner ([[graft.ext.Mixture.epochPlan]]):
+    * per-source token inventory × integer mixture parts → exact
+    * Hamilton token allocation, capped at maxEpochs×inventory, one
+    * redistribution round over the sources with headroom, honest
+    * `unallocated` remainder. Budget = 1.5× the corpus total (as
+    * (3·T) DIV 2 — integer, mirrored) with parts 1/2/3 by source
+    * index and maxEpochs = 2: at every SF the parts-3 sources CAP
+    * (target ≈ 2.3 epochs vs the 2-epoch cap), the parts-1/2 sources
+    * keep headroom and take the round-2 redistribution, and the
+    * SMALLEST parts-2 source's headroom binds the least(head, alloc)
+    * branch, leaving a small honest `unallocated` (47 tokens at
+    * sf0.01) — every branch of the planner under one hash. The
+    * oracle rebuilds both Hamilton rounds (base DIV/%,
+    * remainder-ranked top-up, source-asc ties) in window SQL.
+    */
+  val q135 = Q(
+    "q135_epoch_plan",
+    (s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(sum(TextAnalysis.tokenCount($"text").cast("long")).as("n_tokens"))
+      val parts = toks.select($"source",
+        (substring($"source", 4, 10).cast("long") % 3 + 1).as("parts"))
+      val total = toks.agg(sum($"n_tokens")).first().getLong(0)
+      Mixture.epochPlan(toks, parts, budget = 3L * total / 2L, maxEpochs = 2)
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (SELECT source,
+            |        CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+            |      FROM documents GROUP BY source),
+            |w AS (SELECT source, n_tokens,
+            |             CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS parts
+            |      FROM tok),
+            |b AS (SELECT CAST((3 * sum(n_tokens)) // 2 AS BIGINT) AS budget FROM tok),
+            |pp AS (SELECT CAST(sum(parts) AS BIGINT) AS p FROM w),
+            |a1 AS (SELECT source, n_tokens, parts,
+            |              ((SELECT budget FROM b) * parts) // (SELECT p FROM pp) AS base1,
+            |              ((SELECT budget FROM b) * parts) % (SELECT p FROM pp) AS rem1
+            |       FROM w),
+            |s1 AS (SELECT (SELECT budget FROM b) - CAST(sum(base1) AS BIGINT) AS seats1 FROM a1),
+            |t1 AS (SELECT source, n_tokens, parts,
+            |              base1 + (CASE WHEN row_number() OVER
+            |                  (ORDER BY rem1 DESC, source ASC) <= (SELECT seats1 FROM s1)
+            |                THEN 1 ELSE 0 END) AS t1
+            |       FROM a1),
+            |g1 AS (SELECT source, n_tokens, parts, t1,
+            |              2 * n_tokens AS cap,
+            |              least(t1, 2 * n_tokens) AS grant1
+            |       FROM t1),
+            |ex AS (SELECT (SELECT budget FROM b) - CAST(sum(grant1) AS BIGINT) AS excess FROM g1),
+            |el AS (SELECT CAST(sum(CASE WHEN cap - grant1 > 0 THEN parts ELSE 0 END) AS BIGINT) AS p2 FROM g1),
+            |a2 AS (SELECT g1.*, cap - grant1 AS head,
+            |              CASE WHEN cap - grant1 > 0 AND (SELECT p2 FROM el) > 0
+            |                THEN ((SELECT excess FROM ex) * parts) // (SELECT p2 FROM el)
+            |                ELSE 0 END AS base2,
+            |              CASE WHEN cap - grant1 > 0 AND (SELECT p2 FROM el) > 0
+            |                THEN ((SELECT excess FROM ex) * parts) % (SELECT p2 FROM el)
+            |                ELSE -1 END AS rem2
+            |       FROM g1),
+            |s2 AS (SELECT (SELECT excess FROM ex) - CAST(sum(base2) AS BIGINT) AS seats2 FROM a2),
+            |t2 AS (SELECT a2.*, base2 + (CASE WHEN rem2 >= 0 AND row_number() OVER
+            |                  (ORDER BY rem2 DESC, source ASC) <= (SELECT seats2 FROM s2)
+            |                THEN 1 ELSE 0 END) AS alloc2
+            |       FROM a2),
+            |g2 AS (SELECT source, n_tokens, parts, t1, cap, grant1,
+            |              least(head, alloc2) AS grant2
+            |       FROM t2),
+            |u AS (SELECT (SELECT excess FROM ex) - CAST(sum(grant2) AS BIGINT) AS unallocated FROM g2)
+            |SELECT source, n_tokens, parts,
+            |       grant1 + grant2 AS target_tokens,
+            |       (grant1 + grant2) // n_tokens AS full_epochs,
+            |       (grant1 + grant2) % n_tokens AS rem_tokens,
+            |       t1 > cap AS capped,
+            |       (SELECT unallocated FROM u) AS unallocated
+            |FROM g2 ORDER BY source""".stripMargin))
+
+  /** IPv4 redaction ([[graft.ext.TextAnalysis.redactIpv4]]): the PII
+    * class the `<NUM>` rule misses (octets are short digit runs).
+    * Octet validity (0-255) lives in the regex itself; the maximal
+    * boundary is CAPTURED, not looked-around, so the one pattern text
+    * drives both java.util.regex and RE2; two passes make it a fixed
+    * point across consumed boundaries. Planted rows force every
+    * branch: plain hit, invalid octet (1.2.3.999), string-start and
+    * string-end quads, adjacent quads one space apart (second pass),
+    * a quad inside a five-part dotted run (must NOT redact), a
+    * colon-suffixed quad (must redact), and a leading-zero octet
+    * (rejected). The oracle runs the SAME pattern constant through
+    * DuckDB's regexp_replace.
+    */
+  val q136 = Q(
+    "q136_redact_ipv4",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (600000L, "server at 192.168.1.254 responded"),
+        (600001L, "version 1.2.3.999 is not an address"),
+        (600002L, "10.0.0.1 leads and 255.255.255.255 8.8.8.8 trail"),
+        (600003L, "build 1.2.3.4.5 stays; port 1.2.3.4:80 goes"),
+        (600004L, "edge case ends with 0.0.0.0"),
+        (600005L, "021.1.1.1 has a leading zero octet")).toDF("doc_id", "text")
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .filter($"doc_id" < 50)
+        .unionAll(planted)
+        .select($"doc_id", TextAnalysis.redactIpv4($"text").as("redacted"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val pat = TextAnalysis.Ipv4Pattern
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50
+         |           UNION ALL SELECT * FROM (VALUES
+         |  (600000, 'server at 192.168.1.254 responded'),
+         |  (600001, 'version 1.2.3.999 is not an address'),
+         |  (600002, '10.0.0.1 leads and 255.255.255.255 8.8.8.8 trail'),
+         |  (600003, 'build 1.2.3.4.5 stays; port 1.2.3.4:80 goes'),
+         |  (600004, 'edge case ends with 0.0.0.0'),
+         |  (600005, '021.1.1.1 has a leading zero octet')) p(doc_id, text))
+         |SELECT doc_id,
+         |       regexp_replace(
+         |         regexp_replace(text, '$pat', '\\1<IP>\\7', 'g'),
+         |         '$pat', '\\1<IP>\\7', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4759,5 +4883,5 @@ object ExtQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }

@@ -263,15 +263,30 @@ object LinkGraph {
     * final distinct, which is the edge-list dedup any graph build
     * pays. Relative links carry no cross-host signal and are skipped.
     */
-  def hostEdgesFromHtml(docs: DataFrame, srcHost: Column, html: Column): DataFrame =
-    docs
-      .select(srcHost.cast("string").as("src"),
-        explode(regexp_extract_all(html,
-          lit("(?i)href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))).as("__target"))
+  def hostEdgesFromHtml(docs: DataFrame, srcHost: Column, html: Column,
+                        followOnly: Boolean = false): DataFrame = {
+    val targets =
+      if (!followOnly)
+        docs.select(srcHost.cast("string").as("src"),
+          explode(regexp_extract_all(html,
+            lit("(?i)href\\s*=\\s*[\"']([^\"']+)[\"']"), lit(1))).as("__target"))
+      else
+        // rel=nofollow carries no endorsement — the PageRank-hygiene
+        // mode extracts whole <a> open tags so the rel attribute is
+        // visible, then drops nofollow'd ones before taking the href
+        docs.select(srcHost.cast("string").as("src"),
+            explode(regexp_extract_all(html,
+              lit("(?i)<a\\s[^>]*>"), lit(0))).as("__tag"))
+          .filter(!col("__tag")
+            .rlike("(?i)rel\\s*=\\s*[\"'][^\"']*nofollow"))
+          .select(col("src"), regexp_extract(col("__tag"),
+            "(?i)href\\s*=\\s*[\"']([^\"']+)[\"']", 1).as("__target"))
+    targets
       .filter(col("__target").rlike("(?i)^https?://"))
       .select(col("src"), UrlOps.host(col("__target")).as("dst"))
       .filter(col("dst").isNotNull && col("dst") =!= "")
       .distinct()
+  }
 
   /** Warm-start [[pageRank]]: resume power iteration from a stored
     * rank table instead of uniform — the daily-crawl lifecycle (the

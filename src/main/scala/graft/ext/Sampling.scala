@@ -334,10 +334,18 @@ object Sampling {
     * @return (stratum, n_rows, quota)
     */
   def allocateLargestRemainder(df: DataFrame, group: Column,
-                               budget: Long): DataFrame = {
+                               budget: Long): DataFrame =
+    allocateOverCounts(
+      df.groupBy(group.as("stratum")).agg(count(lit(1)).as("n_rows")),
+      budget)
+
+  /** [[allocateLargestRemainder]] over an EXPLICIT weight table —
+    * (stratum, n_rows) where n_rows is any non-negative integer
+    * weight (row counts, token counts, mixture parts). Same integer
+    * arithmetic and tie rule; same stratum-sized-table caveat.
+    */
+  def allocateOverCounts(counts: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val counts = df.groupBy(group.as("stratum"))
-      .agg(count(lit(1)).as("n_rows"))
     val one = Window.partitionBy(lit(1))
     val withTot = counts
       .withColumn("__tot", sum(col("n_rows")).over(one))

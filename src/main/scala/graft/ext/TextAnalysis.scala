@@ -219,6 +219,39 @@ object TextAnalysis {
   def longNumberCount(c: Column): Column =
     size(regexp_extract_all(c, lit(LongNumberPattern), lit(0)))
 
+  /** One dotted-quad octet, VALIDATED in the regex itself (0-255, no
+    * leading zeros past a single 0) — so "1.2.3.999" is a version
+    * string, not an address, without any numeric cast. RE2-safe.
+    */
+  val Ipv4OctetPattern: String = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
+  /** Maximal dotted quad: the boundary groups forbid an adjacent digit
+    * or dot, so "1.2.3.4.5" redacts nothing (no quad inside a longer
+    * dotted run) — the same maximal-span contract the `<NUM>` and
+    * `<CARD>` rules use. Boundaries are CAPTURED, not looked-around:
+    * RE2 (the oracle engine) has no lookbehind, and this way the one
+    * pattern text drives both engines.
+    */
+  val Ipv4Pattern: String =
+    s"(^|[^0-9.])($Ipv4OctetPattern\\.$Ipv4OctetPattern\\." +
+      s"$Ipv4OctetPattern\\.$Ipv4OctetPattern)([^0-9.]|$$)"
+
+  /** Redact valid IPv4 addresses to `<IP>` (the PII class the generic
+    * `<NUM>` rule misses: octets are short digit runs). Two passes
+    * because the captured right boundary consumes one character — in
+    * "1.2.3.4 5.6.7.8" the first match eats the space, so the second
+    * quad only matches on the rerun; the pattern is its own fixed
+    * point after two passes. Compose BEFORE [[redactPii]] so quads
+    * survive to be typed `<IP>` rather than `<NUM>`-fragmented.
+    * Caveat (documented, shared with the oracle): text whose final
+    * character is a newline hits the Java-vs-RE2 `$` divergence —
+    * operate on newline-free or trimmed text.
+    */
+  def redactIpv4(c: Column): Column = {
+    def once(x: Column) = regexp_replace(x, Ipv4Pattern, "$1<IP>$7")
+    once(once(c))
+  }
+
   /** Rule-based sentence segmentation — the deterministic granularity
     * between [[graft.ext.ParagraphDedup]]'s blank-line blocks and
     * whole documents, used for sentence-level dedup/boilerplate

@@ -93,6 +93,21 @@ class LinkGraphSpec extends SparkTestBase {
       ("news.example", "shop.example")), e.mkString(", "))
   }
 
+  test("followOnly drops rel=nofollow links, keeps endorsed ones") {
+    val docs = Seq(("news.example",
+      """<a href="https://endorsed.example/x">good</a>
+        |<a rel="nofollow" href="https://sponsored.example/y">ad</a>
+        |<a href="https://also.example/z" REL='ugc nofollow'>ugc</a>""".stripMargin))
+      .toDF("host", "html")
+    val all = LinkGraph.hostEdgesFromHtml(docs, col("host"), col("html"))
+      .collect().map(_.getString(1)).sorted
+    assert(all.toSeq == Seq("also.example", "endorsed.example", "sponsored.example"))
+    val followed = LinkGraph.hostEdgesFromHtml(docs, col("host"), col("html"),
+        followOnly = true)
+      .collect().map(_.getString(1)).sorted
+    assert(followed.toSeq == Seq("endorsed.example"), followed.mkString(","))
+  }
+
   test("pageRankWarm: resuming from the fixed point moves nothing; new hosts get default mass") {
     val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
     val cold = LinkGraph.pageRank(e, "src", "dst", iters = 12)
