@@ -4875,6 +4875,83 @@ object ExtQueries {
          |FROM d ORDER BY doc_id""".stripMargin
     })
 
+  /** Corpus snapshot diff ([[graft.ext.CorpusDiff.snapshotDiff]]):
+    * dataset versioning between crawls — (doc_id, added | removed |
+    * changed), difference-proportional output, digests shuffle,
+    * never text. Fixture: before = docs < 100; after drops 0-9
+    * (removed), mutates 10-19 (changed), keeps 20-99 (silent), and
+    * brings five new ids (added). The oracle mirrors the semantics
+    * with a text-equality full-outer join — digest equality ≡ text
+    * equality for the gate's purposes.
+    */
+  val q137 = Q(
+    "q137_snapshot_diff",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select($"doc_id", $"text")
+      val before = base.filter($"doc_id" < 100)
+      val after = base.filter($"doc_id" >= 10 && $"doc_id" < 100)
+        .select($"doc_id",
+          when($"doc_id" < 20, concat($"text", lit(" v2")))
+            .otherwise($"text").as("text"))
+        .unionAll(base.filter($"doc_id" < 5)
+          .select(($"doc_id" + 700000L).as("doc_id"), $"text"))
+      graft.ext.CorpusDiff.snapshotDiff(before, after, "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH before_s AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            |after_s AS (SELECT doc_id,
+            |              CASE WHEN doc_id < 20 THEN text || ' v2' ELSE text END AS text
+            |            FROM documents WHERE doc_id >= 10 AND doc_id < 100
+            |            UNION ALL
+            |            SELECT doc_id + 700000, text FROM documents WHERE doc_id < 5),
+            |j AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+            |             b.text AS tb, a.text AS ta
+            |      FROM before_s b FULL OUTER JOIN after_s a USING (doc_id))
+            |SELECT doc_id,
+            |       CASE WHEN tb IS NULL THEN 'added'
+            |            WHEN ta IS NULL THEN 'removed'
+            |            WHEN tb <> ta THEN 'changed' END AS status
+            |FROM j
+            |WHERE (tb IS NULL OR ta IS NULL OR tb <> ta)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Exact JL sign projection over int8 codes
+    * ([[graft.ext.VectorQuant.signProjectExpr]]): dimensionality
+    * reduction for the compressed ANN path whose arithmetic is ALL
+    * integer — centered codes × a ±1 matrix derived from
+    * md5(seed:i:j) — so unlike any float JL projection the result is
+    * order-free and hash-matches cross-engine exactly. The fixture
+    * derives the 64 codes arithmetically from vec_id (the projection
+    * is what's under test; real int8 encoding is pinned by q104 and
+    * the unit composition), projects to 16 dims, and explodes to
+    * (vec_id, j, proj) rows; the oracle recomputes the SAME md5 sign
+    * matrix from generate_series and aggregates c·s per (vec_id, j).
+    */
+  val q138 = Q(
+    "q138_sign_project",
+    (s, dir) => {
+      import s.implicits._
+      val codes = t(s, dir, "embeddings").select($"vec_id")
+        .withColumn("codes", transform(sequence(lit(0), lit(63)),
+          i => ($"vec_id" * 7 + i * 13) % 256))
+      val signs = graft.ext.VectorQuant.signMatrix(64, 16, "q138")
+      codes
+        .select($"vec_id", posexplode(
+          graft.ext.VectorQuant.signProjectExpr(signs, $"codes")))
+        .select($"vec_id", $"pos".cast("long").as("j"), $"col".as("proj"))
+        .orderBy($"vec_id", $"j")
+    },
+    Some("""WITH g AS (SELECT vec_id, j, i,
+            |        (vec_id * 7 + i * 13) % 256 - 128 AS c,
+            |        CASE WHEN substring(md5('q138:' || CAST(i AS VARCHAR) || ':' ||
+            |                                CAST(j AS VARCHAR)), 1, 1)
+            |               IN ('0','1','2','3','4','5','6','7')
+            |          THEN 1 ELSE -1 END AS sgn
+            |      FROM embeddings, range(0, 16) tj(j), range(0, 64) ti(i))
+            |SELECT vec_id, j, CAST(sum(c * sgn) AS BIGINT) AS proj
+            |FROM g GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4883,5 +4960,5 @@ object ExtQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
 }

@@ -385,4 +385,42 @@ object VectorQuant {
       (element_at(lo, i + 1) + c.cast("double") * element_at(sc, i + 1))
         .cast("float"))
   }
+
+  // ---- sign random projection over int8 codes ----------------------
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (j, i)
+    * is +1 iff the first hex nibble of md5("seed:i:j") is 0-7. Driver
+    * computes it once (outDim×dim ints) and ships it as a literal —
+    * and because md5 is md5 everywhere, an external system (or the
+    * oracle) reproduces the identical matrix from the seed alone; no
+    * matrix file to version or ship.
+    */
+  def signMatrix(dim: Int, outDim: Int, seed: String): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, dim) { (j, i) =>
+      val h = md.digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      // first hex char = high nibble of byte 0
+      if (((h(0) >> 4) & 0xF) < 8) 1 else -1
+    }
+  }
+
+  /** Project centered int8 codes through [[signMatrix]]:
+    * out[j] = Σ_i (codes[i] − 128) · sign(j, i). All-integer, so the
+    * projection is EXACT — order-free, partition-invariant, and
+    * oracle-checkable bit for bit, which a float JL projection can
+    * never be (distributed float sums round by order). Dimensionality
+    * reduction for the compressed ANN path: 4× fewer dimensions before
+    * banding/bucketing at the cost of JL distortion, on top of int8's
+    * 4× — per-row codegen'd HOF fold, zero shuffle. Distance ranking
+    * under the projection approximates centered-code ranking with the
+    * usual JL guarantee (unit-measured, not asserted).
+    */
+  def signProjectExpr(signs: Array[Array[Int]], codes: Column): Column = {
+    val s = typedLit(signs.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(signs.length - 1)), j =>
+      aggregate(
+        zip_with(codes, element_at(s, j + 1), (c, sg) =>
+          (c.cast("long") - 128L) * sg.cast("long")),
+        lit(0L), (acc, x) => acc + x))
+  }
 }
