@@ -4952,6 +4952,74 @@ object ExtQueries {
             |SELECT vec_id, j, CAST(sum(c * sgn) AS BIGINT) AS proj
             |FROM g GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin))
 
+  /** BM25 lexical retrieval ([[graft.ext.Bm25.topK]]): three planted
+    * queries over the corpus — common terms, a rarer mix, and one with
+    * an unseen token that must silently drop at the postings join.
+    * Rational-idf face + the 1e-12 floor grid make the per-doc score
+    * sum order-free and hash-exact; the k1/b constants reach the
+    * oracle as driver-derived shortest-repr double literals (k1·b =
+    * 0.8999999999999999 — interpolating "0.9" would be a different
+    * double). The oracle rebuilds tokenization, postings join, corpus
+    * stats, the exact term tree, and the grid sum in SQL.
+    */
+  val q139 = Q(
+    "q139_bm25_topk",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark join stream window"),
+        (2L, "customer table filter"),
+        (3L, "zzzunseen merge")).toDF("query_id", "qtext")
+      graft.ext.Bm25.topK(t(s, dir, "documents"), $"doc_id", $"text",
+          queries, $"query_id", $"qtext", k = 5)
+        .orderBy($"query_id", $"rank")
+    },
+    Some {
+      val k1 = 1.2; val b = 0.75
+      val c1 = (k1 + 1.0).toString
+      val c2 = (k1 * (1.0 - b)).toString
+      val c3 = (k1 * b).toString
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |           string_split_regex(trim(lower(text)), '\\s+'),
+         |           tk -> regexp_matches(tk, '^[a-z]{3,}$$'))) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tt AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS tot FROM tf),
+         |q(query_id, qtext) AS (VALUES
+         |  (1, 'spark join stream window'),
+         |  (2, 'customer table filter'),
+         |  (3, 'zzzunseen merge')),
+         |qt AS (SELECT DISTINCT query_id, unnest(list_filter(
+         |           string_split_regex(trim(lower(qtext)), '\\s+'),
+         |           tk -> regexp_matches(tk, '^[a-z]{3,}$$'))) AS token
+         |       FROM q),
+         |terms AS (SELECT qt.query_id, tf.doc_id,
+         |    ((CAST((SELECT n FROM nn) AS DOUBLE) + 1.0) /
+         |     (CAST(dfr.df AS DOUBLE) + 1.0)) *
+         |    ((CAST(tf.tf AS DOUBLE) * CAST($c1 AS DOUBLE)) /
+         |     (CAST(tf.tf AS DOUBLE) +
+         |      (CAST($c2 AS DOUBLE) +
+         |       (CAST($c3 AS DOUBLE) * CAST(dl.dl AS DOUBLE)) /
+         |       (CAST((SELECT tot FROM tt) AS DOUBLE) /
+         |        CAST((SELECT n FROM nn) AS DOUBLE))))) AS term
+         |  FROM qt JOIN tf USING (token)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  JOIN dfr ON dfr.token = qt.token),
+         |sc AS (SELECT query_id, doc_id,
+         |              CAST(sum(CAST(floor(term * 1.0e12) AS BIGINT)) AS DOUBLE) / 1.0e12 AS score
+         |       FROM terms GROUP BY 1, 2),
+         |rk AS (SELECT query_id, doc_id, score, row_number() OVER
+         |         (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |       FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+         |FROM rk WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -4960,5 +5028,6 @@ object ExtQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103,
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
-    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138)
+    q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
+    q139)
 }

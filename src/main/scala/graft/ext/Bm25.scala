@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Okapi BM25 lexical retrieval over the corpus — the standard scorer
+  * behind eval-set mining, lexical decontamination sweeps, and
+  * retrieval baselines. Completes the lexical stack: [[Keywords]]
+  * ranks terms WITHIN a document; BM25 ranks documents FOR a query.
+  *
+  * Pipeline shape (the inverted-index join): tokenize both sides with
+  * the [[Keywords.termFrequency]] convention, join query terms to the
+  * (doc, token, tf) frame ON TOKEN — the posting-list shuffle a real
+  * index would serve — then one grouped sum per (query, doc). Corpus
+  * statistics (N, total token count) ride in as a broadcast one-row
+  * aggregate. Candidate set is postings-proportional: documents
+  * sharing no query term never appear.
+  *
+  * Portability discipline: the gated face uses the SMOOTHED-RATIO idf
+  * `(N+1)/(df+1)` (the q51/Keywords rule — cross-engine ln() differs
+  * in the last ulp and is reserved for the ungated [[scoreLogIdf]]),
+  * and per-term scores are floored onto a 1e-12 integer grid before
+  * summing (the [[LinkGraph]] rule — the one float reduction becomes
+  * an exact integer sum, order-free and partition-invariant). The k1/b
+  * constants enter as THREE driver-derived doubles (k1+1, k1(1−b),
+  * k1·b) so the oracle can interpolate bit-identical literals.
+  */
+object Bm25 {
+
+  /** Classic ln-idf BM25 term score — in-engine ranking only. */
+  def scoreLogIdf(tf: Column, df: Column, n: Column, dl: Column,
+                  avgdl: Column, k1: Double = 1.2, b: Double = 0.75): Column =
+    log((n.cast("double") + 1.0) / (df.cast("double") + 1.0)) *
+      ((tf.cast("double") * lit(k1 + 1.0)) /
+        (tf.cast("double") + (lit(k1 * (1.0 - b)) +
+          (lit(k1 * b) * dl.cast("double")) / avgdl)))
+
+  /** (query_id, doc_id, score) for every document sharing ≥ 1 kept
+    * term with the query. Query terms are DISTINCT (standard practice:
+    * repeating a query word is emphasis, not evidence). Unseen query
+    * terms drop at the postings join.
+    */
+  def scores(docs: DataFrame, id: Column, text: Column,
+             queries: DataFrame, qid: Column, qtext: Column,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val c1 = k1 + 1.0
+    val c2 = k1 * (1.0 - b)
+    val c3 = k1 * b
+    val grid = 1.0e12
+
+    val tf = Keywords.termFrequency(docs, id, text)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val tot = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("tot"))
+
+    val qt = queries
+      .select(qid.as("query_id"),
+        explode(split(lower(trim(qtext)), "\\s+")).as("token"))
+      .filter(col("token").rlike("^[a-z]{3,}$"))
+      .distinct()
+
+    val avgdl = col("tot").cast("double") / col("n").cast("double")
+    val idf = (col("n").cast("double") + 1.0) /
+      (col("df").cast("double") + 1.0)
+    val term = idf * ((col("tf").cast("double") * lit(c1)) /
+      (col("tf").cast("double") +
+        (lit(c2) + (lit(c3) * col("dl").cast("double")) / avgdl)))
+
+    qt.join(tf, "token")
+      .join(dl, "doc_id")
+      .join(dfT, "token")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(floor(term * lit(grid))).cast("double") / lit(grid))
+        .as("score"))
+  }
+
+  /** Top-k documents per query: (query_id, rank, doc_id, score), ties
+    * by doc_id ascending. Window partitioned per query — never global.
+    */
+  def topK(docs: DataFrame, id: Column, text: Column,
+           queries: DataFrame, qid: Column, qtext: Column, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rn = row_number().over(Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc))
+    scores(docs, id, text, queries, qid, qtext, k1, b)
+      .withColumn("rank", rn.cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

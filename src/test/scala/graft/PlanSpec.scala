@@ -467,6 +467,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q139 BM25: map-side partial sums, one-row corpus stats enter broadcast, no cartesian") {
+    val p = plan(ExtQueries.q139.run(spark, dir))
+    assert(p.contains("partial_"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")

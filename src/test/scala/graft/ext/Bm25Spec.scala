@@ -1,0 +1,68 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** BM25 ranking semantics on hand-built corpora (the q139 gate pins
+  * cross-engine arithmetic; this pins that the scores MEAN the right
+  * thing).
+  */
+class Bm25Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+  private def qDF(rows: (Long, String)*) = rows.toDF("query_id", "qtext")
+
+  private def ranked(docs: org.apache.spark.sql.DataFrame,
+                     qs: org.apache.spark.sql.DataFrame, k: Int = 10) =
+    Bm25.topK(docs, col("doc_id"), col("text"), qs,
+        col("query_id"), col("qtext"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+  test("a document matching the rarer query term outranks one matching the common term") {
+    val docs = docsDF(
+      (1L, "zebra runs far away today"),        // rare term
+      (2L, "common words appear here often"),   // common term
+      (3L, "common things are common indeed"),
+      (4L, "more common text common again"))
+    val r = ranked(docs, qDF((1L, "zebra common")))
+    assert(r.head._3 == 1L, s"rare-term doc must rank first: ${r.mkString(",")}")
+  }
+
+  test("length normalization: same tf, shorter document wins") {
+    val docs = docsDF(
+      (1L, "needle word word word word word word word word word word word"),
+      (2L, "needle word word"))
+    val r = ranked(docs, qDF((1L, "needle")))
+    assert(r.map(_._3).toSeq == Seq(2L, 1L), r.mkString(","))
+    assert(r(0)._4 > r(1)._4)
+  }
+
+  test("higher tf wins between same-length documents") {
+    val docs = docsDF(
+      (1L, "spark spark spark other filler text"),
+      (2L, "spark other filler text here too"))
+    val r = ranked(docs, qDF((1L, "spark")))
+    assert(r.map(_._3).toSeq == Seq(1L, 2L), r.mkString(","))
+  }
+
+  test("queries with only unseen terms return nothing; repeated query terms count once") {
+    val docs = docsDF((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+    val none = ranked(docs, qDF((1L, "qqqmissing zzzunseen")))
+    assert(none.isEmpty)
+    val once = ranked(docs, qDF((1L, "alpha"), (2L, "alpha alpha alpha")))
+    val s1 = once.filter(_._1 == 1L).head._4
+    val s2 = once.filter(_._1 == 2L).head._4
+    assert(s1 == s2, s"query-term repetition must not change the score: $s1 vs $s2")
+  }
+
+  test("scores are partition-invariant") {
+    val docs = docsDF((0L until 40L).map(i =>
+      (i, s"token$i spark data ${"pad " * (i % 5).toInt}")): _*)
+    val q = qDF((1L, "spark data"))
+    val a = ranked(docs, q, 40).toSeq
+    val b = ranked(docs.repartition(13), q, 40).toSeq
+    assert(a == b, "repartition changed BM25 output")
+  }
+}
