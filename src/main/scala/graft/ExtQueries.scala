@@ -4962,24 +4962,16 @@ object ExtQueries {
     * double). The oracle rebuilds tokenization, postings join, corpus
     * stats, the exact term tree, and the grid sum in SQL.
     */
-  val q139 = Q(
-    "q139_bm25_topk",
-    (s, dir) => {
-      import s.implicits._
-      val queries = Seq(
-        (1L, "spark join stream window"),
-        (2L, "customer table filter"),
-        (3L, "zzzunseen merge")).toDF("query_id", "qtext")
-      graft.ext.Bm25.topK(t(s, dir, "documents"), $"doc_id", $"text",
-          queries, $"query_id", $"qtext", k = 5)
-        .orderBy($"query_id", $"rank")
-    },
-    Some {
+  /** Shared BM25 oracle CTE chain (toks … rk) — q139 selects from it
+    * directly, q140 fuses it with a second ranking. Single source of
+    * truth for the planted query set and the k1/b-derived literals.
+    */
+  private def bm25OracleCtes: String = {
       val k1 = 1.2; val b = 0.75
       val c1 = (k1 + 1.0).toString
       val c2 = (k1 * (1.0 - b)).toString
       val c3 = (k1 * b).toString
-      s"""WITH toks AS (
+      s"""toks AS (
          |  SELECT doc_id, unnest(list_filter(
          |           string_split_regex(trim(lower(text)), '\\s+'),
          |           tk -> regexp_matches(tk, '^[a-z]{3,}$$'))) AS token
@@ -5014,11 +5006,71 @@ object ExtQueries {
          |       FROM terms GROUP BY 1, 2),
          |rk AS (SELECT query_id, doc_id, score, row_number() OVER
          |         (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
-         |       FROM sc)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
-         |FROM rk WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    })
+         |       FROM sc)""".stripMargin
+  }
+
+  val q139 = Q(
+    "q139_bm25_topk",
+    (s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark join stream window"),
+        (2L, "customer table filter"),
+        (3L, "zzzunseen merge")).toDF("query_id", "qtext")
+      graft.ext.Bm25.topK(t(s, dir, "documents"), $"doc_id", $"text",
+          queries, $"query_id", $"qtext", k = 5)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH $bm25OracleCtes
+            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+            |FROM rk WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin))
+
+  /** Reciprocal-rank fusion ([[graft.ext.Bm25.rrfTopK]]): BM25
+    * relevance fused with a recency prior (top-20 newest doc_ids) —
+    * the rank-composition pattern hybrid retrieval uses because raw
+    * scores from different scorers don't calibrate. Reciprocal terms
+    * on the 1e-15 grid; the oracle extends the shared BM25 CTE chain
+    * with the prior list and the grid-exact fusion.
+    */
+  val q140 = Q(
+    "q140_rrf_fusion",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queries = Seq(
+        (1L, "spark join stream window"),
+        (2L, "customer table filter"),
+        (3L, "zzzunseen merge")).toDF("query_id", "qtext")
+      val r1 = graft.ext.Bm25.topK(docs, $"doc_id", $"text",
+        queries, $"query_id", $"qtext", k = 20)
+      val top20 = docs.select($"doc_id").orderBy($"doc_id".desc).limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"doc_id".desc)).cast("long"))
+      val r2 = queries.select($"query_id").distinct()
+        .crossJoin(broadcast(top20))
+      graft.ext.Bm25.rrfTopK(
+          Seq(r1.select($"query_id", $"doc_id", $"rank"), r2), k = 5)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH $bm25OracleCtes,
+            |r1 AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 20),
+            |t20 AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id DESC) AS rank
+            |        FROM (SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 20)),
+            |r2 AS (SELECT qq.query_id, t20.doc_id, t20.rank
+            |       FROM (SELECT DISTINCT query_id FROM q) qq, t20),
+            |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+            |f AS (SELECT query_id, doc_id,
+            |        CAST(sum(CAST(floor((CAST(1.0 AS DOUBLE) /
+            |               (CAST(60.0 AS DOUBLE) + CAST(rank AS DOUBLE))) * 1.0e15)
+            |             AS BIGINT)) AS DOUBLE) / 1.0e15 AS rrf
+            |      FROM u GROUP BY 1, 2),
+            |fr AS (SELECT query_id, doc_id, rrf, row_number() OVER
+            |         (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rank
+            |       FROM f)
+            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf
+            |FROM fr WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin))
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
@@ -5029,5 +5081,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139)
+    q139, q140)
 }

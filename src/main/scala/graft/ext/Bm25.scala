@@ -92,4 +92,41 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.): fuse any number of
+    * per-query rankings — lexical, vector, recency/trust priors —
+    * into one list by rrf = Σ 1/(k0 + rank), no score calibration
+    * needed (the point of RRF: ranks compose where raw scores from
+    * different scorers don't). Each input carries (query_id, doc_id,
+    * rank); a document absent from a list simply contributes nothing.
+    * Per-list reciprocal terms are floored onto the 1e-15 grid before
+    * the one grouped sum (the [[LinkGraph]] rule), so fusion is
+    * order-free across lists and partitions and oracle-exact. Shuffle
+    * carries (query, doc, rank) triples — candidate-proportional.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val grid = 1.0e15
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionAll _)
+    u.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double"))).as("__c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(floor(col("__c") * lit(grid))).cast("double") / lit(grid))
+        .as("rrf"))
+  }
+
+  /** [[rrfFuse]] + per-query top-k: (query_id, rank, doc_id, rrf),
+    * ties by doc_id ascending.
+    */
+  def rrfTopK(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rn = row_number().over(Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc))
+    rrfFuse(rankings, k0)
+      .withColumn("rank", rn.cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
 }

@@ -57,6 +57,29 @@ class Bm25Spec extends SparkTestBase {
     assert(s1 == s2, s"query-term repetition must not change the score: $s1 vs $s2")
   }
 
+  test("RRF: a document on both lists beats single-list documents at similar ranks") {
+    val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val r2 = Seq((1L, 11L, 1L), (1L, 99L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Bm25.rrfTopK(Seq(r1, r2), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    // doc 11: 1/62 + 1/61 ~ 0.0325 beats doc 10's single 1/61
+    assert(fused.head == ((1L, 11L)), fused.mkString(","))
+    // absent-from-list docs still rank, by their one term
+    assert(fused.map(_._2).toSet == Set(10L, 11L, 12L, 99L))
+  }
+
+  test("RRF fusion is exact and stable under list order and repartition") {
+    val r1 = (0L until 50L).map(i => (1L, i, i + 1)).toDF("query_id", "doc_id", "rank")
+    val r2 = (0L until 50L).map(i => (1L, i, 50L - i)).toDF("query_id", "doc_id", "rank")
+    val a = Bm25.rrfFuse(Seq(r1, r2)).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val b = Bm25.rrfFuse(Seq(r2.repartition(7), r1.repartition(3))).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(a == b, "fusion must not depend on list order or partitioning")
+  }
+
   test("scores are partition-invariant") {
     val docs = docsDF((0L until 40L).map(i =>
       (i, s"token$i spark data ${"pad " * (i % 5).toInt}")): _*)
