@@ -5072,6 +5072,60 @@ object ExtQueries {
             |FROM fr WHERE rank <= 5
             |ORDER BY query_id, rank""".stripMargin))
 
+  /** Index-served BM25 ([[graft.ext.Bm25.probeIndex]]): the q100/q89
+    * serving discipline on the lexical side — build the postings
+    * state, serve top-k from it with no corpus text touched, and
+    * REUSE q139's oracle verbatim: index-served ≡ direct computation
+    * is the whole claim, so the two gates share one oracle string.
+    */
+  val q141 = Q(
+    "q141_bm25_probe",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queries = Seq(
+        (1L, "spark join stream window"),
+        (2L, "customer table filter"),
+        (3L, "zzzunseen merge")).toDF("query_id", "qtext")
+      val idx = graft.ext.Bm25.buildIndex(docs, $"doc_id", $"text")
+      graft.ext.Bm25.probeIndex(idx, queries, $"query_id", $"qtext", k = 5)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH $bm25OracleCtes
+            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+            |FROM rk WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin))
+
+  /** The inverted index itself under the hash
+    * ([[graft.ext.Bm25.buildIndex]] postings): every token's df and
+    * its FULL posting list, doc_id-sorted, serialized "doc:tf,…" so
+    * the comparison is scalar-string exact (no array-comparator
+    * dependence). The oracle is DuckDB's ordered string_agg over the
+    * same tf frame.
+    */
+  val q142 = Q(
+    "q142_inverted_index",
+    (s, dir) => {
+      import s.implicits._
+      val idx = graft.ext.Bm25.buildIndex(
+        t(s, dir, "documents"), $"doc_id", $"text")
+      idx.postings.select($"token", $"df",
+          array_join(transform($"postings", p =>
+            concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ",").as("plist"))
+        .orderBy($"token")
+    },
+    Some("""WITH toks AS (
+            |  SELECT doc_id, unnest(list_filter(
+            |           string_split_regex(trim(lower(text)), '\s+'),
+            |           tk -> regexp_matches(tk, '^[a-z]{3,}$'))) AS token
+            |  FROM documents),
+            |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+            |SELECT token, CAST(count(*) AS BIGINT) AS df,
+            |       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+            |                  ',' ORDER BY doc_id) AS plist
+            |FROM tf GROUP BY token ORDER BY token""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5081,5 +5135,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140)
+    q139, q140, q141, q142)
 }

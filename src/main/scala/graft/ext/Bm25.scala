@@ -93,6 +93,77 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Materialized lexical index — the persisted serving state for
+    * repeated query workloads: postings (token, df, postings array
+    * sorted by doc_id), document lengths, and the two corpus scalars.
+    * Build once per corpus snapshot, write all three frames to
+    * parquet, probe forever — the [[EmbeddingSearch.buildIvfIndex]]
+    * lifecycle for the lexical side. Rebuilding from a
+    * [[CorpusDiff.snapshotDiff]] is corpus-proportional; postings are
+    * NOT incrementally retractable (df and avgdl shift globally), so
+    * the takedown runbook column is rebuild, like the sketches.
+    */
+  final case class LexIndex(postings: DataFrame, docLens: DataFrame,
+                            nDocs: Long, totalTokens: Long)
+
+  def buildIndex(docs: DataFrame, id: Column, text: Column): LexIndex = {
+    val tf = Keywords.termFrequency(docs, id, text)
+    val postings = tf
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    val tot = tf.agg(coalesce(sum(col("tf")), lit(0L))).collect()(0).getLong(0)
+    LexIndex(postings, dl, stats, tot)
+  }
+
+  /** Serve top-k from a [[LexIndex]] — no corpus text touched; the
+    * postings of the query's terms explode back to (token, doc, tf)
+    * and run the exact [[scores]] arithmetic, so probe ≡ direct
+    * computation bit for bit (pinned in Bm25Spec and by q141 sharing
+    * q139's oracle).
+    */
+  def probeIndex(index: LexIndex, queries: DataFrame,
+                 qid: Column, qtext: Column, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c1 = k1 + 1.0
+    val c2 = k1 * (1.0 - b)
+    val c3 = k1 * b
+    val grid = 1.0e12
+
+    val qt = queries
+      .select(qid.as("query_id"),
+        explode(split(lower(trim(qtext)), "\\s+")).as("token"))
+      .filter(col("token").rlike("^[a-z]{3,}$"))
+      .distinct()
+    val hits = qt.join(index.postings, "token")
+      .select(col("query_id"), col("token"), col("df"),
+        explode(col("postings")).as("__p"))
+      .select(col("query_id"), col("token"), col("df"),
+        col("__p.doc_id").as("doc_id"), col("__p.tf").as("tf"))
+      .join(index.docLens, "doc_id")
+
+    val avgdl = lit(index.totalTokens.toDouble) / lit(index.nDocs.toDouble)
+    val idf = (lit(index.nDocs).cast("double") + 1.0) /
+      (col("df").cast("double") + 1.0)
+    val term = idf * ((col("tf").cast("double") * lit(c1)) /
+      (col("tf").cast("double") +
+        (lit(c2) + (lit(c3) * col("dl").cast("double")) / avgdl)))
+
+    val rn = row_number().over(Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc))
+    hits
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(floor(term * lit(grid))).cast("double") / lit(grid))
+        .as("score"))
+      .withColumn("rank", rn.cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.): fuse any number of
     * per-query rankings — lexical, vector, recency/trust priors —
     * into one list by rrf = Σ 1/(k0 + rank), no score calibration

@@ -80,6 +80,33 @@ class Bm25Spec extends SparkTestBase {
     assert(a == b, "fusion must not depend on list order or partitioning")
   }
 
+  test("index probe equals direct top-k bit for bit, including through parquet state") {
+    val docs = docsDF((0L until 60L).map(i =>
+      (i, s"alpha w$i spark data ${"beta " * (i % 4).toInt}")): _*)
+    val qs = qDF((1L, "spark beta"), (2L, "alpha data"))
+    val direct = Bm25.topK(docs, col("doc_id"), col("text"),
+        qs, col("query_id"), col("qtext"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val idx = Bm25.buildIndex(docs, col("doc_id"), col("text"))
+    val probed = Bm25.probeIndex(idx, qs, col("query_id"), col("qtext"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(direct == probed, s"probe diverged from direct:\n$direct\n$probed")
+
+    // the state-table lifecycle: postings + lengths round-trip parquet
+    val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
+    idx.postings.write.parquet(s"$dir/postings")
+    idx.docLens.write.parquet(s"$dir/lens")
+    val reloaded = Bm25.LexIndex(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/lens"), idx.nDocs, idx.totalTokens)
+    val served = Bm25.probeIndex(reloaded, qs, col("query_id"), col("qtext"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(served == direct, "parquet round-trip changed the served scores")
+  }
+
   test("scores are partition-invariant") {
     val docs = docsDF((0L until 40L).map(i =>
       (i, s"token$i spark data ${"pad " * (i % 5).toInt}")): _*)
