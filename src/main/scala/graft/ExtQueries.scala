@@ -5126,6 +5126,55 @@ object ExtQueries {
             |                  ',' ORDER BY doc_id) AS plist
             |FROM tf GROUP BY token ORDER BY token""".stripMargin))
 
+  /** Positional phrase match ([[graft.ext.Bm25.phraseMatch]]):
+    * exact-phrase search at postings shape — each phrase word joins
+    * its positional postings, adjacency is pos = p+offset, work is
+    * postings-proportional (the fixed-n n-gram screens can't answer
+    * arbitrary-length phrases; this can). Two phrases under one hash:
+    * a normal bigram and a SELF-OVERLAPPING one ("batch batch", which
+    * a naive self-join-with-dedup gets wrong); planted docs pin the
+    * hit/miss boundary (interleaved word, phrase at string start).
+    * The oracle re-derives kept-token arrays and scans adjacency with
+    * a list lambda.
+    */
+  val q143 = Q(
+    "q143_phrase_match",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (800000L, "alpha join order beta"),
+        (800001L, "join xxx order"),
+        (800002L, "join order"),
+        (800003L, "batch batch once more")).toDF("doc_id", "text")
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+      graft.ext.Bm25.phraseMatch(d, $"doc_id", $"text", Seq("join", "order"))
+        .select(lit("join order").as("phrase"), $"doc_id")
+        .unionAll(
+          graft.ext.Bm25.phraseMatch(d, $"doc_id", $"text", Seq("batch", "batch"))
+            .select(lit("batch batch").as("phrase"), $"doc_id"))
+        .orderBy($"phrase", $"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+            |          UNION ALL SELECT * FROM (VALUES
+            |  (800000, 'alpha join order beta'),
+            |  (800001, 'join xxx order'),
+            |  (800002, 'join order'),
+            |  (800003, 'batch batch once more')) p(doc_id, text)),
+            |tk AS (SELECT doc_id, list_filter(
+            |         string_split_regex(trim(lower(text)), '\s+'),
+            |         x -> regexp_matches(x, '^[a-z]{3,}$')) AS t
+            |       FROM d),
+            |m1 AS (SELECT doc_id FROM tk
+            |       WHERE len(list_filter(generate_series(1, len(t) - 1),
+            |         i -> t[i] = 'join' AND t[i+1] = 'order')) > 0),
+            |m2 AS (SELECT doc_id FROM tk
+            |       WHERE len(list_filter(generate_series(1, len(t) - 1),
+            |         i -> t[i] = 'batch' AND t[i+1] = 'batch')) > 0)
+            |SELECT 'join order' AS phrase, doc_id FROM m1
+            |UNION ALL SELECT 'batch batch', doc_id FROM m2
+            |ORDER BY phrase, doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5135,5 +5184,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142)
+    q139, q140, q141, q142, q143)
 }

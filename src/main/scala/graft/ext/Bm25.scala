@@ -164,6 +164,40 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** (doc_id, token, pos) — token positions, 1-based over the KEPT
+    * token sequence (the [[Keywords.termFrequency]] filter applied
+    * first, so positions are adjacency-meaningful after stopword-free
+    * tokenization). The positional-index state for phrase queries.
+    */
+  def termPositions(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        posexplode(filter(split(lower(trim(text)), "\\s+"),
+          t => t.rlike("^[a-z]{3,}$"))).as(Seq("__p0", "token")))
+      .select(col("doc_id"), col("token"), (col("__p0") + 1).as("pos"))
+
+  /** Documents containing the phrase as a CONTIGUOUS kept-token run —
+    * exact-phrase search at positional-index shape: each phrase word
+    * joins its postings, adjacency is `pos = p1 + offset`, so the
+    * work is postings-proportional for the phrase's words (never a
+    * corpus text scan — the reason real engines store positions).
+    * The n-gram decontamination screens hash FIXED n; this answers
+    * arbitrary-length phrases. Returns distinct doc_id.
+    */
+  def phraseMatch(docs: DataFrame, id: Column, text: Column,
+                  phrase: Seq[String]): DataFrame = {
+    val words = phrase.map(_.toLowerCase).filter(_.matches("^[a-z]{3,}$"))
+    require(words.nonEmpty, "phraseMatch: no kept tokens in phrase")
+    val tp = termPositions(docs, id, text)
+    val first = tp.filter(col("token") === words.head)
+      .select(col("doc_id"), col("pos").as("__p"))
+    words.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(
+        tp.filter(col("token") === w)
+          .select(col("doc_id"), (col("pos") - i).as("__p")),
+        Seq("doc_id", "__p"))
+    }.select(col("doc_id")).distinct()
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.): fuse any number of
     * per-query rankings — lexical, vector, recency/trust priors —
     * into one list by rrf = Σ 1/(k0 + rank), no score calibration

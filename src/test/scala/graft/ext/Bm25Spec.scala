@@ -107,6 +107,24 @@ class Bm25Spec extends SparkTestBase {
     assert(served == direct, "parquet round-trip changed the served scores")
   }
 
+  test("phraseMatch: contiguity over kept tokens, self-overlap, three-word phrases") {
+    val docs = docsDF(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha gamma beta delta"),     // right words, wrong order
+      (3L, "alpha xx beta gamma"),        // 'xx' dropped (<3 chars) -> alpha beta gamma contiguous!
+      (4L, "beta beta beta"),
+      (5L, "beta"),
+      (6L, "Alpha BETA gamma"))           // case-folded
+    def m(p: String*) = Bm25.phraseMatch(docs, col("doc_id"), col("text"), p)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(m("alpha", "beta") == Seq(1L, 3L, 6L), m("alpha", "beta").toString)
+    assert(m("alpha", "beta", "gamma") == Seq(1L, 3L, 6L))
+    assert(m("beta", "beta") == Seq(4L), "self-overlapping phrase")
+    assert(m("beta", "beta", "beta") == Seq(4L))
+    assert(m("gamma", "delta") == Seq(1L))
+    assert(m("delta", "alpha").isEmpty)
+  }
+
   test("scores are partition-invariant") {
     val docs = docsDF((0L until 40L).map(i =>
       (i, s"token$i spark data ${"pad " * (i % 5).toInt}")): _*)
