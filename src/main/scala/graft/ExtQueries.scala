@@ -5175,6 +5175,81 @@ object ExtQueries {
             |UNION ALL SELECT 'batch batch', doc_id FROM m2
             |ORDER BY phrase, doc_id""".stripMargin))
 
+  /** Incremental lexical-index admission
+    * ([[graft.ext.Bm25.admitToIndex]]): build the postings state on
+    * 6/7ths of the corpus, fold the remaining 1/7th in through the
+    * admission path (postings full-outer merge, df adds, ledger
+    * union, scalar adds — no corpus re-read), then SERVE from the
+    * merged state. Reuses q139's oracle verbatim: admit-maintained
+    * state ≡ direct computation over the full corpus IS the claim —
+    * the idf/avgdl arithmetic exercises both merged scalars, and the
+    * served scores exercise the merged arrays.
+    */
+  val q144 = Q(
+    "q144_lex_admit",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val base = docs.filter($"doc_id" % 7 =!= 0)
+      val delta = docs.filter($"doc_id" % 7 === 0)
+      val queries = Seq(
+        (1L, "spark join stream window"),
+        (2L, "customer table filter"),
+        (3L, "zzzunseen merge")).toDF("query_id", "qtext")
+      val idx = graft.ext.Bm25.admitToIndex(
+        graft.ext.Bm25.buildIndex(base, $"doc_id", $"text"),
+        delta, $"doc_id", $"text")
+      graft.ext.Bm25.probeIndex(idx, queries, $"query_id", $"qtext", k = 5)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH $bm25OracleCtes
+            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+            |FROM rk WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin))
+
+  /** Lexical-index takedown cascade
+    * ([[graft.ext.Forget.retractLexIndex]]): build the index on the
+    * corpus PLUS four planted docs whose vocabulary overlaps real
+    * documents (so retraction must FILTER posting arrays and
+    * recompute df, not just drop whole tokens), one carrying a
+    * unique token (that token must leave the state entirely) and one
+    * with no kept tokens at all (exercises the dl=0 row-ledger
+    * bookkeeping). Retract the planted rows; the serialized postings
+    * table reuses q142's oracle VERBATIM over the plain corpus —
+    * retract ≡ rebuild-from-retained, bit for bit across the whole
+    * state table.
+    */
+  val q145 = Q(
+    "q145_lex_retract",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (810000L, "spark join stream data table"),
+        (810001L, "customer filter window merge"),
+        (810002L, "zzzonlyplanted zzzonlyplanted spark"),
+        (810003L, "a b c")).toDF("doc_id", "text")
+      val full = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+      val idx = graft.ext.Bm25.buildIndex(full, $"doc_id", $"text")
+      val cut = graft.ext.Forget.retractLexIndex(
+        idx, planted, $"doc_id", $"text")
+      cut.postings.select($"token", $"df",
+          array_join(transform($"postings", p =>
+            concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ",").as("plist"))
+        .orderBy($"token")
+    },
+    Some("""WITH toks AS (
+            |  SELECT doc_id, unnest(list_filter(
+            |           string_split_regex(trim(lower(text)), '\s+'),
+            |           tk -> regexp_matches(tk, '^[a-z]{3,}$'))) AS token
+            |  FROM documents),
+            |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+            |SELECT token, CAST(count(*) AS BIGINT) AS df,
+            |       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+            |                  ',' ORDER BY doc_id) AS plist
+            |FROM tf GROUP BY token ORDER BY token""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5184,5 +5259,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143)
+    q139, q140, q141, q142, q143, q144, q145)
 }

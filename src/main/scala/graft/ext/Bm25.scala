@@ -98,10 +98,18 @@ object Bm25 {
     * sorted by doc_id), document lengths, and the two corpus scalars.
     * Build once per corpus snapshot, write all three frames to
     * parquet, probe forever — the [[EmbeddingSearch.buildIvfIndex]]
-    * lifecycle for the lexical side. Rebuilding from a
-    * [[CorpusDiff.snapshotDiff]] is corpus-proportional; postings are
-    * NOT incrementally retractable (df and avgdl shift globally), so
-    * the takedown runbook column is rebuild, like the sketches.
+    * lifecycle for the lexical side.
+    *
+    * Unlike the sketches, this state is EXACT, so its lifecycle is
+    * closed without rebuilds: [[admitToIndex]] folds newly crawled
+    * documents in (postings merge, df adds), and
+    * [[Forget.retractLexIndex]] cascades takedowns (affected-token
+    * filter, df recomputed from the filtered arrays). `docLens` is
+    * the index's row LEDGER — one row per corpus document, `dl = 0`
+    * for documents with no kept tokens — precisely so deletion math
+    * on the corpus scalars (N, total tokens) is decidable from state
+    * alone; token-less documents count in N (they shape avgdl's
+    * denominator) yet appear in no posting list.
     */
   final case class LexIndex(postings: DataFrame, docLens: DataFrame,
                             nDocs: Long, totalTokens: Long)
@@ -113,10 +121,50 @@ object Bm25 {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dl = docs.select(id.as("doc_id"))
+      .join(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("__dl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__dl"), lit(0L)).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n")).collect()(0).getLong(0)
     val tot = tf.agg(coalesce(sum(col("tf")), lit(0L))).collect()(0).getLong(0)
     LexIndex(postings, dl, stats, tot)
+  }
+
+  /** Fold newly crawled documents into an existing index with no
+    * corpus re-read — the [[ExactDedup.incremental]] discipline on
+    * the lexical side. Postings merge with a full-outer join on
+    * token: tokens only one side knows pass through untouched;
+    * shared tokens concatenate their (already doc_id-sorted,
+    * disjoint) posting arrays under one `sort_array`, which is
+    * byte-identical to what [[buildIndex]] on the union corpus
+    * produces, because doc_id is unique and struct ordering is total.
+    * df adds (exact under the disjointness contract), the row ledger
+    * unions, the two scalars add.
+    *
+    * Contract: `newDocs` ids must be disjoint from the indexed corpus
+    * — the admission front door ([[ExactDedup.incremental]] /
+    * `DocStream.admitNew`) guarantees exactly that. Identity (gate
+    * q144 via the q139 oracle, full state equality in Bm25Spec):
+    *
+    *   admitToIndex(buildIndex(a), b) ≡ buildIndex(a ∪ b)
+    */
+  def admitToIndex(index: LexIndex, newDocs: DataFrame,
+                   id: Column, text: Column): LexIndex = {
+    val add = buildIndex(newDocs, id, text)
+    val merged = index.postings
+      .select(col("token"), col("df").as("__df0"), col("postings").as("__p0"))
+      .join(add.postings
+          .select(col("token"), col("df").as("__df1"), col("postings").as("__p1")),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("__df0"), lit(0L)) + coalesce(col("__df1"), lit(0L)))
+          .as("df"),
+        when(col("__p0").isNull, col("__p1"))
+          .when(col("__p1").isNull, col("__p0"))
+          .otherwise(sort_array(concat(col("__p0"), col("__p1"))))
+          .as("postings"))
+    LexIndex(merged, index.docLens.unionByName(add.docLens),
+      index.nDocs + add.nDocs, index.totalTokens + add.totalTokens)
   }
 
   /** Serve top-k from a [[LexIndex]] — no corpus text touched; the

@@ -37,6 +37,10 @@ import org.apache.spark.sql.functions._
   *     components pass through untouched)
   *   - IVF index state           → [[retractIvf]] (assignments anti-join;
   *     centroids are retained layout, watched by `ivfRebuildAdvice`)
+  *   - lexical index state       → [[retractLexIndex]] (affected tokens
+  *     located from the delete batch's own text; every other posting
+  *     row passes through untouched; df recomputed, not decremented —
+  *     replay-safe)
   *
   * NON-RETRACTABLE state — the takedown runbook's rebuild column.
   * Three sketch families deliberately have NO retract path, because
@@ -302,4 +306,59 @@ object Forget {
       index.assignments.join(deleteSet(deletedIds),
         index.assignments("id") === col("__del"), "left_anti"),
       index.book)
+
+  /** Cascade a deletion through the materialized lexical index
+    * ([[Bm25.LexIndex]]). Unlike the sketches, postings state is
+    * EXACT, so the takedown runbook column here is retract, not
+    * rebuild. `deletedDocs` must be the deleted ROWS with their id
+    * AND text — the [[retractDigests]] contract: a takedown pipeline
+    * has the rows it is deleting, and their text is what locates the
+    * affected tokens WITHOUT scanning the postings state.
+    *
+    * Shape, per the [[retractComponents]] passthrough discipline:
+    * the delete batch tokenizes (small), its token set is the
+    * affected-token list; every other token's postings row passes
+    * through UNTOUCHED via one anti-join on token — its array bytes
+    * are never read. Affected tokens (at most delete-batch-vocabulary
+    * many) explode, anti-join the delete ids, and regroup under the
+    * same `sort_array(collect_list)` as [[Bm25.buildIndex]]; df is
+    * RECOMPUTED as the filtered posting count (not decremented), so
+    * replaying a takedown batch is a no-op — retraction is
+    * row-identity-based, unlike the counted digest ledger. Tokens
+    * whose last posting leaves drop from the state. The row ledger
+    * anti-joins, and the two scalars subtract the ledger rows the
+    * delete set actually hits (replay-safe for the same reason).
+    *
+    * Identity (gate q145 shares q142's oracle verbatim; full state
+    * equality incl. scalars in ForgetSpec):
+    *
+    *   retractLexIndex(buildIndex(corpus), deletedRows)
+    *     ≡ buildIndex(corpus ∖ deletedRows)
+    */
+  def retractLexIndex(index: Bm25.LexIndex, deletedDocs: DataFrame,
+                      id: Column, text: Column): Bm25.LexIndex = {
+    val delTf = Keywords.termFrequency(deletedDocs, id, text)
+    val affectedTokens = delTf.select(col("token")).distinct()
+    val delIds = deleteSet(deletedDocs.select(id.as("__id")))
+
+    val untouched = index.postings
+      .join(affectedTokens, Seq("token"), "left_anti")
+    val refiltered = index.postings
+      .join(affectedTokens, Seq("token"), "left_semi")
+      .select(col("token"), explode(col("postings")).as("__p"))
+      .join(delIds, col("__p.doc_id") === col("__del"), "left_anti")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("__p"))).as("postings"))
+
+    val hit = index.docLens
+      .join(delIds, index.docLens("doc_id") === col("__del"), "left_semi")
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("t"))
+      .collect()(0)
+    Bm25.LexIndex(
+      untouched.unionByName(refiltered),
+      index.docLens.join(delIds,
+        index.docLens("doc_id") === col("__del"), "left_anti"),
+      index.nDocs - hit.getLong(0), index.totalTokens - hit.getLong(1))
+  }
 }

@@ -125,6 +125,41 @@ class Bm25Spec extends SparkTestBase {
     assert(m("delta", "alpha").isEmpty)
   }
 
+  private def lexState(ix: Bm25.LexIndex) = (
+    ix.postings.select(col("token"), col("df"),
+        array_join(transform(col("postings"), p =>
+          concat(p.getField("doc_id"), lit(":"), p.getField("tf"))), ","))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq,
+    ix.docLens.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq,
+    ix.nDocs, ix.totalTokens)
+
+  test("admitToIndex ≡ buildIndex on the union corpus — postings, ledger, scalars, served scores") {
+    val base = docsDF(
+      (1L, "spark data join table"),
+      (2L, "window stream data"),
+      (3L, "spark spark table"),
+      (7L, "zz"))                    // no kept tokens: dl=0 ledger row, counts in N
+    val delta = docsDF(
+      (4L, "spark merge data"),
+      (5L, "newword only here"),
+      (6L, "zz yy"))                 // token-less admission
+    val merged = Bm25.admitToIndex(
+      Bm25.buildIndex(base, col("doc_id"), col("text")),
+      delta, col("doc_id"), col("text"))
+    val rebuilt = Bm25.buildIndex(base.unionAll(delta),
+      col("doc_id"), col("text"))
+    assert(lexState(merged) == lexState(rebuilt))
+    val q = qDF((1L, "spark newword"))
+    val served = Bm25.probeIndex(merged, q, col("query_id"), col("qtext"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = Bm25.topK(base.unionAll(delta), col("doc_id"), col("text"),
+        q, col("query_id"), col("qtext"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(served == direct, "admit-merged probe must equal direct top-k bit for bit")
+  }
+
   test("scores are partition-invariant") {
     val docs = docsDF((0L until 40L).map(i =>
       (i, s"token$i spark data ${"pad " * (i % 5).toInt}")): _*)

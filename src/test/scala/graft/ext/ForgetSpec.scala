@@ -259,4 +259,38 @@ class ForgetSpec extends SparkTestBase {
     assert(rebuilt == fresh, "rebuild must be partition-invariant and equal a never-held-it corpus")
     assert(rebuilt != full, "deleting a sampled row must change the sketch (slot refills)")
   }
+
+  // ---- lexical index ---------------------------------------------------
+
+  private def lexState(ix: Bm25.LexIndex) = (
+    ix.postings.select(col("token"), col("df"),
+        array_join(transform(col("postings"), p =>
+          concat(p.getField("doc_id"), lit(":"), p.getField("tf"))), ","))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq,
+    ix.docLens.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq,
+    ix.nDocs, ix.totalTokens)
+
+  test("retractLexIndex ≡ buildIndex on the retained corpus; sole-posting tokens leave; replay is a no-op") {
+    val docs = Seq(
+      (1L, "spark data join table"),
+      (2L, "window stream data spark"),
+      (3L, "spark table merge"),
+      (4L, "uniqueword spark data"),     // deleted: 'uniqueword' must LEAVE
+      (5L, "data data window"),          // deleted: shared vocab → array filters
+      (6L, "x y"),                       // deleted, token-less: N bookkeeping only
+      (7L, "zz")).toDF("doc_id", "text") // retained, token-less
+    val deleted = docs.filter($"doc_id".isin(4L, 5L, 6L))
+    val idx = Bm25.buildIndex(docs, col("doc_id"), col("text"))
+    val cut = Forget.retractLexIndex(idx, deleted, col("doc_id"), col("text"))
+    val rebuilt = Bm25.buildIndex(docs.filter(!$"doc_id".isin(4L, 5L, 6L)),
+      col("doc_id"), col("text"))
+    assert(lexState(cut) == lexState(rebuilt))
+    assert(cut.nDocs == 4L && rebuilt.nDocs == 4L, "token-less rows count in N")
+    assert(!cut.postings.select($"token").as[String].collect().contains("uniqueword"))
+    val replay = Forget.retractLexIndex(cut, deleted, col("doc_id"), col("text"))
+    assert(lexState(replay) == lexState(cut),
+      "retraction is row-identity-based: replaying a takedown batch is a no-op")
+  }
 }
