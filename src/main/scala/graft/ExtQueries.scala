@@ -5250,6 +5250,63 @@ object ExtQueries {
             |                  ',' ORDER BY doc_id) AS plist
             |FROM tf GROUP BY token ORDER BY token""".stripMargin))
 
+  /** Boolean retrieval from postings state
+    * ([[graft.ext.Bm25.booleanProbe]]): three query shapes under one
+    * hash — conjunction (must=[spark, join], with one word REPEATED
+    * to pin query-term dedup), conjunction-with-negation
+    * (must=[spark], not=[join] — negation answered from the negated
+    * term's postings, never a corpus scan), and
+    * disjunction-with-negation (any=[customer, window],
+    * not=[merge]). Planted docs pin every leg's boundary at all SFs;
+    * the oracle is INTERSECT / EXCEPT / IN set algebra over the same
+    * tf frame.
+    */
+  val q146 = Q(
+    "q146_boolean_probe",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (820000L, "spark join alpha"),
+        (820001L, "spark beta"),
+        (820002L, "customer window"),
+        (820003L, "merge customer")).toDF("doc_id", "text")
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+      val idx = graft.ext.Bm25.buildIndex(d, $"doc_id", $"text")
+      def face(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(label).as("q"), $"doc_id")
+      face("and", graft.ext.Bm25.booleanProbe(idx,
+          must = Seq("spark", "join", "SPARK")))
+        .unionAll(face("andnot", graft.ext.Bm25.booleanProbe(idx,
+          must = Seq("spark"), not = Seq("join"))))
+        .unionAll(face("ornot", graft.ext.Bm25.booleanProbe(idx,
+          must = Nil, any = Seq("customer", "window"), not = Seq("merge"))))
+        .orderBy($"q", $"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+            |          UNION ALL SELECT * FROM (VALUES
+            |  (820000, 'spark join alpha'),
+            |  (820001, 'spark beta'),
+            |  (820002, 'customer window'),
+            |  (820003, 'merge customer')) p(doc_id, text)),
+            |toks AS (SELECT doc_id, unnest(list_filter(
+            |           string_split_regex(trim(lower(text)), '\s+'),
+            |           tk -> regexp_matches(tk, '^[a-z]{3,}$'))) AS token
+            |         FROM d),
+            |tf AS (SELECT DISTINCT doc_id, token FROM toks),
+            |b1 AS (SELECT doc_id FROM tf WHERE token = 'spark'
+            |       INTERSECT SELECT doc_id FROM tf WHERE token = 'join'),
+            |b2 AS (SELECT doc_id FROM tf WHERE token = 'spark'
+            |       EXCEPT SELECT doc_id FROM tf WHERE token = 'join'),
+            |b3 AS (SELECT DISTINCT doc_id FROM tf
+            |       WHERE token IN ('customer', 'window')
+            |         AND doc_id NOT IN
+            |           (SELECT doc_id FROM tf WHERE token = 'merge'))
+            |SELECT 'and' AS q, doc_id FROM b1
+            |UNION ALL SELECT 'andnot', doc_id FROM b2
+            |UNION ALL SELECT 'ornot', doc_id FROM b3
+            |ORDER BY q, doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5259,5 +5316,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145)
+    q139, q140, q141, q142, q143, q144, q145, q146)
 }

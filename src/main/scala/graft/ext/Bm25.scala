@@ -246,6 +246,56 @@ object Bm25 {
     }.select(col("doc_id")).distinct()
   }
 
+  /** Boolean retrieval served from the postings state — the filter
+    * face of the lexical stack (BM25 is the ranking face): documents
+    * containing ALL of `must`, at least one of `any` (when non-empty),
+    * and none of `not`. Work is postings-proportional for exactly the
+    * query's terms on every leg — `must` via one exploded
+    * count-distinct-per-doc (a doc qualifies when it holds all
+    * |must| tokens), `any` via posting union, `not` via one anti-join
+    * against the negated terms' postings (negation never scans the
+    * corpus: absence from those postings IS the proof). A query with
+    * neither `must` nor `any` would make negation
+    * corpus-complementary, so it is rejected. Query words outside the
+    * kept-token grammar are indexable by no document, so such a word
+    * in `must` empties the result, in `any` contributes nothing, and
+    * in `not` excludes nothing. Returns distinct doc_id.
+    */
+  def booleanProbe(index: LexIndex, must: Seq[String],
+                   any: Seq[String] = Nil, not: Seq[String] = Nil): DataFrame = {
+    def kept(ws: Seq[String]) =
+      ws.map(_.toLowerCase).distinct.filter(_.matches("^[a-z]{3,}$"))
+    val mDistinct = must.map(_.toLowerCase).distinct
+    val (m, a, n) = (kept(must), kept(any), kept(not))
+    require(must.nonEmpty || any.nonEmpty,
+      "booleanProbe: pure-negation queries are corpus-complementary; give must or any terms")
+    def docsOf(ws: Seq[String]) = index.postings
+      .filter(col("token").isin(ws: _*))
+      .select(col("token"), explode(col("postings")).as("__p"))
+      .select(col("token"), col("__p.doc_id").as("doc_id"))
+
+    val mustDocs =
+      if (mDistinct.length != m.length)
+        index.docLens.select(col("doc_id")).limit(0) // an unkeepable must-word
+      else if (m.isEmpty) null
+      else docsOf(m).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__k")).filter(col("__k") === m.length)
+        .select(col("doc_id"))
+    val anyDocs = if (a.isEmpty && any.nonEmpty)
+        index.docLens.select(col("doc_id")).limit(0)
+      else if (a.isEmpty) null
+      else docsOf(a).select(col("doc_id")).distinct()
+
+    val base = (Option(mustDocs), Option(anyDocs)) match {
+      case (Some(md), Some(ad)) => md.join(ad, Seq("doc_id"), "left_semi")
+      case (Some(md), None)     => md
+      case (None, Some(ad))     => ad
+      case (None, None)         => index.docLens.select(col("doc_id")).limit(0)
+    }
+    if (n.isEmpty) base
+    else base.join(docsOf(n).select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.): fuse any number of
     * per-query rankings — lexical, vector, recency/trust priors —
     * into one list by rrf = Σ 1/(k0 + rank), no score calibration

@@ -160,6 +160,32 @@ class Bm25Spec extends SparkTestBase {
     assert(served == direct, "admit-merged probe must equal direct top-k bit for bit")
   }
 
+  test("booleanProbe: conjunction, disjunction, negation, and the unkeepable-word rules") {
+    val docs = docsDF(
+      (1L, "spark join data"),
+      (2L, "spark table"),
+      (3L, "join only here"),
+      (4L, "spark join merge"),
+      (5L, "window stream"))
+    val idx = Bm25.buildIndex(docs, col("doc_id"), col("text"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(Bm25.booleanProbe(idx, Seq("spark", "join"))) == Seq(1L, 4L))
+    assert(ids(Bm25.booleanProbe(idx, Seq("spark"), not = Seq("join"))) == Seq(2L))
+    assert(ids(Bm25.booleanProbe(idx, Nil, any = Seq("table", "window"))) == Seq(2L, 5L))
+    assert(ids(Bm25.booleanProbe(idx, Seq("spark", "join"), not = Seq("merge"))) == Seq(1L))
+    // repeated must-word is emphasis, not a second requirement
+    assert(ids(Bm25.booleanProbe(idx, Seq("spark", "Spark"))) == Seq(1L, 2L, 4L))
+    // an unkeepable must-word is satisfiable by no document
+    assert(ids(Bm25.booleanProbe(idx, Seq("spark", "ab"))).isEmpty)
+    // unkeepable words in any/not contribute/exclude nothing
+    assert(ids(Bm25.booleanProbe(idx, Nil, any = Seq("table", "ab"))) == Seq(2L))
+    assert(ids(Bm25.booleanProbe(idx, Seq("spark"), not = Seq("ab"))) == Seq(1L, 2L, 4L))
+    intercept[IllegalArgumentException] {
+      Bm25.booleanProbe(idx, Nil, not = Seq("spark"))
+    }
+  }
+
   test("scores are partition-invariant") {
     val docs = docsDF((0L until 40L).map(i =>
       (i, s"token$i spark data ${"pad " * (i % 5).toInt}")): _*)
