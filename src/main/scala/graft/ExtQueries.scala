@@ -5307,6 +5307,81 @@ object ExtQueries {
             |UNION ALL SELECT 'ornot', doc_id FROM b3
             |ORDER BY q, doc_id""".stripMargin))
 
+  /** KMV sketch set algebra ([[graft.ext.KmvSetOps]]): union /
+    * intersection / difference cardinality estimates computed purely
+    * from two per-group sketch arrays (theta-sketch pattern) — side A
+    * = users with `user_id % 3 ≠ 0` events, side B = `% 2 ≠ 0`, so
+    * every event_type has a 100/75/50 A/B/A∩B structure. TWO k
+    * regimes under one hash: k=12 exercises the estimator (θ from
+    * the union sketch, survivor counts scaled by est(A∪B)/k), k=256
+    * exercises the EXACT branch (sketches hold every hash, set ops
+    * are exact distinct counts). The oracle mirrors the minima
+    * ranking, list slicing, θ filter, and the IEEE expression tree
+    * verbatim.
+    */
+  val q147 = Q(
+    "q147_kmv_setops",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_type", $"user_id")
+      def sideSketch(p: org.apache.spark.sql.Column, k: Int, nm: String) =
+        ev.filter(p)
+          .select($"event_type",
+            MinHashLsh.portableHash32($"user_id".cast("string")).as("h32"))
+          .groupBy($"event_type")
+          .agg(graft.functions.KmvSketchAgg.kMinima($"h32", k).as(nm))
+      Seq(12, 256).map { k =>
+        sideSketch($"user_id" % 3 =!= 0, k, "a")
+          .join(sideSketch($"user_id" % 2 =!= 0, k, "b"), "event_type")
+          .select($"event_type", lit(k.toLong).as("k"),
+            graft.ext.KmvSetOps.unionEstimate($"a", $"b", k).as("union_est"),
+            graft.ext.KmvSetOps.intersectEstimate($"a", $"b", k).as("inter_est"),
+            graft.ext.KmvSetOps.differenceEstimate($"a", $"b", k).as("diffab_est"))
+      }.reduce(_ unionAll _).orderBy($"k", $"event_type")
+    },
+    Some {
+      def block(k: Int) =
+        s"""l${k}a AS (SELECT event_type, list(h32 ORDER BY h32) AS a
+           |        FROM ra WHERE r <= $k GROUP BY event_type),
+           |l${k}b AS (SELECT event_type, list(h32 ORDER BY h32) AS b
+           |        FROM rb WHERE r <= $k GROUP BY event_type),
+           |u$k AS (SELECT la.event_type, la.a, lb.b,
+           |          (list_sort(list_distinct(la.a || lb.b)))[1:$k] AS u
+           |        FROM l${k}a la JOIN l${k}b lb USING (event_type)),
+           |g$k AS (SELECT event_type, a, b, u,
+           |          CASE WHEN len(u) < $k THEN CAST(len(u) AS DOUBLE)
+           |               ELSE ${(k - 1).toDouble} * 4294967296.0 /
+           |                    CAST(u[$k] AS DOUBLE) END AS est_u
+           |        FROM u$k),
+           |o$k AS (SELECT event_type, CAST($k AS BIGINT) AS k,
+           |          est_u AS union_est,
+           |          CASE WHEN len(u) < $k
+           |               THEN CAST(len(list_filter(a, x -> list_contains(b, x))) AS DOUBLE)
+           |               ELSE CAST(len(list_filter(a, x -> list_contains(b, x)
+           |                          AND x <= u[$k])) AS DOUBLE) * est_u / ${k.toDouble} END
+           |            AS inter_est,
+           |          CASE WHEN len(u) < $k
+           |               THEN CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS DOUBLE)
+           |               ELSE CAST(len(list_filter(a, x -> NOT list_contains(b, x)
+           |                          AND x <= u[$k])) AS DOUBLE) * est_u / ${k.toDouble} END
+           |            AS diffab_est
+           |        FROM g$k)""".stripMargin
+      s"""WITH ha AS (SELECT DISTINCT event_type, $hornerSql AS h32
+         |      FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+         |            FROM events WHERE user_id % 3 <> 0)),
+         |hb AS (SELECT DISTINCT event_type, $hornerSql AS h32
+         |      FROM (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+         |            FROM events WHERE user_id % 2 <> 0)),
+         |ra AS (SELECT event_type, h32, row_number() OVER
+         |         (PARTITION BY event_type ORDER BY h32) AS r FROM ha),
+         |rb AS (SELECT event_type, h32, row_number() OVER
+         |         (PARTITION BY event_type ORDER BY h32) AS r FROM hb),
+         |${block(12)},
+         |${block(256)}
+         |SELECT * FROM o12 UNION ALL SELECT * FROM o256
+         |ORDER BY k, event_type""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5316,5 +5391,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147)
 }
