@@ -5382,6 +5382,101 @@ object ExtQueries {
          |ORDER BY k, event_type""".stripMargin
     })
 
+  /** robots.txt crawl-permission screen ([[graft.ext.Robots.screen]],
+    * RFC 9309): six planted robots bodies exercise disallow-all, the
+    * longest-match rule (/cat1 vs /cat12), exact-agent groups
+    * shadowing `*`, consecutive User-agent stacking, the equal-length
+    * Allow tie-break, and the empty-Disallow allow-all idiom — while
+    * the candidate URLs come from the ORDERS table at corpus volume
+    * (hosts/paths derived from o_orderkey residues; shop6 has no
+    * robots row → default allow). The oracle re-derives line
+    * explosion, comment stripping, group assignment (lag + running
+    * sum), agent selection, and the struct-max longest-match verdict.
+    */
+  val q148 = Q(
+    "q148_robots_screen",
+    (s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("shop0.example.com", "User-agent: *\nDisallow: /"),
+        ("shop1.example.com", "User-agent: *\nDisallow: /cat1\nAllow: /cat12"),
+        ("shop2.example.com",
+          "User-agent: graftbot\nDisallow: /cat3\n\nUser-agent: *\nDisallow: /"),
+        ("shop3.example.com", "User-agent: *\nAllow: /cat4\nDisallow: /cat4"),
+        ("shop4.example.com",
+          "User-agent: otherbot\nUser-agent: graftbot\nDisallow: /cat5"),
+        ("shop5.example.com", "# allow everything\nUser-agent: *\nDisallow:"))
+        .toDF("host", "body")
+      val urls = t(s, dir, "orders").select($"o_orderkey".as("id"),
+        concat(lit("https://shop"), ($"o_orderkey" % 7).cast("string"),
+          lit(".example.com/cat"), ($"o_orderkey" % 15).cast("string")).as("url"))
+      graft.ext.Robots.screen(urls, $"id", $"url",
+          robots, $"host", $"body", "graftbot")
+        .select(graft.ext.UrlOps.host($"url").as("host"),
+          graft.ext.UrlOps.path($"url").as("path"),
+          $"allowed", $"rule_len".cast("long").as("rule_len"))
+        .distinct()
+        .orderBy($"host", $"path")
+    },
+    Some("""WITH rb(host, body) AS (VALUES
+            |  ('shop0.example.com', 'User-agent: *' || chr(10) || 'Disallow: /'),
+            |  ('shop1.example.com', 'User-agent: *' || chr(10) || 'Disallow: /cat1'
+            |     || chr(10) || 'Allow: /cat12'),
+            |  ('shop2.example.com', 'User-agent: graftbot' || chr(10) || 'Disallow: /cat3'
+            |     || chr(10) || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /'),
+            |  ('shop3.example.com', 'User-agent: *' || chr(10) || 'Allow: /cat4'
+            |     || chr(10) || 'Disallow: /cat4'),
+            |  ('shop4.example.com', 'User-agent: otherbot' || chr(10)
+            |     || 'User-agent: graftbot' || chr(10) || 'Disallow: /cat5'),
+            |  ('shop5.example.com', '# allow everything' || chr(10)
+            |     || 'User-agent: *' || chr(10) || 'Disallow:')),
+            |lx AS (SELECT host,
+            |         unnest(string_split(body, chr(10))) AS raw,
+            |         unnest(generate_series(1, len(string_split(body, chr(10))))) AS i
+            |       FROM rb),
+            |cl AS (SELECT host, i,
+            |         trim(regexp_replace(regexp_replace(raw, chr(13), ''), '#.*$', '')) AS l
+            |       FROM lx),
+            |kd AS (SELECT host, i,
+            |         CASE WHEN regexp_matches(lower(l), '^user-agent\s*:') THEN 'ua'
+            |              WHEN regexp_matches(lower(l), '^allow\s*:') THEN 'allow'
+            |              WHEN regexp_matches(lower(l), '^disallow\s*:') THEN 'disallow'
+            |         END AS kind,
+            |         trim(regexp_replace(l, '^[A-Za-z-]+\s*:', '')) AS v
+            |       FROM cl),
+            |ng AS (SELECT host, i, kind, v,
+            |         CASE WHEN kind = 'ua' AND coalesce(lag(kind) OVER
+            |               (PARTITION BY host ORDER BY i), '') <> 'ua'
+            |             THEN 1 ELSE 0 END AS newg
+            |       FROM (SELECT * FROM kd WHERE kind IS NOT NULL)),
+            |gg AS (SELECT host, i, kind, v,
+            |         sum(newg) OVER (PARTITION BY host ORDER BY i) AS gid
+            |       FROM ng),
+            |fl AS (SELECT host, gid,
+            |         max(CASE WHEN lower(v) = 'graftbot' THEN 1 ELSE 0 END) AS has_exact,
+            |         max(CASE WHEN v = '*' THEN 1 ELSE 0 END) AS has_star
+            |       FROM gg WHERE kind = 'ua' GROUP BY host, gid),
+            |fe AS (SELECT *, max(has_exact) OVER (PARTITION BY host) AS host_exact FROM fl),
+            |ru AS (SELECT g.host, (g.kind = 'allow') AS allow, g.v AS prefix
+            |       FROM gg g JOIN fe f ON g.host = f.host AND g.gid = f.gid
+            |       WHERE g.kind <> 'ua' AND g.v <> ''
+            |         AND ((f.host_exact = 1 AND f.has_exact = 1)
+            |           OR (f.host_exact = 0 AND f.has_star = 1))),
+            |uu AS (SELECT DISTINCT
+            |         'shop' || CAST(o_orderkey % 7 AS VARCHAR) || '.example.com' AS host,
+            |         '/cat' || CAST(o_orderkey % 15 AS VARCHAR) AS path
+            |       FROM orders),
+            |hits AS (SELECT u.host, u.path,
+            |           max(struct_pack(l := length(r.prefix), a := r.allow)) AS best
+            |         FROM uu u JOIN ru r
+            |           ON u.host = r.host AND starts_with(u.path, r.prefix)
+            |         GROUP BY u.host, u.path)
+            |SELECT u.host, u.path,
+            |       coalesce(h.best.a, TRUE) AS allowed,
+            |       CAST(h.best.l AS BIGINT) AS rule_len
+            |FROM uu u LEFT JOIN hits h ON u.host = h.host AND u.path = h.path
+            |ORDER BY u.host, u.path""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5391,5 +5486,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
 }

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and crawl-permission screening (RFC 9309, the
+  * Robots Exclusion Protocol) — the compliance gate at the very front
+  * of a crawl pipeline: before a fetched URL's content may enter the
+  * corpus, the host's robots rules for our user-agent must allow its
+  * path.
+  *
+  * Semantics implemented (the deterministic core of RFC 9309):
+  *
+  *   - lines are `Field: value` with `#` comments stripped; field
+  *     names case-insensitive; CRLF tolerated
+  *   - consecutive `User-agent` lines STACK into one group; the
+  *     group's rules run until the next group starts
+  *   - group selection: if ANY group names our agent exactly
+  *     (case-insensitive), the union of those groups' rules applies
+  *     (RFC: same-agent groups combine); otherwise the `*` groups
+  *     apply; a host with neither — or with no robots row at all —
+  *     is fully allowed
+  *   - rule matching is by path PREFIX; the longest matching rule
+  *     wins, and at equal length `Allow` beats `Disallow` (Google's
+  *     published tie-break, adopted by RFC 9309)
+  *   - an empty rule value (`Disallow:` with nothing) matches no
+  *     path — the classic allow-everything idiom
+  *   - `*`/`$` wildcard rules are OUT of this subset (documented;
+  *     they need regex compilation per rule, and the overwhelming
+  *     majority of real rules are plain prefixes)
+  *
+  * Scale shape: rule derivation is line-proportional over the robots
+  * corpus (one posexplode + two windows per host); the screen is one
+  * broadcast hash join from URL hosts to the (small: rules-per-host ×
+  * hosts) rule table with the prefix filter applied after the probe,
+  * then one struct-max per URL — the [[UrlOps.blockScreen]]
+  * discipline: never a non-equi join against the corpus.
+  */
+object Robots {
+
+  /** Parse per-host robots bodies into the applicable rule table for
+    * `agent`: (host, allow, prefix). Empty-value rules are dropped
+    * here (they match nothing by construction).
+    */
+  def rulesFor(robots: DataFrame, host: Column, body: Column,
+               agent: String): DataFrame = {
+    val lines = robots.select(host.as("host"),
+      posexplode(split(body, "\n")).as(Seq("i", "raw")))
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("raw"), "\r", ""), "#.*$", ""))
+    val kind = when(lower(cleaned).rlike("^user-agent\\s*:"), "ua")
+      .when(lower(cleaned).rlike("^allow\\s*:"), "allow")
+      .when(lower(cleaned).rlike("^disallow\\s*:"), "disallow")
+    val value = trim(regexp_replace(cleaned, "^[A-Za-z-]+\\s*:", ""))
+    val d = lines
+      .select(col("host"), col("i"), kind.as("kind"), value.as("v"))
+      .filter(col("kind").isNotNull)
+    val w = Window.partitionBy("host").orderBy("i")
+    val newGroup = when(col("kind") === "ua" &&
+      coalesce(lag("kind", 1).over(w), lit("")) =!= "ua", 1).otherwise(0)
+    val g = d.withColumn("gid", sum(newGroup).over(w))
+    val flags = g.filter(col("kind") === "ua")
+      .groupBy(col("host"), col("gid"))
+      .agg(
+        max((lower(col("v")) === agent.toLowerCase).cast("int")).as("has_exact"),
+        max((col("v") === "*").cast("int")).as("has_star"))
+      .withColumn("host_exact",
+        max(col("has_exact")).over(Window.partitionBy("host")))
+    g.filter(col("kind") =!= "ua" && col("v") =!= "")
+      .join(flags, Seq("host", "gid"))
+      .filter((col("host_exact") === 1 && col("has_exact") === 1) ||
+        (col("host_exact") === 0 && col("has_star") === 1))
+      .select(col("host"), (col("kind") === "allow").as("allow"),
+        col("v").as("prefix"))
+  }
+
+  /** Screen candidate URLs against per-host robots bodies: `df` plus
+    * `allowed` and `rule_len` (length of the winning rule's prefix;
+    * NULL = no rule matched → allowed by default).
+    */
+  def screen(df: DataFrame, id: Column, url: Column,
+             robots: DataFrame, rhost: Column, body: Column,
+             agent: String): DataFrame = {
+    val rules = rulesFor(robots, rhost, body, agent)
+    val probe = df.select(id.as("__r_id"), UrlOps.host(url).as("__r_h"),
+      UrlOps.path(url).as("__r_p"))
+    val hits = probe
+      .join(broadcast(rules), col("__r_h") === col("host") &&
+        col("__r_p").startsWith(col("prefix")))
+      .groupBy(col("__r_id"))
+      .agg(max(struct(length(col("prefix")).as("l"),
+        col("allow").as("allow"))).as("__best"))
+    df.join(hits, id === col("__r_id"), "left")
+      .withColumn("allowed", coalesce(col("__best.allow"), lit(true)))
+      .withColumn("rule_len", col("__best.l"))
+      .drop("__r_id", "__best")
+  }
+}

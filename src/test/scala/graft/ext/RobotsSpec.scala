@@ -1,0 +1,71 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** RFC 9309 semantics: group stacking, agent selection, longest-match
+  * with the Allow tie-break, empty-value rules, default allow.
+  */
+class RobotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val robots = Seq(
+    ("a.com", "User-agent: *\nDisallow: /"),
+    ("b.com", "User-agent: *\nDisallow: /priv\nAllow: /priv/ok"),
+    ("c.com", "User-agent: graftbot\nDisallow: /only\n\nUser-agent: *\nDisallow: /"),
+    ("d.com", "User-agent: otherbot\nUser-agent: graftbot\nDisallow: /x"),
+    ("e.com", "# comment\r\nUser-agent: *\r\nDisallow:\r\n"),
+    ("f.com", "User-agent: *\nAllow: /p\nDisallow: /p"),
+    ("g.com", "User-agent: graftbot\nDisallow: /a\n\nUser-agent: graftbot\nDisallow: /b"))
+    .toDF("host", "body")
+
+  private def allowed(url: String): (Boolean, Any) = {
+    val r = Robots.screen(Seq((1L, url)).toDF("id", "url"),
+        col("id"), col("url"), robots, col("host"), col("body"), "GraftBot")
+      .select(col("allowed"), col("rule_len")).collect()(0)
+    (r.getBoolean(0), if (r.isNullAt(1)) null else r.getInt(1))
+  }
+
+  test("disallow-all blocks every path; unknown host is allowed with no rule") {
+    assert(allowed("https://a.com/anything")._1 == false)
+    assert(allowed("https://zz.com/anything") == ((true, null)))
+  }
+
+  test("longest prefix wins: Allow under a broader Disallow") {
+    assert(allowed("https://b.com/priv/secret")._1 == false)
+    assert(allowed("https://b.com/priv/ok/page")._1 == true)
+    assert(allowed("https://b.com/public")._1 == true)
+  }
+
+  test("exact-agent group beats *; the * group is then ignored entirely") {
+    assert(allowed("https://c.com/only/x")._1 == false)
+    assert(allowed("https://c.com/elsewhere")._1 == true,
+      "the * Disallow:/ must not apply when an exact group exists")
+  }
+
+  test("consecutive User-agent lines stack into one group") {
+    assert(allowed("https://d.com/x/1")._1 == false)
+    assert(allowed("https://d.com/y")._1 == true)
+  }
+
+  test("empty Disallow value matches nothing; comments and CRLF tolerated") {
+    assert(allowed("https://e.com/whatever") == ((true, null)))
+  }
+
+  test("equal-length Allow beats Disallow") {
+    assert(allowed("https://f.com/p/page")._1 == true)
+  }
+
+  test("multiple groups naming the same agent combine (RFC rule)") {
+    assert(allowed("https://g.com/a/1")._1 == false)
+    assert(allowed("https://g.com/b/1")._1 == false)
+    assert(allowed("https://g.com/c")._1 == true)
+  }
+
+  test("agent match is case-insensitive on both sides") {
+    val r = Robots.rulesFor(Seq(("h.com", "User-Agent: GRAFTBOT\ndisallow: /z"))
+        .toDF("host", "body"), col("host"), col("body"), "graftbot")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(r.toSeq == Seq(("h.com", false, "/z")))
+  }
+}
