@@ -5477,6 +5477,45 @@ object ExtQueries {
             |FROM uu u LEFT JOIN hits h ON u.host = h.host AND u.path = h.path
             |ORDER BY u.host, u.path""".stripMargin))
 
+  /** Chunk→document embedding pooling + unit normalization
+    * ([[graft.ext.EmbeddingSearch.meanPool]] / `l2Normalized`):
+    * groups of 4 consecutive vec_ids stand in for a document's
+    * chunks; per-dimension means go through the q57 DECIMAL(38,6)
+    * discipline, the norm is the ordered-fold sum of squares
+    * (DuckDB `list_inner_product` evaluation order), one IEEE
+    * division per component. Exploded per (group, dim) for scalar
+    * hashing.
+    */
+  val q149 = Q(
+    "q149_mean_pool",
+    (s, dir) => {
+      import s.implicits._
+      val pooled = EmbeddingSearch.meanPool(t(s, dir, "embeddings"),
+        floor($"vec_id" / 4).cast("long"), $"embedding")
+      pooled.select($"group_id",
+          posexplode(EmbeddingSearch.l2Normalized($"pooled"))
+            .as(Seq("pos", "x")))
+        .select($"group_id", $"pos".cast("long").as("pos"), $"x")
+        .orderBy($"group_id", $"pos")
+    },
+    Some("""WITH c AS (SELECT vec_id // 4 AS g,
+            |                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            |          FROM embeddings),
+            |dims AS (SELECT g, v, unnest(generate_series(1, len(v))) AS p FROM c),
+            |means AS (SELECT g, p - 1 AS pos,
+            |                 CAST(sum(CAST(v[CAST(p AS INT)] AS DECIMAL(38,6))) AS DOUBLE)
+            |                   / count(*) AS m
+            |          FROM dims GROUP BY g, p),
+            |pooled AS (SELECT g, list(m ORDER BY pos) AS pv FROM means GROUP BY g),
+            |normed AS (SELECT g,
+            |             CASE WHEN sqrt(list_inner_product(pv, pv)) = 0 THEN pv
+            |                  ELSE list_transform(pv,
+            |                         x -> x / sqrt(list_inner_product(pv, pv))) END AS nv
+            |           FROM pooled)
+            |SELECT g AS group_id, CAST(p - 1 AS BIGINT) AS pos, nv[CAST(p AS INT)] AS x
+            |FROM (SELECT g, nv, unnest(generate_series(1, len(nv))) AS p FROM normed)
+            |ORDER BY group_id, pos""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5486,5 +5525,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 }

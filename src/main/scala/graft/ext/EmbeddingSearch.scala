@@ -34,6 +34,44 @@ object EmbeddingSearch {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Chunk→document embedding pooling: the element-wise mean of the
+    * member vectors per group — how a pipeline that embeds CHUNKS
+    * (the only thing an encoder's context window fits) derives the
+    * document-level vector its dedup/retrieval state is keyed on.
+    * Same determinism discipline as [[kmeansCentroids]]'s centroid
+    * step: per-dimension sums go through DECIMAL(38,6) so the plan
+    * may re-partition freely, then ONE IEEE division — mirrorable in
+    * ANSI SQL (gate q149). One shuffle, keyed (group, dim),
+    * map-side-combined; output (group_id, pooled array<double>).
+    */
+  def meanPool(df: DataFrame, group: Column, vec: Column): DataFrame =
+    df.select(group.as("group_id"), posexplode(vec).as(Seq("__pos", "__v")))
+      .groupBy(col("group_id"), col("__pos"))
+      .agg(sum(col("__v").cast("double").cast("decimal(38,6)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("group_id"), col("__pos"),
+        (col("__s").cast("double") / col("__n")).as("__m"))
+      .groupBy(col("group_id"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__m"))))
+        .as("__pm"))
+      .select(col("group_id"),
+        transform(col("__pm"), s => s.getField("__m")).as("pooled"))
+
+  /** Unit-normalize a vector (float or double elements): the norm is
+    * a sequential left fold of squares — the same evaluation order as
+    * DuckDB's `list_inner_product`, so the result is bit-exact
+    * cross-engine — and an all-zero vector passes through unchanged
+    * rather than dividing by zero. The HOFs are interpreted;
+    * acceptable here because they run once per pooled DOC row over
+    * dim elements, the same trade [[kmeansCentroids]] makes for its
+    * k centroid rows (the per-chunk hot path stays on [[dot]]).
+    */
+  def l2Normalized(vec: Column): Column = {
+    val n = sqrt(aggregate(vec, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(n === 0.0, vec).otherwise(transform(vec, x => x.cast("double") / n))
+  }
+
   /** Rename the id/vec pair to internal aliases BEFORE any join — the
     * corpus and query sides may share column names (both "embedding"),
     * and resolving by bare name across a crossJoin would be ambiguous
