@@ -75,6 +75,41 @@ object Robots {
         col("v").as("prefix"))
   }
 
+  /** The applicable rules collapsed to ONE row per host:
+    * (host, rules array<struct<prefix, allow>>) — the shape a crawler
+    * CACHES robots decisions in, and the shape a STREAMING screen
+    * needs: the per-URL longest-match verdict becomes a pure
+    * expression over the joined array (see [[verdict]]), so the
+    * screen is one stream-static equi-join with no aggregation state.
+    */
+  def hostRules(robots: DataFrame, host: Column, body: Column,
+                agent: String): DataFrame =
+    rulesFor(robots, host, body, agent)
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+
+  /** Longest-match verdict for `path` over a [[hostRules]] array —
+    * a fold that keeps the best (longest prefix, Allow on ties) rule;
+    * NULL rules (host absent) or no matching rule → allowed. Pure
+    * column arithmetic: usable per-row in a stream.
+    */
+  def verdict(rules: Column, path: Column): Column = {
+    val matched = filter(coalesce(rules,
+        array().cast("array<struct<prefix:string,allow:boolean>>")),
+      r => substring(path, lit(1), length(r.getField("prefix"))) ===
+        r.getField("prefix"))
+    val best = aggregate(matched,
+      struct(lit(-1).as("l"), lit(true).as("allow")),
+      (acc, r) => {
+        val rl = length(r.getField("prefix"))
+        val better = (rl > acc.getField("l")) ||
+          (rl === acc.getField("l") && r.getField("allow"))
+        when(better, struct(rl.as("l"), r.getField("allow").as("allow")))
+          .otherwise(acc)
+      })
+    when(size(matched) === 0, lit(true)).otherwise(best.getField("allow"))
+  }
+
   /** Screen candidate URLs against per-host robots bodies: `df` plus
     * `allowed` and `rule_len` (length of the winning rule's prefix;
     * NULL = no rule matched → allowed by default).

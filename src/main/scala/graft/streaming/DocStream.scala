@@ -230,6 +230,32 @@ object DocStream {
     *
     * @param scores STATIC (host, rank) from trustRank/pageRank
     */
+  /** robots.txt compliance screen for a URL STREAM: stream-static
+    * equi-join of arriving documents' hosts against a persisted
+    * per-host rule cache ([[graft.ext.Robots.hostRules]] output,
+    * refreshed on the crawl cadence as new robots bodies are
+    * fetched), with the RFC 9309 longest-match verdict evaluated as
+    * a PURE EXPRESSION over the joined rules array
+    * ([[graft.ext.Robots.verdict]]) — no aggregation, no watermark,
+    * no state store; the rule cache is the state, held outside the
+    * stream like the trust/IVF/decontamination screens. A host with
+    * no robots entry is allowed (the crawl default). Appends
+    * `allowed`.
+    */
+  def robotsScreened(docs: DataFrame, url: Column,
+                     hostRules: DataFrame): DataFrame = {
+    require(!docs.columns.contains("allowed"),
+      "robotsScreened appends `allowed`; the input already has one")
+    docs
+      .join(hostRules.select(col("host").as("__rbHost"),
+        col("rules").as("__rbRules")),
+        graft.ext.UrlOps.host(url) === col("__rbHost"), "left")
+      .withColumn("allowed",
+        graft.ext.Robots.verdict(col("__rbRules"),
+          graft.ext.UrlOps.path(url)))
+      .drop("__rbHost", "__rbRules")
+  }
+
   def trustScreened(docs: DataFrame, host: Column, scores: DataFrame,
                     floor: Double): DataFrame = {
     require(!docs.columns.contains("trust") && !docs.columns.contains("passes"),

@@ -62,6 +62,50 @@ class RobotsSpec extends SparkTestBase {
     assert(allowed("https://g.com/c")._1 == true)
   }
 
+  test("expression verdict over hostRules equals the aggregation screen on every fixture URL") {
+    val urls = (for {
+      h <- Seq("a.com", "b.com", "c.com", "d.com", "e.com", "f.com", "g.com", "zz.com")
+      p <- Seq("/", "/priv/secret", "/priv/ok/page", "/only/x", "/x/1", "/p/q", "/a/1", "/b", "/c")
+    } yield s"https://$h$p").zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val df = urls.toDF("id", "url")
+    val viaScreen = Robots.screen(df, col("id"), col("url"),
+        robots, col("host"), col("body"), "graftbot")
+      .select(col("id"), col("allowed"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    val hr = Robots.hostRules(robots, col("host"), col("body"), "graftbot")
+    val viaVerdict = graft.streaming.DocStream.robotsScreened(df, col("url"), hr)
+      .select(col("id"), col("allowed"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    assert(viaVerdict == viaScreen)
+  }
+
+  test("streaming robots screen equals the batch screen and holds no state") {
+    val dir = java.nio.file.Files.createTempDirectory("robots").toString
+    val urls = Seq(
+      (1L, "https://a.com/x"), (2L, "https://b.com/priv/ok/1"),
+      (3L, "https://b.com/priv/no"), (4L, "https://zz.com/free"))
+      .toDF("id", "url")
+    urls.write.parquet(s"$dir/in")
+    // rule cache persisted then re-read: the state-table shape the
+    // streaming screen joins against in production
+    Robots.hostRules(robots, col("host"), col("body"), "graftbot")
+      .write.parquet(s"$dir/rules")
+    val cache = spark.read.parquet(s"$dir/rules")
+    val stream = spark.readStream.schema("id BIGINT, url STRING")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DocStream.robotsScreened(stream, col("url"), cache)
+      .writeStream.format("memory").queryName("robots_screen").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("robots_screen")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sorted.toSeq
+    val batch = graft.streaming.DocStream.robotsScreened(urls, col("url"), cache)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq((1L, false), (2L, true), (3L, false), (4L, true)))
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+  }
+
   test("agent match is case-insensitive on both sides") {
     val r = Robots.rulesFor(Seq(("h.com", "User-Agent: GRAFTBOT\ndisallow: /z"))
         .toDF("host", "body"), col("host"), col("body"), "graftbot")
