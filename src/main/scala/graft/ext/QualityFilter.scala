@@ -110,6 +110,39 @@ object QualityFilter {
     * semantics, identical in both engines), lines split on `\n`,
     * tokens on runs of whitespace.
     */
+  /** The whole cascade as ONE boolean column — the filter face for
+    * pipelines that must keep their other columns (e.g. the streaming
+    * crawl front door, where the text continues downstream). Built
+    * from the same expressions as [[gopherFlags]]; CrawlPipelineSpec
+    * pins `gopherPasses(text) ≡ (gopherFlags.passes = 1)` row for
+    * row.
+    */
+  def gopherPasses(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val toksLower = split(trim(lower(text)), "\\s+")
+    val lines = split(text, "\n")
+    val nWords = size(toks).cast("long")
+    val sumLen = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEllipsis = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val nEllEnd = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(
+      array(GopherStopwords.map(lit): _*),
+      w => array_contains(toksLower, w))).cast("long")
+    (nWords >= 50L && nWords <= 100000L) &&
+      (nWords * 3L <= sumLen && sumLen <= nWords * 10L) &&
+      ((nHash + nEllipsis) * 10L <= nWords) &&
+      (nBullet * 10L <= nLines * 9L) &&
+      (nEllEnd * 10L <= nLines * 3L) &&
+      (nAlpha * 5L >= nWords * 4L) &&
+      (nStop >= 2L)
+  }
+
   def gopherFlags(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = split(trim(text), "\\s+")
     val toksLower = split(trim(lower(text)), "\\s+")

@@ -189,6 +189,27 @@ object UrlOps {
       .drop("__bs_id")
   }
 
+  /** Streaming face of [[blockScreen]]: drop blocked rows with ONE
+    * broadcast left-anti join whose condition carries the dot-suffix
+    * and path-prefix semantics directly — no explode, no
+    * re-aggregation, so it is legal and stateless in a streaming
+    * chain (micro-batch nested-loop against the broadcast rule
+    * table). Same verdicts as [[blockScreen]] (pinned in
+    * CrawlPipelineSpec) but O(batch × rules) per micro-batch — the
+    * right trade for a stream's batch sizes; the equi-join
+    * [[blockScreen]] remains the corpus-scale batch path.
+    */
+  def blockFiltered(df: DataFrame, url: Column, rules: DataFrame): DataFrame = {
+    val h = host(url)
+    val p = path(url)
+    val r = broadcast(rules.select(lower(trim(col("domain"))).as("__bl_d"),
+      col("prefix").as("__bl_p")))
+    df.join(r,
+      (h === col("__bl_d") || h.endsWith(concat(lit("."), col("__bl_d")))) &&
+        (col("__bl_p") === lit("") || p.startsWith(col("__bl_p"))),
+      "left_anti")
+  }
+
   /** Canonical URL string (see object scaladoc for the rules). */
   def normalized(url: Column): Column = {
     val sch = scheme(url)
