@@ -5516,6 +5516,99 @@ object ExtQueries {
             |FROM (SELECT g, nv, unnest(generate_series(1, len(nv))) AS p FROM normed)
             |ORDER BY group_id, pos""".stripMargin))
 
+  /** Crawl-delay politeness scheduling
+    * ([[graft.ext.Robots.crawlDelays]] / `politenessSchedule`): the
+    * planted robots bodies exercise fractional-second parse (0.5 s →
+    * 500 ms on the integer millisecond grid), exact-agent group
+    * selection, max-wins across repeated directives, an unparseable
+    * value dropping to the fleet default, and a group for a DIFFERENT
+    * agent (no applicable directive → default). The fetch queue is
+    * the q148 orders-derived URL set; each host's URLs take slots in
+    * deterministic path order and slot k fetches at k·delay. The
+    * oracle re-derives the q148 group machinery with the delay
+    * branch, the max aggregate, and the per-host window.
+    */
+  val q150 = Q(
+    "q150_crawl_schedule",
+    (s, dir) => {
+      import s.implicits._
+      val robots = Seq(
+        ("shop0.example.com", "User-agent: *\nCrawl-delay: 2"),
+        ("shop1.example.com",
+          "User-agent: graftbot\nCrawl-delay: 0.5\n\nUser-agent: *\nCrawl-delay: 9"),
+        ("shop2.example.com", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 3"),
+        ("shop3.example.com", "User-agent: *\nCrawl-delay: soon"),
+        ("shop4.example.com", "User-agent: otherbot\nCrawl-delay: 7"))
+        .toDF("host", "body")
+      val urls = t(s, dir, "orders").select(
+          concat(lit("https://shop"), ($"o_orderkey" % 7).cast("string"),
+            lit(".example.com/cat"), ($"o_orderkey" % 15).cast("string")).as("url"))
+        .distinct()
+      val delays = graft.ext.Robots.crawlDelays(
+        robots, $"host", $"body", "graftbot")
+      graft.ext.Robots.politenessSchedule(urls, $"url", $"url",
+          delays, defaultDelayMs = 100L)
+        .select(graft.ext.UrlOps.host($"url").as("host"),
+          graft.ext.UrlOps.path($"url").as("path"),
+          $"slot", $"fetch_at_ms")
+        .orderBy($"host", $"slot")
+    },
+    Some("""WITH rb(host, body) AS (VALUES
+            |  ('shop0.example.com', 'User-agent: *' || chr(10) || 'Crawl-delay: 2'),
+            |  ('shop1.example.com', 'User-agent: graftbot' || chr(10) || 'Crawl-delay: 0.5'
+            |     || chr(10) || chr(10) || 'User-agent: *' || chr(10) || 'Crawl-delay: 9'),
+            |  ('shop2.example.com', 'User-agent: *' || chr(10) || 'Crawl-delay: 1'
+            |     || chr(10) || 'Crawl-delay: 3'),
+            |  ('shop3.example.com', 'User-agent: *' || chr(10) || 'Crawl-delay: soon'),
+            |  ('shop4.example.com', 'User-agent: otherbot' || chr(10) || 'Crawl-delay: 7')),
+            |lx AS (SELECT host,
+            |         unnest(string_split(body, chr(10))) AS raw,
+            |         unnest(generate_series(1, len(string_split(body, chr(10))))) AS i
+            |       FROM rb),
+            |cl AS (SELECT host, i,
+            |         trim(regexp_replace(regexp_replace(raw, chr(13), ''), '#.*$', '')) AS l
+            |       FROM lx),
+            |kd AS (SELECT host, i,
+            |         CASE WHEN regexp_matches(lower(l), '^user-agent\s*:') THEN 'ua'
+            |              WHEN regexp_matches(lower(l), '^allow\s*:') THEN 'allow'
+            |              WHEN regexp_matches(lower(l), '^disallow\s*:') THEN 'disallow'
+            |              WHEN regexp_matches(lower(l), '^crawl-delay\s*:') THEN 'delay'
+            |         END AS kind,
+            |         trim(regexp_replace(l, '^[A-Za-z-]+\s*:', '')) AS v
+            |       FROM cl),
+            |ng AS (SELECT host, i, kind, v,
+            |         CASE WHEN kind = 'ua' AND coalesce(lag(kind) OVER
+            |               (PARTITION BY host ORDER BY i), '') <> 'ua'
+            |             THEN 1 ELSE 0 END AS newg
+            |       FROM (SELECT * FROM kd WHERE kind IS NOT NULL)),
+            |gg AS (SELECT host, i, kind, v,
+            |         sum(newg) OVER (PARTITION BY host ORDER BY i) AS gid
+            |       FROM ng),
+            |fl AS (SELECT host, gid,
+            |         max(CASE WHEN lower(v) = 'graftbot' THEN 1 ELSE 0 END) AS has_exact,
+            |         max(CASE WHEN v = '*' THEN 1 ELSE 0 END) AS has_star
+            |       FROM gg WHERE kind = 'ua' GROUP BY host, gid),
+            |fe AS (SELECT *, max(has_exact) OVER (PARTITION BY host) AS host_exact FROM fl),
+            |dl AS (SELECT g.host,
+            |         max(CAST(floor(CAST(g.v AS DOUBLE) * 1000) AS BIGINT)) AS delay_ms
+            |       FROM gg g JOIN fe f ON g.host = f.host AND g.gid = f.gid
+            |       WHERE g.kind = 'delay'
+            |         AND regexp_matches(g.v, '^[0-9]+(\.[0-9]+)?$')
+            |         AND ((f.host_exact = 1 AND f.has_exact = 1)
+            |           OR (f.host_exact = 0 AND f.has_star = 1))
+            |       GROUP BY g.host),
+            |uu AS (SELECT DISTINCT
+            |         'shop' || CAST(o_orderkey % 7 AS VARCHAR) || '.example.com' AS host,
+            |         '/cat' || CAST(o_orderkey % 15 AS VARCHAR) AS path
+            |       FROM orders),
+            |sc AS (SELECT u.host, u.path,
+            |         CAST(row_number() OVER (PARTITION BY u.host ORDER BY u.path)
+            |              - 1 AS BIGINT) AS slot,
+            |         CAST(coalesce(d.delay_ms, 100) AS BIGINT) AS dms
+            |       FROM uu u LEFT JOIN dl d ON u.host = d.host)
+            |SELECT host, path, slot, slot * dms AS fetch_at_ms
+            |FROM sc ORDER BY host, slot""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5525,5 +5618,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 }

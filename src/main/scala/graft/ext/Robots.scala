@@ -39,12 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Parse per-host robots bodies into the applicable rule table for
-    * `agent`: (host, allow, prefix). Empty-value rules are dropped
-    * here (they match nothing by construction).
+  /** Classified directive lines with their group ids:
+    * (host, i, kind ∈ ua|allow|disallow|delay, v, gid). Shared by the
+    * path rules and the Crawl-delay parse.
     */
-  def rulesFor(robots: DataFrame, host: Column, body: Column,
-               agent: String): DataFrame = {
+  private def classified(robots: DataFrame, host: Column,
+                         body: Column): DataFrame = {
     val lines = robots.select(host.as("host"),
       posexplode(split(body, "\n")).as(Seq("i", "raw")))
     val cleaned = trim(regexp_replace(
@@ -52,6 +52,7 @@ object Robots {
     val kind = when(lower(cleaned).rlike("^user-agent\\s*:"), "ua")
       .when(lower(cleaned).rlike("^allow\\s*:"), "allow")
       .when(lower(cleaned).rlike("^disallow\\s*:"), "disallow")
+      .when(lower(cleaned).rlike("^crawl-delay\\s*:"), "delay")
     val value = trim(regexp_replace(cleaned, "^[A-Za-z-]+\\s*:", ""))
     val d = lines
       .select(col("host"), col("i"), kind.as("kind"), value.as("v"))
@@ -59,20 +60,76 @@ object Robots {
     val w = Window.partitionBy("host").orderBy("i")
     val newGroup = when(col("kind") === "ua" &&
       coalesce(lag("kind", 1).over(w), lit("")) =!= "ua", 1).otherwise(0)
-    val g = d.withColumn("gid", sum(newGroup).over(w))
-    val flags = g.filter(col("kind") === "ua")
+    d.withColumn("gid", sum(newGroup).over(w))
+  }
+
+  /** Per-(host, gid) agent-applicability flags for the classified
+    * lines (exact groups shadow `*` host-wide).
+    */
+  private def groupFlags(g: DataFrame, agent: String): DataFrame =
+    g.filter(col("kind") === "ua")
       .groupBy(col("host"), col("gid"))
       .agg(
         max((lower(col("v")) === agent.toLowerCase).cast("int")).as("has_exact"),
         max((col("v") === "*").cast("int")).as("has_star"))
       .withColumn("host_exact",
         max(col("has_exact")).over(Window.partitionBy("host")))
-    g.filter(col("kind") =!= "ua" && col("v") =!= "")
-      .join(flags, Seq("host", "gid"))
-      .filter((col("host_exact") === 1 && col("has_exact") === 1) ||
-        (col("host_exact") === 0 && col("has_star") === 1))
+
+  private val applies =
+    (col("host_exact") === 1 && col("has_exact") === 1) ||
+      (col("host_exact") === 0 && col("has_star") === 1)
+
+  /** Parse per-host robots bodies into the applicable rule table for
+    * `agent`: (host, allow, prefix). Empty-value rules are dropped
+    * here (they match nothing by construction).
+    */
+  def rulesFor(robots: DataFrame, host: Column, body: Column,
+               agent: String): DataFrame = {
+    val g = classified(robots, host, body)
+    g.filter(col("kind").isin("allow", "disallow") && col("v") =!= "")
+      .join(groupFlags(g, agent), Seq("host", "gid"))
+      .filter(applies)
       .select(col("host"), (col("kind") === "allow").as("allow"),
         col("v").as("prefix"))
+  }
+
+  /** Applicable per-host Crawl-delay in MILLISECONDS: fractional
+    * seconds parse (`0.5` is common in the wild), floored onto the
+    * millisecond grid so everything downstream is integer arithmetic;
+    * the MAXIMUM across applicable groups and repeated lines wins
+    * (the conservative reading). Unparseable or empty values drop;
+    * hosts without a directive are absent — the caller supplies its
+    * fleet default.
+    */
+  def crawlDelays(robots: DataFrame, host: Column, body: Column,
+                  agent: String): DataFrame = {
+    val g = classified(robots, host, body)
+    g.filter(col("kind") === "delay" && col("v").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .join(groupFlags(g, agent), Seq("host", "gid"))
+      .filter(applies)
+      .groupBy(col("host"))
+      .agg(max(floor(col("v").cast("double") * 1000).cast("long"))
+        .as("delay_ms"))
+  }
+
+  /** Politeness schedule for a fetch queue: per host, URLs take slots
+    * in deterministic (path, id) order and slot k fetches at
+    * `k · delay_ms` — the earliest schedule honoring the host's
+    * Crawl-delay from time zero. One window per host; hosts without a
+    * delay directive use `defaultDelayMs`. Appends (slot, fetch_at_ms).
+    */
+  def politenessSchedule(urls: DataFrame, id: Column, url: Column,
+                         delays: DataFrame, defaultDelayMs: Long): DataFrame = {
+    val u = urls.withColumn("__ps_h", UrlOps.host(url))
+      .withColumn("__ps_p", UrlOps.path(url))
+    val w = Window.partitionBy(col("__ps_h"))
+      .orderBy(col("__ps_p"), id)
+    u.join(broadcast(delays.select(col("host").as("__ps_h"),
+        col("delay_ms").as("__ps_d"))), Seq("__ps_h"), "left")
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_at_ms",
+        col("slot") * coalesce(col("__ps_d"), lit(defaultDelayMs)))
+      .drop("__ps_h", "__ps_p", "__ps_d")
   }
 
   /** The applicable rules collapsed to ONE row per host:

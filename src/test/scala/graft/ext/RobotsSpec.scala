@@ -106,6 +106,32 @@ class RobotsSpec extends SparkTestBase {
       q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
   }
 
+  test("crawlDelays: fractional parse, group selection, max-wins, junk dropped") {
+    val rb = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2"),
+      ("b.com", "User-agent: graftbot\nCrawl-delay: 0.5\n\nUser-agent: *\nCrawl-delay: 9"),
+      ("c.com", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 3"),
+      ("d.com", "User-agent: *\nCrawl-delay: soon"),
+      ("e.com", "User-agent: *\nDisallow: /x")).toDF("host", "body")
+    val d = Robots.crawlDelays(rb, col("host"), col("body"), "graftbot")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d == Map("a.com" -> 2000L, "b.com" -> 500L, "c.com" -> 3000L),
+      d.toString)
+  }
+
+  test("politenessSchedule: per-host slots in deterministic order, delay or default") {
+    val delays = Seq(("a.com", 2000L)).toDF("host", "delay_ms")
+    val urls = Seq(
+      (3L, "https://a.com/c"), (1L, "https://a.com/a"), (2L, "https://a.com/b"),
+      (4L, "https://z.com/q"), (5L, "https://z.com/p")).toDF("id", "url")
+    val s = Robots.politenessSchedule(urls, col("id"), col("url"),
+        delays, defaultDelayMs = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(s(1L) == ((0L, 0L)) && s(2L) == ((1L, 2000L)) && s(3L) == ((2L, 4000L)))
+    assert(s(5L) == ((0L, 0L)) && s(4L) == ((1L, 100L)),
+      "unknown host uses the fleet default delay")
+  }
+
   test("agent match is case-insensitive on both sides") {
     val r = Robots.rulesFor(Seq(("h.com", "User-Agent: GRAFTBOT\ndisallow: /z"))
         .toDF("host", "body"), col("host"), col("body"), "graftbot")
