@@ -5609,6 +5609,60 @@ object ExtQueries {
             |SELECT host, path, slot, slot * dms AS fetch_at_ms
             |FROM sc ORDER BY host, slot""".stripMargin))
 
+  /** Phrase search served from MATERIALIZED positional state with a
+    * takedown cascaded through it ([[graft.ext.Bm25.phraseProbe]] +
+    * [[graft.ext.Forget.retractPositions]]): builds positions over
+    * the q143 corpus PLUS two extra docs that match the probed
+    * phrases, retracts the extras, then serves both phrase queries
+    * from the retracted state. REUSES q143's oracle verbatim — probe
+    * ≡ direct computation AND retract ≡ never-indexed are jointly
+    * the claim: if either failed, the extra docs would surface and
+    * the hash would differ.
+    */
+  val q151 = Q(
+    "q151_phrase_probe",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (800000L, "alpha join order beta"),
+        (800001L, "join xxx order"),
+        (800002L, "join order"),
+        (800003L, "batch batch once more")).toDF("doc_id", "text")
+      val extra = Seq(
+        (800100L, "join order retracted later"),
+        (800101L, "batch batch gone soon")).toDF("doc_id", "text")
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted).unionAll(extra)
+      val positions = graft.ext.Bm25.termPositions(d, $"doc_id", $"text")
+      val served = graft.ext.Forget.retractPositions(positions,
+        Seq(800100L, 800101L).toDF("id"))
+      graft.ext.Bm25.phraseProbe(served, Seq("join", "order"))
+        .select(lit("join order").as("phrase"), $"doc_id")
+        .unionAll(
+          graft.ext.Bm25.phraseProbe(served, Seq("batch", "batch"))
+            .select(lit("batch batch").as("phrase"), $"doc_id"))
+        .orderBy($"phrase", $"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+            |          UNION ALL SELECT * FROM (VALUES
+            |  (800000, 'alpha join order beta'),
+            |  (800001, 'join xxx order'),
+            |  (800002, 'join order'),
+            |  (800003, 'batch batch once more')) p(doc_id, text)),
+            |tk AS (SELECT doc_id, list_filter(
+            |         string_split_regex(trim(lower(text)), '\s+'),
+            |         x -> regexp_matches(x, '^[a-z]{3,}$')) AS t
+            |       FROM d),
+            |m1 AS (SELECT doc_id FROM tk
+            |       WHERE len(list_filter(generate_series(1, len(t) - 1),
+            |         i -> t[i] = 'join' AND t[i+1] = 'order')) > 0),
+            |m2 AS (SELECT doc_id FROM tk
+            |       WHERE len(list_filter(generate_series(1, len(t) - 1),
+            |         i -> t[i] = 'batch' AND t[i+1] = 'batch')) > 0)
+            |SELECT 'join order' AS phrase, doc_id FROM m1
+            |UNION ALL SELECT 'batch batch', doc_id FROM m2
+            |ORDER BY phrase, doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5618,5 +5672,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
 }

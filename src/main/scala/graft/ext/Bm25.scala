@@ -232,15 +232,26 @@ object Bm25 {
     * arbitrary-length phrases. Returns distinct doc_id.
     */
   def phraseMatch(docs: DataFrame, id: Column, text: Column,
-                  phrase: Seq[String]): DataFrame = {
+                  phrase: Seq[String]): DataFrame =
+    phraseProbe(termPositions(docs, id, text), phrase)
+
+  /** [[phraseMatch]] served from a MATERIALIZED positions frame
+    * ([[termPositions]] schema, persisted like the [[LexIndex]]
+    * postings) — no corpus text touched; probe ≡ direct is pinned by
+    * q151 sharing q143's oracle verbatim. Positions are per-document
+    * rows with no cross-row dependency, so their whole lifecycle is
+    * the signature-state shape: admission is a union of the new
+    * documents' [[termPositions]], takedown is one anti-join
+    * ([[Forget.retractPositions]]).
+    */
+  def phraseProbe(positions: DataFrame, phrase: Seq[String]): DataFrame = {
     val words = phrase.map(_.toLowerCase).filter(_.matches("^[a-z]{3,}$"))
-    require(words.nonEmpty, "phraseMatch: no kept tokens in phrase")
-    val tp = termPositions(docs, id, text)
-    val first = tp.filter(col("token") === words.head)
+    require(words.nonEmpty, "phraseProbe: no kept tokens in phrase")
+    val first = positions.filter(col("token") === words.head)
       .select(col("doc_id"), col("pos").as("__p"))
     words.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
       acc.join(
-        tp.filter(col("token") === w)
+        positions.filter(col("token") === w)
           .select(col("doc_id"), (col("pos") - i).as("__p")),
         Seq("doc_id", "__p"))
     }.select(col("doc_id")).distinct()

@@ -307,6 +307,18 @@ object Forget {
         index.assignments("id") === col("__del"), "left_anti"),
       index.book)
 
+  /** Cascade a deletion through a materialized positional index
+    * ([[Bm25.termPositions]] schema `(doc_id, token, pos)`): positions
+    * are per-document rows with no cross-row dependency, so the
+    * anti-join IS the full cascade — the [[retractSignatures]] shape.
+    * A [[Bm25.phraseProbe]] against the retracted state can never
+    * again match a deleted document.
+    */
+  def retractPositions(positions: DataFrame,
+                       deletedIds: DataFrame): DataFrame =
+    positions.join(deleteSet(deletedIds),
+      positions("doc_id") === col("__del"), "left_anti")
+
   /** Cascade a deletion through the materialized lexical index
     * ([[Bm25.LexIndex]]). Unlike the sketches, postings state is
     * EXACT, so the takedown runbook column here is retract, not

@@ -186,6 +186,21 @@ class Bm25Spec extends SparkTestBase {
     }
   }
 
+  test("phraseProbe from parquet-persisted positions equals direct phraseMatch") {
+    val docs = docsDF(
+      (1L, "alpha beta gamma"), (2L, "beta alpha"), (3L, "alpha xx beta"))
+    val dir = java.nio.file.Files.createTempDirectory("positions").toString
+    Bm25.termPositions(docs, col("doc_id"), col("text"))
+      .write.parquet(s"$dir/pos")
+    val served = Bm25.phraseProbe(spark.read.parquet(s"$dir/pos"),
+        Seq("alpha", "beta"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val direct = Bm25.phraseMatch(docs, col("doc_id"), col("text"),
+        Seq("alpha", "beta"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(served == direct && served == Seq(1L, 3L))
+  }
+
   test("scores are partition-invariant") {
     val docs = docsDF((0L until 40L).map(i =>
       (i, s"token$i spark data ${"pad " * (i % 5).toInt}")): _*)
