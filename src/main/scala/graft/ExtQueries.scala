@@ -5663,6 +5663,50 @@ object ExtQueries {
             |UNION ALL SELECT 'batch batch', doc_id FROM m2
             |ORDER BY phrase, doc_id""".stripMargin))
 
+  /** Snapshot-diff-driven index refresh
+    * ([[graft.ext.Bm25.refreshIndex]]): the BEFORE snapshot drops
+    * every 11th document (those become the diff's `added`), prepends
+    * "stale " to every 13th (those become `changed`), and carries
+    * three extra docs (those become `removed`); the index built on
+    * BEFORE then refreshes to the real corpus through
+    * retract-then-admit, diff-proportional work only. The serialized
+    * postings reuse q142's oracle VERBATIM over the plain corpus —
+    * refresh ≡ rebuild-on-the-new-snapshot, bit for bit.
+    */
+  val q152 = Q(
+    "q152_index_refresh",
+    (s, dir) => {
+      import s.implicits._
+      val after = t(s, dir, "documents").select($"doc_id", $"text")
+      val extra = Seq(
+        (860000L, "spark join removed soon"),
+        (860001L, "customer window stale"),
+        (860002L, "zzzrefreshonly token")).toDF("doc_id", "text")
+      val before = after.filter($"doc_id" % 11 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 13 === 0, concat(lit("stale "), $"text"))
+            .otherwise($"text").as("text"))
+        .unionAll(extra)
+      val idx = graft.ext.Bm25.buildIndex(before, $"doc_id", $"text")
+      val refreshed = graft.ext.Bm25.refreshIndex(
+        idx, before, after, "doc_id", "text")
+      refreshed.postings.select($"token", $"df",
+          array_join(transform($"postings", p =>
+            concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ",").as("plist"))
+        .orderBy($"token")
+    },
+    Some("""WITH toks AS (
+            |  SELECT doc_id, unnest(list_filter(
+            |           string_split_regex(trim(lower(text)), '\s+'),
+            |           tk -> regexp_matches(tk, '^[a-z]{3,}$'))) AS token
+            |  FROM documents),
+            |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+            |SELECT token, CAST(count(*) AS BIGINT) AS df,
+            |       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+            |                  ',' ORDER BY doc_id) AS plist
+            |FROM tf GROUP BY token ORDER BY token""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5672,5 +5716,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
 }

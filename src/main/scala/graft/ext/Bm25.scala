@@ -212,6 +212,32 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Refresh a materialized index to a new corpus snapshot from its
+    * [[CorpusDiff.snapshotDiff]] — the release-cadence maintenance
+    * path: retract the rows the diff says left or changed (their OLD
+    * text locates the affected tokens), then admit the rows it says
+    * arrived or changed (their NEW text). Work is
+    * diff-proportional — the unchanged corpus is never re-read, and
+    * unchanged tokens' posting rows pass through both halves
+    * untouched. Identity (gate q152 shares q142's oracle verbatim):
+    *
+    *   refreshIndex(buildIndex(before), before, after)
+    *     ≡ buildIndex(after)
+    */
+  def refreshIndex(index: LexIndex, before: DataFrame, after: DataFrame,
+                   idCol: String, textCol: String): LexIndex = {
+    val diff = CorpusDiff.snapshotDiff(before, after, idCol, textCol)
+    def side(src: DataFrame, statuses: Seq[String]) =
+      src.join(diff.filter(col("status").isin(statuses: _*))
+          .select(col("doc_id").as("__rfId")),
+        src(idCol) === col("__rfId"), "left_semi")
+    val gone = side(before, Seq("removed", "changed"))
+    val fresh = side(after, Seq("added", "changed"))
+    admitToIndex(
+      Forget.retractLexIndex(index, gone, col(idCol), col(textCol)),
+      fresh, col(idCol), col(textCol))
+  }
+
   /** (doc_id, token, pos) — token positions, 1-based over the KEPT
     * token sequence (the [[Keywords.termFrequency]] filter applied
     * first, so positions are adjacency-meaningful after stopword-free

@@ -186,6 +186,24 @@ class Bm25Spec extends SparkTestBase {
     }
   }
 
+  test("refreshIndex from a snapshot diff ≡ buildIndex on the new snapshot — full state") {
+    val before = docsDF(
+      (1L, "spark data join"),
+      (2L, "window stream data"),      // will change
+      (3L, "gone forever now"),        // will be removed
+      (4L, "spark table"))
+    val after = docsDF(
+      (1L, "spark data join"),
+      (2L, "window stream merged"),    // changed text
+      (4L, "spark table"),
+      (5L, "brand newword here"))      // added
+    val refreshed = Bm25.refreshIndex(
+      Bm25.buildIndex(before, col("doc_id"), col("text")),
+      before, after, "doc_id", "text")
+    val rebuilt = Bm25.buildIndex(after, col("doc_id"), col("text"))
+    assert(lexState(refreshed) == lexState(rebuilt))
+  }
+
   test("phraseProbe from parquet-persisted positions equals direct phraseMatch") {
     val docs = docsDF(
       (1L, "alpha beta gamma"), (2L, "beta alpha"), (3L, "alpha xx beta"))
