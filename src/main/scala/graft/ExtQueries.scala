@@ -5707,6 +5707,78 @@ object ExtQueries {
             |                  ',' ORDER BY doc_id) AS plist
             |FROM tf GROUP BY token ORDER BY token""".stripMargin))
 
+  /** Sitemap parse + crawl discovery ([[graft.ext.Sitemaps]]): each
+    * shop host's sitemap XML is GENERATED from the q148 orders-derived
+    * URL set (sorted string_agg — an independent constructor the
+    * parser must round-trip), one planted hand-written sitemap adds
+    * the lastmod / attribute / whitespace edge cases, and the
+    * frontier anti-joins against the known-URL subset (catK, K<10) —
+    * so the output is exactly the newly discovered tail plus the
+    * planted host. Oracle mirrors the generator, the block-scoped
+    * regex parse, and the anti-join.
+    */
+  val q153 = Q(
+    "q153_sitemap_frontier",
+    (s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "orders").select(
+          concat(lit("https://shop"), ($"o_orderkey" % 7).cast("string"),
+            lit(".example.com")).as("host"),
+          concat(lit("https://shop"), ($"o_orderkey" % 7).cast("string"),
+            lit(".example.com/cat"), ($"o_orderkey" % 15).cast("string")).as("loc"),
+          ($"o_orderkey" % 15).as("k"))
+        .distinct()
+      val gen = urls.groupBy($"host").agg(
+        concat(lit("<urlset>"),
+          array_join(array_sort(collect_list(
+            concat(lit("<url><loc>"), $"loc", lit("</loc></url>")))), ""),
+          lit("</urlset>")).as("xml"))
+      val planted = Seq(("extra.example.com",
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc> https://extra.example.com/a </loc>" +
+          "<lastmod>2024-05-01</lastmod></url>" +
+          "<url changefreq=\"daily\"><loc>https://extra.example.com/b</loc></url>" +
+          "</urlset>")).toDF("host", "xml")
+      val entries = graft.ext.Sitemaps.urlEntries(
+        gen.unionAll(planted), $"host", $"xml")
+      val known = urls.filter($"k" < 10).select($"loc".as("url"))
+      graft.ext.Sitemaps.frontier(entries, known, $"url")
+        .orderBy($"host", $"loc")
+    },
+    Some("""WITH uu AS (SELECT DISTINCT
+            |         'https://shop' || CAST(o_orderkey % 7 AS VARCHAR)
+            |           || '.example.com' AS host,
+            |         'https://shop' || CAST(o_orderkey % 7 AS VARCHAR)
+            |           || '.example.com/cat' || CAST(o_orderkey % 15 AS VARCHAR) AS loc,
+            |         o_orderkey % 15 AS k
+            |       FROM orders),
+            |gen AS (SELECT host,
+            |          '<urlset>' || string_agg('<url><loc>' || loc || '</loc></url>',
+            |                                   '' ORDER BY '<url><loc>' || loc || '</loc></url>')
+            |            || '</urlset>' AS xml
+            |        FROM uu GROUP BY host),
+            |sm AS (SELECT host, xml FROM gen
+            |       UNION ALL SELECT 'extra.example.com',
+            |         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            |           || '<url><loc> https://extra.example.com/a </loc>'
+            |           || '<lastmod>2024-05-01</lastmod></url>'
+            |           || '<url changefreq="daily"><loc>https://extra.example.com/b</loc></url>'
+            |           || '</urlset>'),
+            |seg AS (SELECT host, unnest(string_split(xml, '</url>')) AS s FROM sm),
+            |blk AS (SELECT host, regexp_extract(s, '(?s)<url[\s>].*', 0) AS b FROM seg),
+            |ent AS (SELECT host,
+            |          trim(regexp_extract(b, '<loc>([^<]*)</loc>', 1)) AS loc,
+            |          trim(regexp_extract(b, '<lastmod>([^<]*)</lastmod>', 1)) AS lm
+            |        FROM blk),
+            |ee AS (SELECT host, loc,
+            |          CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod
+            |        FROM ent WHERE loc <> ''),
+            |kn AS (SELECT loc AS url FROM uu WHERE k < 10)
+            |SELECT e.host, e.loc, e.lastmod
+            |FROM ee e LEFT JOIN kn ON e.loc = kn.url
+            |WHERE kn.url IS NULL
+            |ORDER BY e.host, e.loc""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5716,5 +5788,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
 }
