@@ -5779,6 +5779,37 @@ object ExtQueries {
             |WHERE kn.url IS NULL
             |ORDER BY e.host, e.loc""".stripMargin))
 
+  /** BM25 served through DELTA-VARINT-PACKED postings
+    * ([[graft.ext.Bm25.packPostings]] / `unpackPostings`,
+    * [[graft.functions.VarintUtil]]): the q100 compressed-serving
+    * discipline on the lexical side — pack the postings (sorted
+    * doc_ids as gap varints, tfs plain varints), reconstruct through
+    * the codegen'd decode, serve top-k. REUSES q139's oracle
+    * verbatim: compression is storage-transparent or the hash
+    * differs.
+    */
+  val q154 = Q(
+    "q154_packed_postings",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queries = Seq(
+        (1L, "spark join stream window"),
+        (2L, "customer table filter"),
+        (3L, "zzzunseen merge")).toDF("query_id", "qtext")
+      val idx = graft.ext.Bm25.buildIndex(docs, $"doc_id", $"text")
+      val served = graft.ext.Bm25.LexIndex(
+        graft.ext.Bm25.unpackPostings(
+          graft.ext.Bm25.packPostings(idx.postings)),
+        idx.docLens, idx.nDocs, idx.totalTokens)
+      graft.ext.Bm25.probeIndex(served, queries, $"query_id", $"qtext", k = 5)
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH $bm25OracleCtes
+            |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+            |FROM rk WHERE rank <= 5
+            |ORDER BY query_id, rank""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5788,5 +5819,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
 }

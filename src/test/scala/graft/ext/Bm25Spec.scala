@@ -204,6 +204,36 @@ class Bm25Spec extends SparkTestBase {
     assert(lexState(refreshed) == lexState(rebuilt))
   }
 
+  test("packPostings round-trips byte-identically and shrinks the state") {
+    val docs = docsDF((0L until 200L).map(i =>
+      (i, s"spark data common${i % 7} rare$i")): _*)
+    val idx = Bm25.buildIndex(docs, col("doc_id"), col("text"))
+    val packed = Bm25.packPostings(idx.postings)
+    val back = Bm25.unpackPostings(packed)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("token"), col("df"), array_join(transform(col("postings"),
+        p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))), ","))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(snap(back) == snap(idx.postings))
+    val sizes = packed.agg(
+        sum(length(col("doc_bytes")) + length(col("tf_bytes"))).as("packed"),
+        sum(size(graft.functions.Varint.decodeDeltas(col("doc_bytes"))) * 16)
+          .as("raw"))
+      .collect()(0)
+    assert(sizes.getLong(0) * 3 < sizes.getLong(1),
+      s"packed ${sizes.getLong(0)} vs raw ${sizes.getLong(1)} bytes: want >3x")
+    // serving through the packed state is exact
+    val q = qDF((1L, "spark rare42"))
+    val servedIdx = Bm25.LexIndex(Bm25.unpackPostings(packed), idx.docLens,
+      idx.nDocs, idx.totalTokens)
+    val viaPacked = Bm25.probeIndex(servedIdx, q, col("query_id"), col("qtext"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = Bm25.probeIndex(idx, q, col("query_id"), col("qtext"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaPacked == direct)
+  }
+
   test("phraseProbe from parquet-persisted positions equals direct phraseMatch") {
     val docs = docsDF(
       (1L, "alpha beta gamma"), (2L, "beta alpha"), (3L, "alpha xx beta"))
