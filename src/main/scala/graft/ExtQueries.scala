@@ -4966,25 +4966,33 @@ object ExtQueries {
     * directly, q140 fuses it with a second ranking. Single source of
     * truth for the planted query set and the k1/b-derived literals.
     */
-  private def bm25OracleCtes: String = {
+  private def bm25OracleCtes: String = bm25CtesFor(
+    "SELECT doc_id, text FROM documents",
+    """  (1, 'spark join stream window'),
+      |  (2, 'customer table filter'),
+      |  (3, 'zzzunseen merge')""".stripMargin)
+
+  /** The chain with corpus and query VALUES injectable — q155 runs it
+    * over a planted-augmented corpus with its own queries.
+    */
+  private def bm25CtesFor(corpusSql: String, queryValues: String): String = {
       val k1 = 1.2; val b = 0.75
       val c1 = (k1 + 1.0).toString
       val c2 = (k1 * (1.0 - b)).toString
       val c3 = (k1 * b).toString
-      s"""toks AS (
+      s"""corp AS ($corpusSql),
+         |toks AS (
          |  SELECT doc_id, unnest(list_filter(
          |           string_split_regex(trim(lower(text)), '\\s+'),
          |           tk -> regexp_matches(tk, '^[a-z]{3,}$$'))) AS token
-         |  FROM documents),
+         |  FROM corp),
          |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
          |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
          |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         |nn AS (SELECT count(*) AS n FROM documents),
+         |nn AS (SELECT count(*) AS n FROM corp),
          |tt AS (SELECT CAST(coalesce(sum(tf), 0) AS BIGINT) AS tot FROM tf),
          |q(query_id, qtext) AS (VALUES
-         |  (1, 'spark join stream window'),
-         |  (2, 'customer table filter'),
-         |  (3, 'zzzunseen merge')),
+         |$queryValues),
          |qt AS (SELECT DISTINCT query_id, unnest(list_filter(
          |           string_split_regex(trim(lower(qtext)), '\\s+'),
          |           tk -> regexp_matches(tk, '^[a-z]{3,}$$'))) AS token
@@ -5810,6 +5818,97 @@ object ExtQueries {
             |FROM rk WHERE rank <= 5
             |ORDER BY query_id, rank""".stripMargin))
 
+  /** Retrieval evaluation ([[graft.ext.RetrievalEval.evaluate]]):
+    * recall@5 / MRR@5 / nDCG@5 of BM25 rankings against a graded
+    * qrels table. The planted eval docs use zzz-prefixed vocabulary
+    * (provably absent from the corpus) so the rankings are
+    * deterministic at every SF while the real corpus supplies the
+    * competition; the three queries exercise full/partial relevance,
+    * an unretrieved relevant doc, and a query whose ranker returns
+    * nothing. nDCG's 1/log2(r+1) discounts are driver-computed
+    * double literals injected into BOTH the plan and the oracle (the
+    * q139 k1/b rule); gains floor onto the 1e-12 grid.
+    */
+  val q155 = Q(
+    "q155_retrieval_eval",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (830001L, "zzzebra zzzflux alpha data"),
+        (830002L, "zzzebra words other beta"),
+        (830003L, "zzzflux more things gamma"),
+        (830004L, "zzzebra zzzflux zzzebra extra"),
+        (830005L, "plain filler nothing special")).toDF("doc_id", "text")
+      val d = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionAll(planted)
+      val queries = Seq(
+        (1L, "zzzebra zzzflux"),
+        (2L, "zzzflux"),
+        (3L, "zzzmissing")).toDF("query_id", "qtext")
+      val qrels = Seq(
+        (1L, 830001L, 2L), (1L, 830004L, 3L), (1L, 830005L, 1L),
+        (2L, 830003L, 1L),
+        (3L, 830001L, 2L)).toDF("query_id", "doc_id", "rel")
+      val results = graft.ext.Bm25.topK(d, $"doc_id", $"text",
+        queries, $"query_id", $"qtext", k = 5)
+      graft.ext.RetrievalEval.evaluate(results, qrels, k = 5)
+        .orderBy($"query_id")
+    },
+    Some {
+      val discCase = (c: String) => "(CASE " + c +
+        graft.ext.RetrievalEval.discounts(5).zipWithIndex.map {
+          case (dv, i) => s" WHEN ${i + 1} THEN CAST($dv AS DOUBLE)"
+        }.mkString + " ELSE 0.0 END)"
+      val ctes = bm25CtesFor(
+        """SELECT doc_id, text FROM documents
+          |          UNION ALL SELECT * FROM (VALUES
+          |  (830001, 'zzzebra zzzflux alpha data'),
+          |  (830002, 'zzzebra words other beta'),
+          |  (830003, 'zzzflux more things gamma'),
+          |  (830004, 'zzzebra zzzflux zzzebra extra'),
+          |  (830005, 'plain filler nothing special')) p(doc_id, text)""".stripMargin,
+        """  (1, 'zzzebra zzzflux'),
+          |  (2, 'zzzflux'),
+          |  (3, 'zzzmissing')""".stripMargin)
+      s"""WITH $ctes,
+         |rel AS (SELECT * FROM (VALUES
+         |  (1, 830001, 2), (1, 830004, 3), (1, 830005, 1),
+         |  (2, 830003, 1),
+         |  (3, 830001, 2)) qr(query_id, doc_id, rel) WHERE rel > 0),
+         |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         |res AS (SELECT query_id, doc_id, rank FROM rk WHERE rank <= 5),
+         |ht AS (SELECT r.query_id, r.rank, rel.rel
+         |       FROM res r JOIN rel ON r.query_id = rel.query_id
+         |                          AND r.doc_id = rel.doc_id),
+         |pq AS (SELECT query_id, count(*) AS hits, min(rank) AS frst,
+         |         CAST(sum(CAST(floor(CAST(rel AS DOUBLE) *
+         |           ${discCase("rank")} * 1.0e12) AS BIGINT)) AS DOUBLE)
+         |           / 1.0e12 AS dcg
+         |       FROM ht GROUP BY 1),
+         |irk AS (SELECT query_id, rel, row_number() OVER
+         |          (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS r
+         |        FROM rel),
+         |ideal AS (SELECT query_id,
+         |         CAST(sum(CAST(floor(CAST(rel AS DOUBLE) *
+         |           ${discCase("r")} * 1.0e12) AS BIGINT)) AS DOUBLE)
+         |           / 1.0e12 AS idcg
+         |        FROM irk WHERE r <= 5 GROUP BY 1)
+         |SELECT n.query_id,
+         |       CAST(n.n_rel AS BIGINT) AS n_rel,
+         |       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,
+         |       CAST(coalesce(p.hits, 0) AS DOUBLE) /
+         |         CAST(n.n_rel AS DOUBLE) AS recall,
+         |       CASE WHEN p.frst IS NULL THEN 0.0
+         |            ELSE CAST(1.0 AS DOUBLE) / CAST(p.frst AS DOUBLE) END AS mrr,
+         |       coalesce(p.dcg, 0.0) AS dcg,
+         |       coalesce(i.idcg, 0.0) AS idcg,
+         |       CASE WHEN coalesce(i.idcg, 0.0) = 0.0 THEN 0.0
+         |            ELSE coalesce(p.dcg, 0.0) / i.idcg END AS ndcg
+         |FROM nrel n LEFT JOIN pq p USING (query_id)
+         |            LEFT JOIN ideal i USING (query_id)
+         |ORDER BY n.query_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5819,5 +5918,5 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
 }
