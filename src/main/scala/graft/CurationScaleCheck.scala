@@ -118,6 +118,38 @@ object CurationScaleCheck {
       }
       g.unpersist()
     }
+
+    // lexical index stack: build → pack (compression measured) →
+    // probe. Queries are 4-token prefixes of 50 corpus docs — the
+    // short-query shape a serving workload has.
+    Seq(1, 4, 10).foreach { times =>
+      val docs = inflate(times)
+      val n = docs.count()
+      var idx: graft.ext.Bm25.LexIndex = null
+      time(s"lex-build ${n}docs") {
+        idx = graft.ext.Bm25.buildIndex(docs, $"doc_id", $"text")
+        val p = idx.postings.persist(StorageLevel.MEMORY_AND_DISK)
+        idx = idx.copy(postings = p)
+        p.count()
+      }
+      time(s"lex-pack ${n}docs") {
+        val packed = graft.ext.Bm25.packPostings(idx.postings)
+        val sz = packed.agg(
+          sum(length($"doc_bytes") + length($"tf_bytes")).as("pk"),
+          sum($"df" * 16L).as("raw")).collect()(0)
+        println(f"[scale3] lex-pack ratio ${n}docs: raw ${sz.getLong(1)}%d B -> " +
+          f"packed ${sz.getLong(0)}%d B " +
+          f"(${sz.getLong(1).toDouble / sz.getLong(0)}%.1fx)")
+        sz.getLong(0)
+      }
+      val queries = docs.limit(50).select($"doc_id".as("query_id"),
+        array_join(slice(split($"text", "\\s+"), 1, 4), " ").as("qtext"))
+      time(s"lex-probe 50q at ${n}docs") {
+        graft.ext.Bm25.probeIndex(idx, queries, $"query_id", $"qtext", 10).count()
+      }
+      idx.postings.unpersist()
+      docs.unpersist()
+    }
     spark.stop()
   }
 }
