@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.CoreQueries.Q
-import graft.ext.{Bloom, Boilerplate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Mixture, Multimodal, NgramLm, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, SemDedup, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
+import graft.ext.{Bloom, Boilerplate, Calibrate, Chunking, Decontaminate, DedupClusters, EmbeddingSearch, ExactDedup, Forget, Keywords, MinHashLsh, Mixture, Multimodal, NgramLm, Packing, ParagraphDedup, QualityFilter, QualityModel, QualityTrain, Sampling, SemDedup, Sharding, ShingleJaccard, SimHash, SpanDedup, TextAnalysis, UrlOps}
 import graft.functions.KmvSketchAgg
 import graft.ops.{Aggs, Cdc}
 
@@ -5909,6 +5909,241 @@ object ExtQueries {
          |ORDER BY n.query_id""".stripMargin
     })
 
+  /** The q93 score + a deterministic noisy label + bucket stats + the
+    * minimax isotonic fit, shared by q156 (fit table) and q157
+    * (calibrated serving). Label: P(1) rises with the score through
+    * the doc_id%10 comparison — monotone in expectation with local
+    * violations, exactly what PAVA has to pool. Every mean is one
+    * double division of exact integers; min/max over doubles —
+    * bit-identical cross-engine.
+    */
+  private def isotonicOracleCtes: String =
+    """f AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |              t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE) AS stop,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok_raw,
+      |         CAST(greatest(len(string_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS ntok,
+      |         CAST(greatest(length(text), 1) AS DOUBLE) AS nchar,
+      |         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS ndig,
+      |         CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS nspace
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |         (-1.6) + 4.0 * (stop / ntok) + (-3.0) * (ndig / nchar)
+      |           + 1.5 * (nspace / nchar) + 0.05 * (nchar / ntok)
+      |           + 1.0 * least(ntok_raw / 100.0, 1.0) AS quality_score
+      |  FROM f),
+      |lab AS (
+      |  SELECT doc_id, quality_score,
+      |         CASE WHEN (doc_id % 10) < least(greatest(
+      |                CAST(floor((quality_score + 2.0) * 2.5) AS BIGINT), 0), 10)
+      |              THEN 1 ELSE 0 END AS label
+      |  FROM sc),
+      |st AS (
+      |  SELECT least(greatest(CAST(floor(quality_score * 8.0) AS BIGINT), -32), 32) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS pos
+      |  FROM lab GROUP BY 1),
+      |cum AS (
+      |  SELECT bucket, n, pos,
+      |         row_number() OVER (ORDER BY bucket) AS r,
+      |         CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cumn,
+      |         CAST(sum(pos) OVER (ORDER BY bucket) AS BIGINT) AS cump
+      |  FROM st),
+      |pairs AS (
+      |  SELECT j.r AS jr, k.r AS kr,
+      |         CAST(k.cump - (j.cump - j.pos) AS DOUBLE) /
+      |           CAST(k.cumn - (j.cumn - j.n) AS DOUBLE) AS avgv
+      |  FROM cum j JOIN cum k ON j.r <= k.r),
+      |mins AS (
+      |  SELECT i.r AS ir, i.bucket, i.n, i.pos, p.jr, min(p.avgv) AS mn
+      |  FROM cum i JOIN pairs p ON p.jr <= i.r AND p.kr >= i.r
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |fit AS (
+      |  SELECT bucket, n, pos, max(mn) AS fitted FROM mins GROUP BY 1, 2, 3)""".stripMargin
+
+  /** Deterministic noisy label for the calibration gates (Spark side —
+    * term-for-term the `lab` CTE above).
+    */
+  private def calibLabel(score: org.apache.spark.sql.Column) =
+    when((col("doc_id") % 10L) <
+        least(greatest(floor((score + lit(2.0)) * lit(2.5)), lit(0L)), lit(10L)),
+      lit(1)).otherwise(lit(0))
+
+  /** Isotonic calibration fit ([[graft.ext.Calibrate]]): bucket the
+    * q93 quality score on a dyadic grid, count a deterministic noisy
+    * label, fit the best monotone step function via the PAVA minimax
+    * identity — the DuckDB oracle re-derives the whole fit from the
+    * same prefix sums, so the gate pins every pooled mean bit-for-bit.
+    */
+  val q156 = Q(
+    "q156_isotonic_fit",
+    (s, dir) => {
+      import s.implicits._
+      val score = QualityModel.score($"text")
+      Calibrate.fit(t(s, dir, "documents"), score, calibLabel(score))
+        .orderBy($"bucket")
+    },
+    Some(s"""WITH $isotonicOracleCtes
+            |SELECT bucket, n, pos, fitted FROM fit ORDER BY bucket""".stripMargin))
+
+  /** Calibrated serving ([[graft.ext.Calibrate.calibrate]]): every
+    * document's raw score mapped through the fitted step function via
+    * the densify-then-broadcast-equi-join path. On the fit corpus the
+    * step lookup must equal a plain join against each row's own
+    * bucket — which is what the oracle computes, so the gate proves
+    * the densified serving path introduces no drift.
+    */
+  val q157 = Q(
+    "q157_calibrated_scores",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val score = QualityModel.score($"text")
+      val fitTbl = Calibrate.fit(d, score, calibLabel(score))
+      Calibrate.calibrate(
+          d.select($"doc_id", score.as("quality_score")),
+          $"quality_score", fitTbl)
+        .select($"doc_id", $"quality_score", $"calibrated")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $isotonicOracleCtes,
+            |rws AS (
+            |  SELECT doc_id, quality_score,
+            |         least(greatest(CAST(floor(quality_score * 8.0) AS BIGINT), -32), 32) AS bucket
+            |  FROM lab)
+            |SELECT r.doc_id, r.quality_score, fit.fitted AS calibrated
+            |FROM rws r JOIN fit ON r.bucket = fit.bucket
+            |ORDER BY r.doc_id""".stripMargin))
+
+  /** Snake shard assignment ([[graft.ext.Sharding.snakeShards]]):
+    * weight-DESC serpentine dealing into 7 shards. The oracle computes
+    * the rank with ONE flat window — proving the distributed
+    * bucket-offset rank (high-bits grouping + broadcast offsets, no
+    * single-partition window) equals the naive global sort.
+    */
+  val q158 = Q(
+    "q158_snake_shards",
+    (s, dir) => {
+      import s.implicits._
+      Sharding.snakeShards(
+          t(s, dir, "documents").select($"doc_id", $"text"),
+          $"doc_id", TextAnalysis.charCount($"text"), nShards = 7)
+        .select($"doc_id", $"w", $"rank", $"shard")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH rk AS (
+            |  SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+            |         row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank
+            |  FROM documents)
+            |SELECT doc_id, w, rank,
+            |       CASE WHEN CAST(floor((rank-1) / 7.0) AS BIGINT) % 2 = 0
+            |            THEN (rank-1) % 7 ELSE 6 - ((rank-1) % 7) END AS shard
+            |FROM rk ORDER BY doc_id""".stripMargin))
+
+  /** Per-shard transfer manifest ([[graft.ext.Sharding.manifest]]):
+    * row count, exact DECIMAL weight total, and the order-invariant
+    * md5-Horner content digest per snake shard — the artifact that
+    * lets two sides of a 100 TB copy prove equality with one
+    * aggregate each. The oracle recomputes the digest from scratch in
+    * DuckDB, so the gate pins hash portability AND the exact sums.
+    */
+  val q159 = Q(
+    "q159_shard_manifest",
+    (s, dir) => {
+      import s.implicits._
+      val sharded = Sharding.snakeShards(
+        t(s, dir, "documents").select($"doc_id", $"text"),
+        $"doc_id", TextAnalysis.charCount($"text"), nShards = 7)
+      Sharding.manifest(sharded, $"shard", $"text", $"w")
+        .withColumnRenamed("group", "shard")
+        .orderBy($"shard")
+    },
+    Some(s"""WITH rk AS (
+            |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS w,
+            |         row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank
+            |  FROM documents),
+            |sh AS (
+            |  SELECT text, w,
+            |         CASE WHEN CAST(floor((rank-1) / 7.0) AS BIGINT) % 2 = 0
+            |              THEN (rank-1) % 7 ELSE 6 - ((rank-1) % 7) END AS shard
+            |  FROM rk),
+            |hv AS (
+            |  SELECT shard, w, $hornerSql AS hval
+            |  FROM (SELECT shard, w, md5(text) AS h FROM sh))
+            |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+            |       CAST(sum(w) AS DECIMAL(38,0)) AS total_weight,
+            |       CAST(sum(hval) AS DECIMAL(38,0)) AS digest
+            |FROM hv GROUP BY shard ORDER BY shard""".stripMargin))
+
+  /** Winnowing fingerprints (MOSS, Schleimer et al. 2003) with the
+    * portable md5-Horner hash, corpus-scale face
+    * ([[graft.ext.TextAnalysis.winnowFingerprintsDf]]): every k-gram
+    * hashed, sliding-window minimum per window of w, distinct per doc.
+    * The oracle re-derives the same selection with a positional
+    * unnest + window MIN — pinning gram extraction, hash portability,
+    * the window-start boundary rule, and the dedup in one gate.
+    */
+  val q160 = Q(
+    "q160_winnow_fingerprints",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .filter($"doc_id" < 60 && TextAnalysis.charCount($"text") >= 5)
+      TextAnalysis.winnowFingerprintsDf(d, $"doc_id", $"text", k = 5, w = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id", $"fp")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, text FROM documents
+            |  WHERE doc_id < 60 AND length(text) >= 5),
+            |pos AS (
+            |  SELECT doc_id, text,
+            |         unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
+            |  FROM d),
+            |hv AS (
+            |  SELECT doc_id, i, $hornerSql AS hval
+            |  FROM (SELECT doc_id, i,
+            |               md5(substring(text, CAST(i AS INT), 5)) AS h
+            |        FROM pos)),
+            |st AS (
+            |  SELECT doc_id, i,
+            |         min(hval) OVER (PARTITION BY doc_id ORDER BY i
+            |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            |         count(*) OVER (PARTITION BY doc_id) AS ng
+            |  FROM hv)
+            |SELECT DISTINCT doc_id, fp FROM st
+            |WHERE i <= greatest(ng - 3, 1)
+            |ORDER BY doc_id, fp""".stripMargin))
+
+  /** Sorted-fill compaction plan ([[graft.ext.Sharding.compactionPlan]])
+    * over simulated file metadata (documents folded into 97 "files"):
+    * cumulative bytes in file order, merge group = the target-sized
+    * stripe the file's byte range starts in. The oracle mirrors the
+    * window sum and the floor-division stripe rule exactly.
+    */
+  val q161 = Q(
+    "q161_compaction_plan",
+    (s, dir) => {
+      import s.implicits._
+      val files = t(s, dir, "documents")
+        .groupBy(($"doc_id" % 97L).as("file"))
+        .agg(sum(TextAnalysis.charCount($"text")).as("sz"))
+      Sharding.compactionPlan(files, $"file", $"sz", targetBytes = 4096L)
+        .orderBy($"file")
+    },
+    Some("""WITH fl AS (
+            |  SELECT doc_id % 97 AS file,
+            |         CAST(sum(length(text)) AS BIGINT) AS bytes
+            |  FROM documents GROUP BY 1),
+            |pl AS (
+            |  SELECT file, bytes,
+            |         CAST(sum(bytes) OVER (ORDER BY file) AS BIGINT) AS cum
+            |  FROM fl)
+            |SELECT file, bytes, cum,
+            |       CAST(floor(CAST(cum - bytes AS DOUBLE) / 4096.0) AS BIGINT) AS grp
+            |FROM pl ORDER BY file""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -5918,5 +6153,6 @@ object ExtQueries {
     q104, q105, q106, q107, q108, q109, q110, q111, q112, q113, q114, q115,
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
-    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
+    q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 }

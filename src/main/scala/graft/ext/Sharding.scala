@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Balanced output sharding and transfer manifests — the "write it
+  * out" end of a curation pipeline. Training jobs read fixed shard
+  * sets; a shard 10× heavier than its peers becomes the straggler of
+  * every epoch, and a 100 TB corpus copied between stores needs a
+  * cheap way to prove the copy is complete WITHOUT re-reading both
+  * sides row-by-row.
+  *
+  * Both operators are deterministic pure functions of the data (no
+  * rand(), no partition-order dependence), so shard layouts and
+  * manifests are reproducible on any cluster layout — the same
+  * contract the engine's [[Sampling]] decisions make.
+  */
+object Sharding {
+
+  /** Snake (boustrophedon) shard assignment: rank rows by
+    * `weight` DESC (ties broken by `key` ASC — a strict total order),
+    * then deal rank r (0-based) into `nShards` bins serpentine-wise:
+    * round r/n deals left-to-right when even, right-to-left when odd.
+    * Each consecutive block of 2n ranks contributes exactly
+    * (r-th + (2n-1-r)-th) weight to every shard — the classic
+    * one-pass approximation of LPT balancing that needs NO sequential
+    * "least-loaded bin" state, so it distributes.
+    *
+    * Scale shape: the global rank is computed WITHOUT a
+    * single-partition window (the [[Sampling.shuffled]] discipline):
+    * rows group by the high bits of the weight (`weight >> bucketShift`
+    * — a monotone prefix of the sort key, so bucket-major order IS the
+    * global order), per-bucket counts (a tiny aggregate, one row per
+    * distinct high-bit value) turn into broadcast rank offsets, and a
+    * per-bucket window assigns the within-bucket position. Raise
+    * `bucketShift` if weights cluster so heavily that one bucket
+    * outgrows an executor's window slice.
+    *
+    * Output: input columns + `w` (the weight), `rank` (1-based
+    * global), `shard` ∈ [0, nShards).
+    */
+  def snakeShards(df: DataFrame, key: Column, weight: Column, nShards: Int,
+                  bucketShift: Int = 8): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(bucketShift >= 0 && bucketShift < 63, "bucketShift in [0, 63)")
+    val withW = df.withColumn("__w", weight.cast("long"))
+      .withColumn("__b", shiftrightunsigned(col("__w"), bucketShift))
+    // per-bucket counts → exclusive offset of each bucket in the
+    // weight-DESC global order (tiny: one row per distinct high-bit value)
+    val offsets = withW.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__b").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val ranked = withW.join(broadcast(offsets), Seq("__b"))
+      .withColumn("rank", col("__off") + row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("__w").desc, key.asc)))
+    val r0 = col("rank") - 1
+    val pos = r0 % nShards
+    val round = floor(r0 / lit(nShards.toDouble))
+    ranked
+      .withColumn("shard",
+        when(round % 2 === 0, pos).otherwise(lit((nShards - 1).toLong) - pos))
+      .withColumnRenamed("__w", "w")
+      .drop("__b", "__off")
+  }
+
+  /** Per-group transfer manifest: row count, exact total weight
+    * (DECIMAL — no overflow at any corpus size), and an
+    * ORDER-INVARIANT content digest: the exact DECIMAL sum of the
+    * 32-bit portable md5 Horner hash ([[MinHashLsh.portableHash32]])
+    * of each row's content. Addition commutes, so the digest is
+    * independent of partitioning, read order, and engine — two sides
+    * of a copy agree iff their manifests agree (up to adversarial
+    * collisions, which a transfer-integrity check does not face).
+    * One hash-aggregate scan; merges across shards by addition, so
+    * manifests of incremental loads compose.
+    */
+  def manifest(df: DataFrame, group: Column, content: Column,
+               weight: Column): DataFrame =
+    df.groupBy(group.as("group")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(weight.cast("decimal(38,0)")).as("total_weight"),
+      sum(MinHashLsh.portableHash32(content).cast("decimal(38,0)"))
+        .as("digest"))
+
+  /** Sorted-fill small-file compaction plan: files in `key` order (the
+    * order that preserves clustering — compaction must merge ADJACENT
+    * files or it destroys the sort/partition locality the layout was
+    * built for), cumulative bytes, and merge group
+    * `grp = floor(start_offset / targetBytes)` — each group's files
+    * are exactly those whose byte range begins inside one
+    * target-sized stripe, so group totals land within one max-file
+    * size of the target with no sequential bin state.
+    *
+    * Operates on file METADATA (path, size) — millions of rows for a
+    * 100 TB corpus, not billions — so the single flat cumulative-sum
+    * window is deliberate: metadata scale, one reducer, exact.
+    * Output: (file, bytes, cum, grp).
+    */
+  def compactionPlan(files: DataFrame, key: Column, bytes: Column,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    files.select(key.as("file"), bytes.cast("long").as("bytes"))
+      .withColumn("cum", sum(col("bytes")).over(
+        Window.orderBy(col("file"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("grp", floor((col("cum") - col("bytes")).cast("double") /
+        lit(targetBytes.toDouble)))
+  }
+}

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for LLM training-data pipelines (BASELINE
   * north star; SURVEY.md §7.2 step 9): token counting, character-class
@@ -335,6 +336,51 @@ object TextAnalysis {
     val nWins = greatest(size(hashes) - (w - 1), lit(1))
     array_distinct(transform(sequence(lit(1), nWins),
       i => array_min(slice(hashes, i, lit(w)))))
+  }
+
+  /** [[winnowFingerprints]] with the engine-portable md5-Horner hash
+    * ([[MinHashLsh.portableHash32]]) instead of Spark-private
+    * xxhash64 — same selection rule, but any engine can recompute the
+    * fingerprints, which makes the sketch oracle-checkable and usable
+    * as an EXCHANGE format between systems (the original MOSS use
+    * case: compare fingerprint sets produced by different tools).
+    * Per-row array face — right for fingerprinting alongside other
+    * per-doc signals; for corpus-scale fingerprint JOINS use
+    * [[winnowFingerprintsDf]], whose explode/window shape shuffles
+    * hashes, not text, and keeps the md5s in codegen.
+    */
+  def winnowFingerprintsPortable(c: Column, k: Int = 5, w: Int = 4): Column = {
+    val grams = graft.functions.NGrams.charNGramSeq(c, k)
+    val hashes = transform(grams, g => MinHashLsh.portableHash32(g))
+    val nWins = greatest(size(hashes) - (w - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nWins),
+      i => array_min(slice(hashes, i, lit(w)))))
+  }
+
+  /** Corpus-scale winnowing: (id, fingerprint) pairs, distinct per
+    * document — [[winnowFingerprintsPortable]] as a DataFrame explode +
+    * per-document sliding window MIN (`rowsBetween(0, w-1)` over gram
+    * position), then a distinct on (id, fp). The only wide exchanges
+    * carry (id, pos, hash64) triples and the deduped fingerprints —
+    * never document text — and the per-doc window partitions by id, so
+    * the operator scales the way the engine's digest-shuffle dedup
+    * paths do. Rows whose text is shorter than k contribute nothing
+    * (no gram exists to fingerprint).
+    */
+  def winnowFingerprintsDf(df: DataFrame, id: Column, text: Column,
+                           k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val g = df.select(id.as("id"),
+      posexplode(graft.functions.NGrams.charNGramSeq(text, k)).as(Seq("pos", "g")))
+    val h = g.select(col("id"), col("pos"),
+      MinHashLsh.portableHash32(col("g")).as("hval"))
+    val win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    val per = Window.partitionBy("id")
+    h.select(col("id"), col("pos"),
+        min(col("hval")).over(win).as("fp"),
+        count(lit(1)).over(per).as("__ng"))
+      .filter(col("pos") <= greatest(col("__ng") - w, lit(0)))
+      .select(col("id"), col("fp")).distinct()
   }
 
   /** WITHIN-document duplicate-line removal (CCNet's `dedup_lines` /

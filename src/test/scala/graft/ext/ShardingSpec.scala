@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Snake sharding: rank correctness vs a flat sort, serpentine
+  * dealing, balance quality, and manifest algebra (order invariance,
+  * additivity, difference detection).
+  */
+class ShardingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = (1 to 100).map { i =>
+    // weights with ties (i/3) so the key tiebreak matters
+    (i.toLong, "doc " + ("x" * (i / 3)))
+  }.toDF("id", "body")
+
+  test("snake rank equals the flat (weight desc, key asc) sort rank") {
+    val out = Sharding.snakeShards(docs, col("id"), length(col("body")),
+        nShards = 4, bucketShift = 2)
+      .select("id", "w", "rank").as[(Long, Long, Long)].collect()
+    val expected = out.map { case (id, w, _) => (id, w) }
+      .sortBy { case (id, w) => (-w, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    out.foreach { case (id, _, r) => assert(r == expected(id), s"id=$id") }
+  }
+
+  test("serpentine dealing: rounds alternate direction") {
+    val out = Sharding.snakeShards(docs, col("id"), length(col("body")),
+        nShards = 4, bucketShift = 2)
+      .select("rank", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    out.foreach { case (rank, shard) =>
+      val r0 = rank - 1
+      val exp = if ((r0 / 4) % 2 == 0) r0 % 4 else 3 - r0 % 4
+      assert(shard == exp, s"rank=$rank")
+    }
+  }
+
+  test("shard weight totals are balanced within one max item weight") {
+    val out = Sharding.snakeShards(docs, col("id"), length(col("body")),
+        nShards = 4, bucketShift = 2)
+    val sums = out.groupBy("shard").agg(sum("w").as("tw"))
+      .select("tw").as[Long].collect()
+    val maxItem = out.agg(max("w")).as[Long].head()
+    assert(sums.max - sums.min <= maxItem,
+      s"spread ${sums.max - sums.min} > max item $maxItem")
+  }
+
+  test("manifest is order/partition-invariant and detects any change") {
+    val base = docs.withColumn("g", col("id") % 3)
+    val m1 = Sharding.manifest(base, col("g"), col("body"), length(col("body")))
+      .orderBy("group").collect()
+    val m2 = Sharding.manifest(base.repartition(7, col("body")).orderBy(desc("id")),
+        col("g"), col("body"), length(col("body")))
+      .orderBy("group").collect()
+    assert(m1.toSeq == m2.toSeq)
+    // a one-character change in one row moves exactly that group's digest
+    val tweaked = base.withColumn("body",
+      when(col("id") === 42, concat(col("body"), lit("!"))).otherwise(col("body")))
+    val m3 = Sharding.manifest(tweaked, col("g"), col("body"), length(col("body")))
+      .orderBy("group").collect()
+    val changed = m1.zip(m3).filter { case (a, b) => a != b }
+    assert(changed.length == 1)
+    assert(changed.head._1.getLong(0) == 42 % 3)
+  }
+
+  test("manifests compose by addition across incremental loads") {
+    val a = docs.filter(col("id") <= 50).withColumn("g", lit(0L))
+    val b = docs.filter(col("id") > 50).withColumn("g", lit(0L))
+    val whole = Sharding.manifest(
+      docs.withColumn("g", lit(0L)), col("g"), col("body"), length(col("body")))
+      .collect().head
+    val pa = Sharding.manifest(a, col("g"), col("body"), length(col("body"))).collect().head
+    val pb = Sharding.manifest(b, col("g"), col("body"), length(col("body"))).collect().head
+    assert(whole.getLong(1) == pa.getLong(1) + pb.getLong(1))
+    assert(whole.getDecimal(3) ==
+      pa.getDecimal(3).add(pb.getDecimal(3)))
+  }
+}
