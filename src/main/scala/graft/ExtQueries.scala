@@ -6144,6 +6144,99 @@ object ExtQueries {
             |       CAST(floor(CAST(cum - bytes AS DOUBLE) / 4096.0) AS BIGINT) AS grp
             |FROM pl ORDER BY file""".stripMargin))
 
+  /** Manifest takedown cascade ([[graft.ext.Forget.retractManifest]]):
+    * subtract the deleted rows' exact count/weight/digest sums from
+    * the stored per-shard manifests — no re-read of the retained
+    * corpus. The oracle REBUILDS the manifest from the survivors
+    * (shards assigned on the original full corpus, as stored layouts
+    * are), so the gate pins retract ≡ rebuild, digests included.
+    */
+  val q162 = Q(
+    "q162_retract_manifest",
+    (s, dir) => {
+      import s.implicits._
+      val sharded = Sharding.snakeShards(
+        t(s, dir, "documents").select($"doc_id", $"text"),
+        $"doc_id", TextAnalysis.charCount($"text"), nShards = 7)
+      val stored = Sharding.manifest(sharded, $"shard", $"text", $"w")
+      Forget.retractManifest(stored,
+          sharded.filter($"doc_id" % 10L === 3L), $"shard", $"text", $"w")
+        .withColumnRenamed("group", "shard")
+        .orderBy($"shard")
+    },
+    Some(s"""WITH rk AS (
+            |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS w,
+            |         row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank
+            |  FROM documents),
+            |sh AS (
+            |  SELECT doc_id, text, w,
+            |         CASE WHEN CAST(floor((rank-1) / 7.0) AS BIGINT) % 2 = 0
+            |              THEN (rank-1) % 7 ELSE 6 - ((rank-1) % 7) END AS shard
+            |  FROM rk),
+            |hv AS (
+            |  SELECT doc_id, shard, w, $hornerSql AS hval
+            |  FROM (SELECT doc_id, shard, w, md5(text) AS h FROM sh))
+            |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+            |       CAST(sum(w) AS DECIMAL(38,0)) AS total_weight,
+            |       CAST(sum(hval) AS DECIMAL(38,0)) AS digest
+            |FROM hv WHERE doc_id % 10 <> 3
+            |GROUP BY shard ORDER BY shard""".stripMargin))
+
+  /** Winnow-fingerprint similarity pairs
+    * ([[graft.ext.TextAnalysis.winnowPairs]]): documents sharing ≥ 3
+    * rare fingerprints, with planted mutated copies guaranteeing
+    * shared substrings. Pins the df cap, the fp self-join, and the
+    * shared-count threshold against a full SQL re-derivation.
+    */
+  val q163 = Q(
+    "q163_winnow_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .filter($"doc_id" < 40 && TextAnalysis.charCount($"text") >= 5)
+        .select($"doc_id", $"text")
+      val planted = base.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          concat($"text", lit(" mutated tail token")).as("text"))
+      TextAnalysis.winnowPairs(base.unionAll(planted), $"doc_id", $"text",
+          k = 5, w = 4, minShared = 3, maxDf = 6)
+        .orderBy($"id1", $"id2")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, text FROM documents
+            |  WHERE doc_id < 40 AND length(text) >= 5
+            |  UNION ALL
+            |  SELECT doc_id + 100000, text || ' mutated tail token'
+            |  FROM documents WHERE doc_id < 10 AND length(text) >= 5),
+            |pos AS (
+            |  SELECT doc_id, text,
+            |         unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
+            |  FROM d),
+            |hvp AS (
+            |  SELECT doc_id, i, $hornerSql AS hval
+            |  FROM (SELECT doc_id, i,
+            |               md5(substring(text, CAST(i AS INT), 5)) AS h
+            |        FROM pos)),
+            |stw AS (
+            |  SELECT doc_id, i,
+            |         min(hval) OVER (PARTITION BY doc_id ORDER BY i
+            |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            |         count(*) OVER (PARTITION BY doc_id) AS ng
+            |  FROM hvp),
+            |fps AS (
+            |  SELECT DISTINCT doc_id, fp FROM stw
+            |  WHERE i <= greatest(ng - 3, 1)),
+            |rare AS (
+            |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 6),
+            |f2 AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+            |pr AS (
+            |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+            |         CAST(count(*) AS BIGINT) AS shared
+            |  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT id1, id2, shared FROM pr WHERE shared >= 3
+            |ORDER BY id1, id2""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6154,5 +6247,6 @@ object ExtQueries {
     q116, q117, q118, q119, q120, q121, q122, q123, q124, q125, q126,
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
+    q163)
 }

@@ -107,7 +107,8 @@ object Calibrate {
       min(col("bucket")).as("__minb"), max(col("bucket")).as("__maxb"))
     val dense = bounds
       .select(explode(sequence(col("__minb"), col("__maxb"))).as("bucket"))
-      .join(fitted.select(col("bucket"), col("fitted")), Seq("bucket"), "left")
+      .join(broadcast(fitted.select(col("bucket"), col("fitted"))),
+        Seq("bucket"), "left")
       .repartition(1)
       .select(col("bucket"), last(col("fitted"), ignoreNulls = true)
         .over(Window.orderBy("bucket")

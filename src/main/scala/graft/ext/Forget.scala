@@ -319,6 +319,31 @@ object Forget {
     positions.join(deleteSet(deletedIds),
       positions("doc_id") === col("__del"), "left_anti")
 
+  /** Cascade a deletion through per-group transfer manifests
+    * ([[Sharding.manifest]] schema `(group, n_rows, total_weight,
+    * digest)`): every manifest component is an EXACT sum — row
+    * counts, DECIMAL weight totals, DECIMAL md5-Horner digest sums —
+    * and sums subtract, so the takedown needs only the deleted ROWS
+    * (id-bearing group + content + weight), never a re-read of the
+    * retained corpus. Groups emptied by the deletion drop out.
+    * Identity (the q162 gate): retract ≡ rebuild-from-survivors,
+    * digest included, bit-for-bit.
+    */
+  def retractManifest(manifest: DataFrame, deletedRows: DataFrame,
+                      group: Column, content: Column,
+                      weight: Column): DataFrame = {
+    val zero = lit(0).cast("decimal(38,0)")
+    val del = Sharding.manifest(deletedRows, group, content, weight)
+      .select(col("group"), col("n_rows").as("__dn"),
+        col("total_weight").as("__dw"), col("digest").as("__dd"))
+    manifest.join(del, Seq("group"), "left")
+      .select(col("group"),
+        (col("n_rows") - coalesce(col("__dn"), lit(0L))).as("n_rows"),
+        (col("total_weight") - coalesce(col("__dw"), zero)).as("total_weight"),
+        (col("digest") - coalesce(col("__dd"), zero)).as("digest"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** Cascade a deletion through the materialized lexical index
     * ([[Bm25.LexIndex]]). Unlike the sketches, postings state is
     * EXACT, so the takedown runbook column here is retract, not

@@ -383,6 +383,31 @@ object TextAnalysis {
       .select(col("id"), col("fp")).distinct()
   }
 
+  /** MOSS-style local-similarity candidates: pairs of documents
+    * sharing at least `minShared` winnow fingerprints. Fingerprints
+    * present in more than `maxDf` documents are excluded first —
+    * ubiquitous grams (" the ") would pair everything with everything;
+    * the df cap keeps the self-join output pair-bound, the same
+    * discipline the banded MinHash join applies over DISTINCT
+    * signatures. Detects SHARED SUBSTRINGS (quotes, licences, lifted
+    * passages), which whole-document MinHash misses when the rest of
+    * the documents differ. Shuffles carry (id, fp) pairs only.
+    */
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+                  k: Int = 5, w: Int = 4,
+                  minShared: Int = 3, maxDf: Int = 10): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, "minShared >= 1, maxDf >= 2")
+    val fps = winnowFingerprintsDf(df, id, text, k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("fp"))
+    val f2 = fps.join(rare, Seq("fp"), "left_semi")
+    f2.as("a").join(f2.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** WITHIN-document duplicate-line removal (CCNet's `dedup_lines` /
     * the in-page half of C4's line dedup): drop every repeat of a line
     * inside the SAME document, keeping the first occurrence in

@@ -474,6 +474,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q156 isotonic fit: corpus collapses to bucket stats with map-side combine before the minimax joins") {
+    val p = plan(ExtQueries.q156.run(spark, dir))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // only the documents text column is read — score + label derive from it
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q157 calibrated serving: the step-function lookup is a broadcast equi-join, never sort-merge") {
+    val p = plan(ExtQueries.q157.run(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q158 snake shards: the corpus-side window partitions by the weight bucket — never a global (empty-key) window") {
+    val p = plan(ExtQueries.q158.run(spark, dir))
+    // offsets enter via broadcast; the big-side row_number partitions by __b
+    assert(p.contains("BroadcastHashJoin"), p)
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    val corpusWins = winLines.filter(_.contains("row_number"))
+    assert(corpusWins.nonEmpty && corpusWins.forall(_.contains("__b")),
+      s"corpus window must partition by __b:\n${winLines.mkString("\n")}")
+  }
+
+  test("q160 winnowing: fingerprint window partitions by doc id; text never shuffles past the gram explode") {
+    val p = plan(ExtQueries.q160.run(spark, dir))
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("id")), winLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")

@@ -64,6 +64,25 @@ class ShardingSpec extends SparkTestBase {
     assert(changed.head._1.getLong(0) == 42 % 3)
   }
 
+  test("retractManifest equals rebuild-from-survivors, digests included") {
+    val base = docs.withColumn("g", col("id") % 3)
+    val stored = Sharding.manifest(base, col("g"), col("body"), length(col("body")))
+    val deleted = base.filter(col("id") % 5 === 0)
+    val retracted = Forget.retractManifest(stored, deleted,
+      col("g"), col("body"), length(col("body"))).orderBy("group").collect()
+    val rebuilt = Sharding.manifest(base.filter(col("id") % 5 =!= 0),
+      col("g"), col("body"), length(col("body"))).orderBy("group").collect()
+    assert(retracted.toSeq == rebuilt.toSeq)
+  }
+
+  test("retractManifest drops groups emptied by the deletion") {
+    val base = docs.withColumn("g", when(col("id") <= 3, lit(9L)).otherwise(col("id") % 2))
+    val stored = Sharding.manifest(base, col("g"), col("body"), length(col("body")))
+    val out = Forget.retractManifest(stored, base.filter(col("id") <= 3),
+      col("g"), col("body"), length(col("body")))
+    assert(!out.select("group").as[Long].collect().contains(9L))
+  }
+
   test("manifests compose by addition across incremental loads") {
     val a = docs.filter(col("id") <= 50).withColumn("g", lit(0L))
     val b = docs.filter(col("id") > 50).withColumn("g", lit(0L))
