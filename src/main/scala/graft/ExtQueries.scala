@@ -6237,6 +6237,143 @@ object ExtQueries {
             |SELECT id1, id2, shared FROM pr WHERE shared >= 3
             |ORDER BY id1, id2""".stripMargin))
 
+  /** Exact Gram sufficient statistics
+    * ([[graft.ext.EmbeddingSearch.gramMatrix]]): dyadic-grid snap →
+    * upper-triangle pairwise products → DECIMAL sums. Every cell is an
+    * exact number, so the oracle re-derives the full 64×64/2 matrix
+    * and hash-matches it — the whitening/PCA input as a gated
+    * operator.
+    */
+  val q164 = Q(
+    "q164_gram_matrix",
+    (s, dir) => {
+      import s.implicits._
+      EmbeddingSearch.gramMatrix(
+          t(s, dir, "embeddings").filter($"vec_id" < 400), $"embedding")
+        .orderBy($"i", $"j")
+    },
+    Some("""WITH v AS (
+            |  SELECT list_transform(embedding,
+            |           x -> floor(CAST(x AS DOUBLE) * 64.0) / 64.0) AS qv
+            |  FROM embeddings WHERE vec_id < 400),
+            |e AS (SELECT qv, unnest(generate_series(1, len(qv))) AS i FROM v),
+            |p AS (SELECT qv, i, unnest(generate_series(1, len(qv))) AS j FROM e),
+            |g AS (SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+            |             qv[CAST(i AS INT)] * qv[CAST(j AS INT)] AS prod
+            |      FROM p WHERE j >= i)
+            |SELECT i, j,
+            |       CAST(sum(CAST(prod AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx,
+            |       CAST(count(*) AS BIGINT) AS n
+            |FROM g GROUP BY 1, 2 ORDER BY i, j""".stripMargin))
+
+  /** Formatted-phone redaction
+    * ([[graft.ext.TextAnalysis.redactPhones]]): the `<PHONE>` PII
+    * class, planted fixtures exercising parenthesized area codes,
+    * +CC prefixes, dot/dash/space separators, back-to-back numbers
+    * (the two-pass fixed point), and the non-matches (bare digit
+    * runs, short local numbers) that must fall through to `<NUM>`.
+    */
+  val q165 = Q(
+    "q165_redact_phones",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (700000L, "call (415) 555-0123 today"),
+        (700001L, "intl +1 212-555-9876 or +44 20 7946 0958 partial"),
+        (700002L, "415.555.0123 415.555.0124 back to back"),
+        (700003L, "order 12345678901 is not a phone"),
+        (700004L, "local 555-0123 is too short to match"),
+        (700005L, "ends with 650 555 0199")).toDF("doc_id", "text")
+      t(s, dir, "documents").select($"doc_id", $"text")
+        .filter($"doc_id" < 50)
+        .unionAll(planted)
+        .select($"doc_id", TextAnalysis.redactPhones($"text").as("redacted"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val pat = TextAnalysis.PhonePattern
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50
+         |           UNION ALL SELECT * FROM (VALUES
+         |  (700000, 'call (415) 555-0123 today'),
+         |  (700001, 'intl +1 212-555-9876 or +44 20 7946 0958 partial'),
+         |  (700002, '415.555.0123 415.555.0124 back to back'),
+         |  (700003, 'order 12345678901 is not a phone'),
+         |  (700004, 'local 555-0123 is too short to match'),
+         |  (700005, 'ends with 650 555 0199')) p(doc_id, text))
+         |SELECT doc_id,
+         |       regexp_replace(
+         |         regexp_replace(text, '$pat', '\\1<PHONE>\\4', 'g'),
+         |         '$pat', '\\1<PHONE>\\4', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin
+    })
+
+  /** Edit-distance confirm over winnow candidates
+    * ([[graft.ext.TextAnalysis.confirmPairsEdit]]): the q163 sketch
+    * candidates scored with exact levenshtein; planted mutated copies
+    * (append distance exactly 19) survive the ≤ 25 cut, coincidental
+    * rare-gram pairs between genuinely different documents do not.
+    * Both engines ship the same Wagner-Fischer levenshtein built-in,
+    * so the whole propose→dispose chain is one hash gate.
+    */
+  val q166 = Q(
+    "q166_confirm_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .filter($"doc_id" < 40 && TextAnalysis.charCount($"text") >= 5)
+        .select($"doc_id", $"text")
+      val planted = base.filter($"doc_id" < 10)
+        .select(($"doc_id" + 100000L).as("doc_id"),
+          concat($"text", lit(" mutated tail token")).as("text"))
+      val corpus = base.unionAll(planted)
+      val cands = TextAnalysis.winnowPairs(corpus, $"doc_id", $"text",
+        k = 5, w = 4, minShared = 3, maxDf = 6)
+      TextAnalysis.confirmPairsEdit(corpus, $"doc_id", $"text",
+          cands, maxDist = 25)
+        .select($"id1", $"id2", $"shared", $"dist")
+        .orderBy($"id1", $"id2")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, text FROM documents
+            |  WHERE doc_id < 40 AND length(text) >= 5
+            |  UNION ALL
+            |  SELECT doc_id + 100000, text || ' mutated tail token'
+            |  FROM documents WHERE doc_id < 10 AND length(text) >= 5),
+            |pos AS (
+            |  SELECT doc_id, text,
+            |         unnest(generate_series(1, greatest(length(text)-4, 1))) AS i
+            |  FROM d),
+            |hvp AS (
+            |  SELECT doc_id, i, $hornerSql AS hval
+            |  FROM (SELECT doc_id, i,
+            |               md5(substring(text, CAST(i AS INT), 5)) AS h
+            |        FROM pos)),
+            |stw AS (
+            |  SELECT doc_id, i,
+            |         min(hval) OVER (PARTITION BY doc_id ORDER BY i
+            |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            |         count(*) OVER (PARTITION BY doc_id) AS ng
+            |  FROM hvp),
+            |fps AS (
+            |  SELECT DISTINCT doc_id, fp FROM stw
+            |  WHERE i <= greatest(ng - 3, 1)),
+            |rare AS (
+            |  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 6),
+            |f2 AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp)),
+            |pr AS (
+            |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+            |         CAST(count(*) AS BIGINT) AS shared
+            |  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |cand AS (SELECT id1, id2, shared FROM pr WHERE shared >= 3)
+            |SELECT c.id1, c.id2, c.shared,
+            |       CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS dist
+            |FROM cand c
+            |JOIN d t1 ON t1.doc_id = c.id1
+            |JOIN d t2 ON t2.doc_id = c.id2
+            |WHERE levenshtein(t1.text, t2.text) <= 25
+            |ORDER BY c.id1, c.id2""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6248,5 +6385,5 @@ object ExtQueries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163)
+    q163, q164, q165, q166)
 }

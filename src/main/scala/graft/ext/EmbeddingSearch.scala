@@ -683,4 +683,34 @@ object EmbeddingSearch {
       .filter(col("__qid") =!= col("__cid"))
       .withColumn("cos", cosine(col("__qvec"), col("__cvec"))), queryId, k)
   }
+
+  /** Exact second-moment (Gram) sufficient statistics for embedding
+    * whitening / PCA preprocessing: `S[i][j] = Σ_rows x_i·x_j` over
+    * the upper triangle (the matrix is symmetric), plus the member
+    * count. Downstream (mean-centering into a covariance, the eigen
+    * solve) is driver-side dense-matrix work on a d×d table — the
+    * corpus-proportional part is THIS aggregation.
+    *
+    * Exactness contract (the q104 dyadic discipline): values snap to
+    * the 2^-gridBits grid first, so every pairwise product is an
+    * exact multiple of 2^-2·gridBits — exactly representable in
+    * DECIMAL(38, 2·gridBits/... decimal digits) — and the sums are
+    * order-invariant integers in disguise: any partitioning, any
+    * engine, same bits. Shape: one posexplode to dimension `i`, a
+    * second to `j ≥ i`, one hash aggregation on (i, j) — d²/2 groups,
+    * map-side partial combine, rows shuffle as (i, j, product)
+    * triples only.
+    */
+  def gramMatrix(df: DataFrame, vec: Column, gridBits: Int = 6): DataFrame = {
+    require(gridBits >= 1 && gridBits <= 12, "gridBits in [1, 12]")
+    val scale = (1L << gridBits).toDouble
+    val q = transform(vec, x => floor(x.cast("double") * lit(scale)) / lit(scale))
+    df.select(q.as("__qv"))
+      .select(posexplode(col("__qv")).as(Seq("i", "xi")), col("__qv"))
+      .select(col("i"), col("xi"), posexplode(col("__qv")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("sxx"),
+        count(lit(1)).as("n"))
+  }
 }

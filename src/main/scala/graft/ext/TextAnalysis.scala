@@ -253,6 +253,52 @@ object TextAnalysis {
     once(once(c))
   }
 
+  /** NANP-style FORMATTED phone number: optional +CC (1-2 digits),
+    * 3-digit area code (optionally parenthesized), exchange, line —
+    * with space/dot/dash separators REQUIRED between the groups:
+    * bare digit runs stay the `<NUM>` rule's job, so the two classes
+    * never fight over the same span. Boundaries are CAPTURED, not
+    * looked-around (the RE2-shared rule the `<IP>` pattern set); the
+    * left boundary also excludes `+` and `(` so a match cannot start
+    * mid-prefix.
+    */
+  val PhonePattern: String =
+    "(^|[^0-9+(])((\\+[0-9]{1,2}[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4})([^0-9]|$)"
+
+  /** Redact formatted phone numbers to `<PHONE>`. Two passes, same
+    * reason as [[redactIpv4]]: the captured right boundary consumes
+    * one character, so back-to-back phones need the rerun; the
+    * pattern is its own fixed point after two passes. Compose BEFORE
+    * [[redactPii]] so the digit groups survive to be typed `<PHONE>`
+    * rather than `<NUM>`-fragmented. Same trailing-newline `$` caveat
+    * as the IPv4 rule.
+    */
+  def redactPhones(c: Column): Column = {
+    def once(x: Column) = regexp_replace(x, PhonePattern, "$1<PHONE>$4")
+    once(once(c))
+  }
+
+  /** Exact edit-distance confirm pass over candidate pairs — the
+    * sketch-proposes / exact-measure-disposes discipline
+    * ([[winnowPairs]] and the banded LSH joins propose; this
+    * disposes). Join-shaped: candidates pick up both texts by id,
+    * `levenshtein` (codegen'd built-in, O(len²) per pair — affordable
+    * exactly BECAUSE it only runs on the candidate set, never all
+    * pairs) scores them, keep `dist ≤ maxDist`. Candidate columns
+    * pass through, so sketch evidence (shared counts, bands) stays
+    * attached to the confirmed pair.
+    */
+  def confirmPairsEdit(docs: DataFrame, id: Column, text: Column,
+                       pairs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    pairs
+      .join(docs.select(id.as("id1"), text.as("__t1")), Seq("id1"))
+      .join(docs.select(id.as("id2"), text.as("__t2")), Seq("id2"))
+      .withColumn("dist", levenshtein(col("__t1"), col("__t2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .drop("__t1", "__t2")
+  }
+
   /** Rule-based sentence segmentation — the deterministic granularity
     * between [[graft.ext.ParagraphDedup]]'s blank-line blocks and
     * whole documents, used for sentence-level dedup/boilerplate
