@@ -6374,6 +6374,47 @@ object ExtQueries {
             |WHERE levenshtein(t1.text, t2.text) <= 25
             |ORDER BY c.id1, c.id2""".stripMargin))
 
+  /** Two exact power-iteration steps over the q164 Gram table
+    * ([[graft.ext.EmbeddingSearch.powerIteration2]]): the top
+    * principal direction for whitening/PCA with NO floating point —
+    * Gram cells are multiples of 2⁻¹², so ×2¹² makes the matrix
+    * integer and v₁ = G·1, v₂ = G·v₁ are exact BIGINT mat-vec
+    * products the oracle replays verbatim. The d×d table is
+    * broadcast-tiny; the corpus-proportional cost stays in q164's
+    * one aggregation.
+    */
+  val q167 = Q(
+    "q167_power_iteration",
+    (s, dir) => {
+      import s.implicits._
+      val gram = EmbeddingSearch.gramMatrix(
+        t(s, dir, "embeddings").filter($"vec_id" < 400), $"embedding")
+      EmbeddingSearch.powerIteration2(gram).orderBy($"dim")
+    },
+    Some("""WITH v AS (
+            |  SELECT list_transform(embedding,
+            |           x -> floor(CAST(x AS DOUBLE) * 64.0) / 64.0) AS qv
+            |  FROM embeddings WHERE vec_id < 400),
+            |e AS (SELECT qv, unnest(generate_series(1, len(qv))) AS i FROM v),
+            |p AS (SELECT qv, i, unnest(generate_series(1, len(qv))) AS j FROM e),
+            |g AS (SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+            |             qv[CAST(i AS INT)] * qv[CAST(j AS INT)] AS prod
+            |      FROM p WHERE j >= i),
+            |gm AS (SELECT i, j,
+            |              CAST(sum(CAST(prod AS DECIMAL(38,12))) * 4096
+            |                   AS BIGINT) AS g
+            |       FROM g GROUP BY 1, 2),
+            |fullg AS (SELECT i, j, g FROM gm
+            |          UNION ALL
+            |          SELECT j AS i, i AS j, g FROM gm WHERE i <> j),
+            |v1 AS (SELECT i AS d, CAST(sum(g) AS BIGINT) AS v1
+            |       FROM fullg GROUP BY 1),
+            |v2 AS (SELECT f.i AS dim, CAST(sum(f.g * w.v1) AS BIGINT) AS v2
+            |       FROM fullg f JOIN v1 w ON w.d = f.j GROUP BY 1)
+            |SELECT v2.dim, v1.v1, v2.v2
+            |FROM v2 JOIN v1 ON v1.d = v2.dim
+            |ORDER BY dim""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6385,5 +6426,5 @@ object ExtQueries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166)
+    q163, q164, q165, q166, q167)
 }

@@ -713,4 +713,30 @@ object EmbeddingSearch {
       .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("sxx"),
         count(lit(1)).as("n"))
   }
+
+  /** Two EXACT power-iteration steps over the Gram table — the top
+    * principal direction for embedding whitening/PCA, computable
+    * without any floating normalization: [[gramMatrix]] entries are
+    * multiples of 2^-2·gridBits, so scaling by 2^2·gridBits makes the
+    * matrix INTEGER, v₀ = 1 gives v₁ = G·1 and v₂ = G·v₁ as exact
+    * BIGINT arithmetic (bounded: |v₂| ≤ d·|G|ₘₐₓ·d·|G|ₘₐₓ — safely
+    * under 2^63 for unit-scale embeddings at corpus size). Two
+    * unnormalized steps already dominate toward the top eigenvector;
+    * callers normalize v₂ in doubles downstream (a d-element
+    * driver-side vector). The d×d table is broadcast-tiny: both
+    * mat-vec products are broadcast joins + map-side-combined sums.
+    */
+  def powerIteration2(gram: DataFrame, gridBits: Int = 6): DataFrame = {
+    val s = 1L << (2 * gridBits)
+    val half = gram.select(col("i"), col("j"),
+      (col("sxx") * lit(s)).cast("long").as("g"))
+    val full = half.unionAll(half.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("g")))
+    val v1 = full.groupBy(col("i").as("d")).agg(sum(col("g")).as("v1"))
+    full.join(broadcast(v1.select(col("d").as("j"), col("v1"))), Seq("j"))
+      .groupBy(col("i").as("dim"))
+      .agg(sum(col("g") * col("v1")).as("v2"))
+      .join(broadcast(v1.select(col("d").as("dim"), col("v1"))), Seq("dim"))
+      .select(col("dim"), col("v1"), col("v2"))
+  }
 }

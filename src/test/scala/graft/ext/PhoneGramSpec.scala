@@ -65,6 +65,32 @@ class PhoneGramSpec extends SparkTestBase {
     assert(g.size == 6) // 3 dims → 6 upper-triangle cells
   }
 
+  test("powerIteration2 computes exact integer mat-vec steps on a known matrix") {
+    // G (scaled by 2^12 = 4096) for vectors on the grid:
+    //   [1, 0] and [0.5, 0.5] → G = [[1.25, 0.25], [0.25, 0.25]]
+    val vecs = Seq(Array(1.0f, 0.0f), Array(0.5f, 0.5f))
+      .map(Tuple1(_)).toDF("v")
+    val gram = EmbeddingSearch.gramMatrix(vecs, col("v"))
+    val out = EmbeddingSearch.powerIteration2(gram)
+      .orderBy("dim").as[(Int, Long, Long)].collect().toSeq
+    // scaled G = [[5120, 1024], [1024, 1024]]
+    // v1 = G·1  = (6144, 2048)
+    // v2 = G·v1 = (5120*6144 + 1024*2048, 1024*6144 + 1024*2048)
+    assert(out == Seq(
+      (0, 6144L, 5120L * 6144L + 1024L * 2048L),
+      (1, 2048L, 1024L * 6144L + 1024L * 2048L)))
+  }
+
+  test("powerIteration2's v2 direction converges toward the dominant eigenvector") {
+    // strongly anisotropic: many copies along e0, one along e1
+    val vecs = (Seq.fill(20)(Array(1.0f, 0.0f)) :+ Array(0.0f, 0.5f))
+      .map(Tuple1(_)).toDF("v")
+    val gram = EmbeddingSearch.gramMatrix(vecs, col("v"))
+    val v2 = EmbeddingSearch.powerIteration2(gram)
+      .orderBy("dim").as[(Int, Long, Long)].collect().map(_._3)
+    assert(math.abs(v2(0)) > 10L * math.abs(v2(1)))
+  }
+
   test("gram matrix snaps off-grid values downward to the dyadic grid") {
     val vecs = Seq(Array(0.51f, -0.24f)).map(Tuple1(_)).toDF("v")
     val g = EmbeddingSearch.gramMatrix(vecs, col("v"), gridBits = 6)
