@@ -6415,6 +6415,40 @@ object ExtQueries {
             |FROM v2 JOIN v1 ON v1.d = v2.dim
             |ORDER BY dim""".stripMargin))
 
+  /** Incremental manifest admission
+    * ([[graft.ext.Sharding.admitManifest]]): a stored per-group
+    * manifest built from the old corpus absorbs a new batch by pure
+    * addition; the oracle computes the manifest of the UNION from
+    * scratch, pinning admit ≡ rebuild (row counts, DECIMAL weight
+    * totals, and the order-invariant md5-Horner digest in one gate).
+    * Groups are hash shards (doc_id % 7) — the stable layout an
+    * incremental load writes into, unlike q159's rank-derived snake
+    * shards which are only meaningful for a full-corpus relayout.
+    */
+  val q168 = Q(
+    "q168_admit_manifest",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"text", ($"doc_id" % 7L).as("shard"))
+      val stored = Sharding.manifest(docs.filter($"doc_id" % 10L =!= 3L),
+        $"shard", $"text", TextAnalysis.charCount($"text"))
+      Sharding.admitManifest(stored, docs.filter($"doc_id" % 10L === 3L),
+          $"shard", $"text", TextAnalysis.charCount($"text"))
+        .withColumnRenamed("group", "shard")
+        .orderBy($"shard")
+    },
+    Some(s"""WITH hv AS (
+            |  SELECT shard, w, $hornerSql AS hval
+            |  FROM (SELECT doc_id % 7 AS shard,
+            |               CAST(length(text) AS BIGINT) AS w,
+            |               md5(text) AS h
+            |        FROM documents))
+            |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+            |       CAST(sum(w) AS DECIMAL(38,0)) AS total_weight,
+            |       CAST(sum(hval) AS DECIMAL(38,0)) AS digest
+            |FROM hv GROUP BY shard ORDER BY shard""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6426,5 +6460,5 @@ object ExtQueries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167)
+    q163, q164, q165, q166, q167, q168)
 }

@@ -86,6 +86,39 @@ object Sharding {
       sum(MinHashLsh.portableHash32(content).cast("decimal(38,0)"))
         .as("digest"))
 
+  /** Incremental manifest admission: fold a NEW batch of rows into a
+    * stored per-group [[manifest]] by pure addition — counts, DECIMAL
+    * weight totals, and the order-invariant digest all commute, so
+    *
+    *   admitManifest(manifest(a), b)  ≡  manifest(a UNION ALL b)
+    *
+    * (pinned by gate q168 and ShardingSpec). The stored side is
+    * group-cardinality (one row per shard — thousands of rows for a
+    * 100 TB corpus, not billions); the batch is scanned ONCE by its
+    * own manifest aggregate; the full-outer join on group is a
+    * tiny-table join, so incremental loads never re-read the corpus.
+    * Unlike the counted digest ledger, admission is NOT idempotent —
+    * replaying a batch double-counts — so callers dedup batches
+    * upstream ([[graft.streaming.DocStream.admitNew]]) or key loads;
+    * [[graft.ext.Forget.retractManifest]] is the exact inverse for
+    * takedowns.
+    */
+  def admitManifest(stored: DataFrame, newRows: DataFrame, group: Column,
+                    content: Column, weight: Column): DataFrame = {
+    val zero = lit(0).cast("decimal(38,0)")
+    val add = manifest(newRows, group, content, weight)
+      .select(col("group"), col("n_rows").as("__an"),
+        col("total_weight").as("__aw"), col("digest").as("__ad"))
+    stored.join(add, Seq("group"), "full_outer")
+      .select(col("group"),
+        (coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("__an"), lit(0L))).as("n_rows"),
+        (coalesce(col("total_weight"), zero) +
+          coalesce(col("__aw"), zero)).as("total_weight"),
+        (coalesce(col("digest"), zero) + coalesce(col("__ad"), zero))
+          .as("digest"))
+  }
+
   /** Sorted-fill small-file compaction plan: files in `key` order (the
     * order that preserves clustering — compaction must merge ADJACENT
     * files or it destroys the sort/partition locality the layout was

@@ -83,6 +83,34 @@ class ShardingSpec extends SparkTestBase {
     assert(!out.select("group").as[Long].collect().contains(9L))
   }
 
+  test("admitManifest equals rebuild over the union, new groups included") {
+    val base = docs.withColumn("g", col("id") % 3)
+    val old = base.filter(col("id") % 4 =!= 0)
+    // the batch introduces rows in every group PLUS a brand-new group
+    val batch = base.filter(col("id") % 4 === 0)
+      .withColumn("g", when(col("id") === 100, lit(9L)).otherwise(col("g")))
+    val stored = Sharding.manifest(old, col("g"), col("body"), length(col("body")))
+    val admitted = Sharding.admitManifest(stored, batch,
+      col("g"), col("body"), length(col("body"))).orderBy("group").collect()
+    val rebuilt = Sharding.manifest(old.unionByName(batch),
+      col("g"), col("body"), length(col("body"))).orderBy("group").collect()
+    assert(admitted.toSeq == rebuilt.toSeq)
+    assert(admitted.map(_.getLong(0)).contains(9L))
+  }
+
+  test("retractManifest inverts admitManifest exactly") {
+    val base = docs.withColumn("g", col("id") % 3)
+    val old = base.filter(col("id") % 4 =!= 0)
+    val batch = base.filter(col("id") % 4 === 0)
+    val stored = Sharding.manifest(old, col("g"), col("body"), length(col("body")))
+    val roundTrip = Forget.retractManifest(
+      Sharding.admitManifest(stored, batch, col("g"), col("body"),
+        length(col("body"))),
+      batch, col("g"), col("body"), length(col("body")))
+      .orderBy("group").collect()
+    assert(roundTrip.toSeq == stored.orderBy("group").collect().toSeq)
+  }
+
   test("manifests compose by addition across incremental loads") {
     val a = docs.filter(col("id") <= 50).withColumn("g", lit(0L))
     val b = docs.filter(col("id") > 50).withColumn("g", lit(0L))
