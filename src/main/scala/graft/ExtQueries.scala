@@ -6449,6 +6449,49 @@ object ExtQueries {
             |       CAST(sum(hval) AS DECIMAL(38,0)) AS digest
             |FROM hv GROUP BY shard ORDER BY shard""".stripMargin))
 
+  /** Vacuum/GC plan ([[graft.ext.Sharding.vacuumOrphans]] +
+    * [[graft.ext.Sharding.vacuumSummary]]): the object-store listing
+    * anti-joined against the union of live manifests' file lists,
+    * folded into per-directory delete batches. Files synthesized from
+    * doc ids; the live set omits doc_id % 10 == 3 (a takedown) and
+    * references one name absent from the listing (already deleted) —
+    * pinning that absent references do NOT surface and orphan counts
+    * and reclaim bytes are exact.
+    */
+  val q169 = Q(
+    "q169_vacuum_plan",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val files = docs.select(
+        concat(lit("shard"), $"doc_id" % 7L, lit("/doc"), $"doc_id",
+          lit(".parquet")).as("f"),
+        TextAnalysis.charCount($"text").as("b"))
+      val referenced = docs.filter($"doc_id" % 10L =!= 3L)
+        .select(concat(lit("shard"), $"doc_id" % 7L, lit("/doc"), $"doc_id",
+          lit(".parquet")).as("r"))
+        .unionByName(Seq("shard0/already_gone.parquet").toDF("r"))
+      Sharding.vacuumSummary(
+          Sharding.vacuumOrphans(files, $"f", $"b", referenced, $"r"))
+        .orderBy($"dir")
+    },
+    Some("""WITH files AS (
+            |  SELECT 'shard' || CAST(doc_id % 7 AS VARCHAR) || '/doc' ||
+            |         CAST(doc_id AS VARCHAR) || '.parquet' AS file,
+            |         CAST(length(text) AS BIGINT) AS bytes,
+            |         'shard' || CAST(doc_id % 7 AS VARCHAR) AS dir
+            |  FROM documents),
+            |referenced AS (
+            |  SELECT 'shard' || CAST(doc_id % 7 AS VARCHAR) || '/doc' ||
+            |         CAST(doc_id AS VARCHAR) || '.parquet' AS file
+            |  FROM documents WHERE doc_id % 10 <> 3
+            |  UNION ALL SELECT 'shard0/already_gone.parquet')
+            |SELECT dir, CAST(count(*) AS BIGINT) AS n_orphans,
+            |       CAST(sum(bytes) AS BIGINT) AS reclaim_bytes
+            |FROM files f
+            |WHERE NOT EXISTS (SELECT 1 FROM referenced r WHERE r.file = f.file)
+            |GROUP BY dir ORDER BY dir""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6460,5 +6503,5 @@ object ExtQueries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168)
+    q163, q164, q165, q166, q167, q168, q169)
 }

@@ -119,6 +119,31 @@ object Sharding {
           .as("digest"))
   }
 
+  /** Vacuum/GC plan: stored files that no live manifest references.
+    * Failed writes, superseded compactions, and takedown-retracted
+    * shards all leave orphan objects behind; at 100 TB the reclaim
+    * decision must be METADATA work — `files` is the object-store
+    * listing (millions of rows), `referenced` the union of live
+    * manifests' file lists, and one anti-join on name (hash join,
+    * AQE-broadcast when the referenced list is small) yields the
+    * delete set. Names referenced but absent from the listing are
+    * someone else's problem (an integrity check, not GC) and fall out
+    * of the anti-join for free. Output: (file, bytes, dir) per orphan;
+    * [[vacuumSummary]] folds that into per-directory delete batches.
+    */
+  def vacuumOrphans(files: DataFrame, file: Column, bytes: Column,
+                    referenced: DataFrame, ref: Column): DataFrame =
+    files.select(file.as("file"), bytes.cast("long").as("bytes"))
+      .join(referenced.select(ref.as("file")).distinct(), Seq("file"),
+        "left_anti")
+      .withColumn("dir", regexp_extract(col("file"), "^(.*)/[^/]*$", 1))
+
+  /** Per-directory reclaim summary over [[vacuumOrphans]] output —
+    * the shape object-store batch-delete calls take. */
+  def vacuumSummary(orphans: DataFrame): DataFrame =
+    orphans.groupBy("dir").agg(count(lit(1)).as("n_orphans"),
+      sum(col("bytes")).as("reclaim_bytes"))
+
   /** Sorted-fill small-file compaction plan: files in `key` order (the
     * order that preserves clustering — compaction must merge ADJACENT
     * files or it destroys the sort/partition locality the layout was

@@ -111,6 +111,21 @@ class ShardingSpec extends SparkTestBase {
     assert(roundTrip.toSeq == stored.orderBy("group").collect().toSeq)
   }
 
+  test("vacuumOrphans keeps only unreferenced files; absent references are ignored") {
+    val files = Seq(("a/f1", 10L), ("a/f2", 20L), ("b/f3", 5L), ("rootfile", 1L))
+      .toDF("f", "b")
+    val refs = Seq("a/f1", "b/f3", "c/never_existed").toDF("r")
+    val orphans = Sharding.vacuumOrphans(files, col("f"), col("b"),
+      refs, col("r")).orderBy("file")
+      .select("file", "bytes", "dir").as[(String, Long, String)].collect().toSeq
+    // a/f2 is orphaned; rootfile has no dir component → empty dir
+    assert(orphans == Seq(("a/f2", 20L, "a"), ("rootfile", 1L, "")))
+    val summary = Sharding.vacuumSummary(
+        Sharding.vacuumOrphans(files, col("f"), col("b"), refs, col("r")))
+      .orderBy("dir").as[(String, Long, Long)].collect().toSeq
+    assert(summary == Seq(("", 1L, 1L), ("a", 1L, 20L)))
+  }
+
   test("manifests compose by addition across incremental loads") {
     val a = docs.filter(col("id") <= 50).withColumn("g", lit(0L))
     val b = docs.filter(col("id") > 50).withColumn("g", lit(0L))
