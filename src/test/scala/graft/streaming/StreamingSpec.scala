@@ -876,6 +876,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("manifest state absorbs micro-batches via foreachBatch admitManifest; final state equals the one-pass manifest") {
+    import graft.ext.Sharding
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", ($"doc_id" % 5L).as("g"))
+    val dir = java.nio.file.Files.createTempDirectory("manifest-stream").toString + "/in"
+    docs.repartition(3).write.parquet(dir)
+
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the production maintenance step: group-cardinality state +
+        // one aggregate over the batch — the old corpus is never re-read
+        state = Some(state match {
+          case None => Sharding.manifest(batch, col("g"), col("text"),
+            length(col("text"))).localCheckpoint(true)
+          case Some(st) => Sharding.admitManifest(st, batch, col("g"),
+            col("text"), length(col("text"))).localCheckpoint(true)
+        })
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = state.get.orderBy("group").collect().toSeq
+      val want = Sharding.manifest(docs, $"g", $"text", length($"text"))
+        .orderBy("group").collect().toSeq
+      assert(got == want)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "maintenance lives in the sink; the stream itself is stateless")
+    } finally q.stop()
+  }
+
   test("DocStream.warcAdmitted: WARC blobs stream through parse + dedup admission batch-identically, stateless") {
     import graft.ext.{ExactDedup, Warc}
     // corpus already holds "seen page" — its re-crawl must die at the door
