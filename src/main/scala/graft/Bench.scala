@@ -235,7 +235,21 @@ object Bench {
       "q99_trained_classifier", "q101_ngram_lm",
       "q121_nfc_normalize", "q122_keep_best", "q123_sketch_grid",
       "q124_cap_per_group", "q125_redact_cards", "q126_blocklist_screen",
-      "q127_quota_admit", "q129_sentences", "q130_common_sentences")
+      "q127_quota_admit", "q129_sentences", "q130_common_sentences",
+      // round-10 families, full-corpus-scan gates only (constant-slice
+      // gates q136/q137/q147/q160/q163-q166 stay excluded): host graph,
+      // retrieval/lex-index lifecycle, crawl front door, calibration,
+      // output layout + manifest lifecycle, vacuum
+      "q131_host_pagerank", "q132_stratified_budget", "q133_trustrank",
+      "q134_mirror_hosts", "q135_epoch_plan", "q138_sign_project",
+      "q139_bm25_topk", "q140_rrf_fusion", "q141_bm25_probe",
+      "q142_inverted_index", "q143_phrase_match", "q144_lex_admit",
+      "q145_lex_retract", "q146_boolean_probe", "q148_robots_screen",
+      "q149_mean_pool", "q150_crawl_schedule", "q151_phrase_probe",
+      "q152_index_refresh", "q153_sitemap_frontier", "q154_packed_postings",
+      "q155_retrieval_eval", "q156_isotonic_fit", "q157_calibrated_scores",
+      "q158_snake_shards", "q159_shard_manifest", "q161_compaction_plan",
+      "q162_retract_manifest", "q168_admit_manifest", "q169_vacuum_plan")
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)
