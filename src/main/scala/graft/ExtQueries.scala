@@ -6492,6 +6492,37 @@ object ExtQueries {
             |WHERE NOT EXISTS (SELECT 1 FROM referenced r WHERE r.file = f.file)
             |GROUP BY dir ORDER BY dir""".stripMargin))
 
+  /** Weighted sampling without replacement
+    * ([[graft.ext.Sampling.weightedTake]]): exact Efraimidis–Spirakis
+    * for integer weights — each row keeps the MIN of w portable hash
+    * draws, global top-k ascending. The oracle replays every draw with
+    * generate_series + the md5-Horner hash and takes the same
+    * (draw, id)-ordered LIMIT, pinning the per-draw hash inputs, the
+    * min fold, and the total order in one gate.
+    */
+  val q170 = Q(
+    "q170_weighted_take",
+    (s, dir) => {
+      import s.implicits._
+      Sampling.weightedTake(t(s, dir, "documents").select($"doc_id"),
+          $"doc_id", lit(1L) + $"doc_id" % 8L, k = 200, salt = "q170")
+        .select($"doc_id", $"w", $"draw")
+        .orderBy($"draw", $"doc_id")
+    },
+    Some(s"""WITH w AS (
+            |  SELECT doc_id, 1 + doc_id % 8 AS w FROM documents),
+            |d AS (SELECT doc_id, w, unnest(generate_series(1, w)) AS j
+            |      FROM w),
+            |hh AS (SELECT doc_id, w,
+            |              md5(CAST(doc_id AS VARCHAR) || ':q170:' ||
+            |                  CAST(j AS VARCHAR)) AS h
+            |       FROM d),
+            |dr AS (SELECT doc_id, CAST(w AS BIGINT) AS w,
+            |              min($hornerSql) AS draw
+            |       FROM hh GROUP BY 1, 2)
+            |SELECT doc_id, w, CAST(draw AS BIGINT) AS draw
+            |FROM dr ORDER BY draw, doc_id LIMIT 200""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6503,5 +6534,5 @@ object ExtQueries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169)
+    q163, q164, q165, q166, q167, q168, q169, q170)
 }

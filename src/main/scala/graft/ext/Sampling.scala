@@ -382,4 +382,46 @@ object Sampling {
       .filter(col("__strataRn") <= col("quota"))
       .drop("__strataRn", "__allocG")
   }
+
+  /** Weighted sampling WITHOUT replacement, exact for integer weights
+    * (Efraimidis–Spirakis 2006): a row with weight w gets w
+    * independent portable hash draws and keeps the MINIMUM; ranking
+    * ascending by that min and taking k is distributionally identical
+    * to the ES u^(1/w) key scheme (min of w uniforms ↔ the ES key via
+    * u → 1−u and the max-of-w CDF x^w) — with hash draws standing in
+    * for the uniforms, as every sampler here does. The standard
+    * quality-weighted corpus subsample: "pick 10M documents, better
+    * ones proportionally more often, reproducibly, no replacement".
+    *
+    * Scale shape: the w draws are a per-row HOF fold over
+    * `sequence(1, w)` — no explode, no shuffle, codegen'd — and the
+    * global top-k is orderBy+limit = TakeOrderedAndProject (per-
+    * partition heaps + one k-row driver merge, never a full sort).
+    * Cost is O(Σw) hash evaluations, so weights must be SMALL
+    * integers — quantize upstream (e.g. a score decile, 1-10) —
+    * enforced per row via raise_error at `maxWeight`. Rows with
+    * weight < 1 never qualify (ES semantics: zero weight = never
+    * drawn) and are filtered, not errored. Output: input columns +
+    * `w` + `draw`, ordered (draw asc, key asc) — a deterministic
+    * total order any engine reproduces. Gate q170.
+    */
+  def weightedTake(df: DataFrame, key: Column, weight: Column, k: Int,
+                   salt: String = "", maxWeight: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxWeight >= 1 && maxWeight <= 65536,
+      s"maxWeight in [1, 65536], got $maxWeight")
+    val checked = when(weight.cast("long") > lit(maxWeight.toLong),
+      raise_error(concat(
+        lit(s"weightedTake: weight exceeds maxWeight=$maxWeight: "),
+        weight.cast("string"))).cast("long"))
+      .otherwise(weight.cast("long"))
+    val drawOf = (j: Column) => MinHashLsh.portableHash32(
+      concat(key.cast("string"), lit(":" + salt + ":"), j.cast("string")))
+    df.withColumn("w", checked).filter(col("w") >= 1L)
+      .withColumn("draw",
+        aggregate(sequence(lit(1L), col("w")), lit(Long.MaxValue),
+          (acc, j) => least(acc, drawOf(j))))
+      .orderBy(col("draw").asc, key.asc)
+      .limit(k)
+  }
 }

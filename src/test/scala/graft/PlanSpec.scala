@@ -498,6 +498,14 @@ class PlanSpec extends SparkTestBase {
       s"corpus window must partition by __b:\n${winLines.mkString("\n")}")
   }
 
+  test("q170 weighted take: global top-k is TakeOrderedAndProject — per-row HOF draws, no explode, no global Sort, no shuffle") {
+    val p = plan(ExtQueries.q170.run(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Generate"), s"draws must fold per-row, not explode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"weightedTake is shuffle-free up to the top-k:\n$p")
+  }
+
   test("q160 winnowing: fingerprint window partitions by doc id; text never shuffles past the gram explode") {
     val p = plan(ExtQueries.q160.run(spark, dir))
     val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
