@@ -6523,6 +6523,38 @@ object ExtQueries {
             |SELECT doc_id, w, CAST(draw AS BIGINT) AS draw
             |FROM dr ORDER BY draw, doc_id LIMIT 200""".stripMargin))
 
+  /** Bloom file-skipping point lookup
+    * ([[graft.ext.Bloom.fileBlooms]] → [[graft.ext.Bloom.prunedLookup]]):
+    * per-file bitsets prune the scan to candidate files, then exact
+    * key equality confirms — false positives cost a candidate read,
+    * never a wrong row, so the result is oracle-checkable under a
+    * plain join regardless of the filter's FP behavior. Probes are
+    * three present texts plus one absent needle; files are a
+    * 53-bucket hash layout.
+    */
+  val q171 = Q(
+    "q171_bloom_skip_lookup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" % 53L).as("file"), $"text")
+      val blooms = Bloom.fileBlooms(docs, $"file", $"text", k = 3, words = 64)
+      val probes = docs.filter($"doc_id".isin(7L, 123L, 456L))
+        .select($"text".as("p"))
+        .unionByName(Seq("absent needle q171").toDF("p"))
+      Bloom.prunedLookup(docs, $"file", $"text", blooms, probes, $"p",
+          k = 3, words = 64)
+        .select($"doc_id", $"file")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH probes AS (
+            |  SELECT DISTINCT text AS p FROM documents
+            |  WHERE doc_id IN (7, 123, 456)
+            |  UNION SELECT 'absent needle q171')
+            |SELECT d.doc_id, d.doc_id % 53 AS file
+            |FROM documents d JOIN probes ON d.text = probes.p
+            |ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6534,5 +6566,5 @@ object ExtQueries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169, q170)
+    q163, q164, q165, q166, q167, q168, q169, q170, q171)
 }

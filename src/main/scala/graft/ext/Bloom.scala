@@ -127,4 +127,66 @@ object Bloom {
       .join(broadcast(evalKeys), cand("__hex") === evalKeys("__ehex"), "left")
       .select(col("id"), col("__ehex").isNotNull.as("confirmed"))
   }
+
+  /** Per-FILE Bloom filters — the data-skipping index min/max stats
+    * can't provide: point lookups on a high-cardinality, unsorted key
+    * (URL, content digest) hit every file's [min, max] range, but a
+    * per-file bitset answers "could this file hold this key?" in
+    * O(k) word probes. One build scan (distinct (file, md5) →
+    * position explode → bit_or per file); output is file-cardinality
+    * — metadata scale, persistable next to the footer stats. Same
+    * md5-derived double-hash scheme as [[build]], so the index is
+    * engine-portable and rebuild-equals-incremental-OR (bit_or
+    * commutes — blooms of incremental loads merge by word-wise OR).
+    */
+  def fileBlooms(df: DataFrame, file: Column, key: Column, k: Int,
+                 words: Int): DataFrame = {
+    val hexKeys = df.select(file.as("file"), keyHex(key).as("__h")).distinct()
+    hexKeys
+      .select(col("file"),
+        explode(array(positions(col("__h"), k, words): _*)).as("__pos"))
+      .select(col("file"), (col("__pos") / 32).cast("int").as("__w"),
+        bitMask(col("__pos") % 32).as("__m"))
+      .groupBy(col("file"), col("__w")).agg(expr("bit_or(__m)").as("__word"))
+      .groupBy(col("file"))
+      .agg(map_from_entries(collect_list(struct(col("__w"), col("__word"))))
+        .as("bloom"))
+  }
+
+  /** Files each probe key might live in, from a [[fileBlooms]] index:
+    * the file-skipping decision as a DataFrame. The probe side is the
+    * handful of keys a point lookup carries — broadcast against the
+    * metadata-scale bloom table; candidates are a SUPERSET of the
+    * truth (no false negatives — the Bloom contract; pinned in
+    * BloomSpec) and the false-positive excess is the measurable skip
+    * cost. Output: (probe, file).
+    */
+  def candidateFiles(blooms: DataFrame, probes: DataFrame, probeKey: Column,
+                     k: Int, words: Int): DataFrame = {
+    val p = probes.select(probeKey.as("probe"), keyHex(probeKey).as("__ph"))
+      .distinct()
+    blooms.crossJoin(broadcast(p))
+      .filter(mightContainHex(col("bloom"), col("__ph"), k, words))
+      .select(col("probe"), col("file"))
+  }
+
+  /** Point lookup with Bloom file skipping: restrict the scan to
+    * [[candidateFiles]] (at real scale: partition-prune the parquet
+    * paths), then confirm key equality exactly — false positives cost
+    * a candidate-file read, never a wrong row. Result ≡ the full-scan
+    * filter (gate q171 pins it under a plain-join oracle). The
+    * candidate list is (|probes| × few files) — broadcast; the
+    * corpus-side join keys on (file, key) so only candidate files'
+    * rows survive the semi-join shape.
+    */
+  def prunedLookup(df: DataFrame, file: Column, key: Column,
+                   blooms: DataFrame, probes: DataFrame, probeKey: Column,
+                   k: Int, words: Int): DataFrame = {
+    val cand = candidateFiles(blooms, probes, probeKey, k, words)
+      .select(col("file").as("__cf"), col("probe").as("__cp"))
+    df.withColumn("__file", file)
+      .join(broadcast(cand),
+        col("__file") === col("__cf") && key === col("__cp"))
+      .drop("__cf", "__cp")
+  }
 }

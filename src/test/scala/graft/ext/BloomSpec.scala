@@ -46,4 +46,58 @@ class BloomSpec extends SparkTestBase {
     val cleanIds = clean.map(_._1).toSet
     assert(out.filterNot(_._2).forall(r => cleanIds(r._1)))
   }
+
+  test("fileBlooms: candidates have no false negatives and skip most files") {
+    // 500 rows spread over 25 files; probe 5 present keys + 20 absent
+    val rows = (1 to 500).map(i => (i.toLong % 25, s"stored key $i"))
+      .toDF("f", "k")
+    val blooms = Bloom.fileBlooms(rows, $"f", $"k", k = 3, words = 16)
+    assert(blooms.count() == 25)
+    val present = Seq(17, 203, 311, 404, 499).map(i => s"stored key $i")
+    val absent = (1 to 20).map(i => s"missing key $i")
+    val cand = Bloom.candidateFiles(blooms,
+        (present ++ absent).toDF("p"), $"p", k = 3, words = 16)
+      .as[(String, Long)].collect().toSet
+    // no false negatives: each present key's true file is a candidate
+    present.foreach { p =>
+      val trueFile = p.stripPrefix("stored key ").toLong % 25
+      assert(cand.contains((p, trueFile)), s"missing true file for '$p'")
+    }
+    // skipping actually skips: with 20 keys/file * 3 probes in 512 bits
+    // (fill ~11%), FP per (probe, file) is ~0.1%; allow a generous 10%
+    val fpPairs = cand.size - present.size
+    assert(fpPairs <= (present.size + absent.size) * 25 / 10,
+      s"candidate pairs $fpPairs — bloom not pruning")
+  }
+
+  test("fileBlooms merge across incremental loads by word-wise OR equals the rebuild") {
+    val a = (1 to 200).map(i => (i.toLong % 5, s"stored key $i")).toDF("f", "k")
+    val b = (201 to 300).map(i => (i.toLong % 5, s"stored key $i")).toDF("f", "k")
+    val merged = Bloom.fileBlooms(a, $"f", $"k", k = 3, words = 8)
+      .select($"file", explode($"bloom").as(Seq("w", "m")))
+      .unionByName(Bloom.fileBlooms(b, $"f", $"k", k = 3, words = 8)
+        .select($"file", explode($"bloom").as(Seq("w", "m"))))
+      .groupBy("file", "w").agg(expr("bit_or(m)").as("m"))
+      .groupBy("file").agg(map_from_entries(
+        collect_list(struct($"w", $"m"))).as("bloom"))
+    val rebuilt = Bloom.fileBlooms(a.unionByName(b), $"f", $"k", k = 3, words = 8)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select($"file", explode(map_entries($"bloom")).as("kv"))
+        .select($"file", $"kv.key", $"kv.value")
+        .as[(Long, Int, Long)].collect().toSet
+    val mm = flat(merged)
+    val rr = flat(rebuilt)
+    assert(mm == rr)
+  }
+
+  test("prunedLookup result equals the full-scan filter") {
+    val rows = (1 to 500).map(i => (i.toLong, i.toLong % 25, s"stored key $i"))
+      .toDF("id", "f", "k")
+    val blooms = Bloom.fileBlooms(rows, $"f", $"k", k = 3, words = 16)
+    val probes = Seq("stored key 17", "stored key 203", "missing key").toDF("p")
+    val got = Bloom.prunedLookup(rows, $"f", $"k", blooms, probes, $"p",
+        k = 3, words = 16)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(17L, 203L))
+  }
 }
