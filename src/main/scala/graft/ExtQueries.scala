@@ -6555,6 +6555,43 @@ object ExtQueries {
             |FROM documents d JOIN probes ON d.text = probes.p
             |ORDER BY d.doc_id""".stripMargin))
 
+  /** Takedown cascade through the Bloom file-skipping index
+    * ([[graft.ext.Forget.retractFileBlooms]]), gated on the SERVING
+    * face: delete a tenth of the corpus, retract the per-file blooms
+    * file-locally (only files that lost a row rebuild; the rest pass
+    * through), then run the q171 point lookup against the retracted
+    * state — probing both retained texts (must still resolve) and a
+    * deleted doc's text (must resolve only to OTHER retained docs
+    * sharing it). The oracle is a plain join over the retained corpus,
+    * so the gate pins that retracted serving ≡ serving on a rebuild,
+    * independent of the filter's FP behavior.
+    */
+  val q172 = Q(
+    "q172_retract_file_blooms",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", ($"doc_id" % 53L).as("file"), $"text")
+      val deleted = docs.filter($"doc_id" % 10L === 3L)
+      val retained = docs.filter($"doc_id" % 10L =!= 3L)
+      val stored = Bloom.fileBlooms(docs, $"file", $"text", k = 3, words = 64)
+      val retracted = Forget.retractFileBlooms(stored, retained, deleted,
+        $"file", $"text", k = 3, words = 64)
+      val probes = docs.filter($"doc_id".isin(7L, 123L, 456L, 3L, 53L))
+        .select($"text".as("p"))
+      Bloom.prunedLookup(retained, $"file", $"text", retracted, probes, $"p",
+          k = 3, words = 64)
+        .select($"doc_id", $"file")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH probes AS (
+            |  SELECT DISTINCT text AS p FROM documents
+            |  WHERE doc_id IN (7, 123, 456, 3, 53))
+            |SELECT d.doc_id, d.doc_id % 53 AS file
+            |FROM documents d JOIN probes ON d.text = probes.p
+            |WHERE d.doc_id % 10 <> 3
+            |ORDER BY d.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6566,5 +6603,5 @@ object ExtQueries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169, q170, q171)
+    q163, q164, q165, q166, q167, q168, q169, q170, q171, q172)
 }

@@ -41,6 +41,10 @@ import org.apache.spark.sql.functions._
   *     located from the delete batch's own text; every other posting
   *     row passes through untouched; df recomputed, not decremented —
   *     replay-safe)
+  *   - Bloom file-skipping index → [[retractFileBlooms]] (the bitsets
+  *     are non-retractable, but the file partitioning makes the
+  *     rebuild FILE-LOCAL: only files that lost a row rebuild, from
+  *     their own retained rows; the rest pass through untouched)
   *
   * NON-RETRACTABLE state — the takedown runbook's rebuild column.
   * Three sketch families deliberately have NO retract path, because
@@ -397,5 +401,36 @@ object Forget {
       index.docLens.join(delIds,
         index.docLens("doc_id") === col("__del"), "left_anti"),
       index.nDocs - hit.getLong(0), index.totalTokens - hit.getLong(1))
+  }
+
+  /** Cascade a deletion through the per-file Bloom skipping index
+    * ([[Bloom.fileBlooms]]). A Bloom bitset itself is non-retractable
+    * (shared bits — see the runbook above), but the FILE partitioning
+    * makes the rebuild file-local: only files that actually lost a
+    * row rebuild, from their OWN retained rows (at real scale a
+    * partition-pruned scan of just those files); every other file's
+    * bloom row passes through untouched via one anti-join — the
+    * [[retractComponents]] passthrough discipline applied to the
+    * rebuild column of the runbook. Files whose every row was deleted
+    * drop from the index (fileBlooms emits no row for an empty file).
+    *
+    * `retainedRows` is the post-[[retainDocs]] corpus; the semi-join
+    * restricts its scan to affected files before any hashing.
+    * Identity (pinned in BloomSpec, serving face gated by q172):
+    *
+    *   retractFileBlooms(fileBlooms(corpus), retained, deleted)
+    *     ≡ fileBlooms(retained)
+    */
+  def retractFileBlooms(blooms: DataFrame, retainedRows: DataFrame,
+                        deletedRows: DataFrame, file: Column, key: Column,
+                        k: Int, words: Int): DataFrame = {
+    val affected = deletedRows.select(file.as("file")).distinct()
+    val untouched = blooms.join(affected, Seq("file"), "left_anti")
+    val rebuilt = Bloom.fileBlooms(
+      retainedRows.withColumn("__f", file)
+        .join(affected, col("__f") === affected("file"), "left_semi")
+        .drop("__f"),
+      file, key, k, words)
+    untouched.unionByName(rebuilt)
   }
 }

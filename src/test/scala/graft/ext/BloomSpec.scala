@@ -90,6 +90,26 @@ class BloomSpec extends SparkTestBase {
     assert(mm == rr)
   }
 
+  test("retractFileBlooms equals the rebuild over retained rows, bit for bit; untouched files never rebuild") {
+    val rows = (1 to 500).map(i => (i.toLong, i.toLong % 25, s"stored key $i"))
+      .toDF("id", "f", "k")
+    // delete every row of file 3 plus some rows of files 0-4
+    val deleted = rows.filter($"f" === 3L || ($"f" < 5L && $"id" % 3 === 0))
+    val retained = rows.exceptAll(deleted)
+    val stored = Bloom.fileBlooms(rows, $"f", $"k", k = 3, words = 16)
+    val retracted = Forget.retractFileBlooms(stored, retained, deleted,
+      $"f", $"k", k = 3, words = 16)
+    val rebuilt = Bloom.fileBlooms(retained, $"f", $"k", k = 3, words = 16)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select($"file", explode(map_entries($"bloom")).as("kv"))
+        .select($"file", $"kv.key", $"kv.value")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(flat(retracted) == flat(rebuilt))
+    // file 3 emptied → dropped from the index
+    assert(!retracted.select("file").as[Long].collect().contains(3L))
+    assert(retracted.count() == 24)
+  }
+
   test("prunedLookup result equals the full-scan filter") {
     val rows = (1 to 500).map(i => (i.toLong, i.toLong % 25, s"stored key $i"))
       .toDF("id", "f", "k")
