@@ -150,6 +150,51 @@ object CurationScaleCheck {
       idx.postings.unpersist()
       docs.unpersist()
     }
+
+    // ---- manifest lifecycle + Bloom file skipping: state maintenance
+    // must be BATCH-proportional (admission never re-reads the old
+    // corpus) and the skip index must prune. Layout: 200 files per 1×;
+    // admission batch = 10% of rows; probes = 20 present + 20 absent.
+    Seq(1, 4, 10).foreach { times =>
+      val docs = inflate(times)
+        .select($"doc_id", ($"doc_id" % (200L * times)).as("file"), $"text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      val old = docs.filter($"doc_id" % 10L =!= 3L)
+      val batch = docs.filter($"doc_id" % 10L === 3L)
+      var stored: org.apache.spark.sql.DataFrame = null
+      time(s"manifest-build ${n}docs") {
+        stored = graft.ext.Sharding.manifest(old, $"file", $"text",
+            length($"text")).persist(StorageLevel.MEMORY_AND_DISK)
+        stored.count()
+      }
+      time(s"manifest-admit ${n / 10}batch") {
+        graft.ext.Sharding.admitManifest(stored, batch, $"file", $"text",
+          length($"text")).count()
+      }
+      var blooms: org.apache.spark.sql.DataFrame = null
+      time(s"fileBlooms-build ${n}docs") {
+        blooms = graft.ext.Bloom.fileBlooms(docs, $"file", $"text",
+            k = 3, words = 64).persist(StorageLevel.MEMORY_AND_DISK)
+        blooms.count()
+      }
+      val probes = docs.limit(20)
+        .select($"text".as("p"))
+        .unionByName(spark.range(20)
+          .select(concat(lit("absent needle "), col("id")).as("p")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      probes.count()
+      val nFiles = 200L * times
+      time(s"bloom-candidates 40probes ${nFiles}files") {
+        val c = graft.ext.Bloom.candidateFiles(blooms, probes, $"p",
+          k = 3, words = 64).count()
+        println(f"[scale3] bloom skip rate: $c%d candidate pairs of " +
+          f"${40 * nFiles}%d probe×file (${100.0 - c * 100.0 / (40 * nFiles)}%.1f%% skipped)")
+        c
+      }
+      probes.unpersist(); blooms.unpersist(); stored.unpersist()
+      docs.unpersist()
+    }
     spark.stop()
   }
 }
