@@ -3200,7 +3200,11 @@ object ExtQueries {
         .select($"vec_id", $"embedding")
       graft.ext.VectorQuant.pqTrain(slice, "vec_id", "embedding",
           m = 8, ksub = 4, iters = 1, dim = 64)
-        .codebook.orderBy($"sub", $"code")
+        .codebook
+        .select($"sub", $"code", posexplode($"centroid").as(Seq("pos", "m")))
+        .select($"sub", $"code", $"pos".cast("int").as("pos"),
+          $"m".cast("double").as("m"))
+        .orderBy($"sub", $"code", $"pos")
     },
     Some("""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 64),
             |sv AS (SELECT vec_id, s.sub,
@@ -3226,8 +3230,9 @@ object ExtQueries {
             |mu AS (SELECT sub, code, pos,
             |              CAST(CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
             |       FROM dims GROUP BY sub, code, pos)
-            |SELECT CAST(sub AS INT) AS sub, code, list(m ORDER BY pos) AS centroid
-            |FROM mu GROUP BY sub, code ORDER BY sub, code""".stripMargin))
+            |SELECT CAST(sub AS INT) AS sub, code, CAST(pos - 1 AS INT) AS pos,
+            |       CAST(m AS DOUBLE) AS m
+            |FROM mu ORDER BY sub, code, pos""".stripMargin))
 
   /** The interpolated (Jelinek–Mercer) LM face under the oracle gate:
     * same train corpus and planted rows as q101, but the score backs
@@ -3981,10 +3986,11 @@ object ExtQueries {
         Seq(graft.ops.IncrementalAgg.state(old, Seq($"l_suppkey"), $"l_extendedprice"),
             graft.ops.IncrementalAgg.state(delta, Seq($"l_suppkey"), $"l_extendedprice")),
         Seq("l_suppkey"))
+        .withColumn("s", $"s".cast("double"))
         .orderBy($"l_suppkey")
     },
     Some("""SELECT l_suppkey, count(*) AS n,
-                   sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS s,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s,
                    min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
             FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
 
@@ -4004,6 +4010,7 @@ object ExtQueries {
       val deleted = graft.ops.IncrementalAgg.state(
         li.filter($"l_orderkey" % 7 === 0), Seq($"l_suppkey"), $"l_extendedprice")
       graft.ops.IncrementalAgg.retract(full, deleted, Seq("l_suppkey"))
+        .withColumn("s", $"s".cast("double"))
         .orderBy($"l_suppkey")
     },
     Some("""WITH f AS (SELECT l_suppkey, count(*) AS n,
@@ -4016,8 +4023,8 @@ object ExtQueries {
                        FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY l_suppkey)
             SELECT f.l_suppkey,
                    f.n - coalesce(d.n, 0) AS n,
-                   CAST(f.s - coalesce(d.s, CAST(0 AS DECIMAL(38,6)))
-                        AS DECIMAL(38,6)) AS s,
+                   CAST(CAST(f.s - coalesce(d.s, CAST(0 AS DECIMAL(38,6)))
+                             AS DECIMAL(38,6)) AS DOUBLE) AS s,
                    f.mn, f.mx,
                    (d.mn IS NOT DISTINCT FROM f.mn OR
                     d.mx IS NOT DISTINCT FROM f.mx) AS stale_minmax
@@ -4653,7 +4660,7 @@ object ExtQueries {
             |r AS (SELECT doc_id, lang, hx, row_number() OVER
             |        (PARTITION BY lang ORDER BY hx ASC, doc_id ASC) AS rn
             |      FROM h)
-            |SELECT r.doc_id, r.lang, q.quota
+            |SELECT r.doc_id, r.lang, CAST(q.quota AS BIGINT) AS quota
             |FROM r JOIN q ON q.stratum = r.lang
             |WHERE r.rn <= q.quota
             |ORDER BY r.doc_id""".stripMargin))
@@ -6057,6 +6064,8 @@ object ExtQueries {
         $"doc_id", TextAnalysis.charCount($"text"), nShards = 7)
       Sharding.manifest(sharded, $"shard", $"text", $"w")
         .withColumnRenamed("group", "shard")
+        .withColumn("total_weight", $"total_weight".cast("long"))
+        .withColumn("digest", $"digest".cast("long"))
         .orderBy($"shard")
     },
     Some(s"""WITH rk AS (
@@ -6072,8 +6081,8 @@ object ExtQueries {
             |  SELECT shard, w, $hornerSql AS hval
             |  FROM (SELECT shard, w, md5(text) AS h FROM sh))
             |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
-            |       CAST(sum(w) AS DECIMAL(38,0)) AS total_weight,
-            |       CAST(sum(hval) AS DECIMAL(38,0)) AS digest
+            |       CAST(sum(w) AS BIGINT) AS total_weight,
+            |       CAST(sum(hval) AS BIGINT) AS digest
             |FROM hv GROUP BY shard ORDER BY shard""".stripMargin))
 
   /** Winnowing fingerprints (MOSS, Schleimer et al. 2003) with the
@@ -6162,6 +6171,8 @@ object ExtQueries {
       Forget.retractManifest(stored,
           sharded.filter($"doc_id" % 10L === 3L), $"shard", $"text", $"w")
         .withColumnRenamed("group", "shard")
+        .withColumn("total_weight", $"total_weight".cast("long"))
+        .withColumn("digest", $"digest".cast("long"))
         .orderBy($"shard")
     },
     Some(s"""WITH rk AS (
@@ -6177,8 +6188,8 @@ object ExtQueries {
             |  SELECT doc_id, shard, w, $hornerSql AS hval
             |  FROM (SELECT doc_id, shard, w, md5(text) AS h FROM sh))
             |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
-            |       CAST(sum(w) AS DECIMAL(38,0)) AS total_weight,
-            |       CAST(sum(hval) AS DECIMAL(38,0)) AS digest
+            |       CAST(sum(w) AS BIGINT) AS total_weight,
+            |       CAST(sum(hval) AS BIGINT) AS digest
             |FROM hv WHERE doc_id % 10 <> 3
             |GROUP BY shard ORDER BY shard""".stripMargin))
 
@@ -6250,6 +6261,7 @@ object ExtQueries {
       import s.implicits._
       EmbeddingSearch.gramMatrix(
           t(s, dir, "embeddings").filter($"vec_id" < 400), $"embedding")
+        .withColumn("sxx", $"sxx".cast("double"))
         .orderBy($"i", $"j")
     },
     Some("""WITH v AS (
@@ -6262,7 +6274,7 @@ object ExtQueries {
             |             qv[CAST(i AS INT)] * qv[CAST(j AS INT)] AS prod
             |      FROM p WHERE j >= i)
             |SELECT i, j,
-            |       CAST(sum(CAST(prod AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx,
+            |       CAST(sum(CAST(prod AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
             |       CAST(count(*) AS BIGINT) AS n
             |FROM g GROUP BY 1, 2 ORDER BY i, j""".stripMargin))
 
@@ -6436,6 +6448,8 @@ object ExtQueries {
       Sharding.admitManifest(stored, docs.filter($"doc_id" % 10L === 3L),
           $"shard", $"text", TextAnalysis.charCount($"text"))
         .withColumnRenamed("group", "shard")
+        .withColumn("total_weight", $"total_weight".cast("long"))
+        .withColumn("digest", $"digest".cast("long"))
         .orderBy($"shard")
     },
     Some(s"""WITH hv AS (
@@ -6445,8 +6459,8 @@ object ExtQueries {
             |               md5(text) AS h
             |        FROM documents))
             |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
-            |       CAST(sum(w) AS DECIMAL(38,0)) AS total_weight,
-            |       CAST(sum(hval) AS DECIMAL(38,0)) AS digest
+            |       CAST(sum(w) AS BIGINT) AS total_weight,
+            |       CAST(sum(hval) AS BIGINT) AS digest
             |FROM hv GROUP BY shard ORDER BY shard""".stripMargin))
 
   /** Vacuum/GC plan ([[graft.ext.Sharding.vacuumOrphans]] +
@@ -6592,6 +6606,116 @@ object ExtQueries {
             |WHERE d.doc_id % 10 <> 3
             |ORDER BY d.doc_id""".stripMargin))
 
+  /** HITS hubs & authorities ([[graft.ext.LinkGraph.hits]]) over the
+    * q131 fixture graph — UNNORMALIZED integer iterations, so every
+    * score is an exact alternating-walk count and the oracle
+    * ([[LinkGraph.hitsOracleSql]], generated per iteration from the
+    * same recursion) hash-matches without any grid: the
+    * [[LinkGraph.pageRank]] discipline with the quantization problem
+    * designed away rather than mirrored. The `source` hosts are pure
+    * hubs (out-links only → auth = 0), `src0..6`/`hub` pure
+    * authorities (hub = 0 after round 1); two rounds separate both
+    * sides decisively.
+    */
+  val q173 = Q(
+    "q173_hits",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"source")
+      val raw = d.select($"source".as("src"),
+          concat(lit("src"), ($"doc_id" % 7).cast("string")).as("dst"))
+        .unionAll(d.select($"source".as("src"),
+          concat(lit("src"), (($"doc_id" * 3 + 1) % 7).cast("string")).as("dst")))
+        .unionAll(d.filter($"doc_id" % 11 === 0)
+          .select($"source".as("src"), lit("hub").as("dst")))
+      graft.ext.LinkGraph.hits(raw, "src", "dst", iters = 2,
+          checkpoint = false)
+        .withColumn("hub", $"hub".cast("long"))
+        .withColumn("auth", $"auth".cast("long"))
+        .orderBy($"host")
+    },
+    Some(graft.ext.LinkGraph.hitsOracleSql(
+      """raw AS (
+        |  SELECT source AS src, 'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT source, 'src' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT source, 'hub' FROM documents WHERE doc_id % 11 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM raw)""".stripMargin,
+      iters = 2)))
+
+  /** Multi-source BFS crawl depth ([[graft.ext.LinkGraph.seedDistance]]):
+    * the q131 source→src edges plus a planted src0→…→tail8 chain, seeds
+    * {src0, island}. Pins: exact min-plus depths along the chain
+    * (1..4), the maxDepth cutoff (src5 at true depth 5 is ABSENT from
+    * the depth-4 output, as are tail7/8 and every unreached source
+    * host), and the unlinked-seed rule (island keeps its depth-0 row).
+    * Oracle unrolled per round by [[LinkGraph.seedDistanceOracleSql]].
+    */
+  val q174 = Q(
+    "q174_crawl_depth",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id", $"source")
+      val chain = Seq(
+        ("src0", "src1"), ("src1", "src2"), ("src2", "src3"),
+        ("src3", "src4"), ("src4", "src5"), ("src5", "src6"),
+        ("src6", "tail7"), ("tail7", "tail8")).toDF("src", "dst")
+      val raw = d.select($"source".as("src"),
+          concat(lit("src"), ($"doc_id" % 7).cast("string")).as("dst"))
+        .unionByName(chain)
+      val seeds = Seq("src0", "island").toDF("host")
+      graft.ext.LinkGraph.seedDistance(raw, "src", "dst", seeds,
+          maxDepth = 4, checkpoint = false)
+        .orderBy($"host")
+    },
+    Some(graft.ext.LinkGraph.seedDistanceOracleSql(
+      """raw AS (
+        |  SELECT source AS src, 'src' || CAST(doc_id % 7 AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ('src0', 'src1'), ('src1', 'src2'),
+        |    ('src2', 'src3'), ('src3', 'src4'), ('src4', 'src5'),
+        |    ('src5', 'src6'), ('src6', 'tail7'), ('tail7', 'tail8'))
+        |    v(src, dst)),
+        |e AS (SELECT DISTINCT src, dst FROM raw),
+        |seeds AS (SELECT * FROM (VALUES ('src0'), ('island')) s(host))""".stripMargin,
+      maxDepth = 4)))
+
+  /** Per-group proportional decile ([[graft.ops.Ranks.propTile]]):
+    * language-balanced retention ranking — every language's documents
+    * ranked by length within the language, tiled into tenths by the
+    * mirrored floor((rank−1)·n / n_group) rule. The Spark side ranks
+    * with the BUCKET-OFFSET discipline (per-(lang, high-bits) windows
+    * + broadcast offsets — no corpus-sized window partition even when
+    * one language dominates the corpus); the oracle uses the naive
+    * flat per-language window, so the gate pins the distributed rank
+    * ≡ naive rank, the tie rule, and the tile arithmetic in one hash.
+    */
+  val q175 = Q(
+    "q175_group_tile",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Ranks.propTile(
+          t(s, dir, "documents").select($"doc_id", $"lang", $"text"),
+          part = Seq("lang"), score = TextAnalysis.charCount($"text"),
+          tie = $"doc_id", n = 10)
+        .select($"doc_id", $"lang", $"w", $"rank", $"n_part", $"tile")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH rk AS (
+            |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS w,
+            |         row_number() OVER (PARTITION BY lang
+            |           ORDER BY length(text) DESC, doc_id) AS rank,
+            |         count(*) OVER (PARTITION BY lang) AS n_part
+            |  FROM documents)
+            |SELECT doc_id, lang, w, rank, CAST(n_part AS BIGINT) AS n_part,
+            |       CAST(floor(CAST((rank - 1) * 10 AS DOUBLE) /
+            |                  CAST(n_part AS DOUBLE)) AS BIGINT) + 1 AS tile
+            |FROM rk ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6603,5 +6727,6 @@ object ExtQueries {
     q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138,
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169, q170, q171, q172)
+    q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
+    q175)
 }

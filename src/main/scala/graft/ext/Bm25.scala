@@ -177,6 +177,10 @@ object Bm25 {
                  qid: Column, qtext: Column, k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // an empty index (never built, or fully retracted) would make
+    // avgdl a div-by-zero NaN — fail fast instead
+    require(index.nDocs > 0,
+      "probeIndex: empty index (nDocs == 0) — build or re-admit docs first")
     val c1 = k1 + 1.0
     val c2 = k1 * (1.0 - b)
     val c3 = k1 * b

@@ -702,7 +702,11 @@ object EmbeddingSearch {
     * triples only.
     */
   def gramMatrix(df: DataFrame, vec: Column, gridBits: Int = 6): DataFrame = {
-    require(gridBits >= 1 && gridBits <= 12, "gridBits in [1, 12]")
+    // 2·gridBits ≤ the DECIMAL scale (12): products are multiples of
+    // 2^-2·gridBits, so gridBits > 6 would round and break the
+    // bit-exact cross-engine contract (and powerIteration2's integer
+    // rescale).
+    require(gridBits >= 1 && gridBits <= 6, "gridBits in [1, 6]")
     val scale = (1L << gridBits).toDouble
     val q = transform(vec, x => floor(x.cast("double") * lit(scale)) / lit(scale))
     df.select(q.as("__qv"))

@@ -393,6 +393,177 @@ object LinkGraph {
     * map-side combine; join the result to [[pageRank]] output or feed
     * the per-host top-k via [[graft.functions.TopKAgg]].
     */
+  /** HITS hubs & authorities (Kleinberg 1999) — EXACT integer
+    * iterations. The textbook mutual recursion
+    *
+    *   auth_t(v) = Σ_{u→v} hub_{t-1}(u),   hub_t(v) = Σ_{v→w} auth_t(w)
+    *
+    * run UNNORMALIZED from hub₀ = 1: every score is then an exact
+    * integer (the count of length-2t alternating walks ending at v),
+    * so DECIMAL(38,0) sums make the whole computation
+    * order-invariant and bit-identical cross-engine — the same
+    * discipline as [[EmbeddingSearch.powerIteration2]], where the
+    * caller normalizes the final vector in doubles downstream (HITS
+    * ranking only needs the order, which normalization preserves).
+    * Scores grow like (in·out degree)^t: iters ≤ 3 keeps them inside
+    * DECIMAL(38,0) for degrees up to ~1e6, and 2-3 iterations already
+    * dominate toward the principal singular pair.
+    *
+    * Shuffle shape per iteration: two host-keyed hash aggregates over
+    * the (distinct) edge list joined to a host-sized score vector —
+    * no corpus row ever carries more than (host, score). Lineage is
+    * truncated per iteration exactly as in [[pageRank]].
+    *
+    * @return one row per host: (host STRING, hub DECIMAL(38,0),
+    *         auth DECIMAL(38,0))
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+           checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 3,
+      s"iters in [1, 3] (unnormalized integer scores grow as (degree^2)^iters), got $iters")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("host"))
+      .unionAll(e.select(col("dst").as("host")))
+      .distinct()
+      .cache()
+    val zero = lit(0).cast("decimal(38,0)")
+    var hub = nodes.select(col("host"), lit(1).cast("decimal(38,0)").as("hub"))
+    var auth = nodes.select(col("host"), zero.as("auth"))
+    for (_ <- 1 to iters) {
+      val aSum = e.join(hub.withColumnRenamed("host", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("__a"))
+      auth = nodes.join(aSum, nodes("host") === aSum("dst"), "left")
+        .select(nodes("host"), coalesce(col("__a"), zero).as("auth"))
+      val hSum = e.join(auth.withColumnRenamed("host", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("auth")).as("__h"))
+      hub = nodes.join(hSum, nodes("host") === hSum("src"), "left")
+        .select(nodes("host"), coalesce(col("__h"), zero).as("hub"))
+      if (checkpoint) {
+        auth = auth.localCheckpoint(true)
+        hub = hub.localCheckpoint(true)
+      }
+    }
+    hub.join(auth, "host")
+  }
+
+  /** Unrolled DuckDB mirror of [[hits]] for oracle gates — generated
+    * per iteration from the same recursion so both engines share one
+    * source of truth. `edgesCte` must define `e(src, dst)` (already
+    * distinct). All sums are exact integers (HUGEINT in DuckDB), so
+    * no grid/quantization is needed.
+    */
+  def hitsOracleSql(edgesCte: String, iters: Int): String = {
+    val it = (1 to iters).map { i =>
+      val ph = s"h${i - 1}"
+      s"""a$i AS (SELECT n.host, coalesce(x.s, 0) AS auth
+         |        FROM nodes n LEFT JOIN
+         |          (SELECT e.dst AS host, sum($ph.hub) AS s
+         |           FROM e JOIN $ph ON $ph.host = e.src GROUP BY e.dst) x
+         |          USING (host)),
+         |h$i AS (SELECT n.host, coalesce(x.s, 0) AS hub
+         |        FROM nodes n LEFT JOIN
+         |          (SELECT e.src AS host, sum(a$i.auth) AS s
+         |           FROM e JOIN a$i ON a$i.host = e.dst GROUP BY e.src) x
+         |          USING (host))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |nodes AS (SELECT DISTINCT host FROM
+       |            (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT host, CAST(1 AS HUGEINT) AS hub FROM nodes),
+       |$it
+       |SELECT n.host, CAST(h$iters.hub AS BIGINT) AS hub,
+       |       CAST(a$iters.auth AS BIGINT) AS auth
+       |FROM nodes n JOIN h$iters USING (host) JOIN a$iters USING (host)
+       |ORDER BY n.host""".stripMargin
+  }
+
+  /** Multi-source BFS distance from a seed set — the crawl-frontier
+    * DEPTH signal: how many link hops a host sits from the vetted
+    * seeds (Common-Crawl-style curation caps harvest depth because
+    * quality decays with distance from the seed list). Exact integer
+    * min-plus iteration, `maxDepth` rounds:
+    *
+    *   d_t(v) = min(d_{t-1}(v), 1 + min_{u→v} d_{t-1}(u)),  d_0 = 0 on seeds
+    *
+    * Hosts not reached within `maxDepth` hops are ABSENT from the
+    * output (unreachable-at-depth is decidable from absence — no ∞
+    * sentinel to overflow). Seeds not present in the graph keep their
+    * depth-0 row, mirroring [[trustRank]]'s unlinked-seed rule. Each
+    * round is one union + host-keyed min aggregate over the
+    * frontier-joined edge list; state is one row per reached host.
+    *
+    * @return (host STRING, depth BIGINT), depth ∈ [0, maxDepth]
+    */
+  def seedDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, maxDepth: Int,
+                   checkpoint: Boolean = true): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 30,
+      s"maxDepth in [1, 30] (each round is a shuffle; real crawl caps are single digits), got $maxDepth")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+    var dist = seeds.select(seeds.columns.head)
+      .select(col(seeds.columns.head).cast("string").as("host"))
+      .distinct()
+      .withColumn("depth", lit(0L))
+    for (_ <- 1 to maxDepth) {
+      val stepped = e.join(dist.withColumnRenamed("host", "src"), "src")
+        .select(col("dst").as("host"), (col("depth") + 1L).as("depth"))
+      dist = dist.unionByName(stepped)
+        .groupBy(col("host")).agg(min(col("depth")).as("depth"))
+      if (checkpoint) dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Unrolled DuckDB mirror of [[seedDistance]]: `edgesCte` must
+    * define `e(src, dst)` (distinct) and `seeds(host)`.
+    */
+  def seedDistanceOracleSql(edgesCte: String, maxDepth: Int): String = {
+    val it = (1 to maxDepth).map { i =>
+      val p = s"d${i - 1}"
+      s"""d$i AS (SELECT host, min(depth) AS depth FROM (
+         |          SELECT host, depth FROM $p
+         |          UNION ALL
+         |          SELECT e.dst AS host, $p.depth + 1 AS depth
+         |          FROM e JOIN $p ON $p.host = e.src)
+         |        GROUP BY host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |d0 AS (SELECT DISTINCT host, CAST(0 AS BIGINT) AS depth FROM seeds),
+       |$it
+       |SELECT host, depth FROM d$maxDepth ORDER BY host""".stripMargin
+  }
+
+  /** Depth screen: keep documents whose host lies within `maxDepth`
+    * hops of the seeds per a precomputed [[seedDistance]] table. The
+    * distance table is host-cardinality (tiny next to the corpus), so
+    * this is one broadcast LEFT SEMI join — the blockScreen
+    * discipline; never a corpus shuffle.
+    */
+  def depthScreen(docs: DataFrame, hostCol: Column, dists: DataFrame,
+                  maxDepth: Int): DataFrame = {
+    val ok = dists.filter(col("depth") <= maxDepth)
+      .select(col("host").as("__okhost"))
+    docs.join(broadcast(ok), hostCol === col("__okhost"), "left_semi")
+  }
+
+  /** Anchor-text terms per target host: what the web SAYS a host is
+    * about — the classic topical/quality signal (link text is
+    * author-curated description of the TARGET, not the source). For
+    * every absolute http(s) `<a href=…>text</a>` whose inner text is
+    * plain (no nested markup), emit the target host with each
+    * lowercased anchor token; returns (dst, term, n_links) counts.
+    * Counting is per LINK (one host linking twice with the same term
+    * counts twice — repetition is signal here, unlike dedup).
+    * Per-row regex work then ONE count shuffle keyed (dst, term) with
+    * map-side combine; join the result to [[pageRank]] output or feed
+    * the per-host top-k via [[graft.functions.TopKAgg]].
+    */
   def anchorTexts(docs: DataFrame, html: Column): DataFrame = {
     val anchorRe = "(?i)<a\\s[^>]*href\\s*=\\s*[\"'][^\"']+[\"'][^>]*>[^<]*</a>"
     docs

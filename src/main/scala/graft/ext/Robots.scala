@@ -49,11 +49,15 @@ object Robots {
       posexplode(split(body, "\n")).as(Seq("i", "raw")))
     val cleaned = trim(regexp_replace(
       regexp_replace(col("raw"), "\r", ""), "#.*$", ""))
+    // single source of truth: the SAME field alternation classifies
+    // the line and strips the field name, so the two can't drift if
+    // the directive grammar grows
+    val fieldAlt = "(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:"
     val kind = when(lower(cleaned).rlike("^user-agent\\s*:"), "ua")
       .when(lower(cleaned).rlike("^allow\\s*:"), "allow")
       .when(lower(cleaned).rlike("^disallow\\s*:"), "disallow")
       .when(lower(cleaned).rlike("^crawl-delay\\s*:"), "delay")
-    val value = trim(regexp_replace(cleaned, "^[A-Za-z-]+\\s*:", ""))
+    val value = trim(regexp_replace(cleaned, fieldAlt, ""))
     val d = lines
       .select(col("host"), col("i"), kind.as("kind"), value.as("v"))
       .filter(col("kind").isNotNull)

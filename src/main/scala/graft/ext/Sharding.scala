@@ -44,7 +44,13 @@ object Sharding {
                   bucketShift: Int = 8): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     require(bucketShift >= 0 && bucketShift < 63, "bucketShift in [0, 63)")
-    val withW = df.withColumn("__w", weight.cast("long"))
+    // negative weights would land in a huge unsigned bucket (ranked
+    // heaviest) while sorting last within it — reject at runtime
+    // rather than silently corrupt the global rank
+    val withW = df.withColumn("__w",
+        when(weight.cast("long") < 0, raise_error(concat(
+          lit("snakeShards: negative weight "), weight.cast("string"))))
+          .otherwise(weight.cast("long")))
       .withColumn("__b", shiftrightunsigned(col("__w"), bucketShift))
     // per-bucket counts → exclusive offset of each bucket in the
     // weight-DESC global order (tiny: one row per distinct high-bit value)

@@ -74,6 +74,11 @@ object VarintUtil {
         if (shift > 63)
           throw new IllegalArgumentException("varint: value overflows a long")
         val bb = b(i)
+        // at shift 63 only bit 0 of this byte fits; higher payload
+        // bits would be silently shifted out — reject, like the other
+        // malformed-input cases
+        if (shift == 63 && (bb & 0x7e) != 0)
+          throw new IllegalArgumentException("varint: value overflows a long")
         x |= (bb & 0x7fL) << shift
         shift += 7
         more = (bb & 0x80) != 0
