@@ -381,18 +381,6 @@ object LinkGraph {
   def mirrorClusters(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     DedupClusters.connectedComponents(mutualPairs(edges, srcCol, dstCol))
 
-  /** Anchor-text terms per target host: what the web SAYS a host is
-    * about — the classic topical/quality signal (link text is
-    * author-curated description of the TARGET, not the source). For
-    * every absolute http(s) `<a href=…>text</a>` whose inner text is
-    * plain (no nested markup), emit the target host with each
-    * lowercased anchor token; returns (dst, term, n_links) counts.
-    * Counting is per LINK (one host linking twice with the same term
-    * counts twice — repetition is signal here, unlike dedup).
-    * Per-row regex work then ONE count shuffle keyed (dst, term) with
-    * map-side combine; join the result to [[pageRank]] output or feed
-    * the per-host top-k via [[graft.functions.TopKAgg]].
-    */
   /** HITS hubs & authorities (Kleinberg 1999) — EXACT integer
     * iterations. The textbook mutual recursion
     *

@@ -149,4 +149,53 @@ class LinkGraphSpec extends SparkTestBase {
     assert(out("h") > out.filter(_._1 != "h").values.max,
       s"hub must dominate: $out")
   }
+
+  test("hits: exact alternating-walk counts on a hand-computed triangle") {
+    // a→b, a→c, b→c:
+    //   iter1: auth b=1, c=2;  hub a=3, b=2, c=0
+    //   iter2: auth b=3, c=5;  hub a=8, b=5, c=0
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val out = LinkGraph.hits(e, "src", "dst", iters = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDecimal(1).longValueExact(), r.getDecimal(2).longValueExact()))
+      .toMap
+    assert(out == Map("a" -> (8L, 0L), "b" -> (5L, 3L), "c" -> (0L, 5L)),
+      out.toString)
+  }
+
+  test("hits: duplicated edges collapse; one iteration gives degree counts") {
+    val once = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val duped = once.unionAll(Seq(("a", "b"), ("a", "b")).toDF("src", "dst"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LinkGraph.hits(df, "src", "dst", iters = 1)
+        .collect()
+        .map(r => (r.getString(0), r.getDecimal(1).longValueExact(),
+          r.getDecimal(2).longValueExact())).sorted.toSeq
+    assert(run(once) == run(duped))
+    // cycle: every node has in-degree 1 → auth=1; hub = auth of its
+    // one target = 1
+    assert(run(once) == Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("seedDistance: chain depths, maxDepth cutoff, unlinked seed, unreached host") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "a")).toDF("src", "dst")
+    val seeds = Seq("a", "ghost").toDF("host")
+    val out = LinkGraph.seedDistance(e, "src", "dst", seeds, maxDepth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // d is at depth 3 > maxDepth and x is upstream of the seeds: both absent
+    assert(out == Map("a" -> 0L, "ghost" -> 0L, "b" -> 1L, "c" -> 2L),
+      out.toString)
+  }
+
+  test("depthScreen keeps exactly the docs whose host is within range") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val dists = LinkGraph.seedDistance(e, "src", "dst",
+      Seq("a").toDF("host"), maxDepth = 3)
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "zzz"))
+      .toDF("doc_id", "host")
+    val kept = LinkGraph.depthScreen(docs, col("host"), dists, maxDepth = 1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L), kept.toString)
+  }
 }
