@@ -249,7 +249,11 @@ object Bench {
       "q152_index_refresh", "q153_sitemap_frontier", "q154_packed_postings",
       "q155_retrieval_eval", "q156_isotonic_fit", "q157_calibrated_scores",
       "q158_snake_shards", "q159_shard_manifest", "q161_compaction_plan",
-      "q162_retract_manifest", "q168_admit_manifest", "q169_vacuum_plan")
+      "q162_retract_manifest", "q168_admit_manifest", "q169_vacuum_plan",
+      // round-11: HITS + BFS depth run the documents-derived host
+      // graph (corpus-proportional edges); the per-group tile scans
+      // the full corpus
+      "q173_hits", "q174_crawl_depth", "q175_group_tile")
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)

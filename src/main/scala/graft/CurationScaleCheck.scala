@@ -195,6 +195,45 @@ object CurationScaleCheck {
       probes.unpersist(); blooms.unpersist(); stored.unpersist()
       docs.unpersist()
     }
+
+    // ---- per-group proportional tile (Ranks.propTile) under the same
+    // 90%-dominant-group skew as the quota tier: the naive per-group
+    // window sorts the megagroup through ONE task; the bucket-offset
+    // rank keys its windows on (group, score-high-bits), so the heavy
+    // group spreads across ~score-range/2^shift partitions. Both faces
+    // return identical rows (RanksSpec); this measures the cost shape
+    // as the dominant group grows.
+    Seq(1000000, 4000000).foreach { n =>
+      val skewed = spark.range(n.toLong).select(
+          col("id"),
+          when(col("id") % 10 < 9, lit("megalang"))
+            .otherwise(concat(lit("lang"), (col("id") % 50).cast("string")))
+            .as("grp"),
+          pmod(col("id") * 2654435761L, lit(1000000L)).as("score"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      skewed.count()
+      // sum(tile) forces the tile column — a bare count() would let
+      // Catalyst prune the unused window/join away and time nothing
+      time(s"propTile(bucketRank) ${n}rows 90%-skew") {
+        graft.ops.Ranks.propTile(skewed, Seq("grp"), col("score"), col("id"),
+            n = 10, bucketShift = 12)
+          .agg(sum("tile")).collect()
+        n.toLong
+      }
+      time(s"propTile(naive window) ${n}rows 90%-skew") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+        val c = Window.partitionBy("grp")
+        skewed.withColumn("rank", row_number().over(w))
+          .withColumn("n_part", count(lit(1)).over(c))
+          .withColumn("tile",
+            floor(((col("rank") - 1) * 10).cast("double") /
+              col("n_part").cast("double")).cast("long") + 1L)
+          .agg(sum("tile")).collect()
+        n.toLong
+      }
+      skewed.unpersist()
+    }
     spark.stop()
   }
 }

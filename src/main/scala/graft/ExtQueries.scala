@@ -6716,6 +6716,106 @@ object ExtQueries {
             |                  CAST(n_part AS DOUBLE)) AS BIGINT) + 1 AS tile
             |FROM rk ORDER BY doc_id""".stripMargin))
 
+  /** SQL for one gram size of the q176 oracle: sliding word n-grams
+    * (whole-doc join fallback below n tokens — the
+    * [[graft.functions.NGrams]] rule), per-gram counts, max-count
+    * tie→largest-coverage, duplicated-gram coverage. Generated per n
+    * so Spark and DuckDB share one formula.
+    */
+  private def gramRepSql(n: Int): String =
+    s"""g$n AS (SELECT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS g
+       |        FROM (SELECT doc_id, t,
+       |                unnest(generate_series(1, greatest(len(t)-${n - 1}, 1))) AS i
+       |              FROM rtok)),
+       |c$n AS (SELECT doc_id, g, length(g) AS len, count(*) AS cnt
+       |        FROM g$n GROUP BY doc_id, g, length(g)),
+       |w$n AS (SELECT *, max(cnt) OVER (PARTITION BY doc_id) AS mxc FROM c$n),
+       |s$n AS (SELECT doc_id, $n AS n, CAST(sum(cnt) AS BIGINT) AS n_grams,
+       |               CAST(max(CASE WHEN cnt = mxc THEN cnt*len ELSE 0 END) AS BIGINT) AS top_cov,
+       |               CAST(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt*len END), 0) AS BIGINT) AS dup_cov
+       |        FROM w$n GROUP BY doc_id)""".stripMargin
+
+  /** Gopher gram-repetition signals
+    * ([[graft.ext.QualityFilter.gramRepetition]]): occurrence-weighted
+    * character coverage of the top n-gram and of all duplicated
+    * n-grams, long format, exact integers. Planted rows exercise pure
+    * repetition (every bigram duplicated), single-token repetition,
+    * and clean prose; the corpus rows pin the conventions at scale.
+    * The oracle groups by the gram STRING while Spark groups by its
+    * md5 — equality pins the digest-shuffle discipline too.
+    */
+  val q176 = Q(
+    "q176_gram_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (800000L, "click here click here click here click here"),
+        (800001L, "spam spam spam spam spam spam spam spam"),
+        (800002L, "the arctic tern migrates farther than any other bird"))
+        .toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      QualityFilter.gramRepetition(docs, $"doc_id", $"text", ns = Seq(2, 3, 5))
+        .orderBy($"doc_id", $"n")
+    },
+    Some(s"""WITH u AS (SELECT doc_id, text FROM documents
+            |           UNION ALL SELECT * FROM (VALUES
+            |  (800000, 'click here click here click here click here'),
+            |  (800001, 'spam spam spam spam spam spam spam spam'),
+            |  (800002, 'the arctic tern migrates farther than any other bird'))
+            |  p(doc_id, text)),
+            |rtok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            |         FROM u),
+            |${gramRepSql(2)},
+            |${gramRepSql(3)},
+            |${gramRepSql(5)}
+            |SELECT * FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3
+            |               UNION ALL SELECT * FROM s5)
+            |ORDER BY doc_id, n""".stripMargin))
+
+  /** Gopher line-repetition signals
+    * ([[graft.ext.QualityFilter.lineRepetition]]): duplicate-line
+    * rows and character mass (total − distinct, trimmed non-empty
+    * lines). Pure per-row HOF expressions — the zero-shuffle
+    * gopherFlags shape — mirrored with DuckDB list lambdas. Planted
+    * rows exercise repeated lines split by blanks/whitespace-only
+    * lines, all-distinct docs, and a fully-duplicated doc.
+    */
+  val q177 = Q(
+    "q177_line_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (810000L, "alpha line\nbeta line\nalpha line\n\n   \nalpha line"),
+        (810001L, "one\ntwo\nthree"),
+        (810002L, "dup\ndup\ndup\ndup")).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      QualityFilter.lineRepetition(docs, $"doc_id", $"text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id, text FROM documents
+            |           UNION ALL SELECT * FROM (VALUES
+            |  (810000, 'alpha line' || chr(10) || 'beta line' || chr(10) ||
+            |           'alpha line' || chr(10) || chr(10) || '   ' || chr(10) ||
+            |           'alpha line'),
+            |  (810001, 'one' || chr(10) || 'two' || chr(10) || 'three'),
+            |  (810002, 'dup' || chr(10) || 'dup' || chr(10) || 'dup' || chr(10) || 'dup'))
+            |  p(doc_id, text)),
+            |l AS (SELECT doc_id,
+            |        list_filter(list_transform(string_split(text, chr(10)),
+            |          x -> trim(x)), x -> x <> '') AS lns
+            |      FROM u)
+            |SELECT doc_id,
+            |       CAST(len(lns) AS BIGINT) AS n_lines,
+            |       CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS n_dup_lines,
+            |       CAST(coalesce(list_sum(list_transform(lns, x -> length(x))), 0)
+            |            AS BIGINT) AS line_chars,
+            |       CAST(coalesce(list_sum(list_transform(lns, x -> length(x))), 0) -
+            |            coalesce(list_sum(list_transform(list_distinct(lns),
+            |              x -> length(x))), 0) AS BIGINT) AS dup_line_chars
+            |FROM l ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6728,5 +6828,5 @@ object ExtQueries {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175)
+    q175, q176, q177)
 }

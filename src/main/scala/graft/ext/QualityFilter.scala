@@ -185,4 +185,115 @@ object QualityFilter {
           col("f_ellipsis_lines") === 1L && col("f_alpha_words") === 1L &&
           col("f_stopwords") === 1L).cast("long"))
   }
+
+  /** Gopher REPETITION signals, gram face (Rae et al. 2021 §A1.1 —
+    * the filters [[gopherFlags]] deliberately omits because they need
+    * a per-doc grouped aggregate, not a per-row expression): for each
+    * word-n-gram size, the occurrence-weighted character coverage of
+    * (a) the most frequent n-gram and (b) all duplicated n-grams.
+    * Machine-generated and template text repeats; these two numbers
+    * are the standard way to see it.
+    *
+    * Counting conventions (pinned by gate q176's oracle): tokens are
+    * lowercased whitespace splits (the q101 rule), grams are
+    * space-joined SLIDING windows (non-distinct; a doc shorter than n
+    * contributes its whole token join as one gram — the
+    * [[graft.functions.NGrams]] fallback), coverage is
+    * count·length(gram) — occurrence-weighted, so overlapping
+    * occurrences each count (a documented upper bound on the paper's
+    * distinct-character-position measure; deterministic and exactly
+    * portable where position-set union is not), and top-gram ties
+    * resolve to the LARGEST coverage among maximal-count grams.
+    *
+    * Output is LONG format — (doc_id, n, n_grams, top_cov, dup_cov),
+    * one row per requested n with all-integer values.
+    *
+    * Scale shape: one explode per n over the corpus, shuffles keyed
+    * (doc, n, md5(gram)) carrying 16-byte digests + a length — never
+    * gram text (the q86/q130 discipline); the tie-break window
+    * partitions by (doc, n) — per-document cardinality, bounded by
+    * document length, never corpus-sized.
+    */
+  def gramRepetition(df: DataFrame, id: Column, text: Column,
+                     ns: Seq[Int] = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 16),
+      s"gram sizes in [1, 16], got $ns")
+    val perN = ns.map { n =>
+      df.select(id.as("doc_id"), lit(n).as("n"),
+          explode(graft.functions.NGrams.wordNGramSeq(lower(text), n)).as("__g"))
+        .select(col("doc_id"), col("n"),
+          md5(col("__g").cast("binary")).as("__h"),
+          length(col("__g")).cast("long").as("__len"))
+    }.reduce(_ unionAll _)
+    val counted = perN
+      .groupBy(col("doc_id"), col("n"), col("__h"), col("__len"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col("doc_id"), col("n"))
+    counted.withColumn("__mxc", max(col("__cnt")).over(w))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        max(when(col("__cnt") === col("__mxc"), col("__cnt") * col("__len"))
+          .otherwise(lit(0L))).as("top_cov"),
+        coalesce(sum(when(col("__cnt") >= 2L, col("__cnt") * col("__len"))),
+          lit(0L)).as("dup_cov"))
+  }
+
+  /** Gopher repetition signals, line face: duplicate-line counts and
+    * duplicate-line character mass per document. Lines are
+    * newline-splits, trimmed, empties dropped; a line's duplicates
+    * beyond its first occurrence count as duplicated (so
+    * dup = total − distinct, in both rows and characters). Pure
+    * per-row higher-order expressions — zero shuffle, the
+    * [[gopherFlags]] scale shape.
+    */
+  def lineRepetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => l =!= lit(""))
+    val dist = array_distinct(lines)
+    def chars(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    df.select(id.as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(dist)).cast("long").as("n_dup_lines"),
+      chars(lines).as("line_chars"),
+      (chars(lines) - chars(dist)).as("dup_line_chars"))
+  }
+
+  /** The Gopher repetition CASCADE as one (doc_id, passes) verdict —
+    * the paper's thresholds in exact integer arithmetic over
+    * [[lineRepetition]] and [[gramRepetition]]: duplicate lines
+    * ≤ 30% of lines and ≤ 20% of line characters; top n-gram
+    * coverage ≤ 20/18/16% of document characters for n = 2/3/4;
+    * duplicated n-gram coverage ≤ 15/14/13/12/11/10% for n = 5…10.
+    * Empty docs (no lines, no grams beyond the degenerate join) pass
+    * the ratio rules vacuously, matching the paper's length filters
+    * owning that case.
+    */
+  def repetitionPasses(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val topT = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupT = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val topMap = map(topT.flatMap { case (n, t) => Seq(lit(n), lit(t)) }: _*)
+    val dupMap = map(dupT.flatMap { case (n, t) => Seq(lit(n), lit(t)) }: _*)
+    val nchars = df.select(id.as("doc_id"),
+      length(text).cast("long").as("__nc"))
+    val gramOk = gramRepetition(df, id, text,
+        ns = (topT ++ dupT).map(_._1))
+      .join(nchars, "doc_id")
+      .withColumn("__ok",
+        (element_at(topMap, col("n")).isNull ||
+          col("top_cov") * 100L <= col("__nc") * element_at(topMap, col("n"))) &&
+        (element_at(dupMap, col("n")).isNull ||
+          col("dup_cov") * 100L <= col("__nc") * element_at(dupMap, col("n"))))
+      .groupBy("doc_id")
+      .agg(min(col("__ok").cast("long")).as("__gok"))
+    lineRepetition(df, id, text)
+      .withColumn("__lok",
+        (col("n_dup_lines") * 10L <= col("n_lines") * 3L &&
+          col("dup_line_chars") * 5L <= col("line_chars")).cast("long"))
+      .select(col("doc_id"), col("__lok"))
+      .join(gramOk, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("__lok") === 1L && coalesce(col("__gok"), lit(1L)) === 1L)
+          .cast("long").as("passes"))
+  }
 }

@@ -513,6 +513,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q175 propTile: every window partitions by (group, bucket) — no corpus-sized partition; offsets and counts broadcast") {
+    val p = plan(ExtQueries.q175.run(spark, dir))
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, p)
+    // the corpus-side rank window must key on the (lang, high-bits)
+    // pair; the offsets window keys on lang over the tiny bucket table
+    assert(winLines.forall(_.contains("lang")), winLines.mkString("\n"))
+    assert(winLines.exists(_.contains("__b")), winLines.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q174 seed distance: host-keyed aggregates only; depthScreen is a broadcast left-semi join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val dists = ext.LinkGraph.seedDistance(e, "src", "dst",
+      Seq("a").toDF("host"), maxDepth = 2)
+    val docs = Tables.table(spark, dir, "documents").select($"doc_id", $"source")
+    val p = plan(ext.LinkGraph.depthScreen(docs, $"source", dists, maxDepth = 1))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("reporting joins broadcast the dimension side") {
     val hospitals = Tables.table(spark, dir, "customer")
       .selectExpr("cast(c_custkey as string) hospital_pk", "c_name hospital_name")
