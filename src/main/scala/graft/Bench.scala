@@ -251,9 +251,11 @@ object Bench {
       "q158_snake_shards", "q159_shard_manifest", "q161_compaction_plan",
       "q162_retract_manifest", "q168_admit_manifest", "q169_vacuum_plan",
       // round-11: HITS + BFS depth run the documents-derived host
-      // graph (corpus-proportional edges); the per-group tile scans
-      // the full corpus
-      "q173_hits", "q174_crawl_depth", "q175_group_tile")
+      // graph (corpus-proportional edges); the per-group tile, the
+      // repetition signals, and the host-template stats scan the full
+      // corpus
+      "q173_hits", "q174_crawl_depth", "q175_group_tile",
+      "q176_gram_repetition", "q177_line_repetition", "q178_host_template")
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)

@@ -6816,6 +6816,62 @@ object ExtQueries {
             |              x -> length(x))), 0) AS BIGINT) AS dup_line_chars
             |FROM l ORDER BY doc_id""".stripMargin))
 
+  /** Host-scoped template detection
+    * ([[graft.ext.Boilerplate.hostTemplateStats]]): per-doc counts of
+    * sentences shared by ≥ 2 docs of the SAME host. Planted: four
+    * tmplhost docs sharing a footer (each doc: 1 unique + 1 common),
+    * one otherhost doc carrying the IDENTICAL footer that must NOT
+    * count (df is per host), and a doc repeating the footer twice
+    * (counts once toward df — the q130 rule). The corpus rows pin the
+    * source-partitioned counts at scale; Spark joins on md5 digests,
+    * the oracle on sentence strings — equality pins the digest
+    * discipline too.
+    */
+  val q178 = Q(
+    "q178_host_template",
+    (s, dir) => {
+      import s.implicits._
+      val planted = (0 until 4).map(i =>
+          (820000L + i, "tmplhost", s"Unique lead $i today. Shared template footer here."))
+        .toDF("doc_id", "host", "text")
+        .unionByName(Seq(
+          (820004L, "otherhost", "Shared template footer here."),
+          (820005L, "tmplhost",
+            "Shared template footer here. Shared template footer here. Fresh tail."))
+          .toDF("doc_id", "host", "text"))
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"source".as("host"), $"text")
+        .unionByName(planted)
+      graft.ext.Boilerplate.hostTemplateStats(docs, $"doc_id", $"host", $"text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH planted(doc_id, host, text) AS (
+            |  SELECT 820000 + i, 'tmplhost',
+            |         'Unique lead ' || CAST(i AS VARCHAR) ||
+            |         ' today. Shared template footer here.'
+            |  FROM range(0, 4) t(i)),
+            |planted2(doc_id, host, text) AS (VALUES
+            |  (820004, 'otherhost', 'Shared template footer here.'),
+            |  (820005, 'tmplhost', 'Shared template footer here. ' ||
+            |           'Shared template footer here. Fresh tail.')),
+            |u AS (SELECT doc_id, source AS host, text FROM documents
+            |      UNION ALL SELECT doc_id, host, text FROM planted
+            |      UNION ALL SELECT doc_id, host, text FROM planted2),
+            |m AS (SELECT doc_id, host,
+            |        list_filter(list_transform(
+            |          string_split(regexp_replace(text, '([.!?]+)\s+',
+            |                                      '\1' || chr(1), 'g'), chr(1)),
+            |          x -> trim(x)), x -> x <> '') AS l
+            |      FROM u),
+            |sent AS (SELECT DISTINCT doc_id, host, unnest(l) AS sentence FROM m),
+            |dfc AS (SELECT host, sentence, count(*) AS df
+            |        FROM sent GROUP BY host, sentence)
+            |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+            |       CAST(sum(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_common
+            |FROM sent s JOIN dfc ON dfc.host = s.host AND dfc.sentence = s.sentence
+            |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6828,5 +6884,5 @@ object ExtQueries {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177)
+    q175, q176, q177, q178)
 }

@@ -31,4 +31,41 @@ object Boilerplate {
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDf)
+
+  /** HOST-scoped template statistics: per document, how many of its
+    * sentences are shared by ≥ `minDf` documents of the SAME host.
+    * Site templates (navigation, footers, cookie banners) repeat
+    * within a host but differ across hosts, so the host partition is
+    * what separates template mass from genuinely common prose — the
+    * corpus-wide common-sentence signal (gate q130) can't tell a
+    * license footer from a popular quotation; this face can.
+    * Downstream, a high n_common/n_sents fraction routes the document
+    * to template-stripping or drops it.
+    *
+    * Sentences are [[TextAnalysis.sentences]] segments, DISTINCT per
+    * document (a footer repeated twice in one doc counts once toward
+    * its own host-df, the q130 rule). Documents with zero sentences
+    * are absent from the output.
+    *
+    * Scale shape: explode → distinct → one (host, digest) count →
+    * join back on (host, digest) — every shuffle carries the 32-char
+    * md5 digest, never sentence text (the q86/q130 discipline), and
+    * per-host sentence cardinality bounds the join's key groups.
+    */
+  def hostTemplateStats(docs: DataFrame, id: Column, host: Column,
+                        text: Column, minDf: Long = 2L): DataFrame = {
+    require(minDf >= 2L, s"minDf must be >= 2 (df 1 is every sentence), got $minDf")
+    val sent = docs.select(id.as("doc_id"), host.as("__host"),
+        explode(TextAnalysis.sentences(text)).as("__s"))
+      .select(col("doc_id"), col("__host"),
+        md5(col("__s").cast("binary")).as("__d"))
+      .distinct()
+    val dfc = sent.groupBy(col("__host"), col("__d"))
+      .agg(count(lit(1)).as("__df"))
+    sent.join(dfc, Seq("__host", "__d"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("__df") >= minDf, lit(1L)).otherwise(lit(0L)))
+          .as("n_common"))
+  }
 }

@@ -910,6 +910,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("repetition screen per micro-batch: doc-local signals, union of batch verdicts equals the batch run, stream stateless") {
+    import graft.ext.QualityFilter
+    // the repetition verdict depends only on the document's own text,
+    // so the streaming face is a per-batch foreachBatch compute with
+    // ZERO cross-batch state — unlike the dedup/manifest screens there
+    // is no corpus state to maintain
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+      .unionByName(Seq(
+        (900100L, "spam spam spam spam spam spam spam spam"),
+        (900101L, "dup line\ndup line\ndup line\ndup line")).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("rep-stream").toString + "/in"
+    docs.repartition(3).write.parquet(dir)
+
+    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = QualityFilter.repetitionPasses(batch, col("doc_id"), col("text"))
+        acc = Some(acc.map(_.unionByName(v)).getOrElse(v).localCheckpoint(true))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = acc.get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = QualityFilter.repetitionPasses(docs, $"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      assert(got(900100L) == 0L && got(900101L) == 0L)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "per-doc verdicts need no state store")
+    } finally q.stop()
+  }
+
   test("DocStream.warcAdmitted: WARC blobs stream through parse + dedup admission batch-identically, stateless") {
     import graft.ext.{ExactDedup, Warc}
     // corpus already holds "seen page" — its re-crawl must die at the door
