@@ -116,6 +116,14 @@ object CurationScaleCheck {
       time(s"pagerank ${edges}edges x3iters") {
         graft.ext.LinkGraph.pageRank(g, "src", "dst", iters = 3).count()
       }
+      time(s"hits ${edges}edges x2iters") {
+        graft.ext.LinkGraph.hits(g, "src", "dst", iters = 2).count()
+      }
+      time(s"seedDistance ${edges}edges d4") {
+        graft.ext.LinkGraph.seedDistance(g, "src", "dst",
+          spark.range(20).select(concat(lit("h"), col("id").cast("string"))
+            .as("host")), maxDepth = 4).count()
+      }
       g.unpersist()
     }
 

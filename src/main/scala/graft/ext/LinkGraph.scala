@@ -106,6 +106,10 @@ object LinkGraph {
       // unaffected. `checkpoint = false` exists for plan audits only.
       if (checkpoint) ranks = ranks.localCheckpoint(true)
     }
+    // the final checkpoint materialized the rank vector, so the cached
+    // node list is releasable; without checkpoints the returned plan
+    // still reads it
+    if (checkpoint) nodes.unpersist()
     ranks
   }
 
@@ -219,6 +223,7 @@ object LinkGraph {
             (lit(oneMinusD) * $"p" + (lit(damping) * $"dm") * $"p")).as("rank"))
       if (checkpoint) ranks = ranks.localCheckpoint(true)
     }
+    if (checkpoint) { nodesP.unpersist(); nodes.unpersist() }
     ranks
   }
 
@@ -349,6 +354,7 @@ object LinkGraph {
             (lit(base) + (lit(damping) * $"dm") / lit(n.toDouble))).as("rank"))
         .localCheckpoint(true)
     }
+    nodes.unpersist() // ranks is checkpointed — the node cache is done
     ranks
   }
 
@@ -434,6 +440,10 @@ object LinkGraph {
         hub = hub.localCheckpoint(true)
       }
     }
+    // the final checkpoints materialized hub/auth, so the cached node
+    // list is no longer referenced; without checkpoints (plan audits)
+    // the returned plan still reads it, so it must stay cached
+    if (checkpoint) nodes.unpersist()
     hub.join(auth, "host")
   }
 
@@ -479,9 +489,16 @@ object LinkGraph {
     * Hosts not reached within `maxDepth` hops are ABSENT from the
     * output (unreachable-at-depth is decidable from absence — no ∞
     * sentinel to overflow). Seeds not present in the graph keep their
-    * depth-0 row, mirroring [[trustRank]]'s unlinked-seed rule. Each
-    * round is one union + host-keyed min aggregate over the
-    * frontier-joined edge list; state is one row per reached host.
+    * depth-0 row, mirroring [[trustRank]]'s unlinked-seed rule.
+    *
+    * Level-order BFS: round k joins ONLY round k−1's newly-reached
+    * frontier against the edge list (unit weights mean a settled
+    * host's depth can never improve, so re-joining the whole reached
+    * set — the naive min-plus formulation the oracle unrolls — does
+    * strictly redundant work; the two are output-identical). State is
+    * one row per reached host; the loop exits early when a round
+    * reaches nothing new, so sparse seed sets on disconnected graphs
+    * stop in O(reached diameter) rounds, not maxDepth.
     *
     * @return (host STRING, depth BIGINT), depth ∈ [0, maxDepth]
     */
@@ -498,12 +515,27 @@ object LinkGraph {
       .select(col(seeds.columns.head).cast("string").as("host"))
       .distinct()
       .withColumn("depth", lit(0L))
-    for (_ <- 1 to maxDepth) {
-      val stepped = e.join(dist.withColumnRenamed("host", "src"), "src")
-        .select(col("dst").as("host"), (col("depth") + 1L).as("depth"))
-      dist = dist.unionByName(stepped)
-        .groupBy(col("host")).agg(min(col("depth")).as("depth"))
-      if (checkpoint) dist = dist.localCheckpoint(true)
+    if (checkpoint) dist = dist.localCheckpoint(true)
+    var frontier = dist
+    var depth = 1L
+    var done = false
+    while (!done && depth <= maxDepth) {
+      // hosts first reached THIS round: frontier's successors minus
+      // everything already settled (left_anti on the reached set)
+      var newly = e.join(frontier.withColumnRenamed("host", "src"), "src")
+        .select(col("dst").as("host")).distinct()
+        .join(dist, Seq("host"), "left_anti")
+        .withColumn("depth", lit(depth))
+      if (checkpoint) newly = newly.localCheckpoint(true)
+      // the emptiness probe is one count over the (bounded) frontier —
+      // the price of early exit; skip-worthy only if rounds were free
+      if (newly.isEmpty) done = true
+      else {
+        dist = dist.unionByName(newly)
+        if (checkpoint) dist = dist.localCheckpoint(true)
+        frontier = newly
+        depth += 1L
+      }
     }
     dist
   }

@@ -293,7 +293,11 @@ object QualityFilter {
       .select(col("doc_id"), col("__lok"))
       .join(gramOk, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (col("__lok") === 1L && coalesce(col("__gok"), lit(1L)) === 1L)
-          .cast("long").as("passes"))
+        // NULL text yields NULL line stats → the conjunction is NULL;
+        // coalesce to 0 so the verdict stays in its documented {0,1}
+        // domain (an unscoreable document is a rejected document)
+        coalesce((col("__lok") === 1L &&
+          coalesce(col("__gok"), lit(1L)) === 1L).cast("long"), lit(0L))
+          .as("passes"))
   }
 }

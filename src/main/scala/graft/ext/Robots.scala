@@ -49,14 +49,15 @@ object Robots {
       posexplode(split(body, "\n")).as(Seq("i", "raw")))
     val cleaned = trim(regexp_replace(
       regexp_replace(col("raw"), "\r", ""), "#.*$", ""))
-    // single source of truth: the SAME field alternation classifies
-    // the line and strips the field name, so the two can't drift if
-    // the directive grammar grows
+    // single source of truth: ONE field alternation both classifies
+    // the line (via the extracted field name) and strips the prefix,
+    // so the two cannot drift if the directive grammar grows
     val fieldAlt = "(?i)^(user-agent|allow|disallow|crawl-delay)\\s*:"
-    val kind = when(lower(cleaned).rlike("^user-agent\\s*:"), "ua")
-      .when(lower(cleaned).rlike("^allow\\s*:"), "allow")
-      .when(lower(cleaned).rlike("^disallow\\s*:"), "disallow")
-      .when(lower(cleaned).rlike("^crawl-delay\\s*:"), "delay")
+    val field = lower(regexp_extract(cleaned, fieldAlt, 1))
+    val kind = when(field === "user-agent", "ua")
+      .when(field === "allow", "allow")
+      .when(field === "disallow", "disallow")
+      .when(field === "crawl-delay", "delay")
     val value = trim(regexp_replace(cleaned, fieldAlt, ""))
     val d = lines
       .select(col("host"), col("i"), kind.as("kind"), value.as("v"))

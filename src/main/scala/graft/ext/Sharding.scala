@@ -43,34 +43,17 @@ object Sharding {
   def snakeShards(df: DataFrame, key: Column, weight: Column, nShards: Int,
                   bucketShift: Int = 8): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    require(bucketShift >= 0 && bucketShift < 63, "bucketShift in [0, 63)")
-    // negative weights would land in a huge unsigned bucket (ranked
-    // heaviest) while sorting last within it — reject at runtime
-    // rather than silently corrupt the global rank
-    val withW = df.withColumn("__w",
-        when(weight.cast("long") < 0, raise_error(concat(
-          lit("snakeShards: negative weight "), weight.cast("string"))))
-          .otherwise(weight.cast("long")))
-      .withColumn("__b", shiftrightunsigned(col("__w"), bucketShift))
-    // per-bucket counts → exclusive offset of each bucket in the
-    // weight-DESC global order (tiny: one row per distinct high-bit value)
-    val offsets = withW.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
-      .withColumn("__off",
-        coalesce(sum(col("__c")).over(
-          Window.orderBy(col("__b").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__b"), col("__off"))
-    val ranked = withW.join(broadcast(offsets), Seq("__b"))
-      .withColumn("rank", col("__off") + row_number().over(
-        Window.partitionBy(col("__b")).orderBy(col("__w").desc, key.asc)))
+    // the ranking core (guarded long weight, high-bit buckets,
+    // broadcast offsets, per-bucket window) is the shared
+    // [[graft.ops.Ranks.bucketRank]] discipline — one place to fix,
+    // one plan shape for every global/grouped exact rank
+    val ranked = graft.ops.Ranks.bucketRank(df, Seq.empty, weight, key,
+      bucketShift)
     val r0 = col("rank") - 1
     val pos = r0 % nShards
     val round = floor(r0 / lit(nShards.toDouble))
-    ranked
-      .withColumn("shard",
-        when(round % 2 === 0, pos).otherwise(lit((nShards - 1).toLong) - pos))
-      .withColumnRenamed("__w", "w")
-      .drop("__b", "__off")
+    ranked.withColumn("shard",
+      when(round % 2 === 0, pos).otherwise(lit((nShards - 1).toLong) - pos))
   }
 
   /** Per-group transfer manifest: row count, exact total weight

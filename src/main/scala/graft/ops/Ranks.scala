@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * distribution: Spark funnels every row of the frame through ONE
   * task, which caps throughput at one core and one executor's memory
   * no matter how large the cluster. The bucket-offset discipline here
-  * (first used by [[graft.ext.Sharding.snakeShards]]) removes that:
+  * (first used by [[graft.ext.Sharding.snakeShards]], whose ranking
+  * core now delegates to this object) removes that:
   *
   *   1. bucket rows by the HIGH BITS of the (long) sort score —
   *      a monotone prefix of the sort key, so bucket-major order IS
@@ -32,21 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
-  /** Exact dense 1-based rank by (`score` DESC, `tie` ASC) within
-    * each `part` group (empty `part` = one global ranking). `score`
-    * must cast to a NON-NEGATIVE long — negative values would land in
-    * a huge unsigned bucket and silently corrupt the order, so they
-    * raise instead (the [[graft.ext.Sharding.snakeShards]] guard).
-    *
-    * Output: input columns + `w` (the long score) + `rank`.
+  /** The guarded long score: NULL or negative scores would silently
+    * corrupt the ranking (NULL never matches the bucket equi-join —
+    * the row would vanish; a negative lands in a huge unsigned
+    * bucket), so both raise instead of mis-ranking.
     */
-  def bucketRank(df: DataFrame, part: Seq[String], score: Column,
-                 tie: Column, bucketShift: Int = 8): DataFrame = {
+  private def guardedScore(score: Column): Column = {
+    val s = score.cast("long")
+    when(s.isNull || s < 0, raise_error(concat(
+      lit("bucketRank: score must be a non-negative long, got "),
+      coalesce(score.cast("string"), lit("NULL")))))
+      .otherwise(s)
+  }
+
+  /** Shared core: (ranked frame, per-(group, bucket) counts). The
+    * counts table is bucket-cardinality — callers needing group
+    * totals sum it rather than re-scanning the corpus.
+    */
+  private def rankedWithCounts(df: DataFrame, part: Seq[String],
+                               score: Column, tie: Column,
+                               bucketShift: Int): (DataFrame, DataFrame) = {
     require(bucketShift >= 0 && bucketShift < 63, "bucketShift in [0, 63)")
-    val withW = df.withColumn("__s",
-        when(score.cast("long") < 0, raise_error(concat(
-          lit("bucketRank: negative score "), score.cast("string"))))
-          .otherwise(score.cast("long")))
+    val withW = df.withColumn("__s", guardedScore(score))
       .withColumn("__b", shiftrightunsigned(col("__s"), bucketShift))
     val pCols = part.map(col)
     val counts = withW.groupBy((pCols :+ col("__b")): _*)
@@ -61,11 +69,24 @@ object Ranks {
       .select((pCols :+ col("__b") :+ col("__off")): _*)
     val rankW = Window.partitionBy((pCols :+ col("__b")): _*)
       .orderBy(col("__s").desc, tie.asc)
-    withW.join(broadcast(offsets), part :+ "__b")
+    val ranked = withW.join(broadcast(offsets), part :+ "__b")
       .withColumn("rank", col("__off") + row_number().over(rankW))
       .drop("__b", "__off")
       .withColumnRenamed("__s", "w")
+    (ranked, counts)
   }
+
+  /** Exact dense 1-based rank by (`score` DESC, `tie` ASC) within
+    * each `part` group (empty `part` = one global ranking). `score`
+    * must cast to a NON-NEGATIVE long — NULL and negative values
+    * raise rather than silently vanish or mis-rank (the
+    * [[graft.ext.Sharding.snakeShards]] guard).
+    *
+    * Output: input columns + `w` (the long score) + `rank`.
+    */
+  def bucketRank(df: DataFrame, part: Seq[String], score: Column,
+                 tie: Column, bucketShift: Int = 8): DataFrame =
+    rankedWithCounts(df, part, score, tie, bucketShift)._1
 
   /** Proportional n-tile per group: tile i holds the rows whose rank
     * satisfies (rank−1)·n / n_group ∈ [i−1, i) — the language-balanced
@@ -82,17 +103,20 @@ object Ranks {
     *
     * Output: input columns + `w`, `rank`, `n_part`, `tile` ∈ [1, n].
     * Filter `tile === 1` for top-1/n-per-group retention. Group
-    * counts are group-cardinality and broadcast; ranking is
-    * [[bucketRank]] — no corpus-sized window partition anywhere, so
-    * one group holding half the corpus costs what any other shuffle
-    * of that size costs.
+    * totals come from summing the ranking's own bucket-count table
+    * (bucket-cardinality rows, broadcast back) — the corpus is
+    * scanned for the ranking only, never a second time for counts —
+    * and no corpus-sized window partition exists anywhere, so one
+    * group holding half the corpus costs what any other shuffle of
+    * that size costs.
     */
   def propTile(df: DataFrame, part: Seq[String], score: Column,
                tie: Column, n: Int, bucketShift: Int = 8): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val ranked = bucketRank(df, part, score, tie, bucketShift)
+    val (ranked, bucketCounts) = rankedWithCounts(df, part, score, tie, bucketShift)
     val pCols = part.map(col)
-    val counts = df.groupBy(pCols: _*).agg(count(lit(1)).as("n_part"))
+    val counts = bucketCounts.groupBy(pCols: _*)
+      .agg(sum(col("__c")).as("n_part"))
     val joined =
       if (part.isEmpty) ranked.crossJoin(broadcast(counts))
       else ranked.join(broadcast(counts), part)

@@ -14,12 +14,15 @@ class RanksSpec extends SparkTestBase {
   import spark.implicits._
 
   // groups of uneven size, clustered scores (many shared high bits),
-  // exact ties inside and across buckets
+  // exact ties on s inside and across buckets — but GLOBALLY UNIQUE
+  // ids, so (s desc, id asc) is a total order and the naive-vs-bucket
+  // comparison is deterministic even with empty `part`
   private def fixture = {
+    val base = Map("en" -> 0L, "de" -> 100000L, "fr" -> 200000L)
     val rows = for {
       g <- Seq("en", "de", "fr")
       i <- 0 until (if (g == "en") 37 else if (g == "de") 11 else 5)
-    } yield (g, i.toLong + 1000L * (g.length % 3), (i % 7).toLong * 100L + (if (i % 3 == 0) 0L else i.toLong))
+    } yield (g, base(g) + i.toLong, (i % 7).toLong * 100L + (if (i % 3 == 0) 0L else i.toLong))
     rows.toDF("g", "id", "s")
   }
 
@@ -74,13 +77,21 @@ class RanksSpec extends SparkTestBase {
     }
   }
 
-  test("negative scores raise instead of silently mis-ranking") {
-    val df = Seq(("a", 1L, 5L), ("a", 2L, -1L)).toDF("g", "id", "s")
-    val ex = intercept[Exception] {
-      Ranks.bucketRank(df, Seq("g"), col("s"), col("id")).collect()
-    }
+  test("negative and NULL scores raise instead of silently mis-ranking or vanishing") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(_.contains("negative score")), ex.getMessage)
+    val neg = Seq(("a", 1L, 5L), ("a", 2L, -1L)).toDF("g", "id", "s")
+    val ex1 = intercept[Exception] {
+      Ranks.bucketRank(neg, Seq("g"), col("s"), col("id")).collect()
+    }
+    assert(msgs(ex1).exists(_.contains("non-negative long")), ex1.getMessage)
+    // a NULL score would fail the bucket equi-join and silently DROP
+    // the row (while group counts still include it) — must raise
+    val withNull = Seq(("a", 1L, Some(5L)), ("a", 2L, None))
+      .toDF("g", "id", "s")
+    val ex2 = intercept[Exception] {
+      Ranks.propTile(withNull, Seq("g"), col("s"), col("id"), n = 2).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("non-negative long")), ex2.getMessage)
   }
 }
