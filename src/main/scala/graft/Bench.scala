@@ -255,7 +255,9 @@ object Bench {
       // repetition signals, and the host-template stats scan the full
       // corpus
       "q173_hits", "q174_crawl_depth", "q175_group_tile",
-      "q176_gram_repetition", "q177_line_repetition", "q178_host_template")
+      "q176_gram_repetition", "q177_line_repetition", "q178_host_template",
+      // events-proportional on BOTH sides (pair output grows too)
+      "q179_interval_overlap")
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)

@@ -6872,6 +6872,41 @@ object ExtQueries {
             |FROM sent s JOIN dfc ON dfc.host = s.host AND dfc.sentence = s.sentence
             |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin))
 
+  /** Interval-overlap join ([[graft.ops.RangeJoin.overlapJoin]]):
+    * one-hour event spans × ±30-minute windows from a different event
+    * slice — two fact-sized, mutually-overlapping interval sets, the
+    * shape the broadcast binary-search range join cannot take. The
+    * Spark side joins binned candidates on an equi-key (bin = ns DIV
+    * 1h, so most pairs share 2+ bins and the dedup branch is
+    * exercised); the oracle is the naive inequality cross join —
+    * binned ≡ naive is the gate's claim.
+    */
+  val q179 = Q(
+    "q179_interval_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"ts")
+      val hourNs = 3600L * 1000000000L
+      val l = ev.filter($"event_id" % 5 === 0)
+        .select($"event_id", $"ts".as("lo"), ($"ts" + hourNs).as("hi"))
+      val r = ev.filter($"event_id" % 7 === 0)
+        .select($"event_id", ($"ts" - hourNs / 2).as("lo"),
+          ($"ts" + hourNs / 2).as("hi"))
+      graft.ops.RangeJoin.overlapJoin(
+          l, $"event_id", $"lo", $"hi",
+          r, $"event_id", $"lo", $"hi", binWidth = hourNs)
+        .orderBy($"l_id", $"r_id")
+    },
+    Some("""WITH e AS (SELECT event_id, epoch_ns(ts) AS tsn FROM events),
+            |l AS (SELECT event_id, tsn AS lo, tsn + 3600000000000 AS hi
+            |      FROM e WHERE event_id % 5 = 0),
+            |r AS (SELECT event_id, tsn - 1800000000000 AS lo,
+            |             tsn + 1800000000000 AS hi
+            |      FROM e WHERE event_id % 7 = 0)
+            |SELECT l.event_id AS l_id, r.event_id AS r_id
+            |FROM l, r WHERE l.lo <= r.hi AND r.lo <= l.hi
+            |ORDER BY l_id, r_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6884,5 +6919,5 @@ object ExtQueries {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178)
+    q175, q176, q177, q178, q179)
 }

@@ -48,4 +48,58 @@ object RangeJoin {
   def lookupJoin(fact: DataFrame, key: Column, table: IntervalTable,
                  as: String = "interval_value"): DataFrame =
     fact.withColumn(as, IntervalLookup(key.cast("long"), table))
+
+  /** Interval-OVERLAP join for two FACT-SIZED interval sets — pairs
+    * (l, r) with [l_lo, l_hi] ∩ [r_lo, r_hi] ≠ ∅ (closed bounds on
+    * both sides). Session spans × outage windows, takedown windows ×
+    * crawl batches — the case [[lookupJoin]]'s broadcast
+    * binary-search cannot take (neither side is dimension-sized, and
+    * intervals overlap each other) and Spark's native plan for the
+    * inequality predicate is a nested-loop scan of the cross product.
+    *
+    * Scale shape — grid binning: each interval explodes to the bins
+    * its span covers under b(x) = x DIV `binWidth` (truncating
+    * integer division — monotone, so an interval covers the
+    * contiguous bins b(lo)..b(hi) and any overlap point lands in a
+    * shared bin: candidate generation is complete with no float
+    * anywhere). Candidates hash-join ON BIN — an equi-shuffle, never
+    * a cartesian — then the exact predicate filters and pairs dedup
+    * (a pair sharing k bins appears k times). Pick `binWidth` near
+    * the typical interval length: bins-per-row stays O(1), and the
+    * per-bin population bounds the join's worst case the way LSH
+    * bands bound near-dup pairing. Rows whose span would explode to
+    * more than `maxBinsPerRow` bins raise rather than silently
+    * flooding the shuffle (the loud-failure discipline).
+    *
+    * @return (l_id, r_id) distinct overlapping pairs
+    */
+  def overlapJoin(left: DataFrame, lId: Column, lLo: Column, lHi: Column,
+                  right: DataFrame, rId: Column, rLo: Column, rHi: Column,
+                  binWidth: Long, maxBinsPerRow: Long = 1024L): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    require(maxBinsPerRow >= 1L, s"maxBinsPerRow must be >= 1, got $maxBinsPerRow")
+    def bins(df: DataFrame, id: Column, lo: Column, hi: Column,
+             side: String): DataFrame = {
+      val b0 = expr(s"CAST(__lo AS BIGINT) DIV $binWidth")
+      val b1 = expr(s"CAST(__hi AS BIGINT) DIV $binWidth")
+      df.select(id.as(s"${side}_id"), lo.cast("long").as("__lo"),
+          hi.cast("long").as("__hi"))
+        .filter(col("__lo") <= col("__hi")) // empty intervals match nothing
+        .withColumn("__nb", b1 - b0 + 1L)
+        .withColumn("__bin", explode(when(col("__nb") > maxBinsPerRow,
+            raise_error(concat(lit("overlapJoin: interval spans "),
+              col("__nb").cast("string"),
+              lit(s" bins > maxBinsPerRow $maxBinsPerRow — " +
+                "raise binWidth or split the row"))))
+          .otherwise(sequence(b0, b1))))
+        .select(col(s"${side}_id"), col("__lo").as(s"${side}_lo"),
+          col("__hi").as(s"${side}_hi"), col("__bin"))
+    }
+    val l = bins(left, lId, lLo, lHi, "l")
+    val r = bins(right, rId, rLo, rHi, "r")
+    l.join(r, Seq("__bin"))
+      .filter(col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select(col("l_id"), col("r_id"))
+      .distinct()
+  }
 }

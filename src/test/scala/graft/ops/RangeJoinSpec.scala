@@ -163,4 +163,47 @@ class RangeJoinSpec extends SparkTestBase {
       assert(viaLookup == viaJoin, s"seed=$seed")
     }
   }
+
+  test("overlapJoin: closed bounds, multi-bin dedup, empty intervals, negative coords — binned equals naive") {
+    val l = Seq(
+      (1L, 0L, 100L),     // overlaps r1 (touching at 100), r2
+      (2L, 250L, 260L),   // inside r3
+      (3L, 500L, 400L),   // EMPTY (lo > hi) — matches nothing
+      (4L, -75L, -25L),   // negative coords, overlaps r4
+      (5L, 1000L, 1080L)  // spans 3+ bins together with r5 — dedup path
+    ).toDF("id", "lo", "hi")
+    val r = Seq(
+      (101L, 100L, 150L), // touches l1 at exactly 100 (closed bounds)
+      (102L, 50L, 60L),   // inside l1
+      (103L, 200L, 300L),
+      (104L, -60L, -50L),
+      (105L, 990L, 1100L),
+      (106L, 5000L, 5001L) // overlaps nothing
+    ).toDF("id", "lo", "hi")
+    def naive = l.filter($"lo" <= $"hi").as("l")
+      .crossJoin(r.as("r"))
+      .filter(col("l.lo") <= col("r.hi") && col("r.lo") <= col("l.hi"))
+      .select(col("l.id"), col("r.id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    for (w <- Seq(7L, 32L, 1000L)) {
+      val got = RangeJoin.overlapJoin(l, $"id", $"lo", $"hi",
+          r, $"id", $"lo", $"hi", binWidth = w)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got == naive, s"binWidth=$w: $got vs $naive")
+    }
+    assert(naive.contains((1L, 101L)), "closed-bound touch must match")
+    assert(!naive.exists(_._1 == 3L), "empty interval must match nothing")
+  }
+
+  test("overlapJoin raises when a span would explode past maxBinsPerRow") {
+    val l = Seq((1L, 0L, 10000L)).toDF("id", "lo", "hi")
+    val r = Seq((2L, 5L, 6L)).toDF("id", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.overlapJoin(l, $"id", $"lo", $"hi", r, $"id", $"lo", $"hi",
+        binWidth = 10L, maxBinsPerRow = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxBinsPerRow")), ex.getMessage)
+  }
 }
