@@ -255,9 +255,12 @@ object Bench {
       // repetition signals, and the host-template stats scan the full
       // corpus
       "q173_hits", "q174_crawl_depth", "q175_group_tile",
-      "q176_gram_repetition", "q177_line_repetition", "q178_host_template",
-      // events-proportional on BOTH sides (pair output grows too)
-      "q179_interval_overlap")
+      "q176_gram_repetition", "q177_line_repetition", "q178_host_template")
+      // q179_interval_overlap is deliberately NOT in the tier: the ×10
+      // blowup replicates events into the SAME time window, so its
+      // PAIR OUTPUT grows ×100 and the ratio measures output volume,
+      // not plan quality (measured ~43 s for ~100× the pairs at ×10 —
+      // sub-output-linear; the q28-at-×100 exclusion rule)
     val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)

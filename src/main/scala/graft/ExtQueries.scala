@@ -6668,7 +6668,7 @@ object ExtQueries {
         .unionByName(chain)
       val seeds = Seq("src0", "island").toDF("host")
       graft.ext.LinkGraph.seedDistance(raw, "src", "dst", seeds,
-          maxDepth = 4, checkpoint = false)
+          maxDepth = 4)
         .orderBy($"host")
     },
     Some(graft.ext.LinkGraph.seedDistanceOracleSql(

@@ -526,11 +526,16 @@ object LinkGraph {
         .select(col("dst").as("host")).distinct()
         .join(dist, Seq("host"), "left_anti")
         .withColumn("depth", lit(depth))
-      if (checkpoint) newly = newly.localCheckpoint(true)
-      // the emptiness probe is one count over the (bounded) frontier —
-      // the price of early exit; skip-worthy only if rounds were free
-      if (newly.isEmpty) done = true
-      else {
+      if (checkpoint) {
+        newly = newly.localCheckpoint(true)
+        // early exit when a round reaches nothing — the emptiness
+        // probe is one count over the MATERIALIZED frontier. Without
+        // checkpoints (the plan-audit / pure-lazy mode) a probe would
+        // re-execute the whole uncheckpointed lineage once per round,
+        // so there the loop just runs its fixed maxDepth rounds.
+        if (newly.isEmpty) done = true
+      }
+      if (!done) {
         dist = dist.unionByName(newly)
         if (checkpoint) dist = dist.localCheckpoint(true)
         frontier = newly
