@@ -4042,12 +4042,21 @@ object ExtQueries {
     * the separation). The oracle re-derives
     * both global ranks, the floor-division, the 24-term Morton
     * interleave, and the per-cell spans independently.
+    *
+    * The gate runs on a 1-in-10 orderkey slice: the exact-rank face
+    * is the ORACLE KERNEL (two global window sorts — each a single
+    * task by construction, the very anti-pattern Layout.rankGrid's
+    * doc warns about; unbounded it was the bench's largest ×10 line
+    * at 68 s), while the corpus-scale layout path is q123's sketch
+    * cutpoint grid, which replaces both sorts with one mergeable
+    * partial aggregate. The rank/Morton arithmetic is
+    * scale-independent, so the slice loses no pinning.
     */
   val q120 = Q(
     "q120_rank_zorder",
     (s, dir) => {
       import s.implicits._
-      val li = t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem").filter($"l_orderkey" % 10 === 0)
       val tie = Seq($"l_orderkey", $"l_linenumber")
       val xn = graft.ops.Layout.rankGrid(
         $"l_extendedprice" * $"l_extendedprice", tie, 4096)
@@ -4066,7 +4075,7 @@ object ExtQueries {
                    row_number() OVER (ORDER BY date_diff('day', DATE '1995-01-01', l_shipdate),
                                                l_orderkey, l_linenumber) - 1 AS yr,
                    count(*) OVER () AS n
-            FROM lineitem),
+            FROM lineitem WHERE l_orderkey % 10 = 0),
           g AS (SELECT (xr * 4096) // n AS x, (yr * 4096) // n AS y FROM r)
           SELECT (($terms) >> 18) AS cell,
                  count(*) AS n, min(x) AS min_x, max(x) AS max_x,
@@ -6907,6 +6916,134 @@ object ExtQueries {
             |FROM l, r WHERE l.lo <= r.hi AND r.lo <= l.hi
             |ORDER BY l_id, r_id""".stripMargin))
 
+  /** Asymmetric containment join ([[graft.ext.Containment]]): the
+    * excerpt/quote shape symmetric near-dup misses — a planted
+    * 160-char excerpt of doc 5 (containment 1.0, Jaccard ~0.5) and a
+    * planted wrapper around doc 7 (doc 7 contained in it). The Spark
+    * side generates candidates through the recall-COMPLETE rarest-
+    * first prefix filter (the SSJoin bound: any ⌊(1−τ)·n1⌋+1 shingles
+    * of a τ-contained doc must hit the container) and verifies with
+    * exact integer cross-multiplication; the oracle is the EXHAUSTIVE
+    * inverted-index join with no prefix filter — prefix-filtered ≡
+    * exhaustive is precisely the completeness theorem, pinned
+    * cross-engine.
+    */
+  val q180 = Q(
+    "q180_containment",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").filter($"doc_id" < 150)
+        .select($"doc_id", $"text")
+      val excerpt = base.filter($"doc_id" === 5)
+        .select(lit(900001L).as("doc_id"),
+          substring($"text", 11, 160).as("text"))
+      val wrapper = base.filter($"doc_id" === 7)
+        .select(lit(900002L).as("doc_id"),
+          concat(lit("editor's note: reposted verbatim below. "), $"text",
+            lit(" [archived copy; all rights belong to the original author]"))
+            .as("text"))
+      val corpus = base.unionByName(excerpt).unionByName(wrapper)
+      graft.ext.Containment.containedPairs(corpus, $"doc_id", $"text",
+          n = 8, tauNum = 4, tauDen = 5)
+        .orderBy($"id1", $"id2")
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+            |d AS (SELECT doc_id, text FROM base
+            |      UNION ALL
+            |      SELECT 900001, substring(text, 11, 160) FROM base WHERE doc_id = 5
+            |      UNION ALL
+            |      SELECT 900002, 'editor''s note: reposted verbatim below. ' || text ||
+            |             ' [archived copy; all rights belong to the original author]'
+            |      FROM base WHERE doc_id = 7),
+            |pos AS (SELECT doc_id, text,
+            |               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+            |        FROM d),
+            |sh AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 8) AS s
+            |       FROM pos),
+            |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+            |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+            |          GROUP BY 1, 2)
+            |SELECT id1, id2, sa.n AS n1, i AS inter,
+            |       CAST(i AS DOUBLE) / sa.n AS containment
+            |FROM inter JOIN sizes sa ON sa.doc_id = id1
+            |WHERE i * 5 >= sa.n * 4
+            |ORDER BY id1, id2""".stripMargin))
+
+  /** LSH banding S-curve planner ([[graft.ext.MinHashLsh.bandingPlan]]):
+    * P(candidate) = 1 − (1 − j^r)^b for k=128 split as b ∈ {8,16,32},
+    * evaluated on a ppm integer grid with a floor after every multiply
+    * — exponentiation by explicit iteration, mirrored in the oracle as
+    * two recursive CTEs over the same integer division. Pins the
+    * parameter table an operator consults before ANY banding pass
+    * (the 0.5-crossings: b=32 → j≈0.38, b=16 → ≈0.67, b=8 → ≈0.86).
+    */
+  val q181 = Q(
+    "q181_lsh_plan",
+    (s, _) =>
+      MinHashLsh.bandingPlan(s, k = 128, bandOptions = Seq(8, 16, 32))
+        .orderBy(col("bands"), col("j_ppm")),
+    Some("""WITH RECURSIVE grid AS (
+            |  SELECT CAST(b AS BIGINT) AS bands, CAST(128 // b AS BIGINT) AS r,
+            |         CAST(j * 50000 AS BIGINT) AS j_ppm
+            |  FROM (SELECT unnest([8, 16, 32]) AS b),
+            |       (SELECT unnest(generate_series(1, 19)) AS j)),
+            |pj AS (
+            |  SELECT bands, r, j_ppm, CAST(1 AS BIGINT) AS i, j_ppm AS acc
+            |  FROM grid
+            |  UNION ALL
+            |  SELECT bands, r, j_ppm, i + 1, (acc * j_ppm) // 1000000
+            |  FROM pj WHERE i < r),
+            |jr AS (SELECT bands, r, j_ppm, acc AS jrv FROM pj WHERE i = r),
+            |pq AS (
+            |  SELECT bands, r, j_ppm, jrv, CAST(1 AS BIGINT) AS i,
+            |         1000000 - jrv AS acc
+            |  FROM jr
+            |  UNION ALL
+            |  SELECT bands, r, j_ppm, jrv, i + 1,
+            |         (acc * (1000000 - jrv)) // 1000000
+            |  FROM pq WHERE i < bands)
+            |SELECT bands, r, j_ppm, 1000000 - acc AS p_ppm
+            |FROM pq WHERE i = bands
+            |ORDER BY bands, j_ppm""".stripMargin))
+
+  /** Cross-source duplication matrix
+    * ([[graft.ext.ExactDedup.crossSourceOverlap]]): planted mirrors —
+    * doc 3 twice under mirror-a and once under mirror-b, doc 10 under
+    * mirror-b — make every asymmetry visible: mirror-a→mirror-b
+    * carries n_rows_dup=2 (two copies) while the reverse carries 1.
+    * Spark shuffles sha-256 digests; the oracle groups the text
+    * itself — count equality across the two keyings is the
+    * digest-discipline pin.
+    */
+  val q182 = Q(
+    "q182_source_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text", $"source")
+      def planted(id: Long, fromDoc: Long, src: String) =
+        docs.filter($"doc_id" === fromDoc)
+          .select(lit(id).as("doc_id"), $"text", lit(src).as("source"))
+      val corpus = docs
+        .unionByName(planted(900001L, 3L, "mirror-a"))
+        .unionByName(planted(900002L, 3L, "mirror-a"))
+        .unionByName(planted(900003L, 3L, "mirror-b"))
+        .unionByName(planted(900004L, 10L, "mirror-b"))
+      ExactDedup.crossSourceOverlap(corpus, $"text", $"source")
+        .orderBy($"src", $"other")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, source FROM documents
+            |  UNION ALL SELECT 900001, text, 'mirror-a' FROM documents WHERE doc_id = 3
+            |  UNION ALL SELECT 900002, text, 'mirror-a' FROM documents WHERE doc_id = 3
+            |  UNION ALL SELECT 900003, text, 'mirror-b' FROM documents WHERE doc_id = 3
+            |  UNION ALL SELECT 900004, text, 'mirror-b' FROM documents WHERE doc_id = 10),
+            |per AS (SELECT text, source AS src, count(*) AS n
+            |        FROM d GROUP BY 1, 2)
+            |SELECT a.src AS src, b.src AS other, count(*) AS n_shared,
+            |       CAST(sum(a.n) AS BIGINT) AS n_rows_dup
+            |FROM per a JOIN per b ON a.text = b.text AND a.src != b.src
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -6919,5 +7056,5 @@ object ExtQueries {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179)
+    q175, q176, q177, q178, q179, q180, q181, q182)
 }

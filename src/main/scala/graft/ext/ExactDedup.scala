@@ -86,4 +86,40 @@ object ExactDedup {
       .join(existingDigests, Seq("__h"), "left_anti")
       .drop("__h", "__rn")
   }
+
+  /** Cross-source duplication matrix — the governance report behind
+    * "how much of source A is already in source B": for every ORDERED
+    * pair of distinct sources, the number of distinct contents present
+    * in both (`n_shared`) and the number of `src` ROWS whose content
+    * also appears in `other` (`n_rows_dup` — the directional overlap
+    * burden; it is NOT symmetric when a source holds multiple copies).
+    * Mixture planning reads this before weighting sources: two mirrors
+    * of the same crawl must not be budgeted as independent mass, and
+    * the matrix is where that shows up first.
+    *
+    * Spark shape: one hash-aggregate to distinct (digest, source,
+    * row-count), a digest-keyed self-join whose per-digest fanout is
+    * bounded by the number of sources holding that content (squared —
+    * tiny against corpus size), and a final (src, other) aggregate.
+    * Text never shuffles: the digest is [[contentDigest]], 32 bytes.
+    * Intra-source redundancy is deliberately NOT on the diagonal —
+    * that is [[byContent]]'s n_copies view; this matrix is the
+    * cross-source complement.
+    */
+  def crossSourceOverlap(df: DataFrame, content: Column,
+                         source: Column): DataFrame = {
+    // two consumers of the per-(digest, source) aggregate — same
+    // materialize-once discipline as the shingle frames (the frame is
+    // digest + source + count, compact at any corpus size)
+    val perSrc = df
+      .groupBy(contentDigest(content).as("__h"), source.as("src"))
+      .agg(count(lit(1)).as("__rows"))
+      .localCheckpoint(false)
+    perSrc
+      .join(perSrc.select(col("__h"), col("src").as("other")), Seq("__h"))
+      .filter(col("src") =!= col("other"))
+      .groupBy("src", "other")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("__rows")).cast("long").as("n_rows_dup"))
+  }
 }

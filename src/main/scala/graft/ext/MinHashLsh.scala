@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   * at sf0.1, most of it in the first (codegen-compiling) run.
   *
   * Banding math: P(candidate) = 1 - (1 - j^r)^b; with k=128, b=32, r=4
-  * the S-curve crosses ~0.5 at j≈0.59.
+  * the S-curve crosses 0.5 at j≈0.38 (an earlier revision of this note
+  * claimed 0.59 — the [[bandingPlan]] table, pinned cross-engine by
+  * gate q181, is the arithmetic of record).
   *
   * Determinism: mix constants are splitmix64 of the slot index, folded
   * into the plan as literals — the same signature on any cluster, any
@@ -379,5 +381,62 @@ object MinHashLsh {
       .filter(col("est_jaccard") >= threshold)
       .select(col("__nid").as("new_id"), col("__cid").as("corpus_id"),
         col("est_jaccard"))
+  }
+
+  /** Banding-parameter S-curve table — the planning step BEFORE any
+    * corpus pass: which (bands, r) splits of k minhashes put the
+    * candidate-probability knee where the dedup policy wants it.
+    *
+    * For each candidate band count b (must divide k; r = k/b) and each
+    * Jaccard grid point j, the table holds
+    * P(candidate) = 1 − (1 − j^r)^b evaluated ON AN INTEGER
+    * PARTS-PER-MILLION GRID with a floor after every multiplication —
+    * the rational-arithmetic discipline (q99/q101's) that makes the
+    * curve identical in any engine with 64-bit integer division,
+    * instead of trusting cross-engine `pow` to round doubles the same
+    * way. Grid error is bounded: each of the r+b−2 floors discards
+    * < 1 ppm of a product of values ≤ 1, so p_ppm sits within
+    * (r+b)·10⁻⁶ of the real-valued curve — three decimal digits of
+    * slack for any realistic (k, b), far tighter than the 5-percentage-
+    * point j grid a planner actually reads.
+    *
+    * Reading the table: the j where p crosses ~½ is the effective
+    * dedup threshold of that (b, r) choice (for k=128: b=32 → ~0.38,
+    * b=16 → ~0.67, b=8 → ~0.86); mass under the curve left of the
+    * policy threshold is wasted verification work (false candidates),
+    * mass above 1−p right of it is missed recall. Pick the b whose
+    * knee brackets the policy threshold, then confirm with a measured
+    * recall table — this is the arithmetic companion to the measured
+    * RecallCheck, not a substitute.
+    *
+    * Output: (bands, r, j_ppm, p_ppm), all BIGINT.
+    */
+  def bandingPlan(s: org.apache.spark.sql.SparkSession, k: Int,
+                  bandOptions: Seq[Int], jStepPpm: Int = 50000): DataFrame = {
+    require(bandOptions.nonEmpty, "bandingPlan: no band options")
+    bandOptions.foreach(b => require(b >= 1 && k % b == 0,
+      s"bandingPlan: bands=$b must divide k=$k"))
+    require(jStepPpm >= 1 && jStepPpm < 1000000,
+      s"bandingPlan: jStepPpm in [1, 1e6), got $jStepPpm")
+    import s.implicits._
+    val grid = bandOptions.flatMap { b =>
+      (1 until 1000000 / jStepPpm).map(j =>
+        (b.toLong, (k / b).toLong, j.toLong * jStepPpm))
+    }.toDF("bands", "r", "j_ppm")
+    // x^e on the ppm grid as a fold over e−1 dummy steps (array_repeat
+    // yields the empty array at e=1, where the fold is the identity).
+    // The double division inside is exact: products stay < 1e12 and
+    // quotients < 1e6, orders of magnitude inside IEEE-exact range
+    // (the rankGrid argument).
+    def powFloorPpm(base: Column, exp: Column): Column =
+      aggregate(
+        array_repeat(lit(1), (exp - lit(1)).cast("int")),
+        base,
+        (acc, _) => floor(acc * base / lit(1000000.0)).cast("long"))
+    grid
+      .withColumn("__jr", powFloorPpm(col("j_ppm"), col("r")))
+      .withColumn("p_ppm",
+        lit(1000000L) - powFloorPpm(lit(1000000L) - col("__jr"), col("bands")))
+      .select(col("bands"), col("r"), col("j_ppm"), col("p_ppm"))
   }
 }

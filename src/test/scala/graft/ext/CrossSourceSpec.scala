@@ -1,0 +1,34 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+/** crossSourceOverlap: hand-computed matrix on a fixture with
+  * asymmetric copy counts, no diagonal, and disjoint sources absent.
+  */
+class CrossSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("directional overlap matrix matches hand computation") {
+    val docs = Seq(
+      (1L, "alpha", "a"), (2L, "alpha", "a"), // two copies of alpha in a
+      (3L, "alpha", "b"),                     // one in b
+      (4L, "beta", "a"), (5L, "beta", "c"),   // beta shared a<->c
+      (6L, "gamma", "c")                      // gamma only in c
+    ).toDF("id", "text", "source")
+    val out = ExactDedup.crossSourceOverlap(docs, $"text", $"source")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 2L)), // alpha: 2 rows of a already in b
+      ("b", "a") -> ((1L, 1L)),
+      ("a", "c") -> ((1L, 1L)), // beta
+      ("c", "a") -> ((1L, 1L))
+    ), s"got $out")
+  }
+
+  test("no overlap yields an empty matrix") {
+    val docs = Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "text", "source")
+    assert(ExactDedup.crossSourceOverlap(docs, $"text", $"source").count() == 0)
+  }
+}
