@@ -242,6 +242,58 @@ object CurationScaleCheck {
       }
       skewed.unpersist()
     }
+
+    // ---- containment join: candidate volume under the rarest-first
+    // prefix filter vs the naive full inverted-index self-join (both
+    // recall-complete; ContainmentSpec pins output equality — this
+    // tier measures the candidate-volume gap that IS the prefix
+    // filter's value, plus the end-to-end cost). τ = 4/5, n = 8.
+    Seq(1000, 2500).foreach { nDocs =>
+      val docs = base.filter($"doc_id" < nDocs)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      val sh = docs.select($"doc_id".as("__id"),
+          explode(graft.ext.ShingleJaccard.charShingles($"text", 8)).as("__sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      time(s"containment naive candidates ${nDocs}docs") {
+        sh.select($"__id".as("id1"), $"__sh")
+          .join(sh.select($"__id".as("id2"), $"__sh"), Seq("__sh"))
+          .filter($"id1" =!= $"id2")
+          .select("id1", "id2").distinct().count()
+      }
+      time(s"containment prefix candidates ${nDocs}docs") {
+        // the operator's own prefix arithmetic, inlined for the count
+        val dfc = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+        val byRarity = org.apache.spark.sql.expressions.Window
+          .partitionBy($"__id").orderBy($"__df".asc, $"__sh".asc)
+        val perDoc = org.apache.spark.sql.expressions.Window.partitionBy($"__id")
+        val slack = col("__n1") * 1 // (q−p) = 1 at τ = 4/5
+        val probe = sh.join(dfc, "__sh")
+          .withColumn("__n1", count(lit(1)).over(perDoc))
+          .withColumn("__rn", row_number().over(byRarity))
+          .filter($"__rn" <=
+            ((slack - pmod(slack, lit(5L))) / 5).cast("long") + 1L)
+          .select($"__id".as("id1"), $"__sh")
+        probe.join(sh.select($"__id".as("id2"), $"__sh"), Seq("__sh"))
+          .filter($"id1" =!= $"id2")
+          .select("id1", "id2").distinct().count()
+      }
+      time(s"containment end-to-end n=8 ${nDocs}docs") {
+        graft.ext.Containment.containedPairs(docs, $"doc_id", $"text",
+          n = 8, tauNum = 4, tauDen = 5).count()
+      }
+      // shingle width IS the candidate discriminator on self-similar
+      // corpora: the synthetic docs share short phrases, so 8-gram
+      // candidates run ~360 pairs/doc and the exact verify dominates;
+      // at n=16 shared shingles need 16-char verbatim runs and the
+      // same corpus collapses to near-output-proportional candidates
+      time(s"containment end-to-end n=16 ${nDocs}docs") {
+        graft.ext.Containment.containedPairs(docs, $"doc_id", $"text",
+          n = 16, tauNum = 4, tauDen = 5).count()
+      }
+      sh.unpersist(); docs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -6896,9 +6896,14 @@ object ExtQueries {
       import s.implicits._
       val ev = t(s, dir, "events").select($"event_id", $"ts")
       val hourNs = 3600L * 1000000000L
-      val l = ev.filter($"event_id" % 5 === 0)
+      // 1-in-15 / 1-in-21 slices: still fact-proportional on BOTH
+      // sides (the shape the gate exists for), but the mutually-
+      // overlapping fixture's PAIR OUTPUT is quadratic in slice
+      // density — the previous %5/%7 slices cost 27 s of the ×10
+      // tier on output volume alone
+      val l = ev.filter($"event_id" % 15 === 0)
         .select($"event_id", $"ts".as("lo"), ($"ts" + hourNs).as("hi"))
-      val r = ev.filter($"event_id" % 7 === 0)
+      val r = ev.filter($"event_id" % 21 === 0)
         .select($"event_id", ($"ts" - hourNs / 2).as("lo"),
           ($"ts" + hourNs / 2).as("hi"))
       graft.ops.RangeJoin.overlapJoin(
@@ -6908,10 +6913,10 @@ object ExtQueries {
     },
     Some("""WITH e AS (SELECT event_id, epoch_ns(ts) AS tsn FROM events),
             |l AS (SELECT event_id, tsn AS lo, tsn + 3600000000000 AS hi
-            |      FROM e WHERE event_id % 5 = 0),
+            |      FROM e WHERE event_id % 15 = 0),
             |r AS (SELECT event_id, tsn - 1800000000000 AS lo,
             |             tsn + 1800000000000 AS hi
-            |      FROM e WHERE event_id % 7 = 0)
+            |      FROM e WHERE event_id % 21 = 0)
             |SELECT l.event_id AS l_id, r.event_id AS r_id
             |FROM l, r WHERE l.lo <= r.hi AND r.lo <= l.hi
             |ORDER BY l_id, r_id""".stripMargin))
@@ -7044,6 +7049,98 @@ object ExtQueries {
             |FROM per a JOIN per b ON a.text = b.text AND a.src != b.src
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Mixed-script homoglyph screen
+    * ([[graft.ext.TextAnalysis.mixedScriptStats]]): tokens mixing
+    * Latin/Cyrillic/Greek characters — planted homoglyph spam
+    * ("pаypal" with a Cyrillic а) must flag, pure-Cyrillic text and
+    * the ASCII corpus must not. Both engines evaluate the same three
+    * `\x{…}` script classes per token (the langIdWide regex
+    * discipline).
+    */
+  val q183 = Q(
+    "q183_mixed_script",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (900001L, "urgent pаypal verification nоw"),
+        (900002L, "the Ωmega option βeta stays"),
+        (900003L, "чисто русский текст"))
+        .toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      TextAnalysis.mixedScriptStats(docs, $"doc_id", $"text")
+        .select($"id".as("doc_id"), $"n_tokens", $"n_mixed", $"flagged")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT * FROM (VALUES
+            |   (900001, 'urgent pаypal verification nоw'),
+            |   (900002, 'the Ωmega option βeta stays'),
+            |   (900003, 'чисто русский текст')) p(doc_id, text)),
+            |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            |       FROM d)
+            |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+            |       CAST(len(list_filter(t, x ->
+            |         (regexp_matches(x, '[A-Za-z]') AND
+            |          regexp_matches(x, '[\x{0400}-\x{04FF}]')) OR
+            |         (regexp_matches(x, '[A-Za-z]') AND
+            |          regexp_matches(x, '[\x{0370}-\x{03FF}]')) OR
+            |         (regexp_matches(x, '[\x{0400}-\x{04FF}]') AND
+            |          regexp_matches(x, '[\x{0370}-\x{03FF}]'))))
+            |         AS BIGINT) AS n_mixed,
+            |       len(list_filter(t, x ->
+            |         (regexp_matches(x, '[A-Za-z]') AND
+            |          regexp_matches(x, '[\x{0400}-\x{04FF}]')) OR
+            |         (regexp_matches(x, '[A-Za-z]') AND
+            |          regexp_matches(x, '[\x{0370}-\x{03FF}]')) OR
+            |         (regexp_matches(x, '[\x{0400}-\x{04FF}]') AND
+            |          regexp_matches(x, '[\x{0370}-\x{03FF}]')))) > 0 AS flagged
+            |FROM tk ORDER BY doc_id""".stripMargin))
+
+  /** Incremental maintenance of the cross-source matrix
+    * ([[graft.ext.ExactDedup.sourcePresenceState]] /
+    * [[graft.ext.ExactDedup.mergePresenceStates]] /
+    * [[graft.ext.ExactDedup.overlapFromState]]): the corpus splits
+    * into old and delta batches, each contributes its own counted
+    * presence state, and the matrix from the MERGED states must equal
+    * the oracle's full-corpus matrix — the q118 merge-identity
+    * discipline applied to governance state, so absorbing a day's
+    * batch never rescans the corpus. Retraction (the group inverse)
+    * is pinned in CrossSourceSpec.
+    */
+  val q184 = Q(
+    "q184_overlap_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text", $"source")
+      def planted(id: Long, fromDoc: Long, src: String) =
+        docs.filter($"doc_id" === fromDoc)
+          .select(lit(id).as("doc_id"), $"text", lit(src).as("source"))
+      val corpus = docs
+        .unionByName(planted(910001L, 4L, "mirror-a"))
+        .unionByName(planted(910002L, 4L, "mirror-a"))
+        .unionByName(planted(910003L, 4L, "mirror-b"))
+        .unionByName(planted(910004L, 11L, "mirror-b"))
+      val old = corpus.filter($"doc_id" % 3 =!= 0)
+      val delta = corpus.filter($"doc_id" % 3 === 0)
+      ExactDedup.overlapFromState(
+        ExactDedup.mergePresenceStates(Seq(
+          ExactDedup.sourcePresenceState(old, $"text", $"source"),
+          ExactDedup.sourcePresenceState(delta, $"text", $"source"))))
+        .orderBy($"src", $"other")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, source FROM documents
+            |  UNION ALL SELECT 910001, text, 'mirror-a' FROM documents WHERE doc_id = 4
+            |  UNION ALL SELECT 910002, text, 'mirror-a' FROM documents WHERE doc_id = 4
+            |  UNION ALL SELECT 910003, text, 'mirror-b' FROM documents WHERE doc_id = 4
+            |  UNION ALL SELECT 910004, text, 'mirror-b' FROM documents WHERE doc_id = 11),
+            |per AS (SELECT text, source AS src, count(*) AS n
+            |        FROM d GROUP BY 1, 2)
+            |SELECT a.src AS src, b.src AS other, count(*) AS n_shared,
+            |       CAST(sum(a.n) AS BIGINT) AS n_rows_dup
+            |FROM per a JOIN per b ON a.text = b.text AND a.src != b.src
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30,
     q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45,
     q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60,
@@ -7056,5 +7153,5 @@ object ExtQueries {
     q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q180, q181, q182)
+    q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
 }

@@ -107,19 +107,74 @@ object ExactDedup {
     * cross-source complement.
     */
   def crossSourceOverlap(df: DataFrame, content: Column,
-                         source: Column): DataFrame = {
+                         source: Column): DataFrame =
     // two consumers of the per-(digest, source) aggregate — same
     // materialize-once discipline as the shingle frames (the frame is
     // digest + source + count, compact at any corpus size)
-    val perSrc = df
-      .groupBy(contentDigest(content).as("__h"), source.as("src"))
-      .agg(count(lit(1)).as("__rows"))
-      .localCheckpoint(false)
-    perSrc
-      .join(perSrc.select(col("__h"), col("src").as("other")), Seq("__h"))
+    overlapFromState(sourcePresenceState(df, content, source)
+      .localCheckpoint(false))
+
+  /** The maintained STATE behind [[crossSourceOverlap]]: one row per
+    * (content digest, source) with its row count — the same counted-
+    * ledger discipline as [[digestTable]]+[[graft.ext.Forget]], so the
+    * matrix becomes maintainable without corpus rescans: new batches
+    * fold in via [[mergePresenceStates]] (counts are a commutative
+    * monoid), takedowns subtract via [[retractPresenceState]] (counts
+    * are a group; a presence row dies when its count reaches zero —
+    * exactly why the state holds counts and not booleans).
+    */
+  def sourcePresenceState(df: DataFrame, content: Column,
+                          source: Column): DataFrame =
+    df.groupBy(contentDigest(content).as("digest"), source.as("src"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** merge(state(a), state(b)) = state(a ∪ b): one key-shuffle over
+    * the compact states, never the corpora.
+    */
+  def mergePresenceStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergePresenceStates: no states")
+    states.reduce(_ unionByName _)
+      .groupBy("digest", "src")
+      .agg(sum(col("n_rows")).cast("long").as("n_rows"))
+  }
+
+  /** Takedown propagation for the presence state: subtract the deleted
+    * batch's own state; rows whose count reaches zero drop. BOTH
+    * desync shapes raise instead of clamping — deleting more copies
+    * than the ledger holds, and deleting a (digest, source) the
+    * ledger never saw (the full-outer join makes the unknown key
+    * visible as a NULL stored count) — because a silently-absorbed
+    * bad delete desynchronizes ledger and corpus forever
+    * ([[graft.ext.Forget]]'s contract).
+    */
+  def retractPresenceState(state: DataFrame,
+                           deletedState: DataFrame): DataFrame = {
+    val d = deletedState.select(col("digest"), col("src"),
+      col("n_rows").as("__del"))
+    state.join(d, Seq("digest", "src"), "full")
+      .withColumn("__left",
+        when(col("n_rows").isNull, expr(
+          "raise_error('retractPresenceState: deleting content the ledger never saw')"))
+          .otherwise(col("n_rows") - coalesce(col("__del"), lit(0L))))
+      .withColumn("__left",
+        when(col("__left") < 0, expr(
+          "raise_error('retractPresenceState: deleting more rows than present')"))
+          .otherwise(col("__left")))
+      .filter(col("__left") > 0)
+      .select(col("digest"), col("src"), col("__left").as("n_rows"))
+  }
+
+  /** The duplication matrix from a (possibly merged / retracted)
+    * presence state — see [[crossSourceOverlap]] for the semantics.
+    * Per-digest join fanout is bounded by sources-holding-it squared.
+    */
+  def overlapFromState(state: DataFrame): DataFrame =
+    state.select(col("digest").as("__h"), col("src"),
+        col("n_rows").as("__rows"))
+      .join(state.select(col("digest").as("__h"), col("src").as("other")),
+        Seq("__h"))
       .filter(col("src") =!= col("other"))
       .groupBy("src", "other")
       .agg(count(lit(1)).as("n_shared"),
         sum(col("__rows")).cast("long").as("n_rows_dup"))
-  }
 }

@@ -454,6 +454,42 @@ object TextAnalysis {
       .filter(col("shared") >= minShared)
   }
 
+  /** Mixed-script (homoglyph) token screen: per document, how many
+    * whitespace tokens mix characters from two or more of the three
+    * mutually-confusable alphabets (Latin, Cyrillic, Greek) — the
+    * "pаypal with a Cyrillic а" shape. Legitimate text switches
+    * script BETWEEN tokens (names, quotes, loanwords); switching
+    * WITHIN a token is the signature of homoglyph obfuscation
+    * (spam evading wordlists, phishing domains, SEO poison), and a
+    * corpus screen wants it counted before any wordlist filter runs —
+    * the wordlist cannot match what is not spelled in one script.
+    * Only the tri-confusable set counts: Latin+CJK or Latin+Arabic
+    * inside a token is ordinary romaji/transliteration context, not
+    * an evasion signal.
+    *
+    * Scale: one per-row expression tree (split + three script
+    * regexes per token), zero shuffle, whole-stage codegen — rides
+    * along any scan. Script ranges use the `\x{…}` hex-escape syntax
+    * shared by Java regex and RE2 (the [[langIdWide]] discipline), so
+    * the oracle mirrors the classes verbatim.
+    *
+    * Output: (id, n_tokens, n_mixed, flagged).
+    */
+  def mixedScriptStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val latin = "[A-Za-z]"
+    val cyr = "[\\x{0400}-\\x{04FF}]"
+    val greek = "[\\x{0370}-\\x{03FF}]"
+    val toks = split(trim(text), "\\s+")
+    def mixed(t: Column): Column =
+      (t.rlike(latin) && t.rlike(cyr)) ||
+        (t.rlike(latin) && t.rlike(greek)) ||
+        (t.rlike(cyr) && t.rlike(greek))
+    df.select(id.as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, mixed _)).cast("long").as("n_mixed"))
+      .withColumn("flagged", col("n_mixed") > 0L)
+  }
+
   /** WITHIN-document duplicate-line removal (CCNet's `dedup_lines` /
     * the in-page half of C4's line dedup): drop every repeat of a line
     * inside the SAME document, keeping the first occurrence in
