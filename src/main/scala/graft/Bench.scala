@@ -190,7 +190,11 @@ object Bench {
       "q68_span_dedup", "q69_temperature_sample",
       // q86 is NOT here: its gate slices a constant doc_id range, the
       // exact "measures nothing at x100" case this tier excludes
-      "q87_vocab_coverage", "q93_quality_classifier")
+      "q87_vocab_coverage", "q93_quality_classifier",
+      // r11: full-documents digest aggregate + tiny digest-keyed
+      // self-join — only the planted mirrors collide after the
+      // blowup's per-copy text perturbation
+      "q182_source_overlap")
     var x100Cal = (0.0, 0.0)
     val x100: Option[Seq[(String, Double)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X100", "1") == "0") None
