@@ -261,10 +261,11 @@ object Bench {
       "q173_hits", "q174_crawl_depth", "q175_group_tile",
       "q176_gram_repetition", "q177_line_repetition", "q178_host_template",
       // q182 digest-aggregates the FULL documents table (the planted
-      // mirrors are constant); q180 (bounded doc slice — the exact
-      // oracle kernel, like q24) and q181 (pure arithmetic, no table)
-      // have no corpus-proportional claim to measure
-      "q182_source_overlap")
+      // mirrors are constant); q183 is a full-corpus zero-shuffle
+      // regex screen (the q125 class); q180 (bounded doc slice — the
+      // exact oracle kernel, like q24) and q181 (pure arithmetic, no
+      // table) have no corpus-proportional claim to measure
+      "q182_source_overlap", "q183_mixed_script")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

@@ -910,6 +910,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("presence ledger absorbs micro-batches via mergePresenceStates; matrix equals the one-pass run") {
+    import graft.ext.ExactDedup
+    // planted mirrors give the matrix something to report — the
+    // corpus's texts are unique across sources
+    val base = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text", $"source")
+    def planted(id: Long, fromDoc: Long, src: String) =
+      base.filter($"doc_id" === fromDoc)
+        .select(lit(id).as("doc_id"), $"text", lit(src).as("source"))
+    val docs = base
+      .unionByName(planted(920001L, 2L, "m-a"))
+      .unionByName(planted(920002L, 2L, "m-a"))
+      .unionByName(planted(920003L, 2L, "m-b"))
+    val dir = java.nio.file.Files.createTempDirectory("presence-stream")
+      .toString + "/in"
+    docs.repartition(3).write.parquet(dir)
+
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = ExactDedup.sourcePresenceState(batch,
+          col("text"), col("source"))
+        state = Some((state match {
+          case None => delta
+          case Some(st) => ExactDedup.mergePresenceStates(Seq(st, delta))
+        }).localCheckpoint(true))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = ExactDedup.overlapFromState(state.get)
+        .orderBy("src", "other").collect().toSeq
+      val want = ExactDedup.crossSourceOverlap(docs, $"text", $"source")
+        .orderBy("src", "other").collect().toSeq
+      assert(got == want)
+      assert(got.nonEmpty, "planted mirrors must surface in the matrix")
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "ledger maintenance lives in the sink; the stream is stateless")
+    } finally q.stop()
+  }
+
   test("repetition screen per micro-batch: doc-local signals, union of batch verdicts equals the batch run, stream stateless") {
     import graft.ext.QualityFilter
     // the repetition verdict depends only on the document's own text,
