@@ -325,6 +325,61 @@ object EmbeddingSearch {
         col("rank"), col("cos"))
   }
 
+  /** [[hardNegatives]] with NEAR-DUP LEAKAGE screening: a mined
+    * negative that is a near-duplicate of the query (or of its
+    * labeled positive) is not a hard negative — it is an UNLABELED
+    * POSITIVE, and contrastive losses trained against it actively
+    * push the representation the wrong way. The standard mining loop
+    * (top-k wrong answers by cosine) surfaces exactly these first,
+    * because near-duplicates score highest of all wrong answers —
+    * the miner and the failure mode are the same ranking.
+    *
+    * `labels` is a (id, component) near-dup labeling — the
+    * [[DedupClusters.connectedComponents]] output, or any membership
+    * table with the same shape; ids absent from it are their own
+    * singleton component (left join + coalesce to the id, consistent
+    * with the min-member component convention). The exclusion sits
+    * BELOW the ranking window (the [[hardNegatives]] under-fill
+    * argument), so every query still gets k true negatives.
+    *
+    * Scale shape: one corpus-sized equi-join to attach component
+    * labels, then the broadcast-pairs scoring kernel unchanged —
+    * the screen adds a digest-table join, never a second corpus pass.
+    */
+  def leakageSafeHardNegatives(corpus: DataFrame, corpusId: String,
+                               corpusVec: String, pairs: DataFrame,
+                               queryId: String, queryVec: String,
+                               positiveId: String, labels: DataFrame,
+                               labelId: String, labelComp: String,
+                               k: Int): DataFrame = {
+    val lab = labels.select(col(labelId).as("__lid"),
+      col(labelComp).as("__lcomp"))
+    val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
+      .withColumn("__cn", norm(col("__cvec")))
+      .join(lab.select(col("__lid").as("__cid"), col("__lcomp").as("__ccomp")),
+        Seq("__cid"), "left")
+      .withColumn("__ccomp", coalesce(col("__ccomp"), col("__cid")))
+    val q = pairs.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"),
+        col(positiveId).as("__pos"))
+      .withColumn("__qn", norm(col("__qvec")))
+      .join(lab.select(col("__lid").as("__qid"), col("__lcomp").as("__qcomp")),
+        Seq("__qid"), "left")
+      .withColumn("__qcomp", coalesce(col("__qcomp"), col("__qid")))
+      .join(lab.select(col("__lid").as("__pos"), col("__lcomp").as("__pcomp")),
+        Seq("__pos"), "left")
+      .withColumn("__pcomp", coalesce(col("__pcomp"), col("__pos")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__cid") =!= col("__qid") && col("__cid") =!= col("__pos") &&
+        col("__ccomp") =!= col("__qcomp") && col("__ccomp") =!= col("__pcomp"))
+      .withColumn("cos",
+        dot(col("__qvec"), col("__cvec")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("__qid").orderBy(col("cos").desc, col("__cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as("negative_id"),
+        col("rank"), col("cos"))
+  }
+
   /** Cell-occupancy profile of an IVF index: one row per CENTROID cell
     * — `(cell, n_members)` — including empty cells (a cell with no
     * members still costs every query a centroid product and signals
