@@ -195,8 +195,47 @@ object Bench {
       // self-join — only the planted mirrors collide after the
       // blowup's per-copy text perturbation
       "q182_source_overlap")
+    // Self-adjudicating tier timing (r11 verdict item 1): the ×100
+    // numbers have been contaminated by ambient load in three separate
+    // rounds (r9 q68 112.9 s, r11 q68 39.9 s vs an 18 s steady state),
+    // and a run-level calibration bracket can't say WHICH query the
+    // load landed on. So every tier rep is individually bracketed by
+    // the calibration kernel, the accepted (min-time) rep comes from
+    // the CLEAN-bracket reps when any exist, and a query whose every
+    // rep ran loaded is re-run up to 3 extra times before being
+    // recorded with loaded=true — the artifact itself now says whether
+    // a reading is trustworthy (BASELINE.md's ≤~0.6 s bracket rule,
+    // applied per query instead of per run).
+    val bracketMax = sys.env.getOrElse("SPARK_GRAFT_BRACKET_MAX", "0.6").toDouble
+    def timeTierAdjudicated(dir: String, keep: Set[String], nreps: Int)
+        : Seq[(String, Double, Double, Boolean)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => selected(q._1)).filter(q => keep(q._1)).map {
+        case (name, fn) =>
+          def rep(): (Double, Double) = {
+            dropResidualBlocks(); System.gc(); Thread.sleep(100)
+            val cal = calibrate()
+            val t0 = System.nanoTime()
+            try { fn(spark, dir).count() }
+            catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1L }
+            val dt = (System.nanoTime() - t0) / 1e9
+            dropResidualBlocks()
+            (dt, cal)
+          }
+          var runs = (1 to nreps).map(_ => rep())
+          var extra = 0
+          while (runs.forall(_._2 > bracketMax) && extra < 3) {
+            System.err.println(
+              s"[bench] $name: all brackets loaded (${runs.map(_._2).mkString(",")}), re-running")
+            extra += 1
+            runs = runs :+ rep()
+          }
+          val clean = runs.filter(_._2 <= bracketMax)
+          val accepted = (if (clean.nonEmpty) clean else runs).minBy(_._1)
+          (name, accepted._1, accepted._2, clean.isEmpty)
+      }
     var x100Cal = (0.0, 0.0)
-    val x100: Option[Seq[(String, Double)]] =
+    val x100Full: Option[Seq[(String, Double, Double, Boolean)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X100", "1") == "0") None
       else try {
         val sfName = new java.io.File(sfDir).getName
@@ -204,14 +243,15 @@ object Bench {
           s"${sys.props("java.io.tmpdir")}/graft_x100_$sfName", times = 100,
           tables = Set("documents"))
         val calBefore = calibrate()
-        val r = timeAll(x100Dir, Set.empty, Some(x100Keep),
-          nreps = math.max(reps, 2), gcBefore = true)
+        val r = timeTierAdjudicated(x100Dir, x100Keep, nreps = math.max(reps, 2))
         x100Cal = (calBefore, calibrate())
         Some(r)
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[bench] x100 pass failed: $e"); None
       }
+    val x100: Option[Seq[(String, Double)]] =
+      x100Full.map(_.map { case (n, t, _, _) => (n, t) })
 
     // ---- sf1 honesty tier: per-query SCALING EXPONENTS ----------------
     // The x10 pass at the driver's sf0.1 bench dir IS sf1-scale data;
@@ -299,6 +339,10 @@ object Bench {
     val detail = s"""{"detail":{"queries":${toJson(results, full = true)}""" +
       x10.map(r => s""","x10_queries":${toJson(r, full = true)}""").getOrElse("") +
       x100.map(r => s""","x100_queries":${toJson(r, full = true)}""").getOrElse("") +
+      x100Full.map { r =>
+        s""","x100_brackets":${toJson(r.map(q => (q._1, q._3)), full = true)}""" +
+          s""","x100_loaded":${r.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
+      }.getOrElse("") +
       sf1Detail + "}}"
     println(detail)
     // persisted in-repo (committed with the round) AND to tmp: the
@@ -333,11 +377,12 @@ object Bench {
         s""","x10_calibration":${fmt(x10Cal._1)},"x10_calibration_end":${fmt(x10Cal._2)}""" +
         s""","x10_skipped":${x10Skip.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }.getOrElse("") +
-      x100.map { r =>
+      x100Full.map { r =>
         val x100Total = r.map(_._2).sum
         s""","x100_total":${fmt(x100Total)},"x100_n":${r.size}""" +
           s""","x100_total_normalized":${fmt(x100Total * normFactor(x100Cal._1, x100Cal._2))}""" +
-          s""","x100_calibration":${fmt(x100Cal._1)},"x100_calibration_end":${fmt(x100Cal._2)}"""
+          s""","x100_calibration":${fmt(x100Cal._1)},"x100_calibration_end":${fmt(x100Cal._2)}""" +
+          s""","x100_loaded":${r.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
       }.getOrElse("")
     // compact sf1 summary for the final line: count, worst normalized
     // sf→10·sf ratio, and any super-linear offenders (ratio > 12; a

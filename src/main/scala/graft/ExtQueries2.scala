@@ -1,0 +1,279 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.CoreQueries.Q
+import graft.ext.UnigramLm
+
+/** Round-12 extension gates (q185+) — unigram-LM tokenizer induction,
+  * residual quantization, hashed-feature classifier training, and
+  * DOM-density extraction. Same contract as [[ExtQueries]]: every
+  * gate pairs a Spark face with a DuckDB oracle mirroring the exact
+  * arithmetic.
+  */
+object ExtQueries2 {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    Tables.table(s, dir, name)
+
+  /** Shared oracle CTE chain for the unigram-LM gates: word counts of
+    * the trained universe ([a-z]{1,3} whitespace tokens), exhaustive
+    * breakpoint-mask segmentations, and TWO exact-integer EM
+    * iterations — seed weights from substring occurrence counts
+    * renormalized onto the 2^20 grid, per-(word, mask) likelihood
+    * numerators as integer products padded to exactly 3 factors with
+    * the grid constant (uniform per word, cancels in the posterior),
+    * posterior contributions as exact HUGEINT floor-divisions on the
+    * 10^6 count grid. Mirrors [[graft.ext.UnigramLm.train]] term for
+    * term; the widest intermediate (f · 2^60 · 10^6) stays far inside
+    * HUGEINT.
+    */
+  private val unigramEmCtes: String =
+    """tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |        FROM documents),
+      |wc AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM tok
+      |       WHERE regexp_matches(w, '^[a-z]{1,3}$') GROUP BY w),
+      |sub AS (SELECT w, f, substring(w, CAST(i AS INT), CAST(l AS INT)) AS p
+      |        FROM wc,
+      |        LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) ii,
+      |        LATERAL (SELECT unnest(generate_series(1, length(w) - i + 1)) AS l) ll),
+      |cp AS (SELECT p, CAST(sum(f) AS HUGEINT) AS c FROM sub GROUP BY p),
+      |tt AS (SELECT CAST(sum(c) AS HUGEINT) AS t FROM cp),
+      |w0 AS (SELECT p, (c * 1048576) // t AS wt FROM cp, tt),
+      |wm AS (SELECT w, f, CAST(m AS INT) AS m
+      |       FROM wc, LATERAL (SELECT unnest(generate_series(0,
+      |              (1 << (length(w) - 1)) - 1)) AS m) mm),
+      |sg AS (SELECT w, f, m,
+      |         list_prepend(1, list_transform(
+      |           list_filter(generate_series(1, length(w) - 1),
+      |                       i -> ((m >> CAST(i - 1 AS INT)) & 1) = 1),
+      |           i -> i + 1)) AS starts
+      |       FROM wm),
+      |sl AS (SELECT w, f, m, CAST(idx AS INT) AS idx,
+      |         substring(w, CAST(s AS INT),
+      |           CAST(coalesce(starts[idx + 1], length(w) + 1) - s AS INT)) AS p
+      |       FROM sg, LATERAL (SELECT unnest(starts) AS s,
+      |                                generate_subscripts(starts, 1) AS idx) u),
+      |j1 AS (SELECT sl.w, sl.f, sl.m, sl.idx, sl.p,
+      |              coalesce(w0.wt, CAST(0 AS HUGEINT)) AS wtv
+      |       FROM sl LEFT JOIN w0 ON sl.p = w0.p),
+      |nm1 AS (SELECT w, f, m, count(*) AS k,
+      |          CAST(max(CASE WHEN idx = 1 THEN wtv END) AS HUGEINT) *
+      |          CAST(coalesce(max(CASE WHEN idx = 2 THEN wtv END), 1048576) AS HUGEINT) *
+      |          CAST(coalesce(max(CASE WHEN idx = 3 THEN wtv END), 1048576) AS HUGEINT) AS nm
+      |        FROM j1 GROUP BY w, f, m),
+      |z1 AS (SELECT w, sum(nm) AS z FROM nm1 GROUP BY w),
+      |e1 AS (SELECT j.p, sum((j.f * n.nm * 1000000) // z.z) AS ec
+      |       FROM j1 j JOIN nm1 n ON j.w = n.w AND j.m = n.m
+      |                 JOIN z1 z ON j.w = z.w
+      |       WHERE z.z > 0 AND n.nm > 0
+      |       GROUP BY j.p),
+      |et1 AS (SELECT sum(ec) AS et FROM e1),
+      |w1 AS (SELECT p, (ec * 1048576) // et AS wt FROM e1, et1),
+      |j2 AS (SELECT sl.w, sl.f, sl.m, sl.idx, sl.p,
+      |              coalesce(w1.wt, CAST(0 AS HUGEINT)) AS wtv
+      |       FROM sl LEFT JOIN w1 ON sl.p = w1.p),
+      |nm2 AS (SELECT w, f, m, count(*) AS k,
+      |          CAST(max(CASE WHEN idx = 1 THEN wtv END) AS HUGEINT) *
+      |          CAST(coalesce(max(CASE WHEN idx = 2 THEN wtv END), 1048576) AS HUGEINT) *
+      |          CAST(coalesce(max(CASE WHEN idx = 3 THEN wtv END), 1048576) AS HUGEINT) AS nm
+      |        FROM j2 GROUP BY w, f, m),
+      |z2 AS (SELECT w, sum(nm) AS z FROM nm2 GROUP BY w),
+      |e2 AS (SELECT j.p, sum((j.f * n.nm * 1000000) // z.z) AS ec
+      |       FROM j2 j JOIN nm2 n ON j.w = n.w AND j.m = n.m
+      |                 JOIN z2 z ON j.w = z.w
+      |       WHERE z.z > 0 AND n.nm > 0
+      |       GROUP BY j.p),
+      |et2 AS (SELECT sum(ec) AS et FROM e2),
+      |w2 AS (SELECT p, (ec * 1048576) // et AS wt FROM e2, et2)""".stripMargin
+
+  /** Unigram-LM vocabulary induction under the full oracle
+    * ([[graft.ext.UnigramLm.train]]): two exact-integer EM iterations
+    * over the exhaustively-enumerated segmentation lattice of the
+    * [a-z]{1,3} word universe, unrolled verbatim in SQL (the q99/q102
+    * trainer-gate discipline). Every arithmetic step is integer —
+    * grid renormalization, likelihood products, posterior
+    * floor-divisions — so the learned weights hash-match cross-engine
+    * with no float anywhere.
+    */
+  val q185 = Q(
+    "q185_unigram_train",
+    (s, dir) => {
+      import s.implicits._
+      UnigramLm.train(t(s, dir, "documents"), $"text",
+          maxWordLen = 3, iters = 2)
+        .toDF("piece", "weight")
+        .orderBy($"piece")
+    },
+    Some(s"""WITH $unigramEmCtes
+            |SELECT p AS piece, CAST(wt AS BIGINT) AS weight
+            |FROM w2 WHERE wt > 0 ORDER BY piece""".stripMargin))
+
+  /** Distributed encode over the learned unigram vocabulary
+    * ([[graft.ext.UnigramLm.encodeTable]] / `encode`): per document,
+    * whitespace-token count and total piece count, where
+    * trained-universe words segment by exact integer Viterbi (argmax
+    * of the same padded likelihood numerator; ties → fewer pieces →
+    * lowest mask; all-zero words fall back to codepoints) and
+    * out-of-universe tokens fall back to codepoint count. The oracle
+    * re-derives the EM chain AND the argmax independently — train ≡
+    * serve across engines under one hash.
+    */
+  val q186 = Q(
+    "q186_unigram_encode",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val vocab = UnigramLm.train(docs, $"text", maxWordLen = 3, iters = 2)
+      val universe = UnigramLm.wordCounts(docs, $"text", 3)
+        .select($"word").collect().map(_.getString(0)).toSeq
+      val table = UnigramLm.encodeTable(universe, vocab.toMap, 3)
+        .toDF("word", "n_pieces")
+      UnigramLm.encode(docs, $"doc_id", $"text", table)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $unigramEmCtes,
+            |jf AS (SELECT sl.w, sl.f, sl.m, sl.idx, sl.p,
+            |              coalesce(w2.wt, CAST(0 AS HUGEINT)) AS wtv
+            |       FROM sl LEFT JOIN w2 ON sl.p = w2.p),
+            |nmf AS (SELECT w, m, count(*) AS k,
+            |          CAST(max(CASE WHEN idx = 1 THEN wtv END) AS HUGEINT) *
+            |          CAST(coalesce(max(CASE WHEN idx = 2 THEN wtv END), 1048576) AS HUGEINT) *
+            |          CAST(coalesce(max(CASE WHEN idx = 3 THEN wtv END), 1048576) AS HUGEINT) AS nm
+            |        FROM jf GROUP BY w, f, m),
+            |best AS (SELECT w, k, nm, row_number() OVER
+            |           (PARTITION BY w ORDER BY nm DESC, k ASC, m ASC) AS rn
+            |         FROM nmf),
+            |wp AS (SELECT w, CASE WHEN nm = 0 THEN CAST(length(w) AS BIGINT)
+            |                      ELSE CAST(k AS BIGINT) END AS np
+            |       FROM best WHERE rn = 1),
+            |dt AS (SELECT doc_id,
+            |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            |       FROM documents)
+            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+            |       CAST(sum(coalesce(wp.np, length(dt.w))) AS BIGINT) AS n_pieces
+            |FROM dt LEFT JOIN wp ON dt.w = wp.w
+            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  /** Residual (two-stage) quantization at the composed degenerate
+    * point ([[graft.ext.VectorQuant.rqTrain]] / `ivfProbeRq`): stage 1
+    * is deliberately LOSSY (ksub=4 over 64 vectors — real
+    * reconstruction error), stage 2 is degenerate over the
+    * double-precision residuals (ksub=64 covers every distinct
+    * residual sub-vector, iters=0), so decode₁ + decode₂ must
+    * reproduce the ORIGINAL float bits — float subtraction is exact
+    * in double and the double add rounds back to the float — and the
+    * two-stage probe with nprobe = nlist must equal brute force over
+    * the slice (q100's oracle verbatim; the q100 discipline applied
+    * to the refinement stage). Lossy recall-vs-memory operating
+    * points are measured in RecallCheck, not asserted.
+    */
+  val q187 = Q(
+    "q187_rq_exact",
+    (s, dir) => {
+      import s.implicits._
+      val slice = t(s, dir, "embeddings").filter($"vec_id" < 64)
+        .select($"vec_id", $"embedding")
+      val queries = slice.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val books = graft.ext.VectorQuant.rqTrain(slice, "vec_id", "embedding",
+        m = 8, ksub1 = 4, iters1 = 0, ksub2 = 64, iters2 = 0, dim = 64)
+      val ivf = graft.ext.EmbeddingSearch.buildIvfIndex(
+        slice, "vec_id", "embedding", nlist = 4)
+      val ridx = graft.ext.VectorQuant.quantizeIndexRq(
+        ivf, slice, "vec_id", "embedding", books)
+      graft.ext.VectorQuant.ivfProbeRq(ridx, queries, "qid", "qvec",
+          k = 4, nprobe = 4)
+        .select($"qid".as("vec_id"), $"neighbor_id",
+          $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"vec_id", $"rank")
+    },
+    Some("""WITH c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings WHERE vec_id < 64),
+            q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 8),
+            pairs AS (SELECT q.qid, c.vec_id AS nid,
+                             list_inner_product(qv, v) /
+                               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS cos
+                      FROM c, q WHERE c.vec_id != q.qid),
+            ranked AS (SELECT qid, nid, cos,
+                              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+                       FROM pairs)
+            SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
+            FROM ranked WHERE rnk <= 4 ORDER BY vec_id, rank"""))
+
+  /** One gradient iteration of the hashed-ngram trainer in SQL —
+    * margin sums on the DECIMAL(38,12) grid per document, sigmoid in
+    * IEEE, gradient sums on the DECIMAL(38,6) grid per bucket, the
+    * q99 step arithmetic. `prevW`/`prevI` name the incoming
+    * weight/intercept CTEs; emits zz/p/gb/gi/w/i CTEs suffixed `i`.
+    */
+  private def hashedIter(i: Int, prevW: String, prevI: String): String =
+    s"""zz$i AS (SELECT f.doc_id, sum(CAST(f.x * w.wt AS DECIMAL(38,12))) AS zs
+       |         FROM fx f JOIN $prevW w USING (b) GROUP BY f.doc_id),
+       |p$i AS (SELECT l.doc_id, l.y,
+       |               1.0/(1.0 + exp(-(i.w0 + CAST(coalesce(z.zs, 0) AS DOUBLE)))) AS p
+       |        FROM lab l LEFT JOIN zz$i z USING (doc_id), $prevI i),
+       |gb$i AS (SELECT f.b, CAST(sum(CAST((p.p - p.y) * f.x AS DECIMAL(38,6))) AS DOUBLE) AS g
+       |         FROM p$i p JOIN fx f USING (doc_id) GROUP BY f.b),
+       |gi$i AS (SELECT CAST(sum(CAST(p - y AS DECIMAL(38,6))) AS DOUBLE) AS g FROM p$i),
+       |w$i AS (SELECT w.b, w.wt - 0.5 * (coalesce(g.g, 0.0) / n.n) AS wt
+       |        FROM $prevW w LEFT JOIN gb$i g ON w.b = g.b, n),
+       |i$i AS (SELECT i.w0 - 0.5 * (g.g / n.n) AS w0 FROM $prevI i, gi$i g, n)""".stripMargin
+
+  /** The hashed bag-of-ngrams trainer under the full oracle
+    * ([[graft.ext.HashedNgram.fit]], the fastText/CCNet-class quality
+    * classifier): two batch-gradient iterations over L1-normalized
+    * hashed unigram+bigram features unrolled verbatim in SQL. The
+    * bucket hash is the portable md5 Horner hash mod 16 — which is
+    * exactly the 8th hex nibble, one CASE in the oracle — so feature
+    * construction, margin sums (DECIMAL(38,12)), sigmoid, gradient
+    * sums (DECIMAL(38,6)), and the step arithmetic all hash-match
+    * cross-engine (the q99 discipline over a LONG-format feature
+    * frame — the shape that survives D = 2²¹). Labels are a
+    * deterministic function of doc_id; the gate pins the FIT, not the
+    * fixture's learnability (separation is measured in
+    * HashedNgramSpec).
+    */
+  val q188 = Q(
+    "q188_hashed_ngram_train",
+    (s, dir) => {
+      import s.implicits._
+      val labeled = t(s, dir, "documents")
+        .select($"doc_id", $"text", ($"doc_id" % 3 === 0).cast("int").as("label"))
+      graft.ext.HashedNgram.fit(labeled, $"doc_id", $"text", $"label",
+          d = 16, iters = 2, lr = 0.5)
+        .toDF("bucket", "weight").orderBy($"bucket")
+    },
+    Some(s"""WITH kt AS (SELECT doc_id,
+            |             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            |                         tk -> regexp_matches(tk, '^[a-z]{3,}$$')) AS t,
+            |             CAST(CAST(doc_id % 3 = 0 AS INT) AS DOUBLE) AS y
+            |           FROM documents),
+            |gr AS (SELECT doc_id, unnest(t) AS g FROM kt
+            |       UNION ALL
+            |       SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+            |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            |             FROM kt)),
+            |bk AS (SELECT doc_id,
+            |         CAST(CASE WHEN ascii(substring(md5(g), 8, 1)) <= 57
+            |                   THEN ascii(substring(md5(g), 8, 1)) - 48
+            |                   ELSE ascii(substring(md5(g), 8, 1)) - 87 END AS BIGINT) AS b
+            |       FROM gr),
+            |tot AS (SELECT doc_id, count(*) AS nt FROM bk GROUP BY doc_id),
+            |fx AS (SELECT bk.doc_id, b,
+            |              CAST(count(*) AS DOUBLE) / CAST(nt AS DOUBLE) AS x
+            |       FROM bk JOIN tot USING (doc_id) GROUP BY bk.doc_id, b, nt),
+            |lab AS (SELECT doc_id, y FROM kt),
+            |n AS (SELECT count(*) AS n FROM lab),
+            |wi0 AS (SELECT CAST(unnest(generate_series(0, 15)) AS BIGINT) AS b,
+            |               0.0 AS wt),
+            |ii0 AS (SELECT 0.0 AS w0),
+            |${hashedIter(1, "wi0", "ii0")},
+            |${hashedIter(2, "w1", "i1")}
+            |SELECT bucket, weight FROM (
+            |  SELECT CAST(-1 AS BIGINT) AS bucket, w0 AS weight FROM i2
+            |  UNION ALL SELECT b, wt FROM w2)
+            |ORDER BY bucket""".stripMargin))
+
+  val all: Seq[Q] = Seq(q185, q186, q187, q188)
+}

@@ -345,6 +345,12 @@ object EmbeddingSearch {
     * Scale shape: one corpus-sized equi-join to attach component
     * labels, then the broadcast-pairs scoring kernel unchanged —
     * the screen adds a digest-table join, never a second corpus pass.
+    * The membership table is deduplicated on (id, component) before
+    * any join: a labels table carrying repeated rows per id (e.g. one
+    * row per evidence pair) would otherwise fan out the corpus/query
+    * joins, and each duplicated candidate row would take its own
+    * row_number rank — repeated negative_ids crowding out true
+    * negatives from the top-k.
     */
   def leakageSafeHardNegatives(corpus: DataFrame, corpusId: String,
                                corpusVec: String, pairs: DataFrame,
@@ -353,7 +359,7 @@ object EmbeddingSearch {
                                labelId: String, labelComp: String,
                                k: Int): DataFrame = {
     val lab = labels.select(col(labelId).as("__lid"),
-      col(labelComp).as("__lcomp"))
+      col(labelComp).as("__lcomp")).distinct()
     val c = aliased(corpus, corpusId, corpusVec, "__cid", "__cvec")
       .withColumn("__cn", norm(col("__cvec")))
       .join(lab.select(col("__lid").as("__cid"), col("__lcomp").as("__ccomp")),
@@ -760,7 +766,9 @@ object EmbeddingSearch {
     // 2·gridBits ≤ the DECIMAL scale (12): products are multiples of
     // 2^-2·gridBits, so gridBits > 6 would round and break the
     // bit-exact cross-engine contract (and powerIteration2's integer
-    // rescale).
+    // rescale). BREAKING CHANGE (round 11): the accepted domain
+    // narrowed from [1, 12] to [1, 6] — callers passing 7-12 used to
+    // get silently-rounded (contract-violating) sums and now raise.
     require(gridBits >= 1 && gridBits <= 6, "gridBits in [1, 6]")
     val scale = (1L << gridBits).toDouble
     val q = transform(vec, x => floor(x.cast("double") * lit(scale)) / lit(scale))

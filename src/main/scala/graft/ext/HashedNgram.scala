@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+
+/** Hashed bag-of-ngrams linear classifier — the fastText/CCNet-class
+  * quality model: a logistic regression over HASHED word n-gram
+  * features, the standard recipe for "train a quality classifier on
+  * a few labeled documents, score the corpus" where the signal lives
+  * in VOCABULARY, not in the engineered surface statistics
+  * [[QualityModel]] uses (CCNet trains exactly this shape against
+  * Wikipedia; FineWeb-Edu's filter is its descendant).
+  *
+  * The hashing trick makes the feature space fixed-size with no vocab
+  * table: gram → bucket via the PORTABLE 32-bit md5 Horner hash
+  * ([[MinHashLsh.portableHash32]] mod D) — no engine-private hash
+  * constants, so an external system (or the DuckDB oracle, gate q188)
+  * reproduces the features from the text alone. Features are
+  * L1-normalized bucket counts x_j = n_j / Σn (the fastText mean).
+  *
+  * Determinism discipline (the [[QualityTrain]] recipe, long-format):
+  * the per-(doc, bucket) margin terms w_j·x_j quantize to
+  * DECIMAL(38,12) before the per-document sum, and the gradient terms
+  * (σ(z)−y)·x_j to DECIMAL(38,6) before the per-bucket sum — decimal
+  * addition is exact and order-invariant, so the fit is
+  * partition-invariant and cross-engine reproducible; fixed `iters`,
+  * never a convergence test.
+  *
+  * Scale shape: the text scan runs ONCE (features persist as a
+  * releasable cut of (doc, bucket, x) rows); each gradient pass is
+  * two hash aggregations of that narrow frame (one per-doc, one
+  * per-bucket, both map-side combined). Weights are D+1 doubles of
+  * driver state — at the gate's D=16 trivially, and the long format
+  * is exactly what scales past literal-size: at D = 2²¹ (fastText's
+  * default) the weights become a broadcast TABLE and nothing else
+  * changes, where a wide-column design ([[QualityTrain]]'s 6 fixed
+  * features) would need a 2-million-column schema.
+  */
+object HashedNgram {
+
+  /** Long-format hashed features: (doc_id, bucket, x) — word unigrams
+    * and adjacent bigrams over the kept-token sequence (the
+    * [[Keywords.termFrequency]] grammar: lowercased whitespace
+    * tokens matching `^[a-z]{3,}$`), bucket =
+    * portableHash32(gram) mod D, x = bucket count / total gram count.
+    * Documents with no kept tokens produce no rows (their margin is
+    * the intercept alone).
+    */
+  def features(df: DataFrame, id: Column, text: Column, d: Int): DataFrame = {
+    require(d >= 2 && d <= (1 << 21), s"d in [2, 2^21], got $d")
+    val kt = filter(split(lower(trim(text)), "\\s+"),
+      t => t.rlike("^[a-z]{3,}$"))
+    val bigrams = zip_with(
+      slice(kt, lit(1), greatest(size(kt) - 1, lit(0))),
+      slice(kt, lit(2), greatest(size(kt) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val bk = df.select(id.as("doc_id"),
+        explode(concat(kt, bigrams)).as("__g"))
+      .select(col("doc_id"),
+        pmod(MinHashLsh.portableHash32(col("__g")), lit(d.toLong)).as("bucket"))
+    val tot = bk.groupBy(col("doc_id")).agg(count(lit(1)).as("__nt"))
+    bk.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        (col("__c").cast("double") / col("__nt").cast("double")).as("x"))
+  }
+
+  /** Fit the D+1 weights by `iters` deterministic batch-gradient
+    * steps. Returns (bucket, weight) rows: bucket −1 is the
+    * intercept, then buckets 0..D−1 (zero-gradient buckets keep
+    * weight 0) — exactly what [[score]] consumes.
+    */
+  def fit(df: DataFrame, id: Column, text: Column, label: Column,
+          d: Int = 16, iters: Int = 2, lr: Double = 0.5): Seq[(Long, Double)] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fCut = GraftBridge.persistCutFrame(features(df, id, text, d), eager = true)
+    val lCut = GraftBridge.persistCutFrame(
+      df.select(id.as("doc_id"), label.cast("double").as("__y")), eager = true)
+    try {
+      val n = lCut.df.count()
+      require(n > 0, "cannot fit on an empty labeled frame")
+      // a null label would silently skip gradient terms while n still
+      // counts the row — fail loudly (the QualityTrain discipline)
+      val nBad = lCut.df.filter(col("__y").isNull).count()
+      require(nBad == 0,
+        s"labeled frame has $nBad rows with null label — drop or impute before fit")
+      val w = Array.fill(d)(0.0)
+      var w0 = 0.0
+      for (_ <- 1 to iters) {
+        val wdf = w.zipWithIndex
+          .map { case (v, j) => (j.toLong, v) }.toSeq.toDF("bucket", "__wt")
+        val zs = fCut.df.join(broadcast(wdf), "bucket")
+          .groupBy(col("doc_id"))
+          .agg(sum((col("x") * col("__wt")).cast("decimal(38,12)")).as("__zs"))
+        val pd = lCut.df.join(zs, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("__y"),
+            (lit(1.0) / (lit(1.0) + exp(-(lit(w0) +
+              coalesce(col("__zs").cast("double"), lit(0.0)))))).as("__p"))
+        val pCut = GraftBridge.persistCutFrame(pd, eager = true)
+        try {
+          val gi = pCut.df
+            .agg(sum((col("__p") - col("__y")).cast("decimal(38,6)")))
+            .head().getDecimal(0)
+          val gb = pCut.df.join(fCut.df, "doc_id")
+            .groupBy(col("bucket"))
+            .agg(sum(((col("__p") - col("__y")) * col("x"))
+              .cast("decimal(38,6)")).as("__g"))
+            .collect()
+            .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+          w0 -= lr * (gi.doubleValue() / n)
+          for (j <- 0 until d)
+            w(j) -= lr * (gb.getOrElse(j.toLong, 0.0) / n)
+        } finally pCut.release()
+      }
+      (-1L, w0) +: w.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toSeq
+    } finally { fCut.release(); lCut.release() }
+  }
+
+  /** Score documents with fitted weights: (doc_id, score) where
+    * score = σ(w0 + Σ w_j·x_j) through the identical expression tree
+    * the trainer used — training-time predictions and serving-time
+    * scores are the same IEEE arithmetic.
+    */
+  def score(df: DataFrame, id: Column, text: Column,
+            weights: Seq[(Long, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w0 = weights.find(_._1 == -1L)
+      .getOrElse(throw new IllegalArgumentException(
+        "weights must carry the intercept row (bucket = -1)"))._2
+    val d = weights.count(_._1 >= 0L)
+    require(d >= 2, s"weights must carry >= 2 bucket rows, got $d")
+    val wdf = weights.filter(_._1 >= 0L).toDF("bucket", "__wt")
+    val zs = features(df, id, text, d).join(broadcast(wdf), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum((col("x") * col("__wt")).cast("decimal(38,12)")).as("__zs"))
+    df.select(id.as("doc_id"))
+      .join(zs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-(lit(w0) +
+          coalesce(col("__zs").cast("double"), lit(0.0)))))).as("score"))
+  }
+}

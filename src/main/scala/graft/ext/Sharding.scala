@@ -39,6 +39,15 @@ object Sharding {
     *
     * Output: input columns + `w` (the weight), `rank` (1-based
     * global), `shard` ∈ [0, nShards).
+    *
+    * Weight contract (STRICTER since the delegation to
+    * [[graft.ops.Ranks.bucketRank]]): weights must cast to a
+    * NON-NEGATIVE long. NULL and negative weights RAISE; earlier
+    * versions silently dropped NULL-weight rows (the bucket equi-join
+    * never matched them) and mis-bucketed negatives into huge unsigned
+    * buckets. Pipelines feeding such weights now fail loudly at the
+    * first row — coalesce/clamp upstream if partial weights are
+    * expected.
     */
   def snakeShards(df: DataFrame, key: Column, weight: Column, nShards: Int,
                   bucketShift: Int = 8): DataFrame = {

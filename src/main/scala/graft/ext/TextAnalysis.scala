@@ -474,6 +474,15 @@ object TextAnalysis {
     * the oracle mirrors the classes verbatim.
     *
     * Output: (id, n_tokens, n_mixed, flagged).
+    *
+    * Token-count caveat: tokens come from `split(trim(text), "\s+")`,
+    * the corpus-wide tokenization idiom — empty text therefore counts
+    * as n_tokens = 1 (one empty token) and text starting with a
+    * tab/newline contributes a leading empty token. The oracle and
+    * the engine share the convention (gate q183 pins it), and empty
+    * tokens can never count as MIXED (they match no script class), so
+    * only n_tokens carries the off-by-one; treat it as a split count,
+    * not an exact word count.
     */
   def mixedScriptStats(df: DataFrame, id: Column, text: Column): DataFrame = {
     val latin = "[A-Za-z]"

@@ -1,0 +1,198 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer vocabulary induction —
+  * the OTHER half of the modern tokenizer space next to
+  * [[BpeTrain]]: instead of greedily merging the most frequent pair,
+  * unigram training keeps a candidate piece inventory and runs EM —
+  * the E-step distributes each word's probability mass over its
+  * possible segmentations, the M-step re-estimates piece weights from
+  * the expected counts (Kudo 2018, "Subword Regularization", §3.2;
+  * cf. reference `load_hhs.py`-era pipelines have no tokenizer at all
+  * — this is extension surface).
+  *
+  * EXACT-INTEGER discipline (what makes this oracle-checkable where
+  * SentencePiece's float EM is not): piece weights live on the
+  * 2^20 integer grid, a segmentation's likelihood numerator is the
+  * integer product of its piece weights padded to exactly `maxWordLen`
+  * factors with the grid constant (the pad is a per-word uniform
+  * scale, so it cancels in the posterior n_m / Z_w), and every
+  * posterior contribution is one exact integer floor-division
+  * `(freq · n_m · CountGrid) / Z_w`. No float appears anywhere, so
+  * the fit is a pure function of the corpus — partition-invariant,
+  * order-invariant, and bit-identical in any engine with 128-bit
+  * integer arithmetic (gate q185 pins 2 EM iterations cross-engine in
+  * DuckDB HUGEINT; the widest intermediate, freq · WG³ · CG, stays
+  * below 2¹²⁷ for corpora up to ~10¹⁴ training tokens).
+  *
+  * Scale shape (the [[BpeTrain.learnMerges]] contract): the corpus is
+  * touched exactly once — one tokenize + grouped count; everything
+  * after runs on the VOCABULARY-BOUNDED word table. Training is
+  * restricted to words of ≤ `maxWordLen` codepoints over [a-z]: that
+  * universe is finite (≤ Σ 26^l), so no frequency cap is even needed,
+  * and segmentations are enumerated EXHAUSTIVELY (2^(len−1) masks) —
+  * the E-step is exact, not a Viterbi approximation. A 100 TB corpus
+  * and a 1 GB corpus produce the same-sized driver state.
+  * `maxWordLen` beyond ~16 would need the lattice-DP form; the
+  * bounded form is the oracle-gated one (the cross-engine HUGEINT
+  * bound above assumes maxWordLen ≤ 3 — larger values stay exact
+  * here via BigInt but leave DuckDB mirrorability behind).
+  *
+  * Longer / non-[a-z] words are out of the trained universe BY
+  * DESIGN and fall back to codepoint segmentation at encode time
+  * ([[encode]]); [[graft.functions.Bpe]] remains the
+  * arbitrary-length subword face.
+  */
+object UnigramLm {
+
+  /** Piece-weight grid: weights are integers in [0, 2^20]. */
+  val WeightGrid: Long = 1L << 20
+
+  /** Expected-count grid: posterior contributions are integers on the
+    * 10^6 grid.
+    */
+  val CountGrid: Long = 1000000L
+
+  /** (word, freq) occurrence counts of the trained universe — the one
+    * corpus-scale pass. Tokens are `lower(trim(text))` split on
+    * whitespace (the corpus-wide convention), kept iff they match
+    * `^[a-z]{1,maxWordLen}$`.
+    */
+  def wordCounts(df: DataFrame, text: Column, maxWordLen: Int): DataFrame =
+    df.select(explode(split(lower(trim(text)), "\\s+")).as("word"))
+      .filter(col("word").rlike(s"^[a-z]{1,$maxWordLen}$$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** All contiguous substrings of `w` (the candidate pieces of one
+    * word), with multiplicity.
+    */
+  private def substrings(w: String): Seq[String] =
+    for {
+      i <- 0 until w.length
+      l <- 1 to (w.length - i)
+    } yield w.substring(i, i + l)
+
+  /** Pieces of `w` under breakpoint mask `m`: bit (i−1) of `m` set
+    * means a break after codepoint i (1-based), so mask 0 is the
+    * whole word and mask 2^(len−1)−1 is the character segmentation.
+    */
+  private def piecesOf(w: String, m: Int): Seq[String] = {
+    val starts = 0 +: (1 until w.length).filter(i => ((m >> (i - 1)) & 1) == 1)
+    starts.zipWithIndex.map { case (s, idx) =>
+      val end = if (idx + 1 < starts.length) starts(idx + 1) else w.length
+      w.substring(s, end)
+    }
+  }
+
+  /** One EM pass over the (word, freq) table: given the current
+    * integer weight map (absent piece = 0), return the gridded
+    * expected counts. Pure integer arithmetic; the per-word uniform
+    * WG^(maxWordLen−k) pad cancels in n_m / Z_w.
+    */
+  private def emStep(words: Seq[(String, Long)], wt: Map[String, Long],
+                     maxWordLen: Int): Map[String, BigInt] = {
+    val wg = BigInt(WeightGrid)
+    val cg = BigInt(CountGrid)
+    val ec = scala.collection.mutable.HashMap.empty[String, BigInt]
+    words.foreach { case (w, f) =>
+      val masks = 0 until (1 << (w.length - 1))
+      val segs = masks.map { m =>
+        val ps = piecesOf(w, m)
+        val nm = ps.map(p => BigInt(wt.getOrElse(p, 0L)))
+          .padTo(maxWordLen, wg).product
+        (ps, nm)
+      }
+      val z = segs.map(_._2).sum
+      if (z > 0) {
+        val bf = BigInt(f)
+        segs.foreach { case (ps, nm) =>
+          if (nm > 0) {
+            val contrib = bf * nm * cg / z // exact floor division
+            ps.foreach { p => ec.update(p, ec.getOrElse(p, BigInt(0)) + contrib) }
+          }
+        }
+      }
+    }
+    ec.toMap
+  }
+
+  /** Renormalize a count map onto the weight grid:
+    * wt(p) = floor(c_p · WG / Σc). Requires a non-empty total.
+    */
+  private def renorm(counts: Map[String, BigInt]): Map[String, Long] = {
+    val total = counts.values.sum
+    require(total > 0, "unigram train: empty training universe (no kept words)")
+    counts.map { case (p, c) => p -> (c * BigInt(WeightGrid) / total).toLong }
+  }
+
+  /** Learn the piece-weight vocabulary: seed weights from raw
+    * substring occurrence counts, then `iters` exact-integer EM
+    * passes. Returns (piece, weight) with weight > 0, piece-ordered —
+    * bounded driver state (the BPE merge-table contract).
+    */
+  def train(df: DataFrame, text: Column, maxWordLen: Int = 3,
+            iters: Int = 2): Seq[(String, Long)] = {
+    require(maxWordLen >= 1 && maxWordLen <= 16,
+      s"maxWordLen in [1, 16], got $maxWordLen")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val words = wordCounts(df, text, maxWordLen)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // seed: substring occurrence counts with multiplicity, weighted
+    // by word frequency
+    val seed = scala.collection.mutable.HashMap.empty[String, BigInt]
+    words.foreach { case (w, f) =>
+      substrings(w).foreach { p =>
+        seed.update(p, seed.getOrElse(p, BigInt(0)) + f)
+      }
+    }
+    var wt = renorm(seed.toMap)
+    for (_ <- 1 to iters)
+      wt = renorm(emStep(words, wt, maxWordLen))
+    wt.toSeq.filter(_._2 > 0L).sortBy(_._1)
+  }
+
+  /** Exact Viterbi piece count per trained word: argmax of n_m over
+    * the exhaustive masks (ties: fewer pieces, then lowest mask); a
+    * word every segmentation of which scores 0 falls back to
+    * codepoint count. Returns (word, n_pieces) for the WHOLE trained
+    * universe — the serve-side vocabulary table.
+    */
+  def encodeTable(words: Seq[String], weights: Map[String, Long],
+                  maxWordLen: Int): Seq[(String, Int)] = {
+    val wg = BigInt(WeightGrid)
+    words.map { w =>
+      var bestN = BigInt(-1)
+      var bestK = Int.MaxValue
+      (0 until (1 << (w.length - 1))).foreach { m =>
+        val ps = piecesOf(w, m)
+        val nm = ps.map(p => BigInt(weights.getOrElse(p, 0L)))
+          .padTo(maxWordLen, wg).product
+        if (nm > bestN || (nm == bestN && ps.length < bestK)) {
+          bestN = nm; bestK = ps.length
+        }
+      }
+      w -> (if (bestN == 0) w.length else bestK)
+    }
+  }
+
+  /** Distributed encode statistics: per document, the whitespace
+    * token count and the total piece count — trained-universe words
+    * segment by the broadcast [[encodeTable]] (a tokenizer ships its
+    * vocab exactly this way), everything else falls back to codepoint
+    * count. Shuffle carries (doc, word) pairs only; the vocab side is
+    * broadcast.
+    */
+  def encode(df: DataFrame, id: Column, text: Column,
+             table: DataFrame): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(split(lower(trim(text)), "\\s+")).as("word"))
+    toks.join(broadcast(table.select(col("word"), col("n_pieces").as("__np"))),
+        Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__np").cast("long"), length(col("word")).cast("long")))
+          .as("n_pieces"))
+  }
+}

@@ -132,10 +132,15 @@ object VectorQuant {
           count(lit(1)).as("__n"))
         .select(col("__sub"), col("__code"), col("__pos"),
           (col("__s").cast("double") / col("__n")).as("__mu"))
+      // centroids keep the INPUT element type: float corpora get float
+      // codebooks (unchanged), double corpora (the residual-quantization
+      // stage-2 path) keep full double precision
+      val elemType = sv.schema("__sv").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
       val next = dims.groupBy(col("__sub"), col("__code"))
         .agg(array_sort(collect_list(struct(col("__pos"), col("__mu")))).as("__pm"))
         .select(col("__sub").as("sub"), col("__code").as("code"),
-          transform(col("__pm"), s => s.getField("__mu").cast("float")).as("centroid"))
+          transform(col("__pm"), s => s.getField("__mu").cast(elemType)).as("centroid"))
       val cut = GraftBridge.persistCutFrame(next, eager = true)
       prevCut.foreach(_.release())
       prevCut = Some(cut)
@@ -339,6 +344,156 @@ object VectorQuant {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("__qid").as(queryId), col("__cid").as("negative_id"),
+        col("rank"), col("cos"))
+  }
+
+  // ---- residual (two-stage) quantization ---------------------------
+
+  /** Double-codebook twin of [[collectBook]] — stage-2 (residual)
+    * codebooks live in doubles (see [[rqResidualExpr]] for why).
+    */
+  def collectBookD(book: PqCodebook): Array[Array[Array[Double]]] = {
+    val rows = book.codebook.select(col("sub"), col("code"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    (0 until book.m).toArray.map { s =>
+      val subRows = rows.filter(_._1 == s)
+      require(subRows.nonEmpty, s"codebook has no entries for subspace $s")
+      val slots = Array.fill(subRows.map(_._2).max + 1)(Array.empty[Double])
+      subRows.foreach { case (_, c, v) => slots(c) = v }
+      slots
+    }
+  }
+
+  /** [[pqDecodeExpr]] over a double codebook. */
+  def pqDecodeExprD(collected: Array[Array[Array[Double]]], codes: Column): Column = {
+    val bookLit = array(collected.map(sub =>
+      array(sub.map(cw => typedLit(cw)): _*)): _*)
+    flatten(zip_with(bookLit, codes, (sub, code) => element_at(sub, code + 1)))
+  }
+
+  /** [[pqEncodeExpr]] over a double codebook / double vector. */
+  def pqEncodeExprD(collected: Array[Array[Array[Double]]], vec: Column): Column = {
+    require(collected.nonEmpty && collected.head.nonEmpty, "empty codebook")
+    val dsub = collected.head.head.length
+    array(collected.indices.map { s =>
+      val bookLit = typedLit(collected(s))
+      val sv = slice(vec, s * dsub + 1, dsub)
+      val scored = transform(sequence(lit(0), lit(collected(s).length - 1)),
+        c => struct(dist2(sv, element_at(bookLit, c + 1)).as("d"), c.as("c")))
+      array_min(scored).getField("c")
+    }: _*)
+  }
+
+  /** Per-row stage-1 residual in DOUBLE precision:
+    * r[i] = double(x[i]) − double(x̂₁[i]), where x̂₁ is the in-row
+    * stage-1 reconstruction. Doubles are load-bearing, not a
+    * convenience: a float difference x − c is always EXACTLY
+    * representable in double, and the later double add c + (x − c)
+    * rounds to the true sum — which is x. So a stage-2 codebook that
+    * represents the residuals exactly reconstructs the ORIGINAL float
+    * bits (gate q187's identity); float residuals would lose that to
+    * double rounding both ways. Pure projection — zero shuffle.
+    */
+  def rqResidualExpr(collected1: Array[Array[Array[Float]]], vec: Column): Column = {
+    val codes1 = pqEncodeExpr(collected1, vec)
+    zip_with(vec, pqDecodeExpr(collected1, codes1),
+      (x, c) => x.cast("double") - c.cast("double"))
+  }
+
+  /** Two-stage (residual) quantization state: a coarse stage-1 PQ
+    * codebook plus a stage-2 codebook trained on the stage-1
+    * residuals. At the same total code budget this refines where
+    * plain PQ truncates — the classic RQ/two-level ADC layout — and
+    * recall at fixed memory is measured in RecallCheck, not asserted.
+    */
+  final case class RqBooks(book1: PqCodebook, book2: PqCodebook)
+
+  /** IVF index whose assignments carry BOTH code arrays:
+    * (id, cell, codes1, codes2) — the complete two-stage serving
+    * state; the corpus is not needed at probe time.
+    */
+  final case class RqIvfIndex(centroids: DataFrame, assignments: DataFrame,
+                              books: RqBooks)
+
+  /** Train the two stages: stage 1 on the vectors, stage 2 on the
+    * double-precision residuals (computed in-row against the
+    * collected stage-1 codebook — one projection, no shuffle, no
+    * second corpus materialization). The q100 degenerate contract
+    * composes: with a stage-2 codebook covering every distinct
+    * residual sub-vector (iters2 = 0, ksub2 large enough), decode₁ +
+    * decode₂ reproduces the input bits exactly even when stage 1 is
+    * LOSSY — gate q187 pins that end to end.
+    */
+  def rqTrain(corpus: DataFrame, id: String, vec: String,
+              m: Int, ksub1: Int, iters1: Int,
+              ksub2: Int, iters2: Int, dim: Int): RqBooks = {
+    val book1 = pqTrain(corpus, id, vec, m, ksub1, iters1, dim)
+    val c1 = collectBook(book1)
+    val resid = corpus.select(col(id).as("__rid"),
+      rqResidualExpr(c1, col(vec)).as("__resid"))
+    val book2 = pqTrain(resid, "__rid", "__resid", m, ksub2, iters2, dim)
+    RqBooks(book1, book2)
+  }
+
+  /** Encode every vector to its two code arrays — both stages are
+    * in-row expressions over the collected codebooks (zero shuffle;
+    * the streaming-admission-safe shape).
+    */
+  def rqEncode(corpus: DataFrame, id: String, vec: String,
+               books: RqBooks): DataFrame = {
+    val c1 = collectBook(books.book1)
+    val c2 = collectBookD(books.book2)
+    corpus.select(col(id).as("id"),
+      pqEncodeExpr(c1, col(vec)).as("codes1"),
+      pqEncodeExprD(c2, rqResidualExpr(c1, col(vec))).as("codes2"))
+  }
+
+  /** Two-stage reconstruction: x̂[i] = float(double(x̂₁[i]) + r̂[i]).
+    * Exact when stage 2 is degenerate (see [[rqResidualExpr]]).
+    */
+  def rqDecodeExpr(collected1: Array[Array[Array[Float]]],
+                   collected2: Array[Array[Array[Double]]],
+                   codes1: Column, codes2: Column): Column =
+    zip_with(pqDecodeExpr(collected1, codes1), pqDecodeExprD(collected2, codes2),
+      (c, r) => (c.cast("double") + r).cast("float"))
+
+  /** Quantize an IVF index with both stages: same centroids,
+    * assignments augmented to (id, cell, codes1, codes2).
+    */
+  def quantizeIndexRq(index: EmbeddingSearch.IvfIndex, corpus: DataFrame,
+                      id: String, vec: String, books: RqBooks): RqIvfIndex =
+    RqIvfIndex(index.centroids,
+      index.assignments.join(rqEncode(corpus, id, vec, books), Seq("id")),
+      books)
+
+  /** Probe-only approximate top-k served entirely from two-stage
+    * quantized state — [[ivfProbePq]] with the refined decode; no
+    * corpus join anywhere in the plan.
+    */
+  def ivfProbeRq(index: RqIvfIndex,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int, nprobe: Int = 4): DataFrame = {
+    val c1 = collectBook(index.books.book1)
+    val c2 = collectBookD(index.books.book2)
+    val q = queries.select(col(queryId).as("__qid"), col(queryVec).as("__qvec"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("__ccos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__ccos", EmbeddingSearch.cosine(col("__qvec"), col("centroid")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qvec"), col("cell"))
+    val cand = index.assignments.withColumnRenamed("id", "__cid")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("__qid") =!= col("__cid"))
+      .withColumn("__rvec", rqDecodeExpr(c1, c2, col("codes1"), col("codes2")))
+      .withColumn("cos", EmbeddingSearch.cosine(col("__qvec"), col("__rvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("cos").desc, col("__cid").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(queryId), col("__cid").as("neighbor_id"),
         col("rank"), col("cos"))
   }
 

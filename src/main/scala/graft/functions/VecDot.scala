@@ -37,20 +37,47 @@ object VecDotUtil {
     }
     acc
   }
+
+  /** array<double> twin — same left fold, same null contract. Needed
+    * by the residual-quantization path ([[graft.ext.VectorQuant]]),
+    * whose stage-2 state lives in doubles so that
+    * c + (x − c) reconstructs x EXACTLY (a float difference is always
+    * representable in double, and the double add of c to it rounds to
+    * the true sum x).
+    */
+  def dotOrNullD(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
-  private val floatArray = ArrayType(FloatType, containsNull = false)
-  private def ok(t: DataType) = t match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def elem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
   }
+  // both sides float, or both sides double — mixed widths must be
+  // cast explicitly by the caller (an implicit widen would hide a
+  // schema bug in an embedding pipeline)
+  private def isDouble: Boolean = elem(left.dataType).contains(DoubleType)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires array<float> inputs, got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(l), Some(r)) if l == r => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires two array<float> or two array<double> inputs, " +
+          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
 
   override def dataType: DataType = DoubleType
 
@@ -58,13 +85,17 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    VecDotUtil.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isDouble)
+      VecDotUtil.dotOrNullD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VecDotUtil.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("dot")
+      val fn = if (isDouble) "dotOrNullD" else "dotOrNull"
       s"""
-         |java.lang.Double $tmp = graft.functions.VecDotUtil.dotOrNull($a, $b);
+         |java.lang.Double $tmp = graft.functions.VecDotUtil.$fn($a, $b);
          |if ($tmp == null) {
          |  ${ev.isNull} = true;
          |} else {

@@ -28,8 +28,23 @@ import org.apache.spark.sql.functions._
   *
   * The result is bit-identical to the naive global window (gate
   * q158's oracle pins this for snakeShards; q175's for the per-group
-  * form). Raise `bucketShift` if scores cluster so heavily that one
-  * bucket outgrows an executor's window slice.
+  * form). `bucketShift` trades the two failure directions against
+  * each other and MUST be sized to the score distribution:
+  *
+  *  - too SMALL (buckets too fine): the offsets table has one row per
+  *    distinct (group, score >> bucketShift) value, and it is
+  *    force-broadcast. For hash-like or widely spread scores at the
+  *    default shift of 8 that cardinality approaches the corpus and
+  *    the broadcast fails on driver memory — loudly, but late. Size
+  *    the shift so scoreRange >> bucketShift stays ≲ 10⁶ per group
+  *    (e.g. 64-bit hash scores need bucketShift ≈ 44, not 8).
+  *  - too LARGE (buckets too coarse): one bucket's rows form one
+  *    window partition; a bucket that outgrows an executor's memory
+  *    spills or OOMs. Lower the shift until the largest bucket fits.
+  *
+  * The default of 8 suits the gates' small integer scores (counts,
+  * gridded weights); callers ranking hashes or timestamps must pass
+  * an explicit shift.
   */
 object Ranks {
 
