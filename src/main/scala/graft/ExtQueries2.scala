@@ -275,5 +275,79 @@ object ExtQueries2 {
             |  UNION ALL SELECT b, wt FROM w2)
             |ORDER BY bucket""".stripMargin))
 
-  val all: Seq[Q] = Seq(q185, q186, q187, q188)
+  /** DOM-density text extraction
+    * ([[graft.ext.Boilerplate.densityStats]]): every corpus document
+    * is wrapped in a nav-and-footer template whose chrome is
+    * almost-pure anchor text — the regex face (q59's htmlToText)
+    * keeps that chrome verbatim; the density face must DROP the nav
+    * and footer segments and keep the prose. Planted rows pin both
+    * rule boundaries exactly: the minChars length cut (len 2 vs 5 at
+    * minChars = 5) and the integer link-density cut (3·lk ≤ len kept
+    * at 9 = 3·3, dropped at 8 < 9), plus a pure-link list. The oracle
+    * re-derives block splitting, per-segment tag stripping, anchor
+    * extraction, and the integer keep rule with list lambdas.
+    */
+  val q189 = Q(
+    "q189_dom_density",
+    (s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents").select($"doc_id",
+        concat(
+          lit("<html><body><div class=\"nav\"><a href=/>Home</a> " +
+            "<a href=/about>About us</a> <a href=/contact>Contact page</a></div><p>"),
+          $"text",
+          lit("</p><div class=\"footer\">Copyright <a href=/t>terms of use</a> " +
+            "and <a href=/p>privacy policy</a> notice</div></body></html>"))
+          .as("html"))
+      val planted = Seq(
+        (900000L, "<p>hi</p>"),
+        (900001L, "<p>hello</p>"),
+        (900002L, "<ul><li><a href=/1>one link</a></li><li><a href=/2>two link</a></li></ul>"),
+        (900003L, "<p>abcde <a href=/x>xyz</a></p>"),
+        (900004L, "<p>abcd <a href=/x>xyz</a></p>")).toDF("doc_id", "html")
+      graft.ext.Boilerplate.densityStats(pages.unionAll(planted),
+          $"doc_id", $"html", minChars = 5)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH pages AS (
+            |  SELECT doc_id,
+            |    '<html><body><div class="nav"><a href=/>Home</a> <a href=/about>About us</a> <a href=/contact>Contact page</a></div><p>'
+            |    || text ||
+            |    '</p><div class="footer">Copyright <a href=/t>terms of use</a> and <a href=/p>privacy policy</a> notice</div></body></html>' AS html
+            |  FROM documents
+            |  UNION ALL SELECT * FROM (VALUES
+            |    (900000, '<p>hi</p>'),
+            |    (900001, '<p>hello</p>'),
+            |    (900002, '<ul><li><a href=/1>one link</a></li><li><a href=/2>two link</a></li></ul>'),
+            |    (900003, '<p>abcde <a href=/x>xyz</a></p>'),
+            |    (900004, '<p>abcd <a href=/x>xyz</a></p>')) p(doc_id, html)),
+            |sg AS (SELECT doc_id,
+            |         string_split_regex(
+            |           regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+            |           '(?is)</?(p|div|td|th|h[1-6]|li|ul|ol|table|tr|section|article|header|footer|nav|aside|blockquote|br)\b[^>]*>') AS segs
+            |       FROM pages),
+            |inf AS (SELECT doc_id,
+            |          list_transform(segs, s -> struct_pack(
+            |            txt := trim(regexp_replace(regexp_replace(s, '(?s)<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')),
+            |            lk := coalesce(list_sum(list_transform(
+            |                    regexp_extract_all(s, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+            |                    a -> length(trim(regexp_replace(regexp_replace(a, '(?s)<[^>]+>', ' ', 'g'), '\s+', ' ', 'g'))))), 0))) AS info
+            |        FROM sg),
+            |st AS (SELECT doc_id,
+            |         list_filter(list_transform(info, i -> struct_pack(
+            |           txt := i.txt, len := length(i.txt), lk := i.lk)),
+            |           i -> i.len > 0) AS nb
+            |       FROM inf)
+            |SELECT doc_id,
+            |  CAST(len(nb) AS BIGINT) AS n_segments,
+            |  CAST(len(list_filter(nb, i -> i.len >= 5 AND i.lk * 3 <= i.len)) AS BIGINT) AS n_kept,
+            |  -- DuckDB's array_to_string is NULL on an EMPTY list;
+            |  -- Spark's array_join is '' (and NULL only on NULL input)
+            |  CASE WHEN nb IS NULL THEN NULL
+            |       ELSE coalesce(array_to_string(list_transform(
+            |         list_filter(nb, i -> i.len >= 5 AND i.lk * 3 <= i.len),
+            |         i -> i.txt), chr(10)), '') END AS extracted
+            |FROM st ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189)
 }

@@ -121,7 +121,7 @@ object RecallCheck {
       val dim = 64
       val idx = ext.EmbeddingSearch.buildIvfIndex(corpus, "vec_id", "embedding", 64)
       val sample = corpus.filter($"vec_id" % 7 === 0)
-      for ((m, ksub) <- Seq((8, 256), (8, 64), (8, 16), (16, 256))) {
+      for ((m, ksub) <- Seq((8, 256), (8, 64), (8, 16), (16, 256), (16, 16))) {
         val tTrain0 = System.nanoTime()
         val book = ext.VectorQuant.pqTrain(sample, "vec_id", "embedding",
           m, ksub, iters = 2, dim = dim)
@@ -139,6 +139,67 @@ object RecallCheck {
           ext.VectorQuant.ivfProbePqRerank(pinned, corpus, "vec_id", "embedding",
             queries, "qid", "qvec", k = k, rerankK = 3 * k, nprobe = 16)
         }
+        pinnedA.unpersist()
+      }
+      // residual refinement at a FIXED code budget: 16 ksub=16 codes
+      // per vector either as one 16-subspace PQ (the m=16/ksub=16 row
+      // above) or as 8 coarse + 8 residual subspaces (RQ). The
+      // residual stage spends its half of the budget on the CODING
+      // ERROR of the first half instead of on narrower slices of the
+      // raw signal, so recall at equal bytes should improve — measured
+      // here, asserted nowhere (the q187 gate pins exactness only).
+      {
+        val tTrain0 = System.nanoTime()
+        val books = ext.VectorQuant.rqTrain(sample, "vec_id", "embedding",
+          m = 8, ksub1 = 16, iters1 = 2, ksub2 = 16, iters2 = 2, dim = dim)
+        val rq = ext.VectorQuant.quantizeIndexRq(idx, corpus, "vec_id", "embedding", books)
+        val pinnedA = rq.assignments
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinnedA.count()
+        val tTrain = (System.nanoTime() - tTrain0) / 1e9
+        measure(f"rqProbe 8+8 ksub=16 (16 codes, build $tTrain%.1f s)") {
+          ext.VectorQuant.ivfProbeRq(rq.copy(assignments = pinnedA),
+            queries, "qid", "qvec", k = k, nprobe = 16)
+        }
+        // coding-precision face: mean squared reconstruction error at
+        // the SAME 16-code budget. Probe recall on this fixture is
+        // routing-bound (every PQ row above reads the same number —
+        // the lost neighbors die at cell routing, not at ADC
+        // precision), so the residual stage's refinement is only
+        // visible in the reconstruction error itself.
+        def mseOf(label: String, rec: DataFrame): Unit = {
+          val v = rec.select(avg(aggregate(
+            zip_with(col("embedding"), col("rec"), (x, r) =>
+              (x.cast("double") - r.cast("double")) *
+                (x.cast("double") - r.cast("double"))),
+            lit(0.0), (a, b) => a + b))).as[Double].head()
+          println(f"[recall] $label%-28s mse=$v%.6f")
+        }
+        def pqMse(label: String, m: Int, ksub: Int): Unit = {
+          val b = ext.VectorQuant.pqTrain(sample, "vec_id", "embedding",
+            m, ksub, iters = 2, dim = dim)
+          val cb = ext.VectorQuant.collectBook(b)
+          val enc = ext.VectorQuant.pqEncode(corpus, "vec_id", "embedding", b)
+          mseOf(label,
+            corpus.join(enc, corpus("vec_id") === enc("id"))
+              .select($"embedding",
+                ext.VectorQuant.pqDecodeExpr(cb, $"codes").as("rec")))
+        }
+        // fixed m = 8: the residual stage refines what the SAME
+        // subspace split truncates — the comparison for a pipeline at
+        // its dsub floor. Fixed 16 codes (m=16 row): on this
+        // hash-noise fixture residuals are isotropic, so RQ ≈ a finer
+        // flat split; structured real embeddings are where the
+        // coarse-then-refine layout pulls ahead.
+        pqMse("mse pq m=8 ksub=16 (8 codes)", 8, 16)
+        pqMse("mse pq m=16 ksub=16", 16, 16)
+        val cr1 = ext.VectorQuant.collectBook(books.book1)
+        val cr2 = ext.VectorQuant.collectBookD(books.book2)
+        mseOf("mse rq 8+8 ksub=16",
+          corpus.join(pinnedA.select($"id", $"codes1", $"codes2"),
+              corpus("vec_id") === col("id"))
+            .select($"embedding", ext.VectorQuant.rqDecodeExpr(
+              cr1, cr2, $"codes1", $"codes2").as("rec")))
         pinnedA.unpersist()
       }
       // int8 scalar quantization: the 4× point — decode is a pure

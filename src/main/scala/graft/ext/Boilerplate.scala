@@ -32,6 +32,60 @@ object Boilerplate {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDf)
 
+  /** Block-level tags whose boundaries delimit DOM-density segments. */
+  private val BlockTagRegex =
+    "(?is)</?(p|div|td|th|h[1-6]|li|ul|ol|table|tr|section|article|header|footer|nav|aside|blockquote|br)\\b[^>]*>"
+
+  /** DOM-density text extraction (the Arc90-readability / jusText
+    * family): split the page at BLOCK-level tag boundaries, score each
+    * segment by LINK DENSITY (characters inside <a> anchors vs total
+    * segment characters), and keep only long-enough low-link segments.
+    * Navigation bars, footers, and related-links chrome are short
+    * runs of almost-pure anchor text; article prose is long runs of
+    * mostly plain text — the density split is what separates them on
+    * real pages where the flat regex strip ([[TextAnalysis.htmlToText]],
+    * gate q59) keeps nav and footer verbatim.
+    *
+    * Rule, exact-arithmetic so the oracle mirrors it (gate q189):
+    * a segment is KEPT iff its whitespace-squeezed tag-stripped text
+    * has ≥ `minChars` characters AND 3·link_chars ≤ text_chars (link
+    * density ≤ 1/3, the integer form — no float ratio anywhere).
+    * Output columns: (doc_id, n_segments [nonblank], n_kept,
+    * extracted [kept texts joined by newline]).
+    *
+    * Scale shape: one per-row expression tree — split, per-segment
+    * regex strips, integer length arithmetic — zero shuffle,
+    * whole-stage codegen; rides along any scan like the q125 redact
+    * family. Regex grammar stays in the Java∩RE2 subset
+    * ((?is), \b, [^>]*, non-greedy .*?) so both engines parse
+    * identically.
+    */
+  def densityStats(docs: DataFrame, id: Column, html: Column,
+                   minChars: Int = 20): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    def squeeze(c: Column): Column =
+      trim(regexp_replace(regexp_replace(c, "(?s)<[^>]+>", " "), "\\s+", " "))
+    val segs = split(noBlocks, BlockTagRegex)
+    val info = transform(segs, s => {
+      val txt = squeeze(s)
+      val linkLen = aggregate(
+        transform(regexp_extract_all(s, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+          a => length(squeeze(a))),
+        lit(0), (acc, x) => acc + x)
+      struct(txt.as("txt"), length(txt).as("len"), linkLen.as("lk"))
+    })
+    val nonblank = filter(info, s => s.getField("len") > 0)
+    val kept = filter(nonblank, s =>
+      s.getField("len") >= minChars &&
+        s.getField("lk") * 3 <= s.getField("len"))
+    docs.select(id.as("doc_id"),
+      size(nonblank).cast("long").as("n_segments"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(transform(kept, s => s.getField("txt")), "\n").as("extracted"))
+  }
+
   /** HOST-scoped template statistics: per document, how many of its
     * sentences are shared by ≥ `minDf` documents of the SAME host.
     * Site templates (navigation, footers, cookie banners) repeat

@@ -425,28 +425,64 @@ object VectorQuant {
     * decode₂ reproduces the input bits exactly even when stage 1 is
     * LOSSY — gate q187 pins that end to end.
     */
+  /** Stage-1 residual frame via the BATCH path: join+agg encode
+    * (codegen'd hash aggregation, not the interpreted in-row argmin
+    * kernel — the expr form costs ~40 ms/row interpreted and is for
+    * streaming admission only), then the cheap per-row decode lookup
+    * and the exact double subtraction. Output: (id-named-`outId`,
+    * `__resid` array<double>).
+    */
+  private def residualFrame(corpus: DataFrame, id: String, vec: String,
+                            book1: PqCodebook, outId: String): DataFrame = {
+    val c1 = collectBook(book1)
+    val enc1 = pqEncode(corpus, id, vec, book1)
+      .select(col("id").as(outId), col("codes"))
+    corpus.select(col(id).as(outId), col(vec).as("__v"))
+      .join(enc1, Seq(outId))
+      .select(col(outId),
+        zip_with(col("__v"), pqDecodeExpr(c1, col("codes")),
+          (x, c) => x.cast("double") - c.cast("double")).as("__resid"))
+  }
+
   def rqTrain(corpus: DataFrame, id: String, vec: String,
               m: Int, ksub1: Int, iters1: Int,
               ksub2: Int, iters2: Int, dim: Int): RqBooks = {
     val book1 = pqTrain(corpus, id, vec, m, ksub1, iters1, dim)
-    val c1 = collectBook(book1)
-    val resid = corpus.select(col(id).as("__rid"),
-      rqResidualExpr(c1, col(vec)).as("__resid"))
-    val book2 = pqTrain(resid, "__rid", "__resid", m, ksub2, iters2, dim)
-    RqBooks(book1, book2)
+    // stage-2 training reads the residuals once per init/Lloyd pass —
+    // materialize them as a releasable cut instead of recomputing the
+    // stage-1 encode every pass
+    val cut = GraftBridge.persistCutFrame(
+      residualFrame(corpus, id, vec, book1, "__rid"), eager = true)
+    try {
+      val book2 = pqTrain(cut.df, "__rid", "__resid", m, ksub2, iters2, dim)
+      // the codebook itself must survive the cut's release: pqTrain
+      // with iters = 0 returns a plan over the residual frame, so
+      // pin its rows (bounded m·ksub driver state by contract) before
+      // releasing
+      val pinned = book2.codebook.collect()
+      val spark = corpus.sparkSession
+      val schema = book2.codebook.schema
+      val materialized = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(pinned: _*)), schema)
+      RqBooks(book1, book2.copy(codebook = materialized))
+    } finally cut.release()
   }
 
-  /** Encode every vector to its two code arrays — both stages are
-    * in-row expressions over the collected codebooks (zero shuffle;
-    * the streaming-admission-safe shape).
+  /** Encode every vector to its two code arrays — both stages run the
+    * BATCH join+agg encode (pinned bit-identical to the in-row expr
+    * form in VectorQuantSpec); for streaming admission compose
+    * [[pqEncodeExpr]] / [[rqResidualExpr]] / [[pqEncodeExprD]]
+    * in-row instead.
     */
   def rqEncode(corpus: DataFrame, id: String, vec: String,
                books: RqBooks): DataFrame = {
-    val c1 = collectBook(books.book1)
-    val c2 = collectBookD(books.book2)
-    corpus.select(col(id).as("id"),
-      pqEncodeExpr(c1, col(vec)).as("codes1"),
-      pqEncodeExprD(c2, rqResidualExpr(c1, col(vec))).as("codes2"))
+    val resid = residualFrame(corpus, id, vec, books.book1, "id")
+    val enc1 = pqEncode(corpus, id, vec, books.book1)
+      .select(col("id"), col("codes").as("codes1"))
+    val enc2 = pqEncode(resid, "id", "__resid", books.book2)
+      .select(col("id"), col("codes").as("codes2"))
+    enc1.join(enc2, Seq("id"))
   }
 
   /** Two-stage reconstruction: x̂[i] = float(double(x̂₁[i]) + r̂[i]).

@@ -43,4 +43,47 @@ class BoilerplateSpec extends SparkTestBase {
     assert(out(4L) == ((1L, 0L)), out(4L).toString)
     assert(out(5L) == ((1L, 0L)), out(5L).toString)
   }
+
+  test("densityStats drops nav/footer chrome the flat regex strip keeps") {
+    val prose = "The quick brown fox jumps over the lazy dog near the river bank."
+    val page = "<html><body>" +
+      "<div class=nav><a href=/>Home</a> <a href=/a>About the team</a> <a href=/c>Contact</a></div>" +
+      s"<p>$prose</p>" +
+      "<div class=footer>Copyright <a href=/t>terms</a> <a href=/p>privacy</a></div>" +
+      "<script>var x = 'nav junk';</script></body></html>"
+    val docs = Seq((1L, page)).toDF("doc_id", "html")
+    val out = Boilerplate.densityStats(docs, col("doc_id"), col("html"))
+      .collect().head
+    // three nonblank segments: nav, prose, footer
+    assert(out.getLong(1) == 3L, s"n_segments=${out.getLong(1)}")
+    // only the prose survives the density + length rules
+    assert(out.getLong(2) == 1L, s"n_kept=${out.getLong(2)}")
+    assert(out.getString(3) == prose)
+    // the flat regex face keeps the chrome — the gap this operator closes
+    val flat = docs.select(TextAnalysis.htmlToText(col("html")).as("t"))
+      .collect().head.getString(0)
+    assert(flat.contains("Home") && flat.contains("Copyright"))
+    assert(!out.getString(3).contains("Home") &&
+      !out.getString(3).contains("Copyright"))
+  }
+
+  test("densityStats rule boundaries: length cut, density equality, pure links, null html") {
+    val docs = Seq(
+      (1L, "<p>hi</p>"),                      // len 2 < minChars 5
+      (2L, "<p>hello</p>"),                   // len 5 kept
+      (3L, "<p>abcde <a href=/x>xyz</a></p>"), // len 9, lk 3: 9 <= 9 kept
+      (4L, "<p>abcd <a href=/x>xyz</a></p>"),  // len 8, lk 3: 9 > 8 dropped
+      (5L, "<ul><li><a href=/1>only links</a></li></ul>"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "html")
+    val out = Boilerplate.densityStats(docs, col("doc_id"), col("html"),
+        minChars = 5)
+      .orderBy(col("doc_id")).collect()
+    assert(out(0).getLong(2) == 0L)
+    assert(out(1).getLong(2) == 1L && out(1).getString(3) == "hello")
+    assert(out(2).getLong(2) == 1L && out(2).getString(3) == "abcde xyz")
+    assert(out(3).getLong(2) == 0L)
+    assert(out(4).getLong(2) == 0L && out(4).getLong(1) == 1L)
+    assert(out(5).isNullAt(1) && out(5).isNullAt(2) && out(5).isNullAt(3))
+  }
 }
