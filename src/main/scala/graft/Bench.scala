@@ -194,7 +194,11 @@ object Bench {
       // r11: full-documents digest aggregate + tiny digest-keyed
       // self-join — only the planted mirrors collide after the
       // blowup's per-copy text perturbation
-      "q182_source_overlap")
+      "q182_source_overlap",
+      // r12: hashed-ngram training (two gradient passes over the
+      // long-format feature frame) and the zero-shuffle DOM-density
+      // scan (the q125 class) — both corpus-proportional
+      "q188_hashed_ngram_train", "q189_dom_density")
     // Self-adjudicating tier timing (r11 verdict item 1): the ×100
     // numbers have been contaminated by ambient load in three separate
     // rounds (r9 q68 112.9 s, r11 q68 39.9 s vs an 18 s steady state),
@@ -305,7 +309,15 @@ object Bench {
       // regex screen (the q125 class); q180 (bounded doc slice — the
       // exact oracle kernel, like q24) and q181 (pure arithmetic, no
       // table) have no corpus-proportional claim to measure
-      "q182_source_overlap", "q183_mixed_script")
+      "q182_source_overlap", "q183_mixed_script",
+      // round-12: unigram-LM train/encode scan the corpus word
+      // frequencies (EM itself is vocabulary-bounded driver state),
+      // the hashed-ngram trainer runs two gradient passes over
+      // corpus-proportional features, and the DOM-density screen is
+      // a full-corpus zero-shuffle scan; q187 (vec_id < 64 slice —
+      // the exact oracle kernel) has no corpus-proportional claim
+      "q185_unigram_train", "q186_unigram_encode",
+      "q188_hashed_ngram_train", "q189_dom_density")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,
