@@ -189,6 +189,44 @@ object DocStream {
   def gopherScreened(docs: DataFrame, id: Column, text: Column): DataFrame =
     graft.ext.QualityFilter.gopherFlags(docs, id, text)
 
+  /** Hashed-ngram quality scoring at ingest — the streaming face of
+    * the q188 classifier: each micro-batch scores against STATIC
+    * fitted weights through [[graft.ext.HashedNgram.score]], the
+    * exact expression tree the trainer used. Same foreachBatch
+    * argument as [[lmScored]]: the score is a pure per-document
+    * function (hashed features never cross documents), but the
+    * declarative form's per-doc feature re-aggregation would be a
+    * streaming groupBy whose state holds every doc_id ever seen —
+    * unbounded, unexpirable. Batching a micro-batch through the batch
+    * scorer is EXACT (pinned batch-invariant in StreamingSpec), zero
+    * cross-batch state.
+    *
+    * @param weights fitted (bucket, weight) rows from
+    *                [[graft.ext.HashedNgram.fit]] — must be STATIC
+    * @param emit    receives each scored micro-batch (doc_id, score)
+    */
+  def hashedScored(docs: DataFrame, id: Column, text: Column,
+                   weights: Seq[(Long, Double)],
+                   emit: DataFrame => Unit,
+                   checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ext.HashedNgram.score(batch, id, text, weights))
+      }
+
+  /** DOM-density extraction at ingest — a pure per-row expression
+    * ([[graft.ext.Boilerplate.densityStats]]), so it composes
+    * declaratively into any streaming plan like [[gopherScreened]]:
+    * stateless, batch-invariant by construction, no watermark.
+    * Run it between WARC admission and the text-quality screens so
+    * nav/footer chrome never reaches tokenization.
+    */
+  def densityExtracted(docs: DataFrame, id: Column, html: Column,
+                       minChars: Int = 20): DataFrame =
+    graft.ext.Boilerplate.densityStats(docs, id, html, minChars)
+
   /** WARC ingest front door for a CRAWL stream: each arriving
     * `.warc.gz`-style blob is inflated and split into records in one
     * per-partition pass ([[graft.ext.Warc.parseRecords]] — the

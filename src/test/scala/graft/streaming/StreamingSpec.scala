@@ -783,6 +783,63 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocStream.hashedScored scores a doc stream batch-identically regardless of micro-batching, zero state") {
+    import graft.ext.HashedNgram
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val labeled = docs.withColumn("label", ($"doc_id" % 3 === 0).cast("int"))
+    val weights = HashedNgram.fit(labeled, $"doc_id", $"text", $"label",
+      d = 16, iters = 2)
+    val batch = HashedNgram.score(docs, $"doc_id", $"text", weights)
+      .as[(Long, Double)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("hashed-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+
+    val emitted = new scala.collection.mutable.ArrayBuffer[(Long, Double)]
+    var batches = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("hashed-stream-ckpt")
+    val q = DocStream.hashedScored(stream, $"doc_id", $"text", weights,
+      scored => emitted.synchronized {
+        emitted ++= scored.as[(Long, Double)].collect(); batches += 1; ()
+      }, ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+      assert(emitted.toSet == batch && batch.nonEmpty)
+      assert(emitted.size == emitted.toSet.size)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("DocStream.densityExtracted is declarative-stateless and batch-identical") {
+    import graft.ext.Boilerplate
+    val pages = Tables.table(spark, sfDir, "documents")
+      .select($"doc_id",
+        concat(lit("<div class=nav><a href=/>Home</a> <a href=/a>About page</a></div><p>"),
+          $"text", lit("</p>")).as("html"))
+    val batch = Boilerplate.densityStats(pages, $"doc_id", $"html")
+      .collect().map(_.toSeq).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("density-stream")
+    pages.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    pages.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+
+    val q = DocStream.densityExtracted(stream, $"doc_id", $"html")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("density_screen").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("density_screen").collect().map(_.toSeq).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("DocStream.lmScored scores a doc stream batch-identically regardless of micro-batching, zero state") {
     import graft.ext.NgramLm
     val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
