@@ -314,8 +314,9 @@ object Bench {
       // frequencies (EM itself is vocabulary-bounded driver state),
       // the hashed-ngram trainer runs two gradient passes over
       // corpus-proportional features, and the DOM-density screen is
-      // a full-corpus zero-shuffle scan; q187 (vec_id < 64 slice —
-      // the exact oracle kernel) has no corpus-proportional claim
+      // a full-corpus zero-shuffle scan; q187/q190/q191 (vec_id < 64
+      // slices — the exact oracle kernels) have no
+      // corpus-proportional claim
       "q185_unigram_train", "q186_unigram_encode",
       "q188_hashed_ngram_train", "q189_dom_density")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10

@@ -349,5 +349,97 @@ object ExtQueries2 {
             |         i -> i.txt), chr(10)), '') END AS extracted
             |FROM st ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189)
+  /** Takedown cascade through the RESIDUAL-quantized serving state
+    * ([[graft.ext.Forget.retractRq]]): q105's retraction discipline
+    * applied to the two-stage index — the deleted block leaves the
+    * (id, cell, codes1, codes2) table in one anti-join, the probe
+    * over the retracted state runs at q187's composed degenerate
+    * point (lossy stage 1 + residual-covering stage 2, nprobe =
+    * nlist), so retract-then-probe must equal brute force over the
+    * RETAINED slice exactly.
+    */
+  val q190 = Q(
+    "q190_retract_rq",
+    (s, dir) => {
+      import s.implicits._
+      val slice = t(s, dir, "embeddings").filter($"vec_id" < 64)
+        .select($"vec_id", $"embedding")
+      val queries = slice.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val books = graft.ext.VectorQuant.rqTrain(slice, "vec_id", "embedding",
+        m = 8, ksub1 = 4, iters1 = 0, ksub2 = 64, iters2 = 0, dim = 64)
+      val ivf = graft.ext.EmbeddingSearch.buildIvfIndex(
+        slice, "vec_id", "embedding", nlist = 4)
+      val ridx = graft.ext.VectorQuant.quantizeIndexRq(
+        ivf, slice, "vec_id", "embedding", books)
+      val deleted = s.range(32, 48).select($"id".as("vec_id"))
+      val retracted = graft.ext.Forget.retractRq(ridx, deleted)
+      graft.ext.VectorQuant.ivfProbeRq(retracted, queries, "qid", "qvec",
+          k = 4, nprobe = 4)
+        .select($"qid".as("vec_id"), $"neighbor_id",
+          $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"vec_id", $"rank")
+    },
+    Some("""WITH c AS (SELECT vec_id,
+            |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+            |           FROM embeddings WHERE vec_id < 64),
+            |ret AS (SELECT * FROM c WHERE vec_id < 32 OR vec_id >= 48),
+            |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 8),
+            |pairs AS (SELECT q.qid, ret.vec_id AS nid,
+            |                 list_inner_product(qv, v) /
+            |                   (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS cos
+            |          FROM ret, q WHERE ret.vec_id != q.qid),
+            |ranked AS (SELECT qid, nid, cos,
+            |                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+            |           FROM pairs)
+            |SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
+            |FROM ranked WHERE rnk <= 4 ORDER BY vec_id, rank""".stripMargin))
+
+  /** OPQ rotation composed with the PQ serving stack at the
+    * degenerate point ([[graft.ext.Opq.rotateExpr]]): R = I is an
+    * IEEE no-op (1.0·x + Σ 0.0·x_j = x exactly), so the
+    * rotate→train→encode→serve pipeline must reproduce plain brute
+    * force bit for bit under the degenerate codebook — q100's oracle
+    * verbatim, gating the rotation expression, its float round-trip,
+    * and the composition. The LEARNED rotation (exact Gram → Jacobi →
+    * balanced allocation) is measured in RecallCheck and OpqSpec
+    * (MSE on a correlated corpus), not asserted.
+    */
+  val q191 = Q(
+    "q191_opq_identity",
+    (s, dir) => {
+      import s.implicits._
+      val r = graft.ext.Opq.identity(64)
+      val rot = t(s, dir, "embeddings").filter($"vec_id" < 64)
+        .select($"vec_id",
+          graft.ext.Opq.rotateExpr(r, $"embedding").as("embedding"))
+      val queries = rot.filter($"vec_id" < 8)
+        .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+      val book = graft.ext.VectorQuant.pqTrain(rot, "vec_id", "embedding",
+        m = 8, ksub = 64, iters = 0, dim = 64)
+      val ivf = graft.ext.EmbeddingSearch.buildIvfIndex(
+        rot, "vec_id", "embedding", nlist = 4)
+      val pidx = graft.ext.VectorQuant.quantizeIndex(
+        ivf, rot, "vec_id", "embedding", book)
+      graft.ext.VectorQuant.ivfProbePq(pidx, queries, "qid", "qvec",
+          k = 4, nprobe = 4)
+        .select($"qid".as("vec_id"), $"neighbor_id",
+          $"rank".cast("long").as("rank"), $"cos")
+        .orderBy($"vec_id", $"rank")
+    },
+    Some("""WITH c AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM embeddings WHERE vec_id < 64),
+            q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 8),
+            pairs AS (SELECT q.qid, c.vec_id AS nid,
+                             list_inner_product(qv, v) /
+                               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))) AS cos
+                      FROM c, q WHERE c.vec_id != q.qid),
+            ranked AS (SELECT qid, nid, cos,
+                              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+                       FROM pairs)
+            SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
+            FROM ranked WHERE rnk <= 4 ORDER BY vec_id, rank"""))
+
+  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191)
 }

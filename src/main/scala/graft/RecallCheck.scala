@@ -202,6 +202,38 @@ object RecallCheck {
               cr1, cr2, $"codes1", $"codes2").as("rec")))
         pinnedA.unpersist()
       }
+      // OPQ rotation value on a variance-imbalanced corpus (the
+      // structure real embeddings have): flat PQ vs the same PQ after
+      // the exact-Gram → Jacobi → balanced-allocation rotation, same
+      // m/ksub. Identity-rotation exactness is gated (q191); the
+      // LEARNED rotation is measured here.
+      {
+        val skewed = corpus.select($"vec_id",
+          transform($"embedding", (v, i) =>
+            (v.cast("double") *
+              when(i < 8, lit(4.0)).otherwise(lit(0.25))).cast("float"))
+            .as("embedding"))
+        def mseSkew(label: String, df: DataFrame): Unit = {
+          val b = ext.VectorQuant.pqTrain(df.filter($"vec_id" % 7 === 0),
+            "vec_id", "embedding", 8, 16, iters = 2, dim = dim)
+          val cb = ext.VectorQuant.collectBook(b)
+          val enc = ext.VectorQuant.pqEncode(df, "vec_id", "embedding", b)
+          val v = df.join(enc, df("vec_id") === enc("id"))
+            .select($"embedding",
+              ext.VectorQuant.pqDecodeExpr(cb, $"codes").as("rec"))
+            .select(avg(aggregate(
+              zip_with(col("embedding"), col("rec"), (x, r) =>
+                (x.cast("double") - r.cast("double")) *
+                  (x.cast("double") - r.cast("double"))),
+              lit(0.0), (a, b) => a + b))).as[Double].head()
+          println(f"[recall] $label%-28s mse=$v%.6f")
+        }
+        mseSkew("mse flat-pq (imbalanced)", skewed)
+        val rot = ext.Opq.rotationFromCorpus(
+          skewed.filter($"vec_id" % 7 === 0), $"embedding", dim, 8)
+        mseSkew("mse opq-pq (imbalanced)", skewed.select($"vec_id",
+          ext.Opq.rotateExpr(rot, $"embedding").as("embedding")))
+      }
       // int8 scalar quantization: the 4× point — decode is a pure
       // per-row expression, so the probe is the same brute kernel over
       // reconstructed vectors

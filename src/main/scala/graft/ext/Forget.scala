@@ -311,6 +311,22 @@ object Forget {
         index.assignments("id") === col("__del"), "left_anti"),
       index.book)
 
+  /** [[retractPq]] for the RESIDUAL-quantized index
+    * ([[VectorQuant.RqIvfIndex]]): the (id, cell, codes1, codes2)
+    * assignment table loses the deleted rows in one anti-join; both
+    * codebooks are bounded aggregate state and stay, under exactly
+    * the [[retractPq]] codebook contract (drift degrades recall, not
+    * correctness; repair is [[VectorQuant.rqTrain]] on the retained
+    * corpus). Retract ≡ filtered-rebuild for probes is pinned at the
+    * composed degenerate point by the q190 oracle gate.
+    */
+  def retractRq(index: VectorQuant.RqIvfIndex,
+                deletedIds: DataFrame): VectorQuant.RqIvfIndex =
+    VectorQuant.RqIvfIndex(index.centroids,
+      index.assignments.join(deleteSet(deletedIds),
+        index.assignments("id") === col("__del"), "left_anti"),
+      index.books)
+
   /** Cascade a deletion through a materialized positional index
     * ([[Bm25.termPositions]] schema `(doc_id, token, pos)`): positions
     * are per-document rows with no cross-row dependency, so the

@@ -61,6 +61,28 @@ class RqSpec extends SparkTestBase {
     assert(served == brute)
   }
 
+  test("retractRq == re-encode of the retained corpus, lossy codebooks included") {
+    val slice = emb.filter($"vec_id" < 48)
+    // LOSSY both stages — the general case, not the gate's degenerate one
+    val books = VectorQuant.rqTrain(slice, "vec_id", "embedding",
+      m = 8, ksub1 = 4, iters1 = 1, ksub2 = 4, iters2 = 1, dim = 64)
+    val ivf = EmbeddingSearch.buildIvfIndex(slice, "vec_id", "embedding", nlist = 4)
+    val full = VectorQuant.quantizeIndexRq(ivf, slice, "vec_id", "embedding", books)
+    val deleted = spark.range(16, 32).select($"id".as("vec_id"))
+    val retracted = Forget.retractRq(full, deleted)
+    // the retained corpus re-encoded under the SAME books and cells
+    val retainedCorpus = slice.filter($"vec_id" < 16 || $"vec_id" >= 32)
+    val rebuilt = VectorQuant.quantizeIndexRq(
+      EmbeddingSearch.IvfIndex(ivf.centroids,
+        ivf.assignments.filter($"id" < 16 || $"id" >= 32)),
+      retainedCorpus, "vec_id", "embedding", books)
+    val a = retracted.assignments.as[(Long, Long, Seq[Int], Seq[Int])]
+      .collect().toSet
+    val b = rebuilt.assignments.as[(Long, Long, Seq[Int], Seq[Int])]
+      .collect().toSet
+    assert(a == b && a.nonEmpty, s"retract=${a.size} rebuild=${b.size}")
+  }
+
   test("leakageSafeHardNegatives: duplicate label rows neither fan out candidates nor repeat negative_ids") {
     val corpus = emb.filter($"vec_id" < 40)
     val pairs = corpus.filter($"vec_id" < 3)
