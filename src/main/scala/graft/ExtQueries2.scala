@@ -108,6 +108,28 @@ object ExtQueries2 {
             |SELECT p AS piece, CAST(wt AS BIGINT) AS weight
             |FROM w2 WHERE wt > 0 ORDER BY piece""".stripMargin))
 
+  /** Oracle CTEs for the serve-side Viterbi table over the final
+    * weights: per-(word, mask) padded numerators against w2, the
+    * nm-desc / k-asc / mask-asc argmax, and the zero-score codepoint
+    * fallback — (word, np) for the whole trained universe. Appended
+    * after [[unigramEmCtes]]; shared by q186 and q192.
+    */
+  private val unigramArgmaxCtes: String =
+    """jf AS (SELECT sl.w, sl.f, sl.m, sl.idx, sl.p,
+      |              coalesce(w2.wt, CAST(0 AS HUGEINT)) AS wtv
+      |       FROM sl LEFT JOIN w2 ON sl.p = w2.p),
+      |nmf AS (SELECT w, m, count(*) AS k,
+      |          CAST(max(CASE WHEN idx = 1 THEN wtv END) AS HUGEINT) *
+      |          CAST(coalesce(max(CASE WHEN idx = 2 THEN wtv END), 1048576) AS HUGEINT) *
+      |          CAST(coalesce(max(CASE WHEN idx = 3 THEN wtv END), 1048576) AS HUGEINT) AS nm
+      |        FROM jf GROUP BY w, f, m),
+      |best AS (SELECT w, k, nm, row_number() OVER
+      |           (PARTITION BY w ORDER BY nm DESC, k ASC, m ASC) AS rn
+      |         FROM nmf),
+      |wp AS (SELECT w, CASE WHEN nm = 0 THEN CAST(length(w) AS BIGINT)
+      |                      ELSE CAST(k AS BIGINT) END AS np
+      |       FROM best WHERE rn = 1)""".stripMargin
+
   /** Distributed encode over the learned unigram vocabulary
     * ([[graft.ext.UnigramLm.encodeTable]] / `encode`): per document,
     * whitespace-token count and total piece count, where
@@ -132,20 +154,7 @@ object ExtQueries2 {
         .orderBy($"doc_id")
     },
     Some(s"""WITH $unigramEmCtes,
-            |jf AS (SELECT sl.w, sl.f, sl.m, sl.idx, sl.p,
-            |              coalesce(w2.wt, CAST(0 AS HUGEINT)) AS wtv
-            |       FROM sl LEFT JOIN w2 ON sl.p = w2.p),
-            |nmf AS (SELECT w, m, count(*) AS k,
-            |          CAST(max(CASE WHEN idx = 1 THEN wtv END) AS HUGEINT) *
-            |          CAST(coalesce(max(CASE WHEN idx = 2 THEN wtv END), 1048576) AS HUGEINT) *
-            |          CAST(coalesce(max(CASE WHEN idx = 3 THEN wtv END), 1048576) AS HUGEINT) AS nm
-            |        FROM jf GROUP BY w, f, m),
-            |best AS (SELECT w, k, nm, row_number() OVER
-            |           (PARTITION BY w ORDER BY nm DESC, k ASC, m ASC) AS rn
-            |         FROM nmf),
-            |wp AS (SELECT w, CASE WHEN nm = 0 THEN CAST(length(w) AS BIGINT)
-            |                      ELSE CAST(k AS BIGINT) END AS np
-            |       FROM best WHERE rn = 1),
+            |$unigramArgmaxCtes,
             |dt AS (SELECT doc_id,
             |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
             |       FROM documents)
@@ -441,5 +450,52 @@ object ExtQueries2 {
             SELECT qid AS vec_id, nid AS neighbor_id, rnk AS rank, cos
             FROM ranked WHERE rnk <= 4 ORDER BY vec_id, rank"""))
 
-  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191)
+  /** Tokenizer evaluation over the learned unigram vocabulary
+    * ([[graft.ext.TokenizerEval.fertility]]): per-SOURCE fertility
+    * (pieces/word), chars-per-piece, and fallback fraction against
+    * the q186 serving table — the measurement a tokenizer decision is
+    * made on, and the per-group face that shows a vocab trained on
+    * one slice degrading on another. Integer sums + two mirrored IEEE
+    * divisions; the oracle re-derives the EM chain, the argmax table,
+    * and the per-source aggregation independently.
+    */
+  val q192 = Q(
+    "q192_tokenizer_eval",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val vocab = UnigramLm.train(docs, $"text", maxWordLen = 3, iters = 2)
+      val universe = UnigramLm.wordCounts(docs, $"text", 3)
+        .select($"word").collect().map(_.getString(0)).toSeq
+      val table = UnigramLm.encodeTable(universe, vocab.toMap, 3)
+        .toDF("word", "n_pieces")
+      graft.ext.TokenizerEval.fertility(docs, $"source", $"text", table)
+        .withColumnRenamed("grp", "source")
+        .orderBy($"source")
+    },
+    Some(s"""WITH $unigramEmCtes,
+            |$unigramArgmaxCtes,
+            |dt AS (SELECT source,
+            |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+            |       FROM documents),
+            |ag AS (SELECT source,
+            |         count(*) AS n_words,
+            |         sum(coalesce(wp.np, length(dt.w))) AS n_pieces,
+            |         sum(CASE WHEN wp.np IS NULL THEN 1 ELSE 0 END) AS n_fallback,
+            |         sum(length(dt.w)) AS n_chars
+            |       FROM dt LEFT JOIN wp ON dt.w = wp.w
+            |       GROUP BY source)
+            |SELECT source, CAST(n_words AS BIGINT) AS n_words,
+            |       CAST(n_pieces AS BIGINT) AS n_pieces,
+            |       CAST(n_fallback AS BIGINT) AS n_fallback,
+            |       CAST(n_chars AS BIGINT) AS n_chars,
+            |       CASE WHEN n_words > 0
+            |            THEN CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) END
+            |         AS fertility,
+            |       CASE WHEN n_pieces > 0
+            |            THEN CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE) END
+            |         AS chars_per_piece
+            |FROM ag ORDER BY source""".stripMargin))
+
+  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191, q192)
 }

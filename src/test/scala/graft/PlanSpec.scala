@@ -555,4 +555,41 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q189 DOM density: one per-row scan, zero key-shuffle (the q125 class)") {
+    val p = ExtQueries2.q189.run(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), s"per-row op must not key-shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("q186 unigram encode: the vocab table enters via broadcast, never sort-merge") {
+    val p = ExtQueries2.q186.run(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hashed-ngram features: map-side partial counts; the weights side broadcasts in scoring") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.table(spark, dir, "documents").select($"doc_id", $"text")
+    val f = graft.ext.HashedNgram.features(docs, col("doc_id"), col("text"), 16)
+    val pf = f.queryExecution.executedPlan.toString
+    assert(pf.contains("partial_count") || pf.contains("partial_"), pf)
+    val w = (-1L, 0.1) +: (0L until 16L).map(b => (b, 0.01 * b))
+    val ps = graft.ext.HashedNgram.score(docs, col("doc_id"), col("text"), w)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("BroadcastHashJoin"), ps)
+    assert(!ps.contains("SortMergeJoin"), ps)
+  }
+
+  test("OPQ rotation is a pure projection: zero Exchange, no UDF") {
+    import spark.implicits._
+    val emb = Tables.table(spark, dir, "embeddings").select($"vec_id", $"embedding")
+    val r = graft.ext.Opq.identity(64)
+    val p = emb.select(graft.ext.Opq.rotateExpr(r, $"embedding"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"rotation must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }
