@@ -27,11 +27,33 @@ object ExtQueries2 {
     * term; the widest intermediate (f · 2^60 · 10^6) stays far inside
     * HUGEINT.
     */
+  /** One exact-integer EM iteration in SQL, reading weights from CTE
+    * `prevW` and emitting `w$n` (plus j/nm/z/e/et intermediates) —
+    * mirrors [[graft.ext.UnigramLm]]'s emStep + renorm term for term.
+    */
+  private def unigramIterBlock(n: Int, prevW: String): String =
+    s"""j$n AS (SELECT sl.w, sl.f, sl.m, sl.idx, sl.p,
+       |              coalesce($prevW.wt, CAST(0 AS HUGEINT)) AS wtv
+       |       FROM sl LEFT JOIN $prevW ON sl.p = $prevW.p),
+       |nm$n AS (SELECT w, f, m, count(*) AS k,
+       |          CAST(max(CASE WHEN idx = 1 THEN wtv END) AS HUGEINT) *
+       |          CAST(coalesce(max(CASE WHEN idx = 2 THEN wtv END), 1048576) AS HUGEINT) *
+       |          CAST(coalesce(max(CASE WHEN idx = 3 THEN wtv END), 1048576) AS HUGEINT) AS nm
+       |        FROM j$n GROUP BY w, f, m),
+       |z$n AS (SELECT w, sum(nm) AS z FROM nm$n GROUP BY w),
+       |e$n AS (SELECT j.p, sum((j.f * n.nm * 1000000) // z.z) AS ec
+       |       FROM j$n j JOIN nm$n n ON j.w = n.w AND j.m = n.m
+       |                 JOIN z$n z ON j.w = z.w
+       |       WHERE z.z > 0 AND n.nm > 0
+       |       GROUP BY j.p),
+       |et$n AS (SELECT sum(ec) AS et FROM e$n),
+       |w$n AS (SELECT p, (ec * 1048576) // et AS wt FROM e$n, et$n)""".stripMargin
+
   private val unigramEmCtes: String =
-    """tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    s"""tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
       |        FROM documents),
       |wc AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM tok
-      |       WHERE regexp_matches(w, '^[a-z]{1,3}$') GROUP BY w),
+      |       WHERE regexp_matches(w, '^[a-z]{1,3}$$') GROUP BY w),
       |sub AS (SELECT w, f, substring(w, CAST(i AS INT), CAST(l AS INT)) AS p
       |        FROM wc,
       |        LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) ii,
@@ -53,38 +75,8 @@ object ExtQueries2 {
       |           CAST(coalesce(starts[idx + 1], length(w) + 1) - s AS INT)) AS p
       |       FROM sg, LATERAL (SELECT unnest(starts) AS s,
       |                                generate_subscripts(starts, 1) AS idx) u),
-      |j1 AS (SELECT sl.w, sl.f, sl.m, sl.idx, sl.p,
-      |              coalesce(w0.wt, CAST(0 AS HUGEINT)) AS wtv
-      |       FROM sl LEFT JOIN w0 ON sl.p = w0.p),
-      |nm1 AS (SELECT w, f, m, count(*) AS k,
-      |          CAST(max(CASE WHEN idx = 1 THEN wtv END) AS HUGEINT) *
-      |          CAST(coalesce(max(CASE WHEN idx = 2 THEN wtv END), 1048576) AS HUGEINT) *
-      |          CAST(coalesce(max(CASE WHEN idx = 3 THEN wtv END), 1048576) AS HUGEINT) AS nm
-      |        FROM j1 GROUP BY w, f, m),
-      |z1 AS (SELECT w, sum(nm) AS z FROM nm1 GROUP BY w),
-      |e1 AS (SELECT j.p, sum((j.f * n.nm * 1000000) // z.z) AS ec
-      |       FROM j1 j JOIN nm1 n ON j.w = n.w AND j.m = n.m
-      |                 JOIN z1 z ON j.w = z.w
-      |       WHERE z.z > 0 AND n.nm > 0
-      |       GROUP BY j.p),
-      |et1 AS (SELECT sum(ec) AS et FROM e1),
-      |w1 AS (SELECT p, (ec * 1048576) // et AS wt FROM e1, et1),
-      |j2 AS (SELECT sl.w, sl.f, sl.m, sl.idx, sl.p,
-      |              coalesce(w1.wt, CAST(0 AS HUGEINT)) AS wtv
-      |       FROM sl LEFT JOIN w1 ON sl.p = w1.p),
-      |nm2 AS (SELECT w, f, m, count(*) AS k,
-      |          CAST(max(CASE WHEN idx = 1 THEN wtv END) AS HUGEINT) *
-      |          CAST(coalesce(max(CASE WHEN idx = 2 THEN wtv END), 1048576) AS HUGEINT) *
-      |          CAST(coalesce(max(CASE WHEN idx = 3 THEN wtv END), 1048576) AS HUGEINT) AS nm
-      |        FROM j2 GROUP BY w, f, m),
-      |z2 AS (SELECT w, sum(nm) AS z FROM nm2 GROUP BY w),
-      |e2 AS (SELECT j.p, sum((j.f * n.nm * 1000000) // z.z) AS ec
-      |       FROM j2 j JOIN nm2 n ON j.w = n.w AND j.m = n.m
-      |                 JOIN z2 z ON j.w = z.w
-      |       WHERE z.z > 0 AND n.nm > 0
-      |       GROUP BY j.p),
-      |et2 AS (SELECT sum(ec) AS et FROM e2),
-      |w2 AS (SELECT p, (ec * 1048576) // et AS wt FROM e2, et2)""".stripMargin
+      |${unigramIterBlock(1, "w0")},
+      |${unigramIterBlock(2, "w1")}""".stripMargin
 
   /** Unigram-LM vocabulary induction under the full oracle
     * ([[graft.ext.UnigramLm.train]]): two exact-integer EM iterations
@@ -497,5 +489,34 @@ object ExtQueries2 {
             |         AS chars_per_piece
             |FROM ag ORDER BY source""".stripMargin))
 
-  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191, q192)
+  /** The full SentencePiece-style vocabulary loop under the oracle
+    * ([[graft.ext.UnigramLm.trainPruned]]): two EM passes, ONE prune
+    * to all single-codepoint pieces + the top-5 multi-codepoint
+    * pieces (weight desc, piece asc — a cut that bites at every SF),
+    * one post-prune EM pass in which the pruned pieces' probability
+    * mass redistributes (their segmentations score 0). The oracle
+    * unrolls the whole sequence: the shared EM chain, the ranked
+    * prune as a window over w2, and a third generated iteration
+    * reading the pruned weight table.
+    */
+  val q193 = Q(
+    "q193_unigram_prune",
+    (s, dir) => {
+      import s.implicits._
+      UnigramLm.trainPruned(t(s, dir, "documents"), $"text",
+          maxWordLen = 3, emIters = 2, keepMulti = 5, postIters = 1)
+        .toDF("piece", "weight")
+        .orderBy($"piece")
+    },
+    Some(s"""WITH $unigramEmCtes,
+            |ch AS (SELECT p, wt FROM w2 WHERE length(p) = 1),
+            |mc AS (SELECT p, wt, row_number() OVER (ORDER BY wt DESC, p ASC) AS rk
+            |       FROM w2 WHERE length(p) > 1 AND wt > 0),
+            |kp AS (SELECT p, wt FROM ch
+            |       UNION ALL SELECT p, wt FROM mc WHERE rk <= 5),
+            |${unigramIterBlock(3, "kp")}
+            |SELECT p AS piece, CAST(wt AS BIGINT) AS weight
+            |FROM w3 WHERE wt > 0 ORDER BY piece""".stripMargin))
+
+  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191, q192, q193)
 }

@@ -132,13 +132,13 @@ object UnigramLm {
     * passes. Returns (piece, weight) with weight > 0, piece-ordered —
     * bounded driver state (the BPE merge-table contract).
     */
-  def train(df: DataFrame, text: Column, maxWordLen: Int = 3,
-            iters: Int = 2): Seq[(String, Long)] = {
-    require(maxWordLen >= 1 && maxWordLen <= 16,
-      s"maxWordLen in [1, 16], got $maxWordLen")
-    require(iters >= 0, s"iters must be >= 0, got $iters")
-    val words = wordCounts(df, text, maxWordLen)
+  private def collectWords(df: DataFrame, text: Column,
+                           maxWordLen: Int): Seq[(String, Long)] =
+    wordCounts(df, text, maxWordLen)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  private def fitLoop(words: Seq[(String, Long)], maxWordLen: Int,
+                      iters: Int): Map[String, Long] = {
     // seed: substring occurrence counts with multiplicity, weighted
     // by word frequency
     val seed = scala.collection.mutable.HashMap.empty[String, BigInt]
@@ -149,6 +149,51 @@ object UnigramLm {
     }
     var wt = renorm(seed.toMap)
     for (_ <- 1 to iters)
+      wt = renorm(emStep(words, wt, maxWordLen))
+    wt
+  }
+
+  def train(df: DataFrame, text: Column, maxWordLen: Int = 3,
+            iters: Int = 2): Seq[(String, Long)] = {
+    require(maxWordLen >= 1 && maxWordLen <= 16,
+      s"maxWordLen in [1, 16], got $maxWordLen")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    fitLoop(collectWords(df, text, maxWordLen), maxWordLen, iters)
+      .toSeq.filter(_._2 > 0L).sortBy(_._1)
+  }
+
+  /** SentencePiece's vocabulary-size control: keep every
+    * single-codepoint piece (the coverage guarantee — any word stays
+    * segmentable) plus the `keepMulti` best multi-codepoint pieces by
+    * weight (ties: piece ascending). Pruned pieces simply leave the
+    * map; every segmentation using one scores 0 in the next E-step,
+    * so their probability mass redistributes on the following
+    * iteration.
+    */
+  def pruneVocab(wt: Map[String, Long], keepMulti: Int): Map[String, Long] = {
+    require(keepMulti >= 0, s"keepMulti must be >= 0, got $keepMulti")
+    val (chars, multi) = wt.partition {
+      case (p, _) => p.codePointCount(0, p.length) == 1
+    }
+    chars ++ multi.toSeq.filter(_._2 > 0L)
+      .sortBy { case (p, w) => (-w, p) }.take(keepMulti)
+  }
+
+  /** The full SentencePiece-style loop: `emIters` EM passes over the
+    * seeded candidates, one [[pruneVocab]] cut to the target size,
+    * `postIters` more EM passes over the survivors (mass from pruned
+    * pieces redistributes). Same exact-integer arithmetic end to end;
+    * gate q193 unrolls the whole sequence in SQL.
+    */
+  def trainPruned(df: DataFrame, text: Column, maxWordLen: Int = 3,
+                  emIters: Int = 2, keepMulti: Int = 64,
+                  postIters: Int = 1): Seq[(String, Long)] = {
+    require(maxWordLen >= 1 && maxWordLen <= 16,
+      s"maxWordLen in [1, 16], got $maxWordLen")
+    require(emIters >= 0 && postIters >= 0, "iteration counts must be >= 0")
+    val words = collectWords(df, text, maxWordLen)
+    var wt = pruneVocab(fitLoop(words, maxWordLen, emIters), keepMulti)
+    for (_ <- 1 to postIters)
       wt = renorm(emStep(words, wt, maxWordLen))
     wt.toSeq.filter(_._2 > 0L).sortBy(_._1)
   }

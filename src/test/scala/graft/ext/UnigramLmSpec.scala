@@ -21,37 +21,47 @@ class UnigramLmSpec extends SparkTestBase {
     else (1 to w.length).flatMap(i =>
       refSegmentations(w.drop(i)).map(w.take(i) +: _))
 
-  private def refTrain(words: Map[String, Long], maxWordLen: Int,
-                       iters: Int): Map[String, Long] = {
-    def renorm(c: Map[String, BigInt]): Map[String, Long] = {
-      val tot = c.values.sum
-      c.map { case (p, v) => p -> (v * WG / tot).toLong }
+  private def refRenorm(c: Map[String, BigInt]): Map[String, Long] = {
+    val tot = c.values.sum
+    c.map { case (p, v) => p -> (v * WG / tot).toLong }
+  }
+
+  /** One reference EM pass (recursive segmentations, plain maps). */
+  private def refOneStep(words: Map[String, Long], wt: Map[String, Long],
+                         maxWordLen: Int): Map[String, Long] = {
+    val ec = scala.collection.mutable.HashMap.empty[String, BigInt]
+    words.foreach { case (w, f) =>
+      val segs = refSegmentations(w)
+      val withN = segs.map { ps =>
+        (ps, ps.map(p => BigInt(wt.getOrElse(p, 0L)))
+          .padTo(maxWordLen, BigInt(WG)).product)
+      }
+      val z = withN.map(_._2).sum
+      if (z > 0) withN.foreach { case (ps, n) =>
+        val contrib = BigInt(f) * n * CG / z
+        ps.foreach(p => ec.update(p, ec.getOrElse(p, BigInt(0)) + contrib))
+      }
     }
+    refRenorm(ec.toMap)
+  }
+
+  /** Reference fit, UNFILTERED (zero-weight entries retained). */
+  private def refTrainAll(words: Map[String, Long], maxWordLen: Int,
+                          iters: Int): Map[String, Long] = {
     val seed = words.toSeq.flatMap { case (w, f) =>
       (for {
         i <- 0 until w.length
         l <- 1 to (w.length - i)
       } yield w.substring(i, i + l)).map(_ -> BigInt(f))
     }.groupMapReduce(_._1)(_._2)(_ + _)
-    var wt = renorm(seed)
-    for (_ <- 1 to iters) {
-      val ec = scala.collection.mutable.HashMap.empty[String, BigInt]
-      words.foreach { case (w, f) =>
-        val segs = refSegmentations(w)
-        val withN = segs.map { ps =>
-          (ps, ps.map(p => BigInt(wt.getOrElse(p, 0L)))
-            .padTo(maxWordLen, BigInt(WG)).product)
-        }
-        val z = withN.map(_._2).sum
-        if (z > 0) withN.foreach { case (ps, n) =>
-          val contrib = BigInt(f) * n * CG / z
-          ps.foreach(p => ec.update(p, ec.getOrElse(p, BigInt(0)) + contrib))
-        }
-      }
-      wt = renorm(ec.toMap)
-    }
-    wt.filter(_._2 > 0L)
+    var wt = refRenorm(seed)
+    for (_ <- 1 to iters) wt = refOneStep(words, wt, maxWordLen)
+    wt
   }
+
+  private def refTrain(words: Map[String, Long], maxWordLen: Int,
+                       iters: Int): Map[String, Long] =
+    refTrainAll(words, maxWordLen, iters).filter(_._2 > 0L)
 
   private val corpus = Seq(
     (1L, "the cat sat on the mat"),
@@ -75,6 +85,31 @@ class UnigramLmSpec extends SparkTestBase {
     val a = UnigramLm.train(corpus.repartition(1), $"text", 3, 2)
     val b = UnigramLm.train(corpus.repartition(7), $"text", 3, 2)
     assert(a == b)
+  }
+
+  test("pruneVocab keeps every char piece plus the ranked multi-char survivors") {
+    val wt = Map("a" -> 0L, "b" -> 7L, "ab" -> 50L, "ba" -> 50L,
+      "abc" -> 60L, "bc" -> 0L)
+    val kept = UnigramLm.pruneVocab(wt, keepMulti = 2)
+    // chars always survive (even at weight 0); multi ties break on
+    // the piece: abc(60), then ab beats ba at 50
+    assert(kept == Map("a" -> 0L, "b" -> 7L, "abc" -> 60L, "ab" -> 50L))
+    // zero-weight multi pieces never make the cut even with room
+    assert(!UnigramLm.pruneVocab(wt, keepMulti = 10).contains("bc"))
+  }
+
+  test("trainPruned matches the reference fit -> prune -> post-EM sequence") {
+    val words = corpus.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).filter(_.matches("^[a-z]{1,3}$"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // reference: the same recursive-reference trainer, pruned by the
+    // documented rule, then one more reference EM pass
+    val fit2 = refTrainAll(words, 3, 2)
+    val pruned = UnigramLm.pruneVocab(fit2, keepMulti = 3)
+    val expected = refOneStep(words, pruned, 3).filter(_._2 > 0L)
+    val got = UnigramLm.trainPruned(corpus, $"text", maxWordLen = 3,
+      emIters = 2, keepMulti = 3, postIters = 1)
+    assert(got.toMap == expected, s"got=${got.toMap}\nexpected=$expected")
   }
 
   test("encodeTable: exact Viterbi with documented tie-breaks and zero fallback") {
