@@ -294,6 +294,29 @@ object CurationScaleCheck {
       }
       sh.unpersist(); docs.unpersist()
     }
+
+    // ---- r12 classifier / tokenizer tier -----------------------------
+    // The hashed-ngram trainer's cost model: the text scan runs once
+    // (feature cut), each gradient pass is two hash aggregations of the
+    // narrow (doc, bucket, x) frame — so wall should grow linearly with
+    // the corpus and sub-linearly with iters' share of total. The
+    // unigram trainer's cost model: ONE corpus scan for word counts,
+    // then vocabulary-bounded driver EM — wall should be nearly FLAT
+    // across corpus sizes (the scan is the only corpus term).
+    Seq(1, 4, 10).foreach { times =>
+      val docs = inflate(times)
+      val nDocs = docs.count()
+      val labeled = docs.withColumn("label", ($"doc_id" % 3 === 0).cast("int"))
+      time(s"hashed-ngram fit d=64 iters=2 ${nDocs}docs") {
+        graft.ext.HashedNgram.fit(labeled, $"doc_id", $"text", $"label",
+          d = 64, iters = 2).length.toLong
+      }
+      time(s"unigram train(2 EM) ${nDocs}docs") {
+        graft.ext.UnigramLm.train(docs, $"text", maxWordLen = 3, iters = 2)
+          .length.toLong
+      }
+      docs.unpersist()
+    }
     spark.stop()
   }
 }
