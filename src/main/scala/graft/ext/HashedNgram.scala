@@ -120,6 +120,98 @@ object HashedNgram {
     } finally { fCut.release(); lCut.release() }
   }
 
+  /** [[fit]] with the weights kept DISTRIBUTED through training —
+    * no per-iteration collect, so D = 2²¹ (fastText's default) costs
+    * what D = 16 costs plus a bigger join side; only the FINAL model
+    * table is pinned for return (D rows of (long, double) — single-
+    * digit MBs even at 2²¹; persist it to parquet as the serving
+    * state). Each iteration:
+    * margin sums via a features⋈weights join, sigmoid against the
+    * one-row intercept frame (broadcast), per-bucket and global
+    * gradient aggregations, and a pure-join weight update; the new
+    * weight table persists as a releasable cut and the previous one
+    * releases (the [[VectorQuant.pqTrain]] round discipline). Every
+    * expression tree matches [[fit]] term for term — decimal-grid
+    * margin and gradient sums, the identical IEEE step — so the two
+    * paths produce BIT-IDENTICAL weights (pinned in HashedNgramSpec);
+    * use [[fit]] when D is literal-sized, this when it is not.
+    *
+    * Returns the (bucket, weight) frame — intercept at bucket −1 —
+    * ready to persist to parquet as model state.
+    */
+  def fitDistributed(df: DataFrame, id: Column, text: Column, label: Column,
+                     d: Int = 16, iters: Int = 2, lr: Double = 0.5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lr > 0, s"lr must be positive, got $lr")
+    val spark = df.sparkSession
+    val fCut = GraftBridge.persistCutFrame(features(df, id, text, d), eager = true)
+    val lCut = GraftBridge.persistCutFrame(
+      df.select(id.as("doc_id"), label.cast("double").as("__y")), eager = true)
+    var wCut: Option[GraftBridge.CutFrame] = None
+    try {
+      val n = lCut.df.count()
+      require(n > 0, "cannot fit on an empty labeled frame")
+      val nBad = lCut.df.filter(col("__y").isNull).count()
+      require(nBad == 0,
+        s"labeled frame has $nBad rows with null label — drop or impute before fit")
+      // weights state: D bucket rows + a one-row intercept frame,
+      // both distributed
+      var weights: DataFrame = spark.range(d)
+        .select(col("id").as("bucket"), lit(0.0).as("__wt"))
+      var intercept: DataFrame = spark.range(1).select(lit(0.0).as("__w0"))
+      for (_ <- 1 to iters) {
+        val zs = fCut.df.join(weights, "bucket")
+          .groupBy(col("doc_id"))
+          .agg(sum((col("x") * col("__wt")).cast("decimal(38,12)")).as("__zs"))
+        val pd = lCut.df.join(zs, Seq("doc_id"), "left")
+          .crossJoin(broadcast(intercept))
+          .select(col("doc_id"), col("__y"),
+            (lit(1.0) / (lit(1.0) + exp(-(col("__w0") +
+              coalesce(col("__zs").cast("double"), lit(0.0)))))).as("__p"))
+        val pCut = GraftBridge.persistCutFrame(pd, eager = true)
+        try {
+          val gb = pCut.df.join(fCut.df, "doc_id")
+            .groupBy(col("bucket"))
+            .agg(sum(((col("__p") - col("__y")) * col("x"))
+              .cast("decimal(38,6)")).as("__g"))
+          val gi = pCut.df
+            .agg(sum((col("__p") - col("__y")).cast("decimal(38,6)")).as("__g"))
+          val nextW = weights.join(gb, Seq("bucket"), "left")
+            .select(col("bucket"),
+              (col("__wt") - lit(lr) *
+                (coalesce(col("__g").cast("double"), lit(0.0)) / lit(n.toDouble)))
+                .as("__wt"))
+          val nextI = intercept.crossJoin(broadcast(gi))
+            .select((col("__w0") - lit(lr) *
+              (col("__g").cast("double") / lit(n.toDouble))).as("__w0"))
+          // one cut holds BOTH frames for the round (union-tagged), so
+          // the previous round's lineage is truncated before release
+          val tagged = nextW.select(col("bucket"), col("__wt"))
+            .unionByName(nextI.select(lit(-1L).as("bucket"), col("__w0").as("__wt")))
+          val cut = GraftBridge.persistCutFrame(tagged, eager = true)
+          wCut.foreach(_.release())
+          wCut = Some(cut)
+          weights = cut.df.filter(col("bucket") >= 0L)
+          intercept = cut.df.filter(col("bucket") === -1L)
+            .select(col("__wt").as("__w0"))
+        } finally pCut.release()
+      }
+      wCut match {
+        case Some(cut) =>
+          // pin the final table so the caller outlives the cut
+          val rows = cut.df.orderBy(col("bucket")).collect()
+          val out = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              java.util.Arrays.asList(rows: _*)), cut.df.schema)
+          out.select(col("bucket"), col("__wt").as("weight"))
+        case None => // iters >= 1 guarantees a cut; unreachable
+          spark.range(0).select(col("id").as("bucket"), lit(0.0).as("weight"))
+      }
+    } finally {
+      fCut.release(); lCut.release(); wCut.foreach(_.release())
+    }
+  }
+
   /** Score documents with fitted weights: (doc_id, score) where
     * score = σ(w0 + Σ w_j·x_j) through the identical expression tree
     * the trainer used — training-time predictions and serving-time

@@ -74,6 +74,16 @@ class HashedNgramSpec extends SparkTestBase {
       s"hashed ($hashedSep) should beat engineered ($engineeredSep) on vocabulary-only spam")
   }
 
+  test("fitDistributed == fit bit for bit (the D=2^21 path against the literal path)") {
+    val driver = HashedNgram.fit(labeled, $"doc_id", $"text", $"label",
+      d = 16, iters = 3, lr = 0.5)
+    val dist = HashedNgram.fitDistributed(labeled, $"doc_id", $"text", $"label",
+      d = 16, iters = 3, lr = 0.5)
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(dist == driver.sortBy(_._1),
+      s"distributed=${dist}\ndriver=${driver.sortBy(_._1)}")
+  }
+
   test("features: L1-normalized, bigrams over the kept-token sequence, null-safe") {
     val docs = Seq(
       (1L, "alpha beta alpha"),         // unigrams a,b,a + bigrams ab, ba → 5 grams
