@@ -212,6 +212,23 @@ object HashedNgram {
     }
   }
 
+  /** Persist / reload fitted weights as parquet model state. Longs
+    * and doubles round-trip parquet exactly, so scoring through the
+    * reloaded state is bit-identical (pinned in HashedNgramSpec).
+    */
+  def writeWeights(weights: Seq[(Long, Double)], spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Unit = {
+    import spark.implicits._
+    weights.toDF("bucket", "weight").write.mode("overwrite").parquet(dir)
+  }
+
+  def readWeights(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Seq[(Long, Double)] = {
+    import spark.implicits._
+    spark.read.parquet(dir).select($"bucket", $"weight")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+  }
+
   /** Score documents with fitted weights: (doc_id, score) where
     * score = σ(w0 + Σ w_j·x_j) through the identical expression tree
     * the trainer used — training-time predictions and serving-time

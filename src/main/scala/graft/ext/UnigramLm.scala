@@ -222,6 +222,17 @@ object UnigramLm {
     }
   }
 
+  /** Persist / reload the serving state — the (word, n_pieces)
+    * [[encodeTable]] frame — as parquet model state (the
+    * [[NgramLm]]-style lifecycle: train once, write, serve forever).
+    */
+  def writeVocab(table: DataFrame, dir: String): Unit =
+    table.select(col("word"), col("n_pieces"))
+      .write.mode("overwrite").parquet(dir)
+
+  def readVocab(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Distributed encode statistics: per document, the whitespace
     * token count and the total piece count — trained-universe words
     * segment by the broadcast [[encodeTable]] (a tokenizer ships its

@@ -216,6 +216,26 @@ object DocStream {
         emit(graft.ext.HashedNgram.score(batch, id, text, weights))
       }
 
+  /** Unigram-vocabulary encode statistics at ingest: each micro-batch
+    * runs [[graft.ext.UnigramLm.encode]] against the STATIC serving
+    * table. foreachBatch for the [[lmScored]] reason — the batch
+    * encode aggregates per doc_id, which as a declarative streaming
+    * plan would be an unbounded-state groupBy; per-doc stats are a
+    * pure function of one row + the static vocab, so per-micro-batch
+    * batch encoding is exact (pinned batch-invariant in
+    * StreamingSpec).
+    */
+  def unigramEncoded(docs: DataFrame, id: Column, text: Column,
+                     table: DataFrame,
+                     emit: DataFrame => Unit,
+                     checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ext.UnigramLm.encode(batch, id, text, table))
+      }
+
   /** DOM-density extraction at ingest — a pure per-row expression
     * ([[graft.ext.Boilerplate.densityStats]]), so it composes
     * declaratively into any streaming plan like [[gopherScreened]]:

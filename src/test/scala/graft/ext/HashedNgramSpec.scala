@@ -102,6 +102,20 @@ class HashedNgramSpec extends SparkTestBase {
     assert(xs.forall(x => math.abs(x * 5.0 - math.round(x * 5.0)) < 1e-12))
   }
 
+  test("weights round-trip parquet; scoring through reloaded state is bit-identical") {
+    val w = HashedNgram.fit(labeled, $"doc_id", $"text", $"label",
+      d = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("hng-model").toString
+    HashedNgram.writeWeights(w, spark, dir)
+    val r = HashedNgram.readWeights(spark, dir)
+    assert(r == w.sortBy(_._1))
+    val a = HashedNgram.score(labeled, $"doc_id", $"text", w)
+      .as[(Long, Double)].collect().toSet
+    val b = HashedNgram.score(labeled, $"doc_id", $"text", r)
+      .as[(Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
   test("fit refuses null labels loudly") {
     val bad = Seq((1L, "some text here", Some(1)), (2L, "more text", None))
       .toDF("doc_id", "text", "label")

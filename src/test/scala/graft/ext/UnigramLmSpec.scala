@@ -144,6 +144,22 @@ class UnigramLmSpec extends SparkTestBase {
     assert(out(1) == ((2L, 1L, 0L)))
   }
 
+  test("vocab serving table round-trips parquet; encode through reloaded state is identical") {
+    val vocab = UnigramLm.train(corpus, $"text", maxWordLen = 3, iters = 2)
+    val universe = UnigramLm.wordCounts(corpus, $"text", 3)
+      .select($"word").as[String].collect().toSeq
+    val table = UnigramLm.encodeTable(universe, vocab.toMap, 3)
+      .toDF("word", "n_pieces")
+    val dir = java.nio.file.Files.createTempDirectory("uni-model").toString
+    UnigramLm.writeVocab(table, dir)
+    val reloaded = UnigramLm.readVocab(spark, dir)
+    val a = UnigramLm.encode(corpus, $"doc_id", $"text", table)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = UnigramLm.encode(corpus, $"doc_id", $"text", reloaded)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("compression comparison vs BPE on the same short-word corpus") {
     // the honest fixture: repeated short words where subword structure
     // exists ("cat"/"cab" share "ca"; "the" repeats)

@@ -814,6 +814,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocStream.unigramEncoded encodes a doc stream batch-identically, zero state") {
+    import graft.ext.UnigramLm
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val vocab = UnigramLm.train(docs, $"text", maxWordLen = 3, iters = 2)
+    val universe = UnigramLm.wordCounts(docs, $"text", 3)
+      .select($"word").as[String].collect().toSeq
+    val table = UnigramLm.encodeTable(universe, vocab.toMap, 3)
+      .toDF("word", "n_pieces")
+    val batch = UnigramLm.encode(docs, $"doc_id", $"text", table)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("uni-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+
+    val emitted = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("uni-stream-ckpt")
+    val q = DocStream.unigramEncoded(stream, $"doc_id", $"text", table,
+      enc => emitted.synchronized {
+        emitted ++= enc.as[(Long, Long, Long)].collect(); ()
+      }, ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(emitted.toSet == batch && batch.nonEmpty)
+      assert(emitted.size == emitted.toSet.size)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("DocStream.densityExtracted is declarative-stateless and batch-identical") {
     import graft.ext.Boilerplate
     val pages = Tables.table(spark, sfDir, "documents")
