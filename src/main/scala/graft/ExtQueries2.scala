@@ -49,9 +49,9 @@ object ExtQueries2 {
        |et$n AS (SELECT sum(ec) AS et FROM e$n),
        |w$n AS (SELECT p, (ec * 1048576) // et AS wt FROM e$n, et$n)""".stripMargin
 
-  private val unigramEmCtes: String =
+  private def unigramEmCtes(src: String): String =
     s"""tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-      |        FROM documents),
+      |        FROM $src),
       |wc AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM tok
       |       WHERE regexp_matches(w, '^[a-z]{1,3}$$') GROUP BY w),
       |sub AS (SELECT w, f, substring(w, CAST(i AS INT), CAST(l AS INT)) AS p
@@ -96,7 +96,7 @@ object ExtQueries2 {
         .toDF("piece", "weight")
         .orderBy($"piece")
     },
-    Some(s"""WITH $unigramEmCtes
+    Some(s"""WITH ${unigramEmCtes("documents")}
             |SELECT p AS piece, CAST(wt AS BIGINT) AS weight
             |FROM w2 WHERE wt > 0 ORDER BY piece""".stripMargin))
 
@@ -145,7 +145,7 @@ object ExtQueries2 {
       UnigramLm.encode(docs, $"doc_id", $"text", table)
         .orderBy($"doc_id")
     },
-    Some(s"""WITH $unigramEmCtes,
+    Some(s"""WITH ${unigramEmCtes("documents")},
             |$unigramArgmaxCtes,
             |dt AS (SELECT doc_id,
             |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -465,7 +465,7 @@ object ExtQueries2 {
         .withColumnRenamed("grp", "source")
         .orderBy($"source")
     },
-    Some(s"""WITH $unigramEmCtes,
+    Some(s"""WITH ${unigramEmCtes("documents")},
             |$unigramArgmaxCtes,
             |dt AS (SELECT source,
             |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
@@ -508,7 +508,7 @@ object ExtQueries2 {
         .toDF("piece", "weight")
         .orderBy($"piece")
     },
-    Some(s"""WITH $unigramEmCtes,
+    Some(s"""WITH ${unigramEmCtes("documents")},
             |ch AS (SELECT p, wt FROM w2 WHERE length(p) = 1),
             |mc AS (SELECT p, wt, row_number() OVER (ORDER BY wt DESC, p ASC) AS rk
             |       FROM w2 WHERE length(p) > 1 AND wt > 0),
@@ -518,5 +518,59 @@ object ExtQueries2 {
             |SELECT p AS piece, CAST(wt AS BIGINT) AS weight
             |FROM w3 WHERE wt > 0 ORDER BY piece""".stripMargin))
 
-  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191, q192, q193)
+  /** Incremental maintenance of the unigram trainer's corpus-scale
+    * state ([[graft.ext.UnigramLm.admitWordCounts]] /
+    * `trainFromState`): the corpus splits into old and delta batches,
+    * the delta folds into the word-count ledger by full-outer
+    * addition, and training FROM THE MERGED STATE must equal training
+    * from scratch on the full corpus — q185's oracle VERBATIM (the
+    * q184/q144 admit ≡ rebuild discipline applied to the tokenizer's
+    * one corpus-scale input), so absorbing a crawl batch never
+    * re-reads the corpus.
+    */
+  val q194 = Q(
+    "q194_unigram_admit",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val state = UnigramLm.wordCounts(docs.filter($"doc_id" % 3 =!= 0),
+        $"text", 3)
+      UnigramLm.trainFromState(
+          UnigramLm.admitWordCounts(state,
+            docs.filter($"doc_id" % 3 === 0), $"text", 3),
+          maxWordLen = 3, iters = 2)
+        .toDF("piece", "weight")
+        .orderBy($"piece")
+    },
+    Some(s"""WITH ${unigramEmCtes("documents")}
+            |SELECT p AS piece, CAST(wt AS BIGINT) AS weight
+            |FROM w2 WHERE wt > 0 ORDER BY piece""".stripMargin))
+
+  /** Takedown cascade through the word-count ledger
+    * ([[graft.ext.UnigramLm.retractWordCounts]]): subtract the
+    * deleted documents' counts (zero-count words leave; unknown-word
+    * and over-delete desyncs RAISE), then retrain from state — the
+    * result must equal training from scratch on the retained corpus,
+    * whose EM chain the oracle runs over the filtered source.
+    */
+  val q195 = Q(
+    "q195_unigram_retract",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val state = UnigramLm.wordCounts(docs, $"text", 3)
+      UnigramLm.trainFromState(
+          UnigramLm.retractWordCounts(state,
+            docs.filter($"doc_id" % 5 === 0), $"text", 3),
+          maxWordLen = 3, iters = 2)
+        .toDF("piece", "weight")
+        .orderBy($"piece")
+    },
+    Some(s"""WITH ${unigramEmCtes(
+              "(SELECT text FROM documents WHERE doc_id % 5 <> 0) retained")}
+            |SELECT p AS piece, CAST(wt AS BIGINT) AS weight
+            |FROM w2 WHERE wt > 0 ORDER BY piece""".stripMargin))
+
+  val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191, q192, q193,
+    q194, q195)
 }

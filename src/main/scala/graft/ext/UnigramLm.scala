@@ -137,6 +137,68 @@ object UnigramLm {
     wordCounts(df, text, maxWordLen)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  // ---- word-count ledger maintenance --------------------------------
+  // The corpus-scale part of unigram training is ONE tokenize+count
+  // scan; everything after is vocabulary-bounded driver work. Keeping
+  // the (word, freq) table as COUNTED LEDGER STATE (the
+  // ExactDedup.digestCounts discipline) therefore makes RETRAINING
+  // O(delta): admit a crawl batch by addition, cascade takedowns by
+  // subtraction, and re-run the bounded EM from state — the corpus is
+  // never re-read.
+
+  /** Fold a new batch into word-count state: full-outer add (the
+    * [[Bm25.admitToIndex]] shape). Contract: the batch's documents
+    * must be NEW (the admission front door guarantees it) — admitting
+    * the same rows twice double-counts, exactly like any counted
+    * ledger. Identity (gate q194 via q185's oracle VERBATIM):
+    * trainFromState(admit(state(a), b)) ≡ train(a ∪ b).
+    */
+  def admitWordCounts(state: DataFrame, newDocs: DataFrame, text: Column,
+                      maxWordLen: Int = 3): DataFrame =
+    state.select(col("word"), col("freq").as("__f0"))
+      .join(wordCounts(newDocs, text, maxWordLen)
+          .select(col("word"), col("freq").as("__f1")),
+        Seq("word"), "full_outer")
+      .select(col("word"),
+        (coalesce(col("__f0"), lit(0L)) + coalesce(col("__f1"), lit(0L)))
+          .as("freq"))
+
+  /** Cascade a takedown through word-count state: subtract the
+    * deleted rows' counts; words hitting zero leave; BOTH desync
+    * shapes raise (subtracting a word the state never saw, or more
+    * occurrences than it holds) — the [[ExactDedup]] retraction
+    * discipline, because clamping would silently corrupt every later
+    * fit. Identity (gate q195): trainFromState(retract(state(c), d))
+    * ≡ train(c ∖ d).
+    */
+  def retractWordCounts(state: DataFrame, deletedDocs: DataFrame,
+                        text: Column, maxWordLen: Int = 3): DataFrame =
+    state.select(col("word"), col("freq").as("__f0"))
+      .join(wordCounts(deletedDocs, text, maxWordLen)
+          .select(col("word"), col("freq").as("__f1")),
+        Seq("word"), "full_outer")
+      .select(col("word"),
+        when(col("__f0").isNull, raise_error(concat(
+          lit("retractWordCounts: word never admitted: "), col("word"))))
+          .when(col("__f1") > col("__f0"), raise_error(concat(
+            lit("retractWordCounts: over-delete for word: "), col("word"))))
+          .otherwise(col("__f0") - coalesce(col("__f1"), lit(0L)))
+          .as("freq"))
+      .filter(col("freq") > 0L)
+
+  /** Run the bounded EM from maintained ledger state instead of a
+    * corpus scan — byte-identical to [[train]] on the equivalent
+    * corpus because the fit is a pure function of the (word, freq)
+    * multiset.
+    */
+  def trainFromState(state: DataFrame, maxWordLen: Int = 3,
+                     iters: Int = 2): Seq[(String, Long)] = {
+    val words = state.select(col("word"), col("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    fitLoop(words, maxWordLen, iters)
+      .toSeq.filter(_._2 > 0L).sortBy(_._1)
+  }
+
   private def fitLoop(words: Seq[(String, Long)], maxWordLen: Int,
                       iters: Int): Map[String, Long] = {
     // seed: substring occurrence counts with multiplicity, weighted

@@ -144,6 +144,41 @@ class UnigramLmSpec extends SparkTestBase {
     assert(out(1) == ((2L, 1L, 0L)))
   }
 
+  test("word-count ledger: admit == rebuild, retract == rebuild, both desyncs raise") {
+    val old = corpus.filter($"doc_id" <= 2)
+    val delta = corpus.filter($"doc_id" > 2)
+    val merged = UnigramLm.admitWordCounts(
+      UnigramLm.wordCounts(old, $"text", 3), delta, $"text", 3)
+      .as[(String, Long)].collect().toMap
+    val full = UnigramLm.wordCounts(corpus, $"text", 3)
+      .as[(String, Long)].collect().toMap
+    assert(merged == full)
+    // retract the delta back out: state returns to the old corpus
+    val back = UnigramLm.retractWordCounts(
+      UnigramLm.wordCounts(corpus, $"text", 3), delta, $"text", 3)
+      .as[(String, Long)].collect().toMap
+    assert(back == UnigramLm.wordCounts(old, $"text", 3)
+      .as[(String, Long)].collect().toMap)
+    // desync 1: retracting never-admitted content raises
+    val alien = Seq((99L, "zzz zzz")).toDF("doc_id", "text")
+    intercept[Exception] {
+      UnigramLm.retractWordCounts(
+        UnigramLm.wordCounts(old, $"text", 3), alien, $"text", 3).collect()
+    }
+    // desync 2: over-deleting a known word raises
+    val over = Seq((99L, "the the the the the the the the the the the the"))
+      .toDF("doc_id", "text")
+    intercept[Exception] {
+      UnigramLm.retractWordCounts(
+        UnigramLm.wordCounts(old, $"text", 3), over, $"text", 3).collect()
+    }
+    // trainFromState over maintained state == train from scratch
+    val viaState = UnigramLm.trainFromState(
+      UnigramLm.admitWordCounts(
+        UnigramLm.wordCounts(old, $"text", 3), delta, $"text", 3), 3, 2)
+    assert(viaState == UnigramLm.train(corpus, $"text", 3, 2))
+  }
+
   test("vocab serving table round-trips parquet; encode through reloaded state is identical") {
     val vocab = UnigramLm.train(corpus, $"text", maxWordLen = 3, iters = 2)
     val universe = UnigramLm.wordCounts(corpus, $"text", 3)
