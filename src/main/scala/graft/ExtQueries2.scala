@@ -4,11 +4,15 @@ import org.apache.spark.sql.functions._
 import graft.CoreQueries.Q
 import graft.ext.UnigramLm
 
-/** Round-12 extension gates (q185+) — unigram-LM tokenizer induction,
-  * residual quantization, hashed-feature classifier training, and
-  * DOM-density extraction. Same contract as [[ExtQueries]]: every
-  * gate pairs a Spark face with a DuckDB oracle mirroring the exact
-  * arithmetic.
+/** Round-12 extension gates (q185+): unigram-LM tokenizer induction
+  * with the full SentencePiece prune loop and word-count-ledger
+  * maintenance (q185/q186/q193/q194/q195), residual two-stage
+  * quantization with its takedown cascade (q187/q190), the OPQ
+  * rotation composition (q191), hashed bag-of-ngrams classifier
+  * training (q188), DOM-density text extraction (q189), and
+  * tokenizer evaluation metrics (q192). Same contract as
+  * [[ExtQueries]]: every gate pairs a Spark face with a DuckDB
+  * oracle mirroring the exact arithmetic.
   */
 object ExtQueries2 {
 
