@@ -189,6 +189,35 @@ object EmbedStream {
         graft.ext.VectorQuant.pqEncodeExpr(collected, col("__v")).as("codes"))
   }
 
+  /** [[admitVectors]] for the RESIDUAL-quantized index: cell, stage-1
+    * codes, and stage-2 codes over the in-row residual — all pure
+    * per-row expressions over driver-state literals
+    * ([[graft.ext.VectorQuant.rqResidualExpr]] /
+    * `pqEncodeExprD`), fully stateless. Output schema matches
+    * [[graft.ext.VectorQuant.RqIvfIndex.assignments]]
+    * (id, cell, codes1, codes2); append on the batch cadence. The
+    * in-row stage-1 encode is pinned ≡ the join+agg batch encode in
+    * VectorQuantSpec, so the admitted rows are bit-identical to what
+    * [[graft.ext.VectorQuant.rqEncode]] computes for the same vectors
+    * (pinned in StreamingSpec).
+    */
+  def admitVectorsRq(stream: DataFrame, index: graft.ext.VectorQuant.RqIvfIndex,
+                     id: String, vec: String): DataFrame = {
+    val cents = EmbeddingSearch.collectCentroids(
+      IvfIndex(index.centroids, index.assignments.select(col("id"), col("cell"))))
+    require(cents.nonEmpty, "index has no centroids")
+    val c1 = graft.ext.VectorQuant.collectBook(index.books.book1)
+    val c2 = graft.ext.VectorQuant.collectBookD(index.books.book2)
+    stream.select(col(id).as("id"), col(vec).as("__v"))
+      .withColumn("__n", EmbeddingSearch.norm(col("__v")))
+      .select(col("id"),
+        element_at(EmbeddingSearch.probeCellsExpr(cents, col("__v"), col("__n"), 1),
+          1).as("cell"),
+        graft.ext.VectorQuant.pqEncodeExpr(c1, col("__v")).as("codes1"),
+        graft.ext.VectorQuant.pqEncodeExprD(c2,
+          graft.ext.VectorQuant.rqResidualExpr(c1, col("__v"))).as("codes2"))
+  }
+
   /** The shared stateless probe body: per-row cell choice over the
     * centroid literal, nprobe stream-static left joins against the
     * packed cell table, in-row exact rerank — see the object doc.

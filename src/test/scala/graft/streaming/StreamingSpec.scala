@@ -930,6 +930,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("EmbedStream.admitVectorsRq reproduces the two-stage serving state row-for-row, stateless") {
+    import graft.ext.{EmbeddingSearch, VectorQuant}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val books = VectorQuant.rqTrain(emb, "vec_id", "embedding",
+      m = 4, ksub1 = 8, iters1 = 1, ksub2 = 8, iters2 = 1, dim = 64)
+    val ivf = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4)
+    val ridx = VectorQuant.quantizeIndexRq(ivf, emb, "vec_id", "embedding", books)
+    val stored = ridx.assignments.as[(Long, Long, Seq[Int], Seq[Int])]
+      .collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("admit-vec-rq")
+    emb.write.parquet(s"$dir/part1")
+    val stream = spark.readStream.schema(emb.schema).parquet(s"$dir/part*")
+    val q = EmbedStream.admitVectorsRq(stream, ridx, "vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admit_vectors_rq").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("admit_vectors_rq")
+        .as[(Long, Long, Seq[Int], Seq[Int])].collect().toSet
+      assert(streamed == stored && streamed.nonEmpty)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("IncrementalAgg state absorbs micro-batches via foreachBatch merge; final state equals the one-pass recompute") {
     import graft.ops.IncrementalAgg
     val events = Tables.events(spark, sfDir).select($"user_id", $"value")
