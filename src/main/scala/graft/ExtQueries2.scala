@@ -575,6 +575,43 @@ object ExtQueries2 {
             |SELECT p AS piece, CAST(wt AS BIGINT) AS weight
             |FROM w2 WHERE wt > 0 ORDER BY piece""".stripMargin))
 
+  /** Lexical diversity ([[graft.ext.TextAnalysis.typeTokenStats]]):
+    * distinct-token ratio per document — low for template/stuffed
+    * pages, suspiciously high for generated word salad; the
+    * within-document complement of the q176/q177 repetition filters.
+    * Planted rows pin both tails (all-repeat → 1/6, all-fresh → 1.0)
+    * and the case-folding rule ("The the" counts once). Integer
+    * counts, one mirrored IEEE division.
+    */
+  val q196 = Q(
+    "q196_type_token",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (920000L, "spam spam spam spam spam spam"),
+        (920001L, "every token here is fresh today"),
+        (920002L, "The the THE tHe")).toDF("doc_id", "text")
+      graft.ext.TextAnalysis.typeTokenStats(
+          t(s, dir, "documents").select($"doc_id", $"text").unionAll(planted),
+          $"doc_id", $"text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+            |          UNION ALL SELECT * FROM (VALUES
+            |  (920000, 'spam spam spam spam spam spam'),
+            |  (920001, 'every token here is fresh today'),
+            |  (920002, 'The the THE tHe')) p(doc_id, text)),
+            |tk AS (SELECT doc_id,
+            |         string_split_regex(lower(trim(text)), '\s+') AS t
+            |       FROM d)
+            |SELECT doc_id,
+            |       CAST(len(t) AS BIGINT) AS n_tokens,
+            |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+            |       CAST(len(list_distinct(t)) AS DOUBLE) /
+            |         CAST(len(t) AS DOUBLE) AS ttr
+            |FROM tk ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191, q192, q193,
-    q194, q195)
+    q194, q195, q196)
 }

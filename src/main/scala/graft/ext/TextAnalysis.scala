@@ -23,6 +23,24 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Lexical diversity (type-token ratio): distinct lowercased
+    * whitespace tokens over total tokens — the within-document
+    * complement of the repetition filters: boilerplate, keyword
+    * stuffing, and template pages run LOW; generated word salad runs
+    * suspiciously HIGH (every token fresh). Integer counts + one IEEE
+    * division, zero shuffle (gate q196). Empty text follows the
+    * corpus-wide split convention (one empty token → ratio 1.0);
+    * treat as a split-count stat like [[mixedScriptStats]].
+    */
+  def typeTokenStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = split(lower(trim(text)), "\\s+")
+    df.select(id.as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("ttr",
+        col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+  }
+
   def charCount(c: Column): Column = length(c)
 
   /** Count of characters in a regex class, via length difference (same

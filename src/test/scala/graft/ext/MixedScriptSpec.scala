@@ -40,4 +40,22 @@ class MixedScriptSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("typeTokenStats: both tails, case folding, split-count convention, zero shuffle") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, "all fresh words here"),
+      (3L, "The the THE"),
+      (4L, "")).toDF("id", "text")
+    val out = TextAnalysis.typeTokenStats(df, $"id", $"text")
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 4L, 1L, 0.25)))
+    assert(out(1) == ((2L, 4L, 4L, 1.0)))
+    assert(out(2) == ((3L, 3L, 1L, 1.0 / 3.0)))
+    // empty text = one empty token (the corpus split convention)
+    assert(out(3) == ((4L, 1L, 1L, 1.0)))
+    val plan = TextAnalysis.typeTokenStats(df, $"id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
