@@ -325,7 +325,9 @@ object Bench {
       // ledger maintenance: one word-count scan each side of the fold
       "q194_unigram_admit", "q195_unigram_retract",
       // full-corpus zero-shuffle per-row screen (the q183 class)
-      "q196_type_token")
+      "q196_type_token",
+      // one host-keyed count + one equi-join back — corpus-proportional
+      "q197_host_neighborhood")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

@@ -612,6 +612,56 @@ object ExtQueries2 {
             |         CAST(len(t) AS DOUBLE) AS ttr
             |FROM tk ORDER BY doc_id""".stripMargin))
 
+  /** Host-level bad-neighborhood screening
+    * ([[graft.ext.QualityFilter.hostNeighborhoodScreen]]): the
+    * C4-style move per-document filters cannot express — a planted
+    * spam-farm source carries three failing pages and ONE
+    * individually-passing page, which must fail the COMBINED screen
+    * because its neighborhood's pass rate (1/4) misses the 3/4
+    * threshold under exact integer cross-multiplication; a planted
+    * single-page source stays below minDocs and its verdict stands.
+    * Corpus sources exercise the rate arithmetic at every SF.
+    */
+  val q197 = Q(
+    "q197_host_neighborhood",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (930000L, "spamfarm", "buy now"),
+        (930001L, "spamfarm", "click here"),
+        (930002L, "spamfarm", "cheap pills"),
+        (930003L, "spamfarm",
+          "this single genuinely long page has more than ten whitespace tokens in it"),
+        (930010L, "tinyhost",
+          "another genuinely long page with clearly more than ten whitespace tokens present"))
+        .toDF("doc_id", "source", "text")
+      val d = t(s, dir, "documents").select($"doc_id", $"source", $"text")
+        .unionAll(planted)
+      graft.ext.QualityFilter.hostNeighborhoodScreen(d, $"doc_id", $"source",
+          graft.ext.TextAnalysis.tokenCount($"text") >= 10,
+          minDocs = 3L, num = 3, den = 4)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, source, text FROM documents
+            |          UNION ALL SELECT * FROM (VALUES
+            |  (930000, 'spamfarm', 'buy now'),
+            |  (930001, 'spamfarm', 'click here'),
+            |  (930002, 'spamfarm', 'cheap pills'),
+            |  (930003, 'spamfarm', 'this single genuinely long page has more than ten whitespace tokens in it'),
+            |  (930010, 'tinyhost', 'another genuinely long page with clearly more than ten whitespace tokens present'))
+            |  p(doc_id, source, text)),
+            |b AS (SELECT doc_id, source AS host,
+            |             len(string_split_regex(trim(text), '\s+')) >= 10 AS passes
+            |      FROM d),
+            |st AS (SELECT host, count(*) AS host_docs,
+            |              sum(CASE WHEN passes THEN 1 ELSE 0 END) AS host_pass
+            |       FROM b GROUP BY host)
+            |SELECT doc_id, host, passes,
+            |       CAST(host_docs AS BIGINT) AS host_docs,
+            |       CAST(host_pass AS BIGINT) AS host_pass,
+            |       passes AND (host_docs < 3 OR host_pass * 4 >= host_docs * 3) AS kept
+            |FROM b JOIN st USING (host) ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q185, q186, q187, q188, q189, q190, q191, q192, q193,
-    q194, q195, q196)
+    q194, q195, q196, q197)
 }

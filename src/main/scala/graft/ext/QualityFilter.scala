@@ -214,6 +214,47 @@ object QualityFilter {
     * partitions by (doc, n) — per-document cardinality, bounded by
     * document length, never corpus-sized.
     */
+  /** Host-level "bad neighborhood" screening — the curation move
+    * per-document filters cannot express: when most of a host's pages
+    * fail the document screen, the host itself is the signal, and its
+    * INDIVIDUALLY-PASSING pages (the one tidy page on a spam farm)
+    * should go too (C4 dropped entire hosts this way; the host
+    * link-graph screens here — TrustRank q133, templates q178 — judge
+    * structure, this judges the host's own content yield).
+    *
+    * Rule, exact-integer so the boundary never floats: a document is
+    * KEPT iff it passes the document screen AND its neighborhood is
+    * acceptable — the host has fewer than `minDocs` documents (too
+    * few to judge; individual verdicts stand) OR the host's pass rate
+    * clears the threshold: n_pass · den ≥ n_docs · num
+    * (cross-multiplied — no ratio, no float equality edge). The
+    * spam-farm's one tidy page fails the combined screen; a failing
+    * page keeps failing everywhere.
+    *
+    * Scale shape: ONE grouped count per host (map-side combined) +
+    * one equi-join back on host — the host-stats side is
+    * host-cardinality, orders of magnitude below the corpus. Output:
+    * (doc_id, host, passes, host_docs, host_pass, kept).
+    */
+  def hostNeighborhoodScreen(df: DataFrame, id: Column, host: Column,
+                             passes: Column, minDocs: Long,
+                             num: Int, den: Int): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    require(num >= 0 && den >= 1 && num <= den,
+      s"threshold num/den must satisfy 0 <= num <= den, 1 <= den; got $num/$den")
+    val base = df.select(id.as("doc_id"), host.as("host"),
+      passes.cast("boolean").as("passes"))
+    val stats = base.groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"),
+        sum(when(col("passes"), lit(1L)).otherwise(lit(0L))).as("host_pass"))
+    base.join(stats, "host")
+      .select(col("doc_id"), col("host"), col("passes"),
+        col("host_docs"), col("host_pass"),
+        (col("passes") && (col("host_docs") < minDocs ||
+          col("host_pass") * den >= col("host_docs") * num))
+          .as("kept"))
+  }
+
   def gramRepetition(df: DataFrame, id: Column, text: Column,
                      ns: Seq[Int] = Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)): DataFrame = {
     require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 16),

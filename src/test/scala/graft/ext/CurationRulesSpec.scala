@@ -67,6 +67,39 @@ class CurationRulesSpec extends SparkTestBase {
     assert(flagsFor("a b ......")("n_ellipsis") == 2L)
   }
 
+  test("hostNeighborhoodScreen: spam-farm's passing page drops; tiny hosts keep individual verdicts; exact 3/4 boundary") {
+    val docs = Seq(
+      // farm: 1 pass of 4 -> bad neighborhood
+      (1L, "farm", false), (2L, "farm", false), (3L, "farm", false),
+      (4L, "farm", true),
+      // good: 3 pass of 4 -> exactly ON the 3/4 threshold -> acceptable
+      (5L, "good", true), (6L, "good", true), (7L, "good", true),
+      (8L, "good", false),
+      // tiny: below minDocs -> individual verdicts stand
+      (9L, "tiny", true), (10L, "tiny", false))
+      .toDF("doc_id", "host", "p")
+    val out = QualityFilter.hostNeighborhoodScreen(docs, $"doc_id", $"host",
+        $"p", minDocs = 3L, num = 3, den = 4)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"kept").as[(Long, Boolean)].collect().toMap
+    // the farm's one tidy page fails the combined screen
+    assert(!out(4L))
+    assert(!out(1L) && !out(2L) && !out(3L))
+    // exact boundary: 3*4 >= 4*3 keeps the good host's passing pages
+    assert(out(5L) && out(6L) && out(7L) && !out(8L))
+    // tiny host: doc verdicts pass through
+    assert(out(9L) && !out(10L))
+    // guards
+    intercept[IllegalArgumentException] {
+      QualityFilter.hostNeighborhoodScreen(docs, $"doc_id", $"host", $"p",
+        minDocs = 0L, num = 3, den = 4)
+    }
+    intercept[IllegalArgumentException] {
+      QualityFilter.hostNeighborhoodScreen(docs, $"doc_id", $"host", $"p",
+        minDocs = 3L, num = 5, den = 4)
+    }
+  }
+
   test("perplexity buckets: exact-rank thirds with the documented integer cut rule") {
     // 10 rows, distinct scores 10..1 on ids 1..10 (best score = id 1)
     val scored = (1 to 10).map(i => (i.toLong, (11 - i).toDouble))
