@@ -211,32 +211,60 @@ object Bench {
     // a reading is trustworthy (BASELINE.md's ≤~0.6 s bracket rule,
     // applied per query instead of per run).
     val bracketMax = sys.env.getOrElse("SPARK_GRAFT_BRACKET_MAX", "0.6").toDouble
-    def timeTierAdjudicated(dir: String, keep: Set[String], nreps: Int)
+    // rerun budget 6 (r12 verdict item 5): 3 was exhausted by
+    // q189/q20/q93 in the r12 artifact while the box settled after the
+    // blowup build; the budget is a cap on wasted work when the box is
+    // GENUINELY loaded for the whole tier, so it can afford to be
+    // generous.
+    val rerunMax = sys.env.getOrElse("SPARK_GRAFT_RERUN_MAX", "6").toInt
+    // pin: re-secure the tier's cached input frame (r12 verdict item 3
+    // — cache-and-force the ×100 inputs): dropResidualBlocks clears
+    // the Dataset cache between reps, so each rep re-pins BEFORE its
+    // calibration bracket and timed region. With the input frame in
+    // memory, tier readings measure plan CPU, not whatever the page
+    // cache happened to hold — the mechanism behind three rounds of
+    // 2× q68 swings.
+    def timeTierAdjudicated(dir: String, keep: Set[String], nreps: Int,
+                            pin: () => Unit = () => ())
         : Seq[(String, Double, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter(q => selected(q._1)).filter(q => keep(q._1)).map {
         case (name, fn) =>
+          // failed rep → time = +Inf (ADVICE r12): a fast failure must
+          // not enter the min-accept pool as a near-zero "clean" time
           def rep(): (Double, Double) = {
             dropResidualBlocks(); System.gc(); Thread.sleep(100)
+            pin()
             val cal = calibrate()
             val t0 = System.nanoTime()
-            try { fn(spark, dir).count() }
-            catch { case NonFatal(e) => System.err.println(s"[bench] $name failed: $e"); -1L }
+            val ok =
+              try { fn(spark, dir).count(); true }
+              catch { case NonFatal(e) =>
+                System.err.println(s"[bench] $name failed: $e"); false }
             val dt = (System.nanoTime() - t0) / 1e9
             dropResidualBlocks()
-            (dt, cal)
+            (if (ok) dt else Double.PositiveInfinity, cal)
           }
           var runs = (1 to nreps).map(_ => rep())
           var extra = 0
-          while (runs.forall(_._2 > bracketMax) && extra < 3) {
+          while (runs.forall(r => r._2 > bracketMax || r._1.isInfinite)
+                 && extra < rerunMax && !runs.forall(_._1.isInfinite)) {
             System.err.println(
               s"[bench] $name: all brackets loaded (${runs.map(_._2).mkString(",")}), re-running")
             extra += 1
             runs = runs :+ rep()
           }
-          val clean = runs.filter(_._2 <= bracketMax)
-          val accepted = (if (clean.nonEmpty) clean else runs).minBy(_._1)
-          (name, accepted._1, accepted._2, clean.isEmpty)
+          val finite = runs.filter(_._1.isFinite)
+          if (finite.isEmpty) {
+            // every rep failed: record -1 (the historical failure
+            // marker) with the best bracket, flagged loaded so the
+            // artifact says the reading is not a measurement
+            (name, -1.0, runs.map(_._2).min, true)
+          } else {
+            val clean = finite.filter(_._2 <= bracketMax)
+            val accepted = (if (clean.nonEmpty) clean else finite).minBy(_._1)
+            (name, accepted._1, accepted._2, clean.isEmpty)
+          }
       }
     var x100Cal = (0.0, 0.0)
     val x100Full: Option[Seq[(String, Double, Double, Boolean)]] =
@@ -246,8 +274,21 @@ object Bench {
         val x100Dir = Blowup.build(spark, sfDir,
           s"${sys.props("java.io.tmpdir")}/graft_x100_$sfName", times = 100,
           tables = Set("documents"))
+        // cache-and-force the tier's input ONCE up front (the blowup's
+        // documents table is ~60 MB parquet / low-GB in memory on a
+        // 128 GiB heap), then re-pin per rep — queries re-reading the
+        // same path hit the InMemoryRelation via plan-cache
+        // substitution, so the timed region never touches storage
+        val pinnedDocs = spark.read.parquet(s"$x100Dir/documents.parquet")
+        def pinDocs(): Unit = {
+          try { pinnedDocs.persist(); pinnedDocs.count(): Unit }
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] x100 input pin failed: $e") }
+        }
+        pinDocs()
         val calBefore = calibrate()
-        val r = timeTierAdjudicated(x100Dir, x100Keep, nreps = math.max(reps, 2))
+        val r = timeTierAdjudicated(x100Dir, x100Keep, nreps = math.max(reps, 2),
+          pin = () => pinDocs())
         x100Cal = (calBefore, calibrate())
         Some(r)
       } catch {

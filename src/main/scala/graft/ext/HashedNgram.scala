@@ -241,8 +241,20 @@ object HashedNgram {
     val w0 = weights.find(_._1 == -1L)
       .getOrElse(throw new IllegalArgumentException(
         "weights must carry the intercept row (bucket = -1)"))._2
-    val d = weights.count(_._1 >= 0L)
-    require(d >= 2, s"weights must carry >= 2 bucket rows, got $d")
+    // The hash modulus D is structural model state, not a row count
+    // (ADVICE r12): fit/fitDistributed emit dense 0..D-1 rows, so D =
+    // max bucket + 1 — and any GAP in the bucket ids (zero-weight rows
+    // dropped in persistence, or a sparse cut at the documented
+    // D = 2^21 scale) would silently change the modulus and mis-bucket
+    // every gram. Fail loudly instead of inferring from a corrupted
+    // table.
+    val buckets = weights.map(_._1).filter(_ >= 0L).sorted
+    require(buckets.size >= 2, s"weights must carry >= 2 bucket rows, got ${buckets.size}")
+    val d = (buckets.last + 1).toInt
+    require(buckets == (0L until d.toLong),
+      s"weights must carry a DENSE bucket range 0..${d - 1}: " +
+        s"got ${buckets.size} rows (gaps change the hash modulus; " +
+        "persist zero-weight rows rather than dropping them)")
     val wdf = weights.filter(_._1 >= 0L).toDF("bucket", "__wt")
     val zs = features(df, id, text, d).join(broadcast(wdf), "bucket")
       .groupBy(col("doc_id"))

@@ -34,13 +34,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LexFixture {
 
+  // ConcurrentHashMap.computeIfAbsent, NOT TrieMap.getOrElseUpdate
+  // (ADVICE r12): the TrieMap form was not atomic — two threads racing
+  // the same key could BOTH run the build, each writing
+  // mode(overwrite) to the same tmp parquet root while the other's
+  // returned reader frame was live. computeIfAbsent runs the build
+  // under the bin lock, so exactly one build happens per key and no
+  // reader ever observes a concurrent overwrite of its files.
   private val idxCache =
-    scala.collection.concurrent.TrieMap.empty[String, Bm25.LexIndex]
+    new java.util.concurrent.ConcurrentHashMap[String, Bm25.LexIndex]
   private val dfCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
 
+  // Session identity for the key: applicationId + identityHashCode.
+  // identityHashCode alone can collide across a stopped-and-recreated
+  // session (the JVM may reuse the address), which would serve frames
+  // bound to a dead session; the applicationId (unique per
+  // SparkContext) breaks that tie.
   private def cacheKey(s: SparkSession, dir: String, key: String): String =
-    s"${System.identityHashCode(s)}#$dir#$key"
+    s"${s.sparkContext.applicationId}@${System.identityHashCode(s)}#$dir#$key"
 
   private def root(cacheKey: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -55,9 +67,9 @@ object LexFixture {
     */
   def index(s: SparkSession, dir: String, key: String)
            (build: => Bm25.LexIndex): Bm25.LexIndex =
-    idxCache.getOrElseUpdate(cacheKey(s, dir, key), {
+    idxCache.computeIfAbsent(cacheKey(s, dir, key), ck => {
       val idx = build
-      val r = root(cacheKey(s, dir, key))
+      val r = root(ck)
       idx.postings.write.mode("overwrite").parquet(s"$r/postings")
       idx.docLens.write.mode("overwrite").parquet(s"$r/doclens")
       Bm25.LexIndex(s.read.parquet(s"$r/postings"),
@@ -69,9 +81,9 @@ object LexFixture {
     */
   def frame(s: SparkSession, dir: String, key: String)
            (build: => DataFrame): DataFrame =
-    dfCache.getOrElseUpdate(cacheKey(s, dir, key), {
+    dfCache.computeIfAbsent(cacheKey(s, dir, key), ck => {
       val df = build
-      val r = root(cacheKey(s, dir, key))
+      val r = root(ck)
       df.write.mode("overwrite").parquet(s"$r/frame")
       s.read.parquet(s"$r/frame")
     })
