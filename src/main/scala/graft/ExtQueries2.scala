@@ -537,12 +537,11 @@ object ExtQueries2 {
     (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val state = UnigramLm.wordCounts(docs.filter($"doc_id" % 3 =!= 0),
-        $"text", 3)
-      UnigramLm.trainFromState(
-          UnigramLm.admitWordCounts(state,
-            docs.filter($"doc_id" % 3 === 0), $"text", 3),
-          maxWordLen = 3, iters = 2)
+      val state = UnigramLm.ledger(docs.filter($"doc_id" % 3 =!= 0),
+        $"text", maxWordLen = 3)
+      UnigramLm.trainFromLedger(
+          UnigramLm.admit(state, docs.filter($"doc_id" % 3 === 0), $"text"),
+          iters = 2)
         .toDF("piece", "weight")
         .orderBy($"piece")
     },
@@ -562,11 +561,10 @@ object ExtQueries2 {
     (s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val state = UnigramLm.wordCounts(docs, $"text", 3)
-      UnigramLm.trainFromState(
-          UnigramLm.retractWordCounts(state,
-            docs.filter($"doc_id" % 5 === 0), $"text", 3),
-          maxWordLen = 3, iters = 2)
+      val state = UnigramLm.ledger(docs, $"text", maxWordLen = 3)
+      UnigramLm.trainFromLedger(
+          UnigramLm.retract(state, docs.filter($"doc_id" % 5 === 0), $"text"),
+          iters = 2)
         .toDF("piece", "weight")
         .orderBy($"piece")
     },

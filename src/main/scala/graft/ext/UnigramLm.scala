@@ -146,6 +146,41 @@ object UnigramLm {
   // subtraction, and re-run the bounded EM from state — the corpus is
   // never re-read.
 
+  /** Word-count ledger state WITH its word universe bound: maxWordLen
+    * is structural (it defines which tokens the counts cover), so it
+    * travels with the counts instead of being re-supplied — an
+    * independently-passed value that disagreed with the build-time one
+    * would silently tokenize deltas against a DIFFERENT word universe
+    * and desynchronize the ledger without ever tripping the
+    * raise-on-desync checks (ADVICE r12). All maintenance goes through
+    * this wrapper; the DataFrame-level functions remain as the
+    * low-level faces it delegates to.
+    */
+  final case class WordLedger(counts: DataFrame, maxWordLen: Int)
+
+  /** Build ledger state from a corpus batch — the one corpus-scale
+    * scan, with the word universe bound into the state.
+    */
+  def ledger(df: DataFrame, text: Column, maxWordLen: Int = 3): WordLedger =
+    WordLedger(wordCounts(df, text, maxWordLen), maxWordLen)
+
+  /** Fold a new batch into the ledger under ITS OWN word universe. */
+  def admit(state: WordLedger, newDocs: DataFrame, text: Column): WordLedger =
+    state.copy(counts =
+      admitWordCounts(state.counts, newDocs, text, state.maxWordLen))
+
+  /** Cascade a takedown through the ledger under its own universe. */
+  def retract(state: WordLedger, deletedDocs: DataFrame, text: Column): WordLedger =
+    state.copy(counts =
+      retractWordCounts(state.counts, deletedDocs, text, state.maxWordLen))
+
+  /** Run the bounded EM from ledger state — maxWordLen comes from the
+    * state itself, so the fit always runs over the universe the counts
+    * were built with.
+    */
+  def trainFromLedger(state: WordLedger, iters: Int = 2): Seq[(String, Long)] =
+    trainFromState(state.counts, state.maxWordLen, iters)
+
   /** Fold a new batch into word-count state: full-outer add (the
     * [[Bm25.admitToIndex]] shape). Contract: the batch's documents
     * must be NEW (the admission front door guarantees it) — admitting
@@ -222,6 +257,240 @@ object UnigramLm {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     fitLoop(collectWords(df, text, maxWordLen), maxWordLen, iters)
       .toSeq.filter(_._2 > 0L).sortBy(_._1)
+  }
+
+  // ---- lattice-DP training (realistic word lengths) -----------------
+  // The exhaustive trainer above enumerates 2^(len−1) breakpoint masks
+  // per word, which pins its cross-engine HUGEINT bound to
+  // maxWordLen = 3 (freq · WG³ · CG < 2¹²⁷ at WG = 2^20). Real English
+  // words average ~4.7 codepoints, so on real text that face degrades
+  // to codepoint fallback for most words. The lattice form below is
+  // the forward-backward DP of Kudo 2018 §3.2 proper —
+  // O(len · maxPieceLen) per word instead of O(2^len) — in the SAME
+  // exact-integer discipline, which lifts the oracle-checkable word
+  // universe to [a-z]{1,8}.
+  //
+  // Integer scaling that replaces the fixed-length pad: define
+  //   α(i) = Σ_{segs of w[0..i)} Π wt(p) · WG^(i − k)
+  //   β(j) = Σ_{segs of w[j..L)} Π wt(p) · WG^(L − j − k)
+  // (k = piece count of the seg). Appending a piece of length l adds
+  // l to the prefix length and 1 to k, so the exponent increments by
+  // l − 1 and the recurrences are pure integer:
+  //   α(i) = Σ_l α(i−l) · wt(w[i−l..i)) · WG^(l−1),   α(0) = 1
+  //   β(j) = Σ_l wt(w[j..j+l)) · WG^(l−1) · β(j+l),   β(L) = 1
+  // Z = α(L) differs from the exhaustive trainer's padded Z only by
+  // the per-word constant WG^(maxWordLen − L), which cancels in every
+  // posterior. The seg-mass through a piece occurrence (s, e) is
+  // EXACTLY α(s) · wt · WG^(e−s−1) · β(e) (each segmentation counted
+  // once — LatticeSpec pins this against brute-force mask sums), so
+  // the E-step floor-divides ONCE per occurrence:
+  //   ec(p) += freq · α(s) · wt(p) · WG^(e−s−1) · β(e) · CG / Z.
+  // (The exhaustive face floors once per SEGMENTATION and then sums —
+  // a different, equally exact rounding convention; the two trainers
+  // are separate oracle-gated faces, not interchangeable.)
+  //
+  // HUGEINT bound (what sets the lattice grid): renorm guarantees
+  // Σ wt ≤ WG, hence Σ_{segs, k pieces} Π (wt/WG) ≤ 1 per k and every
+  // intermediate ≤ freq · L · WG^L · CG. At L = 8 this forces
+  // WG = 2^10 (2^20 alone gives WG^7 = 2^140 > 2^127 for the
+  // per-occurrence factor): worst case freq · 2^3 · 2^80 · 2^20 keeps
+  // word frequencies up to ~2^23 ≈ 8M cross-engine safe — far above
+  // the gate corpus (max freq 964 at sf0.01, ~10k at sf0.1). In-engine
+  // the arithmetic is BigInt and exact at any scale; only DuckDB
+  // mirrorability needs the bound.
+
+  /** Lattice-face piece-weight grid: 2^10 (see bound above). */
+  val LatticeWeightGrid: Long = 1L << 10
+
+  /** Contiguous substrings of `w` up to `maxPieceLen` codepoints —
+    * the candidate-piece inventory of the lattice face.
+    */
+  private def substringsCapped(w: String, maxPieceLen: Int): Seq[String] =
+    for {
+      i <- 0 until w.length
+      l <- 1 to math.min(w.length - i, maxPieceLen)
+    } yield w.substring(i, i + l)
+
+  /** Forward pass: α(0..L) under the integer scaling above. */
+  private[ext] def latticeForward(w: String, wt: Map[String, Long],
+                                  maxPieceLen: Int, wg: BigInt): Array[BigInt] = {
+    val L = w.length
+    val a = Array.fill(L + 1)(BigInt(0))
+    a(0) = BigInt(1)
+    var i = 1
+    while (i <= L) {
+      var l = 1
+      while (l <= math.min(i, maxPieceLen)) {
+        val p = wt.getOrElse(w.substring(i - l, i), 0L)
+        if (p > 0L && a(i - l) > 0) a(i) += a(i - l) * p * wg.pow(l - 1)
+        l += 1
+      }
+      i += 1
+    }
+    a
+  }
+
+  /** Backward pass: β(0..L) under the integer scaling above. */
+  private[ext] def latticeBackward(w: String, wt: Map[String, Long],
+                                   maxPieceLen: Int, wg: BigInt): Array[BigInt] = {
+    val L = w.length
+    val b = Array.fill(L + 1)(BigInt(0))
+    b(L) = BigInt(1)
+    var j = L - 1
+    while (j >= 0) {
+      var l = 1
+      while (l <= math.min(L - j, maxPieceLen)) {
+        val p = wt.getOrElse(w.substring(j, j + l), 0L)
+        if (p > 0L && b(j + l) > 0) b(j) += BigInt(p) * wg.pow(l - 1) * b(j + l)
+        l += 1
+      }
+      j -= 1
+    }
+    b
+  }
+
+  /** One lattice EM pass: exact per-occurrence posteriors on the
+    * count grid. Pure integer; order- and partition-invariant.
+    */
+  private def emStepLattice(words: Seq[(String, Long)], wt: Map[String, Long],
+                            maxPieceLen: Int): Map[String, BigInt] = {
+    val wg = BigInt(LatticeWeightGrid)
+    val cg = BigInt(CountGrid)
+    val ec = scala.collection.mutable.HashMap.empty[String, BigInt]
+    words.foreach { case (w, f) =>
+      val L = w.length
+      val a = latticeForward(w, wt, maxPieceLen, wg)
+      val b = latticeBackward(w, wt, maxPieceLen, wg)
+      val z = a(L)
+      if (z > 0) {
+        val bf = BigInt(f)
+        var s = 0
+        while (s < L) {
+          var l = 1
+          while (l <= math.min(L - s, maxPieceLen)) {
+            val p = w.substring(s, s + l)
+            val pw = wt.getOrElse(p, 0L)
+            if (pw > 0L) {
+              val seg = a(s) * pw * wg.pow(l - 1) * b(s + l)
+              if (seg > 0)
+                ec.update(p, ec.getOrElse(p, BigInt(0)) + bf * seg * cg / z)
+            }
+            l += 1
+          }
+          s += 1
+        }
+      }
+    }
+    ec.toMap
+  }
+
+  /** Renormalize onto an explicit grid (the lattice face's 2^10). */
+  private def renormOn(counts: Map[String, BigInt], grid: Long): Map[String, Long] = {
+    val total = counts.values.sum
+    require(total > 0, "unigram train: empty training universe (no kept words)")
+    counts.map { case (p, c) => p -> (c * BigInt(grid) / total).toLong }
+  }
+
+  private def fitLoopLattice(words: Seq[(String, Long)], maxPieceLen: Int,
+                             iters: Int): Map[String, Long] = {
+    val seed = scala.collection.mutable.HashMap.empty[String, BigInt]
+    words.foreach { case (w, f) =>
+      substringsCapped(w, maxPieceLen).foreach { p =>
+        seed.update(p, seed.getOrElse(p, BigInt(0)) + f)
+      }
+    }
+    var wt = renormOn(seed.toMap, LatticeWeightGrid)
+    for (_ <- 1 to iters)
+      wt = renormOn(emStepLattice(words, wt, maxPieceLen), LatticeWeightGrid)
+    wt
+  }
+
+  /** Lattice-DP vocabulary induction over the [a-z]{1,maxWordLen}
+    * universe — the realistic-word trainer (gate q198 pins 2 EM
+    * iterations at maxWordLen = 8 cross-engine in DuckDB HUGEINT).
+    * Same one-corpus-scan shape as [[train]]; only the driver-side
+    * per-word E-step changes (DP instead of mask enumeration), so
+    * maxWordLen ≤ 16 costs len · maxPieceLen work per word, not 2^len.
+    */
+  def trainLattice(df: DataFrame, text: Column, maxWordLen: Int = 8,
+                   maxPieceLen: Int = 8, iters: Int = 2): Seq[(String, Long)] = {
+    require(maxWordLen >= 1 && maxWordLen <= 16,
+      s"maxWordLen in [1, 16], got $maxWordLen")
+    require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
+      s"maxPieceLen in [1, maxWordLen], got $maxPieceLen")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    fitLoopLattice(collectWords(df, text, maxWordLen), maxPieceLen, iters)
+      .toSeq.filter(_._2 > 0L).sortBy(_._1)
+  }
+
+  /** Lattice fit from maintained ledger state — the O(delta) retrain
+    * face; maxWordLen comes from the state (gate q200 pins
+    * trainLatticeFromLedger(admit(a, b)) ≡ trainLattice(a ∪ b) via
+    * q198's oracle verbatim).
+    */
+  def trainLatticeFromLedger(state: WordLedger, maxPieceLen: Int = 8,
+                             iters: Int = 2): Seq[(String, Long)] = {
+    require(maxPieceLen >= 1 && maxPieceLen <= state.maxWordLen,
+      s"maxPieceLen in [1, ${state.maxWordLen}], got $maxPieceLen")
+    val words = state.counts.select(col("word"), col("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    fitLoopLattice(words, maxPieceLen, iters)
+      .toSeq.filter(_._2 > 0L).sortBy(_._1)
+  }
+
+  /** The full prune loop on the lattice face ([[trainPruned]]'s
+    * shape): `emIters` lattice EM passes, one [[pruneVocab]] cut,
+    * `postIters` more passes over the survivors (gate q199 unrolls
+    * the sequence in SQL).
+    */
+  def trainLatticePruned(df: DataFrame, text: Column, maxWordLen: Int = 8,
+                         maxPieceLen: Int = 8, emIters: Int = 2,
+                         keepMulti: Int = 64, postIters: Int = 1): Seq[(String, Long)] = {
+    require(maxWordLen >= 1 && maxWordLen <= 16,
+      s"maxWordLen in [1, 16], got $maxWordLen")
+    require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
+      s"maxPieceLen in [1, maxWordLen], got $maxPieceLen")
+    require(emIters >= 0 && postIters >= 0, "iteration counts must be >= 0")
+    val words = collectWords(df, text, maxWordLen)
+    var wt = pruneVocab(fitLoopLattice(words, maxPieceLen, emIters), keepMulti)
+    for (_ <- 1 to postIters)
+      wt = renormOn(emStepLattice(words, wt, maxPieceLen), LatticeWeightGrid)
+    wt.toSeq.filter(_._2 > 0L).sortBy(_._1)
+  }
+
+  /** Viterbi piece count per word on the lattice face: best(i) =
+    * (max score, min pieces among argmax) — valid because the score
+    * is multiplicative over pieces, so every prefix of an optimal
+    * segmentation is optimally scored and the secondary min composes.
+    * Zero-score words fall back to codepoint count, exactly like
+    * [[encodeTable]]. Output feeds [[encode]] / [[writeVocab]]
+    * unchanged — the serve side is face-agnostic.
+    */
+  def encodeTableLattice(words: Seq[String], weights: Map[String, Long],
+                         maxPieceLen: Int): Seq[(String, Int)] = {
+    val wg = BigInt(LatticeWeightGrid)
+    words.map { w =>
+      val L = w.length
+      val score = Array.fill(L + 1)(BigInt(0))
+      val k = Array.fill(L + 1)(Int.MaxValue)
+      score(0) = BigInt(1); k(0) = 0
+      var i = 1
+      while (i <= L) {
+        var l = 1
+        while (l <= math.min(i, maxPieceLen)) {
+          val pw = weights.getOrElse(w.substring(i - l, i), 0L)
+          if (pw > 0L && score(i - l) > 0) {
+            val s = score(i - l) * pw * wg.pow(l - 1)
+            if (s > score(i) || (s == score(i) && k(i - l) + 1 < k(i))) {
+              score(i) = s; k(i) = k(i - l) + 1
+            }
+          }
+          l += 1
+        }
+        i += 1
+      }
+      w -> (if (score(L) == 0) w.length else k(L))
+    }
   }
 
   /** SentencePiece's vocabulary-size control: keep every
