@@ -180,5 +180,101 @@ object ExtQueries3 {
     },
     q198.oracle)
 
-  val all: Seq[Q] = Seq(q198, q199, q200)
+  // ---- byte-level BPE (q201) ----------------------------------------
+
+  /** Codepoints `from until from+n` as literal strings (planted
+    * multilingual alphabet — Greek, Cyrillic, CJK).
+    */
+  private def charList(from: Int, n: Int): IndexedSeq[String] =
+    (0 until n).map(i => new String(Character.toChars(from + i)))
+
+  private val greek = charList(0x3B1, 25) // α..
+  private val cyr = charList(0x430, 32)   // а..
+  private val cjk = charList(0x4E00, 33)  // 一..
+
+  private def sqlPick(chars: IndexedSeq[String], mul: Int): String =
+    s"[${chars.map(c => s"'$c'").mkString(",")}]" +
+      s"[CAST((doc_id * $mul) % ${chars.size} AS INT) + 1]"
+
+  private def sparkPick(chars: IndexedSeq[String], mul: Int) = {
+    import org.apache.spark.sql.functions.{array, col, element_at, lit}
+    element_at(array(chars.map(lit): _*),
+      ((col("doc_id") * mul) % chars.size).cast("int") + 1)
+  }
+
+  /** Byte-level BPE token counts ([[graft.functions.ByteBpe]]) on a
+    * planted multilingual fixture: every third document gets a Greek
+    * trigram, a Cyrillic bigram, and a CJK bigram appended,
+    * arithmetically chosen so both engines plant identical text. The
+    * Spark side is one codegen'd per-row expression; the oracle
+    * rebuilds each distinct pre-token's byte symbols from
+    * hex(encode(w)) through the chr(256 + byte) placeholder mapping
+    * and mirrors the whole rank-order merge loop as a recursive CTE
+    * (the q65 recipe over byte symbols). Both sides share the
+    * checked-in byte-level table — token counts hash-match exactly,
+    * and the result also records n_bytes, making the byte-level
+    * compression (n_tokens < n_bytes on multibyte scripts) part of
+    * the gated output.
+    */
+  val q201 = Q(
+    "q201_byte_bpe",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.{concat, lit, octet_length}
+      val d = t(s, dir, "documents").filter($"doc_id" % 3 === 0)
+        .select($"doc_id", concat($"text",
+          lit(" "), sparkPick(greek, 1), sparkPick(greek, 7), sparkPick(greek, 3),
+          lit(" "), sparkPick(cyr, 1), sparkPick(cyr, 5),
+          lit(" "), sparkPick(cjk, 1), sparkPick(cjk, 11)).as("text"))
+      d.select($"doc_id",
+          octet_length($"text").cast("long").as("n_bytes"),
+          graft.functions.ByteBpe.count($"text").as("n_tokens"))
+        .filter($"n_tokens" >= 0) // keep the expression alive under count()
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+            |d AS (SELECT doc_id,
+            |             text || ' ' || ${sqlPick(greek, 1)} || ${sqlPick(greek, 7)} || ${sqlPick(greek, 3)}
+            |                  || ' ' || ${sqlPick(cyr, 1)} || ${sqlPick(cyr, 5)}
+            |                  || ' ' || ${sqlPick(cjk, 1)} || ${sqlPick(cjk, 11)} AS text
+            |      FROM documents WHERE doc_id % 3 = 0),
+            |w AS (SELECT doc_id,
+            |             unnest(regexp_extract_all(text,
+            |               '${graft.functions.ByteBpeUtil.PreTokenPattern}')) AS w
+            |      FROM d),
+            |wc AS (SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY doc_id, w),
+            |dw AS (SELECT DISTINCT w FROM wc),
+            |bm(h, c) AS (VALUES ${(0 until 256).map(b =>
+                f"('$b%02X', chr(${256 + b}))").mkString(",")}),
+            |bs AS (SELECT w, i, bm.c
+            |       FROM (SELECT w,
+            |                    unnest(regexp_extract_all(hex(encode(w)), '..')) AS h,
+            |                    generate_subscripts(
+            |                      regexp_extract_all(hex(encode(w)), '..'), 1) AS i
+            |             FROM dw) u JOIN bm USING (h)),
+            |s0 AS (SELECT w, list(c ORDER BY i) AS s FROM bs GROUP BY w),
+            |m(r, a, b) AS (VALUES ${graft.functions.ByteBpeUtil.merges.zipWithIndex
+                .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(",")}),
+            |e(w, s, r) AS (
+            |  SELECT w, s, 1 FROM s0
+            |  UNION ALL
+            |  SELECT w,
+            |         CASE WHEN i IS NULL THEN s
+            |              ELSE s[1:i-1] || [s[i] || s[i+1]] || s[i+2:len(s)] END,
+            |         CASE WHEN i IS NULL THEN r + 1 ELSE r END
+            |  FROM (SELECT e.w AS w, e.s AS s, e.r AS r,
+            |               list_filter(generate_series(1, len(e.s) - 1),
+            |                 ix -> e.s[ix] = m.a AND e.s[ix + 1] = m.b)[1] AS i
+            |        FROM e JOIN m ON m.r = e.r)),
+            |n AS (SELECT w, len(s) AS n FROM e
+            |      WHERE r = (SELECT max(r) FROM m) + 1)
+            |SELECT d.doc_id,
+            |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+            |       CAST(coalesce(sum(wc.cnt * n.n), 0) AS BIGINT) AS n_tokens
+            |FROM d
+            |LEFT JOIN wc ON wc.doc_id = d.doc_id
+            |LEFT JOIN n ON n.w = wc.w
+            |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q198, q199, q200, q201)
 }

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpeUtil, MergeTable}
+import graft.functions.{BpeUtil, ByteBpeUtil, MergeTable}
 
 /** BPE vocabulary induction — learn the merge table FROM the corpus
   * (Sennrich et al. 2016 training), closing the loop with
@@ -43,17 +43,49 @@ object BpeTrain {
   def learnMerges(df: DataFrame, text: Column, numMerges: Int,
                   maxWords: Int = 1 << 16, minCount: Long = 2L): MergeTable = {
     require(numMerges >= 0 && maxWords >= 1 && minCount >= 1)
-    // the single corpus-scale pass: distinct pre-token frequencies,
-    // frequency-capped (deterministic tie-break on the word)
-    val wordCounts: Array[(String, Long)] = df
-      .select(explode(regexp_extract_all(text,
-        lit(BpeUtil.PreTokenPattern), lit(0))).as("__w"))
+    learnFromWordCounts(
+      collectWordCounts(df, text, BpeUtil.PreTokenPattern, maxWords),
+      numMerges, minCount)
+  }
+
+  /** Byte-level vocabulary induction ([[graft.functions.ByteBpe]]'s
+    * trainer): Unicode pre-tokenizer, each pre-token mapped to its
+    * UTF-8 byte-symbol string, then the IDENTICAL driver loop — the
+    * 256-symbol base alphabet means the learned table is OOV-free on
+    * any input and rebuilds multibyte codepoints before words
+    * (ByteBpeSpec pins that the first merges learned from a Greek
+    * corpus are exactly the planted codepoints' byte pairs). The
+    * returned table operates in byte-symbol space: apply it via
+    * [[graft.functions.ByteBpe.count]].
+    */
+  def learnMergesBytes(df: DataFrame, text: Column, numMerges: Int,
+                       maxWords: Int = 1 << 16, minCount: Long = 2L): MergeTable = {
+    require(numMerges >= 0 && maxWords >= 1 && minCount >= 1)
+    learnFromWordCounts(
+      collectWordCounts(df, text, ByteBpeUtil.PreTokenPattern, maxWords)
+        .map { case (w, f) => (ByteBpeUtil.mapWord(w), f) },
+      numMerges, minCount)
+  }
+
+  /** The single corpus-scale pass: distinct pre-token frequencies,
+    * frequency-capped (deterministic tie-break on the word).
+    */
+  private def collectWordCounts(df: DataFrame, text: Column,
+                                pattern: String, maxWords: Int): Array[(String, Long)] =
+    df.select(explode(regexp_extract_all(text,
+        lit(pattern), lit(0))).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__w"))
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
 
+  /** The vocabulary-bounded driver loop, shared by the char-level and
+    * byte-level faces (the symbol alphabet is whatever the word
+    * strings are made of).
+    */
+  private def learnFromWordCounts(wordCounts: Array[(String, Long)],
+                                  numMerges: Int, minCount: Long): MergeTable = {
     // vocabulary-bounded training state: symbol sequence per word
     val syms: Array[Array[String]] = wordCounts.map { case (w, _) =>
       val cps = w.codePointCount(0, w.length)
