@@ -1,7 +1,7 @@
 package graft
 
 import graft.CoreQueries.Q
-import graft.ext.UnigramLm
+import graft.ext.{Opq, UnigramLm}
 
 /** Round-13 extension gates (q198+): lattice-DP unigram-LM training
   * over realistic word lengths — the forward-backward E-step of Kudo
@@ -276,5 +276,104 @@ object ExtQueries3 {
             |LEFT JOIN n ON n.w = wc.w
             |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q198, q199, q200, q201)
+  // ---- learned OPQ rotation (q202) ----------------------------------
+
+  /** 16^n as a HUGEINT CASE (the greedy-balance products carry an
+    * implicit 16^n scale — eigenvalues are s/16 with s integer).
+    */
+  private def pw16(c: String): String =
+    (0 to 4).map(n => s"WHEN $n THEN CAST(${BigInt(16).pow(n)} AS HUGEINT)")
+      .mkString(s"(CASE $c ", " ", " END)")
+
+  /** The unrolled greedy-balance chain: 8 sequential steps, one CTE
+    * each, state = (product0, n0, product1, n1) as HUGEINT products of
+    * the SCALED eigenvalues s = 16·λ (comparing λ-products of buckets
+    * with n0/n1 factors cross-multiplies by 16^n of the other side —
+    * exact integer, no log, no float). Tie goes to bucket 0, full
+    * buckets (4 directions) close — term for term
+    * [[graft.ext.Opq.balancedRotation]]'s minBy((logSum, b)), which
+    * agrees with the exact product comparison because log-sums order
+    * like products and the planted eigenvalues keep every comparison
+    * far from a tie.
+    */
+  private def opqGreedyCtes: String = {
+    val steps = (1 to 8).map { k =>
+      s"""og$k AS (SELECT CASE WHEN b = 0 THEN p0 * s ELSE p0 END AS p0,
+         |               CASE WHEN b = 0 THEN n0 + 1 ELSE n0 END AS n0,
+         |               CASE WHEN b = 1 THEN p1 * s ELSE p1 END AS p1,
+         |               CASE WHEN b = 1 THEN n1 + 1 ELSE n1 END AS n1,
+         |               j, b
+         |        FROM (SELECT g.p0, g.n0, g.p1, g.n1, rk.j, rk.s,
+         |                     CASE WHEN g.n0 < 4 AND (g.n1 >= 4 OR
+         |                            g.p0 * ${pw16("g.n1")} <= g.p1 * ${pw16("g.n0")})
+         |                          THEN 0 ELSE 1 END AS b
+         |              FROM og${k - 1} g, rk WHERE rk.r = ${k - 1}) u)""".stripMargin
+    }.mkString(",\n")
+    val asg = (1 to 8).map(k => s"SELECT j, b, ${k - 1} AS r FROM og$k")
+      .mkString("\n        UNION ALL ")
+    s"""og0 AS (SELECT CAST(1 AS HUGEINT) AS p0, 0 AS n0,
+       |               CAST(1 AS HUGEINT) AS p1, 0 AS n1),
+       |$steps,
+       |oasg AS ($asg),
+       |opos AS (SELECT j AS src_dim,
+       |                CAST(b * 4 + row_number()
+       |                  OVER (PARTITION BY b ORDER BY r) - 1 AS BIGINT) AS out_pos
+       |         FROM oasg)""".stripMargin
+  }
+
+  /** The LEARNED OPQ rotation, oracle-gated end to end
+    * ([[graft.ext.Opq.rotationFromCorpus]] → [[graft.ext.Opq.rotateExpr]])
+    * on a planted integer eigensystem: each embedding id contributes
+    * the single-nonzero vector (id%8 ↦ (id%8+1)/4 — exact on the
+    * 2^-6 Gram grid), so the corpus Gram matrix is exactly DIAGONAL
+    * with entries λ_j = c_j·(j+1)²/16 (c_j = members of residue j) —
+    * the eigensystem is closed-form (standard basis, eigenvalues the
+    * diagonal), Jacobi performs literally no rotation (every
+    * off-diagonal is exactly 0.0), and the learned rotation is the
+    * PERMUTATION the greedy variance balance chooses. The oracle
+    * recomputes eigenvalues from counts and replays the greedy
+    * allocation in exact HUGEINT product arithmetic; the Spark side
+    * reads each source dimension's landing position out of the
+    * ACTUALLY APPLIED rotation (array_position over rotateExpr
+    * output), so the whole learned path — exact Gram agg → Jacobi →
+    * balance → distributed application — is inside the gate. (q191
+    * keeps gating the identity composition; RecallCheck keeps the
+    * measured MSE value of learned rotations on correlated corpora.)
+    */
+  val q202 = Q(
+    "q202_opq_learned",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val emb = t(s, dir, "embeddings")
+        .select($"vec_id".as("id"), ($"vec_id" % 8).cast("int").as("j"))
+      val vecCol = transform(sequence(lit(0), lit(7)), i =>
+        when(i === col("j"), (col("j") + 1).cast("double") / 4.0)
+          .otherwise(0.0).cast("float"))
+      val dfv = emb.select($"id", $"j", vecCol.as("v"))
+      val rot = Opq.rotationFromCorpus(dfv, $"v", dim = 8, m = 2, gridBits = 6)
+      val rotated = Opq.rotateExpr(rot, $"v")
+      dfv.filter($"id" < 16)
+        .select($"id",
+          $"j".cast("long").as("src_dim"),
+          (array_position(rotated,
+            ((col("j") + 1).cast("double") / 4.0).cast("float")) - 1)
+            .as("out_pos"),
+          ((col("j") + 1).cast("double") / 4.0).as("val"))
+        .orderBy($"id")
+    },
+    Some(s"""WITH em AS (SELECT vec_id AS id, CAST(vec_id % 8 AS INT) AS j
+            |            FROM embeddings),
+            |cnt AS (SELECT j, CAST(count(*) AS HUGEINT) AS c FROM em GROUP BY j),
+            |rk AS (SELECT j, CAST((j + 1) * (j + 1) AS HUGEINT) * c AS s,
+            |              CAST(row_number() OVER (
+            |                ORDER BY (j + 1) * (j + 1) * c DESC, j) - 1 AS INT) AS r
+            |       FROM cnt),
+            |${opqGreedyCtes}
+            |SELECT e.id, CAST(e.j AS BIGINT) AS src_dim, o.out_pos,
+            |       CAST(e.j + 1 AS DOUBLE) / 4 AS val
+            |FROM em e JOIN opos o ON o.src_dim = e.j
+            |WHERE e.id < 16 ORDER BY e.id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q198, q199, q200, q201, q202)
 }

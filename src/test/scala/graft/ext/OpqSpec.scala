@@ -111,4 +111,41 @@ class OpqSpec extends SparkTestBase {
     assert(opq < flat * 0.8,
       s"rotation should cut MSE by >20% on the correlated fixture: flat=$flat opq=$opq")
   }
+
+  test("planted diagonal Gram: learned rotation is exactly the greedy-balance permutation (q202 fixture)") {
+    // one vector per id, single nonzero (id%8 -> (id%8+1)/4): the Gram
+    // matrix is exactly diagonal, Jacobi performs no rotation, and the
+    // learned R must be the permutation the greedy balance picks. The
+    // expected landing positions replay the allocation independently
+    // with exact BigInt products (the q202 oracle's arithmetic).
+    val n = 500
+    val df = spark.range(n).select($"id", ($"id" % 8).cast("int").as("j"))
+      .select($"id", $"j", transform(sequence(lit(0), lit(7)), i =>
+        when(i === $"j", ($"j" + 1).cast("double") / 4.0)
+          .otherwise(0.0).cast("float")).as("v"))
+    val r = Opq.rotationFromCorpus(df, $"v", dim = 8, m = 2, gridBits = 6)
+    // exact permutation rows: one 1.0, seven 0.0
+    r.foreach { row =>
+      assert(row.count(_ == 1.0) == 1 && row.count(_ == 0.0) == 7)
+    }
+    // independent greedy replay on exact products of s = 16*lambda
+    val counts = Array.tabulate(8)(j => (0 until n).count(_ % 8 == j))
+    val s = Array.tabulate(8)(j => BigInt((j + 1) * (j + 1)) * counts(j))
+    val ranked = (0 until 8).sortBy(j => (-s(j), j))
+    val prod = Array.fill(2)(BigInt(1)); val cnt = Array.fill(2)(0)
+    val sixteen = BigInt(16)
+    val buckets = Array.fill(2)(List.empty[Int])
+    ranked.foreach { j =>
+      val b =
+        if (cnt(0) >= 4) 1
+        else if (cnt(1) >= 4) 0
+        else if (prod(0) * sixteen.pow(cnt(1)) <= prod(1) * sixteen.pow(cnt(0))) 0
+        else 1
+      buckets(b) = j :: buckets(b); prod(b) *= s(j); cnt(b) += 1
+    }
+    val expectedRows = buckets.flatMap(_.reverse)
+    val actualRows = r.map(row => row.indexWhere(_ == 1.0))
+    assert(actualRows.toSeq == expectedRows.toSeq,
+      s"learned permutation ${actualRows.toSeq} != greedy replay ${expectedRows.toSeq}")
+  }
 }
