@@ -375,5 +375,65 @@ object ExtQueries3 {
             |FROM em e JOIN opos o ON o.src_dim = e.j
             |WHERE e.id < 16 ORDER BY e.id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q198, q199, q200, q201, q202)
+  // ---- LZ-coverage repetitiveness (q203: the q117 checkable twin) ---
+
+  /** LZ77-style fixed-window match coverage
+    * ([[graft.ext.CompressionSignal.lzCoverage]]) — the deflate
+    * signal's oracle-checkable twin (q117 stays the production face,
+    * rows-only because DuckDB exposes no deflate; this gate closes
+    * the family's cross-engine check the way q45 does for q28).
+    * Corpus plus q117's planted rows: the 40×-repeated template spam
+    * (coverage ≈ 97%, must flag) and the prose row (no 8-gram recurs
+    * within 64 chars, coverage 0, must not), plus two rows planting
+    * the window rule's BOTH boundaries — the same 8-gram at start
+    * distance exactly 64 (covered) and exactly 65 (not).
+    */
+  val q203 = Q(
+    "q203_lz_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (900001L, Seq.fill(40)("click here to win a prize now").mkString(" ")),
+        (900002L, "the migration of arctic terns spans both hemispheres " +
+                  "each year crossing oceans deserts and storm systems"),
+        (900003L, "abcdefgh" + "0123456789012345678901234567890123456789" +
+                  "0123456789012345" + "abcdefgh"),
+        (900004L, "abcdefgh" + "0123456789012345678901234567890123456789" +
+                  "01234567890123456" + "abcdefgh")
+      ).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      graft.ext.CompressionSignal.lzCoverage(docs, $"doc_id", $"text",
+          gram = 8, window = 64, thresholdTenths = 6)
+        .orderBy($"id")
+    },
+    Some("""WITH d AS (
+            |  SELECT doc_id, text FROM documents
+            |  UNION ALL SELECT 900001, repeat('click here to win a prize now ', 39) ||
+            |                   'click here to win a prize now'
+            |  UNION ALL SELECT 900002, 'the migration of arctic terns spans both hemispheres ' ||
+            |                   'each year crossing oceans deserts and storm systems'
+            |  UNION ALL SELECT 900003, 'abcdefgh' || '0123456789012345678901234567890123456789' ||
+            |                   '0123456789012345' || 'abcdefgh'
+            |  UNION ALL SELECT 900004, 'abcdefgh' || '0123456789012345678901234567890123456789' ||
+            |                   '01234567890123456' || 'abcdefgh'),
+            |p AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+            |             substring(text, CAST(i AS INT), 8) AS g
+            |      FROM d, LATERAL (SELECT unnest(generate_series(1,
+            |             length(text) - 7)) AS i) ii
+            |      WHERE length(text) >= 8),
+            |pg AS (SELECT doc_id, i,
+            |              i - lag(i) OVER (PARTITION BY doc_id, g ORDER BY i) AS gap
+            |       FROM p),
+            |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+            |             CAST(sum(CASE WHEN gap <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+            |      FROM pg GROUP BY doc_id)
+            |SELECT d.doc_id AS id,
+            |       coalesce(c.n_pos, 0) AS n_pos,
+            |       coalesce(c.n_cov, 0) AS n_cov,
+            |       coalesce(c.n_cov, 0) * 10 >= coalesce(c.n_pos, 0) * 6
+            |         AND coalesce(c.n_pos, 0) > 0 AS too_repetitive
+            |FROM d LEFT JOIN c USING (doc_id) ORDER BY id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q198, q199, q200, q201, q202, q203)
 }
