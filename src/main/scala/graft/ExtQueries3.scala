@@ -435,5 +435,71 @@ object ExtQueries3 {
             |         AND coalesce(c.n_pos, 0) > 0 AS too_repetitive
             |FROM d LEFT JOIN c USING (doc_id) ORDER BY id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q198, q199, q200, q201, q202, q203)
+  /** Viterbi serve-side CTEs over the final lattice weights `lw2`:
+    * the max-product DP (same position chaining as the sum DP, max
+    * instead of sum; ties argmax-score then fewest-pieces via one
+    * row_number), then (word, n_pieces) with the codepoint fallback
+    * for words no positive-weight segmentation covers — mirrors
+    * [[UnigramLm.encodeTableLattice]] term for term.
+    */
+  private def latticeViterbiCtes: String = {
+    val steps = (1 to MaxLen).map { e =>
+      s"""vb_$e AS MATERIALIZED (SELECT * FROM vb_${e - 1} UNION ALL
+         |  SELECT w, CAST($e AS INT) AS i, a, k FROM (
+         |    SELECT o.w, pa.a * o.wt * o.pl AS a, pa.k + 1 AS k,
+         |           row_number() OVER (PARTITION BY o.w
+         |             ORDER BY pa.a * o.wt * o.pl DESC, pa.k + 1 ASC) AS rn
+         |    FROM lowv o JOIN vb_${e - 1} pa ON pa.w = o.w AND pa.i = o.s
+         |    WHERE o.s + o.l = $e) c WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""lowv AS MATERIALIZED (SELECT o.w, o.s, o.l, o.p, pw.wt, ${powCase("o.l")} AS pl
+       |        FROM locc o JOIN lw2 pw ON o.p = pw.p WHERE pw.wt > 0),
+       |vb_0 AS (SELECT w, CAST(0 AS INT) AS i, CAST(1 AS HUGEINT) AS a,
+       |                CAST(0 AS INT) AS k FROM lwc),
+       |$steps,
+       |vnp AS (SELECT lwc.w, CAST(coalesce(vb.k, length(lwc.w)) AS BIGINT) AS np
+       |        FROM lwc LEFT JOIN (SELECT w, k FROM vb_$MaxLen
+       |                            WHERE i = length(w)) vb ON vb.w = lwc.w)""".stripMargin
+  }
+
+  /** The lattice tokenizer's SERVE side, oracle-gated: train (q198's
+    * exact CTE chain), build the Viterbi (word, n_pieces) table by
+    * max-product DP over the learned weights, then measure corpus
+    * fertility through it ([[graft.ext.TokenizerEval.fertility]]).
+    * The round-12 face could only claim zero fallback in a unit spec;
+    * here the fallback-free fertility of the realistic-word tokenizer
+    * is itself a hash-matched gate row: n_fallback must be EXACTLY
+    * the count of corpus tokens outside [a-z]{1,8} (zero at the gate
+    * corpus), and fertility is one IEEE division of two exact longs.
+    */
+  val q204 = Q(
+    "q204_lattice_fertility",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.lit
+      val docs = t(s, dir, "documents")
+      val vocab = UnigramLm.trainLattice(docs, $"text",
+        maxWordLen = MaxLen, maxPieceLen = MaxLen, iters = 2)
+      val universe = UnigramLm.wordCounts(docs, $"text", MaxLen)
+        .select($"word").as[String].collect().toSeq.sorted
+      val table = UnigramLm.encodeTableLattice(universe, vocab.toMap, MaxLen)
+        .toDF("word", "n_pieces")
+      graft.ext.TokenizerEval.fertility(
+          docs.withColumn("g", lit("all")), $"g", $"text", table)
+        .select($"n_words", $"n_pieces", $"n_fallback", $"fertility")
+    },
+    Some(s"""WITH ${latticeBaseCtes("documents")},
+            |${latticeIterBlock(1, "lw0")},
+            |${latticeIterBlock(2, "lw1")},
+            |$latticeViterbiCtes,
+            |ft AS (SELECT t.w, vnp.np FROM ltok t LEFT JOIN vnp ON vnp.w = t.w)
+            |SELECT CAST(count(*) AS BIGINT) AS n_words,
+            |       CAST(sum(coalesce(np, length(w))) AS BIGINT) AS n_pieces,
+            |       CAST(sum(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            |         AS n_fallback,
+            |       CAST(sum(coalesce(np, length(w))) AS DOUBLE) / count(*)
+            |         AS fertility
+            |FROM ft""".stripMargin))
+
+  val all: Seq[Q] = Seq(q198, q199, q200, q201, q202, q203, q204)
 }

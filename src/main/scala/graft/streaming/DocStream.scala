@@ -247,6 +247,46 @@ object DocStream {
                        minChars: Int = 20): DataFrame =
     graft.ext.Boilerplate.densityStats(docs, id, html, minChars)
 
+  /** Byte-level BPE token counting at ingest — a pure per-row
+    * codegen'd expression ([[graft.functions.ByteBpe.count]]), so it
+    * composes declaratively into any streaming plan like
+    * [[densityExtracted]]: stateless, batch-invariant by
+    * construction, no watermark. The table (builtin or learned by
+    * [[graft.ext.BpeTrain.learnMergesBytes]]) rides inside the
+    * expression tree — token-budget accounting on multilingual crawl
+    * streams with no OOV risk at the byte level.
+    */
+  def byteTokenCounted(docs: DataFrame, text: Column,
+                       table: graft.functions.MergeTable =
+                         graft.functions.ByteBpeUtil.Builtin): DataFrame =
+    docs.withColumn("n_byte_tokens",
+      graft.functions.ByteBpe.count(text, table))
+
+  /** LZ-coverage repetitiveness screening at ingest
+    * ([[graft.ext.CompressionSignal.lzCoverage]] — the deflate
+    * screen's oracle-checkable twin). Per document the statistic is a
+    * pure function of one row, but the batch implementation explodes
+    * gram positions and re-aggregates per doc_id — as a declarative
+    * streaming plan that groupBy's state would hold every doc ever
+    * seen. foreachBatch through the batch face is EXACT (positions of
+    * a document all originate from its single row, so no aggregation
+    * ever crosses a micro-batch boundary; pinned batch-invariant in
+    * StreamingSpec), zero cross-batch state — the [[hashedScored]]
+    * argument.
+    */
+  def lzScreened(docs: DataFrame, id: Column, text: Column,
+                 emit: DataFrame => Unit,
+                 checkpoint: String,
+                 gram: Int = 8, window: Int = 64,
+                 thresholdTenths: Int = 6): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ext.CompressionSignal.lzCoverage(
+          batch, id, text, gram, window, thresholdTenths))
+      }
+
   /** WARC ingest front door for a CRAWL stream: each arriving
     * `.warc.gz`-style blob is inflated and split into records in one
     * per-partition pass ([[graft.ext.Warc.parseRecords]] — the

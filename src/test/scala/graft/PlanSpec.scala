@@ -592,4 +592,33 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"rotation must not shuffle:\n$p")
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("q201 byte BPE: one per-row scan, zero key-shuffle, no UDF (the q189 class)") {
+    val p = ExtQueries3.q201.run(spark, dir).queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), s"per-row op must not key-shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("q203 LZ coverage: the gram window partitions by (id, gram) — never a global window; no cartesian") {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents").select($"doc_id", $"text")
+    val p = graft.ext.CompressionSignal.lzCoverage(docs, $"doc_id", $"text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    // the lag window keys on (id, g): no empty-key (corpus-sized) window
+    val windowed = p.linesIterator.filter(_.contains("Window")).mkString("\n")
+    assert(windowed.contains("id") && windowed.contains("g"),
+      s"window must partition by (id, g):\n$windowed")
+  }
+
+  test("lattice trainer corpus pass: one tokenize + grouped count with map-side partial combine") {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents").select($"doc_id", $"text")
+    val p = graft.ext.UnigramLm.wordCounts(docs, $"text", 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"grouped count must combine map-side:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
 }

@@ -845,6 +845,60 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DocStream.byteTokenCounted is declarative-stateless and batch-identical") {
+    import graft.functions.ByteBpe
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select($"doc_id", concat($"text", lit(" αβγ 一")).as("text"))
+    val batch = docs.select($"doc_id", ByteBpe.count($"text").as("n_byte_tokens"))
+      .as[(Long, Long)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("bytebpe-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+
+    val q = DocStream.byteTokenCounted(stream, $"text")
+      .select($"doc_id", $"n_byte_tokens")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bytebpe_screen").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bytebpe_screen")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
+  test("DocStream.lzScreened screens a doc stream batch-identically regardless of micro-batching, zero state") {
+    import graft.ext.CompressionSignal
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val batch = CompressionSignal.lzCoverage(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("lz-stream")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$dir/part1")
+    docs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+
+    val emitted = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Boolean)]
+    var batches = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("lz-stream-ckpt")
+    val q = DocStream.lzScreened(stream, $"doc_id", $"text",
+      screened => emitted.synchronized {
+        emitted ++= screened.as[(Long, Long, Long, Boolean)].collect(); batches += 1; ()
+      }, ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+      assert(emitted.toSet == batch && batch.nonEmpty)
+      assert(emitted.size == emitted.toSet.size)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("DocStream.densityExtracted is declarative-stateless and batch-identical") {
     import graft.ext.Boilerplate
     val pages = Tables.table(spark, sfDir, "documents")
