@@ -501,5 +501,197 @@ object ExtQueries3 {
             |         AS fertility
             |FROM ft""".stripMargin))
 
-  val all: Seq[Q] = Seq(q198, q199, q200, q201, q202, q203, q204)
+  // ---- PCA dimensionality reduction (q205) --------------------------
+
+  /** The learned top-r PCA projection, oracle-gated end to end
+    * ([[graft.ext.Pca.projectionFromCorpus]] → [[graft.ext.Pca.projectExpr]])
+    * on q202's planted integer eigensystem: single-nonzero vectors
+    * (dim id%8, value (id%8+1)/4 — exact on the 2^-6 Gram grid) make
+    * the corpus Gram exactly diagonal, Jacobi provably performs no
+    * rotation, and the learned top-3 projection is a closed-form
+    * coordinate selection — source dimension j lands at output
+    * position rank(λ_j) when rank < 3 and is DROPPED otherwise
+    * (out_pos −1). The oracle recomputes eigenvalue ranks from
+    * residue counts (λ_j ∝ c_j·(j+1)² — n cancels); the Spark side
+    * reads each dimension's landing position out of the ACTUALLY
+    * APPLIED projection (array_position over projectExpr output), so
+    * exact Gram agg → eigen-solve → top-r cut → distributed
+    * application is all inside the gate. Variance captured on
+    * correlated corpora is MEASURED in PcaSpec, not asserted here.
+    */
+  val q205 = Q(
+    "q205_pca_project",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val emb = t(s, dir, "embeddings")
+        .select($"vec_id".as("id"), ($"vec_id" % 8).cast("int").as("j"))
+      val vecCol = transform(sequence(lit(0), lit(7)), i =>
+        when(i === col("j"), (col("j") + 1).cast("double") / 4.0)
+          .otherwise(0.0).cast("float"))
+      val dfv = emb.select($"id", $"j", vecCol.as("v"))
+      val proj = graft.ext.Pca.projectionFromCorpus(dfv, $"v",
+        dim = 8, r = 3, gridBits = 6, center = false)
+      val projected = graft.ext.Pca.projectExpr(proj, $"v")
+      dfv.filter($"id" < 16)
+        .select($"id",
+          $"j".cast("long").as("src_dim"),
+          (array_position(projected,
+            ((col("j") + 1).cast("double") / 4.0).cast("float")) - 1)
+            .as("out_pos"))
+        .withColumn("kept", col("out_pos") >= 0)
+        .orderBy($"id")
+    },
+    Some("""WITH em AS (SELECT vec_id AS id, CAST(vec_id % 8 AS INT) AS j
+           |            FROM embeddings),
+           |cnt AS (SELECT j, CAST(count(*) AS HUGEINT) AS c FROM em GROUP BY j),
+           |rk AS (SELECT j, CAST(row_number() OVER (
+           |              ORDER BY (j + 1) * (j + 1) * c DESC, j) - 1 AS BIGINT) AS r
+           |       FROM cnt)
+           |SELECT e.id, CAST(e.j AS BIGINT) AS src_dim,
+           |       CASE WHEN rk.r < 3 THEN rk.r ELSE -1 END AS out_pos,
+           |       rk.r < 3 AS kept
+           |FROM em e JOIN rk ON rk.j = e.j
+           |WHERE e.id < 16 ORDER BY e.id""".stripMargin))
+
+  // ---- Heaps-law vocabulary growth (q206) ----------------------------
+
+  /** The vocabulary-growth curve ([[graft.ext.CorpusStats.vocabGrowth]])
+    * at max_doc_id/{8,4,2,1} checkpoints: cumulative docs, token
+    * occurrences, and DISTINCT vocabulary per checkpoint, all exact
+    * integers. "In the vocabulary at checkpoint c" ≡ "min doc_id
+    * holding the token ≤ c", so the whole curve is one grouped min +
+    * conditional counts — no ordered scan, no per-checkpoint pass.
+    * Spark keys md5 digests, the oracle keys raw token strings: count
+    * equality IS the digest-discipline pin (the q20/q182 rule).
+    */
+  val q206 = Q(
+    "q206_vocab_growth",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.max
+      val docs = t(s, dir, "documents")
+      val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+      graft.ext.CorpusStats.vocabGrowth(docs, $"doc_id", $"text",
+          Seq(maxId / 8, maxId / 4, maxId / 2, maxId))
+        .orderBy($"checkpoint")
+    },
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |cp AS (SELECT m // f AS c FROM mx, (VALUES (8),(4),(2),(1)) t(f)),
+           |tk AS (SELECT doc_id, w FROM (
+           |         SELECT doc_id,
+           |                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           |         FROM documents) u WHERE length(w) > 0),
+           |fs AS (SELECT w, min(doc_id) AS fd FROM tk GROUP BY w),
+           |pd AS (SELECT d.doc_id, count(tk.w) AS n
+           |       FROM documents d LEFT JOIN tk ON tk.doc_id = d.doc_id
+           |       GROUP BY d.doc_id)
+           |SELECT cp.c AS checkpoint,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM documents
+           |        WHERE doc_id <= cp.c) AS n_docs,
+           |       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM pd
+           |        WHERE doc_id <= cp.c) AS n_tokens,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM fs
+           |        WHERE fd <= cp.c) AS n_vocab
+           |FROM cp ORDER BY checkpoint""".stripMargin))
+
+  // ---- curation cascade with attrition ledger (q207) ----------------
+
+  /** Planted cascade rows: every stage boundary pinned from both
+    * sides. Shared verbatim between the Spark face and the oracle
+    * (ASCII text, no quotes).
+    */
+  private val cascadeRows: Seq[(Long, String, String)] = Seq(
+    // stage 1: exactly minWords−1 = 4 words drops; exactly 5 keeps
+    (910001L, "one two three four", "plantsrc"),
+    (910002L, "one two three four five", "plantsrc"),
+    // stage 2: mean word length exactly 2.0 (= minLenTenths boundary)
+    // keeps; mean 1.0 drops
+    (910003L, "ab cd ef gh ij", "plantsrc"),
+    (910004L, "a b c d e", "plantsrc"),
+    // stage 3: an exact duplicate pair — the LOWER doc_id survives
+    (910005L, "wholly unique duplicated sentence planted for the cascade", "plantsrc"),
+    (910006L, "wholly unique duplicated sentence planted for the cascade", "plantsrc"),
+    // stage 4: a spam farm (4 docs, 1 passing → rate 1/4 < 2/3, the
+    // tidy page must drop), a source at EXACTLY the 2/3 rate (kept),
+    // and a below-minDocs source whose failing rate is ignored
+    (910007L, "spam", "farm"),
+    (910008L, "spam", "farm"),
+    (910009L, "spam", "farm"),
+    (910010L, "the one tidy page on the farm reads fine", "farm"),
+    (910011L, "first clean page from the edge source here", "edge"),
+    (910012L, "second clean page from the edge source too", "edge"),
+    (910013L, "junk", "edge"),
+    (910014L, "lone clean page from the tiny source stands", "tiny"),
+    (910015L, "junk", "tiny"))
+
+  /** The curation cascade's attrition ledger
+    * ([[graft.ext.Curation.cascade]]): word-count bounds → mean-word-
+    * length bounds → exact dedup keep-first → source pass-rate screen,
+    * run over corpus + planted rows that pin every stage boundary from
+    * both sides (the 4-vs-5-word cut, the exact 10·Σlen = 20·n
+    * equality, a duplicate pair, a spam farm at rate 1/4, a source at
+    * EXACTLY the 2/3 threshold, a below-minDocs source whose failing
+    * rate must be ignored). The oracle replays all four stages over
+    * raw text where Spark keys md5 digests; the ledger counts
+    * hash-match as exact integers.
+    */
+  val q207 = Q(
+    "q207_curation_cascade",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"text", $"source")
+        .unionByName(cascadeRows.toDF("doc_id", "text", "source"))
+      val p = graft.ext.Curation.CascadeParams(
+        minWords = 5L, maxWords = 100000L,
+        minLenTenths = 20L, maxLenTenths = 120L,
+        srcMinDocs = 3L, srcNum = 2, srcDen = 3)
+      graft.ext.Curation.cascade(docs, $"doc_id", $"text", $"source", p)
+        ._1.orderBy($"stage_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text, source FROM documents
+            |           UNION ALL
+            |           SELECT * FROM (VALUES ${cascadeRows.map { case (i, t0, src) =>
+                          s"(CAST($i AS BIGINT), '$t0', '$src')" }.mkString(",\n             ")})
+            |             v(doc_id, text, source)),
+            |b AS (SELECT doc_id, source, text,
+            |             CAST(len(w) AS BIGINT) AS nw,
+            |             CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+            |               AS BIGINT) AS sumlen
+            |      FROM (SELECT doc_id, source, text,
+            |                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |                               x -> x <> '') AS w
+            |            FROM d) u),
+            |f AS (SELECT doc_id, source, text,
+            |             (nw >= 5 AND nw <= 100000) AS s1,
+            |             (nw >= 5 AND nw <= 100000 AND
+            |              sumlen * 10 >= nw * 20 AND sumlen * 10 <= nw * 120) AS s2
+            |      FROM b),
+            |cn AS (SELECT text, min(doc_id) AS keep_id FROM f WHERE s2 GROUP BY text),
+            |hs AS (SELECT source, CAST(count(*) AS BIGINT) AS hd,
+            |              CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS hp
+            |       FROM f GROUP BY source),
+            |g AS (SELECT f.doc_id, f.s1, f.s2,
+            |             (f.s2 AND f.doc_id = cn.keep_id) AS s3,
+            |             (f.s2 AND f.doc_id = cn.keep_id AND
+            |              (hs.hd < 3 OR hs.hp * 3 >= hs.hd * 2)) AS s4
+            |      FROM f LEFT JOIN cn ON cn.text = f.text
+            |             JOIN hs ON hs.source = f.source),
+            |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+            |             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            |             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            |             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            |             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+            |      FROM g)
+            |SELECT * FROM (
+            |  SELECT CAST(1 AS BIGINT) AS stage_id, 'word_bounds' AS stage,
+            |         n0 AS n_in, n1 AS n_kept FROM a
+            |  UNION ALL SELECT 2, 'word_len', n1, n2 FROM a
+            |  UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM a
+            |  UNION ALL SELECT 4, 'source_rate', n3, n4 FROM a)
+            |ORDER BY stage_id""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }

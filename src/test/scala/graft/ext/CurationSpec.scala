@@ -1,117 +1,111 @@
 package graft.ext
 
-import org.apache.spark.sql.functions._
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
-/** Decontaminate / Keywords / QualityFilter — the corpus-curation
-  * extension operators added in round 3.
+/** Curation cascade: every stage boundary from both sides on a hand
+  * fixture, ledger consistency (n_in chains), kept ≡ ledger tail,
+  * sequentiality (a doc dropped at stage k is invisible to k+1's
+  * n_in), the full-corpus rate convention for the source screen, and
+  * parameter guards.
   */
 class CurationSpec extends SparkTestBase {
+
   import spark.implicits._
 
-  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+  private val p = Curation.CascadeParams(
+    minWords = 3L, maxWords = 6L,
+    minLenTenths = 20L, maxLenTenths = 60L,
+    srcMinDocs = 3L, srcNum = 1, srcDen = 2)
 
-  test("contamination flags exactly the docs sharing a word 3-gram") {
-    val evalDocs = docs(1L -> "the quick brown fox jumps")
-    val train = docs(
-      10L -> "a very quick brown fox indeed",     // shares "quick brown fox"
-      11L -> "completely unrelated text here now", // clean
-      12L -> "the quick brown fox jumps again")    // shares several
-    val out = Decontaminate.contamination(train, evalDocs, $"doc_id", $"text", 3)
-      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
-    // doc 10 shares {quick brown fox, brown fox?} — grams of doc10:
-    //  {a very quick, very quick brown, quick brown fox, brown fox indeed}
-    //  eval grams: {the quick brown, quick brown fox, brown fox jumps}
-    //  → 1 shared. doc 12: {the quick brown, quick brown fox, brown fox jumps} → 3.
-    assert(out == Seq(10L -> 1L, 12L -> 3L))
+  private val fixture = Seq(
+    // stage 1 both sides: 2 words drop, 3 words keep, 7 words drop
+    // (docs 1-9 share one source whose pass rate 5/9 >= 1/2 clears the
+    // stage-4 screen, so stages 1-3 are observed in isolation)
+    (1L, "aa bb", "bulk"),
+    (2L, "aa bb cc", "bulk"),
+    (3L, "aa bb cc dd ee ff gg", "bulk"),
+    // stage 2 both sides at mean-len bounds [2.0, 6.0]:
+    // mean 2.0 exactly (keep), mean < 2 (drop), mean 6.0 exactly
+    // (keep), mean > 6 (drop)
+    (4L, "ab cd ef", "bulk"),
+    (5L, "a b cc", "bulk"),
+    (6L, "abcdef ghijkl mnopqr", "bulk"),
+    (7L, "abcdefg hijklmn opqrstu", "bulk"),
+    // stage 3: duplicate pair — min doc_id wins regardless of order
+    (8L, "dup text here", "bulk"),
+    (9L, "dup text here", "bulk"),
+    // stage 4: farm with 3 docs, 1 passing → rate 1/3 < 1/2: the
+    // passing doc must drop; tiny source (2 docs < minDocs) with a
+    // failing rate keeps its survivor
+    (10L, "x", "farm"),
+    (11L, "y", "farm"),
+    (12L, "farm tidy page", "farm"),
+    (13L, "z", "tiny"),
+    (14L, "tiny clean page", "tiny")).toDF("doc_id", "text", "source")
+
+  test("hand-computed ledger over every stage boundary") {
+    val (ledger, kept) = Curation.cascade(fixture, $"doc_id", $"text", $"source", p)
+    val rows = ledger.orderBy($"stage_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // s1 pass: 2,4,5,6,7,8,9,12,14 (3-word docs) = 9 of 14
+    // s2 pass: drops 5 (mean 4/3 < 2) and 7 (mean 7 > 6) → 7
+    // s3: 9 duplicates 8 → 6
+    // s4: 12 drops (farm rate 1/3 < 1/2); 14 kept (tiny below minDocs) → 5
+    assert(rows.toSeq == Seq(
+      (1L, "word_bounds", 14L, 9L),
+      (2L, "word_len", 9L, 7L),
+      (3L, "exact_dedup", 7L, 6L),
+      (4L, "source_rate", 6L, 5L)))
+    assert(kept.orderBy($"doc_id").as[Long].collect().toSeq ==
+      Seq(2L, 4L, 6L, 8L, 14L))
   }
 
-  test("decontaminate removes flagged docs and keeps the rest intact") {
-    val evalDocs = docs(1L -> "alpha beta gamma delta")
-    val train = docs(
-      20L -> "alpha beta gamma epsilon",  // shares "alpha beta gamma"
-      21L -> "zeta eta theta iota kappa")
-    val kept = Decontaminate.decontaminate(train, evalDocs, $"doc_id", $"text", 3)
-      .select($"doc_id").as[Long].collect().toSeq
-    assert(kept == Seq(21L))
-  }
-
-  test("contamination plan broadcasts the eval gram side") {
-    val evalDocs = docs(1L -> "one two three four")
-    val train = docs(2L -> "five six seven eight")
-    val plan = Decontaminate.contamination(train, evalDocs, $"doc_id", $"text", 3)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
-  }
-
-  test("topKeywords ranks rare tokens above common ones") {
-    val corpus = docs(
-      1L -> "shared shared rareword",
-      2L -> "shared common tokens appear",
-      3L -> "shared common extra words")
-    // N=3. "shared" df=3, "rareword" df=1: doc1 scores
-    //   rareword: 1 * (4/2) = 2.0 ; shared: 2 * (4/4) = 2.0 → tie →
-    //   lexicographic token order: "rareword" < "shared"
-    val out = Keywords.topKeywords(corpus, $"doc_id", $"text", k = 2)
-      .filter($"doc_id" === 1L).orderBy($"rank")
-      .select($"token", $"score").as[(String, Double)].collect().toSeq
-    assert(out == Seq("rareword" -> 2.0, "shared" -> 2.0))
-  }
-
-  test("tfIdfLog is monotonic in tf and anti-monotonic in df") {
-    val base = Keywords.tfIdfLog(lit(2), lit(5), lit(100))
-    val moreTf = Keywords.tfIdfLog(lit(3), lit(5), lit(100))
-    val moreDf = Keywords.tfIdfLog(lit(2), lit(50), lit(100))
-    val row = spark.range(1).select(base.as("b"), moreTf.as("t"), moreDf.as("d"))
-      .as[(Double, Double, Double)].head()
-    assert(row._2 > row._1 && row._3 < row._1)
-  }
-
-  test("empty eval corpus contaminates nothing; empty train yields empty") {
-    val train = docs(1L -> "some training text here")
-    val emptyDocs = docs()
-    assert(Decontaminate.contamination(train, emptyDocs, $"doc_id", $"text", 3).count() == 0)
-    assert(Decontaminate.decontaminate(train, emptyDocs, $"doc_id", $"text", 3).count() == 1)
-    assert(Decontaminate.contamination(emptyDocs, train, $"doc_id", $"text", 3).count() == 0)
-  }
-
-  test("htmlToText strips blocks and tags, decodes entities in safe order") {
-    val cases = Seq(
-      ("<p>hello <b>world</b></p>", "hello world"),
-      ("<script>var x = '<div>';</script>keep", "keep"),
-      ("<STYLE media=\"all\">p{}</STYLE>text", "text"),
-      // &amp;lt; must decode to literal "&lt;", NOT to "<" (single pass,
-      // &amp; last — the classic double-decode bug)
-      ("&amp;lt;", "&lt;"),
-      ("a&nbsp;b &amp; c &lt;d&gt; &quot;e&quot; &#39;f&#39;", "a b & c <d> \"e\" 'f'"),
-      ("unclosed <tag attr=\"x\" and text", "unclosed <tag attr=\"x\" and text"))
-    cases.foreach { case (in, want) =>
-      val got = Seq(in).toDF("t")
-        .select(TextAnalysis.normalize(TextAnalysis.htmlToText($"t")).as("o"))
-        .as[String].head()
-      assert(got == want.toLowerCase, s"input: $in")
+  test("ledger chains: stage k+1 n_in equals stage k n_kept") {
+    val (ledger, _) = Curation.cascade(fixture, $"doc_id", $"text", $"source", p)
+    val rows = ledger.orderBy($"stage_id").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    rows.sliding(2).foreach { w =>
+      assert(w(0)._2 == w(1)._1, s"ledger does not chain: $rows")
     }
   }
 
-  test("incremental dedup drops replayed content and intra-batch dups, keeps fresh") {
-    val existing = docs(1L -> "seen before", 2L -> "also seen")
-    val incoming = docs(
-      10L -> "brand new content",
-      11L -> "seen before",        // replay of existing → dropped
-      12L -> "repeated in batch",  // intra-batch dup, smallest id wins
-      13L -> "repeated in batch")
-    val kept = ExactDedup.incremental(incoming, existing, $"text", "doc_id")
-      .select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(kept == Seq(10L, 12L))
+  test("source rate is computed over the FULL corpus, not survivors") {
+    // the farm's failing docs fail at stage 1 — if the rate were
+    // computed over stage-3 survivors the farm would be 1-doc
+    // (below minDocs) and its tidy page would survive
+    val surv = Curation.survival(fixture, $"doc_id", $"text", $"source", p)
+    val farm = surv.filter($"doc_id" === 12L).head()
+    assert(farm.getAs[Boolean]("s3"), "tidy page should reach stage 4")
+    assert(!farm.getAs[Boolean]("s4"), "farm rate 1/3 must drop it")
   }
 
-  test("quantileBand keeps the inner band and attaches cutoffs") {
-    val df = (1 to 100).map(i => (i.toLong, i)).toDF("id", "m")
-    val out = QualityFilter.quantileBand(df, $"m", 0.10, 0.90)
-    val ms = out.select($"m").as[Int].collect().sorted
-    // quantile_cont(0.1) over 1..100 = 10.9; 0.9 = 90.1 → band 11..90
-    assert(ms.head == 11 && ms.last == 90 && ms.length == 80)
-    val cuts = out.select($"cut_lo", $"cut_hi").distinct().as[(Double, Double)].head()
-    assert(math.abs(cuts._1 - 10.9) < 1e-9 && math.abs(cuts._2 - 90.1) < 1e-9)
+  test("survival flags are monotone (s1 >= s2 >= s3 >= s4)") {
+    val surv = Curation.survival(fixture, $"doc_id", $"text", $"source", p)
+      .collect()
+    surv.foreach { r =>
+      val flags = Seq("s1", "s2", "s3", "s4").map(r.getAs[Boolean])
+      flags.sliding(2).foreach(w => assert(w(0) || !w(1),
+        s"non-monotone survival for doc ${r.getAs[Long]("doc_id")}: $flags"))
+    }
+  }
+
+  test("partitioning-invariant ledger") {
+    val a = Curation.cascade(fixture.repartition(1), $"doc_id", $"text",
+      $"source", p)._1.orderBy($"stage_id").collect().map(_.toSeq)
+    val b = Curation.cascade(fixture.repartition(11), $"doc_id", $"text",
+      $"source", p)._1.orderBy($"stage_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("parameter guards raise") {
+    intercept[IllegalArgumentException] {
+      Curation.survival(fixture, $"doc_id", $"text", $"source",
+        Curation.CascadeParams(minWords = 5L, maxWords = 4L))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.survival(fixture, $"doc_id", $"text", $"source",
+        Curation.CascadeParams(srcNum = 3, srcDen = 2))
+    }
   }
 }
