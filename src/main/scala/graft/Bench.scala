@@ -274,15 +274,29 @@ object Bench {
         val x100Dir = Blowup.build(spark, sfDir,
           s"${sys.props("java.io.tmpdir")}/graft_x100_$sfName", times = 100,
           tables = Set("documents"))
-        // cache-and-force the tier's input ONCE up front (the blowup's
-        // documents table is ~60 MB parquet / low-GB in memory on a
-        // 128 GiB heap), then re-pin per rep — queries re-reading the
-        // same path hit the InMemoryRelation via plan-cache
-        // substitution, so the timed region never touches storage
-        val pinnedDocs = spark.read.parquet(s"$x100Dir/documents.parquet")
+        // pin the tier's input into the OS PAGE CACHE per rep (the
+        // blowup's documents table is ~60 MB parquet): stream every
+        // file's bytes outside the timed region, so the timed query
+        // never waits on storage. Deliberately NOT spark.persist():
+        // the measured r13 readings under an InMemoryRelation pin ran
+        // ~2x SLOWER (q188 64.6 s vs 37.0, q68 33.6 vs 30.5) — a
+        // multi-GB columnar cache on the heap trades a 60 MB warm
+        // parquet read for decompression + GC pressure INSIDE the
+        // timed region, and it measures a plan (cache scan) the real
+        // cluster never runs. The page-cache warm keeps the genuine
+        // parquet plan and removes the only true IO term.
         def pinDocs(): Unit = {
-          try { pinnedDocs.persist(); pinnedDocs.count(): Unit }
-          catch { case NonFatal(e) =>
+          try {
+            val dir = java.nio.file.Paths.get(s"$x100Dir/documents.parquet")
+            val buf = new Array[Byte](1 << 20)
+            val files = java.nio.file.Files.walk(dir)
+            try files.filter(p => java.nio.file.Files.isRegularFile(p))
+              .forEach { p =>
+                val in = java.nio.file.Files.newInputStream(p)
+                try { while (in.read(buf) >= 0) () } finally in.close()
+              }
+            finally files.close()
+          } catch { case NonFatal(e) =>
             System.err.println(s"[bench] x100 input pin failed: $e") }
         }
         pinDocs()

@@ -692,6 +692,30 @@ object ExtQueries3 {
             |  UNION ALL SELECT 4, 'source_rate', n3, n4 FROM a)
             |ORDER BY stage_id""".stripMargin))
 
+  /** Vocabulary-ledger admission ([[graft.ext.CorpusStats.admitVocab]]):
+    * ledger two thirds of the corpus, admit the held-out third, read
+    * the curve through [[graft.ext.CorpusStats.growthFromLedger]] —
+    * and the result must equal the from-scratch curve (q206's oracle
+    * VERBATIM, the q194/q200 merge ≡ rebuild discipline on the
+    * first-occurrence MIN algebra).
+    */
+  val q208 = Q(
+    "q208_vocab_admit",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.max
+      val docs = t(s, dir, "documents")
+      val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+      val state = graft.ext.CorpusStats.vocabLedger(
+        docs.filter($"doc_id" % 3 =!= 0), $"doc_id", $"text")
+      val admitted = graft.ext.CorpusStats.admitVocab(state,
+        docs.filter($"doc_id" % 3 === 0), $"doc_id", $"text")
+      graft.ext.CorpusStats.growthFromLedger(admitted,
+          Seq(maxId / 8, maxId / 4, maxId / 2, maxId))
+        .orderBy($"checkpoint")
+    },
+    q206.oracle)
+
   val all: Seq[Q] =
-    Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+    Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
 }

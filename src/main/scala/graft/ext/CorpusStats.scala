@@ -38,39 +38,75 @@ object CorpusStats {
     * tokenizer convention shared with [[UnigramLm]]/[[TokenizerEval]]).
     */
   def vocabGrowth(df: DataFrame, id: Column, text: Column,
-                  checkpoints: Seq[Long]): DataFrame = {
-    require(checkpoints.nonEmpty, "need at least one checkpoint")
-    require(checkpoints.distinct.size == checkpoints.size,
-      "checkpoints must be distinct")
+                  checkpoints: Seq[Long]): DataFrame =
+    growthFromLedger(vocabLedger(df, id, text), checkpoints)
+
+  /** The growth curve's maintainable state — the corpus-scale inputs
+    * of [[vocabGrowth]] kept as two ledger tables so a new crawl batch
+    * folds in O(delta), never a corpus re-read:
+    *  - `tokens` (k, first_doc): md5 token digest → min doc_id holding
+    *    it (merge = grouped MIN — associative, order-invariant);
+    *  - `docs` (doc, n): per-document token count.
+    * Retraction is deliberately NOT offered: first-occurrence is not
+    * maintainable under deletion from (k, min) state — removing the
+    * first holder needs the full (k, doc) pair set to find the next
+    * one. The admission-only contract is the honest one (the curve is
+    * a crawl-progress statistic; crawls append).
+    */
+  final case class VocabLedger(tokens: DataFrame, docs: DataFrame)
+
+  def vocabLedger(df: DataFrame, id: Column, text: Column): VocabLedger = {
     val toks = df.select(id.as("__doc"),
         explode(split(lower(trim(text)), "\\s+")).as("__w"))
       .filter(length(col("__w")) > 0)
       .select(col("__doc"), md5(col("__w")).as("__k"))
-
-    // d rows: when did each distinct token first appear?
-    val firstSeen = toks.groupBy("__k").agg(min("__doc").as("__first"))
-    // one row per doc: its token count (docs with zero tokens still
-    // count as docs via the base frame below)
+    val tokens = toks.groupBy("__k").agg(min("__doc").as("__first"))
     val perDoc = toks.groupBy("__doc").agg(count(lit(1)).as("__n"))
     val docs = df.select(id.as("__doc")).join(perDoc, Seq("__doc"), "left")
       .select(col("__doc"), coalesce(col("__n"), lit(0L)).as("__n"))
+    VocabLedger(tokens, docs)
+  }
 
+  /** Fold a new batch into the ledger. Desync raise (the counted-
+    * ledger discipline): a batch re-admitting an ALREADY-LEDGERED
+    * doc_id would double-count tokens silently — the overlap raises
+    * instead.
+    */
+  def admitVocab(state: VocabLedger, batch: DataFrame,
+                 id: Column, text: Column): VocabLedger = {
+    val delta = vocabLedger(batch, id, text)
+    val overlap = delta.docs.select(col("__doc"))
+      .join(state.docs.select(col("__doc")), "__doc").limit(1).count()
+    require(overlap == 0L,
+      "admitVocab: batch re-admits already-ledgered doc ids (desync)")
+    VocabLedger(
+      state.tokens.unionByName(delta.tokens)
+        .groupBy("__k").agg(min("__first").as("__first")),
+      state.docs.unionByName(delta.docs))
+  }
+
+  /** The curve from ledger state — must equal [[vocabGrowth]] on the
+    * union of everything admitted (merge ≡ rebuild, gate q208).
+    */
+  def growthFromLedger(state: VocabLedger,
+                       checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    require(checkpoints.distinct.size == checkpoints.size,
+      "checkpoints must be distinct")
     val sorted = checkpoints.sorted
     val vCols = sorted.map(c =>
       sum(when(col("__first") <= c, 1L).otherwise(0L)).as(s"__v_$c"))
-    val vocabAgg = firstSeen.agg(vCols.head, vCols.tail: _*)
+    val vocabAgg = state.tokens.agg(vCols.head, vCols.tail: _*)
     val dCols = sorted.flatMap(c => Seq(
       sum(when(col("__doc") <= c, 1L).otherwise(0L)).as(s"__d_$c"),
       sum(when(col("__doc") <= c, col("__n")).otherwise(0L)).as(s"__t_$c")))
-    val docAgg = docs.agg(dCols.head, dCols.tail: _*)
-
-    // both aggregates are single rows; the cross join is 1×1
-    val joined = docAgg.crossJoin(vocabAgg)
+    val docAgg = state.docs.agg(dCols.head, dCols.tail: _*)
     val rows = sorted.map { c =>
       struct(lit(c).as("checkpoint"), col(s"__d_$c").as("n_docs"),
         col(s"__t_$c").as("n_tokens"), col(s"__v_$c").as("n_vocab"))
     }
-    joined.select(explode(array(rows: _*)).as("r"))
+    docAgg.crossJoin(vocabAgg)
+      .select(explode(array(rows: _*)).as("r"))
       .select(col("r.checkpoint"), col("r.n_docs"),
         col("r.n_tokens"), col("r.n_vocab"))
   }

@@ -354,6 +354,30 @@ object DocStream {
       .drop("__rbHost", "__rbRules")
   }
 
+  /** Curation-cascade screening at ingest: each micro-batch runs the
+    * full batch cascade ([[graft.ext.Curation.survival]]) and emits
+    * the per-batch survival flags. foreachBatch for the [[lzScreened]]
+    * reason — stages 3/4 (exact dedup, source pass-rate) aggregate
+    * per digest/source, which as a declarative streaming plan would
+    * hold every digest and source ever seen; per-BATCH semantics are
+    * the intended ones at ingest (dedup within the arriving batch
+    * against itself; a source's rate judged on the batch's evidence),
+    * with corpus-level dedup owned by the persisted-state admission
+    * faces ([[admitNew]]). Pinned batch ≡ stream with zero state rows
+    * in StreamingSpec.
+    */
+  def cascadeScreened(docs: DataFrame, id: Column, text: Column,
+                      source: Column,
+                      p: graft.ext.Curation.CascadeParams,
+                      emit: DataFrame => Unit,
+                      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emit(graft.ext.Curation.survival(batch, id, text, source, p))
+      }
+
   def trustScreened(docs: DataFrame, host: Column, scores: DataFrame,
                     floor: Double): DataFrame = {
     require(!docs.columns.contains("trust") && !docs.columns.contains("passes"),

@@ -621,4 +621,44 @@ class PlanSpec extends SparkTestBase {
       s"grouped count must combine map-side:\n$p")
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("PCA projection is a pure rectangular projection: zero Exchange, no UDF") {
+    import spark.implicits._
+    val emb = Tables.table(spark, dir, "embeddings")
+      .select($"vec_id", org.apache.spark.sql.functions.slice($"embedding", 1, 8).as("v"))
+    val proj = graft.ext.Pca.Projection(
+      Array(Array(1.0, 0, 0, 0, 0, 0, 0, 0), Array(0, 1.0, 0, 0, 0, 0, 0, 0)),
+      Array(2.0, 1.0))
+    val p = emb.select(graft.ext.Pca.projectExpr(proj, $"v"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("vocab growth: first-occurrence min combines map-side; no window, no cartesian on corpus-sized frames") {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents").select($"doc_id", $"text")
+    val p = graft.ext.CorpusStats.vocabGrowth(docs, $"doc_id", $"text", Seq(10L, 100L))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min"), s"token first-doc min must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no ordered scan anywhere:\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    // the only nested-loop is the 1-row x 1-row aggregate join; no
+    // corpus-sized cartesian can appear as CartesianProduct
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("curation cascade: per-row stages ride the scan; dedup and source stats combine map-side; no cartesian") {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+      .select($"doc_id", $"text", $"source")
+    val p = graft.ext.Curation.survival(docs, $"doc_id", $"text", $"source")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"dedup/source aggregates must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("Window"), s"no window needed anywhere:\n$p")
+  }
 }

@@ -59,6 +59,26 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("ledger admit ≡ rebuild (merge identity on the first-occurrence min)") {
+    val a = docs.filter($"doc_id" % 2 === 1L)
+    val b = docs.filter($"doc_id" % 2 === 0L)
+    val admitted = CorpusStats.admitVocab(
+      CorpusStats.vocabLedger(a, $"doc_id", $"text"), b, $"doc_id", $"text")
+    val fromState = CorpusStats.growthFromLedger(admitted, Seq(2L, 4L, 5L))
+      .orderBy($"checkpoint").collect().map(_.toSeq)
+    val rebuilt = CorpusStats.vocabGrowth(docs, $"doc_id", $"text", Seq(2L, 4L, 5L))
+      .orderBy($"checkpoint").collect().map(_.toSeq)
+    assert(fromState.toSeq == rebuilt.toSeq)
+  }
+
+  test("ledger desync: re-admitting a ledgered doc raises") {
+    val state = CorpusStats.vocabLedger(docs, $"doc_id", $"text")
+    intercept[IllegalArgumentException] {
+      CorpusStats.admitVocab(state, docs.filter($"doc_id" === 2L),
+        $"doc_id", $"text")
+    }
+  }
+
   test("guards: empty and duplicate checkpoints raise") {
     intercept[IllegalArgumentException] {
       CorpusStats.vocabGrowth(docs, $"doc_id", $"text", Seq.empty)

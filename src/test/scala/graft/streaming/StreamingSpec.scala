@@ -1264,4 +1264,41 @@ class StreamingSpec extends SparkTestBase {
         "quota state lives in the maintained counts table, not stream state")
     } finally q.stop()
   }
+
+  test("DocStream.cascadeScreened: per-batch cascade equals the batch run on each micro-batch, zero state") {
+    import graft.ext.Curation
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"source")
+    val p = Curation.CascadeParams()
+    // the cascade is deliberately batch-scoped (dedup within the
+    // batch, source rate on the batch's evidence): the reference is
+    // the batch run per HALF, not one run over the union
+    val halves = Seq(docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 =!= 0))
+    val want = halves.map(h =>
+        Curation.survival(h, $"doc_id", $"text", $"source", p)
+          .collect().map(_.toSeq).toSet)
+      .reduce(_ union _)
+
+    val dir = java.nio.file.Files.createTempDirectory("cascade-stream")
+    halves(0).write.parquet(s"$dir/part1")
+    halves(1).write.parquet(s"$dir/part2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/part*")
+
+    val emitted = new scala.collection.mutable.ArrayBuffer[Seq[Any]]
+    var batches = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("cascade-stream-ckpt")
+    val q = DocStream.cascadeScreened(stream, $"doc_id", $"text", $"source", p,
+      screened => emitted.synchronized {
+        emitted ++= screened.collect().map(_.toSeq); batches += 1; ()
+      }, ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(batches >= 2, s"expected >=2 micro-batches, got $batches")
+      assert(emitted.toSet == want && want.nonEmpty)
+      assert(emitted.size == emitted.toSet.size)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
