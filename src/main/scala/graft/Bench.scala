@@ -198,7 +198,11 @@ object Bench {
       // r12: hashed-ngram training (two gradient passes over the
       // long-format feature frame) and the zero-shuffle DOM-density
       // scan (the q125 class) — both corpus-proportional
-      "q188_hashed_ngram_train", "q189_dom_density")
+      "q188_hashed_ngram_train", "q189_dom_density",
+      // r13: the composed curation cascade (per-row stages + digest
+      // dedup + source stats) IS the front-door shape the tier exists
+      // to measure
+      "q207_curation_cascade")
     // Self-adjudicating tier timing (r11 verdict item 1): the ×100
     // numbers have been contaminated by ambient load in three separate
     // rounds (r9 q68 112.9 s, r11 q68 39.9 s vs an 18 s steady state),
@@ -382,7 +386,15 @@ object Bench {
       // full-corpus zero-shuffle per-row screen (the q183 class)
       "q196_type_token",
       // one host-keyed count + one equi-join back — corpus-proportional
-      "q197_host_neighborhood")
+      "q197_host_neighborhood",
+      // round-13: the lattice trainer/fertility scan corpus word
+      // frequencies; byte BPE and LZ coverage are full-corpus per-row
+      // scans; the cascade, the growth curve, and its ledger fold are
+      // corpus-proportional aggregations (q205 slices vec_id < 16 on
+      // a non-blown table — no corpus-proportional claim)
+      "q198_unigram_lattice", "q201_byte_bpe", "q203_lz_repetition",
+      "q204_lattice_fertility", "q206_vocab_growth",
+      "q207_curation_cascade", "q208_vocab_admit")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

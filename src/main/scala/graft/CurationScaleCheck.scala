@@ -317,6 +317,31 @@ object CurationScaleCheck {
       }
       docs.unpersist()
     }
+
+    // ---- r13 cascade / growth-curve tier ------------------------------
+    // The cascade's cost model: per-row stages ride one scan, the
+    // digest dedup and source stats are two map-side-combined
+    // aggregations — linear in corpus, no pair term. The growth
+    // curve's: one token explode + grouped min — linear in token
+    // count regardless of checkpoint count.
+    Seq(1, 4, 10).foreach { times =>
+      val docs0 = inflate(times)
+      val docs = docs0
+        .withColumn("source", concat(lit("s"), ($"doc_id" % 50).cast("string")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+      docs0.unpersist()
+      time(s"curation cascade ${nDocs}docs") {
+        val (ledger, _) = graft.ext.Curation.cascade(
+          docs, $"doc_id", $"text", $"source")
+        ledger.collect().map(_.getLong(3)).min
+      }
+      time(s"vocab growth 4cp ${nDocs}docs") {
+        graft.ext.CorpusStats.vocabGrowth(docs, $"doc_id", $"text",
+          Seq(1000L, 100000L, 1000000L, 100000000L)).count()
+      }
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -716,6 +716,83 @@ object ExtQueries3 {
     },
     q206.oracle)
 
+  // ---- hashed lexical vectors: exact cosine verify (q209) ------------
+
+  private val hvNear1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+  private val hvNear2 = "alpha bravo charlie delta echo foxtrot golf india"
+  private val hvFar = "uniform victor whiskey xray yankee zulu quebec romeo"
+
+  /** Model-free lexical cosine verification
+    * ([[graft.ext.HashedVec.bucketCounts]]/`cosinePairs`): hashed
+    * unigram+bigram count vectors (the q188 feature grammar and
+    * portable bucket hash, d = 16 ⇒ bucket = the 8th md5 nibble —
+    * q188's oracle recipe verbatim), pair similarity decided by the
+    * EXACT integer cross-multiplication dot²·den² ≥ num²·|a|²·|b|² —
+    * no float boundary. Pairs: corpus (doc, doc+1) at doc_id % 5 = 0
+    * plus a planted near-dup pair (7/8 shared vocabulary, cos ≈ 0.93
+    * — must flag) and a planted disjoint-vocabulary pair (cos ≈ 0.33
+    * under d=16 collisions — must not). The oracle rebuilds counts
+    * from raw gram text, joins on buckets for the dot product, and
+    * replays the HUGEINT cross-multiplication.
+    */
+  val q209 = Q(
+    "q209_hashed_cosine",
+    (s, dir) => {
+      import s.implicits._
+      val planted = Seq((920001L, hvNear1), (920002L, hvNear2),
+        (920003L, hvFar)).toDF("doc_id", "text")
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .unionByName(planted)
+      val counts = graft.ext.HashedVec.bucketCounts(docs, $"doc_id", $"text", 16)
+      val pairs = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id".as("id1"), ($"doc_id" + 1).as("id2"))
+        .unionByName(Seq((920001L, 920002L), (920001L, 920003L))
+          .toDF("id1", "id2"))
+      graft.ext.HashedVec.cosinePairs(pairs, counts, num = 7, den = 10)
+        .orderBy($"id1", $"id2")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text FROM documents
+            |           UNION ALL SELECT 920001, '$hvNear1'
+            |           UNION ALL SELECT 920002, '$hvNear2'
+            |           UNION ALL SELECT 920003, '$hvFar'),
+            |kt AS (SELECT doc_id,
+            |         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+            |                     tk -> regexp_matches(tk, '^[a-z]{3,}$$')) AS t
+            |       FROM d),
+            |gr AS (SELECT doc_id, unnest(t) AS g FROM kt
+            |       UNION ALL
+            |       SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+            |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+            |             FROM kt)),
+            |bk AS (SELECT doc_id,
+            |         CAST(CASE WHEN ascii(substring(md5(g), 8, 1)) <= 57
+            |                   THEN ascii(substring(md5(g), 8, 1)) - 48
+            |                   ELSE ascii(substring(md5(g), 8, 1)) - 87 END AS BIGINT) AS b
+            |       FROM gr),
+            |ct AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+            |       FROM bk GROUP BY doc_id, b),
+            |ns AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS nsq
+            |       FROM ct GROUP BY doc_id),
+            |pr AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM d
+            |       WHERE doc_id % 5 = 0
+            |       UNION ALL SELECT 920001, 920002
+            |       UNION ALL SELECT 920001, 920003),
+            |dj AS (SELECT p.id1, p.id2, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+            |       FROM pr p
+            |       JOIN ct a ON a.doc_id = p.id1
+            |       JOIN ct b ON b.doc_id = p.id2 AND b.b = a.b
+            |       GROUP BY p.id1, p.id2)
+            |SELECT p.id1, p.id2, coalesce(dj.dot, 0) AS dot,
+            |       n1.nsq AS n1sq, n2.nsq AS n2sq,
+            |       CAST(coalesce(dj.dot, 0) AS HUGEINT) * coalesce(dj.dot, 0) * 100
+            |         >= CAST(n1.nsq AS HUGEINT) * n2.nsq * 49 AS similar
+            |FROM pr p
+            |JOIN ns n1 ON n1.doc_id = p.id1
+            |JOIN ns n2 ON n2.doc_id = p.id2
+            |LEFT JOIN dj ON dj.id1 = p.id1 AND dj.id2 = p.id2
+            |ORDER BY p.id1, p.id2""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
+    Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
+      q209)
 }

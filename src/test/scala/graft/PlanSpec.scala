@@ -648,6 +648,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("hashed cosine verify: equi-joins only (no cartesian), map-side partial counts") {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents").select($"doc_id", $"text")
+    val counts = graft.ext.HashedVec.bucketCounts(docs, $"doc_id", $"text", 16)
+    val pairs = docs.select($"doc_id".as("id1"), ($"doc_id" + 1).as("id2"))
+    val p = graft.ext.HashedVec.cosinePairs(pairs, counts, 7, 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("partial_count"), s"bucket counts must combine map-side:\n$p")
+  }
+
   test("curation cascade: per-row stages ride the scan; dedup and source stats combine map-side; no cartesian") {
     import spark.implicits._
     val docs = Tables.table(spark, dir, "documents")
