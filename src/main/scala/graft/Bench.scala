@@ -448,7 +448,9 @@ object Bench {
       // a non-blown table — no corpus-proportional claim)
       "q198_unigram_lattice", "q201_byte_bpe", "q203_lz_repetition",
       "q204_lattice_fertility", "q206_vocab_growth",
-      "q207_curation_cascade", "q208_vocab_admit")
+      "q207_curation_cascade", "q208_vocab_admit",
+      // one tokenize + bucket aggregation + boundary-bucket window
+      "q210_token_budget")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

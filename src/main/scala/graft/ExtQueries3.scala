@@ -792,7 +792,55 @@ object ExtQueries3 {
             |LEFT JOIN dj ON dj.id1 = p.id1 AND dj.id2 = p.id2
             |ORDER BY p.id1, p.id2""".stripMargin))
 
+  // ---- token-budget corpus selection (q210) --------------------------
+
+  /** Best-first token-budget selection
+    * ([[graft.ext.Budgeting.tokenBudgetSelect]]): order the corpus by
+    * (score DESC, doc_id ASC), keep the maximal prefix whose
+    * cumulative token count stays ≤ budget — the final
+    * materialization step of a curation pipeline, implemented with
+    * the bucket-offset discipline (score-high-bit buckets, one
+    * grouped sum, offsets over the bucket-cardinality table, a window
+    * only inside each bucket — NEVER the naive corpus-sized global
+    * window). The oracle IS that naive global window: one cumulative
+    * sum over (score DESC, doc_id) with the same ≤ rule —
+    * bucket-offset ≡ global-window is the gate's claim. Score =
+    * n_chars mod 256 (ties everywhere — the id tiebreak is load-
+    * bearing), budget = half the corpus token count, so the boundary
+    * bucket and both wholesale classes are all exercised at every SF.
+    */
+  val q210 = Q(
+    "q210_token_budget",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = t(s, dir, "documents")
+      val nCol = size(filter(split(lower(trim($"text")), "\\s+"),
+        w => w =!= lit(""))).cast("long")
+      val base = docs.select($"doc_id", nCol.as("n"),
+        pmod($"n_chars", lit(256L)).as("sc"))
+      val budget = base.agg(sum($"n")).head.getLong(0) / 2
+      graft.ext.Budgeting.tokenBudgetSelect(base, $"doc_id", $"n", $"sc",
+          budget, bucketShift = 4)
+        .orderBy($"score".desc, $"id")
+    },
+    Some("""WITH b AS (SELECT doc_id,
+           |             CAST(len(list_filter(
+           |               string_split_regex(lower(trim(text)), '\s+'),
+           |               x -> x <> '')) AS BIGINT) AS n,
+           |             CAST(n_chars % 256 AS BIGINT) AS sc
+           |           FROM documents),
+           |bud AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS budget FROM b),
+           |c AS (SELECT doc_id, sc, n,
+           |             sum(n) OVER (ORDER BY sc DESC, doc_id
+           |                          ROWS UNBOUNDED PRECEDING) AS cum
+           |      FROM b)
+           |SELECT doc_id AS id, sc AS score, n AS n_tokens,
+           |       CAST(cum AS BIGINT) AS cum_tokens
+           |FROM c, bud WHERE cum <= budget
+           |ORDER BY score DESC, id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-      q209)
+      q209, q210)
 }
