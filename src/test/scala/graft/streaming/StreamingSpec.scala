@@ -1265,6 +1265,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("vocab ledger as the foreachBatch front door: admitted state ≡ from-scratch curve, stream stays stateless") {
+    import graft.ext.CorpusStats
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val dir = java.nio.file.Files.createTempDirectory("vocab-stream").toString + "/in"
+    docs.repartition(3).write.parquet(dir)
+
+    // seed with an empty ledger (no docs yet): fold each micro-batch
+    // in with admitVocab, localCheckpoint to keep lineage bounded —
+    // the quotaAdmit maintained-state pattern
+    var state = CorpusStats.vocabLedger(docs.limit(0), $"doc_id", $"text")
+    state = CorpusStats.VocabLedger(
+      state.tokens.localCheckpoint(true), state.docs.localCheckpoint(true))
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val next = CorpusStats.admitVocab(state, batch, $"doc_id", $"text")
+        state = CorpusStats.VocabLedger(
+          next.tokens.localCheckpoint(true), next.docs.localCheckpoint(true))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val cps = Seq(50L, 1000000L)
+      val fromStream = CorpusStats.growthFromLedger(state, cps)
+        .orderBy($"checkpoint").collect().map(_.toSeq)
+      val rebuilt = CorpusStats.vocabGrowth(docs, $"doc_id", $"text", cps)
+        .orderBy($"checkpoint").collect().map(_.toSeq)
+      assert(fromStream.toSeq == rebuilt.toSeq)
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "ledger state lives in the maintained tables, not stream state")
+    } finally q.stop()
+  }
+
   test("DocStream.cascadeScreened: per-batch cascade equals the batch run on each micro-batch, zero state") {
     import graft.ext.Curation
     val docs = Tables.table(spark, sfDir, "documents")
