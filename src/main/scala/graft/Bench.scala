@@ -450,7 +450,10 @@ object Bench {
       "q204_lattice_fertility", "q206_vocab_growth",
       "q207_curation_cascade", "q208_vocab_admit",
       // one tokenize + bucket aggregation + boundary-bucket window
-      "q210_token_budget")
+      "q210_token_budget",
+      // per-group growth curve / per-source attrition: same corpus
+      // scans as q206/q207 with a group key threaded through
+      "q211_vocab_by_lang", "q212_cascade_by_source")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

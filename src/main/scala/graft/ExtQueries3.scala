@@ -840,7 +840,116 @@ object ExtQueries3 {
            |FROM c, bud WHERE cum <= budget
            |ORDER BY score DESC, id""".stripMargin))
 
+  /** Per-LANGUAGE vocabulary growth
+    * ([[graft.ext.CorpusStats.vocabGrowthByGroup]]): the multilingual
+    * admission question the global q206 curve cannot answer — one
+    * curve per lang, vocabulary counted within the group, the same
+    * min-first-doc algebra with the group key threaded through (the
+    * documents table's lang column is the group). Both engines
+    * aggregate per (lang, checkpoint); Spark keys md5 digests, the
+    * oracle raw tokens.
+    */
+  val q211 = Q(
+    "q211_vocab_by_lang",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.max
+      val docs = t(s, dir, "documents")
+      val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+      graft.ext.CorpusStats.vocabGrowthByGroup(docs, $"doc_id", $"text",
+          $"lang", Seq(maxId / 2, maxId))
+        .orderBy($"grp", $"checkpoint")
+    },
+    Some("""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |cp AS (SELECT m // f AS c FROM mx, (VALUES (2),(1)) t(f)),
+           |tk AS (SELECT grp, doc_id, w FROM (
+           |         SELECT lang AS grp, doc_id,
+           |                unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           |         FROM documents) u WHERE length(w) > 0),
+           |fs AS (SELECT grp, w, min(doc_id) AS fd FROM tk GROUP BY grp, w),
+           |pd AS (SELECT d.lang AS grp, d.doc_id, count(tk.w) AS n
+           |       FROM documents d
+           |       LEFT JOIN tk ON tk.doc_id = d.doc_id AND tk.grp = d.lang
+           |       GROUP BY d.lang, d.doc_id),
+           |da AS (SELECT grp, cp.c,
+           |         CAST(sum(CASE WHEN doc_id <= cp.c THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           |         CAST(sum(CASE WHEN doc_id <= cp.c THEN n ELSE 0 END) AS BIGINT) AS n_tokens
+           |       FROM pd, cp GROUP BY grp, cp.c),
+           |va AS (SELECT grp, cp.c,
+           |         CAST(sum(CASE WHEN fd <= cp.c THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab
+           |       FROM fs, cp GROUP BY grp, cp.c)
+           |SELECT da.grp, da.c AS checkpoint, da.n_docs, da.n_tokens,
+           |       coalesce(va.n_vocab, 0) AS n_vocab
+           |FROM da LEFT JOIN va ON va.grp = da.grp AND va.c = da.c
+           |ORDER BY da.grp, checkpoint""".stripMargin))
+
+  /** Per-SOURCE cascade attrition
+    * ([[graft.ext.Curation.ledgerBySource]]): q207's cascade and
+    * fixture, reported per source — the planted farm/edge/tiny
+    * sources each show their designed attrition shape (the farm loses
+    * its tidy page at stage 4, the edge source at EXACTLY the 2/3
+    * rate keeps both survivors, the below-minDocs tiny source keeps
+    * its one), and every corpus source reports alongside.
+    */
+  val q212 = Q(
+    "q212_cascade_by_source",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"text", $"source")
+        .unionByName(cascadeRows.toDF("doc_id", "text", "source"))
+      val p = graft.ext.Curation.CascadeParams(
+        minWords = 5L, maxWords = 100000L,
+        minLenTenths = 20L, maxLenTenths = 120L,
+        srcMinDocs = 3L, srcNum = 2, srcDen = 3)
+      graft.ext.Curation.ledgerBySource(
+          graft.ext.Curation.survival(docs, $"doc_id", $"text", $"source", p))
+        .orderBy($"source", $"stage_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text, source FROM documents
+            |           UNION ALL
+            |           SELECT * FROM (VALUES ${cascadeRows.map { case (i, t0, src) =>
+                          s"(CAST($i AS BIGINT), '$t0', '$src')" }.mkString(",\n             ")})
+            |             v(doc_id, text, source)),
+            |b AS (SELECT doc_id, source, text,
+            |             CAST(len(w) AS BIGINT) AS nw,
+            |             CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+            |               AS BIGINT) AS sumlen
+            |      FROM (SELECT doc_id, source, text,
+            |                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            |                               x -> x <> '') AS w
+            |            FROM d) u),
+            |f AS (SELECT doc_id, source, text,
+            |             (nw >= 5 AND nw <= 100000) AS s1,
+            |             (nw >= 5 AND nw <= 100000 AND
+            |              sumlen * 10 >= nw * 20 AND sumlen * 10 <= nw * 120) AS s2
+            |      FROM b),
+            |cn AS (SELECT text, min(doc_id) AS keep_id FROM f WHERE s2 GROUP BY text),
+            |hs AS (SELECT source, CAST(count(*) AS BIGINT) AS hd,
+            |              CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS hp
+            |       FROM f GROUP BY source),
+            |g AS (SELECT f.doc_id, f.source, f.s1, f.s2,
+            |             (f.s2 AND f.doc_id = cn.keep_id) AS s3,
+            |             (f.s2 AND f.doc_id = cn.keep_id AND
+            |              (hs.hd < 3 OR hs.hp * 3 >= hs.hd * 2)) AS s4
+            |      FROM f LEFT JOIN cn ON cn.text = f.text
+            |             JOIN hs ON hs.source = f.source),
+            |a AS (SELECT source,
+            |             CAST(count(*) AS BIGINT) AS n0,
+            |             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            |             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            |             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+            |             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+            |      FROM g GROUP BY source)
+            |SELECT source, stage_id, stage, n_in, n_kept FROM (
+            |  SELECT source, CAST(1 AS BIGINT) AS stage_id, 'word_bounds' AS stage,
+            |         n0 AS n_in, n1 AS n_kept FROM a
+            |  UNION ALL SELECT source, 2, 'word_len', n1, n2 FROM a
+            |  UNION ALL SELECT source, 3, 'exact_dedup', n2, n3 FROM a
+            |  UNION ALL SELECT source, 4, 'source_rate', n3, n4 FROM a)
+            |ORDER BY source, stage_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
-      q209, q210)
+      q209, q210, q211, q212)
 }

@@ -41,6 +41,50 @@ object CorpusStats {
                   checkpoints: Seq[Long]): DataFrame =
     growthFromLedger(vocabLedger(df, id, text), checkpoints)
 
+  /** Per-GROUP growth curves — the multilingual question the global
+    * curve cannot answer ("is the Tamil slice saturating while English
+    * still grows?"): one row per (group, checkpoint), vocabulary
+    * counted within the group (a token alive in two languages counts
+    * in each — per-group vocabulary is the semantics a per-language
+    * admission decision needs). Same shape as [[vocabGrowth]] with the
+    * group key threaded through: the first-occurrence min groups by
+    * (group, digest), the conditional checkpoint counts group by
+    * group — still no ordered scan, and the final join is
+    * group-cardinality.
+    */
+  def vocabGrowthByGroup(df: DataFrame, id: Column, text: Column,
+                         group: Column, checkpoints: Seq[Long]): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    require(checkpoints.distinct.size == checkpoints.size,
+      "checkpoints must be distinct")
+    val toks = df.select(group.as("grp"), id.as("__doc"),
+        explode(split(lower(trim(text)), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .select(col("grp"), col("__doc"), md5(col("__w")).as("__k"))
+    val firstSeen = toks.groupBy("grp", "__k").agg(min("__doc").as("__first"))
+    val perDoc = toks.groupBy("grp", "__doc").agg(count(lit(1)).as("__n"))
+    val docs = df.select(group.as("grp"), id.as("__doc"))
+      .join(perDoc, Seq("grp", "__doc"), "left")
+      .select(col("grp"), col("__doc"), coalesce(col("__n"), lit(0L)).as("__n"))
+    val sorted = checkpoints.sorted
+    val vCols = sorted.map(c =>
+      sum(when(col("__first") <= c, 1L).otherwise(0L)).as(s"__v_$c"))
+    val vocabAgg = firstSeen.groupBy("grp").agg(vCols.head, vCols.tail: _*)
+    val dCols = sorted.flatMap(c => Seq(
+      sum(when(col("__doc") <= c, 1L).otherwise(0L)).as(s"__d_$c"),
+      sum(when(col("__doc") <= c, col("__n")).otherwise(0L)).as(s"__t_$c")))
+    val docAgg = docs.groupBy("grp").agg(dCols.head, dCols.tail: _*)
+    val rows = sorted.map { c =>
+      struct(lit(c).as("checkpoint"), col(s"__d_$c").as("n_docs"),
+        col(s"__t_$c").as("n_tokens"),
+        coalesce(col(s"__v_$c"), lit(0L)).as("n_vocab"))
+    }
+    docAgg.join(vocabAgg, Seq("grp"), "left")
+      .select(col("grp"), explode(array(rows: _*)).as("r"))
+      .select(col("grp"), col("r.checkpoint"), col("r.n_docs"),
+        col("r.n_tokens"), col("r.n_vocab"))
+  }
+
   /** The growth curve's maintainable state — the corpus-scale inputs
     * of [[vocabGrowth]] kept as two ledger tables so a new crawl batch
     * folds in O(delta), never a corpus re-read:

@@ -118,6 +118,27 @@ object Curation {
       .select(col("r.stage_id"), col("r.stage"), col("r.n_in"), col("r.n_kept"))
   }
 
+  /** Per-SOURCE attrition: (source, stage_id, stage, n_in, n_kept) —
+    * the governance view behind "which source loses most at dedup":
+    * the same one-aggregation discipline as [[ledger]], grouped by
+    * source (source-cardinality output, never a re-scan).
+    */
+  def ledgerBySource(surv: DataFrame): DataFrame = {
+    val agg = surv.groupBy(col("source")).agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("n4"))
+    val rows = StageNames.zipWithIndex.map { case (name, k) =>
+      struct(lit((k + 1).toLong).as("stage_id"), lit(name).as("stage"),
+        col(s"n$k").as("n_in"), col(s"n${k + 1}").as("n_kept"))
+    }
+    agg.select(col("source"), explode(array(rows: _*)).as("r"))
+      .select(col("source"), col("r.stage_id"), col("r.stage"),
+        col("r.n_in"), col("r.n_kept"))
+  }
+
   /** The surviving documents (ids): stage-4 survivors. */
   def kept(surv: DataFrame): DataFrame =
     surv.filter(col("s4")).select(col("doc_id"))

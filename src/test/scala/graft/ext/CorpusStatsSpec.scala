@@ -59,6 +59,35 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("per-group curves: vocabulary counts within the group; single group ≡ global") {
+    val grouped = Seq(
+      (1L, "the cat", "en"),
+      (2L, "the dog", "en"),
+      (3L, "le chat", "fr"),
+      (4L, "the chat", "fr")).toDF("doc_id", "text", "lang")
+    val out = CorpusStats.vocabGrowthByGroup(grouped, $"doc_id", $"text",
+        $"lang", Seq(2L, 4L))
+      .orderBy($"grp", $"checkpoint")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // en@2: docs 2, tokens 4, vocab {the,cat,dog}=3; en@4 unchanged
+    // fr@2: docs 0; fr@4: docs 2, tokens 4, vocab {le,chat,the}=3 —
+    // "the" counts in BOTH groups (per-group vocabulary)
+    assert(out.toSeq == Seq(
+      ("en", 2L, 2L, 4L, 3L), ("en", 4L, 2L, 4L, 3L),
+      ("fr", 2L, 0L, 0L, 0L), ("fr", 4L, 2L, 4L, 3L)))
+    // one constant group ≡ the global curve
+    val one = CorpusStats.vocabGrowthByGroup(
+        docs.withColumn("g", org.apache.spark.sql.functions.lit("all")),
+        $"doc_id", $"text", $"g", Seq(2L, 4L, 5L))
+      .orderBy($"checkpoint")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val global = CorpusStats.vocabGrowth(docs, $"doc_id", $"text", Seq(2L, 4L, 5L))
+      .orderBy($"checkpoint")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(one.toSeq == global.toSeq)
+  }
+
   test("ledger admit ≡ rebuild (merge identity on the first-occurrence min)") {
     val a = docs.filter($"doc_id" % 2 === 1L)
     val b = docs.filter($"doc_id" % 2 === 0L)

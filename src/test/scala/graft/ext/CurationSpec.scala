@@ -90,6 +90,31 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("per-source attrition: each planted source shows its designed shape") {
+    val surv = Curation.survival(fixture, $"doc_id", $"text", $"source", p)
+    val rows = Curation.ledgerBySource(surv)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(3), r.getLong(4))))
+      .toMap
+    // farm: 3 junk +1 tidy; tidy survives to stage 4 then the 1/3
+    // rate kills it
+    assert(rows(("farm", 1L)) == (3L, 1L))
+    assert(rows(("farm", 4L)) == (1L, 0L))
+    // tiny: below minDocs — its clean page keeps
+    assert(rows(("tiny", 4L)) == (1L, 1L))
+    // bulk: 9 docs → 9 pass words? no: 2-word and 7-word drop → 7...
+    assert(rows(("bulk", 1L)) == (9L, 7L))
+    assert(rows(("bulk", 4L)) == (4L, 4L))
+    // per-source ledgers sum to the global one at every stage
+    val global = Curation.ledger(surv).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    (1L to 4L).foreach { k =>
+      val in = rows.collect { case ((_, `k`), (i, _)) => i }.sum
+      val kept = rows.collect { case ((_, `k`), (_, o)) => o }.sum
+      assert((in, kept) == global(k), s"stage $k: per-source != global")
+    }
+  }
+
   test("partitioning-invariant ledger") {
     val a = Curation.cascade(fixture.repartition(1), $"doc_id", $"text",
       $"source", p)._1.orderBy($"stage_id").collect().map(_.toSeq)
