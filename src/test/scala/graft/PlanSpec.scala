@@ -661,6 +661,22 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"bucket counts must combine map-side:\n$p")
   }
 
+  test("per-group growth / per-source attrition: group-keyed aggregates only — no window, no cartesian") {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+    val pg = graft.ext.CorpusStats.vocabGrowthByGroup(docs, $"doc_id", $"text",
+        $"lang", Seq(10L, 100L))
+      .queryExecution.executedPlan.toString
+    assert(pg.contains("partial_min"), s"per-group first-doc min must combine map-side:\n$pg")
+    assert(!pg.contains("Window") && !pg.contains("CartesianProduct"), pg)
+    val ps = graft.ext.Curation.ledgerBySource(
+        graft.ext.Curation.survival(docs.select($"doc_id", $"text", $"source"),
+          $"doc_id", $"text", $"source"))
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("Window") && !ps.contains("CartesianProduct"), ps)
+    assert(!ps.contains("ScalaUDF"), ps)
+  }
+
   test("curation cascade: per-row stages ride the scan; dedup and source stats combine map-side; no cartesian") {
     import spark.implicits._
     val docs = Tables.table(spark, dir, "documents")
