@@ -268,20 +268,29 @@ object Bench {
         .filter(q => selected(q._1)).filter(q => keep(q._1)).map {
         case (name, fn) =>
           // failed rep → time = +Inf (ADVICE r12): a fast failure must
-          // not enter the min-accept pool as a near-zero "clean" time
+          // not enter the min-accept pool as a near-zero "clean" time.
+          // Brackets run on BOTH sides of the timed region (ADVICE
+          // r13): a before-only bracket bounds ambient load AROUND the
+          // measurement, not during it — a load spike arriving
+          // mid-query still moved the after-side kernel/probe, so the
+          // rep records the WORSE side of each bracket and counts as
+          // loaded when either side exceeds its bound.
           def rep(): (Double, Double, Double) = {
             dropResidualBlocks(); System.gc(); Thread.sleep(100)
             pin()
-            val cal = calibrate()
-            val io = probe.map(_()).getOrElse(0.0)
+            val calBefore = calibrate()
+            val ioBefore = probe.map(_()).getOrElse(0.0)
             val t0 = System.nanoTime()
             val ok =
               try { fn(spark, dir).count(); true }
               catch { case NonFatal(e) =>
                 System.err.println(s"[bench] $name failed: $e"); false }
             val dt = (System.nanoTime() - t0) / 1e9
+            val calAfter = calibrate()
+            val ioAfter = probe.map(_()).getOrElse(0.0)
             dropResidualBlocks()
-            (if (ok) dt else Double.PositiveInfinity, cal, io)
+            (if (ok) dt else Double.PositiveInfinity,
+              math.max(calBefore, calAfter), math.max(ioBefore, ioAfter))
           }
           // one UNTIMED warm execution: tier queries are measured at
           // nreps=2, which sits on the JIT warm-up slope for the
@@ -453,7 +462,45 @@ object Bench {
       "q210_token_budget",
       // per-group growth curve / per-source attrition: same corpus
       // scans as q206/q207 with a group key threaded through
-      "q211_vocab_by_lang", "q212_cascade_by_source")
+      "q211_vocab_by_lang", "q212_cascade_by_source",
+      // ---- r14 coverage extension (VERDICT r13 item 4): every gate
+      // below scans a full blown table (documents/events/embeddings)
+      // or a modulo slice of one (corpus-PROPORTIONAL — a % filter
+      // grows with the corpus, unlike the constant doc_id/vec_id range
+      // slices that stay excluded: q56/q58/q59/q90/q91/q100/q102/
+      // q104-q106/q110/q136/q137/q160/q163-q167, all planted exact-
+      // oracle kernels). Zero extra bench time: the x10 pass already
+      // times every query; membership here only publishes the ratio.
+      // text/per-row screen family
+      "q21_token_stats", "q22_quality_score", "q23_lang_id",
+      "q32_doc_pipeline", "q33_json_props", "q39_subword_tokens",
+      "q40_repetition", "q47_redact_pii",
+      "q97_lang_id_wide", "q109_gopher_rules", "q116_dedup_lines_within",
+      // sampling / splits / mixtures
+      "q35_hash_split", "q36_stratified_sample", "q37_shuffle_order",
+      "q48_mixture_interleave", "q52_quantile_filter", "q170_weighted_take",
+      // sketches (bounded mergeable state over a full scan)
+      "q50_kmv_distinct", "q85_sketch_quantile_band", "q114_cm_sketch",
+      "q115_cm_heavy_hitters", "q147_kmv_setops",
+      // n-gram LM scoring family (model state is bounded; scoring scans)
+      "q103_lm_interpolated", "q107_kneser_ney", "q108_perplexity_buckets",
+      "q111_dsir_weights",
+      // events family: sessionize/asof/interval/window shapes
+      "q26_event_hourly", "q27_sessionize", "q38_asof_join",
+      "q63_scd2_history", "q72_interval_join", "q73_grouped_topk",
+      "q74_asof_tolerance", "q78_gap_fill", "q79_cohort_retention",
+      "q80_funnel", "q81_histogram", "q82_rolling_window",
+      "q83_expectations",
+      // incremental/retractable state over modulo batches
+      "q118_incremental_agg", "q119_retract_agg", "q184_overlap_incremental",
+      // formats + media (binary stays on executors)
+      "q112_warc_roundtrip", "q128_image_dhash_pairs",
+      // chunking + file-skipping state
+      "q67_bpe_chunks", "q171_bloom_skip_lookup", "q172_retract_file_blooms",
+      // r12/r13 trainers not yet published: lattice prune/admit, the
+      // learned OPQ Gram (full embeddings scan), hashed lexical cosine
+      "q199_lattice_prune", "q200_lattice_admit", "q202_opq_learned",
+      "q209_hashed_cosine")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

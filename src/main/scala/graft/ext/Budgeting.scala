@@ -37,16 +37,47 @@ import org.apache.spark.sql.functions._
   */
 object Budgeting {
 
+  /** The bucket-sizing contract, as a pure function (unit-testable):
+    * the largest shift ≤ `requested` whose score-range span
+    * `(hi >> s) − (lo >> s) + 1` reaches `minBuckets`. A requested
+    * shift wider than the actual score range — the VERDICT r13
+    * degenerate case: `score % 256` under shift 8 collapses to ONE
+    * bucket, making the "bucket-local" window corpus-sized — rescales
+    * DOWN until the range yields real buckets (or shift 0, the finest
+    * the representation offers). Scores are guarded non-negative, so
+    * logical and arithmetic shifts agree.
+    */
+  def effectiveShift(lo: Long, hi: Long, requested: Int,
+                     minBuckets: Long = 256L): Int = {
+    require(lo >= 0L && hi >= lo, s"need 0 <= lo <= hi, got [$lo, $hi]")
+    var s = requested
+    while (s > 0 && (hi >>> s) - (lo >>> s) + 1 < minBuckets) s -= 1
+    s
+  }
+
   /** Select the best-first maximal prefix under `budget` total
     * tokens. Output: (id, score, n_tokens, cum_tokens) for the
     * selected documents — `cum_tokens` is the running total INCLUDING
     * the row, under the (score DESC, id ASC) order.
+    *
+    * Bucket sizing (the bucketRank contract, enforced rather than
+    * assumed): one tiny scalar aggregation reads the actual score
+    * range and [[effectiveShift]] rescales `bucketShift` down when the
+    * range would degenerate to fewer than ~256 buckets — the selection
+    * is shift-invariant, so outputs never change, only the window
+    * partition size. If even shift 0 leaves a single score value
+    * holding more than `maxBucketRows` rows, the within-bucket window
+    * genuinely IS that partition and the select RAISES instead of
+    * silently building a corpus-sized window partition (re-score with
+    * a finer signal, or raise `maxBucketRows` deliberately).
     */
   def tokenBudgetSelect(df: DataFrame, id: Column, nTokens: Column,
                         score: Column, budget: Long,
-                        bucketShift: Int = 8): DataFrame = {
+                        bucketShift: Int = 8,
+                        maxBucketRows: Long = 1L << 24): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
     require(bucketShift >= 0 && bucketShift < 63, "bucketShift in [0, 63)")
+    require(maxBucketRows >= 1L, s"maxBucketRows must be >= 1, got $maxBucketRows")
     def guarded(c: Column, what: String): Column = {
       val v = c.cast("long")
       when(v.isNull || v < 0, raise_error(concat(
@@ -54,13 +85,27 @@ object Budgeting {
         coalesce(c.cast("string"), lit("NULL")))))
         .otherwise(v)
     }
-    val base = df.select(id.as("id"),
-        guarded(nTokens, "nTokens").as("n_tokens"),
-        guarded(score, "score").as("score"))
-      .withColumn("__b", shiftrightunsigned(col("score"), bucketShift))
+    val preBase = df.select(id.as("id"),
+      guarded(nTokens, "nTokens").as("n_tokens"),
+      guarded(score, "score").as("score"))
+    // one 2-value scalar action — also fires the NULL/negative guards
+    // before any shuffle is planned
+    val range = preBase.agg(min(col("score")), max(col("score"))).head()
+    val shift =
+      if (range.isNullAt(0)) bucketShift // empty input: nothing to size
+      else effectiveShift(range.getLong(0), range.getLong(1), bucketShift)
+    val base = preBase
+      .withColumn("__b", shiftrightunsigned(col("score"), shift))
 
     val buckets = base.groupBy(col("__b"))
-      .agg(sum(col("n_tokens")).as("__bt"))
+      .agg(sum(col("n_tokens")).as("__bt"), count(lit(1)).as("__bn"))
+      .withColumn("__bt", when(col("__bn") > maxBucketRows, raise_error(concat(
+        lit("tokenBudgetSelect: one score bucket holds "), col("__bn"),
+        lit(s" rows (> maxBucketRows=$maxBucketRows) even at shift $shift — " +
+          "the within-bucket window would be corpus-sized; re-score with a " +
+          "finer signal or raise maxBucketRows deliberately"))))
+        .otherwise(col("__bt")))
+      .drop("__bn")
     // running token offset of all STRICTLY higher buckets — window
     // over the bucket-cardinality table only
     val offW = Window.orderBy(col("__b").desc)

@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
   * Scale shape: stages 1-2 are zero-shuffle per-row expressions
   * riding the ingest scan; stage 3 is one digest-keyed grouped MIN
   * (map-side combined) joined back on the digest; stage 4 is one
-  * source-keyed count (source-cardinality side) + one equi-join.
+  * source-keyed count whose SOURCE-CARDINALITY stats table joins back
+  * BROADCAST on source — no corpus-sized exchange.
   * The ledger is ONE aggregation over the survival flags — counting
   * never re-scans text. Nothing in the cascade holds corpus-sized
   * driver state.
@@ -69,8 +70,16 @@ object Curation {
     require(p.srcMinDocs >= 1 && p.srcNum >= 0 && p.srcDen >= 1 &&
       p.srcNum <= p.srcDen, s"bad source-rate params $p")
 
+    // a NULL source would silently vanish from the stage-4 source
+    // equi-join, undercounting the ledger's n0 instead of raising —
+    // contrary to the module's raise-on-desync discipline (ADVICE
+    // r13); coalesce to a sentinel upstream if NULL sources are real
+    val guardedSource = when(source.isNull, raise_error(lit(
+      "Curation.survival: document with NULL source — the source-rate " +
+        "stage would silently drop it; coalesce to a sentinel upstream")))
+      .otherwise(source)
     val words = filter(split(lower(trim(text)), "\\s+"), w => w =!= lit(""))
-    val base = df.select(id.as("doc_id"), source.as("source"),
+    val base = df.select(id.as("doc_id"), guardedSource.as("source"),
         md5(text.cast("binary")).as("__dig"),
         size(words).cast("long").as("__nw"),
         aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
@@ -87,12 +96,16 @@ object Curation {
     val withS3 = base.join(canon, Seq("__dig"), "left")
       .withColumn("s3", col("s2") && col("doc_id") === col("__keep_id"))
 
-    // stage 4: source pass-rate over the FULL corpus's stage-2 verdicts
-    val screened = QualityFilter.hostNeighborhoodScreen(
-      base, col("doc_id"), col("source"), col("s2"),
-      minDocs = p.srcMinDocs, num = p.srcNum, den = p.srcDen)
-      .select(col("doc_id"), col("host_docs"), col("host_pass"))
-    withS3.join(screened, "doc_id")
+    // stage 4: source pass-rate over the FULL corpus's stage-2
+    // verdicts. The verdict only depends on SOURCE-level stats, so the
+    // source-cardinality stats table joins back BROADCAST on source —
+    // not the corpus×corpus doc_id join-back of the per-document
+    // screen face (one full exchange deleted from the cascade;
+    // VERDICT r13 item 3)
+    val stats = QualityFilter.hostNeighborhoodStats(
+        base, col("source"), col("s2"))
+      .select(col("host").as("source"), col("host_docs"), col("host_pass"))
+    withS3.join(broadcast(stats), "source")
       .withColumn("s4", col("s3") && (col("host_docs") < p.srcMinDocs ||
         col("host_pass") * p.srcDen >= col("host_docs") * p.srcNum))
       .select(col("doc_id"), col("source"),

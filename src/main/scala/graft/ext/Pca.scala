@@ -85,7 +85,16 @@ object Pca {
       .select(col("i"), col("j"), col("sxx").cast("double"), col("n"))
       .collect()
     require(g.nonEmpty, "empty corpus: no Gram statistics")
-    val n = g.head.getLong(3).toDouble
+    // every Gram cell must have seen every row: ragged inputs (vectors
+    // shorter than dim) give per-cell counts that differ, and the
+    // covariance would silently normalize by whichever row collect()
+    // returned first (ADVICE r13) — fail loudly instead, matching the
+    // i/j < dim guard below
+    val ns = g.map(_.getLong(3)).distinct
+    require(ns.length == 1,
+      s"ragged input: Gram cell counts differ (${ns.sorted.mkString(", ")}) — " +
+        s"every vector must carry exactly dim=$dim entries")
+    val n = ns.head.toDouble
     val sym = Array.fill(dim, dim)(0.0)
     g.foreach { row =>
       val i = row.getInt(0); val j = row.getInt(1)

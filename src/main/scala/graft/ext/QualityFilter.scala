@@ -236,6 +236,20 @@ object QualityFilter {
     * host-cardinality, orders of magnitude below the corpus. Output:
     * (doc_id, host, passes, host_docs, host_pass, kept).
     */
+  /** The host-stats half of [[hostNeighborhoodScreen]] on its own:
+    * (host, host_docs, host_pass) — ONE grouped count, host-cardinality
+    * output. Callers whose verdict only needs host-LEVEL evidence (the
+    * curation cascade: its per-document flags already exist) join THIS
+    * table broadcast on the host key instead of paying the screen's
+    * corpus-sized per-document join-back (VERDICT r13).
+    */
+  def hostNeighborhoodStats(df: DataFrame, host: Column,
+                            passes: Column): DataFrame =
+    df.select(host.as("host"), passes.cast("boolean").as("passes"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"),
+        sum(when(col("passes"), lit(1L)).otherwise(lit(0L))).as("host_pass"))
+
   def hostNeighborhoodScreen(df: DataFrame, id: Column, host: Column,
                              passes: Column, minDocs: Long,
                              num: Int, den: Int): DataFrame = {
@@ -244,9 +258,7 @@ object QualityFilter {
       s"threshold num/den must satisfy 0 <= num <= den, 1 <= den; got $num/$den")
     val base = df.select(id.as("doc_id"), host.as("host"),
       passes.cast("boolean").as("passes"))
-    val stats = base.groupBy(col("host"))
-      .agg(count(lit(1)).as("host_docs"),
-        sum(when(col("passes"), lit(1L)).otherwise(lit(0L))).as("host_pass"))
+    val stats = hostNeighborhoodStats(base, col("host"), col("passes"))
     base.join(stats, "host")
       .select(col("doc_id"), col("host"), col("passes"),
         col("host_docs"), col("host_pass"),

@@ -45,8 +45,14 @@ object ByteBpeUtil {
 
   /** Unicode pre-tokenizer — same shape as [[BpeUtil.PreTokenPattern]]
     * with the ASCII classes widened to Unicode ones (java ∩ RE2).
+    * The whitespace class is spelled out EXPLICITLY instead of `\s`
+    * (ADVICE r13): Java's `\s` is `[ \t\n\x0B\f\r]` while RE2's Perl
+    * `\s` is `[\t\n\f\r ]` — a corpus containing U+000B (vertical
+    * tab) would tokenize it as a punctuation token in DuckDB but as
+    * whitespace in Spark, desyncing q201's token counts. The literal
+    * class below means the same thing in both engines.
     */
-  val PreTokenPattern: String = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+  val PreTokenPattern: String = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]"
 
   /** Placeholder codepoint for byte value `b`: U+0100 + b. */
   def byteChar(b: Int): Char = (0x100 + (b & 0xFF)).toChar

@@ -689,5 +689,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("ScalaUDF"), p)
     assert(!p.contains("Window"), s"no window needed anywhere:\n$p")
+    // VERDICT r13 item 3: the stage-4 verdict depends on SOURCE-level
+    // stats only, so the source-cardinality stats table joins back
+    // BROADCAST — the corpus×corpus doc_id join-back (one full
+    // exchange) is gone from the cascade plan
+    assert(p.contains("BroadcastHashJoin"),
+      s"source stats must broadcast-join back:\n$p")
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"no corpus-sized doc_id exchange in the cascade:\n$p")
   }
 }

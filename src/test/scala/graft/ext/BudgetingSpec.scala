@@ -108,6 +108,53 @@ class BudgetingSpec extends SparkTestBase {
     }
   }
 
+  test("effectiveShift: rescales a too-wide shift down to the score range") {
+    // the VERDICT r13 degenerate case: scores in [0, 255] under
+    // shift 8 collapse to ONE bucket; the sizing contract rescales to
+    // shift 0 (256 buckets)
+    assert(Budgeting.effectiveShift(0L, 255L, 8) == 0)
+    // a genuinely wide range keeps the requested shift
+    assert(Budgeting.effectiveShift(0L, (1L << 20) - 1, 8) == 8)
+    // partial rescale: range 0..2^12-1 at shift 8 gives 16 buckets —
+    // rescale until >= 256 (shift 4 gives exactly 256)
+    assert(Budgeting.effectiveShift(0L, (1L << 12) - 1, 8) == 4)
+    // single score value: shift 0 is the floor (the raise guard in
+    // tokenBudgetSelect owns the hot-bucket case)
+    assert(Budgeting.effectiveShift(42L, 42L, 8) == 0)
+    intercept[IllegalArgumentException] { Budgeting.effectiveShift(5L, 4L, 8) }
+  }
+
+  test("narrow-score fixture: auto-rescaled shift still matches the naive window") {
+    // scores mod 8 under the default shift 8 — the exact q210-shape
+    // collapse; output must equal the naive global window regardless
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", ($"n_chars" % 17L).as("n"),
+        pmod($"n_chars", lit(8L)).as("sc"))
+    val budget = docs.agg(sum($"n")).head.getLong(0) / 3
+    val naive = docs
+      .withColumn("cum", sum($"n").over(
+        Window.orderBy($"sc".desc, $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= budget)
+      .select($"doc_id", $"cum").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fast = Budgeting.tokenBudgetSelect(docs, $"doc_id", $"n", $"sc",
+        budget, bucketShift = 8)
+      .select($"id", $"cum_tokens").orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.toSeq == naive.toSeq)
+  }
+
+  test("hot single-score bucket beyond maxBucketRows raises") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", lit(1L).as("n"), lit(7L).as("sc")) // ONE score value
+    val e = intercept[Exception] {
+      Budgeting.tokenBudgetSelect(docs, $"doc_id", $"n", $"sc",
+        budget = 10L, bucketShift = 8, maxBucketRows = 4L).collect()
+    }
+    assert(e.getMessage.contains("maxBucketRows"))
+  }
+
   test("plan: every window partitions by the bucket key — no empty-key corpus window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"n_chars".as("n"), pmod($"n_chars", lit(256L)).as("sc"))

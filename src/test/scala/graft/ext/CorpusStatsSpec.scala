@@ -102,10 +102,13 @@ class CorpusStatsSpec extends SparkTestBase {
 
   test("ledger desync: re-admitting a ledgered doc raises") {
     val state = CorpusStats.vocabLedger(docs, $"doc_id", $"text")
-    intercept[IllegalArgumentException] {
-      CorpusStats.admitVocab(state, docs.filter($"doc_id" === 2L),
-        $"doc_id", $"text")
-    }
+    // the guard is folded into the docs-merge aggregation (single-job
+    // admission, VERDICT r13 item 8): admit() itself schedules no job,
+    // the raise fires when the merged ledger first computes
+    val merged = CorpusStats.admitVocab(state, docs.filter($"doc_id" === 2L),
+      $"doc_id", $"text")
+    val e = intercept[Exception] { merged.docs.collect() }
+    assert(e.getMessage.contains("re-admits already-ledgered doc id"))
   }
 
   test("guards: empty and duplicate checkpoints raise") {

@@ -123,6 +123,20 @@ class CurationSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("NULL source raises instead of silently vanishing from the ledger") {
+    // ADVICE r13: the stage-4 source equi-join would silently DROP a
+    // null-source document, undercounting n0 with no desync signal —
+    // the guard raises at the first computation over the flags
+    val withNull = fixture.unionByName(
+      Seq((999L, "a clean document with enough words here", null: String))
+        .toDF("doc_id", "text", "source"))
+    val e = intercept[Exception] {
+      Curation.ledger(Curation.survival(withNull, $"doc_id", $"text",
+        $"source", p)).collect()
+    }
+    assert(e.getMessage.contains("NULL source"))
+  }
+
   test("parameter guards raise") {
     intercept[IllegalArgumentException] {
       Curation.survival(fixture, $"doc_id", $"text", $"source",

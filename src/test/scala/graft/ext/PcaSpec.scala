@@ -84,6 +84,19 @@ class PcaSpec extends SparkTestBase {
     info(f"variance captured by top-2/4 on correlated corpus: ${p.varianceCaptured}%.4f")
   }
 
+  test("ragged input raises instead of silently mis-normalizing") {
+    // ADVICE r13: with vectors shorter than dim, per-cell Gram counts
+    // differ and the covariance would normalize by whichever row
+    // collect() returned first — must fail loudly instead
+    val ragged = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Pca.projectionFromCorpus(ragged, $"v", dim = 3, r = 2)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("parameter guards raise") {
     val df = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "v")
     intercept[IllegalArgumentException] {
