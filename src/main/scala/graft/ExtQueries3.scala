@@ -19,13 +19,13 @@ object ExtQueries3 {
   private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
     Tables.table(s, dir, name)
 
-  private val LWG = 1024L           // UnigramLm.LatticeWeightGrid
-  private val MaxLen = 8            // lattice word/piece length cap
+  private[graft] val LWG = 1024L           // UnigramLm.LatticeWeightGrid
+  private[graft] val MaxLen = 8            // lattice word/piece length cap
 
   /** WG^(l−1) as a HUGEINT literal (1024^7 = 2^70 overflows BIGINT,
     * so the powers are emitted as decimal strings).
     */
-  private def powCase(c: String): String =
+  private[graft] def powCase(c: String): String =
     (1 to MaxLen).map(l =>
         s"WHEN $l THEN CAST(${BigInt(LWG).pow(l - 1)} AS HUGEINT)")
       .mkString(s"(CASE $c ", " ", " END)")
@@ -36,12 +36,16 @@ object ExtQueries3 {
     * occurrence counts renormalized onto the 2^10 grid. Mirrors
     * [[UnigramLm.trainLattice]]'s seeding exactly.
     */
-  private def latticeBaseCtes(src: String): String =
-    s"""ltok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-       |         FROM $src),
-       |lwc AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM ltok
-       |        WHERE regexp_matches(w, '^[a-z]{1,$MaxLen}$$') GROUP BY w),
-       |locc AS MATERIALIZED (SELECT w, f, CAST(s AS INT) AS s, CAST(l AS INT) AS l,
+  /** The word-universe-independent half of the lattice oracle: the
+    * capped piece-occurrence table and the seed weights, reading
+    * whatever CTE named `lwc` (w, f HUGEINT) the caller defined —
+    * shared verbatim by the [a-z] face here and the byte-symbol face
+    * ([[ExtQueries4]]), whose `w` is a placeholder-char symbol string
+    * (length/substring are character ops in both engines, and a
+    * symbol is exactly one BMP character).
+    */
+  private[graft] def latticeSeedCtes: String =
+    s"""locc AS MATERIALIZED (SELECT w, f, CAST(s AS INT) AS s, CAST(l AS INT) AS l,
        |                substring(w, CAST(s + 1 AS INT), CAST(l AS INT)) AS p
        |         FROM lwc,
        |         LATERAL (SELECT unnest(generate_series(0, length(w) - 1)) AS s) ss,
@@ -50,6 +54,13 @@ object ExtQueries3 {
        |lcp AS MATERIALIZED (SELECT p, CAST(sum(f) AS HUGEINT) AS c FROM locc GROUP BY p),
        |ltt AS (SELECT CAST(sum(c) AS HUGEINT) AS t FROM lcp),
        |lw0 AS MATERIALIZED (SELECT p, (c * $LWG) // t AS wt FROM lcp, ltt)""".stripMargin
+
+  private def latticeBaseCtes(src: String): String =
+    s"""ltok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |         FROM $src),
+       |lwc AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM ltok
+       |        WHERE regexp_matches(w, '^[a-z]{1,$MaxLen}$$') GROUP BY w),
+       |$latticeSeedCtes""".stripMargin
 
   /** One exact-integer lattice EM iteration in SQL, reading weights
     * from CTE `prevW` and emitting `lw$n`. The forward DP unrolls as
@@ -62,7 +73,7 @@ object ExtQueries3 {
     * occurrence on the 10^6 count grid — mirrors
     * [[UnigramLm.trainLattice]]'s emStepLattice term for term.
     */
-  private def latticeIterBlock(n: Int, prevW: String): String = {
+  private[graft] def latticeIterBlock(n: Int, prevW: String): String = {
     val ow = s"low$n"
     val alpha = (1 to MaxLen).map { e =>
       s"""la${n}_$e AS MATERIALIZED (SELECT * FROM la${n}_${e - 1} UNION ALL
@@ -185,18 +196,18 @@ object ExtQueries3 {
   /** Codepoints `from until from+n` as literal strings (planted
     * multilingual alphabet — Greek, Cyrillic, CJK).
     */
-  private def charList(from: Int, n: Int): IndexedSeq[String] =
+  private[graft] def charList(from: Int, n: Int): IndexedSeq[String] =
     (0 until n).map(i => new String(Character.toChars(from + i)))
 
-  private val greek = charList(0x3B1, 25) // α..
-  private val cyr = charList(0x430, 32)   // а..
-  private val cjk = charList(0x4E00, 33)  // 一..
+  private[graft] val greek = charList(0x3B1, 25) // α..
+  private[graft] val cyr = charList(0x430, 32)   // а..
+  private[graft] val cjk = charList(0x4E00, 33)  // 一..
 
-  private def sqlPick(chars: IndexedSeq[String], mul: Int): String =
+  private[graft] def sqlPick(chars: IndexedSeq[String], mul: Int): String =
     s"[${chars.map(c => s"'$c'").mkString(",")}]" +
       s"[CAST((doc_id * $mul) % ${chars.size} AS INT) + 1]"
 
-  private def sparkPick(chars: IndexedSeq[String], mul: Int) = {
+  private[graft] def sparkPick(chars: IndexedSeq[String], mul: Int) = {
     import org.apache.spark.sql.functions.{array, col, element_at, lit}
     element_at(array(chars.map(lit): _*),
       ((col("doc_id") * mul) % chars.size).cast("int") + 1)
@@ -442,7 +453,7 @@ object ExtQueries3 {
     * for words no positive-weight segmentation covers — mirrors
     * [[UnigramLm.encodeTableLattice]] term for term.
     */
-  private def latticeViterbiCtes: String = {
+  private[graft] def latticeViterbiCtes: String = {
     val steps = (1 to MaxLen).map { e =>
       s"""vb_$e AS MATERIALIZED (SELECT * FROM vb_${e - 1} UNION ALL
          |  SELECT w, CAST($e AS INT) AS i, a, k FROM (

@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def querySets: Seq[CoreQueries.Q] =
-    CoreQueries.all ++ ExtQueries.all ++ ExtQueries2.all ++ ExtQueries3.all
+    CoreQueries.all ++ ExtQueries.all ++ ExtQueries2.all ++ ExtQueries3.all ++
+      ExtQueries4.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -423,6 +423,80 @@ object UnigramLm {
       .toSeq.filter(_._2 > 0L).sortBy(_._1)
   }
 
+  // ---- byte-symbol (multilingual) lattice training -------------------
+  // The lattice trainer above still trains over [a-z]{1,maxWordLen} —
+  // a user training on multilingual text gets codepoint fallback for
+  // every non-Latin word (VERDICT r13 item 1). The byte face lifts the
+  // word universe to ANY whitespace token of ≤ maxWordBytes UTF-8
+  // bytes, any script: each word maps to its byte-symbol string
+  // ([[graft.functions.ByteBpeUtil.mapWord]] — byte b ↦ the printable
+  // placeholder codepoint U+0100+b, the GPT-2 trick), and the ENTIRE
+  // lattice machinery applies unchanged over byte symbols, because a
+  // symbol string is an ordinary String whose length IS the word's
+  // octet count. Learned pieces are byte sequences — they rebuild
+  // multibyte codepoints (and then words) exactly as a SentencePiece
+  // byte-fallback model does, and single-byte symbols give the same
+  // any-input coverage guarantee.
+  //
+  // The HUGEINT bound is UNCHANGED: the DP runs over symbol strings of
+  // length ≤ maxWordBytes, so at maxWordBytes = 8 on the 2^10 grid
+  // every intermediate stays ≤ freq · 8 · WG^8 · CG < 2^127 for word
+  // frequencies up to ~2^23 — the same derivation as the char face,
+  // with codepoint length replaced by octet length. The oracle maps
+  // words to the identical symbol strings via hex(encode(w)) and the
+  // chr(256+byte) table (the q201 recipe) and runs the SAME lattice
+  // CTE chain (gate q213 pins 2 EM iterations on q201's planted
+  // Greek/Cyrillic/CJK fixture; gate q214 pins the serve side's
+  // fertility with n_fallback counting ONLY >maxWordBytes words —
+  // the multilingual tokens all train, fallback ≈ 0 where the char
+  // face fell back on 100% of them).
+
+  /** (word, freq) over the byte-universe: any whitespace token of
+    * 1..maxWordBytes UTF-8 bytes (the one corpus-scale pass — same
+    * tokenize convention as [[wordCounts]], the charset filter
+    * replaced by an octet-length bound).
+    */
+  def wordCountsBytes(df: DataFrame, text: Column, maxWordBytes: Int): DataFrame =
+    df.select(explode(split(lower(trim(text)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0 &&
+        octet_length(col("word")) <= maxWordBytes)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Lattice-DP vocabulary induction over the byte-symbol universe —
+    * the multilingual trainer. Returns (piece, weight) with pieces as
+    * byte-symbol strings (U+0100+b placeholder chars — feed them to
+    * [[graft.functions.ByteBpeUtil.unmapSymbol]] to recover raw
+    * bytes). Same one-corpus-scan shape as [[trainLattice]]; the
+    * word table is mapped to symbols driver-side (it is already
+    * vocabulary-bounded state).
+    */
+  def trainLatticeBytes(df: DataFrame, text: Column, maxWordBytes: Int = 8,
+                        maxPieceLen: Int = 8, iters: Int = 2): Seq[(String, Long)] = {
+    require(maxWordBytes >= 1 && maxWordBytes <= 16,
+      s"maxWordBytes in [1, 16], got $maxWordBytes")
+    require(maxPieceLen >= 1 && maxPieceLen <= maxWordBytes,
+      s"maxPieceLen in [1, maxWordBytes], got $maxPieceLen")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val words = wordCountsBytes(df, text, maxWordBytes).collect()
+      .map(r => (graft.functions.ByteBpeUtil.mapWord(r.getString(0)),
+        r.getLong(1))).toSeq
+    fitLoopLattice(words, maxPieceLen, iters)
+      .toSeq.filter(_._2 > 0L).sortBy(_._1)
+  }
+
+  /** Serve-side table for the byte face: (raw word, n_pieces) — each
+    * word Viterbi-segments through its byte-symbol string under the
+    * trained weights ([[encodeTableLattice]] verbatim over mapped
+    * words; zero-score words fall back to their OCTET count — the
+    * byte-symbol analogue of codepoint fallback). Output feeds
+    * [[encode]] / [[graft.ext.TokenizerEval.fertility]] unchanged.
+    */
+  def encodeTableLatticeBytes(words: Seq[String], weights: Map[String, Long],
+                              maxPieceLen: Int): Seq[(String, Int)] =
+    words.zip(encodeTableLattice(
+        words.map(graft.functions.ByteBpeUtil.mapWord), weights, maxPieceLen))
+      .map { case (raw, (_, k)) => raw -> k }
+
   /** Lattice fit from maintained ledger state — the O(delta) retrain
     * face; maxWordLen comes from the state (gate q200 pins
     * trainLatticeFromLedger(admit(a, b)) ≡ trainLattice(a ∪ b) via
