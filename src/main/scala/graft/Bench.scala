@@ -500,7 +500,15 @@ object Bench {
       // r12/r13 trainers not yet published: lattice prune/admit, the
       // learned OPQ Gram (full embeddings scan), hashed lexical cosine
       "q199_lattice_prune", "q200_lattice_admit", "q202_opq_learned",
-      "q209_hashed_cosine")
+      "q209_hashed_cosine",
+      // r14: the byte-symbol lattice trainer/fertility scan the
+      // doc_id % 3 corpus slice; the composed corpus build chains
+      // corpus-proportional stages end to end (its near-dup leg's
+      // pair output grows with the blowup's copy clusters — the q28
+      // shape — so it lives HERE, not in x100Keep, where ×100² pair
+      // volume would measure output size, not plan quality)
+      "q213_lattice_bytes", "q214_lattice_bytes_fertility",
+      "q215_corpus_build", "q216_corpus_admit")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

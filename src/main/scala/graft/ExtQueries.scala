@@ -667,7 +667,7 @@ object ExtQueries {
   /** SQL text of MinHashLsh.portableHash32 over a column named `h`
     * (md5 hex): 8 nibbles Horner-folded into a BIGINT in [0, 2^32).
     */
-  private def hornerSql: String = {
+  private[graft] def hornerSql: String = {
     def nibSql(j: Int) =
       s"(CASE WHEN ascii(substring(h,$j,1)) <= 57 THEN ascii(substring(h,$j,1))-48 " +
         s"ELSE ascii(substring(h,$j,1))-87 END)"

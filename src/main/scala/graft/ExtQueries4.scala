@@ -173,5 +173,505 @@ object ExtQueries4 {
             |         AS fertility
             |FROM ft GROUP BY script ORDER BY script""".stripMargin))
 
-  val all: Seq[Q] = Seq(q213, q214)
+  // ---- the composed end-to-end corpus build (q215) -------------------
+
+  /** Oracle SQL of the full composed corpus build — every stage's
+    * published mirror (q207 cascade, q45 portable MinHash, q53/q71
+    * closure + split, q210 budget window, q55 pack arithmetic, q158
+    * snake rank, q159 manifest digest) chained over `documents`, with
+    * the WARC leg as IDENTITY: the oracle never sees a WARC byte, so
+    * every downstream hash doubles as the parse-fidelity proof.
+    */
+  private def q215Sql: String = {
+    val horner = ExtQueries.hornerSql
+    val slotVals = (0 until 8).map(i =>
+      s"($i, ${graft.ext.MinHashLsh.portableMul(i)}, " +
+        s"${graft.ext.MinHashLsh.portableAdd(i)})").mkString(", ")
+    val sigCols = (0 until 8)
+      .map(i => s"max(CASE WHEN i=$i THEN m END) AS m$i").mkString(", ")
+    val bandSelects = (0 until 4).map { bd =>
+      val ms = (bd * 2 until bd * 2 + 2)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, md5(concat_ws(',', '$bd', $ms)) AS bk FROM msig"
+    }.mkString(" UNION ALL ")
+    // Sampling.bucket256 over a column named `h` (md5 hex)
+    def nibAt(j: Int) =
+      s"(CASE WHEN ascii(substring(h,$j,1)) <= 57 THEN ascii(substring(h,$j,1))-48 " +
+        s"ELSE ascii(substring(h,$j,1))-87 END)"
+    val bucket2 = s"(${nibAt(1)} * 16 + ${nibAt(2)})"
+    s"""WITH RECURSIVE
+       |d0 AS MATERIALIZED (SELECT doc_id, text, source FROM documents
+       |       UNION ALL
+       |       SELECT doc_id + 910000, text || ' mutated tail token', source
+       |       FROM documents WHERE doc_id < 10
+       |       UNION ALL
+       |       SELECT doc_id + 920000, text || ' chain tail one', source
+       |       FROM documents WHERE doc_id >= 20 AND doc_id < 24
+       |       UNION ALL
+       |       SELECT doc_id + 930000, text || ' chain tail one two', source
+       |       FROM documents WHERE doc_id >= 20 AND doc_id < 24),
+       |cb AS (SELECT doc_id, source, text,
+       |              CAST(len(w) AS BIGINT) AS nw,
+       |              CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+       |                AS BIGINT) AS sumlen
+       |       FROM (SELECT doc_id, source, text,
+       |                    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                                x -> x <> '') AS w
+       |             FROM d0) u),
+       |cf AS MATERIALIZED (SELECT doc_id, source, text, nw,
+       |              (nw >= 5 AND nw <= 100000) AS s1,
+       |              (nw >= 5 AND nw <= 100000 AND
+       |               sumlen * 10 >= nw * 20 AND sumlen * 10 <= nw * 120) AS s2
+       |       FROM cb),
+       |ccn AS (SELECT text, min(doc_id) AS keep_id FROM cf WHERE s2 GROUP BY text),
+       |chs AS (SELECT source, CAST(count(*) AS BIGINT) AS hd,
+       |               CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS hp
+       |        FROM cf GROUP BY source),
+       |cg AS MATERIALIZED (SELECT cf.doc_id, cf.text, cf.nw, cf.s1, cf.s2,
+       |              (cf.s2 AND cf.doc_id = ccn.keep_id) AS s3,
+       |              (cf.s2 AND cf.doc_id = ccn.keep_id AND
+       |               (chs.hd < 3 OR chs.hp * 3 >= chs.hd * 2)) AS s4
+       |       FROM cf LEFT JOIN ccn ON ccn.text = cf.text
+       |              JOIN chs ON chs.source = cf.source),
+       |ca AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n0,
+       |              CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |              CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |              CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |              CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |       FROM cg),
+       |sv AS MATERIALIZED (SELECT doc_id, text, nw AS n,
+       |              CAST(length(text) % 256 AS BIGINT) AS sc
+       |       FROM cg WHERE s4),
+       |mtok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM sv),
+       |mwin AS (SELECT doc_id, t,
+       |                unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+       |         FROM mtok),
+       |msh AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |               CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+       |                    ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+       |        FROM mwin),
+       |mhx AS (SELECT doc_id, s, md5(s) AS h FROM msh),
+       |mhv AS (SELECT doc_id, $horner AS h32 FROM mhx),
+       |slots(i, a, b) AS (VALUES $slotVals),
+       |mmin AS (SELECT doc_id, i, min((h32 * a + b) % 4294967296) AS m
+       |         FROM mhv CROSS JOIN slots GROUP BY doc_id, i),
+       |msig AS MATERIALIZED (SELECT doc_id, $sigCols FROM mmin GROUP BY doc_id),
+       |mband AS ($bandSelects),
+       |mcand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |          FROM mband x JOIN mband y
+       |            ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |msz AS MATERIALIZED (SELECT doc_id, count(*) AS ns FROM msh GROUP BY doc_id),
+       |mint AS (SELECT c.id1, c.id2, count(*) AS iv
+       |         FROM mcand c
+       |         JOIN msh p ON p.doc_id = c.id1
+       |         JOIN msh q ON q.doc_id = c.id2 AND q.s = p.s
+       |         GROUP BY c.id1, c.id2),
+       |prs AS MATERIALIZED (SELECT id1, id2 FROM mint
+       |        JOIN msz za ON za.doc_id = id1
+       |        JOIN msz zb ON zb.doc_id = id2
+       |        WHERE CAST(iv AS DOUBLE) / (za.ns + zb.ns - iv) >= 0.5),
+       |edges AS MATERIALIZED (SELECT id1 AS ea, id2 AS eb FROM prs
+       |          UNION SELECT id2, id1 FROM prs),
+       |reach(id, r) AS (SELECT ea, ea FROM edges
+       |                 UNION
+       |                 SELECT reach.id, e.eb FROM reach JOIN edges e ON reach.r = e.ea),
+       |comp AS MATERIALIZED (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |allc AS (SELECT sv.doc_id, sv.text, sv.n, sv.sc,
+       |                coalesce(comp.component, sv.doc_id) AS component
+       |         FROM sv LEFT JOIN comp ON comp.id = sv.doc_id),
+       |spb AS (SELECT doc_id, text, n, sc, component,
+       |               md5(CAST(component AS VARCHAR) || 'corpus') AS h
+       |        FROM allc),
+       |tr AS MATERIALIZED (SELECT doc_id, text, n, sc FROM spb WHERE $bucket2 < 204),
+       |cn2 AS MATERIALIZED (SELECT doc_id, text, n, sc FROM tr
+       |        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+       |bud AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS budget FROM cn2),
+       |cw AS (SELECT doc_id, text, n, sc,
+       |              sum(n) OVER (ORDER BY sc DESC, doc_id
+       |                           ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM cn2),
+       |sel AS MATERIALIZED (SELECT doc_id, text, n FROM cw, bud WHERE cum <= budget),
+       |pk AS (SELECT doc_id, n,
+       |              md5(CAST(doc_id AS VARCHAR) || 'pack') AS h
+       |       FROM sel),
+       |pkb AS (SELECT doc_id, n, h, $bucket2 AS bucket FROM pk),
+       |pw AS (SELECT doc_id, n,
+       |              sum(n) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |                           ROWS UNBOUNDED PRECEDING) AS c2
+       |       FROM pkb),
+       |pb AS (SELECT doc_id, (c2 - n) // 512 AS bin_id FROM pw),
+       |rk AS (SELECT doc_id, n,
+       |              row_number() OVER (ORDER BY n DESC, doc_id) AS rnk
+       |       FROM sel),
+       |shd AS (SELECT doc_id, n,
+       |               CASE WHEN CAST(floor((rnk-1) / 7.0) AS BIGINT) % 2 = 0
+       |                    THEN (rnk-1) % 7 ELSE 6 - ((rnk-1) % 7) END AS shard
+       |        FROM rk),
+       |mc AS (SELECT shd.shard, shd.n,
+       |              md5(md5(sel.text) || ':' || CAST(pb.bin_id AS VARCHAR)) AS h
+       |       FROM shd JOIN pb USING (doc_id)
+       |                JOIN sel ON sel.doc_id = shd.doc_id),
+       |hv2 AS (SELECT shard, n, $horner AS hval FROM mc),
+       |mf AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       |              CAST(sum(n) AS BIGINT) AS total_weight,
+       |              CAST(sum(hval) AS BIGINT) AS digest
+       |       FROM hv2 GROUP BY shard),
+       |c0 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM d0),
+       |c6 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS v FROM tr),
+       |c7 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS v FROM cn2),
+       |c8 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM sel)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS ord, 'warc_parse' AS step,
+       |         c0.v AS n_in, c0.v AS n_kept,
+       |         CAST(0 AS BIGINT) AS weight, CAST(0 AS BIGINT) AS digest
+       |  FROM c0
+       |  UNION ALL SELECT 2, 'word_bounds', n0, n1, 0, 0 FROM ca
+       |  UNION ALL SELECT 3, 'word_len', n1, n2, 0, 0 FROM ca
+       |  UNION ALL SELECT 4, 'exact_dedup', n2, n3, 0, 0 FROM ca
+       |  UNION ALL SELECT 5, 'source_rate', n3, n4, 0, 0 FROM ca
+       |  UNION ALL SELECT 6, 'split_train', ca.n4, c6.v, 0, 0 FROM ca, c6
+       |  UNION ALL SELECT 7, 'near_dup', c6.v, c7.v, 0, 0 FROM c6, c7
+       |  UNION ALL SELECT 8, 'budget', c7.v, c8.v, 0, 0 FROM c7, c8
+       |  UNION ALL SELECT 100 + shard, 'shard', n_rows, n_rows,
+       |                   total_weight, digest FROM mf)
+       |ORDER BY ord""".stripMargin
+  }
+
+  /** The composed END-TO-END corpus build (VERDICT r13 item 2): WARC
+    * serialize→gzip→parse → curation cascade → portable-MinHash
+    * near-dup pairs → leakage-safe component split → canonical keep
+    * within train → token-budget selection → 512-token packing →
+    * snake shards → per-shard manifest — every stage the REAL module
+    * chained on the previous stage's output, with the full multi-stage
+    * attrition ledger and the final shard manifest (rows, exact token
+    * weight, order-invariant content digest) hash-matched in ONE
+    * oracle gate. This is the artifact a data lead signs off on, and
+    * the gate that catches stage-INTERFACE drift no per-operator gate
+    * can: the oracle chains each stage's published SQL mirror over
+    * raw `documents` while Spark chains the operators over the PARSED
+    * WARC payload, so a single corrupted byte anywhere in
+    * build→compress→parse flips the dedup digests, the token counts,
+    * and the manifest digest.
+    *
+    * Planted rows make every stage's work visible at every SF: mutated
+    * replays of docs < 10 (near-dup pairs that survive the cascade's
+    * exact dedup) and a two-replay chain on docs 20-23 (≥3-member
+    * components, so closure and the component split are load-bearing).
+    *
+    * Scale shape (the 100 TB audit, stage by stage): the WARC parse is
+    * the only pass that touches payload bytes; every derived column
+    * (digest, token count, score) is computed on that scan. ONE
+    * text-bearing exchange follows (survivor ids joined back to
+    * payloads — the price of global dedup); signatures are map-side
+    * combined aggregates; candidates come from band buckets, never
+    * all-pairs; CC runs O(log n) rounds over pair edges only; split/
+    * budget/pack/shard are bucket-local windows with broadcast
+    * offsets; and the manifest is a map-side combined sum of 64-bit
+    * per-row hashes, so shard content never shuffles.
+    */
+  val q215 = Q(
+    "q215_corpus_build",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ext.{Budgeting, Curation, DedupClusters, MinHashLsh,
+        Packing, Sharding, Warc}
+      val base = t(s, dir, "documents").select($"doc_id", $"text", $"source")
+      val rep = base.filter($"doc_id" < 10)
+        .select(($"doc_id" + 910000L).as("doc_id"),
+          concat($"text", lit(" mutated tail token")).as("text"), $"source")
+      val ch1 = base.filter($"doc_id" >= 20 && $"doc_id" < 24)
+        .select(($"doc_id" + 920000L).as("doc_id"),
+          concat($"text", lit(" chain tail one")).as("text"), $"source")
+      val ch2 = base.filter($"doc_id" >= 20 && $"doc_id" < 24)
+        .select(($"doc_id" + 930000L).as("doc_id"),
+          concat($"text", lit(" chain tail one two")).as("text"), $"source")
+      val docs = base.unionAll(rep).unionAll(ch1).unionAll(ch2)
+
+      // stage 1 — WARC round-trip: the ingest face (q112's machinery)
+      val rec = Warc.recordBytes(
+        concat(lit("urn:graft:doc:"), $"doc_id"),
+        concat(lit("https://"), $"source", lit(".example/"), $"doc_id"),
+        $"text")
+      val gz = Warc.gzipRecords(docs, pmod($"doc_id", lit(8)), $"doc_id", rec)
+      val blobs = Warc.buildBlobs(gz, col("blob_id"), col("ord"), col("rec"))
+      val parsed = Warc.parseRecords(blobs, col("blob_id"), col("blob"),
+          gzipped = true)
+        .select(
+          regexp_extract($"record_id", "doc:(\\d+)", 1).cast("long")
+            .as("doc_id"),
+          regexp_extract($"target_uri", "https://(.+)\\.example/", 1)
+            .as("source"),
+          $"payload".cast("string").as("text"))
+        .localCheckpoint(false)
+
+      // stages 2-5 — the curation cascade (q207's params)
+      val p = Curation.CascadeParams(minWords = 5L, maxWords = 100000L,
+        minLenTenths = 20L, maxLenTenths = 120L,
+        srcMinDocs = 3L, srcNum = 2, srcDen = 3)
+      val surv = Curation.survival(parsed, $"doc_id", $"text", $"source", p)
+      val casLedger = Curation.ledger(surv)
+      val kept = parsed
+        .join(surv.filter($"s4").select($"doc_id"), "doc_id")
+        .select($"doc_id", $"text",
+          md5($"text".cast("binary")).as("dg"),
+          size(filter(split(lower(trim($"text")), "\\s+"),
+            w => w =!= lit(""))).cast("long").as("n"),
+          pmod(length($"text"), lit(256)).cast("long").as("sc"))
+        .localCheckpoint(false)
+
+      // stage 6 — near-dup pairs + leakage-safe component split
+      val pairs = MinHashLsh.nearDupPairsPortable(kept, $"doc_id", $"text",
+          n = 3, k = 8, bands = 4, threshold = 0.5)
+        .select($"id1", $"id2").localCheckpoint(false)
+      val sp = DedupClusters.leakageSafeSplit(kept, "doc_id", pairs,
+        Seq("train" -> 204, "val" -> 26, "test" -> 26), salt = "corpus")
+      val train = sp.filter($"split" === "train").localCheckpoint(false)
+
+      // stage 7 — canonical keep within train (min-id per component)
+      val canon = DedupClusters.keepCanonical(train, "doc_id", pairs)
+        .localCheckpoint(false)
+
+      // stage 8 — token-budget selection: half the surviving tokens
+      val budget = canon.agg(sum($"n")).head.getLong(0) / 2
+      val sel = Budgeting.tokenBudgetSelect(canon, $"doc_id", $"n", $"sc",
+          budget, bucketShift = 4)
+        .localCheckpoint(false)
+
+      // packing (512-token bins) + snake shards + manifest; the shard
+      // digest folds the pack's bin_id into the per-row content hash,
+      // so packing is load-bearing in the final artifact
+      val packed = Packing.packByBudget(sel, $"id", $"n_tokens",
+        budget = 512L, salt = "pack")
+      val shardIn = sel.select($"id".as("doc_id"), $"n_tokens")
+        .join(packed.select($"doc_id", $"bin_id"), "doc_id")
+        .join(canon.select($"doc_id", $"dg"), "doc_id")
+      val sharded = Sharding.snakeShards(shardIn, $"doc_id", $"n_tokens",
+        nShards = 7)
+      val mfRows = Sharding.manifest(sharded, $"shard",
+          concat($"dg", lit(":"), $"bin_id".cast("string")), $"w")
+        .select((lit(100L) + $"group").as("ord"), lit("shard").as("step"),
+          $"n_rows".as("n_in"), $"n_rows".as("n_kept"),
+          $"total_weight".cast("long").as("weight"),
+          $"digest".cast("long").as("digest"))
+
+      // the multi-stage attrition ledger
+      val scal = docs.agg(count(lit(1)).as("c0"))
+        .crossJoin(parsed.agg(count(lit(1)).as("cp")))
+        .crossJoin(kept.agg(count(lit(1)).as("c4")))
+        .crossJoin(train.agg(count(lit(1)).as("c6")))
+        .crossJoin(canon.agg(count(lit(1)).as("c7")))
+        .crossJoin(sel.agg(count(lit(1)).as("c8")))
+      val scalRows = scal.select(explode(array(
+          struct(lit(1L).as("ord"), lit("warc_parse").as("step"),
+            $"c0".as("n_in"), $"cp".as("n_kept")),
+          struct(lit(6L).as("ord"), lit("split_train").as("step"),
+            $"c4".as("n_in"), $"c6".as("n_kept")),
+          struct(lit(7L).as("ord"), lit("near_dup").as("step"),
+            $"c6".as("n_in"), $"c7".as("n_kept")),
+          struct(lit(8L).as("ord"), lit("budget").as("step"),
+            $"c7".as("n_in"), $"c8".as("n_kept")))).as("r"))
+        .select($"r.ord", $"r.step", $"r.n_in", $"r.n_kept")
+      val stageRows = scalRows
+        .unionByName(casLedger.select(($"stage_id" + 1L).as("ord"),
+          $"stage".as("step"), $"n_in", $"n_kept"))
+        .withColumn("weight", lit(0L))
+        .withColumn("digest", lit(0L))
+      stageRows.unionByName(mfRows).orderBy($"ord")
+    },
+    Some(q215Sql))
+
+  // ---- the incremental corpus ADMISSION chain (q216) -----------------
+
+  /** Oracle SQL of the composed daily-ingest admission: quality bounds
+    * → exact dedup (batch-internal keep-first + anti vs the corpus,
+    * text-keyed where Spark keys sha-256 — the q20 pin) → near-dup
+    * probe against the corpus's portable MinHash signatures (the q66
+    * mirror: slot-agreement ≥ 4/8) → and the UPDATED manifest computed
+    * from scratch over corpus ∪ admitted, so the gate pins
+    * `admitManifest(manifest(corpus), admitted) ≡ manifest(corpus ∪
+    * admitted)` composed with every upstream stage.
+    */
+  private def q216Sql: String = {
+    val horner = ExtQueries.hornerSql
+    val slotVals = (0 until 8).map(i =>
+      s"($i, ${graft.ext.MinHashLsh.portableMul(i)}, " +
+        s"${graft.ext.MinHashLsh.portableAdd(i)})").mkString(", ")
+    val sigCols = (0 until 8)
+      .map(i => s"max(CASE WHEN i=$i THEN m END) AS m$i").mkString(", ")
+    val bandSelects = (0 until 4).map { bd =>
+      val ms = (bd * 2 until bd * 2 + 2)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+      s"SELECT side, doc_id, md5(concat_ws(',', '$bd', $ms)) AS bk FROM msig"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until 8)
+      .map(i => s"(CASE WHEN ns.m$i = cs.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH
+       |crp AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |       WHERE doc_id % 3 <> 0),
+       |bt AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 940000, text FROM crp WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id + 950000, text || ' mutated tail token'
+       |  FROM crp WHERE doc_id >= 10 AND doc_id < 20),
+       |qb AS MATERIALIZED (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                           x -> x <> '')) AS nw
+       |    FROM bt) u
+       |  WHERE nw >= 5 AND nw <= 100000),
+       |ex AS MATERIALIZED (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM qb) v
+       |  WHERE rn = 1 AND text NOT IN (SELECT text FROM crp)),
+       |md AS (SELECT 'c' AS side, doc_id, text FROM crp
+       |       UNION ALL SELECT 'n', doc_id, text FROM ex),
+       |mtok AS (SELECT side, doc_id,
+       |                string_split_regex(trim(text), '\\s+') AS t FROM md),
+       |mwin AS (SELECT side, doc_id, t,
+       |                unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+       |         FROM mtok),
+       |msh AS (SELECT DISTINCT side, doc_id,
+       |               CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+       |                    ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+       |        FROM mwin),
+       |mhv AS (SELECT side, doc_id, $horner AS h32
+       |        FROM (SELECT side, doc_id, md5(s) AS h FROM msh) hx),
+       |slots(i, a, b) AS (VALUES $slotVals),
+       |mmin AS (SELECT side, doc_id, i, min((h32 * a + b) % 4294967296) AS m
+       |         FROM mhv CROSS JOIN slots GROUP BY side, doc_id, i),
+       |msig AS MATERIALIZED (SELECT side, doc_id, $sigCols FROM mmin
+       |        GROUP BY side, doc_id),
+       |mband AS MATERIALIZED ($bandSelects),
+       |mcand AS (SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+       |          FROM mband nb JOIN mband cb
+       |            ON nb.bk = cb.bk AND nb.side = 'n' AND cb.side = 'c'),
+       |hit AS MATERIALIZED (
+       |  SELECT DISTINCT mcand.new_id
+       |  FROM mcand
+       |  JOIN msig ns ON ns.side = 'n' AND ns.doc_id = mcand.new_id
+       |  JOIN msig cs ON cs.side = 'c' AND cs.doc_id = mcand.corpus_id
+       |  WHERE CAST($agree AS DOUBLE) / 8 >= 0.5),
+       |ad AS MATERIALIZED (SELECT doc_id, text FROM ex
+       |      WHERE doc_id NOT IN (SELECT new_id FROM hit)),
+       |mu AS (SELECT doc_id, text FROM crp
+       |       UNION ALL SELECT doc_id, text FROM ad),
+       |hv2 AS (SELECT doc_id % 7 AS shard,
+       |               CAST(length(text) AS BIGINT) AS w, $horner AS hval
+       |        FROM (SELECT doc_id, text, md5(text) AS h FROM mu) z),
+       |mf AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       |              CAST(sum(w) AS BIGINT) AS total_weight,
+       |              CAST(sum(hval) AS BIGINT) AS digest
+       |       FROM hv2 GROUP BY shard),
+       |cb2 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM bt),
+       |cq AS (SELECT CAST(count(*) AS BIGINT) AS v FROM qb),
+       |cx AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ex),
+       |cd AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ad)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS ord, 'quality' AS step,
+       |         cb2.v AS n_in, cq.v AS n_kept,
+       |         CAST(0 AS BIGINT) AS weight, CAST(0 AS BIGINT) AS digest
+       |  FROM cb2, cq
+       |  UNION ALL SELECT 2, 'exact_dedup', cq.v, cx.v, 0, 0 FROM cq, cx
+       |  UNION ALL SELECT 3, 'near_dup', cx.v, cd.v, 0, 0 FROM cx, cd
+       |  UNION ALL SELECT 100 + shard, 'shard', n_rows, n_rows,
+       |                   total_weight, digest FROM mf)
+       |ORDER BY ord""".stripMargin
+  }
+
+  /** The composed incremental ADMISSION chain — q215's daily-ingest
+    * twin: yesterday's corpus exists as STATE (digest ledger, portable
+    * MinHash signature table, per-shard manifest) and today's batch
+    * flows quality bounds → exact dedup (batch-internal keep-first +
+    * anti vs the stored digests) → near-dup probe against the STORED
+    * signatures ([[graft.ext.MinHashLsh.incrementalNearDup]] — the
+    * corpus is never re-shingled) → manifest admission
+    * ([[graft.ext.Sharding.admitManifest]] — pure addition against
+    * the group-cardinality stored manifest). Planted exact replays
+    * (corpus docs < 10) and mutated replays (docs 10-19) make both
+    * rejection branches load-bearing at every SF; the oracle computes
+    * the updated manifest from scratch over corpus ∪ admitted, so the
+    * gate pins admit ≡ rebuild COMPOSED with every upstream stage —
+    * the interface-drift check for the whole incremental path.
+    *
+    * Scale shape: the batch is scanned once; the corpus contributes
+    * only its STATE (32-byte digests, k-long signatures, 7 manifest
+    * rows). Digest anti-join shuffles digests, never text; band keys
+    * derive from signatures alone; the manifest fold is a tiny
+    * full-outer join on shard. Nothing here re-reads corpus text at
+    * admission time — the property that makes daily ingest at 100 TB
+    * a batch-sized job, not a corpus-sized one. (The gate builds the
+    * "stored" state inline because a gate is self-contained; the
+    * state round-trips through parquet in NearDupSpec/ShardingSpec.)
+    */
+  val q216 = Q(
+    "q216_corpus_admit",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ext.{ExactDedup, MinHashLsh, Sharding, TextAnalysis}
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val corpus = docs.filter($"doc_id" % 3 =!= 0)
+      val batch = docs.filter($"doc_id" % 3 === 0)
+        .unionAll(corpus.filter($"doc_id" < 10)
+          .select(($"doc_id" + 940000L).as("doc_id"), $"text"))
+        .unionAll(corpus.filter($"doc_id" >= 10 && $"doc_id" < 20)
+          .select(($"doc_id" + 950000L).as("doc_id"),
+            concat($"text", lit(" mutated tail token")).as("text")))
+
+      // stage 1 — per-row quality bounds (the cascade's word_bounds)
+      val nw = size(filter(split(lower(trim($"text")), "\\s+"),
+        w => w =!= lit(""))).cast("long")
+      val qual = batch.filter(nw >= 5L && nw <= 100000L)
+        .localCheckpoint(false)
+
+      // stage 2 — exact dedup vs the stored digest ledger
+      val exact = ExactDedup.incremental(qual, corpus, $"text", "doc_id")
+        .localCheckpoint(false)
+
+      // stage 3 — near-dup probe against stored signatures
+      val sigs = MinHashLsh.portableSignatures(corpus, $"doc_id", $"text",
+        n = 3, k = 8)
+      val hits = MinHashLsh.incrementalNearDup(exact, $"doc_id", $"text",
+        sigs, n = 3, k = 8, bands = 4, threshold = 0.5)
+      val admitted = exact.join(hits.select($"new_id".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+
+      // manifest admission: stored manifest + the admitted batch
+      val w = TextAnalysis.charCount($"text")
+      val stored = Sharding.manifest(
+        corpus.withColumn("shard", $"doc_id" % 7L), $"shard", $"text", w)
+      val updated = Sharding.admitManifest(stored,
+          admitted.withColumn("shard", $"doc_id" % 7L), $"shard", $"text", w)
+        .select((lit(100L) + $"group").as("ord"), lit("shard").as("step"),
+          $"n_rows".as("n_in"), $"n_rows".as("n_kept"),
+          $"total_weight".cast("long").as("weight"),
+          $"digest".cast("long").as("digest"))
+
+      val scal = batch.agg(count(lit(1)).as("cb"))
+        .crossJoin(qual.agg(count(lit(1)).as("cq")))
+        .crossJoin(exact.agg(count(lit(1)).as("cx")))
+        .crossJoin(admitted.agg(count(lit(1)).as("cd")))
+      val stageRows = scal.select(explode(array(
+          struct(lit(1L).as("ord"), lit("quality").as("step"),
+            $"cb".as("n_in"), $"cq".as("n_kept")),
+          struct(lit(2L).as("ord"), lit("exact_dedup").as("step"),
+            $"cq".as("n_in"), $"cx".as("n_kept")),
+          struct(lit(3L).as("ord"), lit("near_dup").as("step"),
+            $"cx".as("n_in"), $"cd".as("n_kept")))).as("r"))
+        .select($"r.ord", $"r.step", $"r.n_in", $"r.n_kept")
+        .withColumn("weight", lit(0L))
+        .withColumn("digest", lit(0L))
+      stageRows.unionByName(updated).orderBy($"ord")
+    },
+    Some(q216Sql))
+
+  val all: Seq[Q] = Seq(q213, q214, q215, q216)
 }

@@ -184,4 +184,100 @@ class MultimodalContainerSpec extends SparkTestBase {
     assert(out(4L) == Multimodal.ContainerMeta(4L, valid = false, "unknown",
       0L, 0, 0, 0, 0, 0L))
   }
+
+  test("mp4SampleStats: exact codec/samples/bytes/chunks/duration/bitrate from the stbl walk") {
+    // track 1: avc1 @ 90 kHz, 300 uniform 5000-byte samples over one
+    // (300, 3000) stts run → 900000/90000 = 10 s; 1.5 MB → 1.2 Mbps
+    // track 2: mp4a @ 44.1 kHz, per-sample size table 100+200+300+400,
+    // one (4, 1024) run → 4096/44100 = 92 ms; 1000 B → 86956 bps
+    val mp4 = Multimodal.encodeMp4Sampled(1000, 10000, Seq(
+      ("avc1", 90000, Seq.fill(300)(5000L), Seq((300L, 3000L)), 10),
+      ("mp4a", 44100, Seq(100L, 200L, 300L, 400L), Seq((4L, 1024L)), 2)))
+    assert(Multimodal.mp4SampleStats(9L, mp4) == Seq(
+      Multimodal.SampleStats(9L, 1L, "avc1", 90000L, 300L, 1500000L, 10L,
+        10000L, 1200000L),
+      Multimodal.SampleStats(9L, 2L, "mp4a", 44100L, 4L, 1000L, 2L,
+        92L, 86956L)))
+
+    // multi-run stts + forced size table with equal sizes: 10·100 +
+    // 5·200 = 2000 units @ ts 1000 → 2000 ms; 15 × 100 B = 1500 B
+    val multi = Multimodal.encodeMp4Sampled(1000, 2000, Seq(
+      ("hvc1", 1000, Seq.fill(15)(100L), Seq((10L, 100L), (5L, 200L)), 3)),
+      forceSizeTable = true)
+    assert(Multimodal.mp4SampleStats(10L, multi) == Seq(
+      Multimodal.SampleStats(10L, 1L, "hvc1", 1000L, 15L, 1500L, 3L,
+        2000L, 6000L)))
+
+    // a DESYNCED sample table (stsz says 3 samples, stts says 4) is
+    // malformed: no row, never a bogus one
+    val desync = Multimodal.encodeMp4Sampled(1000, 40, Seq(
+      ("avc1", 1000, Seq(100L, 100L, 100L), Seq((4L, 10L)), 1)))
+    assert(Multimodal.mp4SampleStats(11L, desync).isEmpty)
+    // and plain metadata-only mp4s (no stbl) yield no row either
+    assert(Multimodal.mp4SampleStats(12L,
+      Multimodal.encodeMp4(600, 600, nTracks = 2)).isEmpty)
+
+    // the dataset face: route H.264/HEVC files by codec + bitrate with
+    // payloads never decoded — the curation step the JDK-codec gap
+    // cannot block
+    val rows = Seq(
+      Multimodal.MediaRow(9L, "video", mp4),
+      Multimodal.MediaRow(10L, "video", multi))
+    val table = Multimodal.sampleStatsTable(rows.toDS())
+    import org.apache.spark.sql.functions.col
+    val lowRate = table.filter(col("codec").isin("avc1", "hvc1") &&
+        col("bitrate_bps") < 1000000)
+      .select("media_id", "track_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lowRate == Seq((10L, 1L)))
+  }
+
+  test("mp3Metadata: exact frame walk — CBR, VBR detection, MPEG2, ID3 skip, truncation") {
+    // 10 MPEG1 Layer III frames @ 128 kbps, 44.1 kHz stereo:
+    // frameLen = 144·128000/44100 = 417 B; 11520 samples = 261 ms;
+    // 4170 B → 4170·8000/261 = 127816 bps
+    val cbr = Multimodal.encodeMp3(Seq.fill(10)((9, 0, true, false)))
+    assert(Multimodal.mp3Metadata(21L, cbr) == Multimodal.Mp3Meta(21L,
+      valid = true, 10L, 261L, 44100, 2, 11520L, 127816L, vbr = false))
+
+    // alternating 128/224 kbps frames → VBR flagged
+    val vbr = Multimodal.encodeMp3(
+      (0 until 6).map(i => (if (i % 2 == 0) 9 else 12, 0, true, false)))
+    val mv = Multimodal.mp3Metadata(22L, vbr)
+    assert(mv.valid && mv.vbr && mv.n_frames == 6L)
+
+    // MPEG2 Layer III mono @ 40 kbps, 24 kHz: frameLen = 72·40000/24000
+    // = 120 B, 576 samples = 24 ms per frame → exactly 40000 bps
+    val m2 = Multimodal.mp3Metadata(23L,
+      Multimodal.encodeMp3(Seq.fill(5)((5, 1, false, true))))
+    assert(m2 == Multimodal.Mp3Meta(23L, valid = true, 5L, 120L, 24000, 1,
+      2880L, 40000L, vbr = false))
+
+    // an ID3v2 prefix is skipped by its syncsafe size — stats unchanged
+    val tagged = Multimodal.encodeMp3(Seq.fill(10)((9, 0, true, false)),
+      id3Bytes = 300)
+    val mt = Multimodal.mp3Metadata(24L, tagged)
+    assert(mt.n_frames == 10L && mt.duration_ms == 261L && mt.valid)
+
+    // a truncated final frame ends the walk cleanly: 9 complete frames
+    val cut = Multimodal.mp3Metadata(25L, cbr.take(cbr.length - 10))
+    assert(cut.valid && cut.n_frames == 9L)
+
+    // garbage and other formats never misroute: GRFT, PNG, empty
+    assert(!Multimodal.mp3Metadata(26L, Array[Byte](9, 9, 9)).valid)
+    assert(!Multimodal.isMp3(Multimodal.encode(8, 8, 2, Array[Byte](1))))
+    assert(!Multimodal.isMp3(Multimodal.encodePng(4, 4)((_, _) => 0xffffff)))
+
+    // dispatch: containerMetadata routes the mp3 beside wav/mp4 rows
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(27L, "audio", cbr),
+      Multimodal.MediaRow(28L, "audio", Multimodal.encodeWav(8000, 1, 16,
+        new Array[Byte](16000)))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.containerMetadata(ds).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(27L) == Multimodal.ContainerMeta(27L, valid = true, "mp3",
+      261L, 1, 44100, 2, 0, 11520L))
+    assert(out(28L).container == "wav" && out(28L).valid)
+  }
 }
