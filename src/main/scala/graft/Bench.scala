@@ -508,7 +508,9 @@ object Bench {
       // shape — so it lives HERE, not in x100Keep, where ×100² pair
       // volume would measure output size, not plan quality)
       "q213_lattice_bytes", "q214_lattice_bytes_fertility",
-      "q215_corpus_build", "q216_corpus_admit")
+      "q215_corpus_build", "q216_corpus_admit",
+      // probe-slice × full-corpus cosine mining — the q70 class
+      "q217_bitext_margin")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

@@ -176,7 +176,8 @@ object ExtQueries4 {
   // ---- the composed end-to-end corpus build (q215) -------------------
 
   /** Oracle SQL of the full composed corpus build — every stage's
-    * published mirror (q207 cascade, q45 portable MinHash, q53/q71
+    * published mirror (q207 cascade, q45's signature build + q66's
+    * slot-agreement pair rule, q53/q71
     * closure + split, q210 budget window, q55 pack arithmetic, q158
     * snake rank, q159 manifest digest) chained over `documents`, with
     * the WARC leg as IDENTITY: the oracle never sees a WARC byte, so
@@ -260,16 +261,12 @@ object ExtQueries4 {
        |mcand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
        |          FROM mband x JOIN mband y
        |            ON x.bk = y.bk AND x.doc_id < y.doc_id),
-       |msz AS MATERIALIZED (SELECT doc_id, count(*) AS ns FROM msh GROUP BY doc_id),
-       |mint AS (SELECT c.id1, c.id2, count(*) AS iv
-       |         FROM mcand c
-       |         JOIN msh p ON p.doc_id = c.id1
-       |         JOIN msh q ON q.doc_id = c.id2 AND q.s = p.s
-       |         GROUP BY c.id1, c.id2),
-       |prs AS MATERIALIZED (SELECT id1, id2 FROM mint
-       |        JOIN msz za ON za.doc_id = id1
-       |        JOIN msz zb ON zb.doc_id = id2
-       |        WHERE CAST(iv AS DOUBLE) / (za.ns + zb.ns - iv) >= 0.5),
+       |prs AS MATERIALIZED (SELECT id1, id2 FROM mcand
+       |        JOIN msig za ON za.doc_id = mcand.id1
+       |        JOIN msig zb ON zb.doc_id = mcand.id2
+       |        WHERE ${(0 until 8).map(i =>
+                  s"(CASE WHEN za.m$i = zb.m$i THEN 1 ELSE 0 END)")
+                  .mkString(" + ")} >= 4),
        |edges AS MATERIALIZED (SELECT id1 AS ea, id2 AS eb FROM prs
        |          UNION SELECT id2, id1 FROM prs),
        |reach(id, r) AS (SELECT ea, ea FROM edges
@@ -410,26 +407,46 @@ object ExtQueries4 {
         minLenTenths = 20L, maxLenTenths = 120L,
         srcMinDocs = 3L, srcNum = 2, srcDen = 3)
       val surv = Curation.survival(parsed, $"doc_id", $"text", $"source", p)
+        .localCheckpoint(false)
       val casLedger = Curation.ledger(surv)
-      val kept = parsed
+      // survivors with text (NOT checkpointed — only the near-dup
+      // shingler reads text past this point; everything downstream is
+      // the slim derived frame, so checkpoint storage stays metadata-
+      // sized no matter the corpus)
+      val keptFull = parsed
         .join(surv.filter($"s4").select($"doc_id"), "doc_id")
-        .select($"doc_id", $"text",
+        .select($"doc_id", $"text")
+
+      // stage 6 — near-dup pairs + leakage-safe component split; the
+      // iterative CC runs ONCE and both consumers (split, canonical)
+      // reuse the labels; its internal persisted blocks are released
+      // as soon as the labels are pinned. Pairs come from the SLOT-
+      // AGREEMENT estimate over the signature table (the q66
+      // incremental discipline — text never re-shingles past the
+      // signature build; the exact-rerank face stays pinned by q45)
+      val sigs = MinHashLsh.portableSignatures(keptFull, $"doc_id", $"text",
+          n = 3, k = 8)
+        .localCheckpoint(false) // slim (id + k longs); read by 3 branches
+      val pairs = MinHashLsh.selfNearDupEstimate(sigs, k = 8, bands = 4,
+          threshold = 0.5)
+        .select($"id1", $"id2").localCheckpoint(false)
+      val kept = keptFull
+        .select($"doc_id",
           md5($"text".cast("binary")).as("dg"),
           size(filter(split(lower(trim($"text")), "\\s+"),
             w => w =!= lit(""))).cast("long").as("n"),
           pmod(length($"text"), lit(256)).cast("long").as("sc"))
         .localCheckpoint(false)
-
-      // stage 6 — near-dup pairs + leakage-safe component split
-      val pairs = MinHashLsh.nearDupPairsPortable(kept, $"doc_id", $"text",
-          n = 3, k = 8, bands = 4, threshold = 0.5)
-        .select($"id1", $"id2").localCheckpoint(false)
-      val sp = DedupClusters.leakageSafeSplit(kept, "doc_id", pairs,
-        Seq("train" -> 204, "val" -> 26, "test" -> 26), salt = "corpus")
+      val (comp0, release) = DedupClusters.connectedComponentsReleasable(pairs)
+      val comp = comp0.localCheckpoint(true)
+      release()
+      val sp = DedupClusters.leakageSafeSplitFromComponents(kept, "doc_id",
+        comp, Seq("train" -> 204, "val" -> 26, "test" -> 26), salt = "corpus")
       val train = sp.filter($"split" === "train").localCheckpoint(false)
 
       // stage 7 — canonical keep within train (min-id per component)
-      val canon = DedupClusters.keepCanonical(train, "doc_id", pairs)
+      val canon = DedupClusters.keepCanonicalFromComponents(train, "doc_id",
+          comp)
         .localCheckpoint(false)
 
       // stage 8 — token-budget selection: half the surviving tokens
@@ -673,5 +690,82 @@ object ExtQueries4 {
     },
     Some(q216Sql))
 
-  val all: Seq[Q] = Seq(q213, q214, q215, q216)
+  // ---- margin-based bitext mining (q217) -----------------------------
+
+  /** Cross-lingual parallel-pair mining
+    * ([[graft.ext.EmbeddingSearch.mineBitext]] — Artetxe & Schwenk
+    * 2019 ratio margin): the even-id vectors play language A (every
+    * 10th is a mining probe), the odd-id vectors language B, and each
+    * probe additionally gets a PLANTED translation (its own vector
+    * with component 0 zeroed — the q70 mutation both engines perform
+    * exactly, cos ≈ 0.99) on the B side. Mined pairs must be MUTUAL
+    * best with margin = cos/((avgK(src)+avgK(tgt))/2) ≥ 1.05 — the
+    * hub normalization raw cosine lacks. The oracle replays the full
+    * criterion: q25's fold-ordered cosine, rank windows both
+    * directions, top-k means through DECIMAL(38,6)·10⁶ (the q111
+    * float discipline), two IEEE divisions, the mutual-best join —
+    * ids, cosines, AND margins hash-matched.
+    */
+  val q217 = Q(
+    "q217_bitext_margin",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val emb = t(s, dir, "embeddings")
+      // probes: a BOUNDED mining batch (real miners stream probe
+      // batches against the full other-language corpus — the corpus
+      // side grows, the batch does not), so the pair volume is linear
+      // in corpus size, never quadratic
+      val src = emb.filter($"vec_id" % 10 === 0 && $"vec_id" < 2000)
+        .select($"vec_id".as("src_id"), $"embedding".as("svec"))
+      val planted = src.select(($"src_id" + 1000001L).as("vec_id"),
+        transform($"svec",
+          (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+      val tgt = emb.filter($"vec_id" % 2 === 1)
+        .select($"vec_id", $"embedding")
+        .unionAll(planted)
+      graft.ext.EmbeddingSearch.mineBitext(src, "src_id", "svec",
+          tgt, "vec_id", "embedding", k = 4, minMargin = 1.05)
+        .orderBy($"src_id", $"tgt_id")
+    },
+    Some("""WITH e AS (SELECT vec_id,
+           |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |           FROM embeddings),
+           |s AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e
+           |     WHERE vec_id % 10 = 0 AND vec_id < 2000),
+           |pl AS (SELECT sid + 1000001 AS vec_id,
+           |              list_transform(generate_series(1, len(sv)),
+           |                             i -> CASE WHEN i = 1 THEN 0.0 ELSE sv[i] END) AS v
+           |       FROM s),
+           |tg AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1
+           |       UNION ALL SELECT vec_id, v FROM pl),
+           |p AS (SELECT s.sid, tg.vec_id AS tid,
+           |             list_inner_product(sv, v) /
+           |               (sqrt(list_inner_product(sv, sv)) *
+           |                sqrt(list_inner_product(v, v))) AS cos
+           |      FROM s, tg),
+           |r AS MATERIALIZED (SELECT sid, tid, cos,
+           |            row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid) AS rs,
+           |            row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid) AS rt
+           |     FROM p),
+           |sa AS (SELECT sid,
+           |              CAST(sum(CAST(cos * 1e6 AS DECIMAL(38,6))) AS DOUBLE)
+           |                / 4 / 1e6 AS avgs
+           |       FROM r WHERE rs <= 4 GROUP BY sid),
+           |ta AS (SELECT tid,
+           |              CAST(sum(CAST(cos * 1e6 AS DECIMAL(38,6))) AS DOUBLE)
+           |                / 4 / 1e6 AS avgt
+           |       FROM r WHERE rt <= 4 GROUP BY tid),
+           |bt AS (SELECT tid, sid AS back FROM r WHERE rt = 1)
+           |SELECT r.sid AS src_id, r.tid AS tgt_id, r.cos,
+           |       r.cos / ((sa.avgs + ta.avgt) / 2) AS margin
+           |FROM r
+           |JOIN sa USING (sid)
+           |JOIN ta USING (tid)
+           |JOIN bt ON bt.tid = r.tid
+           |WHERE r.rs = 1 AND bt.back = r.sid
+           |  AND r.cos / ((sa.avgs + ta.avgt) / 2) >= 1.05
+           |ORDER BY src_id, tgt_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q213, q214, q215, q216, q217)
 }

@@ -247,11 +247,25 @@ object DedupClusters {
     * output contract would otherwise be ambiguous).
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-                       cuts: Seq[(String, Int)], salt: String = ""): DataFrame = {
+                       cuts: Seq[(String, Int)], salt: String = ""): DataFrame =
+    leakageSafeSplitFromComponents(docs, idCol, connectedComponents(pairs),
+      cuts, salt)
+
+  /** [[leakageSafeSplit]] over PRECOMPUTED component labels
+    * ((id, component) — [[connectedComponents]] output): a pipeline
+    * that also canonicalizes ([[keepCanonicalFromComponents]]) runs
+    * the iterative CC rounds ONCE and feeds both consumers — the
+    * composed-build shape (gate q215), where running CC per consumer
+    * would double the most job-heavy stage of the chain.
+    */
+  def leakageSafeSplitFromComponents(docs: DataFrame, idCol: String,
+                                     components: DataFrame,
+                                     cuts: Seq[(String, Int)],
+                                     salt: String = ""): DataFrame = {
     require(!docs.columns.contains("component") && !docs.columns.contains("split"),
       s"leakageSafeSplit appends 'component' and 'split'; input already has " +
         s"[${docs.columns.filter(c => c == "component" || c == "split").mkString(", ")}] — rename first")
-    val comp = connectedComponents(pairs)
+    val comp = components
       .select(col("id").as("__cc_id"), col("component").as("__cc_component"))
     docs.join(comp, docs(idCol) === col("__cc_id"), "left")
       .withColumn("component", coalesce(col("__cc_component"), docs(idCol)))
@@ -263,9 +277,15 @@ object DedupClusters {
     * keep the minimum-id member; documents in no pair pass through.
     * `pairs` must carry id1/id2 drawn from `id`'s value space.
     */
-  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
-    val losers = comp.filter(col("id") =!= col("component"))
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    keepCanonicalFromComponents(docs, idCol, connectedComponents(pairs))
+
+  /** [[keepCanonical]] over precomputed component labels — see
+    * [[leakageSafeSplitFromComponents]] for when to use which.
+    */
+  def keepCanonicalFromComponents(docs: DataFrame, idCol: String,
+                                  components: DataFrame): DataFrame = {
+    val losers = components.filter(col("id") =!= col("component"))
       .select(col("id").as("__loser"))
     // no broadcast hint: on a duplicate-heavy corpus the loser set is
     // corpus-proportional — let AQE pick broadcast when it measures small

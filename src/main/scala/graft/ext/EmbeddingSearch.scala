@@ -109,6 +109,91 @@ object EmbeddingSearch {
     topKOut(filtered, queryId, k)
   }
 
+  /** Margin-based bitext scoring over a PRECOMPUTED candidate pair
+    * frame `(src_id, tgt_id, cos)` — the ratio-margin criterion of
+    * Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings"): keep (x, y) iff y is x's best
+    * target, x is y's best source, and
+    *
+    *   margin = cos(x,y) / ((avgK(x) + avgK(y)) / 2) ≥ minMargin
+    *
+    * where avgK is the mean cosine of the side's top-k candidates —
+    * the normalization that kills hub vectors (globally-similar
+    * sentences that would flood a raw-cosine threshold).
+    *
+    * Exactness: the top-k means route per-pair cosines through
+    * DECIMAL(38,6) at ×10⁶ (the meanPool/q111 discipline — decimal
+    * addition is associative, so the plan may re-partition freely),
+    * then exactly two IEEE divisions and one IEEE ratio reproduce the
+    * margin bit-for-bit in any engine. Ranks tiebreak on id.
+    *
+    * Scale shape: this face never builds pairs — feed it brute-force
+    * pairs ([[mineBitext]]) at verification scale and IVF-probed
+    * candidates ([[searchIvf]]-style) at corpus scale; the scorer is
+    * two window ranks + two decimal aggregates + three slim joins,
+    * all keyed by pair endpoints. avgK is then over the PROBED
+    * candidate set, the standard approximation in production miners.
+    *
+    * Requires every source to carry ≥ k candidates (raises otherwise:
+    * a silent short mean would inflate margins).
+    */
+  def bitextMarginFromPairs(pairs: DataFrame, k: Int,
+                            minMargin: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wS = Window.partitionBy("__sid").orderBy(col("cos").desc, col("__tid"))
+    val wT = Window.partitionBy("__tid").orderBy(col("cos").desc, col("__sid"))
+    val ranked = pairs
+      .select(col("src_id").as("__sid"), col("tgt_id").as("__tid"), col("cos"))
+      .withColumn("__rs", row_number().over(wS))
+      .withColumn("__rt", row_number().over(wT))
+      .localCheckpoint(false)
+    def avgK(key: String, rank: String, as: String): DataFrame = {
+      val cnt = count(lit(1))
+      ranked.filter(col(rank) <= k).groupBy(col(key))
+        .agg(((sum((col("cos") * 1e6).cast("decimal(38,6)")).cast("double") /
+          k) / 1e6).as(as), cnt.as("__n"))
+        .withColumn(as, when(col("__n") === k, col(as))
+          .otherwise(raise_error(concat(lit(
+            s"bitextMargin: a side has fewer than k=$k candidates at "),
+            col(key).cast("string")))))
+        .drop("__n")
+    }
+    val bestS = ranked.filter(col("__rs") === 1)
+    val bestT = ranked.filter(col("__rt") === 1)
+      .select(col("__tid"), col("__sid").as("__back"))
+    bestS
+      .join(avgK("__sid", "__rs", "__avgs"), "__sid")
+      .join(avgK("__tid", "__rt", "__avgt"), "__tid")
+      .join(bestT, "__tid")
+      .filter(col("__back") === col("__sid"))
+      .withColumn("margin",
+        col("cos") / ((col("__avgs") + col("__avgt")) / 2.0))
+      .filter(col("margin") >= minMargin)
+      .select(col("__sid").as("src_id"), col("__tid").as("tgt_id"),
+        col("cos"), col("margin"))
+  }
+
+  /** Brute-force margin-based bitext mining: all (src × tgt) cosines
+    * (norms precomputed per vector, fold-ordered dot — the
+    * [[bruteForceTopK]] discipline), scored by
+    * [[bitextMarginFromPairs]]. The exact face for verification-scale
+    * probe sets; at corpus scale produce candidates with the IVF index
+    * and feed the scorer directly.
+    */
+  def mineBitext(src: DataFrame, srcId: String, srcVec: String,
+                 tgt: DataFrame, tgtId: String, tgtVec: String,
+                 k: Int, minMargin: Double): DataFrame = {
+    val s = aliased(src, srcId, srcVec, "__a", "__avec")
+      .withColumn("__an", norm(col("__avec")))
+    val t = aliased(tgt, tgtId, tgtVec, "__b", "__bvec")
+      .withColumn("__bn", norm(col("__bvec")))
+    val pairs = t.crossJoin(broadcast(s))
+      .select(col("__a").as("src_id"), col("__b").as("tgt_id"),
+        (dot(col("__avec"), col("__bvec")) /
+          (col("__an") * col("__bn"))).as("cos"))
+    bitextMarginFromPairs(pairs, k, minMargin)
+  }
+
   /** b-bit signed-projection signature of a vector (bit i = sign of the
     * dot product with pseudo-random plane i, components derived from
     * xxhash64(plane, dim)), as a long. Native codegen'd expression

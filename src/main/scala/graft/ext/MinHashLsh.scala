@@ -327,6 +327,39 @@ object MinHashLsh {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Batch SELF near-dup from the signature table alone: banded
+    * candidates over (id, m0..m{k-1}) scored by SLOT AGREEMENT
+    * (agreeing slots / k — exact multiples of 1/k, engine-portable,
+    * oracle-checkable with one integer compare: est ≥ t ⇔ agree ≥
+    * t·k). This is [[incrementalNearDup]]'s estimate discipline turned
+    * on one corpus against itself — the composed-pipeline form (gate
+    * q215), where the candidate set is dominated by true duplicates
+    * and re-shingling every candidate for an exact rerank
+    * ([[nearDupPairsPortable]], pinned by q45) costs more than the
+    * decision is worth: text is never touched past the signature
+    * build. Output: (id1 < id2, est_jaccard).
+    */
+  def selfNearDupEstimate(sigs: DataFrame, k: Int = 8, bands: Int = 4,
+                          threshold: Double = 0.5,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val sig = sigs.withColumnRenamed("id", "__id")
+    val sigCols = (0 until k).map(i => col(s"m$i"))
+    val cand = bandedCandidates(sig, sigCols, portableBandKeys(k, bands),
+      maxBucket).localCheckpoint(false)
+    val est = (0 until k)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / k
+    cand
+      .join(sigs.select(col("id").as("id1") +:
+        (0 until k).map(i => col(s"m$i").as(s"__a$i")): _*), "id1")
+      .join(sigs.select(col("id").as("id2") +:
+        (0 until k).map(i => col(s"m$i").as(s"__b$i")): _*), "id2")
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
   /** Incremental near-dup detection: documents of `newBatch` probed
     * against an EXISTING corpus's stored signature table
     * ([[portableSignatures]] schema `(id, m0..m{k-1})`, typically read

@@ -378,6 +378,57 @@ object DocStream {
         emit(graft.ext.Curation.survival(batch, id, text, source, p))
       }
 
+  /** The composed streaming ADMISSION front door — the continuous
+    * form of the q216 chain: each micro-batch runs per-row quality
+    * bounds → exact dedup (batch-internal keep-first, then the
+    * persisted-digest screen [[admitNew]]) → the near-dup probe
+    * against persisted signatures ([[MinHashLsh.incrementalNearDup]]
+    * batch form — the stream is a static frame inside foreachBatch,
+    * so the anti-join against the probe's hits is legal) → and the
+    * manifest fold ([[graft.ext.Sharding.admitManifest]] — pure
+    * addition against the group-cardinality stored manifest). Emits
+    * (admitted docs, updated manifest) per batch.
+    *
+    * foreachBatch for the [[cascadeScreened]] reason: intra-batch
+    * keep-first and the hit anti-join are aggregations/self-joins a
+    * declarative streaming plan cannot express statelessly, and
+    * per-batch semantics ARE the admission semantics. Corpus state
+    * (32-byte digests, k-long signatures, per-shard manifest rows) is
+    * static and never re-read as text; the caller refolds admitted
+    * digests/signatures/manifest on its batch cadence. Pinned
+    * stream ≡ per-batch q216 chain in StreamingSpec.
+    */
+  def corpusAdmitted(docs: DataFrame, id: Column, text: Column,
+                     corpusDigests: DataFrame, corpusSigs: DataFrame,
+                     storedManifest: DataFrame, nShards: Int,
+                     minWords: Long, maxWords: Long,
+                     n: Int, k: Int, bands: Int, threshold: Double,
+                     emit: (DataFrame, DataFrame) => Unit,
+                     checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val nw = size(filter(split(lower(trim(text)), "\\s+"),
+          w => w =!= lit(""))).cast("long")
+        val qual = batch.filter(nw >= minWords && nw <= maxWords)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.ext.ExactDedup.contentDigest(text)).orderBy(id)
+        val fresh = admitNew(
+          qual.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn"),
+          text, corpusDigests)
+        val hits = MinHashLsh.incrementalNearDup(fresh, id, text,
+          corpusSigs, n, k, bands, threshold)
+        val admitted = fresh.join(hits.select(col("new_id")).distinct(),
+            id === col("new_id"), "left_anti")
+          .localCheckpoint(false)
+        val updated = graft.ext.Sharding.admitManifest(storedManifest,
+          admitted.withColumn("__shard", pmod(id, lit(nShards.toLong))),
+          col("__shard"), text, graft.ext.TextAnalysis.charCount(text))
+        emit(admitted, updated)
+      }
+
   def trustScreened(docs: DataFrame, host: Column, scores: DataFrame,
                     floor: Double): DataFrame = {
     require(!docs.columns.contains("trust") && !docs.columns.contains("passes"),

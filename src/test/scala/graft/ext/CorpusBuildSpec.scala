@@ -72,8 +72,9 @@ class CorpusBuildSpec extends SparkTestBase {
         .select(($"doc_id" + 930000L).as("doc_id"),
           concat($"text", lit(" chain tail one two")).as("text")))
     val docs = base.unionAll(planted)
-    val pairs = MinHashLsh.nearDupPairsPortable(docs, $"doc_id", $"text",
-      n = 3, k = 8, bands = 4, threshold = 0.5)
+    val pairs = MinHashLsh.selfNearDupEstimate(
+      MinHashLsh.portableSignatures(docs, $"doc_id", $"text", n = 3, k = 8),
+      k = 8, bands = 4, threshold = 0.5)
     assert(pairs.count() >= 4, "planted chain must produce near-dup pairs")
     val sp = DedupClusters.leakageSafeSplit(docs, "doc_id",
       pairs.select($"id1", $"id2"),

@@ -1336,4 +1336,62 @@ class StreamingSpec extends SparkTestBase {
       assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
     } finally q.stop()
   }
+
+  test("DocStream.corpusAdmitted: per-batch admission chain equals the q216 batch semantics; manifest fold = rebuild") {
+    import graft.ext.{ExactDedup, MinHashLsh, Sharding, TextAnalysis}
+    val docs = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val digests = ExactDedup.digestTable(corpus, $"text")
+    val sigs = MinHashLsh.portableSignatures(corpus, $"doc_id", $"text", 3, 8)
+    val stored = Sharding.manifest(corpus.withColumn("s", pmod($"doc_id", lit(7L))),
+      $"s", $"text", TextAnalysis.charCount($"text"))
+    // the arriving stream: new docs + exact replays + mutated replays
+    val batchDocs = docs.filter($"doc_id" % 3 === 0)
+      .unionAll(corpus.filter($"doc_id" < 10)
+        .select(($"doc_id" + 940000L).as("doc_id"), $"text"))
+      .unionAll(corpus.filter($"doc_id" >= 10 && $"doc_id" < 20)
+        .select(($"doc_id" + 950000L).as("doc_id"),
+          concat($"text", lit(" mutated tail token")).as("text")))
+
+    // reference: the same chain run as ONE batch (single micro-batch
+    // below, so per-batch ≡ whole-input)
+    val nw = size(filter(split(lower(trim($"text")), "\\s+"), w => w =!= lit(""))).cast("long")
+    val qual = batchDocs.filter(nw >= 5L && nw <= 100000L)
+    val fresh = ExactDedup.incremental(qual, corpus, $"text", "doc_id")
+    val hits = MinHashLsh.incrementalNearDup(fresh, $"doc_id", $"text", sigs, 3, 8, 4, 0.5)
+    val wantAdmitted = fresh.join(hits.select($"new_id").distinct(),
+        $"doc_id" === $"new_id", "left_anti")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val admittedDocs = batchDocs.join(wantAdmitted.toSeq.toDF("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val wantManifest = Sharding.manifest(
+        corpus.unionByName(admittedDocs)
+          .withColumn("s", pmod($"doc_id", lit(7L))),
+        $"s", $"text", TextAnalysis.charCount($"text"))
+      .collect().map(_.toSeq).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("admit-stream")
+    batchDocs.write.parquet(s"$dir/part1")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(s"$dir/part*")
+    var gotAdmitted = Set.empty[Long]
+    var gotManifest = Set.empty[Seq[Any]]
+    val ckpt = java.nio.file.Files.createTempDirectory("admit-stream-ckpt")
+    val q = DocStream.corpusAdmitted(stream, $"doc_id", $"text",
+      digests, sigs, stored, nShards = 7,
+      minWords = 5L, maxWords = 100000L, n = 3, k = 8, bands = 4,
+      threshold = 0.5,
+      (adm, mf) => {
+        gotAdmitted = adm.select($"doc_id").collect().map(_.getLong(0)).toSet
+        gotManifest = mf.collect().map(_.toSeq).toSet
+      }, ckpt.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(gotAdmitted == wantAdmitted && wantAdmitted.nonEmpty)
+      // both rejection branches fired
+      assert(batchDocs.filter($"doc_id" >= 940000L && $"doc_id" < 950000L)
+        .collect().map(_.getLong(0)).toSet.intersect(gotAdmitted).isEmpty)
+      assert(gotManifest == wantManifest, "admit-fold must equal rebuild")
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
 }
