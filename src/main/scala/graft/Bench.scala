@@ -510,7 +510,13 @@ object Bench {
       "q213_lattice_bytes", "q214_lattice_bytes_fertility",
       "q215_corpus_build", "q216_corpus_admit",
       // probe-slice × full-corpus cosine mining — the q70 class
-      "q217_bitext_margin")
+      "q217_bitext_margin",
+      // fused encode→walk over a doc_id % 20 slice — the modulo
+      // slice grows with the corpus (copies keep their residue)
+      "q218_mp4_sample_stats", "q219_mp3_frame_stats",
+      "q220_media_route",
+      // full-corpus state build + affected-only retraction
+      "q221_corpus_takedown")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10
       // blowup replicates events into the SAME time window, so its
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,

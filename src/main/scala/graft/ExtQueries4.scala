@@ -767,5 +767,329 @@ object ExtQueries4 {
            |  AND r.cos / ((sa.avgs + ta.avgt) / 2) >= 1.05
            |ORDER BY src_id, tgt_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q213, q214, q215, q216, q217)
+  // ---- container walks under the oracle gate (q218/q219) -------------
+
+  /** MP4 sample-table walk under the ORACLE gate (the q112 identity
+    * trick): per corpus document, container parameters are derived by
+    * pure arithmetic (codec by id mod 3, sample size from n_chars,
+    * counts/chunks from id), a REAL ISO-BMFF file is encoded from
+    * them ([[graft.ext.Multimodal.encodeMp4Sampled]] — ftyp + moov
+    * with full stsd/stsz/stts/stco sample tables), and
+    * [[graft.ext.Multimodal.mp4SampleStats]] walks the bytes back.
+    * The oracle computes the SAME stats directly from the arithmetic
+    * — it never sees an MP4 byte — so every field (codec fourcc,
+    * sample count, payload bytes, chunk count, media-timescale-exact
+    * duration, integer bitrate) doubles as a byte-level
+    * encode→walk fidelity proof. Encode and walk run fused inside one
+    * mapPartitions: container bytes exist only transiently on
+    * executors, the plan carries typed metadata rows — the 100 TB
+    * media-curation shape.
+    */
+  val q218 = Q(
+    "q218_mp4_sample_stats",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id", $"n_chars").as[(Long, Long)]
+      rows.mapPartitions(_.flatMap { case (id, nChars) =>
+        val codec = Seq("avc1", "hvc1", "mp4a")((id % 3).toInt)
+        val nSamples = 10 + (id % 50).toInt
+        val size = 100L + nChars % 900L
+        val delta = 256L
+        val nChunks = 1 + (id % 7).toInt
+        val bytes = Multimodal.encodeMp4Sampled(1000, 1000, Seq(
+          (codec, 12800, Seq.fill(nSamples)(size),
+            Seq((nSamples.toLong, delta)), nChunks)))
+        Multimodal.mp4SampleStats(id, bytes)
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"track_id", $"codec",
+          $"media_timescale", $"n_samples", $"total_bytes", $"n_chunks",
+          $"duration_ms", $"bitrate_bps")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+           |                  CASE doc_id % 3 WHEN 0 THEN 'avc1'
+           |                       WHEN 1 THEN 'hvc1' ELSE 'mp4a' END AS codec,
+           |                  CAST(10 + doc_id % 50 AS BIGINT) AS ns,
+           |                  CAST(100 + n_chars % 900 AS BIGINT) AS sz,
+           |                  CAST(1 + doc_id % 7 AS BIGINT) AS nch
+           |           FROM documents WHERE doc_id % 20 = 0),
+           |d AS (SELECT doc_id, codec, ns, sz, nch,
+           |             ns * 256 * 1000 // 12800 AS dur_ms,
+           |             ns * sz AS tot
+           |      FROM p)
+           |SELECT doc_id, CAST(1 AS BIGINT) AS track_id, codec,
+           |       CAST(12800 AS BIGINT) AS media_timescale,
+           |       ns AS n_samples, tot AS total_bytes, nch AS n_chunks,
+           |       dur_ms AS duration_ms,
+           |       CASE WHEN dur_ms > 0 THEN tot * 8000 // dur_ms ELSE 0 END
+           |         AS bitrate_bps
+           |FROM d ORDER BY doc_id""".stripMargin))
+
+  /** MP3 frame-header walk under the ORACLE gate (the q218
+    * discipline for compressed audio): per document, a frame plan is
+    * derived arithmetically — n₁ MPEG-1 Layer-III frames at one
+    * bitrate index then n₂ at another (VBR iff they differ), sample
+    * rate by id mod 3, mono by id parity — a REAL MPEG audio stream
+    * is encoded ([[graft.ext.Multimodal.encodeMp3]]: correctly-sized
+    * frames, an ID3v2 prefix every third doc), and
+    * [[graft.ext.Multimodal.mp3Metadata]] walks it back. The oracle
+    * recomputes frame lengths from the public framing equation
+    * (144·bitrate/rate, integer division), total samples, exact
+    * duration and average bitrate, and the VBR verdict — from the
+    * arithmetic alone, never a byte.
+    */
+  val q219 = Q(
+    "q219_mp3_frame_stats",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.map { id =>
+        val br1 = 1 + (id % 14).toInt
+        val br2 = 1 + ((id + 5) % 14).toInt
+        val sr = (id % 3).toInt
+        val mono = id % 2 == 0
+        val n1 = 2 + (id % 4).toInt
+        val n2 = 3
+        val bytes = Multimodal.encodeMp3(
+          Seq.fill(n1)((br1, sr, true, mono)) ++
+            Seq.fill(n2)((br2, sr, true, mono)),
+          id3Bytes = if (id % 3 == 0) 64 + (id % 100).toInt else 0)
+        Multimodal.mp3Metadata(id, bytes)
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"valid", $"n_frames",
+          $"duration_ms", $"sample_rate", $"channels", $"n_samples",
+          $"bitrate_bps", $"vbr")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val kbps = Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)
+      val kbpsVals = kbps.zipWithIndex.map { case (v, i) => s"($i, $v)" }
+        .mkString(", ")
+      s"""WITH br(i, kbps) AS (VALUES $kbpsVals),
+         |sr(i, rate) AS (VALUES (0, 44100), (1, 48000), (2, 32000)),
+         |p AS (SELECT doc_id,
+         |             CAST(1 + doc_id % 14 AS BIGINT) AS b1,
+         |             CAST(1 + (doc_id + 5) % 14 AS BIGINT) AS b2,
+         |             CAST(doc_id % 3 AS BIGINT) AS sri,
+         |             CAST(2 + doc_id % 4 AS BIGINT) AS n1
+         |      FROM documents WHERE doc_id % 20 = 0),
+         |d AS (SELECT doc_id, n1, CAST(3 AS BIGINT) AS n2,
+         |             144 * br1.kbps * 1000 // sr.rate AS len1,
+         |             144 * br2.kbps * 1000 // sr.rate AS len2,
+         |             sr.rate AS rate, (b1 <> b2) AS vbr,
+         |             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels
+         |      FROM p
+         |      JOIN br br1 ON br1.i = p.b1
+         |      JOIN br br2 ON br2.i = p.b2
+         |      JOIN sr ON sr.i = p.sri),
+         |f AS (SELECT doc_id, n1 + n2 AS n_frames,
+         |             1152 * (n1 + n2) AS n_samples,
+         |             n1 * len1 + n2 * len2 AS tot,
+         |             1152 * (n1 + n2) * 1000 // rate AS dur_ms,
+         |             rate, channels, vbr
+         |      FROM d)
+         |SELECT doc_id, TRUE AS valid, CAST(n_frames AS BIGINT) AS n_frames,
+         |       CAST(dur_ms AS BIGINT) AS duration_ms,
+         |       CAST(rate AS INT) AS sample_rate,
+         |       CAST(channels AS INT) AS channels,
+         |       CAST(n_samples AS BIGINT) AS n_samples,
+         |       CASE WHEN dur_ms > 0 THEN CAST(tot * 8000 // dur_ms AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS bitrate_bps,
+         |       vbr
+         |FROM f ORDER BY doc_id""".stripMargin
+    })
+
+  // ---- container DISPATCH under the oracle gate (q220) ---------------
+
+  /** Mixed-media routing ([[graft.ext.Multimodal.containerMetadata]]):
+    * per document one of THREE real containers is encoded from
+    * arithmetic parameters — ISO-BMFF MP4 (id%3=0), MPEG audio
+    * (id%3=1), RIFF/WAVE PCM (id%3=2) — and the sniffing dispatch
+    * must route each to the right header walk and recover every
+    * typed field. The oracle computes all fields from the branch
+    * arithmetic alone (q218's identity discipline), so one misrouted
+    * magic number or off-by-one in any walk flips the hash. This is
+    * the media-lake front door: one pass, binary stays on executors,
+    * typed metadata out.
+    */
+  val q220 = Q(
+    "q220_media_route",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      val metas = rows.mapPartitions { it =>
+        val rs = it.map { id =>
+          val bytes = (id % 3) match {
+            case 0 => Multimodal.encodeMp4(600, 600 + (id % 1000).toInt,
+              nTracks = 1 + (id % 5).toInt)
+            case 1 => Multimodal.encodeMp3(Seq.fill(2 + (id % 4).toInt)(
+              (1 + (id % 14).toInt, (id % 3).toInt, true, id % 2 == 0)))
+            case _ =>
+              val rate = 8000 + (id % 4).toInt * 4000
+              val ch = 1 + (id % 2).toInt
+              val nFrames = 500 + (id % 300).toInt
+              Multimodal.encodeWav(rate, ch, 16,
+                new Array[Byte](nFrames * ch * 2))
+          }
+          Multimodal.MediaRow(id, "mixed", bytes)
+        }
+        rs
+      }
+      Multimodal.containerMetadata(metas)
+        .toDF()
+        .select($"media_id".as("doc_id"), $"valid", $"container",
+          $"duration_ms", $"n_tracks", $"sample_rate", $"channels",
+          $"bits_per_sample", $"n_samples")
+        .orderBy($"doc_id")
+    },
+    Some {
+      s"""WITH p AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+         |m4 AS (SELECT doc_id, 'mp4' AS container,
+         |              (600 + doc_id % 1000) * 1000 // 600 AS duration_ms,
+         |              CAST(1 + doc_id % 5 AS INT) AS n_tracks,
+         |              0 AS sample_rate, 0 AS channels, 0 AS bits_per_sample,
+         |              CAST(0 AS BIGINT) AS n_samples
+         |       FROM p WHERE doc_id % 3 = 0),
+         |m3 AS (SELECT doc_id, 'mp3' AS container,
+         |              1152 * (2 + doc_id % 4) * 1000 // 48000 AS duration_ms,
+         |              1 AS n_tracks, 48000 AS sample_rate,
+         |              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+         |              0 AS bits_per_sample,
+         |              CAST(1152 * (2 + doc_id % 4) AS BIGINT) AS n_samples
+         |       FROM p WHERE doc_id % 3 = 1),
+         |wv AS (SELECT doc_id, 'wav' AS container,
+         |              (500 + doc_id % 300) * 1000 //
+         |                (8000 + (doc_id % 4) * 4000) AS duration_ms,
+         |              1 AS n_tracks,
+         |              CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         |              CAST(1 + doc_id % 2 AS INT) AS channels,
+         |              16 AS bits_per_sample,
+         |              CAST(500 + doc_id % 300 AS BIGINT) AS n_samples
+         |       FROM p WHERE doc_id % 3 = 2)
+         |SELECT doc_id, TRUE AS valid, container,
+         |       CAST(duration_ms AS BIGINT) AS duration_ms, n_tracks,
+         |       sample_rate, channels, bits_per_sample, n_samples
+         |FROM (SELECT * FROM m4 UNION ALL SELECT * FROM m3
+         |      UNION ALL SELECT * FROM wv)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  // ---- the composed corpus TAKEDOWN (q221) ---------------------------
+
+  /** Composed takedown through the admission state TRIPLE — the q216
+    * chain's inverse: the corpus (plus planted duplicate content so
+    * the counted branch is load-bearing) materializes its digest
+    * ledger, portable signature table, and per-shard manifest; a
+    * takedown batch (doc_id % 10 = 7 — hitting originals whose
+    * duplicates survive AND duplicates whose originals survive) then
+    * cascades through [[graft.ext.Forget.retractDigests]] /
+    * `retractSignatures` / `retractManifest`, and the gate
+    * hash-matches each retracted state against the oracle's
+    * REBUILD-FROM-REMAINING — retract ≡ rebuild, composed across
+    * every state the daily-admission path probes. Output: one
+    * summary row per state (exact counts + checksums) and the full
+    * retracted manifest.
+    *
+    * Scale shape: every retraction is affected-only — digest
+    * subtraction joins the DELETE batch's digests, signature rows
+    * anti-join the delete ids, the manifest subtracts one
+    * batch-aggregate — no state is rebuilt, no corpus re-read.
+    */
+  val q221 = Q(
+    "q221_corpus_takedown",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ext.{Forget, MinHashLsh, Sharding}
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val corpus = docs.unionAll(docs.filter($"doc_id" < 10)
+          .select(($"doc_id" + 960001L).as("doc_id"), $"text"))
+        .localCheckpoint(false)
+      val del = corpus.filter($"doc_id" % 10 === 7).localCheckpoint(false)
+
+      val dgRet = Forget.retractDigests(
+        Forget.digestCounts(corpus, $"text"), del, $"text")
+      val sigRet = Forget.retractSignatures(
+        MinHashLsh.portableSignatures(corpus, $"doc_id", $"text", n = 3, k = 8),
+        "id", del.select($"doc_id"))
+      val mfRet = Forget.retractManifest(
+        Sharding.manifest(corpus.withColumn("shard", $"doc_id" % 7L),
+          $"shard", $"text", length($"text")),
+        del.withColumn("shard", $"doc_id" % 7L),
+        $"shard", $"text", length($"text"))
+
+      val r1 = dgRet.agg(count(lit(1)).as("n_rows"), sum($"n").as("checksum"))
+        .select(lit(1L).as("ord"), lit("digests").as("state"),
+          $"n_rows", $"checksum", lit(0L).as("digest"))
+      val minSum = (0 until 8).map(i => col(s"m$i")).reduce(_ + _)
+      val r2 = sigRet.agg(count(lit(1)).as("n_rows"),
+          sum(minSum).as("checksum"))
+        .select(lit(2L).as("ord"), lit("signatures").as("state"),
+          $"n_rows", $"checksum", lit(0L).as("digest"))
+      val r3 = mfRet.select((lit(10L) + $"group").as("ord"),
+        lit("manifest").as("state"), $"n_rows",
+        $"total_weight".cast("long").as("checksum"),
+        $"digest".cast("long").as("digest"))
+      r1.unionByName(r2).unionByName(r3).orderBy($"ord")
+    },
+    Some {
+      val horner = ExtQueries.hornerSql
+      val slotVals = (0 until 8).map(i =>
+        s"($i, ${graft.ext.MinHashLsh.portableMul(i)}, " +
+          s"${graft.ext.MinHashLsh.portableAdd(i)})").mkString(", ")
+      s"""WITH c AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 960001, text FROM documents WHERE doc_id < 10),
+         |rem AS MATERIALIZED (SELECT doc_id, text FROM c
+         |      WHERE doc_id % 10 <> 7),
+         |dg AS (SELECT text, CAST(count(*) AS BIGINT) AS n FROM rem
+         |       GROUP BY text),
+         |mtok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |         FROM rem),
+         |mwin AS (SELECT doc_id, t,
+         |                unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+         |         FROM mtok),
+         |msh AS (SELECT DISTINCT doc_id,
+         |               CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+         |                    ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS s
+         |        FROM mwin),
+         |mhv AS (SELECT doc_id, $horner AS h32
+         |        FROM (SELECT doc_id, md5(s) AS h FROM msh) hx),
+         |slots(i, a, b) AS (VALUES $slotVals),
+         |mmin AS (SELECT doc_id, i, min((h32 * a + b) % 4294967296) AS m
+         |         FROM mhv CROSS JOIN slots GROUP BY doc_id, i),
+         |sg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS ms FROM mmin
+         |       GROUP BY doc_id),
+         |hv2 AS (SELECT doc_id % 7 AS shard,
+         |               CAST(length(text) AS BIGINT) AS w, $horner AS hval
+         |        FROM (SELECT doc_id, text, md5(text) AS h FROM rem) z),
+         |mf AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+         |              CAST(sum(w) AS BIGINT) AS total_weight,
+         |              CAST(sum(hval) AS BIGINT) AS digest
+         |       FROM hv2 GROUP BY shard)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS ord, 'digests' AS state,
+         |         CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(n) AS BIGINT) AS checksum,
+         |         CAST(0 AS BIGINT) AS digest
+         |  FROM dg
+         |  UNION ALL
+         |  SELECT 2, 'signatures', CAST(count(*) AS BIGINT),
+         |         CAST(sum(ms) AS BIGINT), 0 FROM sg
+         |  UNION ALL
+         |  SELECT 10 + shard, 'manifest', n_rows, total_weight, digest
+         |  FROM mf)
+         |ORDER BY ord""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
+    q221)
 }

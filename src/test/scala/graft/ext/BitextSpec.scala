@@ -61,6 +61,36 @@ class BitextSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("IVF-candidate composition equals brute force when every cell is probed") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.table(spark, dir, "embeddings")
+    val src = emb.filter($"vec_id" % 10 === 0 && $"vec_id" < 2000)
+      .select($"vec_id".as("src_id"), $"embedding".as("svec"))
+    val planted = src.select(($"src_id" + 1000001L).as("vec_id"),
+      transform($"svec",
+        (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+    val tgt = emb.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").unionAll(planted)
+    // the corpus-scale candidate source: IVF cells instead of the
+    // cross join — with nprobe = nlist every pair survives, so the
+    // composed margin output must equal the brute-force face exactly
+    // (same fold-ordered cosine, same decimal top-k means)
+    val idx = EmbeddingSearch.buildIvfIndex(tgt, "vec_id", "embedding",
+      nlist = 8)
+    val cand = EmbeddingSearch.ivfProbe(idx, tgt, "vec_id", "embedding",
+        src, "src_id", "svec", k = 1 << 20, nprobe = 8)
+      .select($"src_id", $"neighbor_id".as("tgt_id"), $"cos")
+    val viaIvf = EmbeddingSearch.bitextMarginFromPairs(cand, k = 4,
+        minMargin = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(p => (p._1, p._2))
+    val brute = EmbeddingSearch.mineBitext(src, "src_id", "svec",
+        tgt, "vec_id", "embedding", k = 4, minMargin = 1.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(p => (p._1, p._2))
+    assert(viaIvf.nonEmpty && viaIvf.toSeq == brute.toSeq)
+  }
+
   test("q217 fixture: every planted translation is recovered, nothing else passes the margin") {
     val dir = "/root/testdata/sf0.001"
     val mined = graft.ExtQueries4.q217.run(spark, dir)
