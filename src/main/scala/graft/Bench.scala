@@ -135,6 +135,16 @@ object Bench {
     // against a snapshot of a different load regime
     val calibrationEnd = calibrate()
 
+    // CRASH-PROOF EMISSION (r14: the driver's only bench artifact was
+    // a mid-×100 crash — rc=1, parsed:null — and the whole round's
+    // record was lost although the sf0.1 and ×10 tiers had finished an
+    // hour earlier). The detail file and the summary line are now
+    // emitted after EVERY tier (main → ×10 → ×100), each emission a
+    // complete parseable artifact of the tiers finished so far with a
+    // "stage" marker; the final emission is printed last, so a clean
+    // run's last line is identical to the old single print and a
+    // crashed run's last line is the most recent completed tier.
+
     // second pass at ×10 synthetic scale: at the gate SF fixed cost
     // dominates, so data-proportional regressions hide; the blowup pass
     // is where super-linear growth shows. q34 is excluded BY DESIGN:
@@ -166,12 +176,16 @@ object Bench {
 
     val x10Skip = Set("q34_embed_neardup")
     var x10Cal = (0.0, 0.0)
-    val x10: Option[Seq[(String, Double)]] =
+    var x10: Option[Seq[(String, Double)]] = None
+    def runX10(): Option[Seq[(String, Double)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X10", "1") == "0") None
       else try {
         val sfName = new java.io.File(sfDir).getName
+        // blowup data lives under the repo-owned scratch root, NOT
+        // java.io.tmpdir — same reaper hazard as spark.local.dir
+        // (GraftSession.scratchRoot scaladoc)
         val x10Dir = Blowup.build(spark, sfDir,
-          s"${sys.props("java.io.tmpdir")}/graft_x10_$sfName", times = 10)
+          s"${GraftSession.scratchRoot}/graft_x10_$sfName", times = 10)
         val calBefore = calibrate()
         val r = timeAll(x10Dir, x10Skip, nreps = math.max(reps, 2), gcBefore = true)
         x10Cal = (calBefore, calibrate())
@@ -324,12 +338,13 @@ object Bench {
       }
     }
     var x100Cal = (0.0, 0.0)
-    val x100Full: Option[Seq[(String, Double, Double, Boolean)]] =
+    var x100Full: Option[Seq[(String, Double, Double, Boolean)]] = None
+    def runX100(): Option[Seq[(String, Double, Double, Boolean)]] =
       if (sys.env.getOrElse("SPARK_GRAFT_X100", "1") == "0") None
       else try {
         val sfName = new java.io.File(sfDir).getName
         val x100Dir = Blowup.build(spark, sfDir,
-          s"${sys.props("java.io.tmpdir")}/graft_x100_$sfName", times = 100,
+          s"${GraftSession.scratchRoot}/graft_x100_$sfName", times = 100,
           tables = Set("documents"))
         // pin the tier's input into the OS PAGE CACHE per rep (the
         // blowup's documents table is ~60 MB parquet): stream every
@@ -376,7 +391,7 @@ object Bench {
         case NonFatal(e) =>
           System.err.println(s"[bench] x100 pass failed: $e"); None
       }
-    val x100: Option[Seq[(String, Double)]] =
+    def x100: Option[Seq[(String, Double)]] =
       x100Full.map(_.map { case (n, t, _, _) => (n, t) })
 
     // ---- sf1 honesty tier: per-query SCALING EXPONENTS ----------------
@@ -522,7 +537,7 @@ object Bench {
       // PAIR OUTPUT grows ×100 and the ratio measures output volume,
       // not plan quality (measured ~43 s for ~100× the pairs at ×10 —
       // sub-output-linear; the q28-at-×100 exclusion rule)
-    val sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
+    def sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)
       val nf10 = normFactor(x10Cal._1, x10Cal._2)
@@ -533,29 +548,39 @@ object Bench {
         }
       }
     }.getOrElse(Seq.empty)
-    val sf1Offenders = sf1Rows.filter(_._2 > 12.0).map(_._1)
-    val sf1Detail =
-      if (sf1Rows.isEmpty) ""
-      else s""","sf1_scaling":{${sf1Rows.sortBy(_._1).map { case (n, ratio, exp) =>
-        "\"" + n + "\":{\"ratio\":" + fmt(ratio) + ",\"exponent\":" + fmt(exp) + "}"
-      }.mkString(",")}}"""
 
     // The harness that collects this output keeps only the LAST ~2000
     // characters of the run log, so the machine-readable summary line
     // must (a) be printed last and (b) fit that window whole — a
     // truncated JSON line parses as nothing. Full-precision per-query
-    // detail (both passes) goes on an earlier line + a tmp file; the
-    // final line carries the headline totals and a 3-decimal per-query
-    // map, dropping the FASTEST queries first if it would overflow.
-    val detail = s"""{"detail":{"queries":${toJson(results, full = true)}""" +
-      x10.map(r => s""","x10_queries":${toJson(r, full = true)}""").getOrElse("") +
-      x100.map(r => s""","x100_queries":${toJson(r, full = true)}""").getOrElse("") +
-      x100Full.map { r =>
-        s""","x100_brackets":${toJson(r.map(q => (q._1, q._3)), full = true)}""" +
-          s""","x100_loaded":${r.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
-      }.getOrElse("") +
-      sf1Detail + "}}"
-    println(detail)
+    // detail (both passes) goes on an earlier line + files; the final
+    // line carries the headline totals and a 3-decimal per-query map,
+    // dropping the FASTEST queries first if it would overflow.
+    // Every run-level calibration bracket is persisted INTO the detail
+    // artifact too (r14 verdict item 1: the summary line is lossy and
+    // was lost entirely in the crash — the detail file must be
+    // self-adjudicating on its own).
+    def detailJson(stage: String): String = {
+      val rows = sf1Rows
+      val sf1Detail =
+        if (rows.isEmpty) ""
+        else s""","sf1_scaling":{${rows.sortBy(_._1).map { case (n, ratio, exp) =>
+          "\"" + n + "\":{\"ratio\":" + fmt(ratio) + ",\"exponent\":" + fmt(exp) + "}"
+        }.mkString(",")}}"""
+      s"""{"detail":{"stage":"$stage","idle_cal":${fmt(idleCal)}""" +
+        s""","calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)}""" +
+        s""","queries":${toJson(results, full = true)}""" +
+        x10.map(r => s""","x10_queries":${toJson(r, full = true)}""" +
+          s""","x10_calibration":${fmt(x10Cal._1)},"x10_calibration_end":${fmt(x10Cal._2)}""").getOrElse("") +
+        x100.map(r => s""","x100_queries":${toJson(r, full = true)}""" +
+          s""","x100_calibration":${fmt(x100Cal._1)},"x100_calibration_end":${fmt(x100Cal._2)}""").getOrElse("") +
+        x100Full.map { r =>
+          s""","x100_brackets":${toJson(r.map(q => (q._1, q._3)), full = true)}""" +
+            s""","x100_loaded":${r.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
+        }.getOrElse("") +
+        sf1Detail + "}}"
+    }
+
     // persisted in-repo (committed with the round) AND to tmp: the
     // harness keeps only the summary line, so the per-query detail the
     // next round's verdict wants must survive somewhere durable. The
@@ -568,61 +593,84 @@ object Bench {
     // full sf0.001 smoke run have each replaced the whole round's
     // detail map. Debug runs still get the tmp copy.
     val fullGatedRun = only.isEmpty && new java.io.File(sfDir).getName == "sf0.1"
-    val repoTargets =
-      if (fullGatedRun) Seq(java.nio.file.Paths.get(repoDir, "BENCH_DETAIL.json"))
-      else { System.err.println("[bench] partial/off-sf run: skipping in-repo detail write"); Nil }
-    (repoTargets :+
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench_detail.json"))
-      .foreach { p =>
-        try {
-          java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
-          System.err.println(s"[bench] detail written to $p")
-        } catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed ($p): $e") }
-      }
+    def writeDetail(detail: String): Unit = {
+      val repoTargets =
+        if (fullGatedRun) Seq(java.nio.file.Paths.get(repoDir, "BENCH_DETAIL.json"))
+        else { System.err.println("[bench] partial/off-sf run: skipping in-repo detail write"); Nil }
+      (repoTargets :+
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench_detail.json"))
+        .foreach { p =>
+          try {
+            java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+            System.err.println(s"[bench] detail written to $p")
+          } catch { case NonFatal(e) => System.err.println(s"[bench] detail write failed ($p): $e") }
+        }
+    }
 
-    val totalNormalized = total * normFactor(calibration, calibrationEnd)
-    val x10Part = x10.map { r =>
-      val x10Total = r.map(_._2).sum
-      s""","x10_total":${fmt(x10Total)}""" +
-        s""","x10_total_normalized":${fmt(x10Total * normFactor(x10Cal._1, x10Cal._2))}""" +
-        s""","x10_calibration":${fmt(x10Cal._1)},"x10_calibration_end":${fmt(x10Cal._2)}""" +
-        s""","x10_skipped":${x10Skip.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    }.getOrElse("") +
-      x100Full.map { r =>
-        val x100Total = r.map(_._2).sum
-        s""","x100_total":${fmt(x100Total)},"x100_n":${r.size}""" +
-          s""","x100_total_normalized":${fmt(x100Total * normFactor(x100Cal._1, x100Cal._2))}""" +
-          s""","x100_calibration":${fmt(x100Cal._1)},"x100_calibration_end":${fmt(x100Cal._2)}""" +
-          s""","x100_loaded":${r.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
-      }.getOrElse("")
-    // compact sf1 summary for the final line: count, worst normalized
-    // sf→10·sf ratio, and any super-linear offenders (ratio > 12; a
-    // perfectly linear query reads 10). Full per-query ratios +
-    // exponents live in the detail artifact's sf1_scaling map.
-    val sf1Part =
-      if (sf1Rows.isEmpty) ""
-      else {
-        val worst = sf1Rows.maxBy(_._2)
-        s""","sf1":{"n":${sf1Rows.size},"max_ratio":${fmt(worst._2)}""" +
-          s""","max_query":"${worst._1}"""" +
-          s""","gt12x":${sf1Offenders.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    def summaryLine(): String = {
+      val totalNormalized = total * normFactor(calibration, calibrationEnd)
+      val x10Part = x10.map { r =>
+        val x10Total = r.map(_._2).sum
+        s""","x10_total":${fmt(x10Total)}""" +
+          s""","x10_total_normalized":${fmt(x10Total * normFactor(x10Cal._1, x10Cal._2))}""" +
+          s""","x10_calibration":${fmt(x10Cal._1)},"x10_calibration_end":${fmt(x10Cal._2)}""" +
+          s""","x10_skipped":${x10Skip.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      }.getOrElse("") +
+        x100Full.map { r =>
+          val x100Total = r.map(_._2).sum
+          s""","x100_total":${fmt(x100Total)},"x100_n":${r.size}""" +
+            s""","x100_total_normalized":${fmt(x100Total * normFactor(x100Cal._1, x100Cal._2))}""" +
+            s""","x100_calibration":${fmt(x100Cal._1)},"x100_calibration_end":${fmt(x100Cal._2)}""" +
+            s""","x100_loaded":${r.filter(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")}"""
+        }.getOrElse("")
+      // compact sf1 summary for the final line: count, worst normalized
+      // sf→10·sf ratio, and any super-linear offenders (ratio > 12; a
+      // perfectly linear query reads 10). Full per-query ratios +
+      // exponents live in the detail artifact's sf1_scaling map.
+      val rows = sf1Rows
+      val sf1Part =
+        if (rows.isEmpty) ""
+        else {
+          val worst = rows.maxBy(_._2)
+          val offenders = rows.filter(_._2 > 12.0).map(_._1)
+          s""","sf1":{"n":${rows.size},"max_ratio":${fmt(worst._2)}""" +
+            s""","max_query":"${worst._1}"""" +
+            s""","gt12x":${offenders.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+        }
+      def line(sel: Seq[(String, Double)]): String = {
+        val omitted = results.size - sel.size
+        val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sf":"$sfDir"""" +
+          s""","total_normalized":${fmt(totalNormalized)},"idle_cal":${fmt(idleCal)}""" +
+          s""","calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)}""" +
+          s"""$x10Part$sf1Part$om,"queries":${toJson(sel.sortBy(_._1), full = false)}}"""
       }
-    def line(sel: Seq[(String, Double)]): String = {
-      val omitted = results.size - sel.size
-      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sf":"$sfDir"""" +
-        s""","total_normalized":${fmt(totalNormalized)},"idle_cal":${fmt(idleCal)}""" +
-        s""","calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)}""" +
-        s"""$x10Part$sf1Part$om,"queries":${toJson(sel.sortBy(_._1), full = false)}}"""
+      val MaxLine = 1800
+      var sel = results
+      var out = line(sel)
+      while (out.length > MaxLine && sel.nonEmpty) {
+        sel = sel.sortBy(-_._2).dropRight(1) // drop the fastest first
+        out = line(sel)
+      }
+      out
     }
-    val MaxLine = 1800
-    var sel = results
-    var out = line(sel)
-    while (out.length > MaxLine && sel.nonEmpty) {
-      sel = sel.sortBy(-_._2).dropRight(1) // drop the fastest first
-      out = line(sel)
+
+    // per-tier emission (detail first, summary last, flushed): a crash
+    // anywhere later still leaves the previous tier's complete artifact
+    // as the last parseable line AND on disk
+    def emit(stage: String): Unit = {
+      val d = detailJson(stage)
+      println(d)
+      writeDetail(d)
+      println(summaryLine())
+      Console.out.flush()
     }
-    println(out)
+
+    emit("main")
+    x10 = runX10()
+    emit("x10")
+    x100Full = runX100()
+    emit("x100")
     spark.stop()
   }
 }

@@ -42,9 +42,25 @@ object GraftSession {
       // 100 TB that's tens of TB less storage and shuffle I/O
       .config("spark.sql.parquet.compression.codec", "zstd")
 
+  /** Repo-owned scratch root for everything a long run must be able
+    * to trust to stay on disk: Spark's shuffle/blockmgr temp files and
+    * the Bench blowup datasets. The r14 driver bench died 50 minutes
+    * in when a /tmp reaper deleted `blockmgr-…/temp_shuffle_…` files
+    * under the running JVM (BENCH_r14.json tail:
+    * DiskBlockObjectWriter errors, then an executor
+    * FileNotFoundException on its own shuffle file) — java.io.tmpdir
+    * is not safe scratch on a shared box. `.tmp/` is gitignored and
+    * survives `sbt clean`.
+    */
+  def scratchRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/root/repo/.tmp")
+
   def local(cpus: String): SparkSession = {
+    val localDir = s"$scratchRoot/spark-scratch"
+    new java.io.File(localDir).mkdirs()
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

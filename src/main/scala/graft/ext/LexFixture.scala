@@ -57,7 +57,10 @@ object LexFixture {
   private def root(cacheKey: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_lexfix_$digest"
+    // repo-owned scratch, not java.io.tmpdir: a /tmp reaper deleting
+    // the materialized frames mid-run killed the r14 bench's sibling
+    // shuffle files (GraftSession.scratchRoot scaladoc)
+    s"${graft.GraftSession.scratchRoot}/graft_lexfix_$digest"
   }
 
   /** Materialized [[Bm25.LexIndex]]: `build` runs once per process
