@@ -142,8 +142,7 @@ object ExtQueries2 {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val vocab = UnigramLm.train(docs, $"text", maxWordLen = 3, iters = 2)
-      val universe = UnigramLm.wordCounts(docs, $"text", 3)
-        .select($"word").collect().map(_.getString(0)).toSeq
+      val universe = UnigramLm.wordUniverse(docs, $"text", 3).map(_._1)
       val table = UnigramLm.encodeTable(universe, vocab.toMap, 3)
         .toDF("word", "n_pieces")
       UnigramLm.encode(docs, $"doc_id", $"text", table)
@@ -461,8 +460,7 @@ object ExtQueries2 {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val vocab = UnigramLm.train(docs, $"text", maxWordLen = 3, iters = 2)
-      val universe = UnigramLm.wordCounts(docs, $"text", 3)
-        .select($"word").collect().map(_.getString(0)).toSeq
+      val universe = UnigramLm.wordUniverse(docs, $"text", 3).map(_._1)
       val table = UnigramLm.encodeTable(universe, vocab.toMap, 3)
         .toDF("word", "n_pieces")
       graft.ext.TokenizerEval.fertility(docs, $"source", $"text", table)

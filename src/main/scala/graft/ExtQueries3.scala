@@ -55,11 +55,24 @@ object ExtQueries3 {
        |ltt AS (SELECT CAST(sum(c) AS HUGEINT) AS t FROM lcp),
        |lw0 AS MATERIALIZED (SELECT p, (c * $LWG) // t AS wt FROM lcp, ltt)""".stripMargin
 
+  /** The trainer's driver-state cap, mirrored: the Spark side
+    * collects the deterministic top-`DefaultMaxWords` of the word
+    * universe by (freq DESC, word ASC) — binary-UTF-8 string order in
+    * both engines — so the oracle ranks `lwc` through the same window
+    * before anything downstream sees it. At the gate corpora the
+    * distinct universe is far below the cap, so the window is an
+    * identity there; the CTE exists so the gate stays term-for-term
+    * exact even when the cap binds.
+    */
   private def latticeBaseCtes(src: String): String =
     s"""ltok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
        |         FROM $src),
-       |lwc AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM ltok
-       |        WHERE regexp_matches(w, '^[a-z]{1,$MaxLen}$$') GROUP BY w),
+       |lwc0 AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM ltok
+       |         WHERE regexp_matches(w, '^[a-z]{1,$MaxLen}$$') GROUP BY w),
+       |lwc AS MATERIALIZED (SELECT w, f FROM (
+       |         SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS rn
+       |         FROM lwc0) rkw
+       |       WHERE rn <= ${UnigramLm.DefaultMaxWords}),
        |$latticeSeedCtes""".stripMargin
 
   /** One exact-integer lattice EM iteration in SQL, reading weights
@@ -491,8 +504,8 @@ object ExtQueries3 {
       val docs = t(s, dir, "documents")
       val vocab = UnigramLm.trainLattice(docs, $"text",
         maxWordLen = MaxLen, maxPieceLen = MaxLen, iters = 2)
-      val universe = UnigramLm.wordCounts(docs, $"text", MaxLen)
-        .select($"word").as[String].collect().toSeq.sorted
+      val universe = UnigramLm.wordUniverse(docs, $"text", MaxLen)
+        .map(_._1).sorted
       val table = UnigramLm.encodeTableLattice(universe, vocab.toMap, MaxLen)
         .toDF("word", "n_pieces")
       graft.ext.TokenizerEval.fertility(

@@ -71,8 +71,12 @@ object ExtQueries4 {
   private val latticeBytesBaseCtes: String =
     s"""ltok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS rw
        |         FROM d),
-       |lraw AS MATERIALIZED (SELECT rw, CAST(count(*) AS HUGEINT) AS f FROM ltok
-       |        WHERE rw <> '' AND strlen(rw) <= $MaxLen GROUP BY rw),
+       |lraw0 AS (SELECT rw, CAST(count(*) AS HUGEINT) AS f FROM ltok
+       |          WHERE rw <> '' AND strlen(rw) <= $MaxLen GROUP BY rw),
+       |lraw AS MATERIALIZED (SELECT rw, f FROM (
+       |          SELECT rw, f, row_number() OVER (ORDER BY f DESC, rw) AS rn
+       |          FROM lraw0) rkw
+       |        WHERE rn <= ${UnigramLm.DefaultMaxWords}),
        |$byteMapCte,
        |bs AS (SELECT rw, i, bm.c
        |       FROM (SELECT rw,
@@ -139,8 +143,8 @@ object ExtQueries4 {
       val d = plantedDocs(s, dir)
       val vocab = UnigramLm.trainLatticeBytes(d, $"text",
         maxWordBytes = MaxLen, maxPieceLen = MaxLen, iters = 2)
-      val universe = UnigramLm.wordCountsBytes(d, $"text", MaxLen)
-        .select($"word").as[String].collect().toSeq.sorted
+      val universe = UnigramLm.wordUniverseBytes(d, $"text", MaxLen)
+        .map(_._1).sorted
       val table = UnigramLm.encodeTableLatticeBytes(universe, vocab.toMap, MaxLen)
         .toDF("word", "n_pieces")
       val toks = d.select(

@@ -55,6 +55,52 @@ object UnigramLm {
     */
   val CountGrid: Long = 1000000L
 
+  /** Driver-state bound for every trainer's collected word universe —
+    * the [[BpeTrain]] `collectWordCounts` discipline (VERDICT r14):
+    * the (word, freq) table collects to the driver, and on a real web
+    * corpus the distinct ≤8-byte token set (numbers, hashes, URL
+    * fragments, any script) is 10⁸-10⁹ rows — an uncapped collect is
+    * a driver OOM, not a fit. Every trainer takes the deterministic
+    * top-`maxWords` by (freq DESC, word ASC); both engines compare
+    * strings by binary UTF-8 bytes, so the cut is a pure function of
+    * the corpus and a 100 TB corpus and a 1 GB corpus produce the
+    * same-sized driver state. The exhaustive [a-z]{1,3} face's
+    * universe is mathematically ≤ 26+26²+26³ = 18,278 words, so this
+    * default can never bind there (its q185/q193-q195 oracles stay
+    * cap-free); the lattice faces' oracles (q198-q200/q204,
+    * q213/q214) mirror the cap as a ranked-window CTE.
+    */
+  val DefaultMaxWords: Int = 1 << 16
+
+  /** The one capped driver collect behind every trainer: top
+    * `maxWords` rows of a (word, freq) frame by (freq DESC, word ASC)
+    * — Spark plans this as TakeOrderedAndProject, so the full
+    * universe is never moved, only each partition's top-`maxWords`.
+    */
+  private def collectCapped(counts: DataFrame,
+                            maxWords: Int): Seq[(String, Long)] = {
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    counts.orderBy(col("freq").desc, col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** The capped word universe of [[wordCounts]] — the serve side
+    * builds its [[encodeTable]] vocabulary from THIS face so trainer
+    * and vocabulary see the identical universe (words beyond the cap
+    * take the documented codepoint fallback at encode time).
+    */
+  def wordUniverse(df: DataFrame, text: Column, maxWordLen: Int,
+                   maxWords: Int = DefaultMaxWords): Seq[(String, Long)] =
+    collectCapped(wordCounts(df, text, maxWordLen), maxWords)
+
+  /** The capped byte-universe of [[wordCountsBytes]] (raw words, not
+    * symbol strings — the cap ranks on the corpus-visible token).
+    */
+  def wordUniverseBytes(df: DataFrame, text: Column, maxWordBytes: Int,
+                        maxWords: Int = DefaultMaxWords): Seq[(String, Long)] =
+    collectCapped(wordCountsBytes(df, text, maxWordBytes), maxWords)
+
   /** (word, freq) occurrence counts of the trained universe — the one
     * corpus-scale pass. Tokens are `lower(trim(text))` split on
     * whitespace (the corpus-wide convention), kept iff they match
@@ -132,10 +178,9 @@ object UnigramLm {
     * passes. Returns (piece, weight) with weight > 0, piece-ordered —
     * bounded driver state (the BPE merge-table contract).
     */
-  private def collectWords(df: DataFrame, text: Column,
-                           maxWordLen: Int): Seq[(String, Long)] =
-    wordCounts(df, text, maxWordLen)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  private def collectWords(df: DataFrame, text: Column, maxWordLen: Int,
+                           maxWords: Int): Seq[(String, Long)] =
+    wordUniverse(df, text, maxWordLen, maxWords)
 
   // ---- word-count ledger maintenance --------------------------------
   // The corpus-scale part of unigram training is ONE tokenize+count
@@ -178,8 +223,9 @@ object UnigramLm {
     * state itself, so the fit always runs over the universe the counts
     * were built with.
     */
-  def trainFromLedger(state: WordLedger, iters: Int = 2): Seq[(String, Long)] =
-    trainFromState(state.counts, state.maxWordLen, iters)
+  def trainFromLedger(state: WordLedger, iters: Int = 2,
+                      maxWords: Int = DefaultMaxWords): Seq[(String, Long)] =
+    trainFromState(state.counts, state.maxWordLen, iters, maxWords)
 
   /** Fold a new batch into word-count state: full-outer add (the
     * [[Bm25.admitToIndex]] shape). Contract: the batch's documents
@@ -227,9 +273,9 @@ object UnigramLm {
     * multiset.
     */
   def trainFromState(state: DataFrame, maxWordLen: Int = 3,
-                     iters: Int = 2): Seq[(String, Long)] = {
-    val words = state.select(col("word"), col("freq"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+                     iters: Int = 2,
+                     maxWords: Int = DefaultMaxWords): Seq[(String, Long)] = {
+    val words = collectCapped(state.select(col("word"), col("freq")), maxWords)
     fitLoop(words, maxWordLen, iters)
       .toSeq.filter(_._2 > 0L).sortBy(_._1)
   }
@@ -251,11 +297,12 @@ object UnigramLm {
   }
 
   def train(df: DataFrame, text: Column, maxWordLen: Int = 3,
-            iters: Int = 2): Seq[(String, Long)] = {
+            iters: Int = 2,
+            maxWords: Int = DefaultMaxWords): Seq[(String, Long)] = {
     require(maxWordLen >= 1 && maxWordLen <= 16,
       s"maxWordLen in [1, 16], got $maxWordLen")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    fitLoop(collectWords(df, text, maxWordLen), maxWordLen, iters)
+    fitLoop(collectWords(df, text, maxWordLen, maxWords), maxWordLen, iters)
       .toSeq.filter(_._2 > 0L).sortBy(_._1)
   }
 
@@ -413,13 +460,15 @@ object UnigramLm {
     * maxWordLen ≤ 16 costs len · maxPieceLen work per word, not 2^len.
     */
   def trainLattice(df: DataFrame, text: Column, maxWordLen: Int = 8,
-                   maxPieceLen: Int = 8, iters: Int = 2): Seq[(String, Long)] = {
+                   maxPieceLen: Int = 8, iters: Int = 2,
+                   maxWords: Int = DefaultMaxWords): Seq[(String, Long)] = {
     require(maxWordLen >= 1 && maxWordLen <= 16,
       s"maxWordLen in [1, 16], got $maxWordLen")
     require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
       s"maxPieceLen in [1, maxWordLen], got $maxPieceLen")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    fitLoopLattice(collectWords(df, text, maxWordLen), maxPieceLen, iters)
+    fitLoopLattice(collectWords(df, text, maxWordLen, maxWords),
+        maxPieceLen, iters)
       .toSeq.filter(_._2 > 0L).sortBy(_._1)
   }
 
@@ -471,15 +520,15 @@ object UnigramLm {
     * vocabulary-bounded state).
     */
   def trainLatticeBytes(df: DataFrame, text: Column, maxWordBytes: Int = 8,
-                        maxPieceLen: Int = 8, iters: Int = 2): Seq[(String, Long)] = {
+                        maxPieceLen: Int = 8, iters: Int = 2,
+                        maxWords: Int = DefaultMaxWords): Seq[(String, Long)] = {
     require(maxWordBytes >= 1 && maxWordBytes <= 16,
       s"maxWordBytes in [1, 16], got $maxWordBytes")
     require(maxPieceLen >= 1 && maxPieceLen <= maxWordBytes,
       s"maxPieceLen in [1, maxWordBytes], got $maxPieceLen")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val words = wordCountsBytes(df, text, maxWordBytes).collect()
-      .map(r => (graft.functions.ByteBpeUtil.mapWord(r.getString(0)),
-        r.getLong(1))).toSeq
+    val words = wordUniverseBytes(df, text, maxWordBytes, maxWords)
+      .map { case (w, f) => (graft.functions.ByteBpeUtil.mapWord(w), f) }
     fitLoopLattice(words, maxPieceLen, iters)
       .toSeq.filter(_._2 > 0L).sortBy(_._1)
   }
@@ -503,11 +552,12 @@ object UnigramLm {
     * q198's oracle verbatim).
     */
   def trainLatticeFromLedger(state: WordLedger, maxPieceLen: Int = 8,
-                             iters: Int = 2): Seq[(String, Long)] = {
+                             iters: Int = 2,
+                             maxWords: Int = DefaultMaxWords): Seq[(String, Long)] = {
     require(maxPieceLen >= 1 && maxPieceLen <= state.maxWordLen,
       s"maxPieceLen in [1, ${state.maxWordLen}], got $maxPieceLen")
-    val words = state.counts.select(col("word"), col("freq"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val words = collectCapped(
+      state.counts.select(col("word"), col("freq")), maxWords)
     fitLoopLattice(words, maxPieceLen, iters)
       .toSeq.filter(_._2 > 0L).sortBy(_._1)
   }
@@ -519,13 +569,14 @@ object UnigramLm {
     */
   def trainLatticePruned(df: DataFrame, text: Column, maxWordLen: Int = 8,
                          maxPieceLen: Int = 8, emIters: Int = 2,
-                         keepMulti: Int = 64, postIters: Int = 1): Seq[(String, Long)] = {
+                         keepMulti: Int = 64, postIters: Int = 1,
+                         maxWords: Int = DefaultMaxWords): Seq[(String, Long)] = {
     require(maxWordLen >= 1 && maxWordLen <= 16,
       s"maxWordLen in [1, 16], got $maxWordLen")
     require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
       s"maxPieceLen in [1, maxWordLen], got $maxPieceLen")
     require(emIters >= 0 && postIters >= 0, "iteration counts must be >= 0")
-    val words = collectWords(df, text, maxWordLen)
+    val words = collectWords(df, text, maxWordLen, maxWords)
     var wt = pruneVocab(fitLoopLattice(words, maxPieceLen, emIters), keepMulti)
     for (_ <- 1 to postIters)
       wt = renormOn(emStepLattice(words, wt, maxPieceLen), LatticeWeightGrid)
@@ -592,11 +643,12 @@ object UnigramLm {
     */
   def trainPruned(df: DataFrame, text: Column, maxWordLen: Int = 3,
                   emIters: Int = 2, keepMulti: Int = 64,
-                  postIters: Int = 1): Seq[(String, Long)] = {
+                  postIters: Int = 1,
+                  maxWords: Int = DefaultMaxWords): Seq[(String, Long)] = {
     require(maxWordLen >= 1 && maxWordLen <= 16,
       s"maxWordLen in [1, 16], got $maxWordLen")
     require(emIters >= 0 && postIters >= 0, "iteration counts must be >= 0")
-    val words = collectWords(df, text, maxWordLen)
+    val words = collectWords(df, text, maxWordLen, maxWords)
     var wt = pruneVocab(fitLoop(words, maxWordLen, emIters), keepMulti)
     for (_ <- 1 to postIters)
       wt = renorm(emStep(words, wt, maxWordLen))

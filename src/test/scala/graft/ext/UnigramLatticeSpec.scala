@@ -204,6 +204,37 @@ class UnigramLatticeSpec extends SparkTestBase {
     assert(viaLedger == direct)
   }
 
+  test("word-universe cap: the driver collects <= maxWords rows, deterministic top by (freq desc, word asc)") {
+    // 260 distinct words, frequencies 1..26 repeating: the cap must
+    // keep exactly the top-K by freq with ties broken on the word,
+    // never more
+    val words = (0 until 260).map(i => (i.toLong,
+      (("w" + ('a' + i / 26).toChar.toString + ('a' + i % 26).toChar.toString) + " ") * (1 + i % 26)))
+    val docs = words.toDF("doc_id", "text")
+    val capped = UnigramLm.wordUniverse(docs, $"text", maxWordLen = 8, maxWords = 50)
+    assert(capped.size == 50)
+    val full = UnigramLm.wordUniverse(docs, $"text", maxWordLen = 8)
+    assert(full.size == 260)
+    val expected = full.sortBy { case (w, f) => (-f, w) }.take(50).toSet
+    assert(capped.toSet == expected)
+    // a trainer under the cap == the trainer on a corpus holding ONLY
+    // the kept words (the cap is a pure universe cut, nothing else)
+    val keptSet = expected.map(_._1)
+    val onlyKept = words.map { case (id, t) =>
+      (id, t.split("\\s+").filter(keptSet).mkString(" ")) }
+      .filter(_._2.nonEmpty).toDF("doc_id", "text")
+    val viaCap = UnigramLm.trainLattice(docs, $"text", maxWordLen = 8,
+      maxPieceLen = 8, iters = 1, maxWords = 50)
+    val direct = UnigramLm.trainLattice(onlyKept, $"text", maxWordLen = 8,
+      maxPieceLen = 8, iters = 1)
+    assert(viaCap == direct)
+    // the byte face and the ledger read take the same cap
+    assert(UnigramLm.wordUniverseBytes(docs, $"text", 8, maxWords = 50).size == 50)
+    assert(UnigramLm.trainLatticeFromLedger(
+      UnigramLm.ledger(docs, $"text", maxWordLen = 8),
+      maxPieceLen = 8, iters = 1, maxWords = 50) == direct)
+  }
+
   test("guards: maxPieceLen must not exceed the word universe") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
