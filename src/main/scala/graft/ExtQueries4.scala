@@ -722,9 +722,15 @@ object ExtQueries4 {
       // in corpus size, never quadratic
       val src = emb.filter($"vec_id" % 10 === 0 && $"vec_id" < 2000)
         .select($"vec_id".as("src_id"), $"embedding".as("svec"))
-      val planted = src.select(($"src_id" + 1000001L).as("vec_id"),
-        transform($"svec",
-          (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
+      // planted ids live ABOVE the table's max vec_id (a fixed offset
+      // collides with genuine ids once the table passes the offset —
+      // ADVICE r14); the 1-row max aggregate broadcasts, both engines
+      // derive the identical ids
+      val planted = src
+        .crossJoin(broadcast(emb.agg(max($"vec_id").as("__mx"))))
+        .select(($"__mx" + 1L + $"src_id").as("vec_id"),
+          transform($"svec",
+            (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
       val tgt = emb.filter($"vec_id" % 2 === 1)
         .select($"vec_id", $"embedding")
         .unionAll(planted)
@@ -737,7 +743,7 @@ object ExtQueries4 {
            |           FROM embeddings),
            |s AS MATERIALIZED (SELECT vec_id AS sid, v AS sv FROM e
            |     WHERE vec_id % 10 = 0 AND vec_id < 2000),
-           |pl AS (SELECT sid + 1000001 AS vec_id,
+           |pl AS (SELECT (SELECT max(vec_id) FROM e) + 1 + sid AS vec_id,
            |              list_transform(generate_series(1, len(sv)),
            |                             i -> CASE WHEN i = 1 THEN 0.0 ELSE sv[i] END) AS v
            |       FROM s),

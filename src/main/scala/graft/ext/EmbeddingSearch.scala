@@ -134,8 +134,14 @@ object EmbeddingSearch {
     * all keyed by pair endpoints. avgK is then over the PROBED
     * candidate set, the standard approximation in production miners.
     *
-    * Requires every source to carry ≥ k candidates (raises otherwise:
-    * a silent short mean would inflate margins).
+    * Short-candidate discipline: each endpoint OF A SURVIVING
+    * mutual-best pair must carry ≥ k candidates (raises otherwise — a
+    * silent short mean would inflate exactly that pair's margin);
+    * endpoints that never enter a mutual-best pair are simply dropped
+    * with their pairs. With precomputed IVF candidates this is what a
+    * straggler wants: one under-probed target somewhere in the frame
+    * must not abort the whole mining job unless a mined pair actually
+    * depends on its mean (ADVICE r14).
     */
   def bitextMarginFromPairs(pairs: DataFrame, k: Int,
                             minMargin: Double): DataFrame = {
@@ -147,27 +153,26 @@ object EmbeddingSearch {
       .withColumn("__rs", row_number().over(wS))
       .withColumn("__rt", row_number().over(wT))
       .localCheckpoint(false)
-    def avgK(key: String, rank: String, as: String): DataFrame = {
-      val cnt = count(lit(1))
+    // no raise here: the guard applies AFTER the mutual-best join, so
+    // only endpoints a surviving pair depends on can abort the job
+    def avgK(key: String, rank: String, as: String, n: String): DataFrame =
       ranked.filter(col(rank) <= k).groupBy(col(key))
         .agg(((sum((col("cos") * 1e6).cast("decimal(38,6)")).cast("double") /
-          k) / 1e6).as(as), cnt.as("__n"))
-        .withColumn(as, when(col("__n") === k, col(as))
-          .otherwise(raise_error(concat(lit(
-            s"bitextMargin: a side has fewer than k=$k candidates at "),
-            col(key).cast("string")))))
-        .drop("__n")
-    }
+          k) / 1e6).as(as), count(lit(1)).as(n))
+    def guarded(as: String, n: String): Column =
+      when(col(n) === k, col(as))
+        .otherwise(raise_error(lit(
+          s"bitextMargin: a mined pair's side has fewer than k=$k candidates")))
     val bestS = ranked.filter(col("__rs") === 1)
     val bestT = ranked.filter(col("__rt") === 1)
       .select(col("__tid"), col("__sid").as("__back"))
     bestS
-      .join(avgK("__sid", "__rs", "__avgs"), "__sid")
-      .join(avgK("__tid", "__rt", "__avgt"), "__tid")
       .join(bestT, "__tid")
       .filter(col("__back") === col("__sid"))
+      .join(avgK("__sid", "__rs", "__avgs", "__ns"), "__sid")
+      .join(avgK("__tid", "__rt", "__avgt", "__nt"), "__tid")
       .withColumn("margin",
-        col("cos") / ((col("__avgs") + col("__avgt")) / 2.0))
+        col("cos") / ((guarded("__avgs", "__ns") + guarded("__avgt", "__nt")) / 2.0))
       .filter(col("margin") >= minMargin)
       .select(col("__sid").as("src_id"), col("__tid").as("tgt_id"),
         col("cos"), col("margin"))

@@ -671,12 +671,19 @@ object Multimodal {
                   Some(new String(bytes, b + 12, 4, "US-ASCII"))
                 else None
               }
+              // uniform path: both fields are unsigned 32-bit, so the
+              // product can wrap a Long on crafted headers — overflow
+              // routes to the no-row path (exact arithmetic or nothing,
+              // the walk's contract); the per-sample path is bounded by
+              // the box size (count <= len/4, tot <= 2^61)
               szStats <- boxesIn.find(_._3 == "stsz").flatMap { case (b, e, _) =>
                 if (e - b < 12) None
                 else {
                   val uniform = be32(b + 4)
                   val count = be32(b + 8)
-                  if (uniform != 0L) Some((count, uniform * count))
+                  if (uniform != 0L)
+                    try Some((count, Math.multiplyExact(uniform, count)))
+                    catch { case _: ArithmeticException => None }
                   else if (e - b >= 12 + 4 * count) {
                     var i = 0L; var tot = 0L
                     while (i < count) { tot += be32(b + 12 + 4 * i.toInt); i += 1 }
@@ -684,28 +691,37 @@ object Multimodal {
                   } else None
                 }
               }
+              // stts accumulates unvalidated 32-bit count·delta
+              // products — a crafted table can wrap the sum positive,
+              // which the >= 0 guard below cannot see; exact adds only
               ttsStats <- boxesIn.find(_._3 == "stts").flatMap { case (b, e, _) =>
                 if (e - b < 8) None
                 else {
                   val n = be32(b + 4)
                   if (e - b < 8 + 8 * n) None
-                  else {
+                  else try {
                     var i = 0L; var cnt = 0L; var dur = 0L
                     while (i < n) {
                       val o = b + 8 + 8 * i.toInt
-                      cnt += be32(o); dur += be32(o) * be32(o + 4); i += 1
+                      cnt = Math.addExact(cnt, be32(o))
+                      dur = Math.addExact(dur,
+                        Math.multiplyExact(be32(o), be32(o + 4)))
+                      i += 1
                     }
                     Some((cnt, dur))
-                  }
+                  } catch { case _: ArithmeticException => None }
                 }
               }
               nChunks <- boxesIn.collectFirst {
                 case (b, e, "stco") if e - b >= 8 => be32(b + 4)
                 case (b, e, "co64") if e - b >= 8 => be32(b + 4)
               }
-              // desynced stsz/stts sample counts = malformed, no row
+              // desynced stsz/stts sample counts = malformed, no row;
+              // the grace bounds keep the *1000 and *8000 scalings
+              // below exact
               if szStats._1 == ttsStats._1 && ttsStats._2 >= 0 &&
-                ttsStats._2 <= Long.MaxValue / 1000L
+                ttsStats._2 <= Long.MaxValue / 1000L &&
+                szStats._2 <= Long.MaxValue / 8000L
             } yield {
               val durMs = ttsStats._2 * 1000L / ts
               val bps = if (durMs > 0) szStats._2 * 8000L / durMs else 0L
@@ -864,17 +880,21 @@ object Multimodal {
           wavMetadata(r.media_id, b)
         else if (b.length >= 8 && new String(b, 4, 4, "US-ASCII") == "ftyp")
           mp4Metadata(r.media_id, b)
-        else if (isMp3(b)) {
-          val m = mp3Metadata(r.media_id, b)
-          if (m.valid)
-            ContainerMeta(r.media_id, valid = true, "mp3", m.duration_ms, 1,
-              m.sample_rate, m.channels, 0, m.n_samples)
-          else invalidMeta(r.media_id, "mp3")
-        } else {
-          val m = decodeHeader(b)
-          if (m.valid)
-            ContainerMeta(r.media_id, valid = true, "grft", 0L, 1, 0, 0, 0, m.nFrames.toLong)
-          else invalidMeta(r.media_id, "unknown")
+        else {
+          // the MP3 sniff (ID3 prefix or one valid frame header) can
+          // hit non-audio payloads whose first bytes spell "ID3" — so
+          // a sniffed-but-invalid walk FALLS THROUGH to the remaining
+          // sniffs instead of pinning the container label to "mp3"
+          val m3 = if (isMp3(b)) mp3Metadata(r.media_id, b) else invalidMp3(r.media_id)
+          if (m3.valid)
+            ContainerMeta(r.media_id, valid = true, "mp3", m3.duration_ms, 1,
+              m3.sample_rate, m3.channels, 0, m3.n_samples)
+          else {
+            val m = decodeHeader(b)
+            if (m.valid)
+              ContainerMeta(r.media_id, valid = true, "grft", 0L, 1, 0, 0, 0, m.nFrames.toLong)
+            else invalidMeta(r.media_id, "unknown")
+          }
         }
       }
     }

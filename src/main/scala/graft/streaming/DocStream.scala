@@ -397,6 +397,18 @@ object DocStream {
     * static and never re-read as text; the caller refolds admitted
     * digests/signatures/manifest on its batch cadence. Pinned
     * stream ≡ per-batch q216 chain in StreamingSpec.
+    *
+    * DEDUP WINDOWS, stated exactly: EXACT duplicates are screened
+    * both within the batch (the keep-first window) and against the
+    * corpus ([[admitNew]]); NEAR-duplicates are screened against the
+    * persisted corpus signatures only — two mutually-near-dup NEW
+    * docs arriving in the SAME micro-batch are both admitted (the
+    * probe sees neither in state yet). This is the same caveat as
+    * [[admitNew]]'s batch form, one level up: the window closes at
+    * the caller's refold cadence, and a caller that needs
+    * within-batch near-dup closure runs
+    * [[graft.ext.MinHashLsh.selfNearDupEstimate]] over the fresh
+    * batch's signatures before folding them in.
     */
   def corpusAdmitted(docs: DataFrame, id: Column, text: Column,
                      corpusDigests: DataFrame, corpusSigs: DataFrame,

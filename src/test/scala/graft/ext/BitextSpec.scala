@@ -66,7 +66,8 @@ class BitextSpec extends SparkTestBase {
     val emb = Tables.table(spark, dir, "embeddings")
     val src = emb.filter($"vec_id" % 10 === 0 && $"vec_id" < 2000)
       .select($"vec_id".as("src_id"), $"embedding".as("svec"))
-    val planted = src.select(($"src_id" + 1000001L).as("vec_id"),
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val planted = src.select(($"src_id" + lit(maxId + 1L)).as("vec_id"),
       transform($"svec",
         (x, i) => when(i === 0, lit(0.0f)).otherwise(x)).as("embedding"))
     val tgt = emb.filter($"vec_id" % 2 === 1)
@@ -96,10 +97,13 @@ class BitextSpec extends SparkTestBase {
     val mined = graft.ExtQueries4.q217.run(spark, dir)
       .select($"src_id", $"tgt_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val probes = Tables.table(spark, dir, "embeddings")
-      .filter($"vec_id" % 10 === 0).count()
+    val embAll = Tables.table(spark, dir, "embeddings")
+    val probes = embAll.filter($"vec_id" % 10 === 0).count()
+    val maxId = embAll.agg(max($"vec_id")).head().getLong(0)
     assert(mined.length == probes)
-    assert(mined.forall { case (s, t) => t == s + 1000001L },
+    // planted ids are derived above the table's max vec_id, so they
+    // can never collide with a genuine odd vec_id at any SF
+    assert(mined.forall { case (s, t) => t == maxId + 1L + s },
       "only planted translations clear the 1.05 margin on this corpus")
   }
 }

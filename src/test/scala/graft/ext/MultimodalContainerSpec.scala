@@ -280,4 +280,38 @@ class MultimodalContainerSpec extends SparkTestBase {
       261L, 1, 44100, 2, 0, 11520L))
     assert(out(28L).container == "wav" && out(28L).valid)
   }
+
+  test("mp4SampleStats: crafted 32-bit fields that wrap a Long yield NO row") {
+    // locate an ASCII box name and overwrite a be32 field inside its
+    // body — the crafted-header shapes the walk must refuse exactly
+    def patch(bytes: Array[Byte], boxName: String, bodyOff: Int, v: Long): Array[Byte] = {
+      val out = bytes.clone()
+      val idx = out.indices.find(i => i + 4 <= out.length &&
+        new String(out, i, 4, "US-ASCII") == boxName).get
+      val o = idx + 4 + bodyOff
+      out(o) = (v >> 24).toByte; out(o + 1) = (v >> 16).toByte
+      out(o + 2) = (v >> 8).toByte; out(o + 3) = v.toByte
+      out
+    }
+    val base = Multimodal.encodeMp4Sampled(1000, 1000, Seq(
+      ("avc1", 12800, Seq(500L, 500L), Seq((2L, 256L)), 1)))
+    assert(Multimodal.mp4SampleStats(1L, base).nonEmpty)
+    // uniform-stsz path: uniform ~2^32-1 with count ~2^32-1 wraps the
+    // Long product positive — must route to the no-row path
+    val szWrap = patch(patch(base, "stsz", 8, 0xFFFFFFFFL), "stsz", 4, 0xFFFFFFFFL)
+    assert(Multimodal.mp4SampleStats(2L, szWrap).isEmpty)
+    // stts run: count*delta at (2^32-1)^2 wraps positive past the
+    // old >= 0 guard — must route to the no-row path
+    val ttsWrap = patch(patch(base, "stts", 8, 0xFFFFFFFFL), "stts", 12, 0xFFFFFFFFL)
+    assert(Multimodal.mp4SampleStats(3L, ttsWrap).isEmpty)
+  }
+
+  test("dispatch: an ID3-prefixed NON-audio blob falls through to unknown, not 'mp3'") {
+    val blob = "ID3 is a tag format, but these bytes are prose".getBytes("US-ASCII")
+    assert(Multimodal.isMp3(blob)) // the sniff alone would misroute it
+    val ds = spark.createDataset(Seq(Multimodal.MediaRow(30L, "mixed", blob)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val m = Multimodal.containerMetadata(ds).collect().head
+    assert(!m.valid && m.container == "unknown")
+  }
 }
