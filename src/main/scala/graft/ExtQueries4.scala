@@ -1100,6 +1100,61 @@ object ExtQueries4 {
          |ORDER BY ord""".stripMargin
     })
 
+  // ---- H.264 SPS header parse under the oracle gate (q222) -----------
+
+  /** Coded-video geometry from the SPS under the ORACLE gate (the
+    * q218 identity discipline): per document, SPS parameters are
+    * derived arithmetically — baseline/high profile by parity, level
+    * by id mod 3, macroblock geometry and chroma-unit crops from id —
+    * a REAL SPS NAL is bit-encoded ([[graft.ext.Multimodal.encodeSps]]:
+    * Exp-Golomb fields, emulation-prevention escaping, trailing
+    * bits), embedded in a REAL stsd sample entry's avcC record
+    * (ISO 14496-15 layout inside the full VisualSampleEntry), and
+    * [[graft.ext.Multimodal.mp4CodedVideo]] walks the container back
+    * to (profile, level, coded width/height). The oracle computes the
+    * geometry from §7.4.2.1.1 arithmetic alone — 16·(mbs+1) minus
+    * 2·crop chroma units — never a byte, so every row doubles as a
+    * bit-level encode→parse fidelity proof. This is the field tkhd
+    * cannot provide: presentation size may lie about the coded
+    * stream; route-by-resolution needs the SPS.
+    */
+  val q222 = Q(
+    "q222_h264_sps",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.flatMap { id =>
+        val profile = if (id % 2 == 0) 66 else 100
+        val level = Seq(30, 40, 50)((id % 3).toInt)
+        val nal = Multimodal.encodeSps(profile, level,
+          picWidthInMbsMinus1 = id % 120,
+          picHeightInMapUnitsMinus1 = id % 68,
+          cropRight = id % 3, cropBottom = (id + 1) % 3)
+        val bytes = Multimodal.encodeMp4Sampled(1000, 1000, Seq(
+          ("avc1", 12800, Seq.fill(5)(100L), Seq((5L, 256L)), 1)),
+          sps = Map(0 -> nal))
+        Multimodal.mp4CodedVideo(id, bytes)
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"track_id", $"profile_idc",
+          $"level_idc", $"coded_width", $"coded_height")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+           |                  CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 100 END AS prof,
+           |                  CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 40
+           |                       ELSE 50 END AS lvl,
+           |                  doc_id % 120 AS wm, doc_id % 68 AS hm,
+           |                  doc_id % 3 AS cr, (doc_id + 1) % 3 AS cb
+           |           FROM documents WHERE doc_id % 20 = 0)
+           |SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+           |       CAST(prof AS INT) AS profile_idc,
+           |       CAST(lvl AS INT) AS level_idc,
+           |       CAST(16 * (wm + 1) - 2 * cr AS BIGINT) AS coded_width,
+           |       CAST(16 * (hm + 1) - 2 * cb AS BIGINT) AS coded_height
+           |FROM p ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
-    q221)
+    q221, q222)
 }

@@ -742,6 +742,264 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // H.264 SPS HEADER parse (public ITU-T H.264 §7.3.2.1.1 through the
+  // ISO 14496-15 avcC record in the stsd sample entry): TRUE coded
+  // resolution, profile and level — no codec involved, the SPS is a
+  // few dozen Exp-Golomb-coded header bits. tkhd width/height is the
+  // PRESENTATION size and can lie about the coded stream; a 100 TB
+  // route-by-resolution video pass needs the coded numbers. Scaling
+  // lists (seq_scaling_matrix_present_flag = 1) are the one header
+  // shape not walked — rare in practice and irrelevant to geometry,
+  // but their length is content-dependent, so such an SPS yields NO
+  // row rather than a misparsed one (the house malformed contract).
+  // ---------------------------------------------------------------------
+
+  final case class CodedVideo(media_id: Long, track_id: Long,
+                              profile_idc: Int, level_idc: Int,
+                              coded_width: Long, coded_height: Long)
+
+  /** MSB-first bit reader over RBSP bytes; every read is an Option so
+    * a truncated SPS propagates to no-row instead of garbage.
+    */
+  private final class BitReader(bytes: Array[Byte]) {
+    private var bit = 0
+    def u(n: Int): Option[Long] = {
+      if (bit + n > bytes.length * 8) None
+      else {
+        var v = 0L
+        var i = 0
+        while (i < n) {
+          v = (v << 1) | ((bytes(bit >> 3) >> (7 - (bit & 7))) & 1)
+          bit += 1; i += 1
+        }
+        Some(v)
+      }
+    }
+    def u1(): Option[Long] = u(1)
+    /** Exp-Golomb unsigned: leading zeros z (≤ 31 — a longer run is
+      * not a header field, it is garbage), then z info bits.
+      */
+    def ue(): Option[Long] = {
+      var z = 0
+      var leading = u1()
+      while (leading.contains(0L) && z <= 31) { z += 1; leading = u1() }
+      if (!leading.contains(1L) || z > 31) None
+      else if (z == 0) Some(0L)
+      else u(z).map(info => (1L << z) - 1 + info)
+    }
+    /** Exp-Golomb signed: k ↦ (−1)^(k+1) · ⌈k/2⌉. */
+    def se(): Option[Long] =
+      ue().map(k => if (k % 2 == 1) (k + 1) / 2 else -(k / 2))
+  }
+
+  /** Strip emulation-prevention bytes (00 00 03 → 00 00) from a NAL
+    * payload — the inverse of the escaping [[encodeSps]] performs.
+    */
+  private def rbspUnescape(nal: Array[Byte], from: Int): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](nal.length - from)
+    var zeros = 0
+    var i = from
+    while (i < nal.length) {
+      val b = nal(i)
+      if (zeros >= 2 && b == 3) zeros = 0 // emulation prevention byte: drop
+      else {
+        out += b
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  private val HighProfiles =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+  /** Parse one SPS NAL unit (header byte included):
+    * (profile_idc, level_idc, coded_width, coded_height), or None on
+    * any malformed/truncated/unsupported shape. Geometry per
+    * §7.4.2.1.1: width = 16·(pic_width_in_mbs_minus1+1) −
+    * CropUnitX·(crop_left+crop_right) and the frame-height analogue
+    * with the (2 − frame_mbs_only_flag) field scaling; crop units
+    * from the chroma format (SubWidthC/SubHeightC; ChromaArrayType 0
+    * ⇒ unit 1).
+    */
+  def h264SpsParse(nal: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None // must be SPS
+    val r = new BitReader(rbspUnescape(nal, 1))
+    for {
+      profile <- r.u(8)
+      _ <- r.u(8) // constraint flags + reserved_zero_2bits
+      level <- r.u(8)
+      _ <- r.ue() // seq_parameter_set_id
+      chromaSep <-
+        if (HighProfiles(profile.toInt)) for {
+          cf <- r.ue() if cf <= 3
+          sep <- if (cf == 3) r.u1() else Some(0L)
+          _ <- r.ue() // bit_depth_luma_minus8
+          _ <- r.ue() // bit_depth_chroma_minus8
+          _ <- r.u1() // qpprime_y_zero_transform_bypass_flag
+          sm <- r.u1() if sm == 0L // scaling lists: documented no-row
+        } yield (cf, sep)
+        else Some((1L, 0L)) // chroma_format_idc defaults to 4:2:0
+      _ <- r.ue() // log2_max_frame_num_minus4
+      poc <- r.ue()
+      _ <- poc match {
+        case 0L => r.ue()
+        case 1L => for {
+          _ <- r.u1(); _ <- r.se(); _ <- r.se()
+          n <- r.ue() if n <= 255
+          _ <- (1L to n).foldLeft(Option(0L))((acc, _) => acc.flatMap(_ => r.se()))
+        } yield 0L
+        case _ => Some(0L)
+      }
+      _ <- r.ue() // max_num_ref_frames
+      _ <- r.u1() // gaps_in_frame_num_value_allowed_flag
+      wMbs <- r.ue()
+      hMus <- r.ue()
+      frameMbsOnly <- r.u1()
+      _ <- if (frameMbsOnly == 0L) r.u1() else Some(0L) // mb_adaptive
+      _ <- r.u1() // direct_8x8_inference_flag
+      cropFlag <- r.u1()
+      crops <-
+        if (cropFlag == 1L) for {
+          l <- r.ue(); rr <- r.ue(); t <- r.ue(); b <- r.ue()
+        } yield (l, rr, t, b)
+        else Some((0L, 0L, 0L, 0L))
+    } yield {
+      val (chroma, sep) = chromaSep
+      val chromaArrayType = if (sep == 1L) 0L else chroma
+      val (subW, subH) = chroma match {
+        case 1L => (2L, 2L); case 2L => (2L, 1L); case _ => (1L, 1L)
+      }
+      val cropUnitX = if (chromaArrayType == 0L) 1L else subW
+      val cropUnitY =
+        (if (chromaArrayType == 0L) 1L else subH) * (2L - frameMbsOnly)
+      val w = 16L * (wMbs + 1) - cropUnitX * (crops._1 + crops._2)
+      val h = (2L - frameMbsOnly) * 16L * (hMus + 1) -
+        cropUnitY * (crops._3 + crops._4)
+      (profile.toInt, level.toInt, w, h)
+    }
+  }.filter { case (_, _, w, h) => w > 0 && h > 0 }
+
+  /** Per-track coded-video geometry from the stsd sample entry's
+    * avcC record: descend `moov/trak/mdia/minf/stbl/stsd`, take the
+    * first entry when its fourcc is an AVC form (avc1/avc3), walk its
+    * child boxes past the 78-byte VisualSampleEntry fields, and parse
+    * the record's first SPS NAL. Tracks without a parseable SPS yield
+    * no row — never a presentation-size guess.
+    */
+  def mp4CodedVideo(id: Long, bytes: Array[Byte]): Seq[CodedVideo] = {
+    def be16(o: Int): Int =
+      ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    if (bytes.length < 8) return Seq.empty
+    val top = mp4Boxes(bytes, 0, bytes.length)
+    if (!top.exists(_._3 == "ftyp")) return Seq.empty
+    top.find(_._3 == "moov").toSeq.flatMap { case (mBody, mEnd, _) =>
+      mp4Boxes(bytes, mBody, mEnd).filter(_._3 == "trak").flatMap {
+        case (tBody, tEnd, _) =>
+          val tk = mp4Boxes(bytes, tBody, tEnd)
+          val trackId = tk.find(_._3 == "tkhd").flatMap { case (b, e, _) =>
+            val v = bytes(b) & 0xff
+            if (v == 0 && e - b >= 16) Some(be32At(bytes, b + 12))
+            else if (v == 1 && e - b >= 24) Some(be32At(bytes, b + 20))
+            else None
+          }
+          val stsd = tk.find(_._3 == "mdia").toSeq
+            .flatMap { case (b, e, _) => mp4Boxes(bytes, b, e) }
+            .filter(_._3 == "minf")
+            .flatMap { case (b, e, _) => mp4Boxes(bytes, b, e) }
+            .filter(_._3 == "stbl")
+            .flatMap { case (b, e, _) => mp4Boxes(bytes, b, e) }
+            .find(_._3 == "stsd")
+          for {
+            tid <- trackId.toSeq
+            (b, e, _) <- stsd.toSeq
+            // vf(4) entry_count(4), first entry: size(4) fourcc(4)
+            if e - b >= 16 && be32At(bytes, b + 4) >= 1
+            entryStart = b + 8
+            entrySize = be32At(bytes, entryStart)
+            entryEnd = entryStart + entrySize.toInt
+            if entrySize >= 16 && entryEnd <= e
+            fourcc = new String(bytes, entryStart + 4, 4, "US-ASCII")
+            if fourcc == "avc1" || fourcc == "avc3"
+            // children start after the 78-byte VisualSampleEntry
+            // (8 sample-entry + 70 visual fields)
+            if entryStart + 86 <= entryEnd
+            (cb, ce, _) <- mp4Boxes(bytes, entryStart + 86, entryEnd)
+              .filter(_._3 == "avcC")
+            // avcC: ver(1) profile(1) compat(1) level(1) lenSize(1)
+            // numSps(1, low 5 bits), then per SPS: len(2) + NAL
+            if ce - cb >= 8 && (bytes(cb + 5) & 0x1f) >= 1
+            spsLen = be16(cb + 6)
+            if cb + 8 + spsLen <= ce
+            parsed <- h264SpsParse(
+              java.util.Arrays.copyOfRange(bytes, cb + 8, cb + 8 + spsLen)).toSeq
+          } yield CodedVideo(id, tid, parsed._1, parsed._2, parsed._3, parsed._4)
+      }
+    }
+  }
+
+  /** Per-partition coded-video extraction — one row per AVC track
+    * with a parseable SPS; binary never leaves the executor.
+    */
+  def codedVideoTable(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc: Encoder[CodedVideo] = Encoders.product[CodedVideo]
+    ds.mapPartitions(_.flatMap(r => mp4CodedVideo(r.media_id, r.content))).toDF()
+  }
+
+  /** Test/data-gen helper: a REAL SPS NAL (header byte 0x67, RBSP
+    * escaped, trailing bits) for a 4:2:0 frame-coded stream —
+    * profile 66 (baseline header shape) or any [[HighProfiles]] id
+    * (chroma/bit-depth fields present, no scaling lists); crop
+    * right/bottom in chroma units (CropUnitX = CropUnitY = 2 here).
+    */
+  def encodeSps(profileIdc: Int, levelIdc: Int, picWidthInMbsMinus1: Long,
+                picHeightInMapUnitsMinus1: Long, cropRight: Long = 0L,
+                cropBottom: Long = 0L): Array[Byte] = {
+    require(profileIdc == 66 || profileIdc == 77 || HighProfiles(profileIdc))
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def u(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1L).toInt)
+    def ue(v: Long): Unit = {
+      val z = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
+      u(0L, z); u(v + 1, z + 1)
+    }
+    u(profileIdc.toLong, 8); u(0L, 8); u(levelIdc.toLong, 8)
+    ue(0L) // sps_id
+    if (HighProfiles(profileIdc)) {
+      ue(1L) // chroma_format_idc 4:2:0
+      ue(0L); ue(0L) // bit depths
+      u(0L, 1) // qpprime
+      u(0L, 1) // no scaling matrix
+    }
+    ue(0L) // log2_max_frame_num_minus4
+    ue(2L) // pic_order_cnt_type 2 (no dependent fields)
+    ue(1L) // max_num_ref_frames
+    u(0L, 1) // gaps flag
+    ue(picWidthInMbsMinus1); ue(picHeightInMapUnitsMinus1)
+    u(1L, 1) // frame_mbs_only_flag
+    u(1L, 1) // direct_8x8_inference_flag
+    val crop = cropRight > 0 || cropBottom > 0
+    u(if (crop) 1L else 0L, 1)
+    if (crop) { ue(0L); ue(cropRight); ue(0L); ue(cropBottom) }
+    u(0L, 1) // vui_parameters_present_flag
+    u(1L, 1) // rbsp_stop_one_bit
+    while (bits.length % 8 != 0) bits += 0
+    val rbsp = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    // NAL: header 0x67 (nal_ref_idc 3, type 7) + escaped RBSP
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](rbsp.length + 4)
+    out += 0x67.toByte
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  // ---------------------------------------------------------------------
   // MP3 FRAME-HEADER walk (public MPEG-1/2/2.5 audio framing): exact
   // frame count, duration, sample layout, average bitrate, and VBR
   // detection WITHOUT any audio codec — each frame's length is fully
@@ -1123,9 +1381,15 @@ object Multimodal {
     * stts (count, delta) runs, and chunk offsets. Payload bytes are
     * irrelevant to the walk (skipped by size) and omitted.
     */
+  /** @param sps optional SPS NAL per track index: the sample entry is
+    *             emitted as a full 78-byte VisualSampleEntry with an
+    *             `avcC` child carrying the NAL (real ISO 14496-15
+    *             layout); absent → the minimal 16-byte entry as before
+    */
   def encodeMp4Sampled(movieTimescale: Int, movieDuration: Int,
                        tracks: Seq[(String, Int, Seq[Long], Seq[(Long, Long)], Int)],
-                       forceSizeTable: Boolean = false): Array[Byte] = {
+                       forceSizeTable: Boolean = false,
+                       sps: Map[Int, Array[Byte]] = Map.empty): Array[Byte] = {
     def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
       (v >> 8).toByte, v.toByte)
     def box(tpe: String, body: Array[Byte]): Array[Byte] =
@@ -1142,8 +1406,21 @@ object Multimodal {
         val mdhd = box("mdhd", be32(0L) ++ be32(0L) ++ be32(0L) ++
           be32(mediaTs.toLong) ++
           be32(sttsRuns.map { case (c, d) => c * d }.sum))
-        val stsd = box("stsd", be32(0L) ++ be32(1L) ++
-          box(codec, Array.fill[Byte](8)(0)))
+        val stsd = sps.get(i) match {
+          case Some(nal) =>
+            // full VisualSampleEntry (8 sample-entry fields + 70
+            // visual fields) + the avcC record: ver/profile/compat/
+            // level, lengthSizeMinusOne (0xff = reserved6+3),
+            // numSps (0xe1 = reserved3+1), len(2) + NAL, numPps 0
+            val avcC = box("avcC", Array[Byte](1, nal(1), nal(2), nal(3),
+              0xff.toByte, 0xe1.toByte,
+              ((nal.length >> 8) & 0xff).toByte, (nal.length & 0xff).toByte) ++
+              nal ++ Array[Byte](0))
+            box("stsd", be32(0L) ++ be32(1L) ++
+              box(codec, Array.fill[Byte](78)(0) ++ avcC))
+          case None =>
+            box("stsd", be32(0L) ++ be32(1L) ++ box(codec, Array.fill[Byte](8)(0)))
+        }
         val uniform = sizes.nonEmpty && !forceSizeTable && sizes.distinct.size == 1
         val stsz =
           if (uniform) box("stsz", be32(0L) ++ be32(sizes.head) ++ be32(sizes.length.toLong))

@@ -306,6 +306,52 @@ class MultimodalContainerSpec extends SparkTestBase {
     assert(Multimodal.mp4SampleStats(3L, ttsWrap).isEmpty)
   }
 
+  test("h264SpsParse: hand-built SPS bits decode to the exact coded geometry") {
+    // 640x480 baseline: profile 66, constraints 0, level 30, then
+    // ue(sps_id=0)=1, ue(log2mfn=0)=1, ue(poc=2)=011, ue(maxref=1)=010,
+    // gaps=0, ue(wMbs=39)=00000 101000, ue(hMus=29)=0000 11110,
+    // frame_mbs_only=1, direct8x8=1, crop=0, vui=0, stop=1
+    def bitsToBytes(s: String): Array[Byte] = {
+      val padded = s + "0" * ((8 - s.length % 8) % 8)
+      padded.grouped(8).map(g => Integer.parseInt(g, 2).toByte).toArray
+    }
+    val rbsp = "01000010" + "00000000" + "00011110" +
+      "1" + "1" + "011" + "010" + "0" +
+      "00000101000" + "000011110" + "1" + "1" + "0" + "0" + "1"
+    val nal = Array(0x67.toByte) ++ bitsToBytes(rbsp)
+    assert(Multimodal.h264SpsParse(nal) == Some((66, 30, 640L, 480L)))
+    // encoder round trips the same geometry
+    assert(Multimodal.h264SpsParse(Multimodal.encodeSps(66, 30, 39, 29)) ==
+      Some((66, 30, 640L, 480L)))
+    // 1080p high profile: 120x68 macroblocks, 4 chroma-unit bottom crop
+    // (1088 - 2*4 = 1080) — the classic coded-vs-presentation case
+    assert(Multimodal.h264SpsParse(
+      Multimodal.encodeSps(100, 41, 119, 67, cropRight = 0, cropBottom = 4)) ==
+      Some((100, 41, 1920L, 1080L)))
+    // malformed shapes yield None, never garbage: truncation, a
+    // non-SPS NAL type, empty input
+    assert(Multimodal.h264SpsParse(nal.take(4)).isEmpty)
+    assert(Multimodal.h264SpsParse(
+      Array(0x61.toByte) ++ bitsToBytes(rbsp)).isEmpty)
+    assert(Multimodal.h264SpsParse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("mp4CodedVideo: avcC walk recovers the SPS through a real stsd entry") {
+    val nal = Multimodal.encodeSps(100, 40, 79, 44, cropRight = 2, cropBottom = 1)
+    val bytes = Multimodal.encodeMp4Sampled(1000, 1000, Seq(
+      ("avc1", 12800, Seq.fill(5)(100L), Seq((5L, 256L)), 1)),
+      sps = Map(0 -> nal))
+    val rows = Multimodal.mp4CodedVideo(7L, bytes)
+    assert(rows == Seq(Multimodal.CodedVideo(7L, 1L, 100, 40,
+      80 * 16 - 4L, 45 * 16 - 2L)))
+    // the sample-table walk still reads the SPS-bearing entry's codec
+    assert(Multimodal.mp4SampleStats(7L, bytes).map(_.codec) == Seq("avc1"))
+    // a track without an avcC record yields no coded-video row
+    val plain = Multimodal.encodeMp4Sampled(1000, 1000, Seq(
+      ("mp4a", 48000, Seq.fill(5)(100L), Seq((5L, 256L)), 1)))
+    assert(Multimodal.mp4CodedVideo(8L, plain).isEmpty)
+  }
+
   test("dispatch: an ID3-prefixed NON-audio blob falls through to unknown, not 'mp3'") {
     val blob = "ID3 is a tag format, but these bytes are prose".getBytes("US-ASCII")
     assert(Multimodal.isMp3(blob)) // the sniff alone would misroute it
