@@ -530,8 +530,9 @@ object Bench {
       // slice grows with the corpus (copies keep their residue)
       "q218_mp4_sample_stats", "q219_mp3_frame_stats",
       "q220_media_route",
-      // r15: SPS bit-encode→avcC walk over the same modulo slice
-      "q222_h264_sps",
+      // r15: SPS bit-encode→avcC walk, FLAC STREAMINFO and Ogg page
+      // walks — all over the same modulo slice
+      "q222_h264_sps", "q223_flac_stream_info", "q224_ogg_pages",
       // full-corpus state build + affected-only retraction
       "q221_corpus_takedown")
       // q179_interval_overlap is deliberately NOT in the tier: the ×10

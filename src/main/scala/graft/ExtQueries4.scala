@@ -917,15 +917,16 @@ object ExtQueries4 {
   // ---- container DISPATCH under the oracle gate (q220) ---------------
 
   /** Mixed-media routing ([[graft.ext.Multimodal.containerMetadata]]):
-    * per document one of THREE real containers is encoded from
-    * arithmetic parameters — ISO-BMFF MP4 (id%3=0), MPEG audio
-    * (id%3=1), RIFF/WAVE PCM (id%3=2) — and the sniffing dispatch
-    * must route each to the right header walk and recover every
-    * typed field. The oracle computes all fields from the branch
-    * arithmetic alone (q218's identity discipline), so one misrouted
-    * magic number or off-by-one in any walk flips the hash. This is
-    * the media-lake front door: one pass, binary stays on executors,
-    * typed metadata out.
+    * per document one of FIVE real containers is encoded from
+    * arithmetic parameters — ISO-BMFF MP4 (id%5=0), MPEG audio
+    * (id%5=1), RIFF/WAVE PCM (id%5=2), FLAC (id%5=3), Ogg/Vorbis
+    * (id%5=4) — and the sniffing dispatch must route each to the
+    * right header walk and recover every typed field. The oracle
+    * computes all fields from the branch arithmetic alone (q218's
+    * identity discipline), so one misrouted magic number or
+    * off-by-one in any walk flips the hash. This is the media-lake
+    * front door: one pass, binary stays on executors, typed metadata
+    * out.
     */
   val q220 = Q(
     "q220_media_route",
@@ -936,17 +937,23 @@ object ExtQueries4 {
         .select($"doc_id").as[Long]
       val metas = rows.mapPartitions { it =>
         val rs = it.map { id =>
-          val bytes = (id % 3) match {
+          val bytes = (id % 5) match {
             case 0 => Multimodal.encodeMp4(600, 600 + (id % 1000).toInt,
               nTracks = 1 + (id % 5).toInt)
             case 1 => Multimodal.encodeMp3(Seq.fill(2 + (id % 4).toInt)(
               (1 + (id % 14).toInt, (id % 3).toInt, true, id % 2 == 0)))
-            case _ =>
+            case 2 =>
               val rate = 8000 + (id % 4).toInt * 4000
               val ch = 1 + (id % 2).toInt
               val nFrames = 500 + (id % 300).toInt
               Multimodal.encodeWav(rate, ch, 16,
                 new Array[Byte](nFrames * ch * 2))
+            case 3 => Multimodal.encodeFlac(
+              8000 + (id % 4).toInt * 4000, 1 + (id % 2).toInt,
+              Seq(8, 16, 24)((id % 3).toInt), 1000L + id % 90000L)
+            case _ => Multimodal.encodeOgg("vorbis",
+              8000 + (id % 4).toInt * 4000, 1 + (id % 2).toInt,
+              2 + (id % 5).toInt, 960L * (1 + id % 4))
           }
           Multimodal.MediaRow(id, "mixed", bytes)
         }
@@ -966,14 +973,14 @@ object ExtQueries4 {
          |              CAST(1 + doc_id % 5 AS INT) AS n_tracks,
          |              0 AS sample_rate, 0 AS channels, 0 AS bits_per_sample,
          |              CAST(0 AS BIGINT) AS n_samples
-         |       FROM p WHERE doc_id % 3 = 0),
+         |       FROM p WHERE doc_id % 5 = 0),
          |m3 AS (SELECT doc_id, 'mp3' AS container,
          |              1152 * (2 + doc_id % 4) * 1000 // 48000 AS duration_ms,
          |              1 AS n_tracks, 48000 AS sample_rate,
          |              CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
          |              0 AS bits_per_sample,
          |              CAST(1152 * (2 + doc_id % 4) AS BIGINT) AS n_samples
-         |       FROM p WHERE doc_id % 3 = 1),
+         |       FROM p WHERE doc_id % 5 = 1),
          |wv AS (SELECT doc_id, 'wav' AS container,
          |              (500 + doc_id % 300) * 1000 //
          |                (8000 + (doc_id % 4) * 4000) AS duration_ms,
@@ -982,12 +989,33 @@ object ExtQueries4 {
          |              CAST(1 + doc_id % 2 AS INT) AS channels,
          |              16 AS bits_per_sample,
          |              CAST(500 + doc_id % 300 AS BIGINT) AS n_samples
-         |       FROM p WHERE doc_id % 3 = 2)
+         |       FROM p WHERE doc_id % 5 = 2),
+         |fl AS (SELECT doc_id, 'flac' AS container,
+         |              (1000 + doc_id % 90000) * 1000 //
+         |                (8000 + (doc_id % 4) * 4000) AS duration_ms,
+         |              1 AS n_tracks,
+         |              CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         |              CAST(1 + doc_id % 2 AS INT) AS channels,
+         |              CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+         |                   ELSE 24 END AS INT) AS bits_per_sample,
+         |              CAST(1000 + doc_id % 90000 AS BIGINT) AS n_samples
+         |       FROM p WHERE doc_id % 5 = 3),
+         |og AS (SELECT doc_id, 'ogg' AS container,
+         |              960 * (1 + doc_id % 4) * (2 + doc_id % 5) * 1000 //
+         |                (8000 + (doc_id % 4) * 4000) AS duration_ms,
+         |              1 AS n_tracks,
+         |              CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+         |              CAST(1 + doc_id % 2 AS INT) AS channels,
+         |              0 AS bits_per_sample,
+         |              CAST(960 * (1 + doc_id % 4) * (2 + doc_id % 5) AS BIGINT)
+         |                AS n_samples
+         |       FROM p WHERE doc_id % 5 = 4)
          |SELECT doc_id, TRUE AS valid, container,
          |       CAST(duration_ms AS BIGINT) AS duration_ms, n_tracks,
          |       sample_rate, channels, bits_per_sample, n_samples
          |FROM (SELECT * FROM m4 UNION ALL SELECT * FROM m3
-         |      UNION ALL SELECT * FROM wv)
+         |      UNION ALL SELECT * FROM wv UNION ALL SELECT * FROM fl
+         |      UNION ALL SELECT * FROM og)
          |ORDER BY doc_id""".stripMargin
     })
 
@@ -1155,6 +1183,102 @@ object ExtQueries4 {
            |       CAST(16 * (hm + 1) - 2 * cb AS BIGINT) AS coded_height
            |FROM p ORDER BY doc_id""".stripMargin))
 
+  // ---- FLAC / Ogg container walks under the oracle gate (q223/q224) --
+
+  /** FLAC STREAMINFO walk under the ORACLE gate (the q218 identity
+    * discipline for lossless audio): per document, stream parameters
+    * are derived arithmetically (rate from an 8-row table by id mod 8,
+    * channels by parity, bit depth by id mod 3, a sample count from
+    * id), a REAL FLAC header is encoded
+    * ([[graft.ext.Multimodal.encodeFlac]] — magic + the packed-64-bit
+    * STREAMINFO block), and [[graft.ext.Multimodal.flacMetadata]]
+    * walks the bytes back. The oracle computes every field — including
+    * the exact integer duration samples·1000 // rate — from the
+    * arithmetic alone.
+    */
+  val q223 = Q(
+    "q223_flac_stream_info",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.map { id =>
+        val rate = Seq(8000, 16000, 22050, 24000, 32000, 44100, 48000,
+          96000)((id % 8).toInt)
+        Multimodal.flacMetadata(id, Multimodal.encodeFlac(
+          rate, 1 + (id % 2).toInt, Seq(8, 16, 24)((id % 3).toInt),
+          1000L + id % 90000L))
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"valid", $"sample_rate",
+          $"channels", $"bits_per_sample", $"n_samples", $"duration_ms",
+          $"min_block_size", $"max_block_size")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH r(i, rate) AS (VALUES (0, 8000), (1, 16000), (2, 22050),
+           |       (3, 24000), (4, 32000), (5, 44100), (6, 48000), (7, 96000)),
+           |p AS (SELECT doc_id, rate,
+           |             CAST(1 + doc_id % 2 AS INT) AS channels,
+           |             CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+           |                  ELSE 24 END AS bps,
+           |             CAST(1000 + doc_id % 90000 AS BIGINT) AS ns
+           |      FROM documents JOIN r ON r.i = doc_id % 8
+           |      WHERE doc_id % 20 = 0)
+           |SELECT doc_id, TRUE AS valid, CAST(rate AS INT) AS sample_rate,
+           |       channels, CAST(bps AS INT) AS bits_per_sample,
+           |       ns AS n_samples, ns * 1000 // rate AS duration_ms,
+           |       CAST(4096 AS INT) AS min_block_size,
+           |       CAST(4096 AS INT) AS max_block_size
+           |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** Ogg page walk under the ORACLE gate: per document a Vorbis or
+    * Opus stream (by parity) is laid out arithmetically — page count
+    * from id, per-page granule stride, the Opus 312-sample pre-skip —
+    * encoded as REAL Ogg pages ([[graft.ext.Multimodal.encodeOgg]]:
+    * BOS/EOS flags, lacing tables, ID header packet), and
+    * [[graft.ext.Multimodal.oggMetadata]] walks the pages back. The
+    * oracle recomputes codec, rate (Opus granules are ALWAYS 48 kHz),
+    * page count, total samples from the final granule (minus pre-skip
+    * for Opus) and the exact integer duration — from the arithmetic
+    * alone, never a byte.
+    */
+  val q224 = Q(
+    "q224_ogg_pages",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.map { id =>
+        val codec = if (id % 2 == 0) "vorbis" else "opus"
+        val rate = Seq(22050, 44100, 48000)((id % 3).toInt)
+        Multimodal.oggMetadata(id, Multimodal.encodeOgg(
+          codec, rate, 1 + (id % 2).toInt, 2 + (id % 5).toInt,
+          960L * (1 + id % 4), preSkip = if (codec == "opus") 312 else 0))
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"valid", $"codec",
+          $"sample_rate", $"channels", $"n_pages", $"n_samples",
+          $"duration_ms")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH r(i, rate) AS (VALUES (0, 22050), (1, 44100), (2, 48000)),
+           |p AS (SELECT doc_id,
+           |             CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+           |             rate,
+           |             CAST(1 + doc_id % 2 AS INT) AS channels,
+           |             CAST(2 + doc_id % 5 AS BIGINT) AS np,
+           |             CAST(960 * (1 + doc_id % 4) AS BIGINT) AS spp
+           |      FROM documents JOIN r ON r.i = doc_id % 3
+           |      WHERE doc_id % 20 = 0),
+           |d AS (SELECT doc_id, codec,
+           |             CASE WHEN codec = 'opus' THEN 48000 ELSE rate END AS srate,
+           |             channels, np + 1 AS n_pages, spp * np AS ns
+           |      FROM p)
+           |SELECT doc_id, TRUE AS valid, codec,
+           |       CAST(srate AS INT) AS sample_rate, channels, n_pages,
+           |       ns AS n_samples, ns * 1000 // srate AS duration_ms
+           |FROM d ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
-    q221, q222)
+    q221, q222, q223, q224)
 }

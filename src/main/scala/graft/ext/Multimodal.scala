@@ -1121,6 +1121,224 @@ object Multimodal {
     ds.mapPartitions(_.map(r => mp3Metadata(r.media_id, r.content))).toDF()
   }
 
+  // ---------------------------------------------------------------------
+  // FLAC STREAMINFO walk (public FLAC format spec): exact sample rate,
+  // channels, bit depth, total samples and duration from the mandatory
+  // first metadata block — no decoder involved, the block is 34 bytes
+  // of fixed-width big-endian fields behind the fLaC magic. Completes
+  // the route-by-quality audio family next to WAV (PCM), MP3 (MPEG
+  // framing) and MP4 (sample tables): lossless flag, bit depth and
+  // rate are exactly the admission signals an audio curation pass
+  // keys on. Like every walk here: malformed yields no valid row.
+  // ---------------------------------------------------------------------
+
+  final case class FlacMeta(media_id: Long, valid: Boolean, sample_rate: Int,
+                            channels: Int, bits_per_sample: Int,
+                            n_samples: Long, duration_ms: Long,
+                            min_block_size: Int, max_block_size: Int)
+
+  private def invalidFlac(id: Long) =
+    FlacMeta(id, valid = false, 0, 0, 0, 0L, 0L, 0, 0)
+
+  /** Walk the metadata blocks behind `fLaC`: each block header is
+    * 1 byte (bit 7 = last, bits 0-6 = type) + 24-bit length; the walk
+    * requires a complete 34-byte STREAMINFO (type 0) as the FIRST
+    * block (the spec mandates it) and reads:
+    * min/max block size (16+16), min/max frame size (24+24, skipped),
+    * then the packed 64 bits: sample rate (20), channels−1 (3),
+    * bits-per-sample−1 (5), total samples (36). duration_ms is exact
+    * integer: samples·1000 / rate. A zero sample rate is malformed by
+    * spec.
+    */
+  def flacMetadata(id: Long, bytes: Array[Byte]): FlacMeta = {
+    if (bytes.length < 4 + 4 + 34 ||
+        !(bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C'))
+      return invalidFlac(id)
+    val hdr = bytes(4) & 0xff
+    val blockLen = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+      (bytes(7) & 0xff)
+    if ((hdr & 0x7f) != 0 || blockLen != 34) return invalidFlac(id)
+    val b = 8
+    def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    val minBlock = be16(b)
+    val maxBlock = be16(b + 2)
+    // bytes 10..17 after the frame sizes: rate(20) ch(3) bps(5) samples(36)
+    val packed = (0 until 8).foldLeft(0L)((a, i) =>
+      (a << 8) | (bytes(b + 10 + i) & 0xffL))
+    val rate = (packed >>> 44).toInt
+    val channels = ((packed >>> 41) & 0x7).toInt + 1
+    val bps = ((packed >>> 36) & 0x1f).toInt + 1
+    val nSamples = packed & 0xfffffffffL
+    if (rate == 0) invalidFlac(id)
+    else FlacMeta(id, valid = true, rate, channels, bps, nSamples,
+      nSamples * 1000L / rate, minBlock, maxBlock)
+  }
+
+  /** Test/data-gen helper: a REAL FLAC header — magic + STREAMINFO
+    * (marked last; frame data is not needed by any metadata walk and
+    * is omitted, exactly like [[encodeMp4Sampled]] omits mdat).
+    */
+  def encodeFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                 nSamples: Long, minBlock: Int = 4096,
+                 maxBlock: Int = 4096): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(bitsPerSample >= 1 && bitsPerSample <= 32)
+    require(nSamples >= 0 && nSamples < (1L << 36))
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](42)
+    out ++= "fLaC".getBytes("US-ASCII")
+    out += 0x80.toByte // last block, type 0 (STREAMINFO)
+    out ++= Array[Byte](0, 0, 34)
+    def be16(v: Int): Unit = { out += (v >> 8).toByte; out += v.toByte }
+    be16(minBlock); be16(maxBlock)
+    out ++= Array[Byte](0, 0, 0, 0, 0, 0) // min/max frame size: unknown
+    val packed = (sampleRate.toLong << 44) | ((channels - 1L) << 41) |
+      ((bitsPerSample - 1L) << 36) | nSamples
+    (7 to 0 by -1).foreach(i => out += ((packed >> (8 * i)) & 0xff).toByte)
+    out ++= new Array[Byte](16) // MD5 of the (absent) audio: zeros
+    out.toArray
+  }
+
+  // ---------------------------------------------------------------------
+  // OGG page walk (public Ogg framing spec + the Vorbis/Opus
+  // identification headers): page count, stream codec, channels,
+  // sample rate and EXACT duration from page headers alone — the
+  // granule position of the final page of an audio stream is its
+  // total PCM sample count (Vorbis: at the stream rate; Opus: at
+  // 48 kHz minus the pre-skip), so no packet beyond the first-page ID
+  // header is ever inspected and payloads are hopped by the lacing
+  // table. CRCs are NOT verified (this is a metadata walk, not a
+  // demuxer); a page claiming more segment data than the file holds
+  // ends the walk, and validity requires >= 1 complete page with a
+  // recognized ID header.
+  // ---------------------------------------------------------------------
+
+  final case class OggMeta(media_id: Long, valid: Boolean, codec: String,
+                           sample_rate: Int, channels: Int, n_pages: Long,
+                           n_samples: Long, duration_ms: Long)
+
+  private def invalidOgg(id: Long) =
+    OggMeta(id, valid = false, "", 0, 0, 0L, 0L, 0L)
+
+  def oggMetadata(id: Long, bytes: Array[Byte]): OggMeta = {
+    def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def le64(o: Int): Long = le32(o) | (le32(o + 4) << 32)
+    def isPage(o: Int): Boolean = o + 27 <= bytes.length &&
+      bytes(o) == 'O' && bytes(o + 1) == 'g' && bytes(o + 2) == 'g' &&
+      bytes(o + 3) == 'S' && bytes(o + 4) == 0
+    if (!isPage(0)) return invalidOgg(id)
+    var off = 0
+    var pages = 0L
+    var lastGranule = 0L
+    var firstBody: Array[Byte] = Array.emptyByteArray
+    var walking = true
+    while (walking && isPage(off)) {
+      val nSegs = bytes(off + 26) & 0xff
+      if (off + 27 + nSegs > bytes.length) walking = false
+      else {
+        var body = 0
+        (0 until nSegs).foreach(i => body += bytes(off + 27 + i) & 0xff)
+        val end = off + 27 + nSegs + body
+        if (end > bytes.length) walking = false
+        else {
+          pages += 1
+          val g = le64(off + 6)
+          if (g >= 0) lastGranule = g // -1 marks a continuation page
+          if (pages == 1L)
+            firstBody = java.util.Arrays.copyOfRange(bytes, off + 27 + nSegs, end)
+          off = end
+        }
+      }
+    }
+    if (pages == 0L) return invalidOgg(id)
+    // identification header of the first packet: Vorbis or Opus
+    val f = firstBody
+    if (f.length >= 16 && f(0) == 1 && f(1) == 'v' && f(2) == 'o' &&
+        f(3) == 'r' && f(4) == 'b' && f(5) == 'i' && f(6) == 's') {
+      val channels = f(11) & 0xff
+      val rate = ((f(12) & 0xffL) | ((f(13) & 0xffL) << 8) |
+        ((f(14) & 0xffL) << 16) | ((f(15) & 0xffL) << 24)).toInt
+      if (rate <= 0 || channels == 0) invalidOgg(id)
+      else OggMeta(id, valid = true, "vorbis", rate, channels, pages,
+        lastGranule, lastGranule * 1000L / rate)
+    } else if (f.length >= 12 && new String(f, 0, 8, "US-ASCII") == "OpusHead") {
+      val channels = f(9) & 0xff
+      val preSkip = (f(10) & 0xffL) | ((f(11) & 0xffL) << 8)
+      val samples = math.max(0L, lastGranule - preSkip)
+      if (channels == 0) invalidOgg(id)
+      // Opus granules are ALWAYS at 48 kHz regardless of input rate
+      else OggMeta(id, valid = true, "opus", 48000, channels, pages,
+        samples, samples * 1000L / 48000L)
+    } else invalidOgg(id)
+  }
+
+  /** Test/data-gen helper: a REAL Ogg stream — an ID-header page
+    * (Vorbis or Opus) followed by data pages whose granule positions
+    * accumulate `samplesPerPage`; CRCs zeroed (the walk documents it
+    * does not verify them), lacing tables sized to the (zero) payload.
+    */
+  def encodeOgg(codec: String, sampleRate: Int, channels: Int,
+                nDataPages: Int, samplesPerPage: Long,
+                preSkip: Int = 0): Array[Byte] = {
+    require(codec == "vorbis" || codec == "opus")
+    require(nDataPages >= 1 && samplesPerPage >= 0 && channels >= 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    def le(v: Long, n: Int): Unit =
+      (0 until n).foreach(i => out += ((v >> (8 * i)) & 0xff).toByte)
+    def page(granule: Long, headerType: Int, seq: Long,
+             packet: Array[Byte]): Unit = {
+      out ++= "OggS".getBytes("US-ASCII")
+      out += 0 // version
+      out += headerType.toByte
+      le(granule, 8); le(0x4753L, 4) // serial
+      le(seq, 4); le(0L, 4) // crc zeroed
+      // lacing: 255-chunks + terminator (packet < 255*255 here)
+      val full = packet.length / 255
+      out += (full + 1).toByte
+      (0 until full).foreach(_ => out += 0xff.toByte)
+      out += (packet.length % 255).toByte
+      out ++= packet
+    }
+    val idHeader =
+      if (codec == "vorbis") {
+        val h = new scala.collection.mutable.ArrayBuffer[Byte]
+        h += 1; h ++= "vorbis".getBytes("US-ASCII")
+        h ++= new Array[Byte](4) // version 0
+        h += channels.toByte
+        (0 until 4).foreach(i => h += ((sampleRate >> (8 * i)) & 0xff).toByte)
+        h ++= new Array[Byte](13) // bitrates, blocksizes, framing
+        h.toArray
+      } else {
+        val h = new scala.collection.mutable.ArrayBuffer[Byte]
+        h ++= "OpusHead".getBytes("US-ASCII")
+        h += 1 // version
+        h += channels.toByte
+        h += (preSkip & 0xff).toByte; h += ((preSkip >> 8) & 0xff).toByte
+        (0 until 4).foreach(i => h += ((sampleRate >> (8 * i)) & 0xff).toByte)
+        h ++= new Array[Byte](3) // gain, mapping family
+        h.toArray
+      }
+    page(0L, 0x02, 0L, idHeader) // beginning-of-stream
+    (1 to nDataPages).foreach { p =>
+      val eos = if (p == nDataPages) 0x04 else 0x00
+      page(samplesPerPage * p + (if (codec == "opus") preSkip else 0),
+        eos, p.toLong, Array.emptyByteArray)
+    }
+    out.toArray
+  }
+
+  /** Per-partition FLAC / Ogg extraction — one typed row per input. */
+  def flacTable(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc: Encoder[FlacMeta] = Encoders.product[FlacMeta]
+    ds.mapPartitions(_.map(r => flacMetadata(r.media_id, r.content))).toDF()
+  }
+
+  def oggTable(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc: Encoder[OggMeta] = Encoders.product[OggMeta]
+    ds.mapPartitions(_.map(r => oggMetadata(r.media_id, r.content))).toDF()
+  }
+
   /** Container-metadata extraction across modalities: sniffs AVI /
     * WAV / MP4 / MP3 / legacy GRFT per row and runs the matching
     * header walk — same mapPartitions batch shape as [[decode]],
@@ -1138,7 +1356,20 @@ object Multimodal {
           wavMetadata(r.media_id, b)
         else if (b.length >= 8 && new String(b, 4, 4, "US-ASCII") == "ftyp")
           mp4Metadata(r.media_id, b)
-        else {
+        else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+          val m = flacMetadata(r.media_id, b)
+          if (m.valid)
+            ContainerMeta(r.media_id, valid = true, "flac", m.duration_ms, 1,
+              m.sample_rate, m.channels, m.bits_per_sample, m.n_samples)
+          else invalidMeta(r.media_id, "flac")
+        } else if (b.length >= 5 && b(0) == 'O' && b(1) == 'g' && b(2) == 'g' &&
+            b(3) == 'S' && b(4) == 0) {
+          val m = oggMetadata(r.media_id, b)
+          if (m.valid)
+            ContainerMeta(r.media_id, valid = true, "ogg", m.duration_ms, 1,
+              m.sample_rate, m.channels, 0, m.n_samples)
+          else invalidMeta(r.media_id, "ogg")
+        } else {
           // the MP3 sniff (ID3 prefix or one valid frame header) can
           // hit non-audio payloads whose first bytes spell "ID3" — so
           // a sniffed-but-invalid walk FALLS THROUGH to the remaining

@@ -352,6 +352,54 @@ class MultimodalContainerSpec extends SparkTestBase {
     assert(Multimodal.mp4CodedVideo(8L, plain).isEmpty)
   }
 
+  test("flacMetadata: STREAMINFO fields decode exactly; malformed yields invalid") {
+    val f = Multimodal.encodeFlac(44100, 2, 16, 441000L)
+    assert(Multimodal.flacMetadata(31L, f) == Multimodal.FlacMeta(31L,
+      valid = true, 44100, 2, 16, 441000L, 10000L, 4096, 4096))
+    // field extremes: 8 channels, 24-bit, a 36-bit sample count
+    val hi = Multimodal.encodeFlac(96000, 8, 24, (1L << 35) + 7L, 16, 65535)
+    val m = Multimodal.flacMetadata(32L, hi)
+    assert(m.valid && m.sample_rate == 96000 && m.channels == 8 &&
+      m.bits_per_sample == 24 && m.n_samples == (1L << 35) + 7L &&
+      m.min_block_size == 16 && m.max_block_size == 65535)
+    assert(!Multimodal.flacMetadata(33L, f.take(20)).valid)
+    assert(!Multimodal.flacMetadata(34L, "fLaX0000".getBytes("US-ASCII")).valid)
+    // a zero sample rate is malformed by spec even if well-framed
+    val z = f.clone()
+    // packed rate field starts at byte 18 (magic 4 + header 4 + 10)
+    z(18) = 0; z(19) = 0; z(20) = 0x0f
+    assert(!Multimodal.flacMetadata(35L, z).valid)
+  }
+
+  test("oggMetadata: page walk — vorbis and opus ID headers, granule-exact duration") {
+    val v = Multimodal.encodeOgg("vorbis", 44100, 2, 3, 4410L)
+    assert(Multimodal.oggMetadata(41L, v) == Multimodal.OggMeta(41L,
+      valid = true, "vorbis", 44100, 2, 4L, 13230L, 300L))
+    // Opus: granules at 48 kHz, pre-skip subtracted
+    val o = Multimodal.encodeOgg("opus", 48000, 1, 2, 960L, preSkip = 312)
+    assert(Multimodal.oggMetadata(42L, o) == Multimodal.OggMeta(42L,
+      valid = true, "opus", 48000, 1, 3L, 1920L, 40L))
+    // truncated page table / unknown first packet / not a page
+    assert(!Multimodal.oggMetadata(43L, v.take(20)).valid)
+    val junkFirst = Multimodal.encodeOgg("vorbis", 44100, 2, 1, 0L)
+    junkFirst(junkFirst.indexOf('v'.toByte)) = 'x'.toByte
+    assert(!Multimodal.oggMetadata(45L, junkFirst).valid)
+    assert(!Multimodal.oggMetadata(46L, "NotOggAtAll".getBytes("US-ASCII")).valid)
+  }
+
+  test("dispatch: flac and ogg route beside wav/mp4/mp3") {
+    val ds = spark.createDataset(Seq(
+      Multimodal.MediaRow(51L, "audio", Multimodal.encodeFlac(48000, 2, 24, 96000L)),
+      Multimodal.MediaRow(52L, "audio", Multimodal.encodeOgg("opus", 48000, 2, 4, 960L))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.containerMetadata(ds).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out(51L) == Multimodal.ContainerMeta(51L, valid = true, "flac",
+      2000L, 1, 48000, 2, 24, 96000L))
+    assert(out(52L) == Multimodal.ContainerMeta(52L, valid = true, "ogg",
+      80L, 1, 48000, 2, 0, 3840L))
+  }
+
   test("dispatch: an ID3-prefixed NON-audio blob falls through to unknown, not 'mp3'") {
     val blob = "ID3 is a tag format, but these bytes are prose".getBytes("US-ASCII")
     assert(Multimodal.isMp3(blob)) // the sniff alone would misroute it
