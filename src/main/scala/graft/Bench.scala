@@ -211,26 +211,9 @@ object Bench {
     // 112.9 s where the steady state is ~25 s — a number that
     // irreproducible is noise in the official artifact). Disable with
     // SPARK_GRAFT_X100=0.
-    val x100Keep = Set("q20_exact_dedup",
-      "q29_simhash_neardup", "q49_decontaminate", "q51_tfidf_keywords",
-      "q55_sequence_pack", "q61_token_chunks", "q62_url_normalize",
-      "q64_boilerplate_grams", "q65_bpe_tokens",
-      "q68_span_dedup", "q69_temperature_sample",
-      // q86 is NOT here: its gate slices a constant doc_id range, the
-      // exact "measures nothing at x100" case this tier excludes
-      "q87_vocab_coverage", "q93_quality_classifier",
-      // r11: full-documents digest aggregate + tiny digest-keyed
-      // self-join — only the planted mirrors collide after the
-      // blowup's per-copy text perturbation
-      "q182_source_overlap",
-      // r12: hashed-ngram training (two gradient passes over the
-      // long-format feature frame) and the zero-shuffle DOM-density
-      // scan (the q125 class) — both corpus-proportional
-      "q188_hashed_ngram_train", "q189_dom_density",
-      // r13: the composed curation cascade (per-row stages + digest
-      // dedup + source stats) IS the front-door shape the tier exists
-      // to measure
-      "q207_curation_cascade")
+    // tier membership + per-gate adjudication live in BenchTiers (the
+    // generated TIERS.md artifact); membership rules in its scaladoc
+    val x100Keep = BenchTiers.x100Keep
     // Self-adjudicating tier timing (r11 verdict item 1): the ×100
     // numbers have been contaminated by ambient load in three separate
     // rounds (r9 q68 112.9 s, r11 q68 39.9 s vs an 18 s steady state),
@@ -408,138 +391,7 @@ object Bench {
     // that flatness is measured each round, not asserted. Gates that
     // slice planted constant ranges and have no designed-flatness
     // claim stay excluded (their ratio measures fixed cost only).
-    val sf1Head: Set[String] = x100Keep ++ Set("q28_minhash_neardup",
-      "q45_minhash_portable", "q53_dedup_clusters",
-      "q66_incremental_neardup", "q71_leakage_safe_split",
-      "q25_embed_topk", "q46_simhash_portable", "q54_canonical_corpus",
-      "q57_kmeans_step", "q60_bloom_decontaminate",
-      "q70_semantic_decontaminate", "q84_incremental_components",
-      "q88_salted_join", "q89_ivf_probe", "q92_hard_negatives_ivf",
-      "q94_banded_neardup", "q95_retract_components",
-      "q96_retract_digests", "q98_retract_packing",
-      "q99_trained_classifier", "q101_ngram_lm",
-      "q121_nfc_normalize", "q122_keep_best", "q123_sketch_grid",
-      "q124_cap_per_group", "q125_redact_cards", "q126_blocklist_screen",
-      "q127_quota_admit", "q129_sentences", "q130_common_sentences",
-      // round-10 families, full-corpus-scan gates only (constant-slice
-      // gates q136/q137/q147/q160/q163-q166 stay excluded): host graph,
-      // retrieval/lex-index lifecycle, crawl front door, calibration,
-      // output layout + manifest lifecycle, vacuum
-      "q131_host_pagerank", "q132_stratified_budget", "q133_trustrank",
-      "q134_mirror_hosts", "q135_epoch_plan", "q138_sign_project",
-      "q139_bm25_topk", "q140_rrf_fusion", "q141_bm25_probe",
-      "q142_inverted_index", "q143_phrase_match", "q144_lex_admit",
-      "q145_lex_retract", "q146_boolean_probe", "q148_robots_screen",
-      "q149_mean_pool", "q150_crawl_schedule", "q151_phrase_probe",
-      "q152_index_refresh", "q153_sitemap_frontier", "q154_packed_postings",
-      "q155_retrieval_eval", "q156_isotonic_fit", "q157_calibrated_scores",
-      "q158_snake_shards", "q159_shard_manifest", "q161_compaction_plan",
-      "q162_retract_manifest", "q168_admit_manifest", "q169_vacuum_plan",
-      // round-11: HITS + BFS depth run the documents-derived host
-      // graph (corpus-proportional edges); the per-group tile, the
-      // repetition signals, and the host-template stats scan the full
-      // corpus
-      "q173_hits", "q174_crawl_depth", "q175_group_tile",
-      "q176_gram_repetition", "q177_line_repetition", "q178_host_template",
-      // q182 digest-aggregates the FULL documents table (the planted
-      // mirrors are constant); q183 is a full-corpus zero-shuffle
-      // regex screen (the q125 class); q180 (bounded doc slice — the
-      // exact oracle kernel, like q24) and q181 (pure arithmetic, no
-      // table) have no corpus-proportional claim to measure
-      "q182_source_overlap", "q183_mixed_script",
-      // round-12: unigram-LM train/encode scan the corpus word
-      // frequencies (EM itself is vocabulary-bounded driver state),
-      // the hashed-ngram trainer runs two gradient passes over
-      // corpus-proportional features, and the DOM-density screen is
-      // a full-corpus zero-shuffle scan; q187/q190/q191 (vec_id < 64
-      // slices — the exact oracle kernels) have no
-      // corpus-proportional claim
-      "q185_unigram_train", "q186_unigram_encode",
-      "q188_hashed_ngram_train", "q189_dom_density",
-      // per-source fertility: the same tokenize + broadcast-join +
-      // aggregate shape as q186 with a coarser key
-      "q192_tokenizer_eval", "q193_unigram_prune",
-      // ledger maintenance: one word-count scan each side of the fold
-      "q194_unigram_admit", "q195_unigram_retract",
-      // full-corpus zero-shuffle per-row screen (the q183 class)
-      "q196_type_token",
-      // one host-keyed count + one equi-join back — corpus-proportional
-      "q197_host_neighborhood",
-      // round-13: the lattice trainer/fertility scan corpus word
-      // frequencies; byte BPE and LZ coverage are full-corpus per-row
-      // scans; the cascade, the growth curve, and its ledger fold are
-      // corpus-proportional aggregations (q205 slices vec_id < 16 on
-      // a non-blown table — no corpus-proportional claim)
-      "q198_unigram_lattice", "q201_byte_bpe", "q203_lz_repetition",
-      "q204_lattice_fertility", "q206_vocab_growth",
-      "q207_curation_cascade", "q208_vocab_admit",
-      // one tokenize + bucket aggregation + boundary-bucket window
-      "q210_token_budget",
-      // per-group growth curve / per-source attrition: same corpus
-      // scans as q206/q207 with a group key threaded through
-      "q211_vocab_by_lang", "q212_cascade_by_source",
-      // ---- r14 coverage extension (VERDICT r13 item 4): every gate
-      // below scans a full blown table (documents/events/embeddings)
-      // or a modulo slice of one (corpus-PROPORTIONAL — a % filter
-      // grows with the corpus, unlike the constant doc_id/vec_id range
-      // slices that stay excluded: q56/q58/q59/q90/q91/q100/q102/
-      // q104-q106/q110/q136/q137/q160/q163-q167, all planted exact-
-      // oracle kernels). Zero extra bench time: the x10 pass already
-      // times every query; membership here only publishes the ratio.
-      // text/per-row screen family
-      "q21_token_stats", "q22_quality_score", "q23_lang_id",
-      "q32_doc_pipeline", "q33_json_props", "q39_subword_tokens",
-      "q40_repetition", "q47_redact_pii",
-      "q97_lang_id_wide", "q109_gopher_rules", "q116_dedup_lines_within",
-      // sampling / splits / mixtures
-      "q35_hash_split", "q36_stratified_sample", "q37_shuffle_order",
-      "q48_mixture_interleave", "q52_quantile_filter", "q170_weighted_take",
-      // sketches (bounded mergeable state over a full scan)
-      "q50_kmv_distinct", "q85_sketch_quantile_band", "q114_cm_sketch",
-      "q115_cm_heavy_hitters", "q147_kmv_setops",
-      // n-gram LM scoring family (model state is bounded; scoring scans)
-      "q103_lm_interpolated", "q107_kneser_ney", "q108_perplexity_buckets",
-      "q111_dsir_weights",
-      // events family: sessionize/asof/interval/window shapes
-      "q26_event_hourly", "q27_sessionize", "q38_asof_join",
-      "q63_scd2_history", "q72_interval_join", "q73_grouped_topk",
-      "q74_asof_tolerance", "q78_gap_fill", "q79_cohort_retention",
-      "q80_funnel", "q81_histogram", "q82_rolling_window",
-      "q83_expectations",
-      // incremental/retractable state over modulo batches
-      "q118_incremental_agg", "q119_retract_agg", "q184_overlap_incremental",
-      // formats + media (binary stays on executors)
-      "q112_warc_roundtrip", "q128_image_dhash_pairs",
-      // chunking + file-skipping state
-      "q67_bpe_chunks", "q171_bloom_skip_lookup", "q172_retract_file_blooms",
-      // r12/r13 trainers not yet published: lattice prune/admit, the
-      // learned OPQ Gram (full embeddings scan), hashed lexical cosine
-      "q199_lattice_prune", "q200_lattice_admit", "q202_opq_learned",
-      "q209_hashed_cosine",
-      // r14: the byte-symbol lattice trainer/fertility scan the
-      // doc_id % 3 corpus slice; the composed corpus build chains
-      // corpus-proportional stages end to end (its near-dup leg's
-      // pair output grows with the blowup's copy clusters — the q28
-      // shape — so it lives HERE, not in x100Keep, where ×100² pair
-      // volume would measure output size, not plan quality)
-      "q213_lattice_bytes", "q214_lattice_bytes_fertility",
-      "q215_corpus_build", "q216_corpus_admit",
-      // probe-slice × full-corpus cosine mining — the q70 class
-      "q217_bitext_margin",
-      // fused encode→walk over a doc_id % 20 slice — the modulo
-      // slice grows with the corpus (copies keep their residue)
-      "q218_mp4_sample_stats", "q219_mp3_frame_stats",
-      "q220_media_route",
-      // r15: SPS bit-encode→avcC walk, FLAC STREAMINFO and Ogg page
-      // walks — all over the same modulo slice
-      "q222_h264_sps", "q223_flac_stream_info", "q224_ogg_pages",
-      // full-corpus state build + affected-only retraction
-      "q221_corpus_takedown")
-      // q179_interval_overlap is deliberately NOT in the tier: the ×10
-      // blowup replicates events into the SAME time window, so its
-      // PAIR OUTPUT grows ×100 and the ratio measures output volume,
-      // not plan quality (measured ~43 s for ~100× the pairs at ×10 —
-      // sub-output-linear; the q28-at-×100 exclusion rule)
+    val sf1Head: Set[String] = BenchTiers.sf1Head
     def sf1Rows: Seq[(String, Double, Double)] = x10.map { r =>
       val mainT = results.toMap
       val nfMain = normFactor(calibration, calibrationEnd)
