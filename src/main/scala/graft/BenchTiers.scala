@@ -125,7 +125,8 @@ object BenchTiers {
     "formats + media: fused encode->walk over a doc_id modulo slice (the slice grows with the corpus — copies keep their residue); binary stays on executors" ->
       Set("q112_warc_roundtrip", "q128_image_dhash_pairs",
         "q218_mp4_sample_stats", "q219_mp3_frame_stats", "q220_media_route",
-        "q222_h264_sps", "q223_flac_stream_info", "q224_ogg_pages"))
+        "q222_h264_sps", "q223_flac_stream_info", "q224_ogg_pages",
+        "q225_hevc_sps"))
 
   val sf1Head: Set[String] = x100Keep ++ sf1Groups.flatMap(_._2).toSet
 

@@ -1279,6 +1279,53 @@ object ExtQueries4 {
            |       ns AS n_samples, ns * 1000 // srate AS duration_ms
            |FROM d ORDER BY doc_id""".stripMargin))
 
+  /** H.265 coded geometry under the ORACLE gate (q222's discipline
+    * for the other dominant codec): per document an HEVC SPS is
+    * bit-encoded from arithmetic parameters
+    * ([[graft.ext.Multimodal.encodeSpsHevc]] — profile_tier_level
+    * block, DIRECT luma sizes, conformance-window crops), embedded in
+    * a REAL hvc1 sample entry's hvcC NAL-array record, and
+    * [[graft.ext.Multimodal.mp4CodedVideo]] walks it back. HEVC
+    * geometry needs no macroblock arithmetic — the oracle is luma
+    * size minus 2·crop chroma units. With q222 this closes coded
+    * geometry for both codecs a 100 TB video pass routes on.
+    */
+  val q225 = Q(
+    "q225_hevc_sps",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.flatMap { id =>
+        val nal = Multimodal.encodeSpsHevc(
+          profileIdc = 1 + (id % 4).toInt,
+          levelIdc = 30 * (3 + (id % 3).toInt),
+          widthLuma = 2L * (320 + id % 800),
+          heightLuma = 2L * (180 + id % 450),
+          cropRight = id % 4, cropBottom = (id + 2) % 4)
+        val bytes = Multimodal.encodeMp4Sampled(1000, 1000, Seq(
+          ("hvc1", 25600, Seq.fill(4)(200L), Seq((4L, 512L)), 2)),
+          sps = Map(0 -> nal))
+        Multimodal.mp4CodedVideo(id, bytes)
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"track_id", $"profile_idc",
+          $"level_idc", $"coded_width", $"coded_height")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+           |                  CAST(1 + doc_id % 4 AS INT) AS prof,
+           |                  CAST(30 * (3 + doc_id % 3) AS INT) AS lvl,
+           |                  2 * (320 + doc_id % 800) AS w,
+           |                  2 * (180 + doc_id % 450) AS h,
+           |                  doc_id % 4 AS cr, (doc_id + 2) % 4 AS cb
+           |           FROM documents WHERE doc_id % 20 = 0)
+           |SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+           |       prof AS profile_idc, lvl AS level_idc,
+           |       CAST(w - 2 * cr AS BIGINT) AS coded_width,
+           |       CAST(h - 2 * cb AS BIGINT) AS coded_height
+           |FROM p ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
-    q221, q222, q223, q224)
+    q221, q222, q223, q224, q225)
 }

@@ -881,13 +881,104 @@ object Multimodal {
     }
   }.filter { case (_, _, w, h) => w > 0 && h > 0 }
 
+  /** Parse one H.265 SPS NAL unit (2-byte NAL header included):
+    * (profile_idc, level_idc, coded_width, coded_height), or None on
+    * any malformed/truncated shape — the HEVC sibling of
+    * [[h264SpsParse]] (ITU-T H.265 §7.3.2.2.1). Simpler geometry than
+    * H.264: pic_width/height_in_luma_samples are DIRECT Exp-Golomb
+    * fields (any even value, not macroblock multiples) and the
+    * conformance window subtracts SubWidthC/SubHeightC-scaled
+    * offsets. The profile_tier_level block is walked exactly —
+    * including sub-layer PTL skips when sps_max_sub_layers_minus1 > 0
+    * (their length is flag-determined, 88/8 bits per present block).
+    */
+  def h265SpsParse(nal: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    // nal_unit_type is bits 1-6 of byte 0; SPS_NUT = 33
+    if (nal.length < 5 || ((nal(0) >> 1) & 0x3f) != 33) return None
+    val r = new BitReader(rbspUnescape(nal, 2))
+    for {
+      _ <- r.u(4) // sps_video_parameter_set_id
+      maxSubM1 <- r.u(3)
+      _ <- r.u1() // sps_temporal_id_nesting_flag
+      // profile_tier_level: general block is 2+1+5+32+4+43+1 = 88
+      // bits then the 8-bit level
+      _ <- r.u(2) // general_profile_space
+      _ <- r.u1() // general_tier_flag
+      profile <- r.u(5)
+      _ <- r.u(32) // profile_compatibility_flags
+      _ <- r.u(48) // source flags(4) + reserved_zero_43bits + inbld(1)
+      level <- r.u(8)
+      subFlags <- (1L to maxSubM1).foldLeft(Option(List.empty[(Long, Long)])) {
+        (acc, _) => acc.flatMap(l => for { p <- r.u1(); v <- r.u1() } yield l :+ (p, v))
+      }
+      _ <- if (maxSubM1 > 0) r.u((8 - maxSubM1.toInt) * 2) else Some(0L)
+      _ <- subFlags.foldLeft(Option(0L)) { case (acc, (pp, lp)) =>
+        acc.flatMap(_ => for {
+          _ <- if (pp == 1L) r.u(88) else Some(0L)
+          x <- if (lp == 1L) r.u(8) else Some(0L)
+        } yield x)
+      }
+      _ <- r.ue() // sps_seq_parameter_set_id
+      chroma <- r.ue() if chroma <= 3
+      sep <- if (chroma == 3L) r.u1() else Some(0L)
+      w <- r.ue()
+      h <- r.ue()
+      confFlag <- r.u1()
+      crops <-
+        if (confFlag == 1L) for {
+          l <- r.ue(); rr <- r.ue(); t <- r.ue(); b <- r.ue()
+        } yield (l, rr, t, b)
+        else Some((0L, 0L, 0L, 0L))
+    } yield {
+      val chromaArrayType = if (sep == 1L) 0L else chroma
+      val (subW, subH) = chroma match {
+        case 1L => (2L, 2L); case 2L => (2L, 1L); case _ => (1L, 1L)
+      }
+      val cw = if (chromaArrayType == 0L) 1L else subW
+      val ch = if (chromaArrayType == 0L) 1L else subH
+      (profile.toInt, level.toInt,
+        w - cw * (crops._1 + crops._2), h - ch * (crops._3 + crops._4))
+    }
+  }.filter { case (_, _, w, h) => w > 0 && h > 0 }
+
   /** Per-track coded-video geometry from the stsd sample entry's
     * avcC record: descend `moov/trak/mdia/minf/stbl/stsd`, take the
     * first entry when its fourcc is an AVC form (avc1/avc3), walk its
     * child boxes past the 78-byte VisualSampleEntry fields, and parse
-    * the record's first SPS NAL. Tracks without a parseable SPS yield
-    * no row — never a presentation-size guess.
+    * the record's first SPS NAL. HEVC forms (hvc1/hev1) descend the
+    * hvcC record's NAL arrays to the SPS (type 33) and parse via
+    * [[h265SpsParse]]. Tracks without a parseable SPS yield no row —
+    * never a presentation-size guess.
     */
+  /** First SPS NAL (type 33) inside an hvcC record body [cb, ce):
+    * 22 fixed header bytes, numOfArrays, then per array 1 type byte +
+    * 2-byte NAL count + length-prefixed NALs (ISO 14496-15 §8.3.3.1).
+    * Any malformed length ends the walk with None.
+    */
+  private def hvccFirstSps(bytes: Array[Byte], cb: Int, ce: Int): Option[Array[Byte]] = {
+    def be16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    if (ce - cb < 23) return None
+    val nArrays = bytes(cb + 22) & 0xff
+    var off = cb + 23
+    var a = 0
+    while (a < nArrays && off + 3 <= ce) {
+      val nalType = bytes(off) & 0x3f
+      val nNalus = be16(off + 1)
+      off += 3
+      var n = 0
+      while (n < nNalus && off + 2 <= ce) {
+        val len = be16(off)
+        if (off + 2 + len > ce) return None
+        if (nalType == 33 && len >= 2)
+          return Some(java.util.Arrays.copyOfRange(bytes, off + 2, off + 2 + len))
+        off += 2 + len
+        n += 1
+      }
+      a += 1
+    }
+    None
+  }
+
   def mp4CodedVideo(id: Long, bytes: Array[Byte]): Seq[CodedVideo] = {
     def be16(o: Int): Int =
       ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
@@ -921,19 +1012,31 @@ object Multimodal {
             entryEnd = entryStart + entrySize.toInt
             if entrySize >= 16 && entryEnd <= e
             fourcc = new String(bytes, entryStart + 4, 4, "US-ASCII")
-            if fourcc == "avc1" || fourcc == "avc3"
             // children start after the 78-byte VisualSampleEntry
             // (8 sample-entry + 70 visual fields)
             if entryStart + 86 <= entryEnd
-            (cb, ce, _) <- mp4Boxes(bytes, entryStart + 86, entryEnd)
-              .filter(_._3 == "avcC")
-            // avcC: ver(1) profile(1) compat(1) level(1) lenSize(1)
-            // numSps(1, low 5 bits), then per SPS: len(2) + NAL
-            if ce - cb >= 8 && (bytes(cb + 5) & 0x1f) >= 1
-            spsLen = be16(cb + 6)
-            if cb + 8 + spsLen <= ce
-            parsed <- h264SpsParse(
-              java.util.Arrays.copyOfRange(bytes, cb + 8, cb + 8 + spsLen)).toSeq
+            children = mp4Boxes(bytes, entryStart + 86, entryEnd)
+            parsed <- (fourcc match {
+              case "avc1" | "avc3" =>
+                for {
+                  (cb, ce, _) <- children.filter(_._3 == "avcC")
+                  // avcC: ver(1) profile(1) compat(1) level(1)
+                  // lenSize(1) numSps(1, low 5 bits), then per SPS:
+                  // len(2) + NAL
+                  if ce - cb >= 8 && (bytes(cb + 5) & 0x1f) >= 1
+                  spsLen = be16(cb + 6)
+                  if cb + 8 + spsLen <= ce
+                  p <- h264SpsParse(java.util.Arrays.copyOfRange(
+                    bytes, cb + 8, cb + 8 + spsLen)).toSeq
+                } yield p
+              case "hvc1" | "hev1" =>
+                for {
+                  (cb, ce, _) <- children.filter(_._3 == "hvcC")
+                  sps <- hvccFirstSps(bytes, cb, ce).toSeq
+                  p <- h265SpsParse(sps).toSeq
+                } yield p
+              case _ => Seq.empty
+            })
           } yield CodedVideo(id, tid, parsed._1, parsed._2, parsed._3, parsed._4)
       }
     }
@@ -953,50 +1056,91 @@ object Multimodal {
     * (chroma/bit-depth fields present, no scaling lists); crop
     * right/bottom in chroma units (CropUnitX = CropUnitY = 2 here).
     */
-  def encodeSps(profileIdc: Int, levelIdc: Int, picWidthInMbsMinus1: Long,
-                picHeightInMapUnitsMinus1: Long, cropRight: Long = 0L,
-                cropBottom: Long = 0L): Array[Byte] = {
-    require(profileIdc == 66 || profileIdc == 77 || HighProfiles(profileIdc))
-    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+  /** MSB-first bit writer with Exp-Golomb, RBSP stop/align, and NAL
+    * emulation-prevention escaping — the encode-side dual of
+    * [[BitReader]]/[[rbspUnescape]], shared by both SPS encoders.
+    */
+  private final class BitWriter {
+    private val bits = new scala.collection.mutable.ArrayBuffer[Int]
     def u(v: Long, n: Int): Unit =
       (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1L).toInt)
     def ue(v: Long): Unit = {
       val z = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
       u(0L, z); u(v + 1, z + 1)
     }
-    u(profileIdc.toLong, 8); u(0L, 8); u(levelIdc.toLong, 8)
-    ue(0L) // sps_id
+    /** stop bit + byte-align, then escape into a NAL after `header`. */
+    def toNal(header: Array[Byte]): Array[Byte] = {
+      u(1L, 1) // rbsp_stop_one_bit
+      while (bits.length % 8 != 0) bits += 0
+      val rbsp = bits.grouped(8)
+        .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      val out = new scala.collection.mutable.ArrayBuffer[Byte](rbsp.length + 4)
+      out ++= header
+      var zeros = 0
+      rbsp.foreach { b =>
+        if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
+        out += b
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toArray
+    }
+  }
+
+  def encodeSps(profileIdc: Int, levelIdc: Int, picWidthInMbsMinus1: Long,
+                picHeightInMapUnitsMinus1: Long, cropRight: Long = 0L,
+                cropBottom: Long = 0L): Array[Byte] = {
+    require(profileIdc == 66 || profileIdc == 77 || HighProfiles(profileIdc))
+    val w = new BitWriter
+    w.u(profileIdc.toLong, 8); w.u(0L, 8); w.u(levelIdc.toLong, 8)
+    w.ue(0L) // sps_id
     if (HighProfiles(profileIdc)) {
-      ue(1L) // chroma_format_idc 4:2:0
-      ue(0L); ue(0L) // bit depths
-      u(0L, 1) // qpprime
-      u(0L, 1) // no scaling matrix
+      w.ue(1L) // chroma_format_idc 4:2:0
+      w.ue(0L); w.ue(0L) // bit depths
+      w.u(0L, 1) // qpprime
+      w.u(0L, 1) // no scaling matrix
     }
-    ue(0L) // log2_max_frame_num_minus4
-    ue(2L) // pic_order_cnt_type 2 (no dependent fields)
-    ue(1L) // max_num_ref_frames
-    u(0L, 1) // gaps flag
-    ue(picWidthInMbsMinus1); ue(picHeightInMapUnitsMinus1)
-    u(1L, 1) // frame_mbs_only_flag
-    u(1L, 1) // direct_8x8_inference_flag
+    w.ue(0L) // log2_max_frame_num_minus4
+    w.ue(2L) // pic_order_cnt_type 2 (no dependent fields)
+    w.ue(1L) // max_num_ref_frames
+    w.u(0L, 1) // gaps flag
+    w.ue(picWidthInMbsMinus1); w.ue(picHeightInMapUnitsMinus1)
+    w.u(1L, 1) // frame_mbs_only_flag
+    w.u(1L, 1) // direct_8x8_inference_flag
     val crop = cropRight > 0 || cropBottom > 0
-    u(if (crop) 1L else 0L, 1)
-    if (crop) { ue(0L); ue(cropRight); ue(0L); ue(cropBottom) }
-    u(0L, 1) // vui_parameters_present_flag
-    u(1L, 1) // rbsp_stop_one_bit
-    while (bits.length % 8 != 0) bits += 0
-    val rbsp = bits.grouped(8)
-      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
-    // NAL: header 0x67 (nal_ref_idc 3, type 7) + escaped RBSP
-    val out = new scala.collection.mutable.ArrayBuffer[Byte](rbsp.length + 4)
-    out += 0x67.toByte
-    var zeros = 0
-    rbsp.foreach { b =>
-      if (zeros >= 2 && (b & 0xff) <= 3) { out += 3; zeros = 0 }
-      out += b
-      zeros = if (b == 0) zeros + 1 else 0
-    }
-    out.toArray
+    w.u(if (crop) 1L else 0L, 1)
+    if (crop) { w.ue(0L); w.ue(cropRight); w.ue(0L); w.ue(cropBottom) }
+    w.u(0L, 1) // vui_parameters_present_flag
+    // NAL header 0x67: nal_ref_idc 3, type 7 (SPS)
+    w.toNal(Array(0x67.toByte))
+  }
+
+  /** Test/data-gen helper: a REAL H.265 SPS NAL (2-byte header, type
+    * 33) for a 4:2:0 stream with zero sub-layers — luma geometry is
+    * written DIRECTLY (any even sizes), conformance-window crops in
+    * chroma units.
+    */
+  def encodeSpsHevc(profileIdc: Int, levelIdc: Int, widthLuma: Long,
+                    heightLuma: Long, cropRight: Long = 0L,
+                    cropBottom: Long = 0L): Array[Byte] = {
+    require(profileIdc >= 0 && profileIdc <= 31 && levelIdc >= 0 && levelIdc <= 255)
+    val w = new BitWriter
+    w.u(0L, 4) // sps_video_parameter_set_id
+    w.u(0L, 3) // sps_max_sub_layers_minus1
+    w.u(1L, 1) // sps_temporal_id_nesting_flag
+    // profile_tier_level, general block only (zero sub-layers)
+    w.u(0L, 2); w.u(0L, 1); w.u(profileIdc.toLong, 5)
+    w.u(0L, 32) // compatibility flags
+    w.u(0L, 48) // source flags + reserved_zero_43bits + inbld
+    w.u(levelIdc.toLong, 8)
+    w.ue(0L) // sps_seq_parameter_set_id
+    w.ue(1L) // chroma_format_idc 4:2:0
+    w.ue(widthLuma); w.ue(heightLuma)
+    val crop = cropRight > 0 || cropBottom > 0
+    w.u(if (crop) 1L else 0L, 1)
+    if (crop) { w.ue(0L); w.ue(cropRight); w.ue(0L); w.ue(cropBottom) }
+    w.ue(0L); w.ue(0L) // bit_depth_luma/chroma_minus8
+    // NAL header: type 33 in bits 1-6 of byte 0, temporal_id_plus1 = 1
+    w.toNal(Array((33 << 1).toByte, 1.toByte))
   }
 
   // ---------------------------------------------------------------------
@@ -1640,15 +1784,33 @@ object Multimodal {
         val stsd = sps.get(i) match {
           case Some(nal) =>
             // full VisualSampleEntry (8 sample-entry fields + 70
-            // visual fields) + the avcC record: ver/profile/compat/
-            // level, lengthSizeMinusOne (0xff = reserved6+3),
-            // numSps (0xe1 = reserved3+1), len(2) + NAL, numPps 0
-            val avcC = box("avcC", Array[Byte](1, nal(1), nal(2), nal(3),
-              0xff.toByte, 0xe1.toByte,
-              ((nal.length >> 8) & 0xff).toByte, (nal.length & 0xff).toByte) ++
-              nal ++ Array[Byte](0))
+            // visual fields) + the decoder-config record matching the
+            // codec fourcc: avcC (ver/profile/compat/level,
+            // lengthSizeMinusOne 0xff = reserved6+3, numSps 0xe1 =
+            // reserved3+1, len(2) + NAL, numPps 0) or hvcC (22-byte
+            // header, one array of one type-33 NAL)
+            val rec =
+              if (codec == "hvc1" || codec == "hev1")
+                box("hvcC", Array[Byte](1, // configurationVersion
+                  0, 0, 0, 0, 0,           // PTL summary (walker-opaque)
+                  0, 0, 0, 0, 0, 0, 0,     // constraint flags + level
+                  0xf0.toByte, 0,          // min_spatial_segmentation
+                  0xfc.toByte,             // parallelismType
+                  0xfd.toByte,             // chromaFormat 4:2:0
+                  0xf8.toByte, 0xf8.toByte, // bit depths
+                  0, 0,                    // avgFrameRate
+                  0x0f.toByte,             // flags + lengthSizeMinusOne
+                  1,                       // numOfArrays
+                  (0x80 | 33).toByte, 0, 1, // SPS array, 1 NAL
+                  ((nal.length >> 8) & 0xff).toByte, (nal.length & 0xff).toByte) ++
+                  nal)
+              else
+                box("avcC", Array[Byte](1, nal(1), nal(2), nal(3),
+                  0xff.toByte, 0xe1.toByte,
+                  ((nal.length >> 8) & 0xff).toByte, (nal.length & 0xff).toByte) ++
+                  nal ++ Array[Byte](0))
             box("stsd", be32(0L) ++ be32(1L) ++
-              box(codec, Array.fill[Byte](78)(0) ++ avcC))
+              box(codec, Array.fill[Byte](78)(0) ++ rec))
           case None =>
             box("stsd", be32(0L) ++ be32(1L) ++ box(codec, Array.fill[Byte](8)(0)))
         }

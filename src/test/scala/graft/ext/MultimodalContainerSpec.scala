@@ -387,6 +387,32 @@ class MultimodalContainerSpec extends SparkTestBase {
     assert(!Multimodal.oggMetadata(46L, "NotOggAtAll".getBytes("US-ASCII")).valid)
   }
 
+  test("h265SpsParse: HEVC geometry is direct luma sizes minus chroma-unit conformance crops") {
+    // 1080p Main profile: luma 1920x1088, bottom crop 4 chroma units
+    assert(Multimodal.h265SpsParse(
+      Multimodal.encodeSpsHevc(1, 120, 1920L, 1088L, cropRight = 0, cropBottom = 4)) ==
+      Some((1, 120, 1920L, 1080L)))
+    // odd geometry H.264 cannot express (non-macroblock-multiple)
+    assert(Multimodal.h265SpsParse(
+      Multimodal.encodeSpsHevc(2, 90, 1366L, 768L)) == Some((2, 90, 1366L, 768L)))
+    // malformed: truncation, wrong NAL type, empty
+    val nal = Multimodal.encodeSpsHevc(1, 120, 640L, 480L)
+    assert(Multimodal.h265SpsParse(nal.take(6)).isEmpty)
+    assert(Multimodal.h265SpsParse(Array((32 << 1).toByte, 1.toByte) ++ nal.drop(2)).isEmpty)
+    assert(Multimodal.h265SpsParse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("mp4CodedVideo: hvcC walk recovers the H.265 SPS through a real hvc1 entry") {
+    val nal = Multimodal.encodeSpsHevc(1, 123, 1280L, 720L, cropRight = 3, cropBottom = 1)
+    val bytes = Multimodal.encodeMp4Sampled(1000, 1000, Seq(
+      ("hvc1", 25600, Seq.fill(4)(200L), Seq((4L, 512L)), 2)),
+      sps = Map(0 -> nal))
+    assert(Multimodal.mp4CodedVideo(9L, bytes) ==
+      Seq(Multimodal.CodedVideo(9L, 1L, 1, 123, 1280L - 6L, 720L - 2L)))
+    // the sample-table walk coexists on the same entry
+    assert(Multimodal.mp4SampleStats(9L, bytes).map(_.codec) == Seq("hvc1"))
+  }
+
   test("dispatch: flac and ogg route beside wav/mp4/mp3") {
     val ds = spark.createDataset(Seq(
       Multimodal.MediaRow(51L, "audio", Multimodal.encodeFlac(48000, 2, 24, 96000L)),
