@@ -1326,6 +1326,123 @@ object ExtQueries4 {
            |       CAST(h - 2 * cb AS BIGINT) AS coded_height
            |FROM p ORDER BY doc_id""".stripMargin))
 
+  // ---- subtitle/caption parsing under the oracle gate (q226/q227) ----
+
+  /** The shared planted cue plan: per kept document, n = 2 + id%6
+    * cues; cue i starts at (i−1)·1000 ms and lasts 800 + 400·((id+i)%2)
+    * ms — so every other cue (by parity) runs 1200 ms and OVERLAPS
+    * the next cue's start, exercising the overlap screen; text is the
+    * deterministic "cue i doc id".
+    */
+  private def cuePlan(id: Long): Seq[(Long, Long, Long, String)] = {
+    val n = 2 + (id % 6).toInt
+    (1 to n).map { i =>
+      val start = (i - 1) * 1000L
+      val end = start + 800L + 400L * ((id + i) % 2)
+      (i.toLong, start, end, s"cue $i doc $id")
+    }
+  }
+
+  private def fmtTs(ms: Long, sep: Char): String = {
+    val hh = ms / 3600000; val mm = ms / 60000 % 60
+    val ss = ms / 1000 % 60; val mmm = ms % 1000
+    f"$hh%02d:$mm%02d:$ss%02d$sep$mmm%03d"
+  }
+
+  /** SRT + WebVTT cue parsing under the ORACLE gate (the q218
+    * identity discipline for caption text): per document the
+    * arithmetic cue plan is rendered as BOTH a real SRT document
+    * (numbered blocks, comma milliseconds) and a real WebVTT document
+    * (magic line, dot milliseconds, a NOTE block to skip), parsed
+    * back by [[graft.ext.Subtitles.parseSrt]]/`parseVtt`, and every
+    * cue row — index, exact millisecond bounds, text — must
+    * hash-match the oracle's direct arithmetic. Timestamps render
+    * through real HH:MM:SS formatting, so the integer time decode is
+    * load-bearing both ways.
+    */
+  val q226 = Q(
+    "q226_subtitle_cues",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Subtitles
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.flatMap { id =>
+        val plan = cuePlan(id)
+        val srt = plan.map { case (i, st, en, tx) =>
+          s"$i\n${fmtTs(st, ',')} --> ${fmtTs(en, ',')}\n$tx"
+        }.mkString("\n\n")
+        val vtt = "WEBVTT\n\nNOTE planted fixture\n\n" +
+          plan.map { case (_, st, en, tx) =>
+            s"${fmtTs(st, '.')} --> ${fmtTs(en, '.')}\n$tx"
+          }.mkString("\n\n")
+        Subtitles.parseSrt(id, srt).map(c => ("srt", c)) ++
+          Subtitles.parseVtt(id, vtt).map(c => ("vtt", c))
+      }).map { case (f, c) => (c.doc_id, f, c.idx, c.start_ms, c.end_ms, c.text) }
+        .toDF("doc_id", "format", "idx", "start_ms", "end_ms", "text")
+        .orderBy($"doc_id", $"format", $"idx")
+    },
+    Some("""WITH p AS (SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS n
+           |           FROM documents WHERE doc_id % 20 = 0),
+           |c AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+           |             CAST((i - 1) * 1000 AS BIGINT) AS start_ms,
+           |             CAST((i - 1) * 1000 + 800 + 400 * ((doc_id + i) % 2)
+           |                  AS BIGINT) AS end_ms,
+           |             'cue ' || i || ' doc ' || doc_id AS text
+           |      FROM p, LATERAL (SELECT unnest(generate_series(1, n)) AS i) s),
+           |f(format) AS (VALUES ('srt'), ('vtt'))
+           |SELECT doc_id, format, idx, start_ms, end_ms, text
+           |FROM c, f ORDER BY doc_id, format, idx""".stripMargin))
+
+  /** The caption-quality screen ([[graft.ext.Subtitles.cueStats]])
+    * under the oracle gate: per document over the planted SRT cues —
+    * cue count, span, total talk time, codepoint count, the count of
+    * cues starting before their predecessor ended (the planted
+    * 1200 ms cues overlap by construction), and the integer
+    * cross-multiplied reading-speed flag at 12 chars/sec. The oracle
+    * reproduces the SAME window-lag + aggregate shape over the
+    * arithmetic cue table — term for term, no division anywhere.
+    */
+  val q227 = Q(
+    "q227_caption_screen",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Subtitles
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      val cues = rows.mapPartitions(_.flatMap { id =>
+        val srt = cuePlan(id).map { case (i, st, en, tx) =>
+          s"$i\n${fmtTs(st, ',')} --> ${fmtTs(en, ',')}\n$tx"
+        }.mkString("\n\n")
+        graft.ext.Subtitles.parseSrt(id, srt)
+      }).toDF()
+      Subtitles.cueStats(cues, maxCps = 12L)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS n
+           |           FROM documents WHERE doc_id % 20 = 0),
+           |c AS (SELECT doc_id, CAST(i AS BIGINT) AS idx,
+           |             CAST((i - 1) * 1000 AS BIGINT) AS start_ms,
+           |             CAST((i - 1) * 1000 + 800 + 400 * ((doc_id + i) % 2)
+           |                  AS BIGINT) AS end_ms,
+           |             'cue ' || i || ' doc ' || doc_id AS text
+           |      FROM p, LATERAL (SELECT unnest(generate_series(1, n)) AS i) s),
+           |lg AS (SELECT doc_id, idx, start_ms, end_ms, text,
+           |              lag(end_ms) OVER (PARTITION BY doc_id
+           |                ORDER BY start_ms, end_ms, idx) AS prev_end
+           |       FROM c)
+           |SELECT doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_cues,
+           |       CAST(max(end_ms) - min(start_ms) AS BIGINT) AS span_ms,
+           |       CAST(sum(end_ms - start_ms) AS BIGINT) AS talk_ms,
+           |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           |       CAST(sum(CASE WHEN prev_end IS NOT NULL
+           |                     AND start_ms < prev_end THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_overlaps,
+           |       (sum(length(text)) * 1000 > 12 * sum(end_ms - start_ms))
+           |         AS fast
+           |FROM lg GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
-    q221, q222, q223, q224, q225)
+    q221, q222, q223, q224, q225, q226, q227)
 }
