@@ -126,7 +126,8 @@ object BenchTiers {
       Set("q112_warc_roundtrip", "q128_image_dhash_pairs",
         "q218_mp4_sample_stats", "q219_mp3_frame_stats", "q220_media_route",
         "q222_h264_sps", "q223_flac_stream_info", "q224_ogg_pages",
-        "q225_hevc_sps", "q226_subtitle_cues", "q227_caption_screen"))
+        "q225_hevc_sps", "q226_subtitle_cues", "q227_caption_screen",
+        "q228_head_meta"))
 
   val sf1Head: Set[String] = x100Keep ++ sf1Groups.flatMap(_._2).toSet
 

@@ -1443,6 +1443,56 @@ object ExtQueries4 {
            |         AS fast
            |FROM lg GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** HTML head-metadata routing under the ORACLE gate
+    * ([[graft.ext.HtmlMeta.headMeta]] — the crawl front door's
+    * title/description/canonical/lang/noindex/og fields as ONE
+    * codegen'd regexp projection, no UDF): per document a real HTML
+    * head is assembled from arithmetic (k = doc_id/20 drives
+    * language choice, optional description, the noindex directive
+    * and og presence; the document's own text rides in the body),
+    * and every extracted field must hash-match the oracle's direct
+    * arithmetic — including NULL (not empty) for the absent optional
+    * fields and the whitespace-trimmed title.
+    */
+  val q228 = Q(
+    "q228_head_meta",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val d = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+      val k = ($"doc_id" / 20).cast("long")
+      val lang = element_at(
+        array(lit("en"), lit("de"), lit("fr-CA"), lit("zh")),
+        (k % 4 + 1).cast("int"))
+      val html = concat(
+        lit("<html lang=\""), lang, lit("\"><head><title> Doc "),
+        $"doc_id".cast("string"), lit(" </title>"),
+        when(k % 3 =!= 1, concat(lit("<meta name=\"description\" content=\"about doc "),
+          $"doc_id".cast("string"), lit("\">"))).otherwise(lit("")),
+        lit("<link rel=\"canonical\" href=\"https://ex.com/d/"),
+        k.cast("string"), lit("\">"),
+        when(k % 4 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .otherwise(lit("")),
+        when(k % 2 === 0, concat(lit("<meta property=\"og:title\" content=\"OG "),
+          $"doc_id".cast("string"), lit("\">"))).otherwise(lit("")),
+        lit("</head><body><p>"), $"text", lit("</p></body></html>"))
+      graft.ext.HtmlMeta.headMeta(d, $"doc_id", html)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id // 20 AS k
+           |           FROM documents WHERE doc_id % 20 = 0)
+           |SELECT doc_id,
+           |       'Doc ' || doc_id AS title,
+           |       CASE WHEN k % 3 <> 1 THEN 'about doc ' || doc_id END
+           |         AS description,
+           |       'https://ex.com/d/' || k AS canonical,
+           |       CASE k % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+           |            WHEN 2 THEN 'fr-CA' ELSE 'zh' END AS lang,
+           |       (k % 4 = 0) AS noindex,
+           |       (k % 2 = 0) AS has_og
+           |FROM p ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
-    q221, q222, q223, q224, q225, q226, q227)
+    q221, q222, q223, q224, q225, q226, q227, q228)
 }
