@@ -1493,6 +1493,54 @@ object ExtQueries4 {
            |       (k % 2 = 0) AS has_og
            |FROM p ORDER BY doc_id""".stripMargin))
 
+  /** JPEG EXIF walk under the ORACLE gate
+    * ([[graft.ext.Multimodal.jpegExif]] — the q218 identity
+    * discipline for image metadata): per document a real JPEG prefix
+    * with an Exif APP1 (TIFF IFD0 + Exif sub-IFD) is encoded from
+    * arithmetic — orientation cycling all 8 values, make/model
+    * strings long enough to exercise the offset-cell ASCII path,
+    * a capture timestamp, declared pixel dimensions — ALTERNATING
+    * byte order (MM for even k, II for odd), so both endianness walks
+    * are load-bearing. The oracle computes every field from the
+    * arithmetic alone, including the zero-padded timestamp string.
+    */
+  val q229 = Q(
+    "q229_jpeg_exif",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.map { id =>
+        val k = id / 20
+        val dt = f"2026:01:${1 + k % 28}%02d 12:${k % 60}%02d:00"
+        val bytes = Multimodal.encodeJpegExif(
+          orientation = (1 + k % 8).toInt,
+          make = s"Maker${k % 5}", model = s"Camera Model $k",
+          dateTime = dt,
+          width = 640L + 16L * (k % 40), height = 480L + 16L * (k % 30),
+          bigEndian = k % 2 == 0)
+        Multimodal.jpegExif(id, bytes)
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"valid", $"byte_order",
+          $"orientation", $"make", $"model", $"datetime",
+          $"pixel_width", $"pixel_height")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id // 20 AS k
+           |           FROM documents WHERE doc_id % 20 = 0)
+           |SELECT doc_id, TRUE AS valid,
+           |       CASE WHEN k % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+           |       CAST(1 + k % 8 AS INT) AS orientation,
+           |       'Maker' || (k % 5) AS make,
+           |       'Camera Model ' || k AS model,
+           |       '2026:01:' || lpad(CAST(1 + k % 28 AS VARCHAR), 2, '0') ||
+           |         ' 12:' || lpad(CAST(k % 60 AS VARCHAR), 2, '0') || ':00'
+           |         AS datetime,
+           |       CAST(640 + 16 * (k % 40) AS BIGINT) AS pixel_width,
+           |       CAST(480 + 16 * (k % 30) AS BIGINT) AS pixel_height
+           |FROM p ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
-    q221, q222, q223, q224, q225, q226, q227, q228)
+    q221, q222, q223, q224, q225, q226, q227, q228, q229)
 }

@@ -1266,6 +1266,186 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // JPEG EXIF walk (public JPEG/JFIF segment framing + the TIFF 6.0
+  // IFD layout inside APP1): orientation, camera make/model, capture
+  // time and the declared pixel dimensions — WITHOUT decoding a
+  // pixel. Orientation is the load-bearing field: a rotation-unaware
+  // pipeline computes wrong dHashes/thumbnails for the ~1/8 of camera
+  // imagery stored rotated; make/model/time drive provenance screens.
+  // Both TIFF byte orders (II/MM) are walked; a malformed segment or
+  // IFD yields the invalid row, never a guess.
+  // ---------------------------------------------------------------------
+
+  final case class ExifMeta(media_id: Long, valid: Boolean, byte_order: String,
+                            orientation: Int, make: String, model: String,
+                            datetime: String, pixel_width: Long,
+                            pixel_height: Long)
+
+  private def invalidExif(id: Long) =
+    ExifMeta(id, valid = false, "", 0, "", "", "", 0L, 0L)
+
+  /** Walk SOI → segments to the first `Exif\0\0` APP1, then the TIFF
+    * IFD0 (+ the Exif sub-IFD behind tag 0x8769): orientation
+    * (0x0112), make/model (0x010F/0x0110), DateTimeOriginal (0x9003,
+    * falling back to 0x0132), PixelX/YDimension (0xA002/0xA003).
+    * ASCII values read through their offset cells with the trailing
+    * NUL stripped; SHORT/LONG scalars read inline per the byte order.
+    * Missing tags read as 0/""; a structurally malformed file reads
+    * invalid.
+    */
+  def jpegExif(id: Long, bytes: Array[Byte]): ExifMeta = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return invalidExif(id)
+    // hop segments to APP1/Exif
+    var off = 2
+    var tiff = -1
+    var tiffEnd = -1
+    var hopping = true
+    while (hopping && off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) hopping = false
+      else {
+        val marker = bytes(off + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) hopping = false // EOI/SOS
+        else {
+          val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+          if (len < 2 || off + 2 + len > bytes.length) hopping = false
+          else {
+            if (marker == 0xe1 && len >= 8 &&
+                new String(bytes, off + 4, 4, "US-ASCII") == "Exif" &&
+                bytes(off + 8) == 0 && bytes(off + 9) == 0) {
+              tiff = off + 10
+              tiffEnd = off + 2 + len
+              hopping = false
+            } else off += 2 + len
+          }
+        }
+      }
+    }
+    if (tiff < 0 || tiffEnd - tiff < 8) return invalidExif(id)
+    val big = new String(bytes, tiff, 2, "US-ASCII") match {
+      case "MM" => true
+      case "II" => false
+      case _ => return invalidExif(id)
+    }
+    def u16(o: Int): Int =
+      if (big) ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      else ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+    def u32(o: Int): Long =
+      if (big) ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      else ((bytes(o + 3) & 0xffL) << 24) | ((bytes(o + 2) & 0xffL) << 16) |
+        ((bytes(o + 1) & 0xffL) << 8) | (bytes(o) & 0xffL)
+    if (u16(tiff + 2) != 42) return invalidExif(id)
+    // one IFD → (tag → entry offset); entries are 12 bytes
+    def ifdEntries(ifdOff: Int): Map[Int, Int] = {
+      val abs = tiff + ifdOff
+      if (abs + 2 > tiffEnd) return Map.empty
+      val n = u16(abs)
+      if (abs + 2 + 12 * n + 4 > tiffEnd) return Map.empty
+      (0 until n).map(i => u16(abs + 2 + 12 * i) -> (abs + 2 + 12 * i)).toMap
+    }
+    def shortOrLong(e: Int): Long =
+      if (u16(e + 2) == 3) u16(e + 8).toLong else u32(e + 8)
+    def ascii(e: Int): String = {
+      val n = u32(e + 4).toInt
+      if (n <= 0) return ""
+      val at = if (n <= 4) e + 8 else tiff + u32(e + 8).toInt
+      if (at < tiff || at + n > tiffEnd) return ""
+      new String(bytes, at, n, "US-ASCII").stripSuffix("\u0000")
+    }
+    val ifd0 = ifdEntries(u32(tiff + 4).toInt)
+    if (ifd0.isEmpty) return invalidExif(id)
+    val sub = ifd0.get(0x8769).map(e => ifdEntries(u32(e + 8).toInt))
+      .getOrElse(Map.empty)
+    ExifMeta(id, valid = true, if (big) "MM" else "II",
+      ifd0.get(0x0112).map(e => u16(e + 8)).getOrElse(0),
+      ifd0.get(0x010f).map(ascii).getOrElse(""),
+      ifd0.get(0x0110).map(ascii).getOrElse(""),
+      sub.get(0x9003).map(ascii)
+        .orElse(ifd0.get(0x0132).map(ascii)).getOrElse(""),
+      sub.get(0xa002).map(shortOrLong).getOrElse(0L),
+      sub.get(0xa003).map(shortOrLong).getOrElse(0L))
+  }
+
+  /** Test/data-gen helper: a REAL JPEG prefix (SOI + Exif APP1 with a
+    * TIFF IFD0 + Exif sub-IFD, either byte order, long ASCII values
+    * through offset cells) + EOI. Layout mirrors what cameras write.
+    */
+  def encodeJpegExif(orientation: Int, make: String, model: String,
+                     dateTime: String, width: Long, height: Long,
+                     bigEndian: Boolean): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    def u16(v: Int): Seq[Byte] = {
+      val b = Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      if (bigEndian) b else b.reverse
+    }
+    def u32(v: Long): Seq[Byte] = {
+      val b = Seq(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      if (bigEndian) b else b.reverse
+    }
+    // entries: (tag, type, count, inline-or-offset builder)
+    final case class Entry(tag: Int, tpe: Int, count: Long,
+                           inline: Option[Seq[Byte]], data: Option[Array[Byte]])
+    def shortEntry(tag: Int, v: Int) =
+      Entry(tag, 3, 1L, Some(u16(v) ++ Seq[Byte](0, 0)), None)
+    def longEntry(tag: Int, v: Long) = Entry(tag, 4, 1L, Some(u32(v)), None)
+    def asciiEntry(tag: Int, s: String) = {
+      val b = (s + "\u0000").getBytes("US-ASCII")
+      if (b.length <= 4) Entry(tag, 2, b.length.toLong,
+        Some(b.toSeq.padTo(4, 0.toByte)), None)
+      else Entry(tag, 2, b.length.toLong, None, Some(b))
+    }
+    // TIFF body assembled relative to the TIFF origin
+    val tiffBuf = new scala.collection.mutable.ArrayBuffer[Byte]
+    tiffBuf ++= (if (bigEndian) "MM" else "II").getBytes("US-ASCII")
+    tiffBuf ++= u16(42)
+    tiffBuf ++= u32(8L) // IFD0 right after the header
+    def writeIfd(entries: Seq[Entry], ifdOff: Int): Unit = {
+      // data area starts after count(2) + entries + nextIFD(4)
+      var dataOff = ifdOff + 2 + 12 * entries.length + 4
+      val datas = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      tiffBuf ++= u16(entries.length)
+      entries.foreach { e =>
+        tiffBuf ++= u16(e.tag); tiffBuf ++= u16(e.tpe); tiffBuf ++= u32(e.count)
+        e.inline match {
+          case Some(b) => tiffBuf ++= b
+          case None =>
+            tiffBuf ++= u32(dataOff.toLong)
+            datas += e.data.get
+            dataOff += e.data.get.length
+        }
+      }
+      tiffBuf ++= u32(0L) // no next IFD
+      datas.foreach(tiffBuf ++= _)
+    }
+    // IFD0: make, model, orientation, pointer to the Exif sub-IFD
+    // (sub-IFD offset computed after IFD0's layout is known)
+    val ifd0 = Seq(
+      asciiEntry(0x010f, make), asciiEntry(0x0110, model),
+      shortEntry(0x0112, orientation))
+    val ifd0DataLen = ifd0.flatMap(_.data).map(_.length).sum
+    val subIfdOff = 8 + 2 + 12 * (ifd0.length + 1) + 4 + ifd0DataLen
+    writeIfd(ifd0 :+ longEntry(0x8769, subIfdOff.toLong), 8)
+    writeIfd(Seq(asciiEntry(0x9003, dateTime),
+      longEntry(0xa002, width), longEntry(0xa003, height)), subIfdOff)
+    val app1 = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiffBuf
+    out ++= Array(0xff.toByte, 0xd8.toByte) // SOI
+    out ++= Array(0xff.toByte, 0xe1.toByte) // APP1
+    val len = app1.length + 2
+    out += ((len >> 8) & 0xff).toByte; out += (len & 0xff).toByte
+    out ++= app1
+    out ++= Array(0xff.toByte, 0xd9.toByte) // EOI
+    out.toArray
+  }
+
+  /** Per-partition EXIF extraction — one typed row per input. */
+  def exifTable(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc: Encoder[ExifMeta] = Encoders.product[ExifMeta]
+    ds.mapPartitions(_.map(r => jpegExif(r.media_id, r.content))).toDF()
+  }
+
+  // ---------------------------------------------------------------------
   // FLAC STREAMINFO walk (public FLAC format spec): exact sample rate,
   // channels, bit depth, total samples and duration from the mandatory
   // first metadata block — no decoder involved, the block is 34 bytes

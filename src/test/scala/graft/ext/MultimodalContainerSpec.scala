@@ -413,6 +413,25 @@ class MultimodalContainerSpec extends SparkTestBase {
     assert(Multimodal.mp4SampleStats(9L, bytes).map(_.codec) == Seq("hvc1"))
   }
 
+  test("jpegExif: TIFF IFD walk in both byte orders, offset ASCII, inline shorts") {
+    val be = Multimodal.encodeJpegExif(6, "Canon", "EOS R5 Mark II",
+      "2024:05:01 10:20:30", 8192L, 5464L, bigEndian = true)
+    assert(Multimodal.jpegExif(61L, be) == Multimodal.ExifMeta(61L,
+      valid = true, "MM", 6, "Canon", "EOS R5 Mark II",
+      "2024:05:01 10:20:30", 8192L, 5464L))
+    val le = Multimodal.encodeJpegExif(8, "ab", "x", "2020:01:01 00:00:00",
+      640L, 480L, bigEndian = false)
+    val m = Multimodal.jpegExif(62L, le)
+    // "ab"/"x" + NUL fit the 4-byte inline value cell
+    assert(m.valid && m.byte_order == "II" && m.orientation == 8 &&
+      m.make == "ab" && m.model == "x" && m.pixel_width == 640L)
+    // malformed shapes: no SOI, truncated APP1, a PNG, no-EXIF JPEG
+    assert(!Multimodal.jpegExif(63L, be.take(10)).valid)
+    assert(!Multimodal.jpegExif(64L, Multimodal.encodePng(4, 4)((_, _) => 0)).valid)
+    assert(!Multimodal.jpegExif(65L, Array(0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)).valid)
+  }
+
   test("dispatch: flac and ogg route beside wav/mp4/mp3") {
     val ds = spark.createDataset(Seq(
       Multimodal.MediaRow(51L, "audio", Multimodal.encodeFlac(48000, 2, 24, 96000L)),
