@@ -1339,7 +1339,10 @@ object Multimodal {
     // one IFD → (tag → entry offset); entries are 12 bytes
     def ifdEntries(ifdOff: Int): Map[Int, Int] = {
       val abs = tiff + ifdOff
-      if (abs + 2 > tiffEnd) return Map.empty
+      // ifdOff comes from an unvalidated 32-bit cell: a crafted value
+      // can wrap negative through toInt — below-origin is malformed,
+      // same as past-the-end
+      if (abs < tiff || abs + 2 > tiffEnd) return Map.empty
       val n = u16(abs)
       if (abs + 2 + 12 * n + 4 > tiffEnd) return Map.empty
       (0 until n).map(i => u16(abs + 2 + 12 * i) -> (abs + 2 + 12 * i)).toMap

@@ -430,6 +430,39 @@ class MultimodalContainerSpec extends SparkTestBase {
     assert(!Multimodal.jpegExif(64L, Multimodal.encodePng(4, 4)((_, _) => 0)).valid)
     assert(!Multimodal.jpegExif(65L, Array(0xff.toByte, 0xd8.toByte,
       0xff.toByte, 0xd9.toByte)).valid)
+    // a crafted IFD0 offset that wraps negative through toInt must
+    // read invalid, not throw (the TIFF origin's 4-byte offset cell
+    // is at tiff+4 = byte 16 of the file for this encoder)
+    val hostile = be.clone()
+    hostile(16) = 0xff.toByte; hostile(17) = 0xff.toByte
+    hostile(18) = 0xff.toByte; hostile(19) = 0xf0.toByte
+    assert(!Multimodal.jpegExif(66L, hostile).valid)
+  }
+
+  test("h265SpsParse: sub-layer PTL flags are walked, not assumed absent") {
+    // hand-build: 1 sub-layer with both present flags 0 — the parser
+    // must consume the two flags and the 14-pair alignment before the
+    // geometry fields; the encoder cannot produce this shape
+    def bitsToBytes(s: String): Array[Byte] = {
+      val padded = s + "0" * ((8 - s.length % 8) % 8)
+      padded.grouped(8).map(g => Integer.parseInt(g, 2).toByte).toArray
+    }
+    val rbsp = "0000" +            // vps_id
+      "001" +                      // sps_max_sub_layers_minus1 = 1
+      "1" +                        // nesting
+      "00" + "0" + "00001" +       // space, tier, profile 1
+      "0" * 32 + "0" * 48 +        // compat + reserved
+      "01111000" +                 // level 120
+      "00" +                       // sub-layer profile/level present = 0,0
+      "00" * 7 +                   // alignment to 8 sub-layers
+      "1" +                        // ue(sps_id=0)
+      "010" +                      // ue(chroma=1)
+      "000000000" + "1010000001" + // ue(640): 641 = 0b1010000001, 9 leading zeros
+      "00000000" + "111100001" +   // ue(480): 481 = 0b111100001, 8 leading zeros
+      "0" +                        // conformance_window_flag
+      "1"                          // stop bit
+    val nal = Array((33 << 1).toByte, 1.toByte) ++ bitsToBytes(rbsp)
+    assert(Multimodal.h265SpsParse(nal) == Some((1, 120, 640L, 480L)))
   }
 
   test("dispatch: flac and ogg route beside wav/mp4/mp3") {
