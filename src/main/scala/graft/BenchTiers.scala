@@ -127,7 +127,7 @@ object BenchTiers {
         "q218_mp4_sample_stats", "q219_mp3_frame_stats", "q220_media_route",
         "q222_h264_sps", "q223_flac_stream_info", "q224_ogg_pages",
         "q225_hevc_sps", "q226_subtitle_cues", "q227_caption_screen",
-        "q228_head_meta", "q229_jpeg_exif"))
+        "q228_head_meta", "q229_jpeg_exif", "q230_id3_tags"))
 
   val sf1Head: Set[String] = x100Keep ++ sf1Groups.flatMap(_._2).toSet
 

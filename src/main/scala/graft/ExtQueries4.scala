@@ -1541,6 +1541,52 @@ object ExtQueries4 {
            |       CAST(480 + 16 * (k % 30) AS BIGINT) AS pixel_height
            |FROM p ORDER BY doc_id""".stripMargin))
 
+  /** ID3v2 tag walk under the ORACLE gate — the audio provenance
+    * sibling of q229: per document a real tagged MP3 is assembled
+    * from arithmetic (ID3 version ALTERNATING v2.3/v2.4 so both
+    * frame-size conventions are load-bearing, the text encoding
+    * cycling latin-1/UTF-16/UTF-8, arithmetic padding, then a real
+    * frame stream), [[graft.ext.Multimodal.id3Tags]] walks INSIDE the
+    * tag while [[graft.ext.Multimodal.mp3Metadata]] skips it — the
+    * gate emits both walks' fields from the same bytes, so the
+    * skip/walk boundary arithmetic is pinned cross-engine along with
+    * every tag field.
+    */
+  val q230 = Q(
+    "q230_id3_tags",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.map { id =>
+        val k = id / 20
+        val enc = Seq(0, 1, 3)((k % 3).toInt)
+        val ver = 3 + (k % 2).toInt
+        val n = 2 + (k % 4).toInt
+        val bytes = Multimodal.encodeId3(ver, Seq(
+          ("TIT2", enc, s"Track $k"),
+          ("TPE1", enc, s"Artist ${k % 7}"),
+          ("TALB", 0, s"Album ${k % 5}")), padding = (k % 50).toInt) ++
+          Multimodal.encodeMp3(Seq.fill(n)((5, 0, true, k % 2 == 0)))
+        val tags = Multimodal.id3Tags(id, bytes)
+        val frames = Multimodal.mp3Metadata(id, bytes)
+        (id, tags.valid && frames.valid, tags.version, tags.title,
+          tags.artist, tags.album, frames.n_frames)
+      }).toDF("doc_id", "valid", "version", "title", "artist", "album",
+        "n_frames")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id // 20 AS k
+           |           FROM documents WHERE doc_id % 20 = 0)
+           |SELECT doc_id, TRUE AS valid,
+           |       CAST(3 + k % 2 AS INT) AS version,
+           |       'Track ' || k AS title,
+           |       'Artist ' || (k % 7) AS artist,
+           |       'Album ' || (k % 5) AS album,
+           |       CAST(2 + k % 4 AS BIGINT) AS n_frames
+           |FROM p ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
-    q221, q222, q223, q224, q225, q226, q227, q228, q229)
+    q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
 }

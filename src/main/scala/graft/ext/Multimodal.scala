@@ -1266,6 +1266,105 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // ID3v2 TAG walk (public id3.org spec, v2.3/v2.4): title/artist/
+  // album from the text frames an audio curation pass keys provenance
+  // on — the audio sibling of the EXIF walk. [[mp3Metadata]] SKIPS
+  // the tag by its syncsafe size; this walk goes INSIDE it: frames
+  // are (id(4), size(4 — plain big-endian in v2.3, syncsafe in
+  // v2.4), flags(2), body), a text frame's body is an encoding byte
+  // + text (latin-1, UTF-8, and BOM'd UTF-16 supported), and a zero
+  // byte where a frame id should start is the padding area — walk
+  // over. Malformed structure reads invalid, never a guess.
+  // ---------------------------------------------------------------------
+
+  final case class Id3Meta(media_id: Long, valid: Boolean, version: Int,
+                           title: String, artist: String, album: String)
+
+  private def invalidId3(id: Long) = Id3Meta(id, valid = false, 0, "", "", "")
+
+  def id3Tags(id: Long, bytes: Array[Byte]): Id3Meta = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
+      return invalidId3(id)
+    val ver = bytes(3) & 0xff
+    if (ver != 3 && ver != 4) return invalidId3(id)
+    val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    val end = math.min(10 + size, bytes.length)
+    var off = 10
+    var title = ""; var artist = ""; var album = ""
+    var walking = true
+    while (walking && off + 10 <= end) {
+      if (bytes(off) == 0) walking = false // padding area
+      else {
+        val fid = new String(bytes, off, 4, "US-ASCII")
+        val fsize =
+          if (ver == 4)
+            ((bytes(off + 4) & 0x7f) << 21) | ((bytes(off + 5) & 0x7f) << 14) |
+              ((bytes(off + 6) & 0x7f) << 7) | (bytes(off + 7) & 0x7f)
+          else ((bytes(off + 4) & 0xff) << 24) | ((bytes(off + 5) & 0xff) << 16) |
+            ((bytes(off + 6) & 0xff) << 8) | (bytes(off + 7) & 0xff)
+        if (fsize < 0 || off + 10 + fsize > end) walking = false
+        else {
+          if (fid.startsWith("T") && fsize >= 1) {
+            val enc = bytes(off + 10) & 0xff
+            val body = java.util.Arrays.copyOfRange(bytes, off + 11, off + 10 + fsize)
+            val text = (enc match {
+              case 0 => Some(new String(body, "ISO-8859-1"))
+              case 1 => Some(new String(body, "UTF-16")) // BOM-routed
+              case 3 => Some(new String(body, "UTF-8"))
+              case _ => None // UTF-16BE w/o BOM (2) and unknowns: skip
+            }).map(_.stripSuffix("\u0000")).getOrElse("")
+            fid match {
+              case "TIT2" => title = text
+              case "TPE1" => artist = text
+              case "TALB" => album = text
+              case _ => ()
+            }
+          }
+          off += 10 + fsize
+        }
+      }
+    }
+    Id3Meta(id, valid = true, ver, title, artist, album)
+  }
+
+  /** Test/data-gen helper: a REAL ID3v2.3/2.4 tag (version-correct
+    * frame sizes, chosen text encodings, optional padding) — prepend
+    * to [[encodeMp3]] output for a tagged stream.
+    */
+  def encodeId3(version: Int, frames: Seq[(String, Int, String)],
+                padding: Int = 0): Array[Byte] = {
+    require(version == 3 || version == 4)
+    val body = frames.flatMap { case (fid, enc, text) =>
+      require(fid.length == 4 && (enc == 0 || enc == 1 || enc == 3))
+      val tb = enc match {
+        case 0 => text.getBytes("ISO-8859-1")
+        case 1 => Array[Byte](0xfe.toByte, 0xff.toByte) ++ text.getBytes("UTF-16BE")
+        case _ => text.getBytes("UTF-8")
+      }
+      val fsize = tb.length + 1
+      val sz =
+        if (version == 4) Seq(((fsize >> 21) & 0x7f).toByte, ((fsize >> 14) & 0x7f).toByte,
+          ((fsize >> 7) & 0x7f).toByte, (fsize & 0x7f).toByte)
+        else Seq(((fsize >> 24) & 0xff).toByte, ((fsize >> 16) & 0xff).toByte,
+          ((fsize >> 8) & 0xff).toByte, (fsize & 0xff).toByte)
+      fid.getBytes("US-ASCII").toSeq ++ sz ++ Seq[Byte](0, 0) ++
+        Seq(enc.toByte) ++ tb.toSeq
+    } ++ Seq.fill(padding)(0.toByte)
+    val size = body.length
+    require(size < (1 << 28))
+    "ID3".getBytes("US-ASCII") ++ Array(version.toByte, 0.toByte, 0.toByte,
+      ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+      ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++ body
+  }
+
+  /** Per-partition ID3 extraction — one typed row per input. */
+  def id3Table(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc: Encoder[Id3Meta] = Encoders.product[Id3Meta]
+    ds.mapPartitions(_.map(r => id3Tags(r.media_id, r.content))).toDF()
+  }
+
+  // ---------------------------------------------------------------------
   // JPEG EXIF walk (public JPEG/JFIF segment framing + the TIFF 6.0
   // IFD layout inside APP1): orientation, camera make/model, capture
   // time and the declared pixel dimensions — WITHOUT decoding a

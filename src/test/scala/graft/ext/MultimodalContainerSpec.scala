@@ -465,6 +465,29 @@ class MultimodalContainerSpec extends SparkTestBase {
     assert(Multimodal.h265SpsParse(nal) == Some((1, 120, 640L, 480L)))
   }
 
+  test("id3Tags: v2.3 plain and v2.4 syncsafe frame sizes, all three text encodings, padding, MP3 interplay") {
+    val v4 = Multimodal.encodeId3(4, Seq(
+      ("TIT2", 3, "Grüße aus Köln"), // UTF-8
+      ("TPE1", 1, "Ärtist"),          // UTF-16 w/ BOM
+      ("TALB", 0, "Plain Album"),     // latin-1
+      ("TXXX", 3, "ignored-custom")), padding = 32)
+    assert(Multimodal.id3Tags(71L, v4) == Multimodal.Id3Meta(71L,
+      valid = true, 4, "Grüße aus Köln", "Ärtist", "Plain Album"))
+    val v3 = Multimodal.encodeId3(3, Seq(("TIT2", 0, "Old School")))
+    assert(Multimodal.id3Tags(72L, v3) ==
+      Multimodal.Id3Meta(72L, valid = true, 3, "Old School", "", ""))
+    // tagged MP3: the tag walk reads INSIDE what the frame walk skips,
+    // and the frame walk still counts every frame behind the tag
+    val tagged = v4 ++ Multimodal.encodeMp3(Seq.fill(3)((5, 0, true, false)))
+    assert(Multimodal.id3Tags(73L, tagged).title == "Grüße aus Köln")
+    assert(Multimodal.mp3Metadata(73L, tagged).n_frames == 3L)
+    // malformed: not a tag, unsupported version, truncated mid-frame
+    assert(!Multimodal.id3Tags(74L, "IDX".getBytes("US-ASCII")).valid)
+    assert(!Multimodal.id3Tags(75L, { val b = v4.clone(); b(3) = 2; b }).valid)
+    val cut = Multimodal.id3Tags(76L, v4.take(24))
+    assert(cut.valid && cut.title == "") // frame overruns the cut: walked over
+  }
+
   test("dispatch: flac and ogg route beside wav/mp4/mp3") {
     val ds = spark.createDataset(Seq(
       Multimodal.MediaRow(51L, "audio", Multimodal.encodeFlac(48000, 2, 24, 96000L)),
