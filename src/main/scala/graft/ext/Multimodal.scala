@@ -1303,7 +1303,12 @@ object Multimodal {
               ((bytes(off + 6) & 0x7f) << 7) | (bytes(off + 7) & 0x7f)
           else ((bytes(off + 4) & 0xff) << 24) | ((bytes(off + 5) & 0xff) << 16) |
             ((bytes(off + 6) & 0xff) << 8) | (bytes(off + 7) & 0xff)
-        if (fsize < 0 || off + 10 + fsize > end) walking = false
+        // Long arithmetic: a v2.3 fsize near Int.MaxValue wraps
+        // `off + 10 + fsize` negative and slips past an Int bound
+        // check (the v2.4 syncsafe path is capped at 2^28 by
+        // construction) — same wrapped-offset class as the EXIF/mp4
+        // guards
+        if (fsize < 0 || off.toLong + 10L + fsize > end) walking = false
         else {
           if (fid.startsWith("T") && fsize >= 1) {
             val enc = bytes(off + 10) & 0xff
@@ -1452,7 +1457,10 @@ object Multimodal {
       val n = u32(e + 4).toInt
       if (n <= 0) return ""
       val at = if (n <= 4) e + 8 else tiff + u32(e + 8).toInt
-      if (at < tiff || at + n > tiffEnd) return ""
+      // Long arithmetic: `at + n` wraps when a crafted offset cell
+      // puts `at` near Int.MaxValue (still >= tiff, so the first
+      // check passes) — the sibling of the ifdEntries wrap guard
+      if (at < tiff || at.toLong + n > tiffEnd) return ""
       new String(bytes, at, n, "US-ASCII").stripSuffix("\u0000")
     }
     val ifd0 = ifdEntries(u32(tiff + 4).toInt)
@@ -1678,6 +1686,11 @@ object Multimodal {
       }
     }
     if (pages == 0L) return invalidOgg(id)
+    // exact-arithmetic-or-no-row (the mp4SampleStats contract): a
+    // crafted 63-bit granule would wrap `lastGranule * 1000L`,
+    // emitting a valid=true row with a garbage duration — malformed
+    // instead
+    if (lastGranule > Long.MaxValue / 1000L) return invalidOgg(id)
     // identification header of the first packet: Vorbis or Opus
     val f = firstBody
     if (f.length >= 16 && f(0) == 1 && f(1) == 'v' && f(2) == 'o' &&

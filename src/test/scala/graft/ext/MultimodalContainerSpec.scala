@@ -501,6 +501,41 @@ class MultimodalContainerSpec extends SparkTestBase {
       80L, 1, 48000, 2, 0, 3840L))
   }
 
+  test("id3Tags: a v2.3 frame size near Int.MaxValue reads as end-of-walk, not a crash") {
+    // 21 bytes: header (size=100 syncsafe) + one TIT2 frame whose
+    // PLAIN 32-bit size 0x7ffffff0 wraps `off + 10 + fsize` negative
+    // in Int arithmetic — the bounds check must be done in Long or
+    // copyOfRange throws on a negative end
+    val hostile = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 100,
+      'T', 'I', 'T', '2', 0x7f, 0xff.toByte, 0xff.toByte, 0xf0.toByte, 0, 0, 3)
+    val m = Multimodal.id3Tags(77L, hostile)
+    assert(m.valid && m.title == "") // frame overruns: walked over, no guess
+  }
+
+  test("jpegExif: an ASCII offset cell that lands `at + n` past Int.MaxValue reads empty, not a crash") {
+    val be = Multimodal.encodeJpegExif(1, "Canon", "R5", "2024:01:01 00:00:00",
+      10L, 10L, bigEndian = true)
+    // make ("Canon"+NUL = 6 > 4) uses an offset cell at tiff+18 =
+    // file bytes 30..33; 0x7ffffff1 puts at = tiff + offset at
+    // Int.MaxValue-2 (>= tiff, so the origin check passes) and
+    // `at + 6` wraps negative in Int arithmetic
+    val hostile = be.clone()
+    hostile(30) = 0x7f; hostile(31) = 0xff.toByte
+    hostile(32) = 0xff.toByte; hostile(33) = 0xf1.toByte
+    val m = Multimodal.jpegExif(67L, hostile)
+    assert(m.valid && m.make == "") // out-of-range cell: empty, no guess
+  }
+
+  test("oggMetadata: a granule past Long.MaxValue/1000 is malformed, never a wrapped duration") {
+    val big = Long.MaxValue / 1000L + 1L
+    val ogg = Multimodal.encodeOgg("vorbis", 44100, 2, 1, big)
+    assert(!Multimodal.oggMetadata(78L, ogg).valid)
+    // one below the cap still computes exactly
+    val ok = Multimodal.encodeOgg("vorbis", 44100, 2, 1, Long.MaxValue / 1000L)
+    val m = Multimodal.oggMetadata(79L, ok)
+    assert(m.valid && m.duration_ms == Long.MaxValue / 1000L * 1000L / 44100L)
+  }
+
   test("dispatch: an ID3-prefixed NON-audio blob falls through to unknown, not 'mp3'") {
     val blob = "ID3 is a tag format, but these bytes are prose".getBytes("US-ASCII")
     assert(Multimodal.isMp3(blob)) // the sniff alone would misroute it
