@@ -10,10 +10,11 @@ package graft
   * these groups.
   *
   * The rules themselves (BASELINE.md, r6/r9/r14 precedents):
-  *   - full-corpus scan or modulo slice → sf1Head (publishes the
-  *     x10/x1 scaling ratio; zero bench cost — the x10 pass times
-  *     everything, membership only publishes the ratio; >12 flags an
-  *     offender);
+  *   - full-corpus scan or modulo slice → sf1Head (timed in the ×10
+  *     pass, which publishes the x10/x1 scaling ratio; >12 flags an
+  *     offender. Since r16 the ×10 pass times ONLY sf1Head — the
+  *     excluded gates' ratios were adjudicated as JVM fixed cost, and
+  *     timing them anyway is what starved the wall budget);
   *   - heavy corpus-proportional gates additionally → x100Keep (the
   *     recurring memory-pressure tier, ~60 s budget);
   *   - pair-output-quadratic gates under the blowup's copy clusters →
@@ -181,10 +182,12 @@ object BenchTiers {
         |truth: `graft.BenchTiers` (exhaustiveness enforced by
         |TierTableSpec — every gate must carry an adjudication).
         |
-        |Tiers: `sf1` publishes the x10/x1 scaling ratio from the
-        |bench's x10 pass (zero extra cost; ratio > 12 flags an
-        |offender); `x100` additionally runs in the recurring
-        |memory-pressure tier on the 100x documents blowup.
+        |Tiers: `sf1` is timed in the bench's x10 pass, which
+        |publishes the x10/x1 scaling ratio (ratio > 12 flags an
+        |offender; since r16 the x10 pass times ONLY this tier —
+        |excluded gates were adjudicated as fixed-cost noise);
+        |`x100` additionally runs in the recurring memory-pressure
+        |tier on the 100x documents blowup.
         |
         || gate | sf1 | x100 | adjudication |
         ||---|---|---|---|""".stripMargin
