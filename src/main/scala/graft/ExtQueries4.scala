@@ -1452,7 +1452,9 @@ object ExtQueries4 {
     * and og presence; the document's own text rides in the body),
     * and every extracted field must hash-match the oracle's direct
     * arithmetic — including NULL (not empty) for the absent optional
-    * fields and the whitespace-trimmed title.
+    * fields and the whitespace-trimmed title. Since r16 a planted
+    * subset of rows carries REVERSED attribute order (content before
+    * name/property) — both orders must extract identically.
     */
   val q228 = Q(
     "q228_head_meta",
@@ -1464,18 +1466,31 @@ object ExtQueries4 {
       val lang = element_at(
         array(lit("en"), lit("de"), lit("fr-CA"), lit("zh")),
         (k % 4 + 1).cast("int"))
+      // r16: odd-k description rows, k%8==4 robots rows and k%4==2
+      // og rows plant the REVERSED attribute order (content before
+      // name/property) — the oracle is unchanged because the
+      // extracted VALUES don't depend on attribute order, so the
+      // gate now proves both orders extract identically
       val html = concat(
         lit("<html lang=\""), lang, lit("\"><head><title> Doc "),
         $"doc_id".cast("string"), lit(" </title>"),
-        when(k % 3 =!= 1, concat(lit("<meta name=\"description\" content=\"about doc "),
-          $"doc_id".cast("string"), lit("\">"))).otherwise(lit("")),
+        when(k % 3 =!= 1,
+          when(k % 2 === 1, concat(lit("<meta content=\"about doc "),
+            $"doc_id".cast("string"), lit("\" name=\"description\">")))
+            .otherwise(concat(lit("<meta name=\"description\" content=\"about doc "),
+              $"doc_id".cast("string"), lit("\">")))).otherwise(lit("")),
         lit("<link rel=\"canonical\" href=\"https://ex.com/d/"),
         k.cast("string"), lit("\">"),
         when(k % 4 === 0,
-          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          when(k % 8 === 4,
+            lit("<meta content=\"noindex, nofollow\" name=\"robots\">"))
+            .otherwise(lit("<meta name=\"robots\" content=\"noindex, nofollow\">")))
           .otherwise(lit("")),
-        when(k % 2 === 0, concat(lit("<meta property=\"og:title\" content=\"OG "),
-          $"doc_id".cast("string"), lit("\">"))).otherwise(lit("")),
+        when(k % 2 === 0,
+          when(k % 4 === 2, concat(lit("<meta content=\"OG "),
+            $"doc_id".cast("string"), lit("\" property=\"og:title\">")))
+            .otherwise(concat(lit("<meta property=\"og:title\" content=\"OG "),
+              $"doc_id".cast("string"), lit("\">")))).otherwise(lit("")),
         lit("</head><body><p>"), $"text", lit("</p></body></html>"))
       graft.ext.HtmlMeta.headMeta(d, $"doc_id", html)
         .orderBy($"doc_id")

@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * match), not empty strings, so downstream presence checks are
   * null-semantics-clean.
   *
-  * Patterns are first-match and attribute-order-strict
-  * (name-then-content, the overwhelmingly dominant form); a head
-  * carrying reversed attributes reads as absent — the conservative
-  * failure for a routing screen, never a misattributed value.
+  * Patterns are first-match and accept BOTH attribute orders
+  * (name-then-content and content-then-name) as a two-pattern
+  * coalesce, name-first winning when both match. r15 ADVICE: the
+  * old name-first-only form read a reversed-attribute head as
+  * absent, and for the `noindex` routing screen a false-absent
+  * ADMITS a page the crawl said to drop — the one field where the
+  * "conservative" failure wasn't conservative.
   */
 object HtmlMeta {
 
@@ -30,17 +33,29 @@ object HtmlMeta {
   def title(html: Column): Column =
     nullif(regexp_extract(html, "(?is)<title[^>]*>\\s*(.*?)\\s*</title>", 1), lit(""))
 
-  /** `<meta name="X" content="...">` content; NULL when absent. */
+  /** `<meta name="X" content="...">` content, either attribute
+    * order; NULL when absent.
+    */
   def metaContent(html: Column, name: String): Column =
-    nullif(regexp_extract(html,
-      s"""(?is)<meta\\s+name=["']$name["']\\s+content=["']([^"']*)["']""", 1),
-      lit(""))
+    coalesce(
+      nullif(regexp_extract(html,
+        s"""(?is)<meta\\s+name=["']$name["']\\s+content=["']([^"']*)["']""", 1),
+        lit("")),
+      nullif(regexp_extract(html,
+        s"""(?is)<meta\\s+content=["']([^"']*)["']\\s+name=["']$name["']""", 1),
+        lit("")))
 
-  /** `<meta property="og:X" content="...">` content; NULL when absent. */
+  /** `<meta property="og:X" content="...">` content, either
+    * attribute order; NULL when absent.
+    */
   def ogContent(html: Column, prop: String): Column =
-    nullif(regexp_extract(html,
-      s"""(?is)<meta\\s+property=["']og:$prop["']\\s+content=["']([^"']*)["']""", 1),
-      lit(""))
+    coalesce(
+      nullif(regexp_extract(html,
+        s"""(?is)<meta\\s+property=["']og:$prop["']\\s+content=["']([^"']*)["']""", 1),
+        lit("")),
+      nullif(regexp_extract(html,
+        s"""(?is)<meta\\s+content=["']([^"']*)["']\\s+property=["']og:$prop["']""", 1),
+        lit("")))
 
   /** `<link rel="canonical" href="...">`; NULL when absent. */
   def canonical(html: Column): Column =
@@ -53,9 +68,12 @@ object HtmlMeta {
     nullif(regexp_extract(html,
       """(?is)<html[^>]*\slang=["']([A-Za-z0-9-]*)["']""", 1), lit(""))
 
-  /** True iff a robots meta directive contains `noindex`. */
+  /** True iff a robots meta directive contains `noindex`, either
+    * attribute order.
+    */
   def noindex(html: Column): Column =
-    html.rlike("""(?is)<meta\s+name=["']robots["']\s+content=["'][^"']*noindex""")
+    html.rlike("""(?is)<meta\s+name=["']robots["']\s+content=["'][^"']*noindex""") ||
+      html.rlike("""(?is)<meta\s+content=["'][^"']*noindex[^"']*["']\s+name=["']robots["']""")
 
   /** The routing frame: one row per document with every head field —
     * a single codegen'd projection over the html column.

@@ -3,8 +3,9 @@ package graft.ext
 import graft.SparkTestBase
 
 /** Pins the head-metadata extractor's field semantics: trimmed
-  * titles, NULL (not empty) absents, the conservative
-  * attribute-order strictness, noindex detection inside a longer
+  * titles, NULL (not empty) absents, both meta attribute orders
+  * (r15 ADVICE: a reversed-order `noindex` read as absent ADMITS a
+  * page the crawl said to drop), noindex detection inside a longer
   * directive, and case-insensitivity.
   */
 class HtmlMetaSpec extends SparkTestBase {
@@ -34,11 +35,23 @@ class HtmlMetaSpec extends SparkTestBase {
     assert(!r.getBoolean(5) && !r.getBoolean(6))
   }
 
-  test("reversed attribute order reads as absent — conservative, never misattributed") {
+  test("reversed meta attribute order extracts identically; name-first wins when both match") {
     val r = row("""<html><head>""" +
       """<meta content="swapped" name="description">""" +
+      """<meta content="noindex" name="robots">""" +
+      """<meta content="og-rev" property="og:title">""" +
       """<link href="https://ex.com/b" rel="canonical"></head></html>""")
-    assert(r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getString(2) == "swapped")
+    assert(r.getBoolean(5)) // reversed noindex MUST drop the page
+    assert(r.getBoolean(6))
+    // link rel/href stays order-strict (out of the r15 ADVICE scope):
+    // a reversed canonical is a dedup-collapse miss, not an admission
+    assert(r.isNullAt(3))
+    // both orders present: the name-first (dominant) form wins
+    val both = row("""<html><head>""" +
+      """<meta name="description" content="primary">""" +
+      """<meta content="secondary" name="description"></head></html>""")
+    assert(both.getString(2) == "primary")
   }
 
   test("first title wins; body text cannot inject head fields") {
