@@ -121,6 +121,8 @@ object BenchTiers {
         "q212_cascade_by_source"),
     "composed corpus build/admission/takedown: chains corpus-proportional stages end to end; the near-dup leg's pair output grows with copy clusters — sf1 only (q28 rule)" ->
       Set("q215_corpus_build", "q216_corpus_admit", "q221_corpus_takedown"),
+    "composed day-2 maintenance loop: corpus-proportional diff/tokenize legs, diff-proportional refresh legs, metadata-proportional compaction/vacuum" ->
+      Set("q231_corpus_maintain"),
     "probe-slice x full-corpus cosine mining (the q70 class)" ->
       Set("q217_bitext_margin"),
     "formats + media: fused encode->walk over a doc_id modulo slice (the slice grows with the corpus — copies keep their residue); binary stays on executors" ->
@@ -128,7 +130,8 @@ object BenchTiers {
         "q218_mp4_sample_stats", "q219_mp3_frame_stats", "q220_media_route",
         "q222_h264_sps", "q223_flac_stream_info", "q224_ogg_pages",
         "q225_hevc_sps", "q226_subtitle_cues", "q227_caption_screen",
-        "q228_head_meta", "q229_jpeg_exif", "q230_id3_tags"))
+        "q228_head_meta", "q229_jpeg_exif", "q230_id3_tags",
+        "q232_png_chunks", "q233_mkv_tracks"))
 
   val sf1Head: Set[String] = x100Keep ++ sf1Groups.flatMap(_._2).toSet
 

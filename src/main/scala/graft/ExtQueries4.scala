@@ -1602,6 +1602,305 @@ object ExtQueries4 {
            |       CAST(2 + k % 4 AS BIGINT) AS n_frames
            |FROM p ORDER BY doc_id""".stripMargin))
 
+  /** The composed DAY-2 maintenance loop under ONE oracle gate — the
+    * steady-state counterpart of q215/q216/q221's day-0
+    * build/admit/takedown: a re-crawl lands as a snapshot diff
+    * ([[graft.ext.CorpusDiff.snapshotDiff]], the q137 operator), the
+    * diff drives a retract-then-admit lexical index refresh
+    * ([[graft.ext.Bm25.refreshIndex]], the q152 identity: refresh ≡
+    * rebuild-on-after) and a retract-then-admit transfer-manifest
+    * fold ([[graft.ext.Forget.retractManifest]] +
+    * [[graft.ext.Sharding.admitManifest]], the q162/q168
+    * identities), the refreshed corpus's shard listing feeds a
+    * small-file compaction plan
+    * ([[graft.ext.Sharding.compactionPlan]], q161), and the
+    * superseded v1 shard files fall out as vacuum orphans
+    * ([[graft.ext.Sharding.vacuumOrphans]], q169). The before
+    * snapshot is q152's construction VERBATIM (drop every 11th doc →
+    * `added`, prepend "stale " to every 13th → `changed`, three
+    * extra docs → `removed`) so the persisted before-index fixture
+    * is shared with q152. Every stage emits its counts — diff rows
+    * per status, refreshed-postings token/pair/tf totals, per-shard
+    * manifest (rows, weight, md5-Horner digest), compaction file/
+    * group arithmetic, vacuum reclaim — and the oracle recomputes
+    * each from arithmetic over the AFTER corpus (the composed
+    * identities make rebuild the oracle of refresh). Work is
+    * diff-proportional on the index/manifest legs and metadata-
+    * proportional on the compaction/vacuum legs — the 100 TB day-2
+    * shape, where re-reading the unchanged corpus is the one thing
+    * the pipeline must never do.
+    */
+  val q231 = Q(
+    "q231_corpus_maintain",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ext.{Bm25, CorpusDiff, Forget, LexFixture, Sharding}
+      val after = t(s, dir, "documents").select($"doc_id", $"text")
+      val extra = Seq(
+        (860000L, "spark join removed soon"),
+        (860001L, "customer window stale"),
+        (860002L, "zzzrefreshonly token")).toDF("doc_id", "text")
+      val before = after.filter($"doc_id" % 11 =!= 0)
+        .select($"doc_id",
+          when($"doc_id" % 13 === 0, concat(lit("stale "), $"text"))
+            .otherwise($"text").as("text"))
+        .unionAll(extra)
+      // the diff is the loop's front door; three stages reuse it
+      val diff = CorpusDiff.snapshotDiff(before, after, "doc_id", "text")
+        .localCheckpoint(false)
+      val r1 = diff.groupBy($"status").agg(count(lit(1)).as("n_rows"),
+          sum($"doc_id").as("checksum"))
+        .select(when($"status" === "added", 1L)
+            .when($"status" === "changed", 2L).otherwise(3L).as("ord"),
+          $"status".as("stage"), $"n_rows", $"checksum",
+          lit(0L).as("digest"))
+      // diff-driven index refresh; the before-index is persisted
+      // premise state (same fixture key as q152 — identical snapshot)
+      val idx = LexFixture.index(s, dir, "refresh-before") {
+        Bm25.buildIndex(before, $"doc_id", $"text")
+      }
+      val refreshed = Bm25.refreshIndex(idx, before, after, "doc_id", "text")
+      val r2 = refreshed.postings.agg(count(lit(1)).as("n_rows"),
+          sum($"df").as("checksum"),
+          sum(aggregate($"postings", lit(0L),
+            (acc, p) => acc + p.getField("tf"))).as("digest"))
+        .select(lit(4L).as("ord"), lit("index").as("stage"),
+          $"n_rows", $"checksum", $"digest")
+      // diff-driven manifest fold: retract the removed/changed OLD
+      // rows, admit the added/changed NEW rows — never a corpus re-read
+      def shardOf(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("shard", $"doc_id" % 7L)
+      val stored = Sharding.manifest(shardOf(before), $"shard", $"text",
+        length($"text"))
+      val gone = before.join(diff.filter($"status".isin("removed", "changed"))
+        .select($"doc_id"), Seq("doc_id"), "left_semi")
+      val fresh = after.join(diff.filter($"status".isin("added", "changed"))
+        .select($"doc_id"), Seq("doc_id"), "left_semi")
+      val mf = Sharding.admitManifest(
+        Forget.retractManifest(stored, shardOf(gone), $"shard", $"text",
+          length($"text")),
+        shardOf(fresh), $"shard", $"text", length($"text"))
+      val r3 = mf.select((lit(10L) + $"group").as("ord"),
+        lit("manifest").as("stage"), $"n_rows",
+        $"total_weight".cast("long").as("checksum"),
+        $"digest".cast("long").as("digest"))
+      // refreshed shard listing -> compaction plan; superseded v1
+      // files -> vacuum orphans (metadata work only, both legs)
+      def fileOf(ver: String) = concat(lit(s"$ver/shard-"),
+        lpad(($"doc_id" % 50).cast("string"), 2, "0"))
+      val f2 = after.groupBy(fileOf("v2").as("file"))
+        .agg(sum(length($"text")).cast("long").as("bytes"))
+      val plan = Sharding.compactionPlan(f2, $"file", $"bytes", 50000L)
+      val r4 = plan.agg(count(lit(1)).as("n_rows"),
+          sum(($"grp" + 1L) * $"bytes").as("checksum"),
+          max($"grp").cast("long").as("digest"))
+        .select(lit(20L).as("ord"), lit("compaction").as("stage"),
+          $"n_rows", $"checksum", $"digest")
+      val f1 = before.groupBy(fileOf("v1").as("file"))
+        .agg(sum(length($"text")).cast("long").as("bytes"))
+      val orphans = Sharding.vacuumOrphans(f1.unionAll(f2), $"file",
+        $"bytes", f2, $"file")
+      val r5 = Sharding.vacuumSummary(orphans)
+        .select(lit(21L).as("ord"), lit("vacuum").as("stage"),
+          $"n_orphans".as("n_rows"), $"reclaim_bytes".as("checksum"),
+          lit(0L).as("digest"))
+      r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+        .orderBy($"ord")
+    },
+    Some {
+      val horner = ExtQueries.hornerSql
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 13 = 0 THEN 'stale ' || text
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT * FROM (VALUES (860000, 'spark join removed soon'),
+         |    (860001, 'customer window stale'),
+         |    (860002, 'zzzrefreshonly token')) e(doc_id, text)),
+         |diffs AS MATERIALIZED (
+         |  SELECT doc_id, 'added' AS status FROM documents
+         |  WHERE doc_id % 11 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 'changed' FROM documents
+         |  WHERE doc_id % 13 = 0 AND doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, 'removed'
+         |  FROM (VALUES (860000), (860001), (860002)) r(doc_id)),
+         |toks AS (SELECT doc_id, unnest(list_filter(
+         |           string_split_regex(trim(lower(text)), '\\s+'),
+         |           tk -> regexp_matches(tk, '^[a-z]{3,}$$'))) AS token
+         |         FROM documents),
+         |tf AS MATERIALIZED (SELECT doc_id, token, count(*) AS tf
+         |      FROM toks GROUP BY 1, 2),
+         |hv2 AS (SELECT doc_id % 7 AS shard,
+         |               CAST(length(text) AS BIGINT) AS w, $horner AS hval
+         |        FROM (SELECT doc_id, text, md5(text) AS h FROM documents) z),
+         |mf AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+         |              CAST(sum(w) AS BIGINT) AS total_weight,
+         |              CAST(sum(hval) AS BIGINT) AS digest
+         |       FROM hv2 GROUP BY shard),
+         |f2 AS MATERIALIZED (
+         |  SELECT 'v2/shard-' || lpad(CAST(doc_id % 50 AS VARCHAR), 2, '0')
+         |           AS file,
+         |         CAST(sum(length(text)) AS BIGINT) AS bytes
+         |  FROM documents GROUP BY 1),
+         |cg AS (SELECT file, bytes,
+         |              CAST(floor(CAST(sum(bytes) OVER (ORDER BY file
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                - bytes AS DOUBLE) / 50000.0) AS BIGINT) AS grp
+         |       FROM f2),
+         |f1 AS (SELECT CAST(count(*) AS BIGINT) AS n_orphans,
+         |              CAST(sum(vb) AS BIGINT) AS reclaim
+         |       FROM (SELECT doc_id % 50 AS s50, sum(length(text)) AS vb
+         |             FROM b GROUP BY 1) g)
+         |SELECT * FROM (
+         |  SELECT CAST(CASE status WHEN 'added' THEN 1 WHEN 'changed' THEN 2
+         |              ELSE 3 END AS BIGINT) AS ord,
+         |         status AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+         |         CAST(sum(doc_id) AS BIGINT) AS checksum,
+         |         CAST(0 AS BIGINT) AS digest
+         |  FROM diffs GROUP BY status
+         |  UNION ALL
+         |  SELECT 4, 'index', CAST(count(DISTINCT token) AS BIGINT),
+         |         CAST(count(*) AS BIGINT), CAST(sum(tf) AS BIGINT) FROM tf
+         |  UNION ALL
+         |  SELECT 10 + shard, 'manifest', n_rows, total_weight, digest
+         |  FROM mf
+         |  UNION ALL
+         |  SELECT 20, 'compaction', CAST(count(*) AS BIGINT),
+         |         CAST(sum((grp + 1) * bytes) AS BIGINT),
+         |         CAST(max(grp) AS BIGINT) FROM cg
+         |  UNION ALL
+         |  SELECT 21, 'vacuum', n_orphans, reclaim, 0 FROM f1)
+         |ORDER BY ord""".stripMargin
+    })
+
+  /** PNG ancillary-chunk walk under the ORACLE gate
+    * ([[graft.ext.Multimodal.pngChunks]], the q218 identity
+    * discipline for image provenance): per document a REAL PNG —
+    * valid per-chunk CRC32s, a real zlib IDAT, ImageIO-decodable —
+    * is encoded from arithmetic with tEXt Software (always), tEXt
+    * Author (2 of 3 docs), an iTXt Comment whose language tag cycles
+    * en/de/fr and whose text is multibyte UTF-8, and a pHYs density
+    * pair on even k. The oracle computes every field — including the
+    * chunk COUNT, so framing is load-bearing — from the arithmetic
+    * alone. These are the fields a curation pass screens before any
+    * pixel decode: generator stamps (synthetic-image farms), comment
+    * provenance, true DPI for scanned-document routing.
+    */
+  val q232 = Q(
+    "q232_png_chunks",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.map { id =>
+        val k = id / 20
+        val texts = Seq(("Software", s"graftpng ${k % 9}")) ++
+          (if (k % 3 != 1) Seq(("Author", s"author ${k % 5}")) else Seq.empty)
+        val phys =
+          if (k % 2 == 0) Some((1000L + k % 3000, 1000L + (k * 7) % 3000, 1))
+          else None
+        val lang = Seq("en", "de", "fr")((k % 3).toInt)
+        val bytes = Multimodal.encodePngMeta(
+          (1 + k % 64).toInt, (1 + k % 48).toInt,
+          texts = texts, itxts = Seq(("Comment", lang, s"café doc $id")),
+          phys = phys)
+        Multimodal.pngChunks(id, bytes)
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"valid", $"width", $"height",
+          $"bit_depth", $"color_type", $"n_chunks", $"ppu_x", $"ppu_y",
+          $"unit", $"software", $"author", $"comment_lang", $"comment")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id // 20 AS k
+           |           FROM documents WHERE doc_id % 20 = 0)
+           |SELECT doc_id, TRUE AS valid,
+           |       CAST(1 + k % 64 AS BIGINT) AS width,
+           |       CAST(1 + k % 48 AS BIGINT) AS height,
+           |       CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+           |       CAST(5 + CASE WHEN k % 3 <> 1 THEN 1 ELSE 0 END
+           |              + CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           |         AS n_chunks,
+           |       CAST(CASE WHEN k % 2 = 0 THEN 1000 + k % 3000 ELSE 0 END
+           |            AS BIGINT) AS ppu_x,
+           |       CAST(CASE WHEN k % 2 = 0 THEN 1000 + (k * 7) % 3000 ELSE 0 END
+           |            AS BIGINT) AS ppu_y,
+           |       CAST(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END AS INT) AS unit,
+           |       'graftpng ' || (k % 9) AS software,
+           |       CASE WHEN k % 3 <> 1 THEN 'author ' || (k % 5) ELSE '' END
+           |         AS author,
+           |       CASE k % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END
+           |         AS comment_lang,
+           |       'café doc ' || doc_id AS comment
+           |FROM p ORDER BY doc_id""".stripMargin))
+
+  /** Matroska/WebM EBML header walk under the ORACLE gate
+    * ([[graft.ext.Multimodal.mkvTracks]] — the dominant FREE video
+    * container, the one the MP4 box walk can't route): per document
+    * a REAL EBML stream (header + Segment + Info + Tracks,
+    * minimal-width VINTs, the audio rate as an 8-byte EBML float) is
+    * encoded from arithmetic — DocType alternating webm/matroska
+    * with codec IDs to match, video geometry and audio
+    * channels/rate cycling by id — and the walk emits one typed row
+    * per track. The oracle computes every field from the arithmetic
+    * alone, so each row is a bit-level encode→walk fidelity proof
+    * across both docTypes.
+    */
+  val q233 = Q(
+    "q233_mkv_tracks",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Multimodal
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.flatMap { id =>
+        val k = id / 20
+        val webm = k % 2 == 0
+        val rate = Seq(48000L, 44100L, 32000L)((k % 3).toInt)
+        val bytes = Multimodal.encodeMkv(
+          if (webm) "webm" else "matroska", 1000000L, s"graftmux ${k % 6}",
+          Seq((1L, true, if (webm) "V_VP9" else "V_MPEG4/ISO/AVC",
+            640L + 16 * (k % 20), 360L + 16 * (k % 15)),
+            (2L, false, if (webm) "A_OPUS" else "A_AAC", 1L + k % 2, rate)))
+        Multimodal.mkvTracks(id, bytes)
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"track_number", $"valid",
+          $"doc_type", $"timestamp_scale", $"writing_app", $"track_type",
+          $"codec_id", $"pixel_width", $"pixel_height", $"channels",
+          $"sampling_rate")
+        .orderBy($"doc_id", $"track_number")
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id // 20 AS k
+           |           FROM documents WHERE doc_id % 20 = 0),
+           |tn(tn) AS (VALUES (1), (2))
+           |SELECT doc_id, CAST(tn AS BIGINT) AS track_number, TRUE AS valid,
+           |       CASE WHEN k % 2 = 0 THEN 'webm' ELSE 'matroska' END
+           |         AS doc_type,
+           |       CAST(1000000 AS BIGINT) AS timestamp_scale,
+           |       'graftmux ' || (k % 6) AS writing_app,
+           |       CAST(tn AS INT) AS track_type,
+           |       CASE WHEN tn = 1 THEN
+           |              CASE WHEN k % 2 = 0 THEN 'V_VP9'
+           |                   ELSE 'V_MPEG4/ISO/AVC' END
+           |            ELSE CASE WHEN k % 2 = 0 THEN 'A_OPUS'
+           |                 ELSE 'A_AAC' END END AS codec_id,
+           |       CAST(CASE WHEN tn = 1 THEN 640 + 16 * (k % 20) ELSE 0 END
+           |            AS BIGINT) AS pixel_width,
+           |       CAST(CASE WHEN tn = 1 THEN 360 + 16 * (k % 15) ELSE 0 END
+           |            AS BIGINT) AS pixel_height,
+           |       CAST(CASE WHEN tn = 2 THEN 1 + k % 2 ELSE 0 END AS BIGINT)
+           |         AS channels,
+           |       CAST(CASE WHEN tn = 2 THEN
+           |              CASE k % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+           |                   ELSE 32000 END
+           |            ELSE 0 END AS BIGINT) AS sampling_rate
+           |FROM p, tn ORDER BY doc_id, track_number""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
-    q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
+    q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231,
+    q232, q233)
 }

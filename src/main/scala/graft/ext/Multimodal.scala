@@ -2152,6 +2152,402 @@ object Multimodal {
     id3 ++ body
   }
 
+  // ---------------------------------------------------------------------
+  // PNG ancillary-chunk walk (public PNG spec, RFC 2083 / ISO 15948):
+  // the provenance + true-DPI fields a curation pass keys on BEFORE
+  // any pixel decode — tEXt Software/Author (generator screening:
+  // synthetic-image farms stamp themselves here), iTXt Comment with
+  // its language tag (UTF-8 provenance), and pHYs pixels-per-unit
+  // (the TRUE physical density; scanned-document routing needs DPI,
+  // not pixel count). Chunk framing is length + type + data + CRC;
+  // CRCs are NOT verified (metadata walk, not a decoder — the Ogg
+  // discipline), IHDR must be first and IEND must close the stream
+  // or the bytes read invalid, and every offset bound is checked in
+  // Long arithmetic (the wrapped-offset lesson of the EXIF/ID3/mp4
+  // walks: a crafted 32-bit length must read invalid, never index
+  // out of bounds).
+  // ---------------------------------------------------------------------
+
+  final case class PngChunkMeta(media_id: Long, valid: Boolean,
+                                width: Long, height: Long, bit_depth: Int,
+                                color_type: Int, n_chunks: Long,
+                                ppu_x: Long, ppu_y: Long, unit: Int,
+                                software: String, author: String,
+                                comment_lang: String, comment: String)
+
+  private def invalidPng(id: Long) =
+    PngChunkMeta(id, valid = false, 0L, 0L, 0, 0, 0L, 0L, 0L, 0, "", "", "", "")
+
+  private val PngSig: Array[Int] = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  def pngChunks(id: Long, bytes: Array[Byte]): PngChunkMeta = {
+    if (bytes.length < 8 || (0 until 8).exists(i => (bytes(i) & 0xff) != PngSig(i)))
+      return invalidPng(id)
+    def be32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    var off = 8
+    var nChunks = 0L
+    var w = 0L; var h = 0L; var bit = 0; var color = 0
+    var ppuX = 0L; var ppuY = 0L; var unit = 0
+    var software = ""; var author = ""; var cLang = ""; var comment = ""
+    var sawIhdr = false; var sawIend = false; var malformed = false
+    var walking = true
+    while (walking) {
+      if (off.toLong + 8 > bytes.length) { malformed = true; walking = false }
+      else {
+        val len = be32(off) // unsigned 32-bit, read as Long
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        // Long bound: a crafted len near 2^31 must end the walk as
+        // malformed, not wrap an Int offset
+        if (len > Int.MaxValue - 12 || off.toLong + 12L + len > bytes.length) {
+          malformed = true; walking = false
+        } else {
+          val d0 = off + 8
+          val dLen = len.toInt
+          if (nChunks == 0L && typ != "IHDR") { malformed = true; walking = false }
+          else {
+            typ match {
+              case "IHDR" =>
+                if (dLen < 13) { malformed = true; walking = false }
+                else {
+                  sawIhdr = true
+                  w = be32(d0); h = be32(d0 + 4)
+                  bit = bytes(d0 + 8) & 0xff; color = bytes(d0 + 9) & 0xff
+                }
+              case "pHYs" =>
+                if (dLen >= 9) {
+                  ppuX = be32(d0); ppuY = be32(d0 + 4); unit = bytes(d0 + 8) & 0xff
+                }
+              case "tEXt" =>
+                val nul = (d0 until d0 + dLen).indexWhere(bytes(_) == 0) match {
+                  case -1 => -1
+                  case i => d0 + i
+                }
+                if (nul >= 0) {
+                  val key = new String(bytes, d0, nul - d0, "ISO-8859-1")
+                  val value = new String(bytes, nul + 1, d0 + dLen - nul - 1,
+                    "ISO-8859-1")
+                  key match {
+                    case "Software" => if (software.isEmpty) software = value
+                    case "Author" => if (author.isEmpty) author = value
+                    case _ => ()
+                  }
+                }
+              case "iTXt" =>
+                // keyword\0 cflag cmethod lang\0 translated\0 text
+                var p = d0
+                val end = d0 + dLen
+                def untilNul(): Option[String] = {
+                  val s = p
+                  while (p < end && bytes(p) != 0) p += 1
+                  if (p >= end) None
+                  else { val r = new String(bytes, s, p - s, "UTF-8"); p += 1; Some(r) }
+                }
+                (for {
+                  key <- untilNul()
+                  // compressed iTXt (flag != 0) is skipped, not guessed
+                  cflag = if (p < end) bytes(p) & 0xff else -1
+                  _ = { p += 2 } // flag + method
+                  lang <- if (cflag == 0) untilNul() else None
+                  _ <- untilNul() // translated keyword
+                } yield (key, lang, new String(bytes, p, end - p, "UTF-8")))
+                  .foreach { case (key, lang, text) =>
+                    if (key == "Comment" && comment.isEmpty) {
+                      cLang = lang; comment = text
+                    }
+                  }
+              case "IEND" => sawIend = true; walking = false
+              case _ => ()
+            }
+            if (walking || sawIend) nChunks += 1
+            off += 12 + dLen
+          }
+        }
+      }
+    }
+    if (malformed || !sawIhdr || !sawIend) invalidPng(id)
+    else PngChunkMeta(id, valid = true, w, h, bit, color, nChunks,
+      ppuX, ppuY, unit, software, author, cLang, comment)
+  }
+
+  /** Per-partition PNG chunk extraction — one typed row per input. */
+  def pngChunkTable(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc: Encoder[PngChunkMeta] = Encoders.product[PngChunkMeta]
+    ds.mapPartitions(_.map(r => pngChunks(r.media_id, r.content))).toDF()
+  }
+
+  /** Test/data-gen helper: a REAL PNG with ancillary chunks — valid
+    * CRC32 per chunk (java.util.zip.CRC32 — ImageIO accepts the
+    * output), an 8-bit RGB IHDR, a real zlib IDAT of zero scanlines,
+    * the requested tEXt/iTXt/pHYs chunks, IEND. Chunk order: IHDR,
+    * tEXt*, iTXt*, pHYs?, IDAT, IEND.
+    */
+  def encodePngMeta(width: Int, height: Int,
+                    texts: Seq[(String, String)] = Seq.empty,
+                    itxts: Seq[(String, String, String)] = Seq.empty,
+                    phys: Option[(Long, Long, Int)] = None): Array[Byte] = {
+    require(width >= 1 && height >= 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]
+    PngSig.foreach(b => out += b.toByte)
+    def be32(v: Long): Seq[Byte] = Seq(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out ++= be32(data.length.toLong)
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out ++= tb; out ++= data; out ++= be32(crc.getValue)
+    }
+    chunk("IHDR", (be32(width.toLong) ++ be32(height.toLong) ++
+      Seq[Byte](8, 2, 0, 0, 0)).toArray)
+    texts.foreach { case (k, v) =>
+      chunk("tEXt", k.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+        v.getBytes("ISO-8859-1"))
+    }
+    itxts.foreach { case (k, lang, text) =>
+      chunk("iTXt", k.getBytes("UTF-8") ++ Array[Byte](0, 0, 0) ++
+        lang.getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+        text.getBytes("UTF-8"))
+    }
+    phys.foreach { case (x, y, u) =>
+      chunk("pHYs", (be32(x) ++ be32(y) ++ Seq(u.toByte)).toArray)
+    }
+    // real zlib IDAT: height filter-0 scanlines of RGB zeros
+    val raw = new Array[Byte](height * (1 + 3 * width))
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = defl.deflate(buf)
+    defl.end()
+    chunk("IDAT", java.util.Arrays.copyOf(buf, n))
+    chunk("IEND", Array.emptyByteArray)
+    out.toArray
+  }
+
+  // ---------------------------------------------------------------------
+  // Matroska/WebM EBML header walk (public Matroska spec / RFC 8794
+  // EBML): the dominant FREE video container — the one the MP4 box
+  // walk cannot route. Elements are ID-VINT + size-VINT + payload;
+  // the walk descends EBML-header → Segment → Info/Tracks, skips
+  // everything else (SeekHead, Clusters) by size hop, and emits one
+  // typed row per TrackEntry with the file-level routing fields
+  // (DocType webm/matroska, TimestampScale, WritingApp). Geometry
+  // and channel counts are EBML uints (exact); SamplingFrequency is
+  // an EBML float — read only when it is EXACTLY integral Hz, else
+  // the track reads malformed (the exact-arithmetic-or-no-row
+  // contract). All offset bounds in Long; malformed structure yields
+  // NO rows, never a guess.
+  // ---------------------------------------------------------------------
+
+  final case class MkvTrack(media_id: Long, valid: Boolean, doc_type: String,
+                            timestamp_scale: Long, writing_app: String,
+                            track_number: Long, track_type: Int,
+                            codec_id: String, pixel_width: Long,
+                            pixel_height: Long, channels: Long,
+                            sampling_rate: Long)
+
+  def mkvTracks(id: Long, bytes: Array[Byte]): Seq[MkvTrack] = {
+    val n = bytes.length
+    // VINT length from the first byte's leading-zero count (RFC 8794)
+    def vlen(o: Int): Int = {
+      val b = bytes(o) & 0xff
+      if (b == 0) -1
+      else 8 - (31 - Integer.numberOfLeadingZeros(b)) // 1xxx→1 … 0000_0001→8
+    }
+    // element ID: marker bits KEPT (IDs are compared as encoded)
+    def readId(o: Int): (Long, Int) = {
+      val l = vlen(o)
+      if (l < 1 || l > 4 || o.toLong + l > n) return (-1L, 0)
+      var v = 0L
+      (0 until l).foreach(i => v = (v << 8) | (bytes(o + i) & 0xffL))
+      (v, l)
+    }
+    // size: marker bit stripped; all-ones payload = unknown (-1)
+    def readSize(o: Int): (Long, Int) = {
+      val l = vlen(o)
+      if (l < 1 || l > 8 || o.toLong + l > n) return (-2L, 0)
+      var v = (bytes(o) & 0xffL) & ((1L << (8 - l)) - 1)
+      (1 until l).foreach(i => v = (v << 8) | (bytes(o + i) & 0xffL))
+      val allOnes = (1L << (7 * l)) - 1
+      (if (v == allOnes) -1L else v, l)
+    }
+    def uint(o: Int, len: Int): Long = {
+      var v = 0L
+      (0 until len).foreach(i => v = (v << 8) | (bytes(o + i) & 0xffL))
+      v
+    }
+    // EBML strings may be NUL-padded (RFC 8794) -- trim at the pad
+    def str(o: Int, len: Int): String =
+      new String(bytes, o, len, "UTF-8").takeWhile(_ != '\u0000')
+    // walk one master element's children, dispatching by encoded ID
+    def children(o: Int, end: Long)(f: (Long, Int, Int) => Boolean): Boolean = {
+      var p = o
+      while (p.toLong < end) {
+        val (eid, il) = readId(p)
+        if (il == 0) return false
+        val (sz, sl) = readSize(p + il)
+        if (sl == 0 || sz < 0) return false // unknown size only at Segment
+        val d = p + il + sl
+        if (d.toLong + sz > end) return false
+        if (!f(eid, d, sz.toInt)) return false
+        p = d + sz.toInt
+      }
+      true
+    }
+    // --- EBML header ---------------------------------------------------
+    val (hid, hil) = readId(0)
+    if (hid != 0x1A45DFA3L) return Seq.empty
+    val (hsz, hsl) = readSize(hil)
+    if (hsl == 0 || hsz < 0 || hil.toLong + hsl + hsz > n) return Seq.empty
+    var docType = ""
+    if (!children(hil + hsl, (hil + hsl).toLong + hsz) { (eid, d, sz) =>
+      if (eid == 0x4282L) docType = str(d, sz)
+      true
+    }) return Seq.empty
+    // --- Segment -------------------------------------------------------
+    val so = hil + hsl + hsz.toInt
+    val (sid, sil) = readId(so)
+    if (sid != 0x18538067L) return Seq.empty
+    val (ssz, ssl) = readSize(so + sil)
+    if (ssl == 0) return Seq.empty
+    val sBody = so + sil + ssl
+    // unknown segment size (streamed files): extends to end of buffer
+    val sEnd = if (ssz == -1L) n.toLong else sBody.toLong + ssz
+    if (sEnd > n) return Seq.empty
+    var tsScale = 1000000L // spec default
+    var writingApp = ""
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[MkvTrack]
+    var structOk = true
+    if (!children(sBody, sEnd) { (eid, d, sz) =>
+      eid match {
+        case 0x1549A966L => // Info
+          if (!children(d, d.toLong + sz) { (iid, di, szi) =>
+            iid match {
+              case 0x2AD7B1L => tsScale = uint(di, szi)
+              case 0x5741L => writingApp = str(di, szi)
+              case _ => ()
+            }
+            true
+          }) structOk = false
+        case 0x1654AE6BL => // Tracks
+          if (!children(d, d.toLong + sz) { (tid, dt, szt) =>
+            if (tid == 0xAEL) { // TrackEntry
+              var num = 0L; var ttype = 0; var codec = ""
+              var pw = 0L; var ph = 0L; var ch = 0L; var rate = 0L
+              var trackOk = true
+              val ok = children(dt, dt.toLong + szt) { (fid, df, szf) =>
+                fid match {
+                  case 0xD7L => num = uint(df, szf)
+                  case 0x83L => ttype = uint(df, szf).toInt
+                  case 0x86L => codec = str(df, szf)
+                  case 0xE0L => // Video
+                    children(df, df.toLong + szf) { (vid, dv, szv) =>
+                      vid match {
+                        case 0xB0L => pw = uint(dv, szv)
+                        case 0xBAL => ph = uint(dv, szv)
+                        case _ => ()
+                      }
+                      true
+                    }
+                  case 0xE1L => // Audio
+                    children(df, df.toLong + szf) { (aid, da, sza) =>
+                      aid match {
+                        case 0x9FL => ch = uint(da, sza)
+                        case 0xB5L => // float SamplingFrequency
+                          val f = sza match {
+                            case 4 => java.lang.Float.intBitsToFloat(
+                              uint(da, 4).toInt).toDouble
+                            case 8 => java.lang.Double.longBitsToDouble(uint(da, 8))
+                            case _ => Double.NaN
+                          }
+                          // exact integral Hz or the track is malformed
+                          if (f.isNaN || f < 0 || f > 1e12 ||
+                              f != math.rint(f)) trackOk = false
+                          else rate = f.toLong
+                        case _ => ()
+                      }
+                      true
+                    }
+                  case _ => ()
+                }
+                true
+              }
+              if (ok && trackOk)
+                tracks += MkvTrack(id, valid = true, docType, tsScale,
+                  writingApp, num, ttype, codec, pw, ph, ch, rate)
+              else structOk = false
+            }
+            true
+          }) structOk = false
+        case _ => () // SeekHead, Cluster, Cues, … hopped by size
+      }
+      true
+    }) return Seq.empty
+    if (!structOk) Seq.empty
+    else tracks.toSeq.map(t => t.copy(timestamp_scale = tsScale,
+      writing_app = writingApp, doc_type = docType))
+  }
+
+  /** Per-partition Matroska/WebM extraction — one row per track. */
+  def mkvTable(ds: Dataset[MediaRow]): DataFrame = {
+    implicit val enc: Encoder[MkvTrack] = Encoders.product[MkvTrack]
+    ds.mapPartitions(_.flatMap(r => mkvTracks(r.media_id, r.content))).toDF()
+  }
+
+  /** Test/data-gen helper: a REAL Matroska/WebM header — EBML header
+    * with DocType, Segment with Info (TimestampScale, WritingApp) and
+    * Tracks; minimal-length VINT sizes, uints minimal-width, the
+    * audio SamplingFrequency as an 8-byte EBML float. Tracks:
+    * (number, isVideo, codecId, a, b) where video a/b =
+    * width/height, audio a/b = channels/rateHz.
+    */
+  def encodeMkv(docType: String, timestampScale: Long, writingApp: String,
+                tracks: Seq[(Long, Boolean, String, Long, Long)]): Array[Byte] = {
+    def vint(v: Long): Array[Byte] = {
+      var l = 1
+      while (l < 8 && v >= (1L << (7 * l)) - 1) l += 1
+      val out = new Array[Byte](l)
+      var x = v | (1L << (7 * l))
+      (0 until l).foreach { i =>
+        out(l - 1 - i) = (x & 0xff).toByte; x >>= 8
+      }
+      out
+    }
+    def idBytes(eid: Long): Array[Byte] = {
+      val l = if (eid <= 0xffL) 1 else if (eid <= 0xffffL) 2
+        else if (eid <= 0xffffffL) 3 else 4
+      (0 until l).map(i => ((eid >> (8 * (l - 1 - i))) & 0xff).toByte).toArray
+    }
+    def el(eid: Long, payload: Array[Byte]): Array[Byte] =
+      idBytes(eid) ++ vint(payload.length.toLong) ++ payload
+    def uintB(v: Long): Array[Byte] = {
+      var l = 1
+      while (l < 8 && v >= (1L << (8 * l))) l += 1
+      (0 until l).map(i => ((v >> (8 * (l - 1 - i))) & 0xff).toByte).toArray
+    }
+    def floatB(v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).map(i => ((bits >> (8 * (7 - i))) & 0xff).toByte).toArray
+    }
+    val header = el(0x1A45DFA3L,
+      el(0x4286L, uintB(1L)) ++ el(0x4282L, docType.getBytes("UTF-8")) ++
+        el(0x4287L, uintB(if (docType == "webm") 4L else 4L)))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, uintB(timestampScale)) ++
+        el(0x5741L, writingApp.getBytes("UTF-8")))
+    val trackEntries = tracks.map { case (num, isVideo, codec, a, b) =>
+      val base = el(0xD7L, uintB(num)) ++
+        el(0x83L, uintB(if (isVideo) 1L else 2L)) ++
+        el(0x86L, codec.getBytes("US-ASCII"))
+      val media =
+        if (isVideo) el(0xE0L, el(0xB0L, uintB(a)) ++ el(0xBAL, uintB(b)))
+        else el(0xE1L, el(0x9FL, uintB(a)) ++ el(0xB5L, floatB(b.toDouble)))
+      el(0xAEL, base ++ media)
+    }.toArray.flatten
+    val segment = el(0x18538067L, info ++ el(0x1654AE6BL, trackEntries))
+    header ++ segment
+  }
+
   /** Test/data-gen helper: a real PNG with a pixel function. */
   def encodePng(width: Int, height: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
