@@ -131,7 +131,8 @@ object BenchTiers {
         "q222_h264_sps", "q223_flac_stream_info", "q224_ogg_pages",
         "q225_hevc_sps", "q226_subtitle_cues", "q227_caption_screen",
         "q228_head_meta", "q229_jpeg_exif", "q230_id3_tags",
-        "q232_png_chunks", "q233_mkv_tracks"))
+        "q232_png_chunks", "q233_mkv_tracks", "q234_tar_entries",
+        "q235_zip_entries"))
 
   val sf1Head: Set[String] = x100Keep ++ sf1Groups.flatMap(_._2).toSet
 

@@ -1900,7 +1900,112 @@ object ExtQueries4 {
            |            ELSE 0 END AS BIGINT) AS sampling_rate
            |FROM p, tn ORDER BY doc_id, track_number""".stripMargin))
 
+  /** TAR member listing under the ORACLE gate
+    * ([[graft.ext.Archive.tarEntries]] — dataset dumps and code
+    * corpora ship as tarballs; curation routes on the member listing
+    * before extracting a byte): per document a REAL ustar stream is
+    * encoded from arithmetic — an optional directory member on every
+    * fifth k, then 1 + k%4 file members with arithmetic names, sizes
+    * and mtimes — and the walk emits one row per member with the
+    * header checksum verified. The oracle rebuilds the listing from
+    * the arithmetic alone; sizes are load-bearing (the walk must hop
+    * data blocks exactly or every subsequent row shifts).
+    */
+  val q234 = Q(
+    "q234_tar_entries",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ext.Archive
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.flatMap { id =>
+        val k = id / 20
+        val dirEnt =
+          if (k % 5 == 0)
+            Seq(("data/", Array.emptyByteArray, 1700000000L + k * 60, '5'))
+          else Seq.empty
+        val files = (0L to k % 4).map { j =>
+          (s"data/part-$id-$j.txt",
+            new Array[Byte]((10 + 7 * j + k % 50).toInt),
+            1700000000L + k * 60 + j + 1, '0')
+        }
+        Archive.tarEntries(id, Archive.encodeTar(dirEnt ++ files))
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"entry_idx", $"name", $"size",
+          $"mtime", $"type_flag", $"checksum_ok")
+        .orderBy($"doc_id", $"entry_idx")
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id // 20 AS k
+           |           FROM documents WHERE doc_id % 20 = 0),
+           |d AS (SELECT doc_id, k, CAST(0 AS BIGINT) AS j,
+           |             'data/' AS name, CAST(0 AS BIGINT) AS size,
+           |             1700000000 + k * 60 AS mtime, 'dir' AS type_flag,
+           |             0 AS pre
+           |      FROM p WHERE k % 5 = 0),
+           |f AS (SELECT doc_id, k, CAST(j AS BIGINT) AS j,
+           |             'data/part-' || doc_id || '-' || j || '.txt' AS name,
+           |             CAST(10 + 7 * j + k % 50 AS BIGINT) AS size,
+           |             1700000000 + k * 60 + j + 1 AS mtime,
+           |             'file' AS type_flag,
+           |             CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS pre
+           |      FROM p, LATERAL (SELECT unnest(generate_series(0, CAST(k % 4 AS INT))) AS j) s),
+           |u AS (SELECT doc_id, CAST(pre + j AS BIGINT) AS entry_idx, name,
+           |             size, CAST(mtime AS BIGINT) AS mtime, type_flag,
+           |             TRUE AS checksum_ok
+           |      FROM (SELECT * FROM d UNION ALL SELECT * FROM f) z)
+           |SELECT * FROM u ORDER BY doc_id, entry_idx""".stripMargin))
+
+  /** ZIP central-directory listing under the ORACLE gate
+    * ([[graft.ext.Archive.zipEntries]] — the directory IS the
+    * authoritative metadata in ZIP): per document a REAL archive is
+    * written by the JDK's own ZipOutputStream (an independent
+    * constructor the walk must agree with, the AudioSystem/ImageIO
+    * cross-parser discipline) with every third member STORED and the
+    * rest DEFLATED, and the hand-walk of EOCD + central directory
+    * emits one row per member. Methods and uncompressed sizes are
+    * arithmetic-mirrored; the stored members additionally pin the
+    * compressed size (≡ uncompressed for method 0 — deflated
+    * compressed sizes are zlib-implementation detail and stay out of
+    * the oracle; the spec pins CRC agreement with the JDK reader
+    * instead).
+    */
+  val q235 = Q(
+    "q235_zip_entries",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      import graft.ext.Archive
+      val rows = t(s, dir, "documents").filter($"doc_id" % 20 === 0)
+        .select($"doc_id").as[Long]
+      rows.mapPartitions(_.flatMap { id =>
+        val k = id / 20
+        val entries = (0L to 1 + k % 3).map { j =>
+          val data = s"content of f$j in doc $id "
+            .repeat((1 + k % 5).toInt).getBytes("UTF-8")
+          (s"doc$id/f$j.txt", data, j % 3 == 0)
+        }
+        Archive.zipEntries(id, Archive.encodeZip(entries))
+      }).toDF()
+        .select($"media_id".as("doc_id"), $"entry_idx", $"name", $"method",
+          $"uncompressed_size",
+          when($"method" === 0, $"compressed_size").as("stored_size"))
+        .orderBy($"doc_id", $"entry_idx")
+    },
+    Some("""WITH p AS (SELECT doc_id, doc_id // 20 AS k
+           |           FROM documents WHERE doc_id % 20 = 0),
+           |f AS (SELECT doc_id, k, CAST(j AS BIGINT) AS j,
+           |             CAST(length('content of f' || j || ' in doc '
+           |                         || doc_id || ' ') * (1 + k % 5)
+           |                  AS BIGINT) AS usize
+           |      FROM p, LATERAL (SELECT unnest(generate_series(0, CAST(1 + k % 3 AS INT))) AS j) s)
+           |SELECT doc_id, j AS entry_idx,
+           |       'doc' || doc_id || '/f' || j || '.txt' AS name,
+           |       CAST(CASE WHEN j % 3 = 0 THEN 0 ELSE 8 END AS INT) AS method,
+           |       usize AS uncompressed_size,
+           |       CASE WHEN j % 3 = 0 THEN usize END AS stored_size
+           |FROM f ORDER BY doc_id, entry_idx""".stripMargin))
+
   val all: Seq[Q] = Seq(q213, q214, q215, q216, q217, q218, q219, q220,
     q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231,
-    q232, q233)
+    q232, q233, q234, q235)
 }
