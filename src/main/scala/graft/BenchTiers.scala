@@ -49,6 +49,20 @@ object BenchTiers {
 
   val x100Keep: Set[String] = x100Groups.flatMap(_._2).toSet
 
+  /** Gates whose x10/x1 ratio is DESIGNED super-linear — the blowup's
+    * copy clusters are mutual near-dups, so q28's exact rerank output
+    * (and hence its cost) grows with copies², the same property that
+    * already keeps it out of x100Keep and q34/q179 out of the ×10 pass
+    * entirely. The r16 driver run read q28 at ratio 33.8 on a 5–8×
+    * loaded box and the sf1 gt12x alarm fired on it (VERDICT r16 item
+    * 3): a gate whose EXPECTED ratio exceeds the alarm line turns the
+    * "zero >12× offenders" claim into a coin-flip on ambient load.
+    * These gates stay in sf1Head (the ratio is still recorded and its
+    * band is still evidence) but the summary reports them under
+    * `gt12x_expected`, separate from genuine offenders.
+    */
+  val expectedSuperlinear: Set[String] = Set("q28_minhash_neardup")
+
   /** sf1-only members (the x100 tier is implicitly included in
     * sf1Head), grouped by the reason their x10/x1 ratio is a
     * scaling signal.
@@ -198,7 +212,11 @@ object BenchTiers {
     val rows = allQueries.sorted.map { q =>
       val s1 = if (sf1Head(q)) "yes" else "—"
       val s100 = if (x100Keep(q)) "yes" else "—"
-      s"| $q | $s1 | $s100 | ${reason(q).getOrElse("UNADJUDICATED")} |"
+      val marker =
+        if (expectedSuperlinear(q))
+          " [expected-superlinear: pair output grows with copies² by design — exempt from the gt12x alarm, reported under gt12x_expected]"
+        else ""
+      s"| $q | $s1 | $s100 | ${reason(q).getOrElse("UNADJUDICATED")}$marker |"
     }
     (header +: rows).mkString("\n") + "\n"
   }

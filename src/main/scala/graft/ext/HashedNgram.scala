@@ -58,12 +58,20 @@ object HashedNgram {
         explode(concat(kt, bigrams)).as("__g"))
       .select(col("doc_id"),
         pmod(MinHashLsh.portableHash32(col("__g")), lit(d.toLong)).as("bucket"))
-    val tot = bk.groupBy(col("doc_id")).agg(count(lit(1)).as("__nt"))
+    // per-doc total as a WINDOW over the (doc, bucket) counts, not a
+    // second groupBy + join: the join formulation duplicated the
+    // explode subtree (text tokenized TWICE — the dominant cost at
+    // blowup scale) and re-exchanged the counts for the join; this
+    // scans once, exchanges twice (gram→(doc,bucket), counts→doc),
+    // and leaves the output hash-partitioned by doc_id — exactly what
+    // fit's per-iteration doc_id aggregations/joins want. x is an
+    // exact integer ratio either way (identical results).
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     bk.groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("__c"))
-      .join(tot, "doc_id")
       .select(col("doc_id"), col("bucket"),
-        (col("__c").cast("double") / col("__nt").cast("double")).as("x"))
+        (col("__c").cast("double") /
+          sum(col("__c")).over(wDoc).cast("double")).as("x"))
   }
 
   /** Fit the D+1 weights by `iters` deterministic batch-gradient
@@ -77,9 +85,22 @@ object HashedNgram {
     require(lr > 0, s"lr must be positive, got $lr")
     val spark = df.sparkSession
     import spark.implicits._
-    val fCut = GraftBridge.persistCutFrame(features(df, id, text, d), eager = true)
+    // spread the labeled frame before the gram explode (single-file
+    // local scans serialize the md5-hash map stage onto one core —
+    // no-op on an already-parallel input); downstream sums are all
+    // decimal-grid / exact-integer, so partitioning cannot move bits
+    val dfS = GraftBridge.spreadForMapWork(df.toDF(), id)
+    // keepPartitioning: both cuts come out hash-partitioned by doc_id
+    // (features naturally, labels via the explicit repartition), so
+    // each iteration's margin groupBy(doc_id), the labels⋈margins
+    // join, and the gradient join back onto the features plan NO new
+    // corpus-proportional Exchange — the per-iteration shuffles were
+    // the dominant term of the ×100 tier reading
+    val fCut = GraftBridge.persistCutFrame(features(dfS, id, text, d),
+      eager = true, keepPartitioning = true)
     val lCut = GraftBridge.persistCutFrame(
-      df.select(id.as("doc_id"), label.cast("double").as("__y")), eager = true)
+      dfS.select(id.as("doc_id"), label.cast("double").as("__y"))
+        .repartition(col("doc_id")), eager = true, keepPartitioning = true)
     try {
       val n = lCut.df.count()
       require(n > 0, "cannot fit on an empty labeled frame")
@@ -100,7 +121,8 @@ object HashedNgram {
           .select(col("doc_id"), col("__y"),
             (lit(1.0) / (lit(1.0) + exp(-(lit(w0) +
               coalesce(col("__zs").cast("double"), lit(0.0)))))).as("__p"))
-        val pCut = GraftBridge.persistCutFrame(pd, eager = true)
+        val pCut = GraftBridge.persistCutFrame(pd, eager = true,
+          keepPartitioning = true)
         try {
           val gi = pCut.df
             .agg(sum((col("__p") - col("__y")).cast("decimal(38,6)")))
@@ -144,9 +166,13 @@ object HashedNgram {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"lr must be positive, got $lr")
     val spark = df.sparkSession
-    val fCut = GraftBridge.persistCutFrame(features(df, id, text, d), eager = true)
+    // same spread + doc_id-partitioned cut discipline as [[fit]]
+    val dfS = GraftBridge.spreadForMapWork(df.toDF(), id)
+    val fCut = GraftBridge.persistCutFrame(features(dfS, id, text, d),
+      eager = true, keepPartitioning = true)
     val lCut = GraftBridge.persistCutFrame(
-      df.select(id.as("doc_id"), label.cast("double").as("__y")), eager = true)
+      dfS.select(id.as("doc_id"), label.cast("double").as("__y"))
+        .repartition(col("doc_id")), eager = true, keepPartitioning = true)
     var wCut: Option[GraftBridge.CutFrame] = None
     try {
       val n = lCut.df.count()
@@ -168,7 +194,8 @@ object HashedNgram {
           .select(col("doc_id"), col("__y"),
             (lit(1.0) / (lit(1.0) + exp(-(col("__w0") +
               coalesce(col("__zs").cast("double"), lit(0.0)))))).as("__p"))
-        val pCut = GraftBridge.persistCutFrame(pd, eager = true)
+        val pCut = GraftBridge.persistCutFrame(pd, eager = true,
+          keepPartitioning = true)
         try {
           val gb = pCut.df.join(fCut.df, "doc_id")
             .groupBy(col("bucket"))

@@ -83,7 +83,8 @@ object GraftBridge {
     finally { if (prev == null) trackedCuts.remove() else trackedCuts.set(prev) }
   }
 
-  def persistCutFrame(df: Dataset[Row], eager: Boolean = false): CutFrame = {
+  def persistCutFrame(df: Dataset[Row], eager: Boolean = false,
+                      keepPartitioning: Boolean = false): CutFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val spark = ds.sparkSession
     val rdd = ds.queryExecution.toRdd.map(_.copy())
@@ -91,7 +92,22 @@ object GraftBridge {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(trackedCuts.get).foreach(_ += rdd.id)
     if (eager) rdd.count()
-    CutFrame(spark.internalCreateDataFrame(rdd, ds.schema), () => {
+    // keepPartitioning: rebuild the leaf WITH the physical plan's
+    // output partitioning/ordering (LogicalRDD.fromDataset — the same
+    // mechanism Dataset.localCheckpoint uses), so a consumer that
+    // re-keys by the cut's partitioning column plans NO new Exchange.
+    // Iterative trainers (HashedNgram's per-iteration doc_id
+    // aggregations/joins over the features cut) otherwise re-shuffle
+    // the corpus-proportional cut once per consumer per round. Plain
+    // internalCreateDataFrame stays the default: a partitioning-less
+    // leaf lets AQE pick fresh (possibly coalesced) partitioning,
+    // which is right for one-shot barriers.
+    val frame =
+      if (keepPartitioning)
+        classic.Dataset.ofRows(spark, execution.LogicalRDD.fromDataset(
+          rdd, ds, isStreaming = false))
+      else spark.internalCreateDataFrame(rdd, ds.schema)
+    CutFrame(frame, () => {
       rdd.unpersist(blocking = false); ()
     })
   }
@@ -102,4 +118,39 @@ object GraftBridge {
     * (and cannot free localCheckpoint blocks).
     */
   def persistCut(df: Dataset[Row]): Dataset[Row] = persistCutFrame(df).df
+
+  /** Scale-adaptive spread for per-row-HEAVY map work (optimization
+    * guide §2.5, "input skew: one huge unsplittable file ...
+    * repartition immediately after the read"): local fixture tables
+    * are single-row-group parquet files, so a scan is ONE partition
+    * and an expensive map stage (gram explode + md5 Horner hashing,
+    * shingling, tokenizer DP) serializes onto one core of the 32-core
+    * box — measured 2.45 s of q188's 3.96 s total in two single-task
+    * jobs. At cluster scale inputs arrive in hundreds of splits, so
+    * this must be a NO-OP there: the spread fires only when the
+    * frame's plan is exchange-free (a shuffle downstream already
+    * partitions to config size) AND its scan parallelism is below
+    * half the session's cores. Hash-repartition on the caller's key —
+    * deterministic (safe under task retry, unlike rand-derived keys)
+    * and sort-free (keyless round-robin pays a local sort,
+    * SPARK-23207).
+    *
+    * Callers must be order-insensitive downstream (integer/decimal/
+    * min-max aggregation grids): repartitioning changes row order, so
+    * a raw IEEE double sum over the result could change bits.
+    */
+  def spreadForMapWork(df: Dataset[Row], key: Column): Dataset[Row] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    val hasExchange = ds.queryExecution.executedPlan.collectFirst {
+      case e: execution.exchange.ShuffleExchangeLike => e
+      case a: execution.adaptive.AdaptiveSparkPlanExec => a
+    }.isDefined
+    // .rdd is planning-only here: an exchange-free plan is never
+    // AQE-wrapped, so no stage executes
+    if (hasExchange) df
+    else if (ds.queryExecution.toRdd.getNumPartitions * 2 <= p)
+      df.repartition(p, key)
+    else df
+  }
 }
