@@ -3879,7 +3879,12 @@ object ExtQueries {
     "q115_cm_heavy_hitters",
     (s, dir) => {
       import s.implicits._
-      val toks = t(s, dir, "documents")
+      // spread before the bigram explode + per-row md5 sketch hashing:
+      // a single-row-group local scan would serialize that map work on
+      // one core (no-op on multi-split inputs); counts are integers, so
+      // partitioning is result-invariant
+      val toks = org.apache.spark.sql.GraftBridge.spreadForMapWork(
+          t(s, dir, "documents"), $"doc_id")
         .select($"doc_id", split(lower(trim($"text")), "\\s+").as("ts"))
         .filter(size($"ts") >= 2)
       val bigrams = toks.select(

@@ -119,7 +119,11 @@ object Bloom {
                          k: Int = 3, words: Int = 8): DataFrame = {
     val bloom = build(eval, text, k, words)
     val evalKeys = eval.select(keyHex(text).as("__ehex")).distinct()
-    val cand = train
+    // spread the train scan before the per-row md5 key + bloom probe
+    // (single-file local scans serialize that map stage; no-op on
+    // multi-split inputs) — output is per-row, partition-insensitive
+    val cand = org.apache.spark.sql.GraftBridge
+      .spreadForMapWork(train.toDF(), id)
       .select(id.as("id"), keyHex(text).as("__hex"))
       .crossJoin(broadcast(bloom))
       .filter(mightContainHex(col("bloom"), col("__hex"), k, words))
@@ -141,7 +145,12 @@ object Bloom {
     */
   def fileBlooms(df: DataFrame, file: Column, key: Column, k: Int,
                  words: Int): DataFrame = {
-    val hexKeys = df.select(file.as("file"), keyHex(key).as("__h")).distinct()
+    // the per-row md5 key runs in the distinct's MAP stage — spread
+    // first so a single-file local scan doesn't serialize it (no-op
+    // on multi-split or already-shuffled inputs); bit_or commutes, so
+    // the blooms are partition-invariant
+    val dfS = org.apache.spark.sql.GraftBridge.spreadForMapWork(df.toDF(), file)
+    val hexKeys = dfS.select(file.as("file"), keyHex(key).as("__h")).distinct()
     hexKeys
       .select(col("file"),
         explode(array(positions(col("__h"), k, words): _*)).as("__pos"))

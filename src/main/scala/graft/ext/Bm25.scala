@@ -49,10 +49,21 @@ object Bm25 {
     val c3 = k1 * b
     val grid = 1.0e12
 
-    val tf = Keywords.termFrequency(docs, id, text)
+    // ONE tokenize pass (r17): tf feeds four consumers (the postings
+    // join, dl, df, tot) — left lazy, the optimizer plans the
+    // scan+explode subtree once PER consumer and the corpus is
+    // tokenized four times (the Keywords.termFrequency window-form
+    // lesson, one level up). Materialize tf once as a cut (released
+    // by the session-level sweep); spread the docs first so the
+    // explode+tokenize map stage parallelizes on single-file local
+    // scans (no-op on multi-split inputs). All derived stats are
+    // exact integers — partitioning cannot move bits.
+    val docsS = org.apache.spark.sql.GraftBridge.spreadForMapWork(docs.toDF(), id)
+    val tf = org.apache.spark.sql.GraftBridge.persistCut(
+      Keywords.termFrequency(docsS, id, text))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val nDocs = docsS.agg(count(lit(1)).as("n"))
     val tot = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("tot"))
 
     val qt = queries
@@ -115,7 +126,12 @@ object Bm25 {
                             nDocs: Long, totalTokens: Long)
 
   def buildIndex(docs: DataFrame, id: Column, text: Column): LexIndex = {
-    val tf = Keywords.termFrequency(docs, id, text)
+    // same one-tokenize-pass discipline as [[scores]]: tf feeds the
+    // postings aggregation, the length ledger, and the total-token
+    // scalar — materialize once, spread the tokenize
+    val docsS = org.apache.spark.sql.GraftBridge.spreadForMapWork(docs.toDF(), id)
+    val tf = org.apache.spark.sql.GraftBridge.persistCut(
+      Keywords.termFrequency(docsS, id, text))
     val postings = tf
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"),

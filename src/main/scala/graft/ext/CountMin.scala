@@ -86,16 +86,33 @@ object CountMin {
     * frequency is >= threshold, with their exact counts. False
     * positives from collisions die in the confirm pass; false
     * negatives cannot exist (over-count-only estimates).
+    *
+    * Shape (reworked, optimization round 17): the sketch matrix is
+    * depth×width longs of BOUNDED state — collect it and evaluate the
+    * estimate as a ROW EXPRESSION (min over the d counters the row's
+    * key hashes to, against the matrix literal). The previous
+    * formulation ran THREE full input scans (sketch pass, estimate
+    * probe, exact confirm) plus a key-CARDINALITY distinct shuffle for
+    * the probe; this runs two scans and shuffles only candidate rows —
+    * the shape the scaladoc above always claimed. Output is unchanged:
+    * row-literal estimates equal the join-form estimates cell for
+    * cell, and the confirm filter made the result exact either way.
     */
   def heavyHittersExact(df: DataFrame, key: Column, threshold: Long,
                         depth: Int = 4, width: Int = 512): DataFrame = {
     val keyed = df.select(key.as("key"))
-    val cells = sketchCells(keyed, col("key"), depth, width)
-    val candidates = estimates(cells, keyed, col("key"), depth, width)
-      .filter(col("est") >= threshold)
-      .select(col("key"))
+    // bounded driver state: depth×width counters (the IVF-centroid /
+    // BPE-merge-table contract), dense so element_at is total
+    val cellRows = sketchCells(keyed, col("key"), depth, width)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val matrix = Array.fill(depth, width)(0L)
+    cellRows.foreach { case (j, c, n) => matrix(j.toInt)(c.toInt) = n }
+    val matrixLit = array(matrix.map(row => typedLit(row.toSeq)): _*)
+    val estExpr = array_min(zip_with(
+      matrixLit, indices(col("key"), depth, width),
+      (row, idx) => element_at(row, idx.cast("int") + 1)))
     keyed
-      .join(broadcast(candidates), Seq("key"), "left_semi")
+      .filter(estExpr >= threshold)
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)

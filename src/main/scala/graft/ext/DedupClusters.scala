@@ -98,11 +98,20 @@ object DedupClusters {
   }
 
   private def componentsImpl(pairs: DataFrame, maxIter: Int): (DataFrame, Int, () => Unit) = {
+    // ONE traversal of the caller's pair plan (r17): nodes and edges
+    // both derive from the pair list, and materializing each cut
+    // straight off `pairs` executed the upstream candidate-generation
+    // subtree (LSH banding over the corpus in every cluster gate)
+    // TWICE. Cut the raw list once, derive both, release the raw cut.
+    val rawCut = GraftBridge.persistCutFrame(
+      pairs.select(col("id1"), col("id2")), eager = true)
+    val raw = rawCut.df
+
     // every node that appears in any pair — the output row contract;
     // kept separately because star rewiring erases singleton self-pairs
     val nodesCut = GraftBridge.persistCutFrame(
-      pairs.select(col("id1").as("id"))
-        .unionAll(pairs.select(col("id2").as("id")))
+      raw.select(col("id1").as("id"))
+        .unionAll(raw.select(col("id2").as("id")))
         .distinct(), eager = true)
     val nodes = nodesCut.df
 
@@ -110,15 +119,18 @@ object DedupClusters {
     // no connectivity. distinct() here bounds every later round by the
     // true edge count (LSH emits the same pair from multiple bands).
     var edgesCut = GraftBridge.persistCutFrame(
-      pairs
+      raw
         .select(greatest(col("id1"), col("id2")).as("u"),
           least(col("id1"), col("id2")).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct(), eager = true)
     var edges = edgesCut.df
+    rawCut.release()
 
-    var converged = edges.isEmpty
-    var nEdges = if (converged) 0L else edges.count()
+    // the eager persist already counted the edge set — no isEmpty /
+    // count() jobs on top
+    var nEdges = edgesCut.eagerCount.getOrElse(edges.count())
+    var converged = nEdges == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // Each phase computes its per-node minimum with a WINDOW over the

@@ -703,10 +703,17 @@ object EmbeddingSearch {
     */
   def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
                          threshold: Double): DataFrame = {
+    // spread before the quadratic nested-loop join: its STREAM side
+    // inherits the scan's partitioning, so a single-row-group local
+    // fixture runs the whole n²/2 dot-product kernel on one core
+    // (no-op on multi-split inputs); the pair rows are pure functions
+    // of the two vectors — partitioning cannot change any value
+    val dfS = org.apache.spark.sql.GraftBridge.spreadForMapWork(
+      df.toDF(), col(id))
     // per-vector norms before the quadratic join (bit-identical to
     // per-pair recomputation — a pure function of the vector)
-    val a = aliased(df, id, vec, "id1", "__v1").withColumn("__n1", norm(col("__v1")))
-    val b = aliased(df, id, vec, "id2", "__v2").withColumn("__n2", norm(col("__v2")))
+    val a = aliased(dfS, id, vec, "id1", "__v1").withColumn("__n1", norm(col("__v1")))
+    val b = aliased(dfS, id, vec, "id2", "__v2").withColumn("__n2", norm(col("__v2")))
     a.join(b, col("id1") < col("id2"))
       .withColumn("cos", dot(col("__v1"), col("__v2")) / (col("__n1") * col("__n2")))
       .filter(col("cos") >= threshold)

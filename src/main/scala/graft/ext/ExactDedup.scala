@@ -25,7 +25,11 @@ object ExactDedup {
 
   /** Same, but shuffles a 256-bit digest instead of the content. */
   def byContentHash(df: DataFrame, content: Column, id: Column): DataFrame =
-    df.groupBy(sha2(content.cast("string"), 256).as("__h"))
+    // spread before the per-row sha2 (runs in the aggregate's map
+    // stage — serialized on single-row-group local scans; no-op on
+    // multi-split inputs); min/count are order-invariant
+    org.apache.spark.sql.GraftBridge.spreadForMapWork(df.toDF(), id)
+      .groupBy(sha2(content.cast("string"), 256).as("__h"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 

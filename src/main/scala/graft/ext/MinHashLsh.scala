@@ -200,7 +200,13 @@ object MinHashLsh {
                           shingler: (Column, Int) => Column, n: Int): DataFrame = {
     val candIds = cand.select(col("id1").as("__id"))
       .unionAll(cand.select(col("id2").as("__id"))).distinct()
-    val keyed = df.select(id.as("__id"), text.as("__text"))
+    // spread before the semi-join: when the candidate list broadcasts,
+    // the surviving rows' sha2 + shingle explode inherit the scan's
+    // partitioning (one task on single-row-group local fixtures);
+    // no-op on multi-split inputs. Set/count aggregates downstream
+    // are order-invariant.
+    val dfS = org.apache.spark.sql.GraftBridge.spreadForMapWork(df.toDF(), id)
+    val keyed = dfS.select(id.as("__id"), text.as("__text"))
       .join(candIds, Seq("__id"), "left_semi")
       .withColumn("__ck", sha2(col("__text").cast("binary"), 256))
     val idKey = keyed.select(col("__id"), col("__ck"))
@@ -260,7 +266,12 @@ object MinHashLsh {
   def portableSignatures(df: DataFrame, id: Column, text: Column,
                          n: Int = 3, k: Int = 8): DataFrame = {
     val mod = 1L << 32
-    val ex = df.select(id.as("id"),
+    // spread before the shingle explode + per-shingle md5 (the most
+    // expensive map work in the minhash family) — a single-row-group
+    // local scan serializes it on one core; no-op on multi-split
+    // inputs. The slot minima are order-invariant.
+    val dfS = org.apache.spark.sql.GraftBridge.spreadForMapWork(df.toDF(), id)
+    val ex = dfS.select(id.as("id"),
       explode(ShingleJaccard.wordShingles(text, n)).as("__sh"))
     val hashed = ex.select(col("id"), portableHash32(col("__sh")).as("__h"))
     val minCols = (0 until k).map(i =>

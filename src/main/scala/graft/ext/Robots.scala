@@ -179,18 +179,29 @@ object Robots {
   def screen(df: DataFrame, id: Column, url: Column,
              robots: DataFrame, rhost: Column, body: Column,
              agent: String): DataFrame = {
+    // One broadcast join + a row-expression verdict (r17): the rules
+    // were ALREADY assumed broadcast-sized, so folding them to one
+    // (host, rules array) row per host and taking the longest-match
+    // argmax with array_max over the matched prefixes removes both
+    // corpus shuffles of the previous shape (theta-join → groupBy(id)
+    // → join back to df, which also re-planned df's subtree twice).
+    // array_max over struct(l, allow) keeps the exact max(struct)
+    // ordering — longest prefix wins, equal-length Allow beats
+    // Disallow (the tie-break gate q148 pins).
     val rules = rulesFor(robots, rhost, body, agent)
-    val probe = df.select(id.as("__r_id"), UrlOps.host(url).as("__r_h"),
-      UrlOps.path(url).as("__r_p"))
-    val hits = probe
-      .join(broadcast(rules), col("__r_h") === col("host") &&
-        col("__r_p").startsWith(col("prefix")))
-      .groupBy(col("__r_id"))
-      .agg(max(struct(length(col("prefix")).as("l"),
-        col("allow").as("allow"))).as("__best"))
-    df.join(hits, id === col("__r_id"), "left")
+    val hostRules = rules.groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
+    val matched = filter(col("__rules"),
+      r => col("__r_p").startsWith(r.getField("prefix")))
+    val best = array_max(transform(matched,
+      r => struct(length(r.getField("prefix")).as("l"),
+        r.getField("allow").as("allow"))))
+    df.withColumn("__r_h", UrlOps.host(url))
+      .withColumn("__r_p", UrlOps.path(url))
+      .join(broadcast(hostRules), col("__r_h") === col("host"), "left")
+      .withColumn("__best", best)
       .withColumn("allowed", coalesce(col("__best.allow"), lit(true)))
       .withColumn("rule_len", col("__best.l"))
-      .drop("__r_id", "__best")
+      .drop("__r_h", "__r_p", "host", "__rules", "__best")
   }
 }

@@ -51,7 +51,13 @@ object SpanDedup {
   def cleanRepeatedSpans(df: DataFrame, id: Column, text: Column,
                          n: Int, minCount: Long = 2L): DataFrame = {
     require(n >= 1 && minCount >= 2, s"need n >= 1, minCount >= 2; got n=$n minCount=$minCount")
-    val base = df.select(id.as("doc_id"), split(trim(text), "\\s+").as("__t"))
+    // spread before the per-position gram explode + md5 (runs TWICE —
+    // the count branch and the starts branch both plan the occ
+    // subtree): a single-row-group local scan serializes both passes
+    // on one core; no-op on multi-split inputs. Counts and sorted
+    // start lists are order-invariant.
+    val dfS = org.apache.spark.sql.GraftBridge.spreadForMapWork(df.toDF(), id)
+    val base = dfS.select(id.as("doc_id"), split(trim(text), "\\s+").as("__t"))
       .withColumn("__len", size(col("__t")))
 
     // one row per n-gram occurrence; key = md5(gram), never gram text.

@@ -40,7 +40,8 @@ object GraftBridge {
     * Dataset.unpersist and unrecoverable if lost) — consuming the
     * frame after release merely recomputes.
     */
-  final case class CutFrame(df: Dataset[Row], release: () => Unit)
+  final case class CutFrame(df: Dataset[Row], release: () => Unit,
+                            eagerCount: Option[Long] = None)
 
   /** Cut a DataFrame's lineage at the SQL layer with RELEASABLE
     * storage: materializes the physical plan's InternalRow RDD under a
@@ -91,7 +92,10 @@ object GraftBridge {
       .setName("graft-cut")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Option(trackedCuts.get).foreach(_ += rdd.id)
-    if (eager) rdd.count()
+    // the eager materialization IS a count — carry it so callers that
+    // need the row count (iterative convergence checks) don't pay a
+    // second job for a number the persist already computed
+    val eagerCount = if (eager) Some(rdd.count()) else None
     // keepPartitioning: rebuild the leaf WITH the physical plan's
     // output partitioning/ordering (LogicalRDD.fromDataset — the same
     // mechanism Dataset.localCheckpoint uses), so a consumer that
@@ -109,7 +113,7 @@ object GraftBridge {
       else spark.internalCreateDataFrame(rdd, ds.schema)
     CutFrame(frame, () => {
       rdd.unpersist(blocking = false); ()
-    })
+    }, eagerCount)
   }
 
   /** [[persistCutFrame]] without the handle — for one-shot barriers
@@ -140,6 +144,9 @@ object GraftBridge {
     * a raw IEEE double sum over the result could change bits.
     */
   def spreadForMapWork(df: Dataset[Row], key: Column): Dataset[Row] = {
+    // streaming frames cannot be probed (no batch physical plan) and
+    // must not be repartitioned behind the caller's back
+    if (df.isStreaming) return df
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val p = ds.sparkSession.sparkContext.defaultParallelism
     val hasExchange = ds.queryExecution.executedPlan.collectFirst {

@@ -58,11 +58,16 @@ class CountMinSpec extends SparkTestBase {
     assert(p.contains("partial_countminagg") || p.contains("partial_"), p)
   }
 
-  test("confirm pass prunes at the scan: candidate semi-join is broadcast") {
+  test("confirm pass prunes with a row-literal estimate filter: no join, no second probe shuffle") {
+    // r17 shape: the bounded sketch matrix is collected and the
+    // estimate evaluated as a row expression, so the confirm plan is
+    // scan → Filter → hash aggregate — no join of any kind and no
+    // key-cardinality distinct (the old probe's shuffle)
     val p = CountMin.heavyHittersExact(corpus, $"key", threshold = 10L,
         depth = 3, width = 8)
       .queryExecution.sparkPlan.toString
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Filter"), p)
   }
 
   test("mergeCells over any batch split equals the one-pass sketch (incremental maintenance)") {
