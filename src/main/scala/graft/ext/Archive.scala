@@ -63,8 +63,13 @@ object Archive {
       if (off.toLong + 512 > n) walking = false // short read: end
       else if ((0 until 512).forall(i => bytes(off + i) == 0)) walking = false
       else {
+        // accept BOTH magics (ADVICE r16): POSIX "ustar\0" reads as
+        // "ustar" (NUL-terminated), old-GNU "ustar  \0" (space-
+        // terminated magic) reads as "ustar " — a large share of
+        // real-world tarballs carry the old-GNU form with an
+        // identical header layout
         val magic = cstr(off + 257, 6)
-        if (magic != "ustar") return Seq.empty // not a ustar header
+        if (magic != "ustar" && magic != "ustar ") return Seq.empty
         val size = octal(off + 124, 12)
         val stored = octal(off + 148, 8)
         var sum = 0L

@@ -2265,7 +2265,10 @@ object Multimodal {
         }
       }
     }
-    if (malformed || !sawIhdr || !sawIend) invalidPng(id)
+    // IEND must CLOSE the stream (the header-comment contract, ADVICE
+    // r16): trailing bytes after IEND — polyglot payloads, appended
+    // garbage — read invalid, not valid-with-a-tail
+    if (malformed || !sawIhdr || !sawIend || off != bytes.length) invalidPng(id)
     else PngChunkMeta(id, valid = true, w, h, bit, color, nChunks,
       ppuX, ppuY, unit, software, author, cLang, comment)
   }
@@ -2348,8 +2351,14 @@ object Multimodal {
 
   def mkvTracks(id: Long, bytes: Array[Byte]): Seq[MkvTrack] = {
     val n = bytes.length
-    // VINT length from the first byte's leading-zero count (RFC 8794)
+    // VINT length from the first byte's leading-zero count (RFC 8794).
+    // Bounds-guarded BEFORE the dereference (ADVICE r16): empty input,
+    // a bare 4-byte EBML-ID prefix, a header-only stream (readId at
+    // o == n), or a last element ending exactly at the buffer end all
+    // reach here with o >= n — the walk must yield no rows, not throw
+    // out of the Spark task.
     def vlen(o: Int): Int = {
+      if (o < 0 || o >= n) return -1
       val b = bytes(o) & 0xff
       if (b == 0) -1
       else 8 - (31 - Integer.numberOfLeadingZeros(b)) // 1xxx→1 … 0000_0001→8
@@ -2441,16 +2450,19 @@ object Multimodal {
                   case 0x83L => ttype = uint(df, szf).toInt
                   case 0x86L => codec = str(df, szf)
                   case 0xE0L => // Video
-                    children(df, df.toLong + szf) { (vid, dv, szv) =>
+                    // a structurally malformed sub-block (bad VINT,
+                    // child overrunning its parent) must fail the
+                    // track, not emit partial geometry (ADVICE r16)
+                    if (!children(df, df.toLong + szf) { (vid, dv, szv) =>
                       vid match {
                         case 0xB0L => pw = uint(dv, szv)
                         case 0xBAL => ph = uint(dv, szv)
                         case _ => ()
                       }
                       true
-                    }
+                    }) trackOk = false
                   case 0xE1L => // Audio
-                    children(df, df.toLong + szf) { (aid, da, sza) =>
+                    if (!children(df, df.toLong + szf) { (aid, da, sza) =>
                       aid match {
                         case 0x9FL => ch = uint(da, sza)
                         case 0xB5L => // float SamplingFrequency
@@ -2467,7 +2479,7 @@ object Multimodal {
                         case _ => ()
                       }
                       true
-                    }
+                    }) trackOk = false
                   case _ => ()
                 }
                 true

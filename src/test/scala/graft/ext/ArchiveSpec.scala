@@ -76,4 +76,18 @@ class ArchiveSpec extends SparkTestBase {
     overCount(zip.length - 12) = 9 // total-entries field (LE16 low byte)
     assert(Archive.zipEntries(108L, overCount).isEmpty)
   }
+
+  test("tarEntries: old-GNU space-terminated magic is accepted (r16 ADVICE)") {
+    val tar = Archive.encodeTar(Seq(
+      ("g.txt", "gnu".getBytes("US-ASCII"), 3L, '0')))
+    // rewrite magic+version "ustar\u000000" -> old-GNU "ustar  \u0000"
+    val gnu = tar.clone()
+    "ustar ".getBytes("ISO-8859-1").copyToArray(gnu, 257)
+    gnu(263) = ' '; gnu(264) = 0
+    val es = Archive.tarEntries(110L, gnu)
+    assert(es.size == 1 && es.head.name == "g.txt" && es.head.size == 3L)
+    // the header checksum covers the rewritten bytes, so it reads
+    // stale — the row must still appear with checksum_ok = false
+    assert(!es.head.checksum_ok)
+  }
 }

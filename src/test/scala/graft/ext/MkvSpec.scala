@@ -73,4 +73,48 @@ class MkvSpec extends SparkTestBase {
     overrun(tracksId + 4) = 0xbf.toByte // 1-byte VINT size 63 > remaining
     assert(Multimodal.mkvTracks(97L, overrun).isEmpty)
   }
+
+  test("mkvTracks: empty/prefix/header-only inputs read no rows, never a crash (r16 ADVICE offsets)") {
+    // empty content
+    assert(Multimodal.mkvTracks(98L, Array.emptyByteArray).isEmpty)
+    // a bare 4-byte EBML-ID prefix: readSize(4) lands exactly at the
+    // buffer end
+    assert(Multimodal.mkvTracks(99L,
+      Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)).isEmpty)
+    // EBML header with no Segment: readId(so) with so == n
+    val full = Multimodal.encodeMkv("webm", 1000000L, "s", Seq(
+      (1L, true, "V_VP9", 640L, 360L)))
+    val (hsz, hsl) = {
+      // header size VINT starts at offset 4; minimal-length encoding
+      val b = full(4) & 0xff
+      val l = 8 - (31 - Integer.numberOfLeadingZeros(b))
+      var v = (b & ((1 << (8 - l)) - 1)).toLong
+      (1 until l).foreach(i => v = (v << 8) | (full(4 + i) & 0xffL))
+      (v, l)
+    }
+    val headerOnly = full.take(4 + hsl + hsz.toInt)
+    assert(Multimodal.mkvTracks(100L, headerOnly).isEmpty)
+    // a stray byte after the (sized) Segment sits outside the walk:
+    // must not crash, and the tracks read the same as the clean file
+    assert(Multimodal.mkvTracks(101L, full :+ 0xae.toByte).map(_.codec_id) ==
+      Multimodal.mkvTracks(101L, full).map(_.codec_id))
+    // an UNKNOWN-size segment whose last element id ends exactly at
+    // the buffer end: the next readId lands at o == n — no crash
+    assert(Multimodal.mkvTracks(103L,
+      Array(0x1a, 0x45, 0xdf, 0xa3, 0x81, 0x00).map(_.toByte)).isEmpty)
+  }
+
+  test("mkvTracks: malformed Video/Audio sub-block fails the track, no partial geometry (r16 ADVICE)") {
+    val bytes = Multimodal.encodeMkv("webm", 1000000L, "s", Seq(
+      (1L, true, "V_VP9", 640L, 360L)))
+    // corrupt the Video sub-block's size VINT upward so a child
+    // overruns the parent: locate the Video master id 0xE0 inside the
+    // TrackEntry and bump its size byte
+    val vid = (0 until bytes.length - 1).indexWhere(i =>
+      (bytes(i) & 0xff) == 0xe0 && (bytes(i + 1) & 0xff) != 0)
+    assert(vid >= 0)
+    val bad = bytes.clone()
+    bad(vid + 1) = 0xbf.toByte // 1-byte VINT size 63 — overruns parent
+    assert(Multimodal.mkvTracks(102L, bad).isEmpty)
+  }
 }

@@ -74,4 +74,12 @@ class PngChunkSpec extends SparkTestBase {
     val m = Multimodal.pngChunks(90L, flipped)
     assert(m.valid && m.comment == "" && m.comment_lang == "")
   }
+
+  test("pngChunks: trailing bytes after IEND read invalid (r16 ADVICE — IEND must close the stream)") {
+    val png = Multimodal.encodePngMeta(4, 4)
+    assert(Multimodal.pngChunks(90L, png).valid)
+    assert(!Multimodal.pngChunks(91L,
+      png ++ "polyglot tail".getBytes("US-ASCII")).valid)
+    assert(!Multimodal.pngChunks(92L, png :+ 0.toByte).valid)
+  }
 }
