@@ -103,9 +103,23 @@ object DedupClusters {
     // straight off `pairs` executed the upstream candidate-generation
     // subtree (LSH banding over the corpus in every cluster gate)
     // TWICE. Cut the raw list once, derive both, release the raw cut.
-    val rawCut = GraftBridge.persistCutFrame(
-      pairs.select(col("id1"), col("id2")), eager = true)
-    val raw = rawCut.df
+    // EXCEPT when the pair plan is already cheap to traverse twice —
+    // a materialized leaf (the composed gates hand in localCheckpoint
+    // frames) or a plain scan: an extra eager cut there is pure
+    // overhead (measured +1.2 s on q215).
+    val pairPlanHeavy = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      pairs.queryExecution.optimizedPlan.collectFirst {
+        case p @ (_: Join | _: Aggregate | _: Generate | _: Window |
+                  _: Distinct | _: Deduplicate) => p
+      }.isDefined
+    }
+    val rawCut =
+      if (pairPlanHeavy)
+        Some(GraftBridge.persistCutFrame(
+          pairs.select(col("id1"), col("id2")), eager = true))
+      else None
+    val raw = rawCut.map(_.df).getOrElse(pairs.select(col("id1"), col("id2")))
 
     // every node that appears in any pair — the output row contract;
     // kept separately because star rewiring erases singleton self-pairs
@@ -125,7 +139,7 @@ object DedupClusters {
         .filter(col("u") =!= col("v"))
         .distinct(), eager = true)
     var edges = edgesCut.df
-    rawCut.release()
+    rawCut.foreach(_.release())
 
     // the eager persist already counted the edge set — no isEmpty /
     // count() jobs on top
