@@ -312,8 +312,11 @@ object TextAnalysis {
     pairs
       .join(docs.select(id.as("id1"), text.as("__t1")), Seq("id1"))
       .join(docs.select(id.as("id2"), text.as("__t2")), Seq("id2"))
-      .withColumn("dist", levenshtein(col("__t1"), col("__t2")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // banded form (r17): O(len · maxDist) cells, -1 past the bound;
+      // surviving pairs carry the exact same distance (FuzzyJoin note)
+      .withColumn("dist",
+        levenshtein(col("__t1"), col("__t2"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .drop("__t1", "__t2")
   }
 

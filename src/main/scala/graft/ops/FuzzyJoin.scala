@@ -35,6 +35,11 @@ object FuzzyJoin {
       block(leftText).as("__bk"))
     val r = right.select(rightId.as("right_id"), rightText.as("__rt"),
       block(rightText).as("__bk"))
+    // NOTE (r17): the threshold levenshtein form was measured here and
+    // REVERTED — on this operator's short-string shape (name-length
+    // keys) the banded implementation's per-call overhead exceeds the
+    // saved matrix cells (q77 1.17 → 2.06 s); it pays off on document-
+    // length texts (TextAnalysis.confirmPairsEdit, q166 1.4 → 0.89 s)
     l.join(r, "__bk")
       .withColumn("dist", levenshtein(col("__lt"), col("__rt")).cast("long"))
       .filter(col("dist") <= maxDist)
