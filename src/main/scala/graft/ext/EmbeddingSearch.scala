@@ -293,7 +293,14 @@ object EmbeddingSearch {
         kmeansCentroids(corpus, id, vec, nlist, refineIters)
           .select(col("cell"),
             transform(col("centroid"), x => x.cast("float")).as("centroid"))
-    IvfIndex(cents, assignCells(c, cents))
+    // centroids are nlist rows of bounded driver state by contract
+    // (collectCentroids collects them anyway); as a raw plan every
+    // broadcast — the build's own assignCells, then EVERY probe batch —
+    // re-executes the corpus orderBy-limit (or the Lloyd rounds' last
+    // aggregation). Pin once; downstream broadcasts become job-free
+    // LocalTableScans with identical rows.
+    val pinned = GraftBridge.pinLocalRelation(cents)
+    IvfIndex(pinned, assignCells(c, pinned))
   }
 
   /** Persist / reload the index as parquet state. */
@@ -345,9 +352,12 @@ object EmbeddingSearch {
     val c = aliased(corpus, id, vec, "__cid", "__cvec")
     val init = index.centroids.select(col("cell").as("__ctr_id"),
       transform(col("centroid"), x => x.cast("float")).as("__ctr_vec"))
-    val refined = lloydRefine(c, init, refineIters)
-      .select(col("cell"),
-        transform(col("centroid"), x => x.cast("float")).as("centroid"))
+    // pinned for the same reason as buildIvfIndex: the raw lloydRefine
+    // plan would re-run its final corpus-wide round once per consumer
+    val refined = GraftBridge.pinLocalRelation(
+      lloydRefine(c, init, refineIters)
+        .select(col("cell"),
+          transform(col("centroid"), x => x.cast("float")).as("centroid")))
     IvfIndex(refined, assignCells(c, refined))
   }
 

@@ -146,7 +146,16 @@ object VectorQuant {
       prevCut = Some(cut)
       book = cut.df
     }
-    PqCodebook(m, dsub, book)
+    // pin the trained book as a LocalRelation: the codebook is bounded
+    // m·ksub driver state by contract (collectBook collects it anyway),
+    // but as a raw plan every downstream broadcast/collect re-EXECUTES
+    // it — with iters = 0 that re-runs the corpus-wide init aggregation
+    // once per consumer (encode, residual, probe: ~5 executions per
+    // composed RQ gate). One collect here, job-free LocalTableScan
+    // everywhere after; rows/schema preserved exactly.
+    val pinned = GraftBridge.pinLocalRelation(book)
+    prevCut.foreach(_.release())
+    PqCodebook(m, dsub, pinned)
   }
 
   /** Encode every corpus vector to its m-code array: one assignment
@@ -453,20 +462,11 @@ object VectorQuant {
     // stage-1 encode every pass
     val cut = GraftBridge.persistCutFrame(
       residualFrame(corpus, id, vec, book1, "__rid"), eager = true)
-    try {
-      val book2 = pqTrain(cut.df, "__rid", "__resid", m, ksub2, iters2, dim)
-      // the codebook itself must survive the cut's release: pqTrain
-      // with iters = 0 returns a plan over the residual frame, so
-      // pin its rows (bounded m·ksub driver state by contract) before
-      // releasing
-      val pinned = book2.codebook.collect()
-      val spark = corpus.sparkSession
-      val schema = book2.codebook.schema
-      val materialized = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          java.util.Arrays.asList(pinned: _*)), schema)
-      RqBooks(book1, book2.copy(codebook = materialized))
-    } finally cut.release()
+    // pqTrain pins the trained codebook as a LocalRelation, so book2
+    // survives the residual cut's release with no extra handling
+    try RqBooks(book1,
+      pqTrain(cut.df, "__rid", "__resid", m, ksub2, iters2, dim))
+    finally cut.release()
   }
 
   /** Encode every vector to its two code arrays — both stages run the
@@ -477,12 +477,25 @@ object VectorQuant {
     */
   def rqEncode(corpus: DataFrame, id: String, vec: String,
                books: RqBooks): DataFrame = {
-    val resid = residualFrame(corpus, id, vec, books.book1, "id")
+    // ONE stage-1 encode pass: the old shape planned pqEncode(corpus)
+    // twice (once inside residualFrame, once as the codes1 side), so
+    // the corpus was sub-vectorized and assigned TWICE. Compute the
+    // (id, codes1, residual) frame once, cut it (session-sweep
+    // released), and derive both the stage-2 encode input and the
+    // codes1 output column from the cut — the stage-2 codes and the
+    // final rows are bit-identical (same arithmetic, same joins).
+    val c1 = collectBook(books.book1)
     val enc1 = pqEncode(corpus, id, vec, books.book1)
       .select(col("id"), col("codes").as("codes1"))
-    val enc2 = pqEncode(resid, "id", "__resid", books.book2)
+    val withResid = GraftBridge.persistCut(
+      corpus.select(col(id).as("id"), col(vec).as("__v"))
+        .join(enc1, Seq("id"))
+        .select(col("id"), col("codes1"),
+          zip_with(col("__v"), pqDecodeExpr(c1, col("codes1")),
+            (x, c) => x.cast("double") - c.cast("double")).as("__resid")))
+    val enc2 = pqEncode(withResid, "id", "__resid", books.book2)
       .select(col("id"), col("codes").as("codes2"))
-    enc1.join(enc2, Seq("id"))
+    withResid.select(col("id"), col("codes1")).join(enc2, Seq("id"))
   }
 
   /** Two-stage reconstruction: x̂[i] = float(double(x̂₁[i]) + r̂[i]).

@@ -123,6 +123,26 @@ object GraftBridge {
     */
   def persistCut(df: Dataset[Row]): Dataset[Row] = persistCutFrame(df).df
 
+  /** Pin a BOUNDED-state frame's rows as a local relation (optimization
+    * guide §2.4 — remove shuffles/jobs outright): trained codebooks,
+    * IVF centroid tables and similar m·ksub / nlist-row results are
+    * re-executed from their full plan every time a consumer broadcasts
+    * or collects them (each `broadcast(book)` is its own job over the
+    * corpus-aggregation subtree). Collecting ONCE at build time and
+    * rebuilding the frame as a LocalRelation makes every downstream
+    * broadcast a job-free LocalTableScan and every collect a no-op.
+    *
+    * Only for frames whose size is bounded by CONTRACT (the
+    * collectBook / collectCentroids driver-state rule) — never corpus
+    * -proportional data. Rows and schema are preserved exactly, so
+    * consumers are bit-identical.
+    */
+  def pinLocalRelation(df: Dataset[Row]): Dataset[Row] = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Scale-adaptive spread for per-row-HEAVY map work (optimization
     * guide §2.5, "input skew: one huge unsplittable file ...
     * repartition immediately after the read"): local fixture tables
