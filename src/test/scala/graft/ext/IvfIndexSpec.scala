@@ -238,4 +238,18 @@ class IvfIndexSpec extends SparkTestBase {
     assert(cleaned.centroids.count() == 8)
     assert(cleaned.assignments.count() == baseDf.count())
   }
+
+  test("buildIvfIndex pins centroids as local state so every probe batch is corpus-job-free") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // a raw-plan centroid table re-executes the corpus orderBy-limit
+    // (or the Lloyd rounds' final aggregation) once per broadcast —
+    // the build must pin it, for both centroid rules
+    val idx = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4)
+    assert(idx.centroids.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "lowest-id centroids must be pinned local state")
+    val refined = EmbeddingSearch.buildIvfIndex(emb, "vec_id", "embedding",
+      nlist = 4, refineIters = 1)
+    assert(refined.centroids.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "Lloyd-refined centroids must be pinned local state")
+  }
 }

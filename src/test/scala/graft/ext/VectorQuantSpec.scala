@@ -157,4 +157,30 @@ class VectorQuantSpec extends SparkTestBase {
       .filter($"bad").count()
     assert(viol == 0, "int8 reconstruction error exceeded one quantization step")
   }
+
+  test("pqTrain pins the codebook as local state; rqEncode reads the corpus through one shared stage-1 cut") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val slice = emb.filter($"vec_id" < 64)
+    // a raw-plan codebook re-executes its corpus aggregation on every
+    // downstream broadcast/collect — the train must return a pinned
+    // LocalRelation instead (both the iters=0 init and post-Lloyd)
+    val trained = VectorQuant.pqTrain(slice, "vec_id", "embedding",
+      m = 8, ksub = 4, iters = 1, dim = 64)
+    assert(trained.codebook.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      "trained codebook must be pinned local state, not a re-executable plan")
+    val books = VectorQuant.rqTrain(slice, "vec_id", "embedding",
+      m = 8, ksub1 = 4, iters1 = 0, ksub2 = 64, iters2 = 0, dim = 64)
+    assert(books.book1.codebook.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(books.book2.codebook.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    // rqEncode's output must derive from the one materialized
+    // (id, codes1, residual) cut — no second corpus scan in its plan
+    val enc = VectorQuant.rqEncode(slice, "vec_id", "embedding", books)
+    val corpusScans = enc.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l
+    }
+    assert(corpusScans.isEmpty,
+      s"rqEncode must read the corpus only inside the shared cut; found ${corpusScans.size} scans")
+    assert(enc.count() == 64)
+  }
 }
